@@ -3,36 +3,69 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in the ``docling_api_spark`` package; this module
+only adapts its plan registry to the driver's interface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+# The events table stores parquet TIMESTAMP(NANOS), which Spark only reads
+# with this legacy flag (as raw ns longs; tables.load_table converts to µs
+# timestamps exactly like DuckDB's read-time truncation). The driver may
+# hand us an already-built session, so set it at runtime too.
+_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def _prepare(spark: SparkSession) -> SparkSession:
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep going
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H-Q1-style pricing summary) on sf0.001."""
+    from docling_api_spark.plans import all_queries
+
+    _prepare(spark)
+    return all_queries()["q01_pricing_summary"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 / §2.9."""
+    from docling_api_spark.plans import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_prepare(spark), sf_dir)
+
+        return run
+
+    return {name: wrap(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for every SQL-expressible query (others rows-only)."""
+    from docling_api_spark.plans import all_queries
+
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,733 @@
+"""Relational core operators (SURVEY.md §2.9 / M1).
+
+Scan/project/filter, equi- and broadcast joins, semi/anti joins, hash
+aggregates (incl. distinct), rollup/cube/grouping sets, window functions
+(ranking, lag/lead, frames), sort/limit/top-k, set operations, pivot, and
+the scalar function pack (string/date/math/JSON).
+
+Scale notes (100 TB posture):
+- Dimension joins (`region`, `nation`, small `supplier`/`part` slices) are
+  explicitly `broadcast()` — no shuffle of the fact table.
+- Fact-fact joins (lineitem⋈orders) shuffle on the join key; AQE handles
+  skew splitting and partition coalescing at runtime.
+- Aggregations are expressed declaratively so Catalyst plans partial
+  (map-side) aggregation before the exchange.
+- Filters/projections sit directly on the parquet scan → predicate pushdown
+  + column pruning (verified via .explain in tests/test_plans.py).
+- Float aggregates go through exact DECIMAL casts (functions/numeric.py) so
+  results are order-independent — required both for the DuckDB oracle hash
+  and for run-to-run determinism on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: TPC-H Q1-style pricing summary (scan → filter → hash agg)
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    tags=("agg", "scan", "filter"),
+    bench=True,
+    oracle=f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          {sql_dsum('l_quantity', 'sum_qty')},
+          {sql_dsum('l_extendedprice', 'sum_base_price')},
+          {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+          {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+          {sql_davg('l_quantity', 'avg_qty')},
+          {sql_davg('l_extendedprice', 'avg_price')},
+          {sql_davg('l_discount', 'avg_disc')},
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: filter on ship date, 8-way aggregate by flag/status.
+
+    One scan, map-side partial agg, single shuffle on the (low-cardinality)
+    group keys — the canonical Catalyst hash-aggregate plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — scan / project / filter with pushdown
+# ---------------------------------------------------------------------------
+@register(
+    "q02_filter_project",
+    tags=("scan", "filter", "project"),
+    oracle="""
+        SELECT
+          p_partkey,
+          p_name,
+          p_brand,
+          p_retailprice,
+          CAST(p_size * 2 AS INTEGER) AS double_size
+        FROM part
+        WHERE p_size BETWEEN 10 AND 30 AND p_retailprice > 950.0 AND p_type = 'PROMO'
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive filter; predicates and columns push to the scan."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        (F.col("p_size").between(10, 30))
+        & (F.col("p_retailprice") > 950.0)
+        & (F.col("p_type") == "PROMO")
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_retailprice",
+        (F.col("p_size") * 2).cast("int").alias("double_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — broadcast dimension joins (customer ⋈ nation ⋈ region)
+# ---------------------------------------------------------------------------
+@register(
+    "q03_broadcast_dim_join",
+    tags=("join", "broadcast", "agg"),
+    bench=True,
+    oracle=f"""
+        SELECT
+          r_name,
+          n_name,
+          COUNT(*) AS n_customers,
+          {sql_dsum('c_acctbal', 'total_acctbal')}
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+)
+def q03_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: fact joined to two broadcast dims — zero fact shuffle
+    for the joins; the only exchange is the final group-by."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — multiway fact join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region)
+# ---------------------------------------------------------------------------
+@register(
+    "q04_multiway_join_revenue",
+    tags=("join", "agg"),
+    bench=True,
+    oracle=f"""
+        SELECT
+          r_name,
+          n_name,
+          {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+          COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY r_name, n_name
+    """,
+)
+def q04_multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation (TPC-H Q5 shape): one shuffle join between the
+    two fact tables (lineitem⋈orders, AQE-managed), then broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 / q06 — semi and anti joins
+# ---------------------------------------------------------------------------
+@register(
+    "q05_semi_join",
+    tags=("join", "semi"),
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000.0
+        )
+    """,
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one large finished order (LEFT SEMI — EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000.0)
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "q06_anti_join",
+    tags=("join", "anti"),
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+        )
+    """,
+)
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no very large order (LEFT ANTI — NOT EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# q07 — outer join with null handling
+# ---------------------------------------------------------------------------
+@register(
+    "q07_outer_join",
+    tags=("join", "outer", "agg"),
+    oracle=f"""
+        SELECT
+          c_custkey,
+          COUNT(o_orderkey) AS n_orders,
+          {sql_dsum('COALESCE(o_totalprice, 0.0)', 'spend')}
+        FROM customer
+        LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus = 'O'
+        GROUP BY c_custkey
+    """,
+)
+def q07_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers; COUNT skips nulls."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — aggregate with DISTINCT
+# ---------------------------------------------------------------------------
+@register(
+    "q10_agg_distinct",
+    tags=("agg", "distinct"),
+    oracle=f"""
+        SELECT
+          o_orderstatus,
+          COUNT(*) AS n_orders,
+          COUNT(DISTINCT o_custkey) AS n_customers,
+          {sql_dsum('o_totalprice', 'total_price')},
+          MIN(o_totalprice) AS min_price,
+          MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def q10_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with a DISTINCT sub-aggregate (expands to two-phase plan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum("o_totalprice", "total_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11/q12/q13 — rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "q11_rollup",
+    tags=("agg", "rollup"),
+    oracle=f"""
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          COUNT(*) AS n_orders,
+          {sql_dsum('o_totalprice', 'total_price')}
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (status, priority), (status), ()."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price")
+    )
+
+
+@register(
+    "q12_cube",
+    tags=("agg", "cube"),
+    oracle=f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          COUNT(*) AS n_items,
+          {sql_dsum('l_quantity', 'total_qty')}
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations of (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "total_qty")
+    )
+
+
+@register(
+    "q13_grouping_sets",
+    tags=("agg", "grouping_sets"),
+    oracle=f"""
+        SELECT
+          c_mktsegment,
+          c_nationkey,
+          COUNT(*) AS n_customers,
+          {sql_dsum('c_acctbal', 'total_acctbal')}
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+    """,
+)
+def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via Spark SQL over a temp view."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT
+          c_mktsegment,
+          c_nationkey,
+          COUNT(*) AS n_customers,
+          {sql_dsum('c_acctbal', 'total_acctbal')}
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14/q15/q16 — window functions
+# ---------------------------------------------------------------------------
+@register(
+    "q14_window_topk_per_group",
+    tags=("window", "topk"),
+    bench=True,
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice, rn, rnk, drnk
+        FROM (
+          SELECT
+            p_brand, p_partkey, p_retailprice,
+            ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
+            RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+            DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+          FROM part
+        ) t
+        WHERE rn <= 3
+    """,
+)
+def q14_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand: ranking window trio with deterministic tiebreak."""
+    part = load_table(spark, sf_dir, "part")
+    w_rn = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    w_rk = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_rk).alias("rnk"),
+            F.dense_rank().over(w_rk).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q15_window_lag_lead",
+    tags=("window", "analytic"),
+    oracle="""
+        SELECT
+          event_id,
+          user_id,
+          value,
+          LAG(value)  OVER w AS prev_value,
+          LEAD(value) OVER w AS next_value,
+          value - COALESCE(LAG(value) OVER w, 0.0) AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q15_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous/next event values (analytic lag/lead)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("delta"),
+    )
+
+
+@register(
+    "q16_window_frames",
+    tags=("window", "frames"),
+    oracle="""
+        SELECT
+          event_id,
+          user_id,
+          CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS DOUBLE) AS running_sum,
+          CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+          ) AS DOUBLE) AS moving_sum_4,
+          COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+          ) AS moving_n
+        FROM events
+    """,
+)
+def q16_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running and moving-frame aggregates per user (exact decimal sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(28,6)")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_sum"),
+        F.sum(dec).over(w.rowsBetween(-3, W.currentRow)).cast("double").alias("moving_sum_4"),
+        F.count(F.lit(1)).over(w.rowsBetween(-3, W.currentRow)).alias("moving_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — sort / limit / top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q17_topk_global",
+    tags=("sort", "limit", "topk"),
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 10
+    """,
+)
+def q17_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 (TakeOrderedAndProject — no full sort at scale)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — set operations
+# ---------------------------------------------------------------------------
+@register(
+    "q18_set_ops",
+    tags=("setop",),
+    oracle="""
+        WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        SELECT 'both' AS membership, nationkey
+          FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        UNION ALL
+        SELECT 'customer_only' AS membership, nationkey
+          FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        UNION ALL
+        SELECT 'supplier_only' AS membership, nationkey
+          FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+    """,
+)
+def q18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation-key memberships."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cn.intersect(sn).select(F.lit("both").alias("membership"), "nationkey")
+    c_only = cn.exceptAll(sn).select(F.lit("customer_only").alias("membership"), "nationkey")
+    s_only = sn.exceptAll(cn).select(F.lit("supplier_only").alias("membership"), "nationkey")
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+# ---------------------------------------------------------------------------
+# q19 — pivot
+# ---------------------------------------------------------------------------
+@register(
+    "q19_pivot",
+    tags=("pivot", "agg"),
+    oracle=f"""
+        SELECT
+          l_returnflag,
+          {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_open')},
+          {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_finished')}
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot line status into columns (sum of quantity per return flag)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20/q21/q22 — scalar function packs (string / date / math+JSON)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_string_funcs",
+    tags=("scalar", "string"),
+    oracle="""
+        SELECT
+          p_partkey,
+          lower(p_name)                                   AS name_lower,
+          upper(p_brand)                                  AS brand_upper,
+          substr(p_name, 1, 4)                            AS name_prefix,
+          CAST(length(p_name) AS INTEGER)                 AS name_len,
+          concat_ws('|', p_brand, p_type)                 AS brand_type,
+          replace(p_name, ' ', '_')                       AS name_snake,
+          trim(p_type)                                    AS type_trim,
+          lpad(CAST(p_partkey AS VARCHAR), 8, '0')        AS key_padded,
+          reverse(p_brand)                                AS brand_rev,
+          regexp_extract(p_name, '([a-z]+)$', 1)          AS last_word,
+          (p_name LIKE '%bolt%')                          AS is_bolt
+        FROM part
+        WHERE p_partkey < 100
+    """,
+)
+def q20_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function pack: case, substring, pad, regex, concat, predicate."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim(F.col("p_type")).alias("type_trim"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.col("p_name").like("%bolt%").alias("is_bolt"),
+    )
+
+
+@register(
+    "q21_date_funcs",
+    tags=("scalar", "date"),
+    oracle="""
+        SELECT
+          o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d')                           AS order_date,
+          CAST(year(o_orderdate) AS INTEGER)                          AS order_year,
+          CAST(month(o_orderdate) AS INTEGER)                         AS order_month,
+          CAST(dayofmonth(o_orderdate) AS INTEGER)                    AS order_day,
+          CAST(quarter(o_orderdate) AS INTEGER)                       AS order_quarter,
+          strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')      AS month_start,
+          CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT)
+                                                                      AS days_to_y2k,
+          strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')         AS due_date
+        FROM orders
+        WHERE o_orderkey < 500
+    """,
+)
+def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function pack (timestamps emitted as formatted strings)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_y2k"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
+
+
+@register(
+    "q22_math_json_funcs",
+    tags=("scalar", "math", "json"),
+    oracle="""
+        SELECT
+          event_id,
+          abs(value - 100.0)                               AS dist_from_100,
+          CAST(floor(value) AS BIGINT)                     AS value_floor,
+          CAST(ceil(value) AS BIGINT)                      AS value_ceil,
+          sqrt(abs(value))                                 AS value_sqrt,
+          value * value                                    AS value_sq,
+          CAST(event_id % 7 AS BIGINT)                     AS id_mod7,
+          greatest(value, 50.0)                            AS val_hi,
+          least(value, 50.0)                               AS val_lo,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        FROM events
+        WHERE event_id < 1000
+    """,
+)
+def q22_math_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + JSON extraction pack (IEEE-exact ops only, for oracle parity)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.abs(F.col("value") - 100.0).alias("dist_from_100"),
+        F.floor("value").alias("value_floor"),
+        F.ceil("value").alias("value_ceil"),
+        F.sqrt(F.abs(F.col("value"))).alias("value_sqrt"),
+        (F.col("value") * F.col("value")).alias("value_sq"),
+        (F.col("event_id") % 7).cast("bigint").alias("id_mod7"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("val_hi"),
+        F.least(F.col("value"), F.lit(50.0)).alias("val_lo"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — approximate aggregates (rows-only: sketches differ across engines)
+# ---------------------------------------------------------------------------
+@register("q23_approx_aggs", tags=("agg", "approx"))
+def q23_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct + approximate percentiles per event type.
+
+    No oracle: sketch results are engine-specific by design (driver applies
+    the rows-only check). At 100 TB these replace exact DISTINCT/percentile
+    whose state would not fit: HLL state is O(kB) per group regardless of
+    cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.95).alias("p95_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — exact percentiles (interpolated, oracle-checkable)
+# ---------------------------------------------------------------------------
+@register(
+    "q24_percentiles_exact",
+    tags=("agg", "percentile"),
+    oracle="""
+        SELECT
+          event_type,
+          MIN(value) AS min_v,
+          quantile_cont(value, 0.5) AS median_v,
+          MAX(value) AS max_v
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q24_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (Spark `percentile` ≡ DuckDB quantile_cont)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min("value").alias("min_v"),
+        F.expr("percentile(value, 0.5)").alias("median_v"),
+        F.max("value").alias("max_v"),
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory tuned for this engine.
+
+Scaling posture (mirrors the reference's deployment knobs, SURVEY.md §4/§6):
+the reference runs one heavyweight conversion task per worker (`--pool=solo`,
+docker-compose.yml:48) and preloads models per worker; here that maps to
+executor-level config (`spark.task.cpus` for the conversion stage, lazy
+per-executor singletons in the UDF module) while the relational surface relies
+on Catalyst + AQE.
+
+Local test mode is `local[N]` (single JVM); on a real cluster the same
+configs hold, plus dynamic allocation / executor sizing set by the deployer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The events table is written with parquet TIMESTAMP(NANOS); Spark's
+# TimestampType is microsecond so we read nanos as raw longs and convert
+# with integer division (exactly what DuckDB's µs truncation does).
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(
+    app_name: str = "docling-api-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with the engine's standard config.
+
+    Defaults are sized for the local test harness but every choice is
+    cluster-safe: AQE re-plans shuffles at runtime (partition coalescing,
+    skew-join splitting, broadcast demotion), Arrow keeps the pandas-UDF
+    boundary columnar, UTC pins timestamp semantics for oracle parity.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # documents/binaries are large per row — keep Arrow batches bounded
+        # (mirrors the reference's lazy one-at-a-time convert_all iterator,
+        # reference service.py:171-177)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config(NANOS_AS_LONG, "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        # executor thread caps carried over from the reference's tuning
+        # (docker-compose.yml:16-18): avoid oversubscription in native libs
+        .config("spark.executorEnv.OMP_NUM_THREADS", "2")
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
