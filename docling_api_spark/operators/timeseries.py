@@ -1,6 +1,376 @@
-"""Event-time operators over the `events` stream table (SURVEY.md M2).
+"""Event-time operators over the `events` table (SURVEY.md M2 / §2.9).
 
-Populated incrementally: tumbling/sliding windows, session windows, as-of
-joins, range joins. Batch forms here (oracle-checkable); the same logic runs
-as Structured Streaming in docling_api_spark.streaming.
+Batch forms of tumbling/sliding/session windows, as-of join, and range
+joins — each oracle-checkable in SQL. The same logic runs as Structured
+Streaming in q36 (rows-only) and in docling_api_spark.streaming.
+
+Scale notes:
+- Window aggregations group on derived time buckets → one shuffle, partial
+  aggregation map-side, no skew (time is uniform).
+- The as-of join avoids a per-row subquery by union-tagging both sides and
+  running one pass of `last(...) ignorenulls` over a user/time window —
+  O(n log n) within each user partition, no join explosion.
+- The pure range join buckets both sides on the range width and equi-joins
+  on the bucket (each left row probes 2 buckets). A naive theta join would
+  be a BroadcastNestedLoopJoin — quadratic at 100 TB; the bucket join is
+  a plain shuffle join with output-bounded cost.
+- All timestamps are compared/emitted as epoch microseconds so Spark (µs)
+  and DuckDB (ns→µs truncation) see identical integers.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.numeric import dsum, sql_dsum
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+US_30MIN = 30 * 60 * 1_000_000
+US_1H = 60 * 60 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# q30 — tumbling event-time window
+# ---------------------------------------------------------------------------
+@register(
+    "q30_tumbling_window",
+    tags=("eventtime", "window_agg"),
+    bench=True,
+    oracle=f"""
+        SELECT
+          epoch_us(date_trunc('hour', ts)) AS window_start_us,
+          event_type,
+          COUNT(*) AS n_events,
+          {sql_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (batch form of the streaming agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — sliding event-time window (1h window, 30min slide)
+# ---------------------------------------------------------------------------
+@register(
+    "q31_sliding_window",
+    tags=("eventtime", "window_agg"),
+    oracle=f"""
+        WITH b AS (
+          SELECT epoch_us(ts) - (epoch_us(ts) % {US_30MIN}) AS b_us, value FROM events
+        ),
+        w AS (
+          SELECT b_us AS window_start_us, value FROM b
+          UNION ALL
+          SELECT b_us - {US_30MIN} AS window_start_us, value FROM b
+        )
+        SELECT
+          window_start_us,
+          COUNT(*) AS n_events,
+          {sql_dsum('value', 'total_value')}
+        FROM w
+        GROUP BY window_start_us
+    """,
+)
+def q31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2 windows).
+
+    Oracle emulation: window starts are the event's 30-min bucket and the
+    bucket before it — Spark's `window()` aligns starts to the epoch, so the
+    two formulations agree exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — session windows (30-minute inactivity gap) per user
+# ---------------------------------------------------------------------------
+@register(
+    "q32_session_window",
+    tags=("eventtime", "session"),
+    bench=True,
+    oracle=f"""
+        WITH e AS (
+          SELECT
+            user_id,
+            epoch_us(ts) AS t_us,
+            value,
+            CASE
+              WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= {US_30MIN} THEN 1
+              ELSE 0
+            END AS new_sess
+          FROM events
+        ),
+        s AS (
+          SELECT *,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY t_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sess_id
+          FROM e
+        )
+        SELECT
+          user_id,
+          MIN(t_us) AS session_start_us,
+          COUNT(*) AS n_events,
+          {sql_dsum('value', 'total_value')}
+        FROM s
+        GROUP BY user_id, sess_id
+    """,
+)
+def q32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap (`session_window`).
+
+    Spark semantics: an event at exactly prev_ts + gap starts a new session
+    (session interval is half-open) — the oracle's gaps-and-islands uses
+    `>= gap` to match.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — as-of join (latest signup at-or-before each purchase, per user)
+# ---------------------------------------------------------------------------
+@register(
+    "q33_asof_join",
+    tags=("join", "asof"),
+    bench=True,
+    oracle="""
+        SELECT
+          p.event_id AS p_event_id,
+          p.user_id  AS user_id,
+          epoch_us(p.ts) AS p_ts_us,
+          s.event_id AS s_event_id,
+          epoch_us(p.ts) - epoch_us(s.ts) AS lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent signup at or before it.
+
+    Spark lacks a native ASOF JOIN; the scalable emulation union-tags both
+    sides and takes `last(signup, ignorenulls)` over an event-time window
+    per user — a single sort within each user partition instead of a
+    range-join explosion. (DuckDB's native ASOF JOIN is the oracle.)
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "t_us", F.col("event_id").alias("eid"), F.lit(0).alias("kind")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t_us", F.col("event_id").alias("eid"), F.lit(1).alias("kind")
+    )
+    # kind asc ⇒ at equal timestamps the signup sorts first, so `p.ts >= s.ts`
+    # (inclusive) semantics hold.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "kind", "eid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = sig.unionByName(pur).withColumn(
+        "last_sig",
+        F.last(
+            F.when(F.col("kind") == 0, F.struct(F.col("t_us"), F.col("eid"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return tagged.filter(F.col("kind") == 1).select(
+        F.col("eid").alias("p_event_id"),
+        F.col("user_id"),
+        F.col("t_us").alias("p_ts_us"),
+        F.col("last_sig.eid").alias("s_event_id"),
+        (F.col("t_us") - F.col("last_sig.t_us")).alias("lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — keyed range join (funnel: purchase within 30min of a click)
+# ---------------------------------------------------------------------------
+@register(
+    "q34_funnel_range_join",
+    tags=("join", "range"),
+    oracle=f"""
+        SELECT
+          a.user_id AS user_id,
+          COUNT(*) AS n_pairs,
+          MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id
+         AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND {US_30MIN}
+        GROUP BY a.user_id
+    """,
+)
+def q34_funnel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel: equi-join on user + time-range predicate.
+
+    The user_id equality makes this a plain shuffle hash join with the range
+    as a residual filter — no quadratic blowup at scale.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("t_us").alias("a_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("t_us").alias("b_us")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("a_user") == F.col("b_user"))
+            & ((F.col("b_us") - F.col("a_us")).between(1, US_30MIN)),
+        )
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("b_us") - F.col("a_us")).alias("min_gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — pure (keyless) range join via bucketing
+# ---------------------------------------------------------------------------
+@register(
+    "q35_bucketed_range_join",
+    tags=("join", "range", "bucketed"),
+    bench=True,
+    oracle="""
+        SELECT
+          e.event_id AS error_id,
+          p.event_id AS purchase_id,
+          epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON epoch_us(p.ts) - epoch_us(e.ts) BETWEEN 1 AND 60000000
+    """,
+)
+def q35_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless temporal range join (purchases within 60s after any error).
+
+    Implementation buckets both sides at the range width (60s) and equi-joins
+    on the bucket, with each error probing its own and the next bucket. This
+    turns an O(n·m) theta join (BroadcastNestedLoopJoin in Spark) into a
+    shuffle hash join whose cost is bounded by the true output size — the
+    only formulation that survives 100 TB. Each qualifying pair matches in
+    exactly one bucket (a purchase has one bucket; the error contributes one
+    probe row per distinct bucket value).
+    """
+    bucket_us = 60_000_000
+    ev = load_table(spark, sf_dir, "events").withColumn("t_us", F.unix_micros("ts"))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("t_us").alias("e_us"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    (F.col("e_us") / bucket_us).cast("long"),
+                    (F.col("e_us") / bucket_us).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("t_us").alias("p_us"),
+        (F.col("t_us") / bucket_us).cast("long").alias("bucket"),
+    )
+    return (
+        errors.join(purchases, "bucket")
+        .filter((F.col("p_us") - F.col("e_us")).between(1, bucket_us))
+        .select("error_id", "purchase_id", (F.col("p_us") - F.col("e_us")).alias("gap_us"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — Structured Streaming tumbling aggregate (rows-only)
+# ---------------------------------------------------------------------------
+@register("q36_streaming_tumbling", tags=("eventtime", "streaming"))
+def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q30 aggregation executed as a real Structured Streaming query.
+
+    Reads the events parquet through `readStream`, applies a 1-hour
+    watermark + tumbling window, drains the stream into a memory sink, and
+    returns the materialized result. No SQL oracle (the driver applies the
+    rows-only check); q30 pins the same logic's values in batch mode.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    name = "q36_sink_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_q36_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -35,8 +35,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # parquet TIMESTAMP(NANOS) read as raw ns longs
         # (spark.sql.legacy.parquet.nanosAsLong) → truncate to µs exactly
-        # like DuckDB does on read.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # like DuckDB does on read. Integer `div`, NOT `/`: ns epoch values
+        # (~1.7e18) exceed double's 2^53 integer range, so float division
+        # silently rounds the low microsecond digit.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
