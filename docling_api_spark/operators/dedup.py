@@ -1,2 +1,302 @@
-"""Deduplication operators over `documents` (SURVEY.md M3): exact,
-minhash-LSH, simhash, n-gram Jaccard."""
+"""Deduplication operators over `documents` (SURVEY.md M3).
+
+Exact (hash group-by), n-gram Jaccard, MinHash+LSH, and SimHash near-dup —
+the standard LLM-training-corpus dedup ladder.
+
+Scale notes:
+- Exact dedup groups on the text hash, never shipping full text through the
+  shuffle when only the hash + ids are needed.
+- Jaccard runs on an exploded (doc, shingle) relation: intersection counts
+  come from a shuffle join on `shingle` whose cost is bounded by true
+  shingle collisions — never a doc×doc cross product.
+- MinHash+LSH replaces all-pairs comparison entirely: signatures are fixed
+  size (perms × 8 bytes) per doc, candidates come from equi-joins on
+  (band, bucket), and only candidates get exact verification. This is the
+  only ladder rung that survives 100 TB of documents.
+- SimHash packs a document into one 64-bit int; near-dup = Hamming distance
+  on an equi-join-able value (bit_count(xor)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+# 3-word shingles, 0-based Spark array indexing (toks[i]); guarded so short
+# docs yield an empty array (sequence() would run DESCENDING on size<3).
+SHINGLES_SPARK = """
+    CASE WHEN size(toks) >= 3
+         THEN transform(sequence(1, size(toks) - 2),
+                        i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+         ELSE CAST(array() AS ARRAY<STRING>) END
+"""
+
+# DuckDB twin: 1-based list indexing, range(1, n) is end-exclusive.
+SHINGLES_DUCK = """
+    SELECT DISTINCT doc_id, source,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) toks,
+         UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+                     ELSE CAST([] AS BIGINT[]) END) AS u(i)
+"""
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, source, shingle) relation of 3-word shingles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    return (
+        docs.select("doc_id", "source", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q40 — exact dedup by content hash
+# ---------------------------------------------------------------------------
+@register(
+    "q40_dedup_exact",
+    tags=("dedup", "exact"),
+    oracle="""
+        SELECT
+          md5(text) AS text_hash,
+          MIN(doc_id) AS keeper_doc_id,
+          COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one keeper (min doc_id) per distinct text hash.
+
+    Grouping on md5(text) instead of raw text keeps shuffle rows small —
+    at 100 TB the hash is what travels, not the document.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — deterministic first-row-per-group dedup
+# ---------------------------------------------------------------------------
+@register(
+    "q41_dedup_per_group",
+    tags=("dedup", "window"),
+    oracle="""
+        SELECT doc_id, lang, source, n_chars
+        FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+          FROM documents
+        ) t
+        WHERE rn = 1
+    """,
+)
+def q41_dedup_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the lowest doc_id per (lang, source) — dropDuplicates with a
+    deterministic survivor rule (plain dropDuplicates keeps an arbitrary row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — n-gram Jaccard similarity (exact near-dup, relation-algebra form)
+# ---------------------------------------------------------------------------
+@register(
+    "q42_ngram_jaccard",
+    tags=("dedup", "neardup", "jaccard"),
+    bench=True,
+    oracle=f"""
+        WITH sh AS ({SHINGLES_DUCK}),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a
+          JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT
+          p.doc_a, p.doc_b, p.n_common,
+          CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) AS jaccard
+        FROM pairs p
+        JOIN cnt ca ON p.doc_a = ca.doc_id
+        JOIN cnt cb ON p.doc_b = cb.doc_id
+        WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) >= 0.05
+    """,
+)
+def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram Jaccard within each source (pairs with J >= 0.05).
+
+    Shuffle join on the shingle value — cost bounded by shingle collisions,
+    not |docs|²; the `source` co-key further prunes the join.
+    """
+    sh = shingle_sets(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    )
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — MinHash + LSH banding (the scale path; rows-only)
+# ---------------------------------------------------------------------------
+@register("q43_minhash_lsh", tags=("dedup", "neardup", "minhash", "lsh"), bench=True)
+def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 permutations) + LSH banding (4 bands × 2 rows) near-dup.
+
+    Candidate pairs share at least one (band, bucket); candidates are then
+    verified with exact Jaccard. xxhash64(shingle, seed) plays the hash-
+    permutation family. No SQL oracle (JVM hash function); q42 pins exact
+    Jaccard semantics, and tests cross-check q43 ⊆ q42 candidates.
+    """
+    n_perm, n_bands = 8, 4
+    sh = shingle_sets(spark, sf_dir)
+
+    # (doc, perm) → min hash: explode perms once, aggregate min — one shuffle.
+    perms = F.explode(F.array(*[F.lit(p) for p in range(n_perm)])).alias("perm")
+    sig = (
+        sh.select("doc_id", "source", "shingle", perms)
+        .withColumn("h", F.xxhash64("shingle", "perm"))
+        .groupBy("doc_id", "source", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+    # band bucket = hash of the band's minhash vector (sorted by perm for
+    # deterministic ordering inside collect_list).
+    bands = (
+        sig.withColumn("band", (F.col("perm") / (n_perm // n_bands)).cast("int"))
+        .groupBy("doc_id", "source", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb.withColumnRenamed("sh_b", "sh_a"), ["doc_b", "sh_a"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — SimHash near-dup (rows-only)
+# ---------------------------------------------------------------------------
+@register("q44_simhash", tags=("dedup", "neardup", "simhash"))
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document; near-dup pairs = Hamming distance <= 16
+    within a source.
+
+    The per-bit vote runs on an exploded (token, bit) relation — one shuffle,
+    fully parallel. Pair search compares single 64-bit ints via
+    bit_count(xor), not documents. No SQL oracle (JVM xxhash64).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bits = F.explode(F.array(*[F.lit(b) for b in range(64)])).alias("bit")
+    votes = (
+        docs.withColumn("h", F.xxhash64("tok"))
+        .select("doc_id", "source", "h", bits)
+        .withColumn(
+            "vote",
+            F.expr("CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"),
+        )
+        .groupBy("doc_id", "source", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    simhash = votes.groupBy("doc_id", "source").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+    a = simhash.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("simhash").alias("sh_a")
+    )
+    b = simhash.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .filter(F.col("hamming") <= 16)
+    )

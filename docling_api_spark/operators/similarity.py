@@ -1,2 +1,285 @@
-"""Similarity-search operators over `embeddings` (SURVEY.md M3): brute-force
-cosine top-k, LSH-bucketed ANN."""
+"""Similarity-search operators over `embeddings` (SURVEY.md M3).
+
+Brute-force cosine top-k as the exact baseline, an LSH-bucketed ANN variant
+as the scale path, kNN label voting, and near-dup pair mining.
+
+Scale notes:
+- Brute force broadcasts the (small) query set and makes ONE pass over the
+  corpus — O(|Q|·N) with no corpus shuffle; per-query top-k via window.
+  Right answer when |Q| is small; at 100 TB with large |Q| use q51's LSH.
+- The LSH variant buckets vectors by random-hyperplane sign bits; candidate
+  generation is an equi-join on the bucket id, so comparisons scale with
+  bucket collisions instead of N².
+- Vector math stays in Catalyst higher-order functions (zip_with/aggregate,
+  whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+N_QUERIES = 8
+TOP_K = 5
+
+# Cast float32 elements to double BEFORE multiplying so Spark and DuckDB do
+# the identical IEEE computation; the fold is sequential in both engines.
+DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+NORM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+# DuckDB twins (1-based list indexing; list_sum folds sequentially).
+DOT_DUCK = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+NORM_DUCK = (
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+COSINE_BASE_DUCK = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {NORM_DUCK} AS norm FROM embeddings
+    ),
+    pairs AS (
+      SELECT
+        q.vec_id AS q_vec,
+        n.vec_id AS n_vec,
+        n.label  AS n_label,
+        {DOT_DUCK.format(a='q.embedding', b='n.embedding')} / (q.norm * n.norm) AS cosine
+      FROM e q, e n
+      WHERE q.vec_id < {N_QUERIES} AND n.vec_id <> q.vec_id
+    ),
+    topk AS (
+      SELECT q_vec, n_vec, n_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_vec ORDER BY cosine DESC, n_vec) AS rn
+      FROM pairs
+    )
+"""
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_vec, n_vec, n_label, cosine) for every query × corpus vector."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("norm", F.expr(NORM_SPARK))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("n_vec"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    return (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("n_vec") != F.col("q_vec"))
+        .withColumn(
+            "cosine",
+            F.expr(DOT_SPARK.format(a="q_emb", b="n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+        )
+        .select("q_vec", "n_vec", "n_label", "cosine")
+    )
+
+
+def topk_per_query(pairs: DataFrame, k: int = TOP_K) -> DataFrame:
+    w = W.partitionBy("q_vec").orderBy(F.desc("cosine"), F.asc("n_vec"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ---------------------------------------------------------------------------
+# q50 — brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+@register(
+    "q50_cosine_topk",
+    tags=("similarity", "ann", "topk"),
+    bench=True,
+    oracle=f"""
+        {COSINE_BASE_DUCK}
+        SELECT q_vec, n_vec, cosine, rn FROM topk WHERE rn <= {TOP_K}
+    """,
+)
+def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each of the first 8 query vectors."""
+    return topk_per_query(_scored_pairs(spark, sf_dir)).select(
+        "q_vec", "n_vec", "cosine", "rn"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — LSH-bucketed approximate NN (the scale path; rows-only)
+# ---------------------------------------------------------------------------
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible across
+    engines/runs without any RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:8], 16)
+            row.append(h / 0xFFFFFFFF * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@register("q51_ann_lsh", tags=("similarity", "ann", "lsh"))
+def q51_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join + exact rerank.
+
+    6 sign bits → 64 buckets; candidates = corpus vectors sharing the
+    query's bucket; exact cosine only on candidates. Recall/selectivity is
+    tuned via the bit count (more data → more bits); the structure (bucket
+    equi-join, bounded rerank) is what survives when N² is impossible.
+    Rows-only check (approximation is engine-specific); q50 pins the exact
+    semantics.
+    """
+    n_planes, dim = 6, 64
+    planes = _hyperplanes(n_planes, dim)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(w) for w in row]) for row in planes]
+    ).alias("planes")
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("norm", F.expr(NORM_SPARK))
+        .withColumn("planes", planes_lit)
+        .withColumn(
+            "bucket",
+            F.expr(
+                """
+                aggregate(
+                  transform(planes, p ->
+                    CASE WHEN aggregate(zip_with(p, embedding,
+                                 (w, x) -> w * CAST(x AS DOUBLE)),
+                               CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0
+                         THEN 1 ELSE 0 END),
+                  (CAST(0 AS BIGINT), 0),
+                  (acc, bit) -> (acc.col1 + shiftleft(CAST(bit AS BIGINT), acc.col2), acc.col2 + 1),
+                  acc -> acc.col1)
+                """
+            ),
+        )
+        .select("vec_id", "label", "embedding", "norm", "bucket")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "bucket",
+    )
+    n = emb.select(
+        F.col("vec_id").alias("n_vec"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+        "bucket",
+    )
+    cand = (
+        n.join(F.broadcast(q), "bucket")
+        .filter(F.col("n_vec") != F.col("q_vec"))
+        .withColumn(
+            "cosine",
+            F.expr(DOT_SPARK.format(a="q_emb", b="n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+        )
+    )
+    w = W.partitionBy("q_vec").orderBy(F.desc("cosine"), F.asc("n_vec"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_vec", "n_vec", "cosine", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — kNN label vote (classification on top of top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "q52_knn_label_vote",
+    tags=("similarity", "knn", "classify"),
+    oracle=f"""
+        {COSINE_BASE_DUCK},
+        votes AS (
+          SELECT q_vec, n_label, COUNT(*) AS n_votes
+          FROM topk WHERE rn <= {TOP_K}
+          GROUP BY q_vec, n_label
+        )
+        SELECT q_vec, n_label AS predicted_label, n_votes
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_vec ORDER BY n_votes DESC, n_label
+          ) AS vr FROM votes
+        ) v
+        WHERE vr = 1
+    """,
+)
+def q52_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority label among each query's top-5 neighbors (deterministic ties)."""
+    topk = topk_per_query(_scored_pairs(spark, sf_dir))
+    votes = topk.groupBy("q_vec", "n_label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w = W.partitionBy("q_vec").orderBy(F.desc("n_votes"), F.asc("n_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .filter(F.col("vr") == 1)
+        .select("q_vec", F.col("n_label").alias("predicted_label"), "n_votes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — embedding near-dup pairs (cosine threshold within label)
+# ---------------------------------------------------------------------------
+@register(
+    "q53_embedding_neardup",
+    tags=("similarity", "neardup"),
+    oracle=f"""
+        WITH e AS (
+          SELECT vec_id, label, embedding, {NORM_DUCK} AS norm FROM embeddings
+        )
+        SELECT
+          a.vec_id AS vec_a,
+          b.vec_id AS vec_b,
+          a.label  AS label,
+          {DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) AS cosine
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.30
+    """,
+)
+def q53_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embedding pairs (cosine >= 0.30) within each label.
+
+    The label equi-key keeps the pair join shuffle-partitionable; a keyless
+    variant would use q51's LSH buckets as the join key instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("norm", F.expr(NORM_SPARK))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn(
+            "cosine",
+            F.expr(DOT_SPARK.format(a="emb_a", b="emb_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("cosine") >= 0.30)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )

@@ -1,2 +1,309 @@
-"""Text-analysis operators over `documents` (SURVEY.md M3): token stats,
-quality scoring, language breakdown, tf-idf, fingerprinting."""
+"""Text-analysis operators over `documents` (SURVEY.md M3).
+
+Language breakdown, per-document token statistics, quality scoring,
+tf-idf top terms, heuristic language ID, and winnowing fingerprints —
+the text-side toolkit of an LLM training-data pipeline.
+
+Scale notes:
+- Per-document stats are narrow map-side expressions (split/filter/size) —
+  no shuffle at all, whole-stage codegen end to end.
+- tf-idf is two hash aggregations over the exploded token relation plus a
+  broadcast of the (tiny) document-frequency table.
+- Nothing here drops to Python; every string op is a Catalyst built-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.numeric import davg, sql_davg
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+STOPWORDS = ("a", "the", "of", "and", "in", "to", "is", "on")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# q60 — corpus breakdown by language
+# ---------------------------------------------------------------------------
+@register(
+    "q60_lang_breakdown",
+    tags=("text", "agg"),
+    oracle=f"""
+        SELECT
+          lang,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          {sql_davg('n_chars', 'avg_chars')},
+          MIN(n_chars) AS min_chars,
+          MAX(n_chars) AS max_chars,
+          COUNT(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def q60_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        davg("n_chars", "avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — per-document token statistics
+# ---------------------------------------------------------------------------
+@register(
+    "q61_token_stats",
+    tags=("text", "tokens"),
+    oracle="""
+        SELECT
+          doc_id,
+          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq_tokens,
+          CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_token_chars,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')) AS avg_token_len,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+    """,
+)
+def q61_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token counts, distinct-token counts, and length ratios.
+
+    Pure narrow projection — zero shuffle; the canonical "token counting"
+    pass of a training-data pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stripped_len = F.length(F.regexp_replace("text", " ", ""))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_uniq_tokens"),
+        stripped_len.cast("int").alias("n_token_chars"),
+        (stripped_len.cast("double") / F.size(toks)).alias("avg_token_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("uniq_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — document quality scoring
+# ---------------------------------------------------------------------------
+@register(
+    "q62_quality_score",
+    tags=("text", "quality"),
+    bench=True,
+    oracle=f"""
+        WITH t AS (
+          SELECT
+            doc_id, lang,
+            string_split(text, ' ') AS toks,
+            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+          FROM documents
+        )
+        SELECT
+          doc_id,
+          lang,
+          n_tokens,
+          CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / n_tokens
+            AS stopword_ratio,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS uniq_ratio,
+          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS length_score,
+          0.4 * (CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / n_tokens)
+          + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens)
+          + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+        FROM t
+    """,
+)
+def q62_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: stopword ratio + lexical diversity + length.
+
+    The standard cheap heuristics used to filter web corpora before
+    training; all map-side column expressions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("int")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tokens
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    length_score = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        length_score.alias("length_score"),
+        (0.4 * stop_ratio + 0.3 * uniq_ratio + 0.3 * length_score).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — tf-idf top terms per document
+# ---------------------------------------------------------------------------
+@register(
+    "q63_tfidf_top_terms",
+    tags=("text", "tfidf"),
+    bench=True,
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT
+            tf.doc_id, tf.term, tf.tf, df.df,
+            CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, score, rn
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term
+          ) AS rn FROM scored
+        ) t
+        WHERE rn <= 3
+    """,
+)
+def q63_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document.
+
+    idf uses the raw N/df ratio (not log) so the oracle comparison stays in
+    exact IEEE arithmetic — libm log() may differ across engines by 1 ulp.
+    df is a tiny table (vocabulary-sized) → broadcast join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; fixed per sf_dir
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * (F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q64 — heuristic language ID (rows-only)
+# ---------------------------------------------------------------------------
+@register("q64_lang_id", tags=("text", "langid"))
+def q64_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram profile language guesser.
+
+    Scores each document's character bigrams against per-language profiles
+    learned from a deterministic sample of the corpus itself (top bigrams
+    per labeled language), then predicts argmax. Demonstrates the n-gram
+    language-ID structure (profile broadcast + explode + score) on synthetic
+    text whose labels are random — accuracy is meaningless here, mechanics
+    are what's exercised. Rows-only check.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # profile: top-20 char bigrams per language from the first 50 docs/lang
+    w_doc = W.partitionBy("lang").orderBy("doc_id")
+    sample = docs.withColumn("rn", F.row_number().over(w_doc)).filter(F.col("rn") <= 50)
+    bigrams = sample.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 1, 1)), "
+                "i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    w_bg = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bg"))
+    profile = (
+        bigrams.groupBy("lang", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("brn", F.row_number().over(w_bg))
+        .filter(F.col("brn") <= 20)
+        .select(F.col("lang").alias("profile_lang"), "bg", F.lit(1).alias("hit"))
+    )
+    doc_bigrams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 1, 1)), "
+                "i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    scores = (
+        doc_bigrams.join(F.broadcast(profile), "bg")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.sum("hit").alias("score"))
+    )
+    w_pred = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
+    return (
+        scores.withColumn("prn", F.row_number().over(w_pred))
+        .filter(F.col("prn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("profile_lang").alias("predicted_lang"),
+            "score",
+            (F.col("lang") == F.col("profile_lang")).alias("is_correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — winnowing fingerprints (rows-only)
+# ---------------------------------------------------------------------------
+@register("q65_doc_fingerprint", tags=("text", "fingerprint"))
+def q65_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling 4-gram hash, window-min select).
+
+    For each position, hash the 4-token shingle (xxhash64); a fingerprint is
+    the min hash in each sliding window of 4 consecutive shingle hashes —
+    the classic winnowing scheme (Schleimer et al.) used for plagiarism/
+    near-dup detection. Emits per-doc fingerprint-set stats. Rows-only
+    (JVM hash function, no SQL analog).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    shingles = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(toks) >= 4 THEN transform(sequence(1, size(toks) - 3), "
+                "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pos", "shingle"),
+    ).withColumn("h", F.xxhash64("shingle"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fingerprints = (
+        shingles.withColumn("win_min", F.min("h").over(w))
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return fingerprints.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("win_min").alias("min_fp"),
+        F.max("win_min").alias("max_fp"),
+    )
