@@ -36,12 +36,39 @@ _RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make docling_api_spark importable on executor Python workers.
+
+    Queries that use pandas UDFs / mapInPandas pickle closures referencing
+    the package; workers spawned with a different cwd (the driver's) can't
+    import it from /root/repo. addPyFile distributes a zip of the package
+    to every worker's sys.path.
+    """
+    if getattr(spark, "_docling_api_spark_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(
+        tempfile.mkdtemp(prefix="docling_api_spark_pkg_"), "docling_api_spark_pkg"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=_REPO_DIR, base_dir="docling_api_spark"
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    spark._docling_api_spark_shipped = True
+
+
 def _prepare(spark: SparkSession) -> SparkSession:
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — keep going
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # workers sharing the driver's path still work
     return spark
 
 

@@ -1,3 +1,155 @@
-"""Conversion-pipeline queries (SURVEY.md M4): format classification,
-upload validation, and document→markdown conversion exercised over
-deterministic corpora synthesized from the `documents` table."""
+"""Conversion-pipeline queries (SURVEY.md M4) over deterministic corpora
+synthesized from the `documents` table.
+
+The driver's parquet tables carry no real binary documents, so these
+queries manufacture them: filenames cycle through the format taxonomy by
+doc_id, content is the document text (optionally wrapped in HTML). The
+format classifier, size validators, and converter then run for real; the
+SQL oracles encode the *intended* outcomes, so a classifier regression
+breaks the hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.formats import classify_format_udf
+from docling_api_spark.pipeline.convert import convert_documents
+from docling_api_spark.plans.registry import register
+from docling_api_spark.sources.validation import with_size_validation
+from docling_api_spark.tables import load_table
+
+_HTML_PREFIX = "<!doctype html><html><body><p>"
+_HTML_SUFFIX = "</p></body></html>"
+
+
+def _synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, path, content) cycling the format taxonomy.
+
+    doc_id % 7: 0 .md · 1 .csv · 2 .html · 3 .adoc · 4 .txt (unsupported) ·
+    5 .bin with HTML content (content-sniffed) · 6 extensionless README
+    (unsupported).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    path = (
+        F.when(m == 0, F.concat(F.lit("doc"), "doc_id", F.lit(".md")))
+        .when(m == 1, F.concat(F.lit("doc"), "doc_id", F.lit(".csv")))
+        .when(m == 2, F.concat(F.lit("doc"), "doc_id", F.lit(".html")))
+        .when(m == 3, F.concat(F.lit("doc"), "doc_id", F.lit(".adoc")))
+        .when(m == 4, F.concat(F.lit("doc"), "doc_id", F.lit(".txt")))
+        .when(m == 5, F.concat(F.lit("doc"), "doc_id", F.lit(".bin")))
+        .otherwise(F.concat(F.lit("README"), "doc_id"))
+    )
+    text = F.when(
+        m.isin(2, 5), F.concat(F.lit(_HTML_PREFIX), "text", F.lit(_HTML_SUFFIX))
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        F.encode(text, "utf-8").alias("content"),
+        F.col("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — format classification (F4–F7) against the intended taxonomy
+# ---------------------------------------------------------------------------
+@register(
+    "q70_format_classify",
+    tags=("pipeline", "classify"),
+    oracle="""
+        SELECT
+          doc_id,
+          CASE CAST(doc_id % 7 AS INTEGER)
+            WHEN 0 THEN 'md'
+            WHEN 1 THEN 'csv'
+            WHEN 2 THEN 'html'
+            WHEN 3 THEN 'asciidoc'
+            WHEN 4 THEN NULL          -- .txt: text/plain is unsupported
+            WHEN 5 THEN 'html'        -- extension unknown, content-sniffed
+            ELSE NULL                 -- extensionless README
+          END AS format
+        FROM documents
+    """,
+)
+def q70_format_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real classifier (magic bytes → extension → content sniff)
+    over the synthesized corpus; the oracle pins the intended mapping."""
+    corpus = _synth_corpus(spark, sf_dir)
+    classify = classify_format_udf()
+    return corpus.select(
+        "doc_id", classify(F.col("path"), F.col("content")).alias("format")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — upload validation (F1/F2): per-file limit + sequential batch budget
+# ---------------------------------------------------------------------------
+_MAX_FILE = 400
+_MAX_BATCH = 5000
+
+
+@register(
+    "q71_upload_validation",
+    tags=("pipeline", "validation"),
+    oracle=f"""
+        SELECT
+          doc_id,
+          source,
+          n_chars,
+          CASE
+            WHEN n_chars > {_MAX_FILE} THEN 'file_too_large'
+            WHEN SUM(CASE WHEN n_chars <= {_MAX_FILE} THEN n_chars ELSE 0 END)
+                 OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 > {_MAX_BATCH} THEN 'batch_budget_exceeded'
+            ELSE NULL
+          END AS reject_reason
+        FROM documents
+    """,
+)
+def q71_upload_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size validation with each `source` as a batch: per-file cap 400 bytes,
+    sequential 5000-byte batch budget debited in doc_id order."""
+    docs = load_table(spark, sf_dir, "documents")
+    validated = with_size_validation(
+        docs,
+        size_col="n_chars",
+        order_col="doc_id",
+        batch_col=F.col("source"),
+        max_file_bytes=_MAX_FILE,
+        max_batch_bytes=_MAX_BATCH,
+    )
+    return validated.select("doc_id", "source", "n_chars", "reject_reason")
+
+
+# ---------------------------------------------------------------------------
+# q72 — full conversion pipeline (classify → validate → convert); rows-only
+# ---------------------------------------------------------------------------
+@register("q72_conversion_pipeline", tags=("pipeline", "convert"), bench=True)
+def q72_conversion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end document pipeline on the synthesized corpus: classification,
+    size validation (error routing), and the mapInPandas conversion stage
+    with the dependency-free converter. Rows-only: markdown output has no
+    SQL analog; tests/test_pipeline.py pins its semantics on fixtures."""
+    corpus = _synth_corpus(spark, sf_dir)
+    validated = with_size_validation(
+        corpus,
+        size_col="n_chars",
+        order_col="doc_id",
+        max_file_bytes=100_000,
+        max_batch_bytes=2**40,
+    )
+    accepted = validated.filter(F.col("reject_reason").isNull())
+    converted = convert_documents(accepted, converter="lightweight")
+    return converted.select(
+        "path",
+        "format",
+        "filename",
+        F.length("markdown").alias("markdown_len"),
+        F.size("images").alias("n_images"),
+        "error",
+        F.col("error").isNull().alias("ok"),
+    )

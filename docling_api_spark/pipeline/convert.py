@@ -1,0 +1,234 @@
+"""The conversion operator: (filename, bytes) → markdown + images | error.
+
+Spark shape: a `mapInPandas` stage over a binary-content DataFrame with a
+per-executor converter singleton (amortizes converter construction the way
+the reference preloads models per worker, `worker/tasks.py:26` +
+`Dockerfile:45-51`) and error-as-column semantics (a bad document never
+fails the job — reference `service.py:150-155`, `raises_on_error=False`).
+
+Converter seam: any object with `convert(filename, content, *, extract_tables,
+image_resolution_scale) -> dict` plugs in (the reference's
+`DocumentConversionBase` ABC, `service.py:24-31`). Two implementations:
+
+- `LightweightConverter` — dependency-free: real conversion for md/asciidoc/
+  csv/html/image; pdf/docx/pptx produce an error row unless docling is
+  installed. This keeps correctness runs hermetic.
+- `DoclingConverter` — wraps IBM docling when importable (import-gated;
+  heavy models, per-executor singleton is essential).
+
+Per-request option isolation (reference `service.py:57-61` + its regression
+tests): options are plain per-call arguments — there is no shared mutable
+pipeline-options object to leak between jobs.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import re
+from collections.abc import Iterator
+
+from docling_api_spark.functions.encodings import transcode_csv_utf8
+from docling_api_spark.functions.formats import classify_format
+from docling_api_spark.functions.markdown_images import (
+    IMAGE_PLACEHOLDER,
+    DocElement,
+    splice_images,
+)
+from docling_api_spark.pipeline.schemas import CONVERSION_OUTPUT_SCHEMA
+
+DEFAULT_IMAGE_RESOLUTION_SCALE = 4
+
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"[ \t]+")
+
+
+def _stem(filename: str) -> str:
+    base = filename.rsplit("/", 1)[-1]
+    return base.rsplit(".", 1)[0] if "." in base and not base.startswith(".") else base
+
+
+class LightweightConverter:
+    """Dependency-free converter for the text-adjacent formats.
+
+    Matches the reference's result contract (`schema.py:12-16`): on success
+    `filename` is the input stem and `markdown` is set; on failure `error`
+    is set (stem for conversion errors, original name for CSV decode errors,
+    mirroring `service.py:145-155`).
+    """
+
+    def convert(
+        self,
+        filename: str,
+        content: bytes,
+        *,
+        extract_tables: bool = False,
+        image_resolution_scale: int = DEFAULT_IMAGE_RESOLUTION_SCALE,
+    ) -> dict:
+        fmt = classify_format(content, filename)
+        if fmt is None:
+            return _error_result(filename, f"Unsupported file format: {filename}")
+        if fmt in ("md", "asciidoc"):
+            return _ok(filename, content.decode("utf-8", errors="replace"))
+        if fmt == "csv":
+            utf8, err = transcode_csv_utf8(content)
+            if err is not None:
+                return _error_result(filename, err)
+            return _ok(filename, _csv_to_markdown(utf8.decode("utf-8")))
+        if fmt == "html":
+            return _ok(filename, _html_to_markdown(content))
+        if fmt == "image":
+            # Image decode/resize is stubbed (no imaging libs in this
+            # environment): payload passes through as the picture image;
+            # the splice path runs for real.
+            markdown, images = splice_images(
+                IMAGE_PLACEHOLDER, [DocElement(kind="picture", image=content)]
+            )
+            return {
+                "filename": _stem(filename),
+                "markdown": markdown,
+                "images": images,
+                "error": None,
+            }
+        # pdf/docx/pptx need a layout-analysis backend
+        return _error_result(
+            _stem(filename),
+            f"No converter backend available for format '{fmt}' "
+            "(install docling for layout/OCR formats)",
+        )
+
+
+def _ok(filename: str, markdown: str) -> dict:
+    return {"filename": _stem(filename), "markdown": markdown, "images": [], "error": None}
+
+
+def _error_result(filename: str, error: str) -> dict:
+    return {"filename": filename, "markdown": None, "images": [], "error": error}
+
+
+def _csv_to_markdown(text: str) -> str:
+    rows = list(csv.reader(io.StringIO(text)))
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    lines = ["| " + " | ".join(rows[0]) + " |", "|" + "---|" * width]
+    lines += ["| " + " | ".join(r) + " |" for r in rows[1:]]
+    return "\n".join(lines)
+
+
+def _html_to_markdown(content: bytes) -> str:
+    text = content.decode("utf-8", errors="replace")
+    text = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", "", text)
+    text = re.sub(r"<!--.*?-->", "", text, flags=re.DOTALL)
+    text = _TAG_RE.sub(" ", text)
+    lines = [_WS_RE.sub(" ", ln).strip() for ln in text.splitlines()]
+    return "\n".join(ln for ln in lines if ln)
+
+
+class DoclingConverter:
+    """IBM-docling-backed converter (import-gated heavy path).
+
+    Structure mirrors the reference's Docling integration
+    (`service.py:133-158`): per-executor DocumentConverter, CSV pre-shim,
+    `raises_on_error=False`, image extraction via the splice helper.
+    """
+
+    def __init__(self) -> None:
+        from docling.document_converter import DocumentConverter  # noqa: F401
+
+        self._docling = DocumentConverter()
+
+    def convert(self, filename: str, content: bytes, **options) -> dict:
+        from docling.datamodel.base_models import DocumentStream
+
+        if filename.lower().endswith(".csv"):
+            content, err = transcode_csv_utf8(content)
+            if err is not None:
+                return _error_result(filename, err)
+        res = self._docling.convert(
+            DocumentStream(name=filename, stream=io.BytesIO(content)),
+            raises_on_error=False,
+        )
+        if res.errors:
+            return _error_result(_stem(filename), res.errors[0].error_message)
+        markdown = res.document.export_to_markdown()
+        return {"filename": _stem(filename), "markdown": markdown, "images": [], "error": None}
+
+
+def converter_for(name: str = "auto"):
+    """Factory: 'lightweight', 'docling', or 'auto' (docling if importable)."""
+    if name == "lightweight":
+        return LightweightConverter()
+    if name == "docling":
+        return DoclingConverter()
+    try:
+        return DoclingConverter()
+    except Exception:
+        return LightweightConverter()
+
+
+# per-executor-process converter cache (one heavy init per worker, reused
+# across tasks — the Spark analog of the reference's model preload)
+_CONVERTER_CACHE: dict[str, object] = {}
+
+
+def _cached_converter(name: str):
+    conv = _CONVERTER_CACHE.get(name)
+    if conv is None:
+        conv = converter_for(name)
+        _CONVERTER_CACHE[name] = conv
+    return conv
+
+
+def convert_documents(
+    df,
+    converter: str = "lightweight",
+    extract_tables: bool = False,
+    image_resolution_scale: int = DEFAULT_IMAGE_RESOLUTION_SCALE,
+):
+    """Run the conversion stage over a DataFrame with (path, content) columns.
+
+    Returns CONVERSION_OUTPUT_SCHEMA rows. Batch == single-document: a batch
+    is just more rows of the same plan (reference's convert vs convert_batch
+    distinction disappears, SURVEY.md §2.3). Arrow batch size is capped by
+    spark.sql.execution.arrow.maxRecordsPerBatch so only a bounded number of
+    (potentially ~100 MB) documents sit in executor memory at once — the
+    Spark analog of the reference's lazy convert_all iterator
+    (service.py:171-177).
+    """
+    import pandas as pd
+
+    opts = {
+        "extract_tables": extract_tables,
+        "image_resolution_scale": image_resolution_scale,
+    }
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        conv = _cached_converter(converter)
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                name = path.rsplit("/", 1)[-1]
+                fmt = classify_format(raw, name)
+                try:
+                    result = conv.convert(name, raw, **opts)
+                except Exception as exc:  # infra vs data error (O4): keep row
+                    result = _error_result(name, str(exc))
+                out.append(
+                    {
+                        "path": path,
+                        "format": fmt,
+                        "filename": result["filename"],
+                        "markdown": result["markdown"],
+                        "images": [
+                            (i["type"], i["filename"], i["image"])
+                            for i in result["images"]
+                        ],
+                        "error": result["error"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(run, CONVERSION_OUTPUT_SCHEMA)

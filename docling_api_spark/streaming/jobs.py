@@ -1,0 +1,138 @@
+"""Async conversion jobs as Structured Streaming (SURVEY.md M5 / §3.2).
+
+The reference's async path is Celery over Redis: submit → task id →
+worker converts → result backend → client polls a status endpoint
+(`route.py:104-120`, `worker/tasks.py:20-43`, `service.py:220-273`).
+Spark restatement:
+
+- submit      = drop a file into the landing directory (`job_id` = filename)
+- broker      = the landing dir + checkpointed file-source offsets
+- worker pool = executors running the conversion stage
+- result backend = a parquet results table keyed by job_id
+- poll        = `get_job_status` over the results table; a job with no
+                result row yet is IN_PROGRESS (the reference maps Celery
+                PENDING → IN_PROGRESS, service.py:230-231)
+
+Status semantics preserved exactly:
+- single job: SUCCESS with a result, FAILURE carrying the conversion error
+  (a conversion error means task SUCCESS but job FAILURE — service.py:235-238)
+- batch job: SUCCESS as long as the batch ran, even when member conversions
+  failed (per-member FAILURE entries inside — service.py:244-273)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from docling_api_spark.pipeline.convert import convert_documents
+from docling_api_spark.pipeline.schemas import (
+    JOB_FAILURE,
+    JOB_IN_PROGRESS,
+    JOB_SUCCESS,
+)
+from docling_api_spark.sources.binaryfiles import read_documents_stream
+
+
+def job_id_col() -> Column:
+    """job_id = landing filename (the submit identity)."""
+    return F.element_at(F.split(F.col("path"), "/"), -1)
+
+
+def start_conversion_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    results_dir: str,
+    checkpoint_dir: str,
+    converter: str = "lightweight",
+    batch_extract: str = r"^(batch-[^_]+)_",
+) -> StreamingQuery:
+    """Watch `landing_dir`, convert new documents, append results keyed by
+    job_id (+ batch_id parsed from a 'batch-XXX_' filename prefix).
+
+    Checkpointing gives at-least-once processing; conversion is pure per
+    file, so replays are idempotent at the results-table level (reads
+    dedupe on job_id via max(mtime) if ever needed).
+    """
+    docs = read_documents_stream(spark, landing_dir)
+    converted = convert_documents(docs, converter=converter)
+    results = converted.select(
+        job_id_col().alias("job_id"),
+        F.regexp_extract(job_id_col(), batch_extract, 1).alias("batch_id"),
+        "path",
+        "format",
+        "filename",
+        "markdown",
+        "images",
+        "error",
+    )
+    return (
+        results.writeStream.format("parquet")
+        .option("path", results_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+
+def _read_results(spark: SparkSession, results_dir: str) -> DataFrame | None:
+    try:
+        df = spark.read.parquet(results_dir)
+        return df if df.columns else None
+    except Exception:
+        return None  # sink not created yet → everything IN_PROGRESS
+
+
+def get_job_status(spark: SparkSession, results_dir: str, job_id: str) -> dict:
+    """Single-job status read model (reference service.py:220-242)."""
+    results = _read_results(spark, results_dir)
+    if results is None:
+        return {"job_id": job_id, "status": JOB_IN_PROGRESS, "result": None, "error": None}
+    rows = results.filter(F.col("job_id") == job_id).collect()
+    if not rows:
+        return {"job_id": job_id, "status": JOB_IN_PROGRESS, "result": None, "error": None}
+    row = rows[0].asDict()
+    if row["error"]:
+        return {"job_id": job_id, "status": JOB_FAILURE, "result": None, "error": row["error"]}
+    return {
+        "job_id": job_id,
+        "status": JOB_SUCCESS,
+        "result": {
+            "filename": row["filename"],
+            "markdown": row["markdown"],
+            "images": row["images"],
+        },
+        "error": None,
+    }
+
+
+def get_batch_status(
+    spark: SparkSession, results_dir: str, batch_id: str, expected: int | None = None
+) -> dict:
+    """Batch status (reference service.py:244-273): the batch is SUCCESS once
+    it has run — member failures stay inside as per-member FAILURE entries.
+    With `expected` set, a partially-arrived batch is IN_PROGRESS."""
+    results = _read_results(spark, results_dir)
+    rows = (
+        []
+        if results is None
+        else results.filter(F.col("batch_id") == batch_id).orderBy("job_id").collect()
+    )
+    if not rows or (expected is not None and len(rows) < expected):
+        return {"job_id": batch_id, "status": JOB_IN_PROGRESS, "conversion_results": []}
+    members = []
+    for r in rows:
+        d = r.asDict()
+        if d["error"]:
+            members.append({"status": JOB_FAILURE, "error": d["error"], "result": None})
+        else:
+            members.append(
+                {
+                    "status": JOB_SUCCESS,
+                    "error": None,
+                    "result": {"filename": d["filename"], "markdown": d["markdown"]},
+                }
+            )
+    return {"job_id": batch_id, "status": JOB_SUCCESS, "conversion_results": members}
