@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the performance characteristics the engine
+promises (pushdown, pruning, broadcast, top-k, no accidental nested loops)
+must survive refactors — a correct-but-quadratic plan is a regression."""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_api_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q01_prunes_columns_and_pushes_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    # only the 7 needed columns appear anywhere in the plan (pruned scan)
+    assert "l_orderkey" not in plan and "l_partkey" not in plan
+    assert "l_quantity" in plan and "l_shipdate" in plan
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q02_pushes_all_predicates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q02_filter_project")
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    assert "LessThanOrEqual(p_size,30)" in plan
+    assert "GreaterThan(p_retailprice,950.0)" in plan
+    assert "EqualTo(p_type,PROMO)" in plan
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    for name in ("q03_broadcast_dim_join", "q04_multiway_join_revenue"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q17_topk_global")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q35_bucketed_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # equi-join on the bucket
+
+
+def test_funnel_join_is_equi_not_theta(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q34_funnel_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    # cross join is intentional — but the small (query) side must be broadcast
+    plan = plan_of(spark, sf_dir, "q50_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_join_is_shuffle_on_shingle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q42_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "q04_multiway_join_revenue", "q30_tumbling_window"],
+)
+def test_aggregates_have_partial_phase(spark, sf_dir, name):
+    # map-side combine before the exchange (partial_sum / partial_count)
+    plan = plan_of(spark, sf_dir, name)
+    assert "partial_" in plan
