@@ -1,0 +1,156 @@
+"""Subquery, lateral/explode, conditional-aggregate, and array-aggregate
+operators — the SQL-surface corners not covered by the core relational set.
+
+Expressed through spark.sql over registered temp views where SQL is the
+clearer form (Catalyst produces identical plans either way); each has a
+DuckDB twin differing only in dialect spellings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.numeric import sql_dsum
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q08 — uncorrelated scalar subquery
+# ---------------------------------------------------------------------------
+@register(
+    "q08_scalar_subquery",
+    tags=("subquery", "scalar"),
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer)
+    """,
+)
+def q08_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers 1.5× above the mean balance (scalar subquery → one-row
+    broadcast, no per-row re-evaluation)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — correlated EXISTS subquery
+# ---------------------------------------------------------------------------
+@register(
+    "q09_correlated_exists",
+    tags=("subquery", "exists"),
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (
+          SELECT 1 FROM customer
+          WHERE c_nationkey = s_nationkey AND c_acctbal > 9000.0
+        )
+    """,
+)
+def q09_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose nation has a high-balance customer (correlated EXISTS
+    — Catalyst rewrites to a semi join, no per-row subquery execution)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (
+          SELECT 1 FROM customer
+          WHERE c_nationkey = s_nationkey AND c_acctbal > 9000.0
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — explode / lateral word count
+# ---------------------------------------------------------------------------
+@register(
+    "q25_explode_wordcount",
+    tags=("explode", "lateral", "agg"),
+    oracle="""
+        SELECT word, COUNT(*) AS n, COUNT(DISTINCT p_partkey) AS n_parts
+        FROM (
+          SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+        ) t
+        GROUP BY word
+    """,
+)
+def q25_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word frequencies over exploded part names (LATERAL VIEW shape)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("p_partkey").alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — conditional aggregation (CASE inside aggregates)
+# ---------------------------------------------------------------------------
+@register(
+    "q26_conditional_agg",
+    tags=("agg", "conditional"),
+    oracle=f"""
+        SELECT
+          user_id,
+          COUNT(*) AS n_events,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+          SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+          {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 'purchase_value')},
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS purchase_rate
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def q26_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel counters in one pass (conditional aggregates instead
+    of N filtered scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_error = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_purchase).alias("n_purchases"),
+        F.sum(is_error).alias("n_errors"),
+        F.sum(purchase_value.cast("decimal(28,6)")).cast("double").alias("purchase_value"),
+        (F.sum(is_purchase).cast("double") / F.count(F.lit(1))).alias("purchase_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — array aggregation (collect_set as sorted array)
+# ---------------------------------------------------------------------------
+@register(
+    "q27_array_agg",
+    tags=("agg", "array"),
+    oracle="""
+        SELECT
+          user_id,
+          list_sort(list(DISTINCT event_type)) AS event_types,
+          CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def q27_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types per user as a sorted array column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+    )

@@ -65,9 +65,11 @@ def all_queries() -> dict[str, Query]:
     # operator modules at module-import time in tooling contexts.
     from docling_api_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         pipeline_queries,
         relational,
         similarity,
+        subqueries,
         textstats,
         timeseries,
     )
