@@ -186,35 +186,54 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard semantics, and tests cross-check q43 ⊆ q42 candidates.
     """
     n_perm, n_bands = 8, 4
+    rows_per_band = n_perm // n_bands
     sh = shingle_sets(spark, sf_dir)
 
-    # (doc, perm) → min hash: explode perms once, aggregate min — one shuffle.
-    perms = F.explode(F.array(*[F.lit(p) for p in range(n_perm)])).alias("perm")
-    sig = (
-        sh.select("doc_id", "source", "shingle", perms)
-        .withColumn("h", F.xxhash64("shingle", "perm"))
-        .groupBy("doc_id", "source", "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
-    # band bucket = hash of the band's minhash vector (sorted by perm for
-    # deterministic ordering inside collect_list).
-    bands = (
-        sig.withColumn("band", (F.col("perm") / (n_perm // n_bands)).cast("int"))
-        .groupBy("doc_id", "source", "band")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("bucket")
+    # Signatures are computed entirely MAP-SIDE: per doc, each permutation's
+    # minhash is array_min(transform(shingles, s -> xxhash64(s, p))) over the
+    # doc's shingle array — no (doc, shingle, perm) explosion, no shuffle
+    # until the candidate join. At 100 TB this is the difference between
+    # shuffling 8× the shingle relation and shuffling 8 longs per doc.
+    doc_shingles = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id", "source", F.array_distinct(F.expr(SHINGLES_SPARK)).alias("shingles")
         )
     )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s, p=p: F.xxhash64(s, F.lit(p)))
+        ).alias(f"mh{p}")
+        for p in range(n_perm)
+    ]
+    sig = doc_shingles.select("doc_id", "source", *sig_cols)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"bucket{b}")
+        for b in range(n_bands)
+    ]
+    sig = sig.select("doc_id", "source", *band_cols)
+    # candidates: docs sharing any (band, bucket) — unpivot bands, equi-join
+    bands = sig.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bucket{b}").alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "source", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -263,31 +282,36 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document; near-dup pairs = Hamming distance <= 16
     within a source.
 
-    The per-bit vote runs on an exploded (token, bit) relation — one shuffle,
-    fully parallel. Pair search compares single 64-bit ints via
-    bit_count(xor), not documents. No SQL oracle (JVM xxhash64).
+    The per-bit majority vote is computed map-side with higher-order
+    functions over the token-hash array — zero shuffle before the pair join.
+    Pair search compares single 64-bit ints via bit_count(xor), not
+    documents. No SQL oracle (JVM xxhash64).
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
-    )
-    bits = F.explode(F.array(*[F.lit(b) for b in range(64)])).alias("bit")
-    votes = (
-        docs.withColumn("h", F.xxhash64("tok"))
-        .select("doc_id", "source", "h", bits)
-        .withColumn(
-            "vote",
-            F.expr("CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE -1 END"),
+    # SimHash per document computed entirely map-side: token hashes as an
+    # array column, then for each bit a filter-count over the array — no
+    # (doc, token, bit) explosion, no shuffle before the pair join.
+    simhash = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("hashes"),
         )
-        .groupBy("doc_id", "source", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    simhash = votes.groupBy("doc_id", "source").agg(
-        F.sum(
+        .select(
+            "doc_id",
+            "source",
             F.expr(
-                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("simhash")
+                """
+                aggregate(
+                  transform(sequence(0, 63), bit -> CASE WHEN
+                    2 * size(filter(hashes, h -> (shiftright(h, CAST(bit AS INT)) & 1) = 1))
+                      > size(hashes)
+                    THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
+                    ELSE CAST(0 AS BIGINT) END),
+                  CAST(0 AS BIGINT), (acc, v) -> acc + v)
+                """
+            ).alias("simhash"),
+        )
     )
     a = simhash.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("simhash").alias("sh_a")
