@@ -202,6 +202,93 @@ def q51_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q54 — IVF-style ANN: coarse quantizer cells + multi-probe (rows-only)
+# ---------------------------------------------------------------------------
+@register("q54_ann_ivf", tags=("similarity", "ann", "ivf"))
+def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: k-means-style cells from a deterministic coarse
+    quantizer (per-label mean vectors), inverted-list assignment, 2-cell
+    multi-probe, exact rerank inside probed cells.
+
+    The structure is the 100 TB vector-search shape: centroids are tiny and
+    broadcast, every vector is assigned in one map-side pass, and a query
+    touches |probed cells| / |cells| of the corpus instead of all of it.
+    Rows-only (approximation is parameter-specific); tests assert returned
+    cosines agree exactly with the brute-force scores.
+    """
+    n_probe = 2
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("norm", F.expr(NORM_SPARK))
+
+    # coarse quantizer: mean vector per label (exact decimal sums → the
+    # "training" is deterministic), collected driver-side — 10 × 64 floats.
+    cent_rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.expr("transform(pm, s -> s.m)").alias("centroid"))
+        .collect()
+    )
+    centroids = F.array(
+        *[
+            F.struct(
+                F.lit(r["label"]).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("c"),
+            )
+            for r in sorted(cent_rows, key=lambda r: r["label"])
+        ]
+    )
+
+    # map-side assignment: scores against every centroid, ranked cell list
+    scored_cells = F.expr(
+        """
+        transform(cents, s -> struct(
+          aggregate(zip_with(s.c, embedding, (w, x) -> w * CAST(x AS DOUBLE)),
+                    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS score,
+          s.cell AS cell))
+        """
+    )
+    ranked = F.expr("reverse(array_sort(scored_cells))")
+    assigned = (
+        emb.withColumn("cents", centroids)
+        .withColumn("scored_cells", scored_cells)
+        .withColumn("ranked", ranked)
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("n_vec"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+        F.expr("ranked[0].cell").alias("cell"),
+    )
+    queries = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_vec"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.explode(F.expr(f"slice(transform(ranked, s -> s.cell), 1, {n_probe})")).alias(
+                "cell"
+            ),
+        )
+    )
+    cand = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("n_vec") != F.col("q_vec"))
+        .withColumn(
+            "cosine",
+            F.expr(DOT_SPARK.format(a="q_emb", b="n_emb")) / (F.col("q_norm") * F.col("n_norm")),
+        )
+    )
+    w = W.partitionBy("q_vec").orderBy(F.desc("cosine"), F.asc("n_vec"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_vec", "n_vec", "cell", "cosine", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q52 — kNN label vote (classification on top of top-k)
 # ---------------------------------------------------------------------------
 @register(

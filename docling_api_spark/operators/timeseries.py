@@ -374,3 +374,53 @@ def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q37 — custom stateful streaming sessionization (rows-only)
+# ---------------------------------------------------------------------------
+@register("q37_streaming_sessionize", tags=("eventtime", "streaming", "stateful"))
+def q37_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization as a custom stateful streaming operator
+    (applyInPandasWithState): one open session per user carried across
+    micro-batches, closed sessions emitted on proof of gap.
+
+    Rows-only check; q32 pins the session semantics in batch, and the test
+    suite asserts closed sessions == q32 sessions minus each user's final
+    open one.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from docling_api_spark.streaming.stateful import sessionize_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", F.expr("ts div 1000").alias("t_us"), "value")
+    )
+    name = "q37_sink_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_q37_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,39 @@
+"""ANN variants (LSH q51, IVF q54) must agree with brute force (q50) on
+every score they return, and their shapes must be bounded as designed."""
+
+from __future__ import annotations
+
+from docling_api_spark.operators.similarity import N_QUERIES, TOP_K, _scored_pairs
+from docling_api_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def test_ivf_scores_agree_with_brute_force(spark, sf_dir):
+    exact = {
+        (r["q_vec"], r["n_vec"]): r["cosine"]
+        for r in _scored_pairs(spark, sf_dir).collect()
+    }
+    ivf = QUERIES["q54_ann_ivf"].fn(spark, sf_dir).collect()
+    assert 0 < len(ivf) <= N_QUERIES * TOP_K
+    for r in ivf:
+        assert (r["q_vec"], r["n_vec"]) in exact
+        assert abs(r["cosine"] - exact[(r["q_vec"], r["n_vec"])]) < 1e-12
+
+    # per-query row_number is contiguous from 1
+    by_q: dict[int, list[int]] = {}
+    for r in ivf:
+        by_q.setdefault(r["q_vec"], []).append(r["rn"])
+    for rns in by_q.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_lsh_scores_agree_with_brute_force(spark, sf_dir):
+    exact = {
+        (r["q_vec"], r["n_vec"]): r["cosine"]
+        for r in _scored_pairs(spark, sf_dir).collect()
+    }
+    lsh = QUERIES["q51_ann_lsh"].fn(spark, sf_dir).collect()
+    assert len(lsh) <= N_QUERIES * TOP_K
+    for r in lsh:
+        assert abs(r["cosine"] - exact[(r["q_vec"], r["n_vec"])]) < 1e-12
