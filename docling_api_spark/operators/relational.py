@@ -271,6 +271,111 @@ def q07_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q28/q29 — TPC-H-shaped pipeline queries (join → agg → top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "q28_shipping_priority",
+    tags=("join", "agg", "topk"),
+    bench=True,
+    oracle=f"""
+        SELECT
+          l_orderkey,
+          {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+          strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both fact sides, 3-way join,
+    revenue agg, global top-10 (TakeOrderedAndProject after the agg)."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q29_large_orders",
+    tags=("join", "agg", "having", "semi"),
+    bench=True,
+    oracle=f"""
+        SELECT
+          c_name,
+          c_custkey,
+          o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          o_totalprice,
+          {sql_dsum('l_quantity', 'total_qty')}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 150.0
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q29_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi join, then
+    the detail join + re-aggregation. The qualifying-keys side is tiny →
+    broadcast semi join, so lineitem shuffles once (for its own group-by)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > 150.0)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q10 — aggregate with DISTINCT
 # ---------------------------------------------------------------------------
 @register(
