@@ -377,6 +377,38 @@ def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q38 — salted aggregation over a skewed key (oracle = direct aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "q38_salted_skew_agg",
+    tags=("agg", "skew", "salting"),
+    oracle=f"""
+        SELECT
+          event_type,
+          COUNT(*) AS n_rows,
+          {sql_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q38_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation by the 5-value `event_type` key via salted two-phase
+    aggregation (functions/skew.py). The oracle is the plain GROUP BY —
+    exact decimal sums make the salted result bit-identical, proving the
+    skew mitigation is semantics-free."""
+    from docling_api_spark.functions.skew import salted_groupby_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_groupby_sum(
+        ev,
+        keys=["event_type"],
+        sum_cols={"total_value": "value"},
+        n_salt=16,
+        salt_on="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # q37 — custom stateful streaming sessionization (rows-only)
 # ---------------------------------------------------------------------------
 @register("q37_streaming_sessionize", tags=("eventtime", "streaming", "stateful"))
