@@ -68,3 +68,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def liveness(spark: SparkSession) -> bool:
+    """Liveness probe (reference /health, main.py:33-38): the session object
+    exists and its context hasn't been stopped."""
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def readiness(spark: SparkSession) -> bool:
+    """Readiness probe (reference /health/ready, main.py:41-47: broker
+    round-trip ≙ executors actually run a job)."""
+    try:
+        return spark.range(1).count() == 1
+    except Exception:
+        return False
