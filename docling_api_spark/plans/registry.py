@@ -68,6 +68,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         pipeline_queries,
         relational,
+        sampling,
         similarity,
         subqueries,
         textstats,
