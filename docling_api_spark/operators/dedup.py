@@ -275,6 +275,75 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# connected components + q45 — dedup clusters (keeper per component)
+# ---------------------------------------------------------------------------
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Label-propagation connected components over an undirected edge list
+    (`src`, `dst` long columns). Returns (node, component) with component =
+    min node id in the component.
+
+    Iterative min-label propagation: each round every node takes the min
+    label in its neighborhood; converges in O(diameter) rounds (near-dup
+    graphs are overwhelmingly tiny cliques, so 2-3 rounds in practice).
+    Each round is one shuffle join + aggregate; the loop lives on the
+    driver but all data stays distributed — this is the standard large-
+    scale CC shape (GraphX/GraphFrames do the same under the hood).
+    """
+    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    labels = (
+        sym.selectExpr("src AS node")
+        .union(sym.selectExpr("dst AS node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_component"), F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint()  # truncate the growing lineage
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@register("q45_dedup_clusters", tags=("dedup", "cluster", "iterative"))
+def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the Jaccard pair graph
+    (J >= 0.05), one keeper (min doc_id) per cluster — the final step of a
+    corpus-dedup pass: drop every non-keeper in a cluster.
+
+    Rows-only (iterative; no SQL analog). tests/test_dedup_clusters.py pins
+    the component semantics on synthetic graphs.
+    """
+    pairs = q42_ngram_jaccard(spark, sf_dir).selectExpr(
+        "doc_a AS src", "doc_b AS dst"
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q44 — SimHash near-dup (rows-only)
 # ---------------------------------------------------------------------------
 @register("q44_simhash", tags=("dedup", "neardup", "simhash"))

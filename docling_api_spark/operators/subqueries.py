@@ -133,6 +133,44 @@ def q26_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q46 — unpivot / stack (wide metrics → long rows)
+# ---------------------------------------------------------------------------
+@register(
+    "q46_unpivot",
+    tags=("unpivot", "stack"),
+    oracle=f"""
+        SELECT c_nationkey AS nationkey, 'customer_bal' AS metric,
+               {sql_dsum('c_acctbal', 'value')}
+        FROM customer GROUP BY c_nationkey
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier_bal' AS metric,
+               {sql_dsum('s_acctbal', 'value')}
+        FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-nation balance columns unpivoted to (metric, value) rows via
+    `stack` — the long-format transform (oracle is the UNION ALL identity)."""
+    from docling_api_spark.functions.numeric import dsum
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum("c_acctbal", "customer_bal"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(dsum("s_acctbal", "supplier_bal"))
+    )
+    wide = cust.join(supp, "nationkey", "full_outer")
+    return wide.selectExpr(
+        "nationkey",
+        "stack(2, 'customer_bal', customer_bal, 'supplier_bal', supplier_bal) AS (metric, value)",
+    ).filter(F.col("value").isNotNull())
+
+
+# ---------------------------------------------------------------------------
 # q27 — array aggregation (collect_set as sorted array)
 # ---------------------------------------------------------------------------
 @register(

@@ -377,6 +377,120 @@ def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q39 — gap filling / resampling to a fixed grid with forward fill
+# ---------------------------------------------------------------------------
+_M0 = 1704067200 // 60  # 2024-01-01 00:00 UTC in epoch minutes
+_GRID = 1440  # one day at 1-minute resolution
+
+
+@register(
+    "q39_gap_fill_resample",
+    tags=("eventtime", "resample", "ffill"),
+    oracle=f"""
+        WITH users AS (
+          SELECT DISTINCT user_id FROM events WHERE user_id < 5
+        ),
+        grid AS (
+          SELECT user_id, CAST(m AS BIGINT) AS minute
+          FROM users, UNNEST(range({_M0}, {_M0 + _GRID})) AS u(m)
+        ),
+        obs AS (
+          SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+                 arg_max(value, epoch_us(ts)) AS obs_value
+          FROM events
+          WHERE user_id < 5 AND epoch_us(ts) // 60000000 BETWEEN {_M0} AND {_M0 + _GRID - 1}
+          GROUP BY 1, 2
+        )
+        SELECT
+          g.user_id,
+          g.minute,
+          obs.obs_value AS minute_value,
+          last_value(obs.obs_value IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.minute
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS value_ffill
+        FROM grid g LEFT JOIN obs ON g.user_id = obs.user_id AND g.minute = obs.minute
+    """,
+)
+def q39_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample 5 users' event values onto a 1-minute grid for the first day,
+    forward-filling gaps (the hypertable/time-bucket-gapfill operator).
+
+    Grid generation is sequence+explode (JVM-side); the fill is one
+    `last(ignorenulls)` window per user — no per-gap joins. At scale the
+    grid explodes to |users|×|buckets| rows but is pipelined straight into
+    the window sort; partitioning by user keeps the state per-task bounded.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.unix_micros("ts")
+    )
+    users = ev.filter(F.col("user_id") < 5).select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(_M0), F.lit(_M0 + _GRID - 1))).alias("minute"),
+    )
+    obs = (
+        ev.filter(
+            (F.col("user_id") < 5)
+            & F.expr(f"t_us div 60000000 BETWEEN {_M0} AND {_M0 + _GRID - 1}")
+        )
+        .groupBy("user_id", F.expr("t_us div 60000000").alias("minute"))
+        .agg(F.max_by("value", "t_us").alias("obs_value"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("minute")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.join(obs, ["user_id", "minute"], "left").select(
+        "user_id",
+        "minute",
+        F.col("obs_value").alias("minute_value"),
+        F.last("obs_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — retention cohorts (first-seen day × activity offset)
+# ---------------------------------------------------------------------------
+@register(
+    "q47_retention_cohorts",
+    tags=("eventtime", "retention", "agg"),
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, MIN(date_trunc('day', ts)) AS cohort FROM events GROUP BY 1
+        ),
+        acts AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        )
+        SELECT
+          strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+          CAST(date_diff('day', f.cohort, a.day) AS INTEGER) AS day_offset,
+          COUNT(*) AS n_users
+        FROM acts a JOIN firsts f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+)
+def q47_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users grouped by first-seen day, counted on
+    each later active day. Two hash aggregations + a broadcast of the tiny
+    per-user cohort table."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort")
+    )
+    acts = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    return (
+        acts.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q38 — salted aggregation over a skewed key (oracle = direct aggregation)
 # ---------------------------------------------------------------------------
 @register(
