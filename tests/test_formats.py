@@ -14,6 +14,7 @@ from docling_api_spark.functions.encodings import (
     transcode_csv_utf8,
 )
 from docling_api_spark.functions.formats import (
+    EXTENSION_TO_FORMAT,
     classify_format,
     detect_html_xhtml,
     is_format_supported,
@@ -89,6 +90,36 @@ def test_ooxml_containers_distinguished():
 def test_html_comment_stripping_required_for_sniff():
     assert detect_html_xhtml(b"<!-- c1 --><!-- c2 --> <html>") == "html"
     assert detect_html_xhtml(b"just text mentioning <html> later") is None
+
+
+def test_extension_expr_agrees_with_python_classifier(spark):
+    # the Catalyst-only fast path must agree with classify_format wherever
+    # an extension decides the format (content sniffing aside)
+    from docling_api_spark.functions.formats import format_extension_expr
+
+    names = [
+        "a.md", "b.csv", "B.CSV", "c.html", "d.htm", "e.xhtml", "f.adoc",
+        "g.asciidoc", "h.asc", "i.pdf", "j.png", "k.jpg", "l.docx", "m.pptx",
+        "n.txt", "README", ".md", "dir/x.md",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "path string")
+    got = {
+        r["path"]: r["fmt"]
+        for r in df.select("path", format_extension_expr("path").alias("fmt")).collect()
+    }
+    for n in names:
+        base = n.rsplit("/", 1)[-1]
+        expected = (
+            classify_format(b"", base)
+            if base.rsplit(".", 1)[-1].lower()
+            in ("md", "csv", "html", "htm", "xhtml", "adoc", "asciidoc", "asc")
+            and "." in base
+            and not base.startswith(".")
+            else EXTENSION_TO_FORMAT.get(
+                base.rsplit(".", 1)[-1].lower() if "." in base and not base.startswith(".") else ""
+            )
+        )
+        assert got[n] == expected, (n, got[n], expected)
 
 
 def test_csv_transcoding_to_utf8():
