@@ -289,7 +289,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     driver but all data stays distributed — this is the standard large-
     scale CC shape (GraphX/GraphFrames do the same under the hood).
     """
-    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    # materialize the edge list once — every propagation round joins against
+    # it, and recomputing an upstream pipeline (e.g. the Jaccard pair
+    # generation) per round would dominate the loop.
+    sym = (
+        edges.selectExpr("src", "dst")
+        .union(edges.selectExpr("dst AS src", "src AS dst"))
+        .localCheckpoint()
+    )
     labels = (
         sym.selectExpr("src AS node")
         .union(sym.selectExpr("dst AS node"))
@@ -382,6 +389,10 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash"),
         )
     )
+    # materialize once: both self-join sides would otherwise recompute the
+    # 64-bit vote (the expensive part); the fingerprint relation is 16 bytes
+    # per doc — negligible at any scale.
+    simhash = simhash.localCheckpoint()
     a = simhash.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("simhash").alias("sh_a")
     )
