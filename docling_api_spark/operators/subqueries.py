@@ -133,6 +133,86 @@ def q26_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q94 — MERGE INTO / upsert emulation (CDC apply without Delta)
+# ---------------------------------------------------------------------------
+@register(
+    "q94_merge_upsert",
+    tags=("merge", "cdc", "upsert"),
+    oracle="""
+        WITH updates AS (
+          SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+          FROM customer WHERE c_custkey % 10 = 0
+        ),
+        inserts AS (
+          SELECT c_custkey + 1000000 AS c_custkey, c_name, 0.0 AS c_acctbal
+          FROM customer WHERE c_custkey % 100 = 0
+        ),
+        changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+        SELECT c_custkey, c_name, c_acctbal, TRUE AS from_change FROM changes
+        UNION ALL
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, FALSE AS from_change
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM changes u WHERE u.c_custkey = c.c_custkey)
+    """,
+)
+def q94_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on plain parquet: changes ∪ (target ANTI JOIN
+    changes). Updated rows carry new values, unmatched changes insert, and
+    untouched target rows pass through — the CDC-apply pattern when no
+    Delta/Iceberg MERGE is available. The anti join broadcasts the (small)
+    change set, so the target scans once with no shuffle."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = customer.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    inserts = customer.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        "c_name",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = updates.unionByName(inserts)
+    untouched = customer.join(F.broadcast(changes), "c_custkey", "left_anti")
+    return changes.withColumn("from_change", F.lit(True)).unionByName(
+        untouched.withColumn("from_change", F.lit(False))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — histogram via width_bucket
+# ---------------------------------------------------------------------------
+@register(
+    "q96_histogram",
+    tags=("agg", "histogram"),
+    oracle="""
+        SELECT
+          CAST(
+            CASE WHEN o_totalprice >= 500000.0 THEN 21
+                 WHEN o_totalprice < 0.0 THEN 0
+                 ELSE CAST(floor(o_totalprice / 25000.0) AS INTEGER) + 1 END
+            AS INTEGER) AS bucket,
+          COUNT(*) AS n_orders,
+          MIN(o_totalprice) AS lo,
+          MAX(o_totalprice) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def q96_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order totals (width_bucket
+    semantics: 0 = underflow, 21 = overflow). One map-side bucket expr +
+    one tiny aggregation — the distribution profile at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.expr("CAST(width_bucket(o_totalprice, 0.0, 500000.0, 20) AS INT)")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q46 — unpivot / stack (wide metrics → long rows)
 # ---------------------------------------------------------------------------
 @register(
