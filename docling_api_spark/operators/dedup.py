@@ -174,19 +174,76 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q43 — MinHash + LSH banding (the scale path; rows-only)
+# q43 — MinHash + LSH banding (the scale path)
 # ---------------------------------------------------------------------------
-@register("q43_minhash_lsh", tags=("dedup", "neardup", "minhash", "lsh"), bench=True)
+N_PERM, N_BANDS = 8, 4
+_ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def _mh_duck(p: int) -> str:
+    """DuckDB 60-bit hash of a shingle under permutation p (md5-derived —
+    the cross-engine hash family; 15 hex digits keeps it inside BIGINT)."""
+    return (
+        f"CAST(concat('0x', substring(md5('{p}:' || shingle), 1, 15)) AS BIGINT)"
+    )
+
+
+_Q43_ORACLE = f"""
+    WITH sh AS ({{shingles}}),
+    mh AS (
+      SELECT doc_id, source,
+             {", ".join(f"MIN({_mh_duck(p)}) AS mh{p}" for p in range(N_PERM))}
+      FROM sh GROUP BY doc_id, source
+    ),
+    bands AS (
+      SELECT doc_id, source, CAST(b.band AS INTEGER) AS band,
+             CASE b.band
+               {" ".join(
+                   f"WHEN {b} THEN md5(CAST(mh{b * _ROWS_PER_BAND} AS VARCHAR) || ',' || "
+                   f"CAST(mh{b * _ROWS_PER_BAND + 1} AS VARCHAR))"
+                   for b in range(N_BANDS)
+               )}
+             END AS bucket
+      FROM mh, UNNEST([{", ".join(str(b) for b in range(N_BANDS))}]) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (ca.n + cb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+"""
+
+
+@register(
+    "q43_minhash_lsh",
+    tags=("dedup", "neardup", "minhash", "lsh"),
+    bench=True,
+    oracle=_Q43_ORACLE.format(shingles=SHINGLES_DUCK),
+)
 def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (8 permutations) + LSH banding (4 bands × 2 rows) near-dup.
 
     Candidate pairs share at least one (band, bucket); candidates are then
-    verified with exact Jaccard. xxhash64(shingle, seed) plays the hash-
-    permutation family. No SQL oracle (JVM hash function); q42 pins exact
-    Jaccard semantics, and tests cross-check q43 ⊆ q42 candidates.
+    verified with exact Jaccard. The permutation family is md5-derived
+    (60-bit ints), so the ENTIRE pipeline — signatures, band buckets,
+    candidates, verification — is replayed by the DuckDB oracle.
     """
-    n_perm, n_bands = 8, 4
-    rows_per_band = n_perm // n_bands
+    n_perm, n_bands = N_PERM, N_BANDS
+    rows_per_band = _ROWS_PER_BAND
     sh = shingle_sets(spark, sf_dir)
 
     # Signatures are computed entirely MAP-SIDE: per doc, each permutation's
@@ -201,22 +258,34 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.array_distinct(F.expr(SHINGLES_SPARK)).alias("shingles")
         )
     )
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s, p=p: F.xxhash64(s, F.lit(p)))
-        ).alias(f"mh{p}")
-        for p in range(n_perm)
-    ]
-    sig = doc_shingles.select("doc_id", "source", *sig_cols)
+    # All permutations in ONE nested higher-order expression. Sibling
+    # `transform` columns in the same projection must not share lambda
+    # variables (PySpark reuses the variable name across same-shaped
+    # lambdas, and Catalyst then cross-wires them — sibling HOFs computed
+    # wrong values); a single expr with distinct p/s variables is safe and
+    # also hashes each shingle's md5 input once per permutation.
+    mhs = F.expr(
+        f"""
+        transform(sequence(0, {n_perm - 1}), p ->
+          array_min(transform(shingles, s ->
+            CAST(conv(substring(md5(CAST(concat(CAST(p AS STRING), ':', s) AS BINARY)),
+                                1, 15), 16, 10) AS BIGINT))))
+        """
+    ).alias("mhs")
+    sig = doc_shingles.select("doc_id", "source", mhs).select(
+        "doc_id",
+        "source",
+        *[F.col("mhs").getItem(p).alias(f"mh{p}") for p in range(n_perm)],
+    )
     band_cols = [
-        F.xxhash64(
+        F.md5(
             F.concat_ws(
                 ",",
                 *[
                     F.col(f"mh{b * rows_per_band + r}").cast("string")
                     for r in range(rows_per_band)
                 ],
-            )
+            ).cast("binary")
         ).alias(f"bucket{b}")
         for b in range(n_bands)
     ]
