@@ -420,27 +420,52 @@ def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q44 — SimHash near-dup (rows-only)
+# q44 — SimHash near-dup
 # ---------------------------------------------------------------------------
-@register("q44_simhash", tags=("dedup", "neardup", "simhash"))
+@register(
+    "q44_simhash",
+    tags=("dedup", "neardup", "simhash"),
+    oracle="""
+        WITH h AS (
+          SELECT doc_id, source,
+                 list_transform(string_split(text, ' '), t ->
+                   CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT)) AS hashes
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, source,
+                 CAST(list_sum(list_transform(range(0, 60), b ->
+                   CASE WHEN 2 * len(list_filter(hashes,
+                                x -> ((x >> CAST(b AS INT)) & 1) = 1)) > len(hashes)
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+          FROM h
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+    """,
+)
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document; near-dup pairs = Hamming distance <= 16
+    """60-bit SimHash per document; near-dup pairs = Hamming distance <= 16
     within a source.
 
     The per-bit majority vote is computed map-side with higher-order
     functions over the token-hash array — zero shuffle before the pair join.
-    Pair search compares single 64-bit ints via bit_count(xor), not
-    documents. No SQL oracle (JVM xxhash64).
+    Pair search compares single ints via bit_count(xor), not documents.
+    The md5-derived token hash keeps the whole computation replayable by
+    the DuckDB oracle.
     """
-    # SimHash per document computed entirely map-side: token hashes as an
-    # array column, then for each bit a filter-count over the array — no
-    # (doc, token, bit) explosion, no shuffle before the pair join.
     simhash = (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
             "source",
-            F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("hashes"),
+            F.expr(
+                "transform(split(text, ' '), t -> "
+                "CAST(conv(substring(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("hashes"),
         )
         .select(
             "doc_id",
@@ -448,7 +473,7 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 """
                 aggregate(
-                  transform(sequence(0, 63), bit -> CASE WHEN
+                  transform(sequence(0, 59), bit -> CASE WHEN
                     2 * size(filter(hashes, h -> (shiftright(h, CAST(bit AS INT)) & 1) = 1))
                       > size(hashes)
                     THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))
@@ -470,6 +495,8 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .select(
+            "doc_a", "doc_b", F.expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").alias("hamming")
+        )
         .filter(F.col("hamming") <= 16)
     )

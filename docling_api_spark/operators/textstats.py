@@ -271,17 +271,44 @@ def q64_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q65 — winnowing fingerprints (rows-only)
+# q65 — winnowing fingerprints
 # ---------------------------------------------------------------------------
-@register("q65_doc_fingerprint", tags=("text", "fingerprint"))
+@register(
+    "q65_doc_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle="""
+        WITH pos AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               UNNEST(CASE WHEN len(t) >= 4 THEN range(1, len(t) - 2)
+                           ELSE CAST([] AS BIGINT[]) END) AS u(i)
+        ),
+        hashed AS (
+          SELECT doc_id, pos,
+                 CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+          FROM pos
+        ),
+        wins AS (
+          SELECT doc_id,
+                 MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+          FROM hashed
+        ),
+        fp AS (SELECT DISTINCT doc_id, win_min FROM wins)
+        SELECT doc_id, COUNT(*) AS n_fingerprints,
+               MIN(win_min) AS min_fp, MAX(win_min) AS max_fp
+        FROM fp GROUP BY doc_id
+    """,
+)
 def q65_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (rolling 4-gram hash, window-min select).
 
-    For each position, hash the 4-token shingle (xxhash64); a fingerprint is
-    the min hash in each sliding window of 4 consecutive shingle hashes —
-    the classic winnowing scheme (Schleimer et al.) used for plagiarism/
-    near-dup detection. Emits per-doc fingerprint-set stats. Rows-only
-    (JVM hash function, no SQL analog).
+    For each position, hash the 4-token shingle; a fingerprint is the min
+    hash in each sliding window of 4 consecutive shingle hashes — the
+    classic winnowing scheme (Schleimer et al.) used for plagiarism/
+    near-dup detection. md5-derived hashes make the whole scheme
+    oracle-replayable. Emits per-doc fingerprint-set stats.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
@@ -295,7 +322,10 @@ def q65_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("pos", "shingle"),
-    ).withColumn("h", F.xxhash64("shingle"))
+    ).withColumn(
+        "h",
+        F.expr("CAST(conv(substring(md5(CAST(shingle AS BINARY)), 1, 15), 16, 10) AS BIGINT)"),
+    )
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     fingerprints = (
         shingles.withColumn("win_min", F.min("h").over(w))
