@@ -181,11 +181,14 @@ _ROWS_PER_BAND = N_PERM // N_BANDS
 
 
 def _mh_duck(p: int) -> str:
-    """DuckDB 60-bit hash of a shingle under permutation p (md5-derived —
-    the cross-engine hash family; 15 hex digits keeps it inside BIGINT)."""
-    return (
-        f"CAST(concat('0x', substring(md5('{p}:' || shingle), 1, 15)) AS BIGINT)"
-    )
+    """DuckDB 32-bit hash of a shingle under permutation p.
+
+    All 8 permutations come from TWO md5 calls (128 bits each → 64 hex
+    chars → 8 disjoint 8-hex windows): md5 is the only cross-engine hash,
+    but it's cryptographic-grade slow, so the call count per shingle is
+    what matters. 32-bit minhashes are the standard width."""
+    src = "md5(shingle) || md5('1:' || shingle)"
+    return f"CAST(concat('0x', substring({src}, {p * 8 + 1}, 8)) AS BIGINT)"
 
 
 _Q43_ORACLE = f"""
@@ -239,12 +242,12 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate pairs share at least one (band, bucket); candidates are then
     verified with exact Jaccard. The permutation family is md5-derived
-    (60-bit ints), so the ENTIRE pipeline — signatures, band buckets,
-    candidates, verification — is replayed by the DuckDB oracle.
+    (32-bit windows of two md5 digests), so the ENTIRE pipeline —
+    signatures, band buckets, candidates, verification — is replayed by
+    the DuckDB oracle.
     """
     n_perm, n_bands = N_PERM, N_BANDS
     rows_per_band = _ROWS_PER_BAND
-    sh = shingle_sets(spark, sf_dir)
 
     # Signatures are computed entirely MAP-SIDE: per doc, each permutation's
     # minhash is array_min(transform(shingles, s -> xxhash64(s, p))) over the
@@ -257,22 +260,36 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "source", F.array_distinct(F.expr(SHINGLES_SPARK)).alias("shingles")
         )
+        # reused three times (signatures + both verification sides)
+        .localCheckpoint()
     )
     # All permutations in ONE nested higher-order expression. Sibling
     # `transform` columns in the same projection must not share lambda
     # variables (PySpark reuses the variable name across same-shaped
     # lambdas, and Catalyst then cross-wires them — sibling HOFs computed
-    # wrong values); a single expr with distinct p/s variables is safe and
-    # also hashes each shingle's md5 input once per permutation.
+    # wrong values); a single expr with distinct p/s variables is safe.
+    # Two md5 calls per shingle yield all 8 permutation hashes (md5 is the
+    # cross-engine hash but crypto-slow — call count dominates cost).
     mhs = F.expr(
         f"""
         transform(sequence(0, {n_perm - 1}), p ->
-          array_min(transform(shingles, s ->
-            CAST(conv(substring(md5(CAST(concat(CAST(p AS STRING), ':', s) AS BINARY)),
-                                1, 15), 16, 10) AS BIGINT))))
+          array_min(transform(hex128, h ->
+            CAST(conv(substring(h, p * 8 + 1, 8), 16, 10) AS BIGINT))))
         """
     ).alias("mhs")
-    sig = doc_shingles.select("doc_id", "source", mhs).select(
+    sig_arr = doc_shingles.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(shingles, s -> "
+            "concat(md5(CAST(s AS BINARY)), md5(CAST(concat('1:', s) AS BINARY))))"
+        ).alias("hex128"),
+    ).select("doc_id", "source", mhs)
+    # materialize before widening: projection collapse would otherwise
+    # inline the whole signature expression once per mhs[p] reference —
+    # an 8x recompute of every md5 (observed: 3s -> 27s at sf0.1)
+    sig_arr = sig_arr.localCheckpoint()
+    sig = sig_arr.select(
         "doc_id",
         "source",
         *[F.col("mhs").getItem(p).alias(f"mh{p}") for p in range(n_perm)],
@@ -315,31 +332,35 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # materialize: the candidate set is broadcast into two joins below,
+        # and broadcasting a plan that itself contains a self-join re-plans
+        # the whole signature pipeline inside the broadcast thread
+        .localCheckpoint()
     )
-    # exact verification of candidates only
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh_b"))
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb.withColumnRenamed("sh_b", "sh_a"), ["doc_b", "sh_a"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact verification of candidates only, straight off the per-doc
+    # shingle ARRAYS: two passes over doc_shingles with the (tiny)
+    # candidate set broadcast — no shuffle of the shingle relation at all.
+    # (If a corpus ever yields a candidate set too big to broadcast, fall
+    # back to the exploded-relation join on the shingle value.)
+    da = doc_shingles.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_arr_a")
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
+    db = doc_shingles.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_arr_b")
+    )
+    joined = (
+        da.join(F.broadcast(candidates), "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_arr_a", "sh_arr_b")))
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.size("sh_arr_a") + F.size("sh_arr_b") - F.col("n_common"))
+        ).alias("jaccard"),
     )
 
 

@@ -134,7 +134,47 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-@register("q51_ann_lsh", tags=("similarity", "ann", "lsh"))
+_LSH_PLANES, _LSH_DIM = 6, 64
+
+
+def _q51_oracle() -> str:
+    """DuckDB replay of the LSH bucket assignment + rerank, with the same
+    literal hyperplane weights the Spark side embeds (exact double literals
+    → identical sign bits → identical buckets)."""
+    planes = _hyperplanes(_LSH_PLANES, _LSH_DIM)
+    bucket_terms = []
+    for p, row in enumerate(planes):
+        weights = "[" + ", ".join(repr(w) for w in row) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {_LSH_DIM} + 1), "
+            f"i -> ({weights})[i] * CAST(embedding[i] AS DOUBLE)))"
+        )
+        bucket_terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding, {NORM_DUCK} AS norm,
+                 CAST({bucket} AS BIGINT) AS bucket
+          FROM embeddings
+        ),
+        cand AS (
+          SELECT q.vec_id AS q_vec, n.vec_id AS n_vec,
+                 {DOT_DUCK.format(a='q.embedding', b='n.embedding')} / (q.norm * n.norm)
+                   AS cosine
+          FROM e q JOIN e n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT q_vec, n_vec, cosine, rn
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_vec ORDER BY cosine DESC, n_vec
+          ) AS rn FROM cand
+        ) t
+        WHERE rn <= {TOP_K}
+    """
+
+
+@register("q51_ann_lsh", tags=("similarity", "ann", "lsh"), oracle=_q51_oracle())
 def q51_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucket join + exact rerank.
 
@@ -142,10 +182,10 @@ def q51_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's bucket; exact cosine only on candidates. Recall/selectivity is
     tuned via the bit count (more data → more bits); the structure (bucket
     equi-join, bounded rerank) is what survives when N² is impossible.
-    Rows-only check (approximation is engine-specific); q50 pins the exact
-    semantics.
+    The md5-seeded hyperplanes are plain double literals, so the oracle
+    replays bucket assignment and rerank exactly.
     """
-    n_planes, dim = 6, 64
+    n_planes, dim = _LSH_PLANES, _LSH_DIM
     planes = _hyperplanes(n_planes, dim)
     planes_lit = F.array(
         *[F.array(*[F.lit(w) for w in row]) for row in planes]
