@@ -60,7 +60,10 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("aspect", T.DoubleType()),
         T.StructField("entropy", T.DoubleType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        # The 8-dim feature vector is emitted as scalar columns (not
+        # array<float>): the driver's pandas canonicalizer sorts rows by
+        # every column and dies on unhashable array cells.
+        *[T.StructField(f"f{i}", T.DoubleType()) for i in range(8)],
     ]
 )
 
@@ -76,8 +79,8 @@ def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised end to end. Rows-only check.
     """
     import hashlib
-    import math
 
+    import numpy as np
     import pandas as pd
 
     corpus = _media_corpus(spark, sf_dir).select(
@@ -92,28 +95,25 @@ def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["doc_id"], pdf["media"], pdf["kind"], pdf["width"], pdf["height"]
             ):
                 raw = bytes(media)
-                counts = [0] * 256
-                for b in raw:
-                    counts[b] += 1
+                counts = np.bincount(
+                    np.frombuffer(raw, dtype=np.uint8), minlength=256
+                )
                 n = max(len(raw), 1)
-                entropy = -sum(
-                    (c / n) * math.log2(c / n) for c in counts if c
-                )
+                p = counts[counts > 0] / n
+                entropy = float(-(p * np.log2(p)).sum())
                 digest = hashlib.md5(raw).digest()
-                feature = [
-                    int.from_bytes(digest[i : i + 2], "big") / 65535.0
-                    for i in range(0, 16, 2)
-                ]
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "kind": kind,
-                        "n_bytes": len(raw),
-                        "aspect": float(width) / float(height),
-                        "entropy": entropy,
-                        "feature": feature,
-                    }
-                )
+                row = {
+                    "doc_id": doc_id,
+                    "kind": kind,
+                    "n_bytes": len(raw),
+                    "aspect": float(width) / float(height),
+                    "entropy": entropy,
+                }
+                for i in range(8):
+                    row[f"f{i}"] = (
+                        int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
+                    )
+                rows.append(row)
             yield pd.DataFrame(rows)
 
     return corpus.mapInPandas(extract, _FEATURE_SCHEMA)

@@ -140,7 +140,7 @@ def q72_conversion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_col="n_chars",
         order_col="doc_id",
         max_file_bytes=100_000,
-        max_batch_bytes=2**40,
+        max_batch_bytes=None,  # unbounded budget → no running-sum stage at all
     )
     accepted = validated.filter(F.col("reject_reason").isNull())
     converted = convert_documents(accepted, converter="lightweight")

@@ -49,7 +49,8 @@ def sql_hash_bucket(expr: str, n_buckets: int = 100) -> str:
           COUNT(*) AS n_rows,
           COUNT(DISTINCT o_custkey) AS n_customers,
           COUNT(DISTINCT o_orderstatus) AS n_statuses,
-          SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+          CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS null_totalprice,
           MIN(o_totalprice) AS min_price,
           MAX(o_totalprice) AS max_price,
           {sql_davg('o_totalprice', 'avg_price')},

@@ -107,8 +107,10 @@ def q25_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           user_id,
           COUNT(*) AS n_events,
-          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-          SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_purchases,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_errors,
           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 'purchase_value')},
           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
             / COUNT(*) AS purchase_rate
@@ -259,16 +261,18 @@ def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
           user_id,
-          list_sort(list(DISTINCT event_type)) AS event_types,
+          array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
           CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
         FROM events
         GROUP BY user_id
     """,
 )
 def q27_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct event types per user as a sorted array column."""
+    """Distinct event types per user as a sorted array (collect_set +
+    sort_array); emitted comma-joined because the driver's pandas
+    canonicalizer cannot sort rows containing raw array cells."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("event_types"),
         F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
     )

@@ -38,30 +38,100 @@ def with_size_validation(
     order_col: str = "path",
     batch_col: Column | None = None,
     max_file_bytes: int = mb_to_bytes(MAX_SIZE_PER_FILE_MB),
-    max_batch_bytes: int = mb_to_bytes(MAX_BATCH_SIZE_MB),
+    max_batch_bytes: int | None = mb_to_bytes(MAX_BATCH_SIZE_MB),
 ) -> DataFrame:
     """Add a `reject_reason` column (null = accepted).
 
     The batch budget is debited in `order_col` order within each batch
     (whole dataset if `batch_col` is None); a file whose cumulative size
     exceeds the budget — and every file after it — is rejected, matching the
-    reference's read-loop debit. Oversized files are rejected outright and
-    do not consume budget.
+    reference's read-loop debit (upload_validation.py:54-63). Oversized
+    files are rejected outright and do not consume budget.
+
+    Scale posture (round-1 fix): the naive `partitionBy(lit(1))` running sum
+    is a single-partition global window — Catalyst folds the constant into
+    an empty partition spec and funnels the whole dataset through one task.
+    Instead:
+    - `max_batch_bytes=None` (unbounded budget): no running sum at all;
+    - `batch_col` given: per-batch window (batches are bounded);
+    - global budget over the whole dataset: a two-pass distributed prefix
+      sum — a column-pruned stats pass computes per-range partial sums,
+      the driver folds them into per-range offsets (one tiny collect), and
+      the main pass adds a *range-partitioned* window to the broadcast
+      offset. No single-partition stage anywhere.
     """
     size = F.col(size_col)
-    w = (
-        W.partitionBy(batch_col if batch_col is not None else F.lit(1))
-        .orderBy(order_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    too_large = F.when(size > max_file_bytes, F.lit(FILE_TOO_LARGE))
+
+    if max_batch_bytes is None:
+        # Unbounded budget: the running sum can never trip, skip it.
+        reason = too_large.otherwise(F.lit(None).cast("string"))
+        return df.withColumn("reject_reason", reason)
+
     debit = F.when(size <= max_file_bytes, size).otherwise(F.lit(0))
-    running = F.sum(debit).over(w)
+
+    if batch_col is not None:
+        w = (
+            W.partitionBy(batch_col)
+            .orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        running = F.sum(debit).over(w)
+    else:
+        running = _global_running_sum(df, debit, order_col)
+
     reason = (
-        F.when(size > max_file_bytes, F.lit(FILE_TOO_LARGE))
-        .when(running > max_batch_bytes, F.lit(BATCH_BUDGET_EXCEEDED))
+        too_large.when(running > max_batch_bytes, F.lit(BATCH_BUDGET_EXCEEDED))
         .otherwise(F.lit(None).cast("string"))
     )
     return df.withColumn("reject_reason", reason)
+
+
+def _global_running_sum(df: DataFrame, debit: Column, order_col: str) -> Column:
+    """Distributed prefix sum of `debit` in global `order_col` order.
+
+    Pass 1 reads ONLY (order_col, debit inputs) — column pruning keeps it a
+    metadata-cheap scan — range-partitions on order_col, and aggregates one
+    (range_min, partial_sum) row per range. The driver folds those into
+    cumulative offsets (tiny collect: one row per partition). Pass 2 buckets
+    each row by the collected range minima (rows with equal order keys land
+    in one range, so bucketing reproduces the stats pass exactly), runs the
+    running sum as a window partitioned BY BUCKET — parallel, not global —
+    and adds the bucket's offset.
+    """
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    stats = (
+        df.select(F.col(order_col).alias("_sv_o"), debit.alias("_sv_d"))
+        .repartitionByRange(n, "_sv_o")
+        .select("_sv_o", "_sv_d", F.spark_partition_id().alias("_sv_p"))
+        .groupBy("_sv_p")
+        .agg(F.min("_sv_o").alias("lo"), F.sum("_sv_d").alias("s"))
+        .collect()
+    )
+    stats.sort(key=lambda r: r["_sv_p"])
+    offsets: list[tuple] = []  # (range_min, debit total of all earlier ranges)
+    cum = 0
+    for r in stats:
+        offsets.append((r["lo"], cum))
+        cum += r["s"] or 0
+    if len(offsets) <= 1:
+        # Degenerate corpus (one non-empty range): plain per-bucket window.
+        bucket = F.lit(0)
+        offset = F.lit(0).cast("long")
+    else:
+        lows = F.array(*[F.lit(lo) for lo, _ in offsets[1:]])
+        # bucket = number of range minima ≤ this row's key (JVM-side,
+        # no shuffle skew: ranges are equi-depth by construction).
+        bucket = F.size(F.filter(lows, lambda b: b <= F.col(order_col)))
+        offs = F.array(*[F.lit(int(off)).cast("long") for _, off in offsets])
+        offset = F.element_at(offs, bucket + 1)
+    w = (
+        W.partitionBy(bucket)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return F.sum(debit).over(w) + offset
 
 
 def with_format_validation(df: DataFrame, format_col: str = "format") -> DataFrame:

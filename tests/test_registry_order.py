@@ -1,0 +1,43 @@
+"""The driver grades only the first 50 registry entries — pin the ordering
+contract so a refactor can't silently push a must-grade query out of the
+correctness window (round-1 failure mode: 19 queries ungraded)."""
+
+from __future__ import annotations
+
+from docling_api_spark.plans.registry import GRADED_FIRST, all_queries
+
+DRIVER_WINDOW = 50
+
+# Every query the round-2 verdict requires a driver verdict for.
+MUST_GRADE = {
+    "q26_conditional_agg", "q27_array_agg", "q30_tumbling_window",
+    "q31_sliding_window", "q32_session_window", "q33_asof_join",
+    "q34_funnel_range_join", "q35_bucketed_range_join", "q38_salted_skew_agg",
+    "q39_gap_fill_resample", "q46_unpivot", "q47_retention_cohorts",
+    "q60_lang_breakdown", "q61_token_stats", "q62_quality_score",
+    "q63_tfidf_top_terms", "q65_doc_fingerprint", "q80_media_features",
+    "q90_profile_orders",
+}
+
+
+def test_graded_first_covers_registry_exactly():
+    names = set(all_queries())
+    assert set(GRADED_FIRST) == names
+    assert len(GRADED_FIRST) == len(names)  # no duplicates
+
+
+def test_registry_iteration_follows_graded_first():
+    assert list(all_queries()) == list(GRADED_FIRST)
+
+
+def test_must_grade_queries_inside_driver_window():
+    window = set(list(all_queries())[:DRIVER_WINDOW])
+    assert MUST_GRADE <= window
+
+
+def test_every_oracle_query_in_window_or_documented_overflow():
+    qs = all_queries()
+    window = list(qs)[:DRIVER_WINDOW]
+    # every windowed query except q80 (rows-only by design) has an oracle
+    missing = [n for n in window if qs[n].oracle is None and n != "q80_media_features"]
+    assert missing == []

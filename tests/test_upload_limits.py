@@ -82,3 +82,49 @@ def test_format_validation_and_error_routing(spark):
     assert [r["path"] for r in accepted.collect()] == ["a.md"]
     rej = rejected.collect()
     assert [(r["path"], r["reject_reason"]) for r in rej] == [("b.xyz", UNSUPPORTED_FORMAT)]
+
+
+def test_unbounded_budget_skips_running_sum(spark):
+    df = _df(spark, [("a.pdf", 100, "b1"), ("b.pdf", 5000, "b1")])
+    out = with_size_validation(df, max_file_bytes=1000, max_batch_bytes=None)
+    reasons = _reasons(out)
+    assert reasons["a.pdf"] is None
+    assert reasons["b.pdf"] == FILE_TOO_LARGE
+    # no running sum → no Window operator in the plan at all
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_budget_prefix_sum_matches_sequential_debit(spark):
+    # 400 rows spread over many input partitions; global budget must debit
+    # in path order exactly like the reference's sequential read loop.
+    rows = [(f"f{i:04d}.pdf", (i * 37) % 900 + 10, "b1") for i in range(400)]
+    df = _df(spark, rows).repartition(16)
+    out = with_size_validation(df, max_file_bytes=800, max_batch_bytes=40_000)
+    reasons = _reasons(out)
+
+    running = 0
+    for path, size, _ in sorted(rows):
+        if size > 800:
+            assert reasons[path] == FILE_TOO_LARGE, path
+            continue
+        running += size
+        if running > 40_000:
+            assert reasons[path] == BATCH_BUDGET_EXCEEDED, path
+        else:
+            assert reasons[path] is None, path
+
+
+def test_global_budget_no_single_partition_window(spark):
+    rows = [(f"f{i:04d}.pdf", 100, "b1") for i in range(200)]
+    df = _df(spark, rows).repartition(8)
+    out = with_size_validation(df, max_file_bytes=800, max_batch_bytes=5_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the round-1 defect: partitionBy(lit(1)) folded to an empty partition
+    # spec ("Window [sum(...) ... ORDER BY ...]" with no PARTITION BY),
+    # funnelling everything into one task. The fix partitions the window by
+    # the range bucket.
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "_w" in spec or "bucket" in spec or spec.count(",") >= 2, plan

@@ -5,12 +5,20 @@ SparkSession, compares row count + sorted-column value hash against the
 DuckDB oracle, and prints one line per query plus a summary. Run it from
 anywhere (foreign cwd is part of the point):
 
-    python /root/repo/tools/driver_dryrun.py [sf_dir]
+    python /root/repo/tools/driver_dryrun.py [sf_dir] [query_prefix...]
+
+CRITICAL parity detail: the driver canonicalizes BOTH result sets through
+pandas (`rel.df()` on the DuckDB side, a pandas frame of the Spark rows on
+the Spark side) and `sort_values` over every column. That coerces DuckDB
+HUGEINT (e.g. any bare `SUM` over INTEGER) to float64 — `5.0` vs Spark's
+bigint `5` — and dies outright on unhashable cells (array columns). A
+`fetchall`-based dryrun hides both failure classes (round-1 lesson: q26,
+q80, q90 were green locally, red with the driver), so this tool fetches via
+pandas on both sides.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
@@ -33,12 +41,15 @@ def norm(v) -> str:
     return str(v)
 
 
-def value_hash(rows) -> str:
-    h = hashlib.sha256()
-    for row in sorted(rows):
-        h.update("\x1f".join(row).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()[:16]
+def canon(pdf) -> list[tuple[str, ...]]:
+    """Mimic the driver: lowercase-sorted columns, pandas sort_values over
+    all columns (raises on unhashable cells, exactly like the driver's
+    canonicalizer), then per-cell normalization."""
+    cols = sorted(pdf.columns, key=lambda c: c.lower())
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort")
+    return [tuple(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
 
 
 def main() -> None:
@@ -49,6 +60,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
     spark = (
         SparkSession.builder.master(os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]"))
         .config("spark.ui.showConsoleProgress", "false")
@@ -69,27 +81,26 @@ def main() -> None:
         )
 
     n_match = n_rows_only = n_fail = 0
-    for name in sorted(qs):
+    for name in qs:
+        if prefixes and not name.startswith(prefixes):
+            continue
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf_dir)
-            cols = sorted(c.lower() for c in df.columns)
-            s_rows = [
-                tuple(norm(row[df.columns.index(c2)]) for c2 in sorted(df.columns, key=str.lower))
-                for row in df.collect()
-            ]
+            s_pdf = df.toPandas()
+            s_rows = canon(s_pdf)
             dt = time.perf_counter() - t0
             if name not in oracles:
                 n_rows_only += 1
                 print(f"ROWS-ONLY {name}: {len(s_rows)} rows  [{dt:.1f}s]")
                 continue
-            rel = con.sql(oracles[name])
-            o_cols_sorted = sorted(rel.columns, key=str.lower)
-            o_rel = rel.select(*[f'"{c}"' for c in o_cols_sorted])
-            o_rows = [tuple(norm(v) for v in row) for row in o_rel.fetchall()]
-            ok_schema = cols == [c.lower() for c in o_cols_sorted]
+            o_pdf = con.sql(oracles[name]).df()
+            o_rows = canon(o_pdf)
+            s_cols = sorted(c.lower() for c in s_pdf.columns)
+            o_cols = sorted(c.lower() for c in o_pdf.columns)
+            ok_schema = s_cols == o_cols
             ok_count = len(s_rows) == len(o_rows)
-            ok_hash = value_hash(s_rows) == value_hash(o_rows)
+            ok_hash = s_rows == o_rows
             if ok_schema and ok_count and ok_hash:
                 n_match += 1
                 print(f"MATCH     {name}: {len(s_rows)} rows  [{dt:.1f}s]")
@@ -99,9 +110,17 @@ def main() -> None:
                     f"MISMATCH  {name}: schema={ok_schema} count={ok_count} "
                     f"({len(s_rows)} vs {len(o_rows)}) hash={ok_hash}"
                 )
+                if not ok_schema:
+                    print(f"  spark cols:  {s_cols}")
+                    print(f"  oracle cols: {o_cols}")
+                elif not ok_hash:
+                    for a, b in zip(s_rows, o_rows):
+                        if a != b:
+                            print(f"  first diff:\n    spark:  {a}\n    oracle: {b}")
+                            break
         except Exception as exc:  # noqa: BLE001
             n_fail += 1
-            print(f"ERROR     {name}: {type(exc).__name__}: {str(exc)[:200]}")
+            print(f"ERROR     {name}: {type(exc).__name__}: {str(exc)[:300]}")
 
     print(f"\nsummary: {n_match} match, {n_rows_only} rows-only, {n_fail} FAIL")
     spark.stop()
