@@ -443,10 +443,17 @@ def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q44 — SimHash near-dup
 # ---------------------------------------------------------------------------
+SIMHASH_BITS = 60
+SIMHASH_HAMMING = 5  # near-dup budget (true near-dups sit at d=4; noise at 6+)
+SIMHASH_CHUNKS = 6  # >= budget+1 → pigeonhole: any pair within budget shares a chunk
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 10-bit chunks (1024 buckets)
+_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
+
+
 @register(
     "q44_simhash",
     tags=("dedup", "neardup", "simhash"),
-    oracle="""
+    oracle=f"""
         WITH h AS (
           SELECT doc_id, source,
                  list_transform(string_split(text, ' '), t ->
@@ -455,26 +462,42 @@ def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         s AS (
           SELECT doc_id, source,
-                 CAST(list_sum(list_transform(range(0, 60), b ->
+                 CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
                    CASE WHEN 2 * len(list_filter(hashes,
                                 x -> ((x >> CAST(b AS INT)) & 1) = 1)) > len(hashes)
                         THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
           FROM h
+        ),
+        c AS (
+          SELECT doc_id, source, simhash, CAST(i AS INTEGER) AS ci,
+                 (simhash >> CAST({SIMHASH_CHUNK_BITS} * i AS INT)) & {_CHUNK_MASK} AS cv
+          FROM s, UNNEST(range(0, {SIMHASH_CHUNKS})) AS u(i)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM c a JOIN c b
+            ON a.source = b.source AND a.ci = b.ci AND a.cv = b.cv
+           AND a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_HAMMING}
     """,
 )
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per document; near-dup pairs = Hamming distance <= 16
-    within a source.
+    """60-bit SimHash per document; near-dup pairs = Hamming distance <= 5
+    within a source, found by chunked LSH (never an all-pairs join).
 
     The per-bit majority vote is computed map-side with higher-order
     functions over the token-hash array — zero shuffle before the pair join.
-    Pair search compares single ints via bit_count(xor), not documents.
+    Candidate generation follows Manku et al. (WWW'07): the fingerprint is
+    split into SIMHASH_CHUNKS 10-bit chunks; by pigeonhole any pair within
+    the Hamming budget (5 < 6 chunks) agrees exactly on some chunk, so
+    candidates come from an equi-join on (source, chunk_index, chunk_value)
+    — O(collisions), not O(n²) per source — then bit_count(xor) verifies.
     The md5-derived token hash keeps the whole computation replayable by
     the DuckDB oracle.
     """
@@ -504,20 +527,40 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash"),
         )
     )
-    # materialize once: both self-join sides would otherwise recompute the
-    # 64-bit vote (the expensive part); the fingerprint relation is 16 bytes
-    # per doc — negligible at any scale.
+    # materialize once: both candidate-join sides would otherwise recompute
+    # the per-bit vote (the expensive part); the fingerprint relation is
+    # 16 bytes per doc — negligible at any scale.
     simhash = simhash.localCheckpoint()
-    a = simhash.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("simhash").alias("sh_a")
+    chunks = simhash.select(
+        "doc_id",
+        "source",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), i -> named_struct("
+                f"'ci', CAST(i AS INT), "
+                f"'cv', shiftright(simhash, {SIMHASH_CHUNK_BITS} * CAST(i AS INT))"
+                f" & {_CHUNK_MASK}))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "source", "simhash", "c.ci", "c.cv")
+    a = chunks.select(
+        "source", "ci", "cv",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
     )
-    b = simhash.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("simhash").alias("sh_b")
+    b = chunks.select(
+        "source", "ci", "cv",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(b, ["source", "ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()  # a pair may collide on several chunks
     )
     return (
-        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select(
+        cand.select(
             "doc_a", "doc_b", F.expr("CAST(bit_count(sh_a ^ sh_b) AS INT)").alias("hamming")
         )
-        .filter(F.col("hamming") <= 16)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING)
     )

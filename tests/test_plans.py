@@ -80,3 +80,21 @@ def test_aggregates_have_partial_phase(spark, sf_dir, name):
     # map-side combine before the exchange (partial_sum / partial_count)
     plan = plan_of(spark, sf_dir, name)
     assert "partial_" in plan
+
+
+def test_simhash_pairs_come_from_chunk_equijoin(spark, sf_dir):
+    # round-1 defect: q44 generated candidates with an all-pairs self-join
+    # per source (O(n²)). The fix equi-joins on (source, chunk_idx,
+    # chunk_value) — the join condition must carry the chunk keys, and no
+    # nested-loop/cartesian operator may appear.
+    plan = plan_of(spark, sf_dir, "q44_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cv" in plan and "ci" in plan  # chunk keys participate in the join
+
+
+def test_asof_join_is_single_window_not_range_explosion(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q33_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1  # union + event-time window emulation
