@@ -126,34 +126,112 @@ def _html_to_markdown(content: bytes) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+def extract_document_images(document) -> tuple[str, list[dict]]:
+    """Walk a docling document's items into DocElements and splice image
+    names into the placeholder markdown (reference `service.py:73-131`,
+    golden-tested by its `tests/test_document_images.py:45-91`).
+
+    Duck-typed on purpose: `document` needs `export_to_markdown` and
+    `iterate_items(with_groups=True)`; table/picture detection is by type
+    NAME so a mock document exercises the walk without docling installed.
+    Image payloads stay raw PNG bytes (base64 only at the serving edge).
+    """
+    try:  # docling's enum when present; its str value otherwise
+        from docling_core.types.doc import ImageRefMode
+
+        mode = ImageRefMode.PLACEHOLDER
+    except ImportError:
+        mode = "placeholder"
+
+    markdown = document.export_to_markdown(
+        image_mode=mode, image_placeholder=IMAGE_PLACEHOLDER
+    )
+    elements: list[DocElement] = []
+    for idx, (element, _level) in enumerate(document.iterate_items(with_groups=True)):
+        kind = {"TableItem": "table", "PictureItem": "picture"}.get(
+            type(element).__name__
+        )
+        if kind is None:
+            continue
+        table_md = (
+            document.export_to_markdown(
+                from_element=idx,
+                to_element=idx + 1,
+                image_mode=mode,
+                image_placeholder=IMAGE_PLACEHOLDER,
+            )
+            if kind == "table"
+            else None
+        )
+        png: bytes | None = None
+        if element.image:
+            buf = io.BytesIO()
+            element.image.pil_image.save(buf, format="PNG")
+            png = buf.getvalue()
+        elements.append(DocElement(kind=kind, image=png, table_markdown=table_md))
+    return splice_images(markdown, elements)
+
+
 class DoclingConverter:
     """IBM-docling-backed converter (import-gated heavy path).
 
     Structure mirrors the reference's Docling integration
-    (`service.py:133-158`): per-executor DocumentConverter, CSV pre-shim,
-    `raises_on_error=False`, image extraction via the splice helper.
+    (`service.py:55-158`): CSV pre-shim, `raises_on_error=False`, image
+    extraction via `extract_document_images` → `splice_images`. Option
+    isolation (T3): each (extract_tables, image_resolution_scale) pair gets
+    its own pipeline options — cached per executor so model load amortizes,
+    but never mutated across calls.
     """
 
     def __init__(self) -> None:
         from docling.document_converter import DocumentConverter  # noqa: F401
 
-        self._docling = DocumentConverter()
+        self._converters: dict[tuple, object] = {}
 
-    def convert(self, filename: str, content: bytes, **options) -> dict:
+    def _converter(self, extract_tables: bool, image_resolution_scale: int):
+        key = (extract_tables, image_resolution_scale)
+        if key not in self._converters:
+            from docling.datamodel.base_models import InputFormat
+            from docling.datamodel.pipeline_options import PdfPipelineOptions
+            from docling.document_converter import DocumentConverter, PdfFormatOption
+
+            opts = PdfPipelineOptions()
+            opts.generate_page_images = False
+            opts.generate_picture_images = True
+            opts.images_scale = image_resolution_scale
+            opts.generate_table_images = extract_tables
+            self._converters[key] = DocumentConverter(
+                format_options={InputFormat.PDF: PdfFormatOption(pipeline_options=opts)}
+            )
+        return self._converters[key]
+
+    def convert(
+        self,
+        filename: str,
+        content: bytes,
+        *,
+        extract_tables: bool = False,
+        image_resolution_scale: int = DEFAULT_IMAGE_RESOLUTION_SCALE,
+    ) -> dict:
         from docling.datamodel.base_models import DocumentStream
 
         if filename.lower().endswith(".csv"):
             content, err = transcode_csv_utf8(content)
             if err is not None:
                 return _error_result(filename, err)
-        res = self._docling.convert(
+        res = self._converter(extract_tables, image_resolution_scale).convert(
             DocumentStream(name=filename, stream=io.BytesIO(content)),
             raises_on_error=False,
         )
         if res.errors:
             return _error_result(_stem(filename), res.errors[0].error_message)
-        markdown = res.document.export_to_markdown()
-        return {"filename": _stem(filename), "markdown": markdown, "images": [], "error": None}
+        markdown, images = extract_document_images(res.document)
+        return {
+            "filename": _stem(filename),
+            "markdown": markdown,
+            "images": images,
+            "error": None,
+        }
 
 
 def converter_for(name: str = "auto"):
