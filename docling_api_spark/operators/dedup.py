@@ -116,12 +116,25 @@ def q41_dedup_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q42 — n-gram Jaccard similarity (exact near-dup, relation-algebra form)
 # ---------------------------------------------------------------------------
+# Hot-shingle guard: boilerplate shingles (headers, licenses, templates)
+# have document frequencies in the millions at corpus scale and would blow
+# up the shingle self-join quadratically per shingle. Dropping shingles
+# with DF > cap is the standard stop-shingle defense; DF caps out at 3 in
+# the test corpus, so 50 is a pure scale guard that changes no test result.
+SHINGLE_DF_CAP = 50
+
+
 @register(
     "q42_ngram_jaccard",
     tags=("dedup", "neardup", "jaccard"),
     bench=True,
     oracle=f"""
-        WITH sh AS ({SHINGLES_DUCK}),
+        WITH sh0 AS ({SHINGLES_DUCK}),
+        freq AS (
+          SELECT source, shingle FROM sh0
+          GROUP BY source, shingle HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN freq USING (source, shingle)),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -140,12 +153,23 @@ def q41_dedup_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise 3-gram Jaccard within each source (pairs with J >= 0.05).
+    """Pairwise 3-gram Jaccard within each source (pairs with J >= 0.05),
+    over the DF-capped shingle relation.
 
     Shuffle join on the shingle value — cost bounded by shingle collisions,
-    not |docs|²; the `source` co-key further prunes the join.
+    not |docs|²; the `source` co-key further prunes the join, and shingles
+    with document frequency > SHINGLE_DF_CAP are dropped first (hot-key
+    guard: one boilerplate shingle shared by k docs contributes k² join
+    rows — capping DF bounds every shingle's contribution).
     """
-    sh = shingle_sets(spark, sf_dir)
+    sh0 = shingle_sets(spark, sf_dir)
+    freq = (
+        sh0.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+    )
+    sh = sh0.join(freq, ["source", "shingle"])
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -246,14 +270,35 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, band buckets, candidates, verification — is replayed by
     the DuckDB oracle.
     """
+    return minhash_lsh_pairs(spark, sf_dir, hash_family="md5")
+
+
+@register("q43_minhash_lsh_xxh", tags=("dedup", "neardup", "minhash", "lsh"), bench=True)
+def q43_minhash_lsh_xxh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash variant of q43: xxhash64 permutation family.
+
+    Identical pipeline and identical verified output on this corpus; the
+    signature/bucket hashing runs at hash-function speed instead of crypto
+    speed (md5 exists only for cross-engine oracle replay — DuckDB has no
+    xxhash64, so this variant is rows-only and exists to bench the family
+    a 100 TB deployment would actually run).
+    """
+    return minhash_lsh_pairs(spark, sf_dir, hash_family="xxhash64")
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, hash_family: str = "md5"
+) -> DataFrame:
+    """Shared MinHash+LSH pipeline with a pluggable permutation family:
+    'md5' (cross-engine, oracle-replayable) or 'xxhash64' (production)."""
     n_perm, n_bands = N_PERM, N_BANDS
     rows_per_band = _ROWS_PER_BAND
 
     # Signatures are computed entirely MAP-SIDE: per doc, each permutation's
-    # minhash is array_min(transform(shingles, s -> xxhash64(s, p))) over the
-    # doc's shingle array — no (doc, shingle, perm) explosion, no shuffle
-    # until the candidate join. At 100 TB this is the difference between
-    # shuffling 8× the shingle relation and shuffling 8 longs per doc.
+    # minhash is array_min over the doc's shingle array — no
+    # (doc, shingle, perm) explosion, no shuffle until the candidate join.
+    # At 100 TB this is the difference between shuffling 8× the shingle
+    # relation and shuffling 8 longs per doc.
     doc_shingles = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", F.split("text", " ").alias("toks"))
@@ -268,44 +313,65 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variables (PySpark reuses the variable name across same-shaped
     # lambdas, and Catalyst then cross-wires them — sibling HOFs computed
     # wrong values); a single expr with distinct p/s variables is safe.
-    # Two md5 calls per shingle yield all 8 permutation hashes (md5 is the
-    # cross-engine hash but crypto-slow — call count dominates cost).
-    mhs = F.expr(
-        f"""
-        transform(sequence(0, {n_perm - 1}), p ->
-          array_min(transform(hex128, h ->
-            CAST(conv(substring(h, p * 8 + 1, 8), 16, 10) AS BIGINT))))
-        """
-    ).alias("mhs")
-    sig_arr = doc_shingles.select(
-        "doc_id",
-        "source",
-        F.expr(
-            "transform(shingles, s -> "
-            "concat(md5(CAST(s AS BINARY)), md5(CAST(concat('1:', s) AS BINARY))))"
-        ).alias("hex128"),
-    ).select("doc_id", "source", mhs)
+    if hash_family == "md5":
+        # Two md5 calls per shingle yield all 8 permutation hashes (md5 is
+        # the cross-engine hash but crypto-slow — call count dominates cost).
+        mhs = F.expr(
+            f"""
+            transform(sequence(0, {n_perm - 1}), p ->
+              array_min(transform(hex128, h ->
+                CAST(conv(substring(h, p * 8 + 1, 8), 16, 10) AS BIGINT))))
+            """
+        ).alias("mhs")
+        sig_arr = doc_shingles.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "transform(shingles, s -> "
+                "concat(md5(CAST(s AS BINARY)), md5(CAST(concat('1:', s) AS BINARY))))"
+            ).alias("hex128"),
+        ).select("doc_id", "source", mhs)
+    elif hash_family == "xxhash64":
+        # Seeded non-crypto family: one xxhash64 per (perm, shingle) —
+        # the hot loop stays in whole-stage codegen at hash speed.
+        mhs = F.expr(
+            f"""
+            transform(sequence(0, {n_perm - 1}), p ->
+              array_min(transform(shingles, s -> xxhash64(p, s))))
+            """
+        ).alias("mhs")
+        sig_arr = doc_shingles.select("doc_id", "source", mhs)
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     # materialize before widening: projection collapse would otherwise
     # inline the whole signature expression once per mhs[p] reference —
-    # an 8x recompute of every md5 (observed: 3s -> 27s at sf0.1)
+    # an 8x recompute of every hash (observed: 3s -> 27s at sf0.1)
     sig_arr = sig_arr.localCheckpoint()
     sig = sig_arr.select(
         "doc_id",
         "source",
         *[F.col("mhs").getItem(p).alias(f"mh{p}") for p in range(n_perm)],
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).cast("binary")
-        ).alias(f"bucket{b}")
-        for b in range(n_bands)
-    ]
+    if hash_family == "md5":
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).cast("binary")
+            ).alias(f"bucket{b}")
+            for b in range(n_bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).cast("string").alias(f"bucket{b}")
+            for b in range(n_bands)
+        ]
     sig = sig.select("doc_id", "source", *band_cols)
     # candidates: docs sharing any (band, bucket) — unpivot bands, equi-join
     bands = sig.select(
