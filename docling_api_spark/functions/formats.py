@@ -33,6 +33,8 @@ EXTENSION_TO_FORMAT = {
     "html": "html", "htm": "html", "xhtml": "html",
     "jpg": "image", "jpeg": "image", "png": "image",
     "tif": "image", "tiff": "image", "bmp": "image",
+    "gif": "image", "webp": "image", "heic": "image", "heif": "image",
+    "avif": "image",
     "adoc": "asciidoc", "asciidoc": "asciidoc", "asc": "asciidoc",
     "csv": "csv",
 }
@@ -56,6 +58,18 @@ _MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
     (b"MM\x00*", "image"),
 )
 
+# Container formats matched by (offset, needle) instead of a prefix —
+# the modern-image coverage `filetype.guess_mime` has (reference
+# utils.py:97) that a prefix table alone misses.
+_MAGIC_AT_OFFSET: tuple[tuple[int, bytes, str], ...] = (
+    (8, b"WEBP", "image"),  # RIFF....WEBP
+    (4, b"ftypheic", "image"),
+    (4, b"ftypheix", "image"),
+    (4, b"ftyphevc", "image"),
+    (4, b"ftypmif1", "image"),  # HEIF
+    (4, b"ftypavif", "image"),
+)
+
 _HTML_COMMENT_RE = re.compile(r"<!--(.*?)-->", re.DOTALL)
 _XML_DECL_RE = re.compile(r"<\?xml")
 _HTML_START_RE = re.compile(r"<!doctype\s+html|<html|<head|<body")
@@ -65,6 +79,11 @@ def sniff_magic(content: bytes) -> str | None:
     """Magic-byte format detection (plus OOXML container inspection)."""
     for prefix, fmt in _MAGIC_PREFIXES:
         if content.startswith(prefix):
+            return fmt
+    for offset, needle, fmt in _MAGIC_AT_OFFSET:
+        if content[offset : offset + len(needle)] == needle:
+            if needle == b"WEBP" and not content.startswith(b"RIFF"):
+                continue
             return fmt
     if content.startswith(b"PK\x03\x04"):
         try:

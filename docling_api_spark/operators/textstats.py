@@ -209,7 +209,52 @@ def q63_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q64 — heuristic language ID (rows-only)
 # ---------------------------------------------------------------------------
-@register("q64_lang_id", tags=("text", "langid"))
+@register(
+    "q64_lang_id",
+    tags=("text", "langid"),
+    oracle="""
+        WITH sample AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+          ) t WHERE rn <= 50
+        ),
+        bigrams AS (
+          SELECT lang, substring(text, CAST(i AS INT), 2) AS bg
+          FROM sample,
+               UNNEST(range(1, greatest(length(text) - 1, 1) + 1)) AS u(i)
+        ),
+        profile AS (
+          SELECT lang AS profile_lang, bg, 1 AS hit FROM (
+            SELECT lang, bg,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY lang ORDER BY COUNT(*) DESC, bg ASC
+                   ) AS brn
+            FROM bigrams GROUP BY lang, bg
+          ) p WHERE brn <= 20
+        ),
+        doc_bigrams AS (
+          SELECT doc_id, lang, substring(text, CAST(i AS INT), 2) AS bg
+          FROM documents,
+               UNNEST(range(1, greatest(length(text) - 1, 1) + 1)) AS u(i)
+        ),
+        scores AS (
+          SELECT d.doc_id, d.lang, p.profile_lang,
+                 CAST(SUM(p.hit) AS BIGINT) AS score
+          FROM doc_bigrams d JOIN profile p USING (bg)
+          GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, lang, profile_lang AS predicted_lang, score,
+               lang = profile_lang AS is_correct
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, profile_lang ASC
+          ) AS prn
+          FROM scores
+        ) s WHERE prn = 1
+    """,
+)
 def q64_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram profile language guesser.
 
@@ -218,7 +263,8 @@ def q64_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     per labeled language), then predicts argmax. Demonstrates the n-gram
     language-ID structure (profile broadcast + explode + score) on synthetic
     text whose labels are random — accuracy is meaningless here, mechanics
-    are what's exercised. Rows-only check.
+    are what's exercised. Fully oracle-replayed (sample, profile, scoring,
+    deterministic argmax tie-breaks).
     """
     docs = load_table(spark, sf_dir, "documents")
     # profile: top-20 char bigrams per language from the first 50 docs/lang

@@ -75,10 +75,19 @@ def test_dotfiles_and_extensionless_have_no_extension_fallback():
         (b"BM....", "image"),
         (b"II*\x00....", "image"),
         (b"GIF89a....", "image"),
+        (b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image"),
+        (b"\x00\x00\x00\x18ftypheic....", "image"),
+        (b"\x00\x00\x00\x18ftypmif1....", "image"),
+        (b"\x00\x00\x00\x18ftypavif....", "image"),
     ],
 )
 def test_magic_bytes(content, expected):
     assert sniff_magic(content) == expected
+
+
+def test_riff_without_webp_tag_is_not_an_image():
+    assert sniff_magic(b"RIFF\x10\x00\x00\x00WAVEfmt ") is None  # .wav audio
+    assert sniff_magic(b"XXXX\x10\x00\x00\x00WEBPVP8 ") is None  # WEBP w/o RIFF
 
 
 def test_ooxml_containers_distinguished():
