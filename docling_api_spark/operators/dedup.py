@@ -130,11 +130,17 @@ SHINGLE_DF_CAP = 50
     bench=True,
     oracle=f"""
         WITH sh0 AS ({SHINGLES_DUCK}),
-        freq AS (
+        hot AS (
           SELECT source, shingle FROM sh0
-          GROUP BY source, shingle HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+          GROUP BY source, shingle HAVING COUNT(*) > {SHINGLE_DF_CAP}
         ),
-        sh AS (SELECT sh0.* FROM sh0 JOIN freq USING (source, shingle)),
+        sh AS (
+          SELECT sh0.* FROM sh0
+          WHERE NOT EXISTS (
+            SELECT 1 FROM hot h
+            WHERE h.source = sh0.source AND h.shingle = sh0.shingle
+          )
+        ),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -163,13 +169,16 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — capping DF bounds every shingle's contribution).
     """
     sh0 = shingle_sets(spark, sf_dir)
-    freq = (
+    # The HOT set (df > cap) is tiny — boilerplate shingles only — so the
+    # guard is a broadcast anti-join, not a second shuffle of the full
+    # shingle relation against its frequency table.
+    hot = (
         sh0.groupBy("source", "shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .filter(F.col("df") > SHINGLE_DF_CAP)
         .drop("df")
     )
-    sh = sh0.join(freq, ["source", "shingle"])
+    sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -204,23 +213,37 @@ N_PERM, N_BANDS = 8, 4
 _ROWS_PER_BAND = N_PERM // N_BANDS
 
 
-def _mh_duck(p: int) -> str:
-    """DuckDB 32-bit hash of a shingle under permutation p.
+# The md5 permutation family: ONE md5 per shingle gives a 32-bit shingle
+# id (first 8 hex chars), and permutation p is the affine bijection
+# x -> (A[p]*x + B[p]) mod 2^32 (odd multipliers < 2^31, so A*x < 2^63 —
+# no overflow on either engine; odd A makes each map a true permutation of
+# the 32-bit space, and independent constants keep the 8 permutations
+# independent — the classic universal-hash MinHash family). Crypto hashing
+# dominates MinHash cost, so deriving all 8 permutations from one digest
+# halves the q43 md5 bill vs the round-1 two-digest family.
+_MH_A = (
+    1000000007, 998244353, 1073741827, 1579823471,
+    2038074743, 1299709957, 1761038359, 1876623419,
+)
+_MH_B = (12345, 67890, 111111, 222222, 333333, 444444, 555555, 666666)
 
-    All 8 permutations come from TWO md5 calls (128 bits each → 64 hex
-    chars → 8 disjoint 8-hex windows): md5 is the only cross-engine hash,
-    but it's cryptographic-grade slow, so the call count per shingle is
-    what matters. 32-bit minhashes are the standard width."""
-    src = "md5(shingle) || md5('1:' || shingle)"
-    return f"CAST(concat('0x', substring({src}, {p * 8 + 1}, 8)) AS BIGINT)"
+
+def _mh_duck(p: int) -> str:
+    """DuckDB 32-bit hash of a shingle under permutation p (affine family)."""
+    return f"(({_MH_A[p]} * h + {_MH_B[p]}) % 4294967296)"
 
 
 _Q43_ORACLE = f"""
     WITH sh AS ({{shingles}}),
+    hs AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
     mh AS (
       SELECT doc_id, source,
              {", ".join(f"MIN({_mh_duck(p)}) AS mh{p}" for p in range(N_PERM))}
-      FROM sh GROUP BY doc_id, source
+      FROM hs GROUP BY doc_id, source
     ),
     bands AS (
       SELECT doc_id, source, CAST(b.band AS INTEGER) AS band,
@@ -314,13 +337,18 @@ def minhash_lsh_pairs(
     # lambdas, and Catalyst then cross-wires them — sibling HOFs computed
     # wrong values); a single expr with distinct p/s variables is safe.
     if hash_family == "md5":
-        # Two md5 calls per shingle yield all 8 permutation hashes (md5 is
-        # the cross-engine hash but crypto-slow — call count dominates cost).
+        # ONE md5 per shingle → 32-bit shingle id; the 8 permutations are
+        # the affine bijections (A[p]*x + B[p]) mod 2^32 (crypto hashing
+        # dominates cost — digest count is what matters; the affine
+        # arithmetic stays in codegen).
+        a_lit = ", ".join(str(a) for a in _MH_A)
+        b_lit = ", ".join(str(b) for b in _MH_B)
         mhs = F.expr(
             f"""
             transform(sequence(0, {n_perm - 1}), p ->
-              array_min(transform(hex128, h ->
-                CAST(conv(substring(h, p * 8 + 1, 8), 16, 10) AS BIGINT))))
+              array_min(transform(hs, h ->
+                (element_at(array({a_lit}), p + 1) * h
+                 + element_at(array({b_lit}), p + 1)) % 4294967296)))
             """
         ).alias("mhs")
         sig_arr = doc_shingles.select(
@@ -328,8 +356,8 @@ def minhash_lsh_pairs(
             "source",
             F.expr(
                 "transform(shingles, s -> "
-                "concat(md5(CAST(s AS BINARY)), md5(CAST(concat('1:', s) AS BINARY))))"
-            ).alias("hex128"),
+                "CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("hs"),
         ).select("doc_id", "source", mhs)
     elif hash_family == "xxhash64":
         # Seeded non-crypto family: one xxhash64 per (perm, shingle) —
