@@ -168,6 +168,10 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard: one boilerplate shingle shared by k docs contributes k² join
     rows — capping DF bounds every shingle's contribution).
     """
+    # NOT checkpointed deliberately: the exploded shingle relation is ~10×
+    # the corpus, so each consumer (hot aggregation, counts, both pair-join
+    # sides) re-derives it from the column-pruned scan — recomputing a
+    # cheap explode beats materializing a petabyte-scale intermediate.
     sh0 = shingle_sets(spark, sf_dir)
     # The HOT set (df > cap) is tiny — boilerplate shingles only — so the
     # guard is a broadcast anti-join, not a second shuffle of the full
