@@ -174,3 +174,93 @@ def q81_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(frame).alias("frame_md5"),
         F.length(frame).cast("int").alias("frame_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — media resize/downsample stub (oracle-checked pandas UDF)
+# ---------------------------------------------------------------------------
+RESIZE_STRIDE = 4
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("resized_bytes", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+@register(
+    "q82_media_resize",
+    tags=("multimodal", "udf", "resize"),
+    oracle=f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                 CAST(16 + doc_id % 64 AS INTEGER) AS width,
+                 CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
+                 text
+          FROM documents
+        )
+        SELECT
+          doc_id,
+          kind,
+          CAST(ceil(width / 2.0) AS INTEGER) AS out_width,
+          CAST(ceil(height / 2.0) AS INTEGER) AS out_height,
+          CAST(length(text) AS INTEGER) AS orig_bytes,
+          CAST(ceil(length(text) / {RESIZE_STRIDE}.0) AS INTEGER) AS resized_bytes,
+          md5(array_to_string(list_transform(
+            range(0, CAST(ceil(length(text) / {RESIZE_STRIDE}.0) AS BIGINT)),
+            i -> substring(text, CAST(i * {RESIZE_STRIDE} + 1 AS INT), 1)), ''))
+            AS resized_md5
+        FROM m
+    """,
+)
+def q82_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample stub over binary media columns (mapInPandas).
+
+    A real deployment would decode and resample pixels/samples here; the
+    stub's deterministic fake keeps every {RESIZE_STRIDE}-th byte (numpy
+    stride slice — the vectorized shape a real resampler inherits) and
+    halves the declared dimensions, so the ENTIRE pandas-UDF path — binary
+    through Arrow, metadata struct math, fixed-width output schema — is
+    value-checked by the SQL oracle (the corpus is ASCII: byte and char
+    strides coincide, like q81).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    corpus = _media_corpus(spark, sf_dir).select(
+        "doc_id", "media", F.col("meta.kind").alias("kind"),
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, media, kind, width, height in zip(
+                pdf["doc_id"], pdf["media"], pdf["kind"], pdf["width"], pdf["height"]
+            ):
+                raw = np.frombuffer(bytes(media), dtype=np.uint8)
+                small = raw[::RESIZE_STRIDE].tobytes()
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "kind": kind,
+                        "out_width": -(-int(width) // 2),
+                        "out_height": -(-int(height) // 2),
+                        "orig_bytes": len(raw),
+                        "resized_bytes": len(small),
+                        "resized_md5": hashlib.md5(small).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return corpus.mapInPandas(resize, _RESIZE_SCHEMA)

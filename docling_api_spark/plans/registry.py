@@ -135,6 +135,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q94_merge_upsert",
     "q96_histogram",
     "q23_approx_aggs",
+    "q82_media_resize",
     "q43_minhash_lsh_xxh",
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
