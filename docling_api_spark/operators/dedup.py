@@ -124,12 +124,10 @@ def q41_dedup_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHINGLE_DF_CAP = 50
 
 
-@register(
-    "q42_ngram_jaccard",
-    tags=("dedup", "neardup", "jaccard"),
-    bench=True,
-    oracle=f"""
-        WITH sh0 AS ({SHINGLES_DUCK}),
+# q42's oracle CTE chain, reusable (q45's cluster oracle replays the same
+# pair graph before its recursive closure).
+_Q42_ORACLE_CTES = f"""
+        sh0 AS ({SHINGLES_DUCK}),
         hot AS (
           SELECT source, shingle FROM sh0
           GROUP BY source, shingle HAVING COUNT(*) > {SHINGLE_DF_CAP}
@@ -148,14 +146,26 @@ SHINGLE_DF_CAP = 50
           JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
                    AND a.doc_id < b.doc_id
           GROUP BY 1, 2
+        ),
+        jacc AS (
+          SELECT
+            p.doc_a, p.doc_b, p.n_common,
+            CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) AS jaccard
+          FROM pairs p
+          JOIN cnt ca ON p.doc_a = ca.doc_id
+          JOIN cnt cb ON p.doc_b = cb.doc_id
+          WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) >= 0.05
         )
-        SELECT
-          p.doc_a, p.doc_b, p.n_common,
-          CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) AS jaccard
-        FROM pairs p
-        JOIN cnt ca ON p.doc_a = ca.doc_id
-        JOIN cnt cb ON p.doc_b = cb.doc_id
-        WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) >= 0.05
+"""
+
+
+@register(
+    "q42_ngram_jaccard",
+    tags=("dedup", "neardup", "jaccard"),
+    bench=True,
+    oracle=f"""
+        WITH {_Q42_ORACLE_CTES}
+        SELECT doc_a, doc_b, n_common, jaccard FROM jacc
     """,
 )
 def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,14 +528,38 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-@register("q45_dedup_clusters", tags=("dedup", "cluster", "iterative"))
+@register(
+    "q45_dedup_clusters",
+    tags=("dedup", "cluster", "iterative"),
+    oracle=f"""
+        WITH RECURSIVE {_Q42_ORACLE_CTES},
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM jacc
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM jacc
+        ),
+        reach AS (
+          SELECT src AS node, src AS r FROM sym
+          UNION
+          SELECT e.dst AS node, reach.r AS r
+          FROM reach JOIN sym e ON e.src = reach.node
+        )
+        SELECT node AS doc_id, MIN(r) AS cluster_id,
+               node = MIN(r) AS is_keeper
+        FROM reach GROUP BY node
+    """,
+)
 def q45_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the Jaccard pair graph
     (J >= 0.05), one keeper (min doc_id) per cluster — the final step of a
     corpus-dedup pass: drop every non-keeper in a cluster.
 
-    Rows-only (iterative; no SQL analog). tests/test_dedup_clusters.py pins
-    the component semantics on synthetic graphs.
+    Spark side is iterative min-label propagation (one shuffle join per
+    round, lineage truncated per round); the oracle replays it as a
+    recursive transitive closure over the same pair graph (component =
+    min reachable node — fine at oracle scale, where the pair graph is
+    tiny; the iterative form is what scales). tests/test_dedup_clusters.py
+    pins the component semantics on synthetic graphs.
     """
     pairs = q42_ngram_jaccard(spark, sf_dir).selectExpr(
         "doc_a AS src", "doc_b AS dst"

@@ -96,7 +96,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q05_semi_join",
     "q06_anti_join",
     "q07_outer_join",
-    "q08_scalar_subquery",
     "q10_agg_distinct",
     "q11_rollup",
     "q12_cube",
@@ -115,6 +114,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q42_ngram_jaccard",
     "q43_minhash_lsh",
     "q44_simhash",
+    "q45_dedup_clusters",
     "q50_cosine_topk",
     "q51_ann_lsh",
     "q52_knn_label_vote",
@@ -123,6 +123,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q81_frame_sample",
     # ---- overflow: beyond the driver's 50-entry window ----
     "q02_filter_project",
+    "q08_scalar_subquery",
     "q09_correlated_exists",
     "q25_explode_wordcount",
     "q28_shipping_priority",
@@ -139,7 +140,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q43_minhash_lsh_xxh",
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
-    "q45_dedup_clusters",
     "q54_ann_ivf",
     "q64_lang_id",
     "q72_conversion_pipeline",

@@ -16,7 +16,7 @@ MUST_GRADE = {
     "q39_gap_fill_resample", "q46_unpivot", "q47_retention_cohorts",
     "q60_lang_breakdown", "q61_token_stats", "q62_quality_score",
     "q63_tfidf_top_terms", "q65_doc_fingerprint", "q80_media_features",
-    "q90_profile_orders",
+    "q90_profile_orders", "q45_dedup_clusters",
 }
 
 
