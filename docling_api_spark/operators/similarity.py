@@ -242,9 +242,55 @@ def q51_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q54 — IVF-style ANN: coarse quantizer cells + multi-probe (rows-only)
+# q54 — IVF-style ANN: coarse quantizer cells + multi-probe (oracle)
 # ---------------------------------------------------------------------------
-@register("q54_ann_ivf", tags=("similarity", "ann", "ivf"))
+_N_PROBE = 2
+
+_Q54_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, {NORM_DUCK} AS norm FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS cell, list(m ORDER BY pos) AS c FROM (
+        SELECT label, i - 1 AS pos,
+               CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12)))
+                    AS DOUBLE) / COUNT(*) AS m
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        GROUP BY label, i - 1
+      ) t GROUP BY label
+    ),
+    ass AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY score DESC, cell DESC
+             ) AS crn
+      FROM (
+        SELECT e.vec_id, c.cell,
+               list_sum(list_transform(range(1, len(c.c) + 1),
+                 i -> c.c[i] * CAST(e.embedding[i] AS DOUBLE))) AS score
+        FROM e, cent c
+      ) s
+    ),
+    cand AS (
+      SELECT qs.vec_id AS q_vec, cs.vec_id AS n_vec, cs.cell AS cell,
+             {DOT_DUCK.format(a='eq.embedding', b='en.embedding')}
+               / (eq.norm * en.norm) AS cosine
+      FROM (SELECT * FROM ass WHERE crn <= {_N_PROBE} AND vec_id < {N_QUERIES}) qs
+      JOIN (SELECT * FROM ass WHERE crn = 1) cs
+        ON qs.cell = cs.cell AND cs.vec_id <> qs.vec_id
+      JOIN e eq ON eq.vec_id = qs.vec_id
+      JOIN e en ON en.vec_id = cs.vec_id
+    )
+    SELECT q_vec, n_vec, cell, cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY q_vec ORDER BY cosine DESC, n_vec ASC
+      ) AS rn
+      FROM cand
+    ) r WHERE rn <= {TOP_K}
+"""
+
+
+@register("q54_ann_ivf", tags=("similarity", "ann", "ivf"), oracle=_Q54_ORACLE)
 def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: k-means-style cells from a deterministic coarse
     quantizer (per-label mean vectors), inverted-list assignment, 2-cell
@@ -253,10 +299,11 @@ def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The structure is the 100 TB vector-search shape: centroids are tiny and
     broadcast, every vector is assigned in one map-side pass, and a query
     touches |probed cells| / |cells| of the corpus instead of all of it.
-    Rows-only (approximation is parameter-specific); tests assert returned
-    cosines agree exactly with the brute-force scores.
+    The quantizer "training" is decimal-exact, so the DuckDB oracle replays
+    the whole pipeline (centroids, ranked assignment, probing, rerank);
+    tests additionally assert returned cosines agree with brute force.
     """
-    n_probe = 2
+    n_probe = _N_PROBE
     emb = load_table(spark, sf_dir, "embeddings").withColumn("norm", F.expr(NORM_SPARK))
 
     # coarse quantizer: mean vector per label (exact decimal sums → the
@@ -264,7 +311,12 @@ def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg((F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("x")).alias("m"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(28,12)")).cast("double")
+                / F.count("x")
+            ).alias("m")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("label", F.expr("transform(pm, s -> s.m)").alias("centroid"))
