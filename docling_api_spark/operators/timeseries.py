@@ -324,14 +324,32 @@ def q35_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q36 — Structured Streaming tumbling aggregate (rows-only)
 # ---------------------------------------------------------------------------
-@register("q36_streaming_tumbling", tags=("eventtime", "streaming"))
+@register(
+    "q36_streaming_tumbling",
+    tags=("eventtime", "streaming"),
+    oracle=f"""
+        SELECT
+          epoch_us(date_trunc('hour', ts)) AS window_start_us,
+          event_type,
+          COUNT(*) AS n_events,
+          {sql_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY 1, 2
+        HAVING epoch_us(date_trunc('hour', MIN(ts))) + {US_1H}
+               <= (SELECT MAX(epoch_us(ts)) FROM events) - {US_1H}
+    """,
+)
 def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q30 aggregation executed as a real Structured Streaming query.
 
     Reads the events parquet through `readStream`, applies a 1-hour
     watermark + tumbling window, drains the stream into a memory sink, and
-    returns the materialized result. No SQL oracle (the driver applies the
-    rows-only check); q30 pins the same logic's values in batch mode.
+    returns the materialized result. The single-file input lands in one
+    micro-batch, so append mode deterministically emits exactly the windows
+    closed by the final watermark: window_end <= max(ts) - 1h. The oracle
+    is q30's aggregation with that emission predicate (verified: the
+    streaming result is the batch result minus the still-open tail
+    windows); q30 pins the full batch values.
     """
     import tempfile
     import uuid
@@ -525,15 +543,60 @@ def q38_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q37 — custom stateful streaming sessionization (rows-only)
 # ---------------------------------------------------------------------------
-@register("q37_streaming_sessionize", tags=("eventtime", "streaming", "stateful"))
+@register(
+    "q37_streaming_sessionize",
+    tags=("eventtime", "streaming", "stateful"),
+    oracle=f"""
+        WITH e AS (
+          SELECT
+            user_id,
+            epoch_us(ts) AS t_us,
+            value,
+            CASE
+              WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+              WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= {US_30MIN} THEN 1
+              ELSE 0
+            END AS new_sess
+          FROM events
+        ),
+        s AS (
+          SELECT *,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY t_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sess_id
+          FROM e
+        ),
+        g AS (
+          SELECT
+            user_id,
+            sess_id,
+            MIN(t_us) AS session_start_us,
+            COUNT(*) AS n_events,
+            list_sum(list_transform(list(value ORDER BY t_us),
+                                    x -> CAST(x AS DOUBLE))) AS total_value
+          FROM s GROUP BY user_id, sess_id
+        )
+        SELECT user_id, session_start_us, n_events, total_value
+        FROM (
+          SELECT *, MAX(sess_id) OVER (PARTITION BY user_id) AS max_sess FROM g
+        ) t
+        WHERE sess_id < max_sess
+    """,
+)
 def q37_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessionization as a custom stateful streaming operator
     (applyInPandasWithState): one open session per user carried across
     micro-batches, closed sessions emitted on proof of gap.
 
-    Rows-only check; q32 pins the session semantics in batch, and the test
-    suite asserts closed sessions == q32 sessions minus each user's final
-    open one.
+    Deterministic given the single-file input (one micro-batch, unique
+    per-user event times), so the oracle replays it: q32's gaps-and-islands
+    minus each user's final (still-open) session, with total_value as the
+    SEQUENTIAL time-ordered float fold (list_sum of the ordered value list
+    — exactly the operator's running `+=`, not the decimal-exact sum q32
+    uses). q32 pins the batch semantics; the test suite additionally
+    asserts closed == batch minus final.
     """
     import tempfile
     import uuid
