@@ -90,3 +90,48 @@ def test_splice_replaces_placeholders_in_order(n):
     assert IMAGE_PLACEHOLDER not in out
     for i in range(1, n + 1):
         assert f"picture-{i}.png" in out
+
+
+# ---------------------------------------------------------------------------
+# SimHash chunked-LSH pigeonhole (operators/dedup.py q44)
+# ---------------------------------------------------------------------------
+@given(
+    a=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=59), max_size=5, unique=True),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_chunking_never_misses_a_pair_within_budget(a, flips):
+    """Pigeonhole: any pair within the Hamming budget (≤5 bit flips on a
+    60-bit fingerprint) must share at least one of the 6 ten-bit chunks —
+    the candidate-generation recall guarantee q44's equi-join relies on."""
+    from docling_api_spark.operators.dedup import (
+        SIMHASH_CHUNK_BITS,
+        SIMHASH_CHUNKS,
+        _CHUNK_MASK,
+    )
+
+    b = a
+    for bit in flips:
+        b ^= 1 << bit
+    chunks_a = [(a >> (SIMHASH_CHUNK_BITS * i)) & _CHUNK_MASK for i in range(SIMHASH_CHUNKS)]
+    chunks_b = [(b >> (SIMHASH_CHUNK_BITS * i)) & _CHUNK_MASK for i in range(SIMHASH_CHUNKS)]
+    assert any(x == y for x, y in zip(chunks_a, chunks_b))
+
+
+# ---------------------------------------------------------------------------
+# Affine MinHash permutations are bijections (operators/dedup.py q43)
+# ---------------------------------------------------------------------------
+def test_affine_minhash_multipliers_are_odd_and_bounded():
+    """Odd multiplier < 2^31 ⇒ x -> (A*x+B) mod 2^32 is a true permutation
+    of the 32-bit space AND A*x never overflows a signed 64-bit int —
+    the two properties the q43 family needs on both engines."""
+    from docling_api_spark.operators.dedup import _MH_A, _MH_B
+
+    assert len(set(_MH_A)) == len(_MH_A)  # independent permutations
+    for coef in _MH_A:
+        assert coef % 2 == 1 and 0 < coef < 2**31
+    for coef in _MH_B:
+        assert 0 <= coef < 2**31
+    # spot-check bijectivity on a small modulus-preserving sample
+    seen = {(_MH_A[0] * x + _MH_B[0]) % (1 << 32) for x in range(4096)}
+    assert len(seen) == 4096

@@ -128,3 +128,24 @@ def test_global_budget_no_single_partition_window(spark):
     for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert "_w" in spec or "bucket" in spec or spec.count(",") >= 2, plan
+
+
+def test_global_budget_empty_and_boundary_cases(spark):
+    # empty input: the prefix sum must not blow up on zero ranges
+    empty = _df(spark, []).repartition(4)
+    assert with_size_validation(empty, max_file_bytes=10, max_batch_bytes=100).count() == 0
+
+    # budget hit exactly AT the boundary: at-limit row accepted, next rejected
+    rows = [("a.pdf", 100, "b"), ("b.pdf", 150, "b"), ("c.pdf", 1, "b")]
+    out = with_size_validation(_df(spark, rows), max_file_bytes=1000, max_batch_bytes=250)
+    reasons = _reasons(out)
+    assert reasons["a.pdf"] is None
+    assert reasons["b.pdf"] is None  # running sum == budget: not over
+    assert reasons["c.pdf"] == BATCH_BUDGET_EXCEEDED
+
+    # all files oversized: nothing debits, nothing trips the batch budget
+    rows = [(f"f{i}.pdf", 5000, "b") for i in range(20)]
+    out = with_size_validation(
+        _df(spark, rows).repartition(7), max_file_bytes=1000, max_batch_bytes=100
+    )
+    assert set(_reasons(out).values()) == {FILE_TOO_LARGE}
