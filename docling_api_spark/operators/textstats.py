@@ -383,3 +383,52 @@ def q65_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("win_min").alias("min_fp"),
         F.max("win_min").alias("max_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 — BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+# Engine-portable tokenizer pattern: letter runs, digit runs, punctuation
+# runs (the GPT-2 pre-tokenizer's shape WITHOUT its lookaheads — Spark
+# regexes are java.util.regex, DuckDB's are RE2, and lookahead only exists
+# in the former, so the pattern sticks to the common subset; the corpus is
+# ASCII so character-class semantics agree too).
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "q66_regex_token_count",
+    tags=("text", "tokens", "bpe"),
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '{BPE_TOKEN_PATTERN}') AS toks,
+                 len(string_split(text, ' ')) AS n_ws_tokens
+          FROM documents
+        )
+        SELECT
+          doc_id,
+          CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+          CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_bpe_tokens,
+          CAST(n_ws_tokens AS INTEGER) AS n_ws_tokens,
+          CAST(len(toks) AS DOUBLE) / n_ws_tokens AS bpe_per_word
+        FROM t
+    """,
+)
+def q66_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token counts from a regex pre-tokenizer (letter /
+    digit / punctuation runs — the BPE pre-tokenization shape), next to the
+    whitespace count: `bpe_per_word` is the fertility estimate a training-
+    data pipeline uses to convert corpus bytes into token budgets. Pure
+    narrow projection, zero shuffle, fully oracle-replayed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_TOKEN_PATTERN}', 0)")
+    n_ws = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_uniq_bpe_tokens"),
+        n_ws.cast("int").alias("n_ws_tokens"),
+        (F.size(toks).cast("double") / n_ws).alias("bpe_per_word"),
+    )

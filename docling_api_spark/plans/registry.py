@@ -142,6 +142,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q37_streaming_sessionize",
     "q54_ann_ivf",
     "q64_lang_id",
+    "q66_regex_token_count",
     "q72_conversion_pipeline",
 )
 
