@@ -46,13 +46,21 @@ SHINGLES_DUCK = """
 
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, source, shingle) relation of 3-word shingles."""
+    """Distinct (doc_id, source, shingle) relation of 3-word shingles.
+
+    Dedup happens per document (doc_id determines source), so it is
+    `array_distinct` on the per-doc shingle array BEFORE the explode —
+    entirely map-side. A relation-level `.distinct()` would be a full
+    shuffle of the exploded (~10× corpus) relation, re-paid by every
+    consumer; this shape costs zero shuffles.
+    """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("toks")
     )
-    return (
-        docs.select("doc_id", "source", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"))
-        .distinct()
+    return docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("shingle"),
     )
 
 
