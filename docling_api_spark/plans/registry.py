@@ -63,13 +63,22 @@ def register(
 # CORRECTNESS_r01 was exactly the first 50 in module-import order, leaving
 # every timeseries and textstats query ungraded). GRADED_FIRST pins an
 # explicit order: the 50 queries that must land inside the correctness
-# window come first — previously-ungraded event-time/text-analysis queries,
-# then one oracle-green representative for every SURVEY §2.9 feature. The
-# overflow tail is redundant same-feature siblings (q02/q09/q25/q28/q29/
-# q41/q53/q91–q96 — each §2.9 row keeps a graded representative) and the
-# rows-only extras; all stay registered, pytest-pinned, and dryrun-swept.
+# window come first. Round-3 rotation (VERDICT r2 #1): the six oracle-
+# checked-but-never-driver-graded queries (q36, q37, q54, q64, q66, q82)
+# move INTO the window in place of six double-green same-feature siblings
+# (q05/q06 → joins keep q03/q04/q07; q12/q13 → rollup family keeps q11;
+# q15/q16 → windows keep q14). The overflow tail is redundant same-feature
+# siblings with an r1/r2 green grade on record; all stay registered,
+# pytest-pinned, and dryrun-swept.
 GRADED_FIRST: tuple[str, ...] = (
-    # -- previously ungraded / fixed this round: must be graded --
+    # -- round-3 rotation: oracle-checked, never driver-graded --
+    "q36_streaming_tumbling",
+    "q37_streaming_sessionize",
+    "q54_ann_ivf",
+    "q64_lang_id",
+    "q66_regex_token_count",
+    "q82_media_resize",
+    # -- graded green in r2; keep graded (feature representatives) --
     "q26_conditional_agg",
     "q27_array_agg",
     "q30_tumbling_window",
@@ -89,20 +98,13 @@ GRADED_FIRST: tuple[str, ...] = (
     "q65_doc_fingerprint",
     "q80_media_features",
     "q90_profile_orders",
-    # -- one graded representative per §2.9 feature --
     "q01_pricing_summary",
     "q03_broadcast_dim_join",
     "q04_multiway_join_revenue",
-    "q05_semi_join",
-    "q06_anti_join",
     "q07_outer_join",
     "q10_agg_distinct",
     "q11_rollup",
-    "q12_cube",
-    "q13_grouping_sets",
     "q14_window_topk_per_group",
-    "q15_window_lag_lead",
-    "q16_window_frames",
     "q17_topk_global",
     "q18_set_ops",
     "q19_pivot",
@@ -122,6 +124,14 @@ GRADED_FIRST: tuple[str, ...] = (
     "q71_upload_validation",
     "q81_frame_sample",
     # ---- overflow: beyond the driver's 50-entry window ----
+    # (every name below has an r1 or r2 hash-green grade on record, or is
+    # rows-only by design: q23 sketches, q43_xxh no DuckDB twin, q72 markdown)
+    "q05_semi_join",
+    "q06_anti_join",
+    "q12_cube",
+    "q13_grouping_sets",
+    "q15_window_lag_lead",
+    "q16_window_frames",
     "q02_filter_project",
     "q08_scalar_subquery",
     "q09_correlated_exists",
@@ -136,13 +146,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q94_merge_upsert",
     "q96_histogram",
     "q23_approx_aggs",
-    "q82_media_resize",
     "q43_minhash_lsh_xxh",
-    "q36_streaming_tumbling",
-    "q37_streaming_sessionize",
-    "q54_ann_ivf",
-    "q64_lang_id",
-    "q66_regex_token_count",
     "q72_conversion_pipeline",
 )
 

@@ -8,8 +8,11 @@ from docling_api_spark.plans.registry import GRADED_FIRST, all_queries
 
 DRIVER_WINDOW = 50
 
-# Every query the round-2 verdict requires a driver verdict for.
+# Every query the round-3 verdict requires a driver verdict for: the six
+# never-driver-graded rotations plus one representative per §2.9 feature.
 MUST_GRADE = {
+    "q36_streaming_tumbling", "q37_streaming_sessionize", "q54_ann_ivf",
+    "q64_lang_id", "q66_regex_token_count", "q82_media_resize",
     "q26_conditional_agg", "q27_array_agg", "q30_tumbling_window",
     "q31_sliding_window", "q32_session_window", "q33_asof_join",
     "q34_funnel_range_join", "q35_bucketed_range_join", "q38_salted_skew_agg",
