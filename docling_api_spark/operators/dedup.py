@@ -45,22 +45,36 @@ SHINGLES_DUCK = """
 """
 
 
-def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, source, shingle) relation of 3-word shingles.
+def doc_shingle_arrays(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Per-doc distinct 3-gram shingle ARRAYS: (doc_id, source, sh_arr).
 
-    Dedup happens per document (doc_id determines source), so it is
-    `array_distinct` on the per-doc shingle array BEFORE the explode —
-    entirely map-side. A relation-level `.distinct()` would be a full
-    shuffle of the exploded (~10× corpus) relation, re-paid by every
-    consumer; this shape costs zero shuffles.
+    Per-doc dedup is `array_distinct` on the shingle array BEFORE any
+    explode — entirely map-side (a relation-level `.distinct()` would be a
+    full shuffle of the exploded ~10× relation, re-paid per consumer).
+
+    `checkpoint=True` materializes the compact per-doc form (corpus-sized,
+    NOT the 10× exploded relation) so multi-consumer pipelines (q42's
+    probe/counts/join-sides, q43's signatures/verification) pay the parquet
+    scan + tokenization exactly once. This is shuffle-scale intermediate
+    state — the same bargain a 100 TB deployment makes for any reused
+    relation.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split("text", " ").alias("toks")
     )
-    return docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("shingle"),
+    out = docs.select(
+        "doc_id", "source", F.array_distinct(F.expr(SHINGLES_SPARK)).alias("sh_arr")
+    )
+    return out.localCheckpoint() if checkpoint else out
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded distinct (doc_id, source, shingle) relation (un-checkpointed
+    single-consumer form)."""
+    return doc_shingle_arrays(spark, sf_dir, checkpoint=False).select(
+        "doc_id", "source", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -129,7 +143,29 @@ def q41_dedup_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # up the shingle self-join quadratically per shingle. Dropping shingles
 # with DF > cap is the standard stop-shingle defense; DF caps out at 3 in
 # the test corpus, so 50 is a pure scale guard that changes no test result.
+#
+# Detection is SAMPLED (round-3 fix for the r2 2× bench regression): hot
+# shingles are hot precisely because a uniform doc sample finds them, so
+# the probe explodes only a deterministic 1-in-HOT_SAMPLE_MOD slice of
+# docs and flags shingles whose sample-DF exceeds CAP/MOD. A df=10^6
+# boilerplate shingle has expected sample-DF ~125k — unmissable; a df≈51
+# marginal shingle may slip through, which is fine (the guard defends
+# against catastrophic k² blowup, not marginal frequencies). The sample
+# predicate is md5-based so DuckDB replays the exact same doc slice.
 SHINGLE_DF_CAP = 50
+HOT_SAMPLE_MOD = 8
+HOT_SAMPLE_CAP = SHINGLE_DF_CAP // HOT_SAMPLE_MOD  # sample-DF > 6 → hot
+
+# Deterministic cross-engine 1/MOD doc sample: 16-bit window of
+# md5(doc_id-as-string), mod HOT_SAMPLE_MOD.
+_HOT_SAMPLE_SPARK = (
+    f"CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 4), 16, 10)"
+    f" AS BIGINT) % {HOT_SAMPLE_MOD} = 0"
+)
+_HOT_SAMPLE_DUCK = (
+    f"CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+    f" % {HOT_SAMPLE_MOD} = 0"
+)
 
 
 # q42's oracle CTE chain, reusable (q45's cluster oracle replays the same
@@ -138,7 +174,8 @@ _Q42_ORACLE_CTES = f"""
         sh0 AS ({SHINGLES_DUCK}),
         hot AS (
           SELECT source, shingle FROM sh0
-          GROUP BY source, shingle HAVING COUNT(*) > {SHINGLE_DF_CAP}
+          WHERE {_HOT_SAMPLE_DUCK}
+          GROUP BY source, shingle HAVING COUNT(*) > {HOT_SAMPLE_CAP}
         ),
         sh AS (
           SELECT sh0.* FROM sh0
@@ -182,24 +219,30 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle join on the shingle value — cost bounded by shingle collisions,
     not |docs|²; the `source` co-key further prunes the join, and shingles
-    with document frequency > SHINGLE_DF_CAP are dropped first (hot-key
+    hot in a deterministic 1/8 doc sample are dropped first (hot-key
     guard: one boilerplate shingle shared by k docs contributes k² join
     rows — capping DF bounds every shingle's contribution).
     """
-    # NOT checkpointed deliberately: the exploded shingle relation is ~10×
-    # the corpus, so each consumer (hot aggregation, counts, both pair-join
-    # sides) re-derives it from the column-pruned scan — recomputing a
-    # cheap explode beats materializing a petabyte-scale intermediate.
-    sh0 = shingle_sets(spark, sf_dir)
-    # The HOT set (df > cap) is tiny — boilerplate shingles only — so the
-    # guard is a broadcast anti-join, not a second shuffle of the full
-    # shingle relation against its frequency table.
+    # Per-doc shingle arrays materialized ONCE (compact, corpus-sized — not
+    # the 10× exploded relation); the probe, the counts, and both pair-join
+    # sides all explode from the checkpoint instead of re-paying the
+    # parquet scan + tokenization 4× (r2 paid the rescan per consumer and
+    # a full-relation hot aggregation on top — the 2× bench regression).
+    doc_sh = doc_shingle_arrays(spark, sf_dir)
+    # Hot-shingle probe over the deterministic 1/8 doc sample: explode +
+    # (source, shingle) aggregation touch only sampled docs, so the probe
+    # shuffle is ~MOD× smaller than a full-relation DF count. The HOT set
+    # itself is tiny — boilerplate shingles only — so applying the guard is
+    # a broadcast anti-join: no extra shuffle of the full relation.
     hot = (
-        sh0.groupBy("source", "shingle")
+        doc_sh.filter(F.expr(_HOT_SAMPLE_SPARK))
+        .select("source", F.explode("sh_arr").alias("shingle"))
+        .groupBy("source", "shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .filter(F.col("df") > HOT_SAMPLE_CAP)
         .drop("df")
     )
+    sh0 = doc_sh.select("doc_id", "source", F.explode("sh_arr").alias("shingle"))
     sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -344,14 +387,9 @@ def minhash_lsh_pairs(
     # (doc, shingle, perm) explosion, no shuffle until the candidate join.
     # At 100 TB this is the difference between shuffling 8× the shingle
     # relation and shuffling 8 longs per doc.
-    doc_shingles = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id", "source", F.array_distinct(F.expr(SHINGLES_SPARK)).alias("shingles")
-        )
-        # reused three times (signatures + both verification sides)
-        .localCheckpoint()
+    # reused three times (signatures + both verification sides) — checkpointed
+    doc_shingles = doc_shingle_arrays(spark, sf_dir).withColumnRenamed(
+        "sh_arr", "shingles"
     )
     # All permutations in ONE nested higher-order expression. Sibling
     # `transform` columns in the same projection must not share lambda
