@@ -63,12 +63,18 @@ _MAGIC_PREFIXES: tuple[tuple[bytes, str], ...] = (
 # utils.py:97) that a prefix table alone misses.
 _MAGIC_AT_OFFSET: tuple[tuple[int, bytes, str], ...] = (
     (8, b"WEBP", "image"),  # RIFF....WEBP
-    (4, b"ftypheic", "image"),
-    (4, b"ftypheix", "image"),
-    (4, b"ftyphevc", "image"),
-    (4, b"ftypmif1", "image"),  # HEIF
-    (4, b"ftypavif", "image"),
 )
+
+# ISO-BMFF 'ftyp' major brands that are HEIF/AVIF still images or image
+# sequences — matched generically (ftyp box at offset 4, brand at 8) so
+# compatible brands (heim/heis/hevx, msf1/avis sequences) don't fall
+# through a fixed needle list.
+_FTYP_IMAGE_BRANDS = {
+    b"heic", b"heix", b"heim", b"heis",
+    b"hevc", b"hevx",
+    b"mif1", b"msf1",
+    b"avif", b"avis",
+}
 
 _HTML_COMMENT_RE = re.compile(r"<!--(.*?)-->", re.DOTALL)
 _XML_DECL_RE = re.compile(r"<\?xml")
@@ -85,6 +91,8 @@ def sniff_magic(content: bytes) -> str | None:
             if needle == b"WEBP" and not content.startswith(b"RIFF"):
                 continue
             return fmt
+    if content[4:8] == b"ftyp" and content[8:12] in _FTYP_IMAGE_BRANDS:
+        return "image"
     if content.startswith(b"PK\x03\x04"):
         try:
             with zipfile.ZipFile(io.BytesIO(content)) as zf:

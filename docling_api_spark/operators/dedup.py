@@ -571,6 +571,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # q45 is oracle-checked against an exact transitive closure; an
+        # unconverged label set would be silently WRONG, so fail loudly
+        # (a pair-graph chain with diameter > max_iter is the only way
+        # here — raise rather than return bad cluster ids).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing); raise max_iter"
+        )
     return labels
 
 

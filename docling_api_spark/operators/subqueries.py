@@ -261,7 +261,7 @@ def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
           user_id,
-          array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+          array_to_string(list_sort(list(DISTINCT event_type)), chr(31)) AS event_types,
           CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
         FROM events
         GROUP BY user_id
@@ -269,10 +269,12 @@ def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q27_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct event types per user as a sorted array (collect_set +
-    sort_array); emitted comma-joined because the driver's pandas
-    canonicalizer cannot sort rows containing raw array cells."""
+    sort_array); emitted joined on \\x1f (unit separator — cannot appear in
+    event_type values, so the encoding round-trips unambiguously) because
+    the driver's pandas canonicalizer cannot sort rows containing raw
+    array cells."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("event_types"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), "\x1f").alias("event_types"),
         F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
     )

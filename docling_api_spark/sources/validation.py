@@ -100,7 +100,16 @@ def _global_running_sum(df: DataFrame, debit: Column, order_col: str) -> Column:
     and adds the bucket's offset.
     """
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
+        n = 200
+    # Cap the range count: the bucket assignment embeds one literal per
+    # range and costs O(ranges) comparisons per row, so it must NOT scale
+    # with production shuffle.partitions (thousands). 256 ranges keep the
+    # plan small and the per-row filter constant while still spreading the
+    # window stage across 256 tasks.
+    n = max(2, min(n, 256))
     stats = (
         df.select(F.col(order_col).alias("_sv_o"), debit.alias("_sv_d"))
         .repartitionByRange(n, "_sv_o")
