@@ -343,18 +343,19 @@ def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q30 aggregation executed as a real Structured Streaming query.
 
     Reads the events parquet through `readStream`, applies a 1-hour
-    watermark + tumbling window, drains the stream into a memory sink, and
-    returns the materialized result. The single-file input lands in one
-    micro-batch, so append mode deterministically emits exactly the windows
-    closed by the final watermark: window_end <= max(ts) - 1h. The oracle
-    is q30's aggregation with that emission predicate (verified: the
-    streaming result is the batch result minus the still-open tail
-    windows); q30 pins the full batch values.
+    watermark + tumbling window, and drains through the PRODUCTION file
+    sink (parquet results + checkpointed offsets — the
+    streaming/jobs.py path; r2 used a driver-resident memory sink). The
+    single-file input lands in one micro-batch, so append mode
+    deterministically emits exactly the windows closed by the final
+    watermark: window_end <= max(ts) - 1h. The oracle is q30's aggregation
+    with that emission predicate (verified: the streaming result is the
+    batch result minus the still-open tail windows); q30 pins the full
+    batch values.
     """
-    import tempfile
-    import uuid
-
     from pyspark.sql import types as T
+
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
 
     schema = T.StructType(
         [
@@ -366,7 +367,6 @@ def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    name = "q36_sink_" + uuid.uuid4().hex[:8]
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -382,16 +382,7 @@ def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_q36_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
+    return drain_stream_to_parquet(stream, prefix="q36")
 
 
 # ---------------------------------------------------------------------------
@@ -596,13 +587,12 @@ def q37_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEQUENTIAL time-ordered float fold (list_sum of the ordered value list
     — exactly the operator's running `+=`, not the decimal-exact sum q32
     uses). q32 pins the batch semantics; the test suite additionally
-    asserts closed == batch minus final.
+    asserts closed == batch minus final. Drains through the production
+    parquet sink (streaming/jobs.py), not a driver-resident memory sink.
     """
-    import tempfile
-    import uuid
-
     from pyspark.sql import types as T
 
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
     from docling_api_spark.streaming.stateful import sessionize_stream
 
     schema = T.StructType(
@@ -621,15 +611,4 @@ def q37_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .select("user_id", F.expr("ts div 1000").alias("t_us"), "value")
     )
-    name = "q37_sink_" + uuid.uuid4().hex[:8]
-    q = (
-        sessionize_stream(events)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_q37_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name)
+    return drain_stream_to_parquet(sessionize_stream(events), prefix="q37")

