@@ -28,6 +28,32 @@ def test_ivf_scores_agree_with_brute_force(spark, sf_dir):
         assert sorted(rns) == list(range(1, len(rns) + 1))
 
 
+def test_ivf_invariant_under_corpus_order(spark, sf_dir, tmp_path):
+    """q54's oracle relies on deterministic centroid init: the per-label
+    mean goes through exact DECIMAL sums, so shuffling and repartitioning
+    the embeddings corpus must not move a single cell assignment or change
+    any returned cosine bit. Protects the oracle from partition-order
+    nondeterminism at higher sf."""
+    from pyspark.sql import functions as F
+
+    baseline = QUERIES["q54_ann_ivf"].fn(spark, sf_dir).collect()
+
+    perturbed_dir = tmp_path / "perturbed"
+    perturbed_dir.mkdir()
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy(F.rand(seed=42))
+        .repartition(7)
+        .write.parquet(str(perturbed_dir / "embeddings.parquet"))
+    )
+    perturbed = QUERIES["q54_ann_ivf"].fn(spark, str(perturbed_dir)).collect()
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    assert key(perturbed) == key(baseline)
+
+
 def test_lsh_scores_agree_with_brute_force(spark, sf_dir):
     exact = {
         (r["q_vec"], r["n_vec"]): r["cosine"]
