@@ -1,0 +1,129 @@
+"""Replay the docling heavy path's splice walk over a RECORDED document
+structure (conv_res-shaped golden fixture).
+
+tests/test_docling_extraction.py pins the walk on minimal synthetic
+structures; this fixture is the shape of a real multi-page report
+conversion — title, section headers, body text, a list group, two pipe
+tables and three pictures, with one table and one picture lacking
+generated images — so the exact `extract_document_images` +
+`splice_images` path (pipeline/convert.py, reference service.py:72-131)
+runs on realistic element-tree + markdown data without the docling
+dependency. When docling IS importable, the gated test at the bottom runs
+a real conversion instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from docling_api_spark.functions.markdown_images import IMAGE_PLACEHOLDER
+from docling_api_spark.pipeline.convert import extract_document_images
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "golden_convres_interim_report.json"
+)
+
+
+def _docling_available() -> bool:
+    try:
+        import docling  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# -- duck-typed reconstruction of the recorded element tree ----------------
+class _PilImage:
+    def __init__(self, payload: bytes) -> None:
+        self._payload = payload
+
+    def save(self, buf, format) -> None:  # noqa: A002
+        assert format == "PNG"
+        buf.write(self._payload)
+
+
+class _ImageRef:
+    def __init__(self, payload: bytes) -> None:
+        self.pil_image = _PilImage(payload)
+
+    def __bool__(self) -> bool:
+        return True
+
+
+def _make_item(type_name: str, image: bytes | None):
+    # detection in extract_document_images is by type NAME — reconstruct
+    # each recorded item under its recorded class name
+    cls = type(type_name, (), {})
+    obj = cls()
+    obj.image = _ImageRef(image) if image is not None else None
+    return obj
+
+
+class GoldenDoc:
+    """conv_res.document stand-in backed by the recorded exports."""
+
+    def __init__(self, fx: dict):
+        self._items = [
+            _make_item(
+                it["type"],
+                it.get("image").encode("latin-1") if it.get("image") else None,
+            )
+            for it in fx["items"]
+        ]
+        self._full = fx["full_markdown"]
+        self._per = {int(k): v for k, v in fx["per_element_markdown"].items()}
+
+    def export_to_markdown(self, from_element=None, to_element=None, **kw):
+        assert kw.get("image_placeholder") == IMAGE_PLACEHOLDER
+        if from_element is None:
+            return self._full
+        assert to_element == from_element + 1
+        return self._per[from_element]
+
+    def iterate_items(self, with_groups: bool = False):
+        assert with_groups
+        return [(it, 0) for it in self._items]
+
+
+def test_golden_convres_splice_matches_recorded_output():
+    with open(FIXTURE, encoding="utf-8") as f:
+        fx = json.load(f)
+    markdown, images = extract_document_images(GoldenDoc(fx))
+
+    assert markdown == fx["expected_markdown"]
+    assert [(i["type"], i["filename"]) for i in images] == [
+        (e["type"], e["filename"]) for e in fx["expected_images"]
+    ]
+    for got, exp in zip(images, fx["expected_images"]):
+        assert got["image"] == exp["image"].encode("latin-1")
+    # the imageless picture's placeholder survives un-replaced (reference
+    # test_picture_without_image_does_not_consume_a_later_picture_reference)
+    assert markdown.endswith(IMAGE_PLACEHOLDER)
+    # the imageless table consumed no counter and emitted nothing
+    assert sum(1 for i in images if i["type"] == "table") == 1
+
+
+@pytest.mark.skipif(not _docling_available(), reason="docling not installed here")
+def test_real_docling_conversion_end_to_end(tmp_path):
+    """Heavy path for real: convert a generated PDF through DoclingConverter
+    (markdown + extracted images). Runs wherever docling is installed."""
+    from docling_api_spark.pipeline.convert import DoclingConverter
+
+    # minimal single-page PDF with one line of text
+    pdf = (
+        b"%PDF-1.4\n1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Contents 4 0 R/Resources<</Font<</F1 5 0 R>>>>>>endobj\n"
+        b"4 0 obj<</Length 62>>stream\nBT /F1 18 Tf 72 720 Td"
+        b" (Golden fixture heavy-path test) Tj ET\nendstream endobj\n"
+        b"5 0 obj<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>endobj\n"
+        b"trailer<</Root 1 0 R>>\n%%EOF\n"
+    )
+    out = DoclingConverter().convert("golden.pdf", pdf)
+    assert out["error"] is None
+    assert "Golden fixture" in out["markdown"]
