@@ -1,0 +1,455 @@
+"""Training-data pipeline operators beyond the dedup/textstats ladder:
+PII redaction, Gopher-style repetition filtering, benchmark contamination
+checks, temperature-based source mixing, and paragraph-level dedup with
+document reassembly — the curation passes a 100 TB corpus build runs
+between raw crawl and tokenizer.
+
+Scale notes:
+- PII redaction and repetition metrics are narrow map-side expressions
+  (regexp/HOF over the text column) — zero shuffle, codegen end to end.
+- Contamination joins the corpus n-gram relation against a BROADCAST
+  benchmark n-gram set (the benchmark is always tiny relative to the
+  corpus — the standard decontamination shape).
+- Temperature mixing needs one tiny per-source aggregate (collected,
+  ~|sources| rows) and is otherwise a map-side deterministic-hash filter:
+  no shuffle of the corpus at all.
+- Paragraph dedup shuffles once on the chunk hash (first-occurrence wins)
+  and once per doc to reassemble — both keyed, both AQE-friendly.
+
+Oracle discipline: all float math is either integer cross-multiplication
+(repetition thresholds), IEEE-exact ops (sqrt/div on identical inputs),
+or DECIMAL-summed before division (mixing weights), so DuckDB replays
+every query bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared n-gram expressions (word n-grams over the whitespace tokenization)
+# ---------------------------------------------------------------------------
+
+
+def ngrams_spark(n: int) -> str:
+    """Spark SQL expr: array of word n-grams of `toks` (0-based indexing)."""
+    words = ", ".join(f"toks[i-1+{k}]" for k in range(n))
+    return f"""
+        CASE WHEN size(toks) >= {n}
+             THEN transform(sequence(1, size(toks) - {n - 1}),
+                            i -> concat_ws(' ', {words}))
+             ELSE CAST(array() AS ARRAY<STRING>) END
+    """
+
+
+def ngrams_duck(n: int) -> str:
+    """DuckDB twin: n-grams of list `t` (1-based, range end-exclusive)."""
+    words = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return f"""
+        CASE WHEN len(t) >= {n}
+             THEN list_transform(range(1, len(t) - {n - 2}), i -> {words})
+             ELSE CAST([] AS VARCHAR[]) END
+    """
+
+
+# ---------------------------------------------------------------------------
+# q67 — PII detection + redaction
+# ---------------------------------------------------------------------------
+# Regex subset chosen to mean the same thing in Java regex and RE2
+# (DuckDB): literal runs, [0-9]+ classes, no lookaround.
+_EMAIL_RE = r"user[0-9]+@example\.com"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@register(
+    "q67_pii_redaction",
+    tags=("text", "pii", "redaction"),
+    oracle=f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-0' || CAST(100 + doc_id % 900 AS VARCHAR)
+                   AS raw
+          FROM documents
+        )
+        SELECT
+          doc_id,
+          CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+          md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                             '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+        FROM aug
+    """,
+)
+def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact PII-shaped spans (emails, phone numbers).
+
+    The corpus is synthetic word soup, so deterministic PII is injected
+    per row first (both engines replay the injection) — the redaction then
+    provably fires and the full redacted text is value-checked via md5.
+    Pure map-side regexp work: no shuffle, stays in codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0"),
+            (100 + F.col("doc_id") % 900).cast("string"),
+        ).alias("raw"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("raw", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — repetition-based quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+# keep thresholds as integer cross-multiplications (no float compare):
+#   distinct words  >  45% of words      (drop heavily repeated docs)
+#   top word count  <= 12% of words      (drop single-token spam)
+#   top bigram count<= 8%  of bigrams    (drop template boilerplate)
+_MIN_DISTINCT_PCT = 45
+_MAX_TOP_WORD_PCT = 12
+_MAX_TOP_BIGRAM_PCT = 8
+
+
+@register(
+    "q68_repetition_filter",
+    tags=("text", "quality", "repetition"),
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        words AS (
+          SELECT doc_id, u.w AS word FROM tok, UNNEST(t) AS u(w)
+        ),
+        wc AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+                 COUNT(DISTINCT word) AS n_distinct
+          FROM words GROUP BY doc_id
+        ),
+        topw AS (
+          SELECT doc_id, MAX(c) AS top_word_n FROM (
+            SELECT doc_id, COUNT(*) AS c FROM words GROUP BY doc_id, word
+          ) GROUP BY doc_id
+        ),
+        bigrams AS (
+          SELECT doc_id, u.g AS gram
+          FROM tok, UNNEST({ngrams_duck(2)}) AS u(g)
+        ),
+        topb AS (
+          SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n FROM (
+            SELECT doc_id, gram, COUNT(*) AS c FROM bigrams GROUP BY doc_id, gram
+          ) GROUP BY doc_id
+        )
+        SELECT
+          wc.doc_id,
+          CAST(wc.n_words AS BIGINT) AS n_words,
+          CAST(wc.n_distinct AS BIGINT) AS n_distinct,
+          CAST(topw.top_word_n AS BIGINT) AS top_word_n,
+          CAST(topb.n_bigrams AS BIGINT) AS n_bigrams,
+          CAST(topb.top_bigram_n AS BIGINT) AS top_bigram_n,
+          (wc.n_distinct * 100 > wc.n_words * {_MIN_DISTINCT_PCT}
+           AND topw.top_word_n * 100 <= wc.n_words * {_MAX_TOP_WORD_PCT}
+           AND topb.top_bigram_n * 100 <= topb.n_bigrams * {_MAX_TOP_BIGRAM_PCT})
+            AS keep
+        FROM wc JOIN topw USING (doc_id) JOIN topb USING (doc_id)
+    """,
+)
+def q68_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics + keep decision per document:
+    distinct-word fraction, top-word share, top-bigram share.
+
+    Thresholds are integer cross-multiplications (count*100 vs total*pct) —
+    no float compare anywhere, so the keep flag replays exactly. Map-side
+    n-gram arrays; the only shuffles are the keyed (doc_id[, gram])
+    aggregations, which partial-aggregate map-side first.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    words = tok.select("doc_id", F.explode("toks").alias("word"))
+    wc = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("word").alias("n_distinct"),
+    )
+    topw = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_n"))
+    )
+    bigrams = tok.select(
+        "doc_id", F.explode(F.expr(ngrams_spark(2))).alias("gram")
+    )
+    topb = (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n"))
+    )
+    keep = (
+        (F.col("n_distinct") * 100 > F.col("n_words") * _MIN_DISTINCT_PCT)
+        & (F.col("top_word_n") * 100 <= F.col("n_words") * _MAX_TOP_WORD_PCT)
+        & (F.col("top_bigram_n") * 100 <= F.col("n_bigrams") * _MAX_TOP_BIGRAM_PCT)
+    )
+    return (
+        wc.join(topw, "doc_id")
+        .join(topb, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint"),
+            F.col("n_distinct").cast("bigint"),
+            F.col("top_word_n").cast("bigint"),
+            F.col("n_bigrams").cast("bigint"),
+            F.col("top_bigram_n").cast("bigint"),
+            keep.alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — benchmark contamination check (n-gram overlap)
+# ---------------------------------------------------------------------------
+CONTAM_N = 8  # 8-gram overlap, the common decontamination window
+_BENCH_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" slice
+
+
+@register(
+    "q69_contamination_check",
+    tags=("text", "contamination", "dedup"),
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, u.g AS gram
+          FROM tok, UNNEST({ngrams_duck(CONTAM_N)}) AS u(g)
+        ),
+        bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+        )
+        SELECT
+          g.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_contaminated,
+          SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+        FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+        WHERE g.doc_id % {_BENCH_MOD} <> 0
+        GROUP BY g.doc_id
+    """,
+)
+def q69_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any 8-gram with the benchmark slice
+    (doc_id % 97 == 0 stands in for a held-out eval set).
+
+    The benchmark n-gram set is BROADCAST — it is tiny relative to the
+    corpus by construction (eval sets are KBs against TBs), so the check
+    costs one map-side explode + broadcast left join + keyed aggregation.
+    This is the standard pre-training decontamination pass.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = tok.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(ngrams_spark(CONTAM_N)))).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint"),
+            F.col("n_contaminated").cast("bigint"),
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — temperature-based source mixing
+# ---------------------------------------------------------------------------
+MIX_ALPHA_SQRT = True  # weight ∝ sqrt(source count) — temperature 0.5
+MIX_TARGET = 250  # target docs in the mixed sample (at any sf: a budget)
+
+
+@register(
+    "q95_temperature_mix",
+    tags=("sampling", "mixing"),
+    oracle=f"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n,
+                 CAST(ROUND(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS wt
+          FROM c
+        ),
+        r AS (
+          SELECT source, n,
+                 least(1.0,
+                       ({MIX_TARGET} * CAST(wt AS DOUBLE))
+                       / (CAST((SELECT SUM(wt) FROM w) AS DOUBLE) * n)) AS rate
+          FROM w
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              < CAST(floor(r.rate * 4294967296) AS BIGINT)
+    """,
+)
+def q95_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source mixing: per-source sampling rates
+    ∝ sqrt(count)/count, applied as a deterministic md5 hash filter.
+
+    Exact cross-engine replay: sqrt is IEEE-correctly-rounded, the weight
+    sum goes through DECIMAL(18,6) (order-independent), and selection
+    compares an md5-derived 32-bit uniform against floor(rate·2^32). One
+    tiny per-source aggregate joins back broadcast; the corpus itself is
+    never shuffled — the sample is a map-side filter, which is what makes
+    temperature mixing viable over 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = counts.select(
+        "source",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("wt"),
+    )
+    total_wt = w.agg(F.sum("wt").alias("s"))  # exact decimal sum
+    rates = (
+        w.crossJoin(F.broadcast(total_wt))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                (F.lit(MIX_TARGET) * F.col("wt").cast("double"))
+                / (F.col("s").cast("double") * F.col("n")),
+            ).alias("rate"),
+        )
+    )
+    u = F.expr(
+        "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint"))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — paragraph-level exact dedup with document reassembly
+# ---------------------------------------------------------------------------
+PARA_WORDS = 20  # "paragraph" = 20-word chunk (corpus has no line breaks)
+
+
+@register(
+    "q97_paragraph_dedup",
+    tags=("dedup", "paragraph", "reassembly"),
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                 array_to_string(t[i * {PARA_WORDS} + 1 : (i + 1) * {PARA_WORDS}], ' ')
+                   AS chunk
+          FROM tok,
+               UNNEST(range(0, CAST(ceil(len(t) / {PARA_WORDS}.0) AS BIGINT))) AS u(i)
+        ),
+        ranked AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+                 ) AS rn
+          FROM chunks
+        )
+        SELECT
+          doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                  ORDER BY chunk_idx), ''))
+            AS rebuilt_md5
+        FROM ranked
+        GROUP BY doc_id
+    """,
+)
+def q97_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (RefinedWeb/C4-style): split docs into
+    20-word chunks, keep only each chunk's globally-first occurrence
+    (ordered by doc_id, position), and reassemble the surviving document.
+
+    The first-occurrence rule is a window over md5(chunk) — one keyed
+    shuffle of (hash, doc, idx), never the full text; reassembly is one
+    keyed aggregation per doc. The rebuilt text is value-checked via md5
+    (sorted both sides by position through the ordered aggregation).
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    chunks = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(sequence(0, CAST(ceil(size(toks) / {PARA_WORDS}.0) AS INT) - 1),
+                          c -> concat_ws(' ', slice(toks, c * {PARA_WORDS} + 1, {PARA_WORDS})))
+                """
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select("doc_id", F.col("chunk_idx").cast("bigint").alias("chunk_idx"), "chunk")
+    win = W.partitionBy(F.md5(F.col("chunk").cast("binary"))).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    ranked = chunks.withColumn("rn", F.row_number().over(win))
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.struct(F.col("chunk_idx").alias("i"), F.col("chunk").alias("c")),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        " ",
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.md5(rebuilt.cast("binary")).alias("rebuilt_md5"),
+    )

@@ -148,6 +148,13 @@ GRADED_FIRST: tuple[str, ...] = (
     "q23_approx_aggs",
     "q43_minhash_lsh_xxh",
     "q72_conversion_pipeline",
+    # round-3 additions (curation passes; oracle-checked, overflow for now —
+    # rotate into the window next round in place of double-green siblings)
+    "q67_pii_redaction",
+    "q68_repetition_filter",
+    "q69_contamination_check",
+    "q95_temperature_mix",
+    "q97_paragraph_dedup",
 )
 
 
@@ -158,6 +165,7 @@ def all_queries() -> dict[str, Query]:
     # Imports are deferred so `plans` can be imported without pulling pyspark
     # operator modules at module-import time in tooling contexts.
     from docling_api_spark.operators import (  # noqa: F401
+        datapipe,
         dedup,
         multimodal,
         pipeline_queries,
