@@ -139,3 +139,38 @@ def test_tfidf_broadcasts_document_frequency_table(spark, sf_dir):
 def test_lang_id_broadcasts_profile(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q64_lang_id")
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    # q69: the held-out slice's n-gram set must be the broadcast side —
+    # a shuffle join here would reshuffle the corpus gram relation
+    plan = plan_of(spark, sf_dir, "q69_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_never_shuffles_corpus(spark, sf_dir):
+    # q95: the corpus side must reach the rate join without an Exchange —
+    # the only shuffles allowed are the tiny per-source aggregations
+    plan = plan_of(spark, sf_dir, "q95_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    # every hash Exchange keys on source (the |sources|-row aggregates);
+    # no Exchange on doc-level columns
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "source" in line, line
+
+
+@pytest.mark.parametrize(
+    "name", ["q67_pii_redaction", "q68_repetition_filter", "q97_paragraph_dedup"]
+)
+def test_curation_passes_have_no_quadratic_joins(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pii_redaction_is_map_side_only(spark, sf_dir):
+    # q67 is pure per-row regexp work: any Exchange would be a regression
+    plan = plan_of(spark, sf_dir, "q67_pii_redaction")
+    assert "Exchange" not in plan
