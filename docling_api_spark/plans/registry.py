@@ -67,9 +67,12 @@ def register(
 # checked-but-never-driver-graded queries (q36, q37, q54, q64, q66, q82)
 # move INTO the window in place of six double-green same-feature siblings
 # (q05/q06 → joins keep q03/q04/q07; q12/q13 → rollup family keeps q11;
-# q15/q16 → windows keep q14). The overflow tail is redundant same-feature
-# siblings with an r1/r2 green grade on record; all stay registered,
-# pytest-pinned, and dryrun-swept.
+# q15/q16 → windows keep q14). The five round-3 curation passes
+# (q67/q68/q69/q95/q97) also enter the window in place of five more
+# double-green siblings (q21/q22/q27 → scalar-func row keeps q19/q20/q26;
+# q61/q62 → text-analysis row keeps q60/q63/q64/q65/q66). The overflow
+# tail is redundant same-feature siblings with an r1/r2 green grade on
+# record; all stay registered, pytest-pinned, and dryrun-swept.
 GRADED_FIRST: tuple[str, ...] = (
     # -- round-3 rotation: oracle-checked, never driver-graded --
     "q36_streaming_tumbling",
@@ -78,9 +81,14 @@ GRADED_FIRST: tuple[str, ...] = (
     "q64_lang_id",
     "q66_regex_token_count",
     "q82_media_resize",
+    # -- round-3 curation passes: oracle-checked, never driver-graded --
+    "q67_pii_redaction",
+    "q68_repetition_filter",
+    "q69_contamination_check",
+    "q95_temperature_mix",
+    "q97_paragraph_dedup",
     # -- graded green in r2; keep graded (feature representatives) --
     "q26_conditional_agg",
-    "q27_array_agg",
     "q30_tumbling_window",
     "q31_sliding_window",
     "q32_session_window",
@@ -92,8 +100,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q46_unpivot",
     "q47_retention_cohorts",
     "q60_lang_breakdown",
-    "q61_token_stats",
-    "q62_quality_score",
     "q63_tfidf_top_terms",
     "q65_doc_fingerprint",
     "q80_media_features",
@@ -109,8 +115,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q18_set_ops",
     "q19_pivot",
     "q20_string_funcs",
-    "q21_date_funcs",
-    "q22_math_json_funcs",
     "q24_percentiles_exact",
     "q40_dedup_exact",
     "q42_ngram_jaccard",
@@ -126,6 +130,11 @@ GRADED_FIRST: tuple[str, ...] = (
     # ---- overflow: beyond the driver's 50-entry window ----
     # (every name below has an r1 or r2 hash-green grade on record, or is
     # rows-only by design: q23 sketches, q43_xxh no DuckDB twin, q72 markdown)
+    "q27_array_agg",
+    "q21_date_funcs",
+    "q22_math_json_funcs",
+    "q61_token_stats",
+    "q62_quality_score",
     "q05_semi_join",
     "q06_anti_join",
     "q12_cube",
@@ -148,13 +157,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q23_approx_aggs",
     "q43_minhash_lsh_xxh",
     "q72_conversion_pipeline",
-    # round-3 additions (curation passes; oracle-checked, overflow for now —
-    # rotate into the window next round in place of double-green siblings)
-    "q67_pii_redaction",
-    "q68_repetition_filter",
-    "q69_contamination_check",
-    "q95_temperature_mix",
-    "q97_paragraph_dedup",
 )
 
 

@@ -9,15 +9,20 @@ from docling_api_spark.plans.registry import GRADED_FIRST, all_queries
 DRIVER_WINDOW = 50
 
 # Every query the round-3 verdict requires a driver verdict for: the six
-# never-driver-graded rotations plus one representative per §2.9 feature.
+# never-driver-graded rotations, the five round-3 curation passes, plus one
+# representative per §2.9 feature (q21/q22/q27/q61/q62 rotated to overflow —
+# their r1/r2 hash-green grades stand; q19/q20/q26 and q60/q63-q66 keep the
+# scalar-func and text-analysis rows represented in-window).
 MUST_GRADE = {
     "q36_streaming_tumbling", "q37_streaming_sessionize", "q54_ann_ivf",
     "q64_lang_id", "q66_regex_token_count", "q82_media_resize",
-    "q26_conditional_agg", "q27_array_agg", "q30_tumbling_window",
+    "q67_pii_redaction", "q68_repetition_filter", "q69_contamination_check",
+    "q95_temperature_mix", "q97_paragraph_dedup",
+    "q26_conditional_agg", "q30_tumbling_window",
     "q31_sliding_window", "q32_session_window", "q33_asof_join",
     "q34_funnel_range_join", "q35_bucketed_range_join", "q38_salted_skew_agg",
     "q39_gap_fill_resample", "q46_unpivot", "q47_retention_cohorts",
-    "q60_lang_breakdown", "q61_token_stats", "q62_quality_score",
+    "q60_lang_breakdown",
     "q63_tfidf_top_terms", "q65_doc_fingerprint", "q80_media_features",
     "q90_profile_orders", "q45_dedup_clusters",
 }
