@@ -453,3 +453,129 @@ def q97_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.md5(rebuilt.cast("binary")).alias("rebuilt_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — sequence packing into fixed token-budget bins
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 2048  # tokens per training sequence (context-window budget)
+
+
+@register(
+    "q73_sequence_packing",
+    tags=("curation", "packing", "window"),
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        binned AS (
+          SELECT source, doc_id, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) // {PACK_BUDGET} AS BIGINT) AS bin_id
+          FROM tok
+        )
+        SELECT source, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM binned
+        GROUP BY source, bin_id
+    """,
+)
+def q73_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences: within each
+    source, docs are laid out in doc_id order and assigned to bin
+    floor(exclusive-prefix-tokens / budget) — the deterministic contiguous
+    packing a tokenizer shard-writer performs before serializing examples.
+
+    All math is integer (token counts, prefix sums, floor division), so the
+    oracle replays bit-for-bit. The window partitions by source — there is
+    no global sort; each source packs independently, which is the only
+    packing shape that scales (a single global ORDER BY doc_id over 100 TB
+    would serialize into one reducer; per-shard contiguous packing is what
+    production tokenizer pipelines do).
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    cum_excl = F.coalesce(
+        F.sum("n_tok").over(
+            W.partitionBy("source").orderBy("doc_id").rowsBetween(
+                W.unboundedPreceding, -1
+            )
+        ),
+        F.lit(0),
+    )
+    binned = tok.withColumn("cum", cum_excl).withColumn(
+        "bin_id", F.expr(f"cum div {PACK_BUDGET}").cast("bigint")
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — curriculum quality deciles per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q74_curriculum_buckets",
+    tags=("curation", "curriculum", "ntile"),
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+                 ntile(10) OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(len(string_split(text, ' ')) AS BIGINT), doc_id
+                 ) AS decile
+          FROM documents
+        )
+        SELECT lang, CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(score) AS BIGINT) AS min_score,
+               CAST(MAX(score) AS BIGINT) AS max_score,
+               CAST(SUM(score) AS BIGINT) AS sum_score
+        FROM scored
+        GROUP BY lang, decile
+    """,
+)
+def q74_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: rank documents into quality deciles per
+    language (score = token count; tie-broken by doc_id so ntile is a total
+    order and both engines agree), then profile each bucket — the pass that
+    feeds easy→hard data ordering or per-decile mix weights.
+
+    ntile partitions by lang, so the sort is per-language, not global; the
+    decile profile is a keyed aggregate. At 100 TB the per-lang sort is the
+    cost — acceptable because curriculum assignment is a once-per-corpus
+    pass, and a sampled quantile cut (approx_percentile boundaries joined
+    broadcast) is the cheaper substitute when exact deciles aren't needed.
+    """
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("score"),
+    )
+    decile = F.ntile(10).over(W.partitionBy("lang").orderBy("score", "doc_id"))
+    return (
+        scored.withColumn("decile", decile.cast("bigint"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+    )

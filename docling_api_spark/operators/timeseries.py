@@ -612,3 +612,200 @@ def q37_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.expr("ts div 1000").alias("t_us"), "value")
     )
     return drain_stream_to_parquet(sessionize_stream(events), prefix="q37")
+
+
+# ---------------------------------------------------------------------------
+# q49 — rolling z-score anomaly detection (trailing window, exact math)
+# ---------------------------------------------------------------------------
+_ZWIN = 5  # trailing window size (rows): 5 preceding .. 1 preceding
+_ZMIN = 3  # minimum history before a row is scored
+
+
+@register(
+    "q49_rolling_zscore",
+    tags=("eventtime", "anomaly", "window_frame"),
+    oracle=f"""
+        WITH cents AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                 CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+          FROM events
+        ),
+        framed AS (
+          SELECT user_id, c,
+                 COUNT(*)  OVER w AS n,
+                 SUM(c)    OVER w AS s1,
+                 SUM(c*c)  OVER w AS s2
+          FROM cents
+          WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                       ROWS BETWEEN {_ZWIN} PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN (n*c - s1)*(n*c - s1) > 4*(n*s2 - s1*s1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+               CAST(SUM(CASE WHEN (n*c - s1)*(n*c - s1) > 4*(n*s2 - s1*s1)
+                             THEN c ELSE 0 END) AS BIGINT) AS anomaly_cents
+        FROM framed
+        WHERE n >= {_ZMIN}
+        GROUP BY user_id
+    """,
+)
+def q49_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomaly detection: each event is scored
+    against the trailing {5-preceding..1-preceding} frame of its user's
+    history; |z| > 2 flags an anomaly.
+
+    Exact cross-engine math: values are converted to integer cents via a
+    DECIMAL(14,2) cast (identical round-half-up in both engines), and the
+    z-test is cross-multiplied into pure integer arithmetic —
+    (n·c − S1)² > 4·(n·S2 − S1²) is |c − mean| > 2σ with no division or
+    float accumulation anywhere. The frame ORDER BY (t_us, event_id) is a
+    total order, so ROWS frames agree across engines.
+
+    Scale: one window pass partitioned by user_id (bounded state: the frame
+    is 5 rows), then a keyed aggregate — no joins, no global sort. Skewed
+    power-users only skew the sort within their partition, not the frame.
+    """
+    cents = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        (F.col("value").cast("decimal(14,2)") * 100).cast("bigint").alias("c"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(-_ZWIN, -1)
+    )
+    framed = cents.select(
+        "user_id",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    is_anom = F.expr("(n*c - s1)*(n*c - s1) > 4*(n*s2 - s1*s1)")
+    return (
+        framed.filter(F.col("n") >= _ZMIN)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.when(is_anom, 1).otherwise(0)).cast("bigint").alias("n_anomalies"),
+            F.sum(F.when(is_anom, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("anomaly_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — incremental rollup (continuous-aggregate shape: minute → hour)
+# ---------------------------------------------------------------------------
+@register(
+    "q58_incremental_rollup",
+    tags=("eventtime", "rollup", "continuous-aggregate"),
+    oracle="""
+        SELECT
+          epoch_us(date_trunc('hour', ts)) AS hour_start_us,
+          event_type,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+          CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_minutes
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q58_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: a minute-level pre-aggregate
+    (what a streaming rollup would maintain) re-aggregated to hours, with
+    the oracle asserting the two-level result equals a direct hour-level
+    aggregation.
+
+    The minute sums stay DECIMAL(28,6) between the two levels (decimal
+    addition is associative, so minute→hour re-summation is bit-identical
+    to the direct sum — the property that makes incremental rollups sound).
+    Scale: this is the standard pre-agg pattern for 100 TB event stores —
+    the raw table is touched once to build the minute layer; every coarser
+    resolution (hour/day/month) re-aggregates the much smaller layer below
+    it, and partial aggregation makes the first shuffle carry only
+    per-minute partials.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros(F.date_trunc("minute", "ts")).alias("minute_us"),
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_start_us"),
+        "event_type",
+        "value",
+    )
+    minute = ev.groupBy("minute_us", "hour_start_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("v"),  # stays decimal
+    )
+    return minute.groupBy("hour_start_us", "event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56 — streaming exact dedup with watermarked state eviction
+# ---------------------------------------------------------------------------
+@register(
+    "q56_streaming_dedup",
+    tags=("streaming", "dedup", "watermark"),
+    oracle="""
+        SELECT DISTINCT
+          user_id,
+          event_type,
+          epoch_us(date_trunc('minute', ts)) AS minute_us
+        FROM events
+    """,
+)
+def q56_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicates on
+    (user_id, event_type, minute) over a watermarked stream, drained
+    through the production parquet sink.
+
+    The dedup key INCLUDES the watermarked event-time column — that is what
+    lets Spark evict per-key state once the watermark passes (keys older
+    than watermark − 1h can never produce a duplicate, so their state is
+    dropped). Without the time column in the key, dedup state grows without
+    bound — the difference between a demo and something that survives an
+    unbounded 100 TB stream. Emission is immediate (append-mode dedup emits
+    first occurrences as they arrive), so the drained result is exactly
+    SELECT DISTINCT over the replayed batch — the oracle.
+    """
+    from pyspark.sql import types as T
+
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc(
+                "minute", F.timestamp_micros(F.expr("ts div 1000"))
+            ).alias("ts_min"),
+        )
+        .withWatermark("ts_min", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "ts_min"])
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts_min").alias("minute_us"),
+        )
+    )
+    return drain_stream_to_parquet(stream, prefix="q56")

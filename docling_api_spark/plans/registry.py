@@ -157,6 +157,14 @@ GRADED_FIRST: tuple[str, ...] = (
     "q23_approx_aggs",
     "q43_minhash_lsh_xxh",
     "q72_conversion_pipeline",
+    # round-3 additions, second batch (oracle-checked, overflow for now —
+    # rotate into the window next round in place of double-green siblings)
+    "q73_sequence_packing",
+    "q74_curriculum_buckets",
+    "q48_fuzzy_match_parts",
+    "q49_rolling_zscore",
+    "q58_incremental_rollup",
+    "q56_streaming_dedup",
 )
 
 
@@ -169,6 +177,7 @@ def all_queries() -> dict[str, Query]:
     from docling_api_spark.operators import (  # noqa: F401
         datapipe,
         dedup,
+        entity,
         multimodal,
         pipeline_queries,
         relational,

@@ -174,3 +174,46 @@ def test_pii_redaction_is_map_side_only(spark, sf_dir):
     # q67 is pure per-row regexp work: any Exchange would be a regression
     plan = plan_of(spark, sf_dir, "q67_pii_redaction")
     assert "Exchange" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q48_fuzzy_match_parts", "q73_sequence_packing", "q74_curriculum_buckets",
+     "q49_rolling_zscore", "q58_incremental_rollup"],
+)
+def test_round3_batch2_no_quadratic_joins(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_fuzzy_match_blocks_via_equijoin(spark, sf_dir):
+    # candidate generation must be an equi-join on the block key; the
+    # levenshtein verify runs as a post-join filter, never as the join itself
+    plan = plan_of(spark, sf_dir, "q48_fuzzy_match_parts")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_sequence_packing_window_is_per_source(spark, sf_dir):
+    # the prefix-sum window partitions by source — a global (single
+    # partition) sort would serialize packing at scale
+    plan = plan_of(spark, sf_dir, "q73_sequence_packing")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_rolling_zscore_single_window_pass(spark, sf_dir):
+    # one window over user partitions feeding a keyed aggregate: no joins
+    plan = plan_of(spark, sf_dir, "q49_rolling_zscore")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_incremental_rollup_reaggregates_partials(spark, sf_dir):
+    # two HashAggregate levels (minute, then hour) with map-side partials;
+    # the raw scan feeds the minute layer only once
+    plan = plan_of(spark, sf_dir, "q58_incremental_rollup")
+    # formatted mode prints each node twice (tree + detail): 2 == one scan
+    assert plan.count("Scan parquet") == 2
+    assert "HashAggregate" in plan

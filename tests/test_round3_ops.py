@@ -1,0 +1,215 @@
+"""Semantics tests for the round-3 batch-2 operators (sequence packing,
+curriculum buckets, fuzzy matching, rolling z-score, streaming dedup,
+incremental rollup) on constructed inputs — the oracle sweep pins
+cross-engine equality; these pin that the operators do the RIGHT thing."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from docling_api_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def write_documents(path, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path / "documents.parquet")
+
+
+def write_part(path, names):
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array(range(len(names)), pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+            "p_brand": pa.array(["Brand#1"] * len(names), pa.string()),
+            "p_type": pa.array(["ECONOMY"] * len(names), pa.string()),
+            "p_size": pa.array([1] * len(names), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path / "part.parquet")
+
+
+def write_events(path, rows):
+    """rows: list of (event_id, ts_ns, user_id, event_type, value)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, path / "events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q73 sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_sequence_packing_bin_boundaries(spark, tmp_path):
+    # budget 2048: doc sizes 1000,1000,100 → doc3 starts at cum 2000 < 2048
+    # so it still lands in bin 0; doc4 (cum 2100) opens bin 1.
+    docs = [
+        (1, " ".join(["w"] * 1000), "en", "s"),
+        (2, " ".join(["w"] * 1000), "en", "s"),
+        (3, " ".join(["w"] * 100), "en", "s"),
+        (4, " ".join(["w"] * 10), "en", "s"),
+    ]
+    write_documents(tmp_path, docs)
+    rows = {
+        (r["source"], r["bin_id"]): r.asDict()
+        for r in QUERIES["q73_sequence_packing"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[("s", 0)]["n_docs"] == 3
+    assert rows[("s", 0)]["bin_tokens"] == 2100
+    assert rows[("s", 0)]["first_doc"] == 1 and rows[("s", 0)]["last_doc"] == 3
+    assert rows[("s", 1)]["n_docs"] == 1 and rows[("s", 1)]["first_doc"] == 4
+
+
+def test_sequence_packing_sources_pack_independently(spark, tmp_path):
+    docs = [
+        (1, " ".join(["w"] * 3000), "en", "a"),  # bin 0 of source a
+        (2, " ".join(["w"] * 10), "en", "a"),  # cum 3000 → bin 1
+        (3, " ".join(["w"] * 10), "en", "b"),  # source b restarts at bin 0
+    ]
+    write_documents(tmp_path, docs)
+    out = {
+        (r["source"], r["bin_id"])
+        for r in QUERIES["q73_sequence_packing"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {("a", 0), ("a", 1), ("b", 0)}
+
+
+# ---------------------------------------------------------------------------
+# q74 curriculum buckets
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_deciles_are_monotone_in_score(spark, tmp_path):
+    # 20 docs, scores 1..20 → deciles of exactly 2 docs each, score-ordered
+    docs = [(i, " ".join(["w"] * i), "en", "s") for i in range(1, 21)]
+    write_documents(tmp_path, docs)
+    rows = sorted(
+        (r["decile"], r["min_score"], r["max_score"], r["n_docs"])
+        for r in QUERIES["q74_curriculum_buckets"].fn(spark, str(tmp_path)).collect()
+    )
+    assert [r[3] for r in rows] == [2] * 10
+    # decile k holds scores {2k-1, 2k}
+    assert all(r[1] == 2 * r[0] - 1 and r[2] == 2 * r[0] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# q48 fuzzy matching
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_match_finds_typo_pairs_within_block(spark, tmp_path):
+    write_part(
+        tmp_path,
+        ["red widget", "red widgit", "red widget", "red gear", "blue widget"],
+    )
+    out = {
+        (r["name_a"], r["name_b"]): r.asDict()
+        for r in QUERIES["q48_fuzzy_match_parts"].fn(spark, str(tmp_path)).collect()
+    }
+    # typo pair matched, support counts carried (2 exact copies of "red widget")
+    pair = out[("red widget", "red widgit")]
+    assert pair["lev"] == 1
+    assert {pair["support_a"], pair["support_b"]} == {1, 2}
+    # "red gear" is 5 edits from "red widget" (> 3): filtered out
+    assert ("red gear", "red widget") not in out and ("red widget", "red gear") not in out
+    # "blue widget" is 1st-token-blocked away from the red block entirely
+    assert all("blue" not in k[0] and "blue" not in k[1] for k in out)
+
+
+def test_fuzzy_match_excludes_identical_names(spark, tmp_path):
+    write_part(tmp_path, ["red widget", "red widget"])
+    assert QUERIES["q48_fuzzy_match_parts"].fn(spark, str(tmp_path)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# q49 rolling z-score
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_flags_obvious_spike(spark, tmp_path):
+    # user 1: 5 quiet events then one spike. Frame at the spike holds five
+    # 10.00s (mean 1000c, sigma 0) → (n*c-s1)^2 > 0 = anomaly. The quiet
+    # rows (frames of identical values) are never anomalous.
+    base = 1_700_000_000_000_000_000  # ns
+    rows = [(i, base + i * 10**9, 1, "click", 10.0) for i in range(5)]
+    rows.append((5, base + 5 * 10**9, 1, "click", 400.0))
+    write_events(tmp_path, rows)
+    out = QUERIES["q49_rolling_zscore"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    # rows 2..5 have >= 3 history rows (row index >= _ZMIN)
+    assert r["n_scored"] == 3
+    assert r["n_anomalies"] == 1
+    assert r["anomaly_cents"] == 40000
+
+
+def test_rolling_zscore_users_are_independent(spark, tmp_path):
+    base = 1_700_000_000_000_000_000
+    rows = [(i, base + i * 10**9, 1, "click", 10.0) for i in range(6)]
+    rows += [(10 + i, base + i * 10**9, 2, "click", float(i)) for i in range(2)]
+    write_events(tmp_path, rows)
+    out = {r["user_id"]: r.asDict() for r in
+           QUERIES["q49_rolling_zscore"].fn(spark, str(tmp_path)).collect()}
+    # user 2 never accrues _ZMIN history → no scored rows at all
+    assert 2 not in out
+    assert out[1]["n_anomalies"] == 0  # constant series: never anomalous
+
+
+# ---------------------------------------------------------------------------
+# q56 streaming dedup / q58 incremental rollup
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_collapses_same_minute_duplicates(spark, tmp_path):
+    base = 1_700_000_000_000_000_000
+    rows = [
+        (0, base, 1, "click", 1.0),
+        (1, base + 10**9, 1, "click", 2.0),  # same minute, same key → dup
+        (2, base + 61 * 10**9, 1, "click", 3.0),  # next minute → new key
+        (3, base, 2, "click", 4.0),  # other user → new key
+    ]
+    write_events(tmp_path, rows)
+    out = QUERIES["q56_streaming_dedup"].fn(spark, str(tmp_path))
+    assert out.count() == 3
+    assert out.distinct().count() == 3
+
+
+def test_incremental_rollup_equals_direct_aggregation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.tables import load_table
+
+    two_level = QUERIES["q58_incremental_rollup"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    direct = ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_start_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        F.countDistinct(F.date_trunc("minute", "ts")).cast("bigint").alias("n_minutes"),
+    )
+    cols = two_level.columns
+    assert sorted(map(tuple, two_level.select(cols).collect())) == sorted(
+        map(tuple, direct.select(cols).collect())
+    )
