@@ -86,3 +86,37 @@ def readiness(spark: SparkSession) -> bool:
         return spark.range(1).count() == 1
     except Exception:
         return False
+
+
+def readiness_status(
+    spark: SparkSession, max_retries: int = 1, timeout: float = 2.0
+) -> dict:
+    """Structured readiness with bounded retry + timeout — the full contract
+    of the reference's probe (main.py:41-47 does
+    `conn.ensure_connection(max_retries=1, timeout=2)` and answers
+    `{"status": "ok", "broker": "ok"}` or a degraded payload with the
+    error, never a 500). Here the "broker" is the cluster scheduler: a
+    round-trip means executors actually accept and run a job.
+
+    The probe job runs on a dedicated thread so a hung scheduler degrades
+    the status after `timeout` seconds instead of wedging the health
+    endpoint — the property the reference gets from ensure_connection's
+    socket timeout.
+    """
+    import concurrent.futures
+
+    last_err: Exception | None = None
+    for _ in range(max_retries + 1):
+        # no `with`: the CM would JOIN a hung probe thread on exit, turning
+        # the timeout we just enforced back into an indefinite wait
+        ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        try:
+            fut = ex.submit(lambda: spark.range(1).count())
+            if fut.result(timeout=timeout) == 1:
+                return {"status": "ok", "scheduler": "ok"}
+            last_err = RuntimeError("probe job returned wrong count")
+        except Exception as exc:  # timeout or submission failure
+            last_err = exc
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+    return {"status": "degraded", "scheduler": f"unreachable: {last_err}"}

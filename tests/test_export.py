@@ -9,7 +9,7 @@ import pytest
 
 from docling_api_spark.pipeline.convert import convert_documents
 from docling_api_spark.pipeline.export import export_results
-from docling_api_spark.session import liveness, readiness
+from docling_api_spark.session import liveness, readiness, readiness_status
 from docling_api_spark.sources.binaryfiles import read_documents
 
 PNG = b"\x89PNG\r\n\x1a\n" + b"\x01" * 8
@@ -59,3 +59,15 @@ def test_unknown_format_rejected(converted):
 def test_health_probes(spark):
     assert liveness(spark) is True
     assert readiness(spark) is True
+
+
+def test_readiness_status_ok_and_degraded(spark):
+    assert readiness_status(spark, timeout=30.0) == {
+        "status": "ok",
+        "scheduler": "ok",
+    }
+    # a hung scheduler degrades after the timeout instead of wedging: zero
+    # timeout guarantees the probe future cannot complete in time
+    out = readiness_status(spark, max_retries=0, timeout=0.0)
+    assert out["status"] == "degraded"
+    assert "unreachable" in out["scheduler"]
