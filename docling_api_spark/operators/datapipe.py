@@ -464,6 +464,7 @@ PACK_BUDGET = 2048  # tokens per training sequence (context-window budget)
 @register(
     "q73_sequence_packing",
     tags=("curation", "packing", "window"),
+    bench=True,
     oracle=f"""
         WITH tok AS (
           SELECT doc_id, source,

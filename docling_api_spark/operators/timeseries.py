@@ -624,6 +624,7 @@ _ZMIN = 3  # minimum history before a row is scored
 @register(
     "q49_rolling_zscore",
     tags=("eventtime", "anomaly", "window_frame"),
+    bench=True,
     oracle=f"""
         WITH cents AS (
           SELECT user_id, event_id, epoch_us(ts) AS t_us,
@@ -704,6 +705,7 @@ def q49_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q58_incremental_rollup",
     tags=("eventtime", "rollup", "continuous-aggregate"),
+    bench=True,
     oracle="""
         SELECT
           epoch_us(date_trunc('hour', ts)) AS hour_start_us,

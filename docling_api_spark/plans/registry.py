@@ -165,6 +165,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q49_rolling_zscore",
     "q58_incremental_rollup",
     "q56_streaming_dedup",
+    "q59_zorder_layout",
 )
 
 
@@ -178,6 +179,7 @@ def all_queries() -> dict[str, Query]:
         datapipe,
         dedup,
         entity,
+        layout,
         multimodal,
         pipeline_queries,
         relational,

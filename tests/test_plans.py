@@ -217,3 +217,9 @@ def test_incremental_rollup_reaggregates_partials(spark, sf_dir):
     # formatted mode prints each node twice (tree + detail): 2 == one scan
     assert plan.count("Scan parquet") == 2
     assert "HashAggregate" in plan
+
+
+def test_zorder_key_is_map_side_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q59_zorder_layout")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan  # keyed profile agg, partial map-side

@@ -213,3 +213,22 @@ def test_incremental_rollup_equals_direct_aggregation(spark, sf_dir):
     assert sorted(map(tuple, two_level.select(cols).collect())) == sorted(
         map(tuple, direct.select(cols).collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    # 256 consecutive Morton keys = a 16x16 rectangle: every bucket must
+    # bound BOTH dimensions to a 16-wide span — the property that lets
+    # min/max stats prune on either column after a z-layout write
+    rows = QUERIES["q59_zorder_layout"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["x_max"] - r["x_min"] <= 15, r
+        assert 0 <= r["y_max"] - r["y_min"] <= 15, r
+        # rectangle alignment: the bucket's rectangle starts on a 16-grid
+        assert r["x_min"] // 16 == r["x_max"] // 16, r
+        assert r["y_min"] // 16 == r["y_max"] // 16, r
