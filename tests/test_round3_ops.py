@@ -232,3 +232,39 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
         # rectangle alignment: the bucket's rectangle starts on a 16-grid
         assert r["x_min"] // 16 == r["x_max"] // 16, r
         assert r["y_min"] // 16 == r["y_max"] // 16, r
+
+
+def test_sequence_packing_invariant_to_file_layout(spark, tmp_path):
+    # bins are a pure function of (source, doc_id, tokens) — reading the
+    # same corpus from a different file/partition layout must produce
+    # identical bins (the distributed-determinism property; cf. the IVF
+    # order-invariance test)
+    docs = [(i, " ".join(["w"] * (37 * (i % 7) + 5)), "en", f"s{i % 3}")
+            for i in range(30)]
+    one = tmp_path / "one"
+    two = tmp_path / "two"
+    for d in (one, two):
+        d.mkdir()
+    write_documents(one, docs)
+    # split the same rows across two part files under documents.parquet/
+    part_dir = two / "documents.parquet"
+    part_dir.mkdir()
+    _write_doc_part(part_dir / "part-0.parquet", docs[:11])
+    _write_doc_part(part_dir / "part-1.parquet", docs[11:])
+    fn = QUERIES["q73_sequence_packing"].fn
+    a = sorted(map(tuple, fn(spark, str(one)).collect()))
+    b = sorted(map(tuple, fn(spark, str(two)).collect()))
+    assert a == b
+
+
+def _write_doc_part(path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
