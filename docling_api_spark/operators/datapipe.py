@@ -580,3 +580,73 @@ def q74_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("bigint").alias("sum_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — duplicated-span fraction (stride-1 n-gram overlap diagnosis)
+# ---------------------------------------------------------------------------
+SPAN_N = 16  # span length in words (stride 1 — every position starts a span)
+
+
+@register(
+    "q75_span_dedup_fraction",
+    tags=("dedup", "spans", "diagnosis"),
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        spans AS (
+          SELECT DISTINCT doc_id, md5(u.g) AS gh
+          FROM tok, UNNEST({ngrams_duck(SPAN_N)}) AS u(g)
+        ),
+        owners AS (
+          SELECT gh, MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM spans GROUP BY gh
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN o.lo <> s.doc_id OR o.hi <> s.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM spans s JOIN owners o USING (gh)
+        GROUP BY s.doc_id
+    """,
+)
+def q75_span_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication diagnosis (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): for each document, how many of its
+    distinct stride-1 16-word spans also occur in ANOTHER document. Fixed-
+    chunk dedup (q97) misses duplicates that straddle chunk boundaries;
+    stride-1 spans see every alignment.
+
+    Scale shape: spans travel as 16-byte md5 hashes, never text; per-doc
+    `array_distinct` happens map-side BEFORE the explode; sharedness is
+    decided by MIN/MAX(doc_id) per span hash — one keyed aggregation with
+    map-side partials, no count-distinct and no self-join — then one keyed
+    join back and a per-doc aggregate. The stride-1 explode is the
+    inherent cost of span-level resolution (|tokens| rows/doc); a
+    production pass samples positions (stride s or a hash-gate on the
+    span) for a 1/s-cost unbiased estimate of the same fraction.
+    """
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    spans = (
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.expr(ngrams_spark(SPAN_N)))
+            ).alias("g"),
+        )
+        .select("doc_id", F.md5(F.col("g").cast("binary")).alias("gh"))
+    )
+    owners = spans.groupBy("gh").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    shared = (F.col("lo") != F.col("doc_id")) | (F.col("hi") != F.col("doc_id"))
+    return (
+        spans.join(owners, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(shared, 1).otherwise(0)).cast("bigint").alias("n_shared"),
+        )
+    )

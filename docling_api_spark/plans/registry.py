@@ -166,6 +166,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q58_incremental_rollup",
     "q56_streaming_dedup",
     "q59_zorder_layout",
+    "q75_span_dedup_fraction",
 )
 
 

@@ -223,3 +223,11 @@ def test_zorder_key_is_map_side_no_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q59_zorder_layout")
     assert "Join" not in plan
     assert "HashAggregate" in plan  # keyed profile agg, partial map-side
+
+
+def test_span_dedup_no_quadratic_join(spark, sf_dir):
+    # sharedness comes from a keyed MIN/MAX aggregate + equi-join on the
+    # span hash — never a self-join of the span relation on doc pairs
+    plan = plan_of(spark, sf_dir, "q75_span_dedup_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

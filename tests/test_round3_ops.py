@@ -268,3 +268,33 @@ def _write_doc_part(path, rows):
         }
     )
     pq.write_table(tbl, path)
+
+
+# ---------------------------------------------------------------------------
+# q75 span dedup fraction
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_sees_chunk_straddling_duplicates(spark, tmp_path):
+    # a 16-word run shared at DIFFERENT positions in two docs: fixed-chunk
+    # dedup (q97, 20-word chunks) sees different chunk texts, but stride-1
+    # spans align on every offset, so both docs report shared spans
+    shared = " ".join(f"dup{i}" for i in range(16))
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(7)) + " " + shared, "en", "s"),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(9)), "en", "s"),
+        (3, " ".join(f"c{i}" for i in range(30)), "en", "s"),  # unique doc
+    ]
+    write_documents(tmp_path, docs)
+    out = {r["doc_id"]: r.asDict() for r in
+           QUERIES["q75_span_dedup_fraction"].fn(spark, str(tmp_path)).collect()}
+    # each doc has (tokens - 15) spans; exactly ONE span (the aligned run)
+    # is shared between docs 1 and 2
+    assert out[1]["n_spans"] == 8 and out[1]["n_shared"] == 1
+    assert out[2]["n_spans"] == 10 and out[2]["n_shared"] == 1
+    assert out[3]["n_spans"] == 15 and out[3]["n_shared"] == 0
+
+
+def test_span_dedup_short_docs_produce_no_rows(spark, tmp_path):
+    write_documents(tmp_path, [(1, "only five words here now", "en", "s")])
+    assert QUERIES["q75_span_dedup_fraction"].fn(spark, str(tmp_path)).count() == 0
