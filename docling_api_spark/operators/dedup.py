@@ -751,3 +751,77 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — leakage-safe train/val split (near-dup-cluster-aware)
+# ---------------------------------------------------------------------------
+# Split assignment hashes the CLUSTER id, never the doc id: near-duplicate
+# documents must land in the same split or the validation set leaks
+# training data (the classic eval-contamination bug that per-doc random
+# splits guarantee at corpus scale).
+
+
+@register(
+    "q76_leakage_safe_split",
+    tags=("dedup", "split", "curation"),
+    oracle=f"""
+        WITH RECURSIVE {_Q42_ORACLE_CTES},
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM jacc
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM jacc
+        ),
+        reach AS (
+          SELECT src AS node, src AS r FROM sym
+          UNION
+          SELECT e.dst AS node, reach.r AS r
+          FROM reach JOIN sym e ON e.src = reach.node
+        ),
+        clusters AS (
+          SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+        ),
+        assigned AS (
+          SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN CAST(concat('0x', substring(
+                        md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 10 < 8
+                    THEN 'train' ELSE 'val' END AS split
+        FROM assigned
+    """,
+)
+def q76_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val split: every document is assigned to the
+    near-dup cluster that contains it (q45's connected components over the
+    Jaccard pair graph; docs outside any pair are their own singleton
+    cluster), and the 80/20 split hashes the CLUSTER id — so a document
+    and all its near-duplicates land on the same side, and the validation
+    set cannot leak paraphrases of training documents.
+
+    Scale: the pair graph + CC is the q45 machinery (bucketed candidates,
+    O(diameter) rounds); the split itself is a map-side deterministic
+    md5-mod on the cluster label after one broadcast-or-shuffle left join
+    of the corpus against the (far smaller) clustered-doc relation.
+    """
+    pairs = q42_ngram_jaccard(spark, sf_dir).selectExpr(
+        "doc_a AS src", "doc_b AS dst"
+    )
+    clusters = connected_components(pairs).selectExpr(
+        "node AS doc_id", "component AS cluster_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    u = F.expr(
+        "CAST(conv(substring(md5(CAST(CAST(cluster_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.when(u % 10 < 8, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )

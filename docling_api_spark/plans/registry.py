@@ -167,6 +167,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q56_streaming_dedup",
     "q59_zorder_layout",
     "q75_span_dedup_fraction",
+    "q76_leakage_safe_split",
 )
 
 

@@ -298,3 +298,23 @@ def test_span_dedup_sees_chunk_straddling_duplicates(spark, tmp_path):
 def test_span_dedup_short_docs_produce_no_rows(spark, tmp_path):
     write_documents(tmp_path, [(1, "only five words here now", "en", "s")])
     assert QUERIES["q75_span_dedup_fraction"].fn(spark, str(tmp_path)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# q76 leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    out = QUERIES["q76_leakage_safe_split"].fn(spark, sf_dir)
+    rows = out.collect()
+    # every document gets exactly one assignment
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    # the leakage guarantee: one split per cluster
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # both splits exist and the ratio is hash-80/20-ish
+    n_train = sum(r["split"] == "train" for r in rows)
+    assert 0.6 < n_train / len(rows) < 0.95
