@@ -811,3 +811,73 @@ def q56_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_stream_to_parquet(stream, prefix="q56")
+
+
+# ---------------------------------------------------------------------------
+# q77 — Structured Streaming sliding-window aggregate (production drain)
+# ---------------------------------------------------------------------------
+@register(
+    "q77_streaming_sliding",
+    tags=("eventtime", "streaming", "sliding"),
+    oracle=f"""
+        WITH b AS (
+          SELECT epoch_us(ts) - (epoch_us(ts) % {US_30MIN}) AS b_us, value FROM events
+        ),
+        w AS (
+          SELECT b_us AS window_start_us, value FROM b
+          UNION ALL
+          SELECT b_us - {US_30MIN} AS window_start_us, value FROM b
+        )
+        SELECT
+          window_start_us,
+          COUNT(*) AS n_events,
+          {sql_dsum('value', 'total_value')}
+        FROM w
+        GROUP BY window_start_us
+        HAVING window_start_us + {US_1H}
+               <= (SELECT MAX(epoch_us(ts)) FROM events) - {US_1H}
+    """,
+)
+def q77_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q31 sliding aggregation (1-hour windows, 30-minute slide) as a
+    real Structured Streaming query with a 1-hour watermark, drained
+    through the production parquet sink — completing the streaming trio
+    (q36 tumbling, q37 sessionize, q77 sliding).
+
+    Emission contract is q36's: the single-file input lands in one
+    micro-batch, so append mode deterministically emits exactly the
+    windows closed by the final watermark — window_end (= start + 1h)
+    <= max(ts) - 1h. The oracle is q31's two-starts-per-event expansion
+    with that predicate; q31 pins the full batch values. Sliding windows
+    multiply state by (length/slide) — here 2× — which the watermark
+    bounds the same way it does for tumbling.
+    """
+    from pyspark.sql import types as T
+
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return drain_stream_to_parquet(stream, prefix="q77")

@@ -168,6 +168,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q59_zorder_layout",
     "q75_span_dedup_fraction",
     "q76_leakage_safe_split",
+    "q77_streaming_sliding",
 )
 
 
