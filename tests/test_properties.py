@@ -135,3 +135,42 @@ def test_affine_minhash_multipliers_are_odd_and_bounded():
     # spot-check bijectivity on a small modulus-preserving sample
     seen = {(_MH_A[0] * x + _MH_B[0]) % (1 << 32) for x in range(4096)}
     assert len(seen) == 4096
+
+
+# ---------------------------------------------------------------------------
+# Morton interleave is a bijection with block locality (operators/layout.py)
+# ---------------------------------------------------------------------------
+def _morton_py(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_code_is_bijective_with_block_locality():
+    """The q59 Morton key must (a) be a bijection of the 16-bit space — no
+    two (x, y) cells collide — and (b) map each 256-key block to exactly a
+    16×16 rectangle, the property the layout query's oracle profiles."""
+    codes = {}
+    for x in range(256):
+        for y in range(256):
+            codes[_morton_py(x, y)] = (x, y)
+    assert len(codes) == 65536  # bijection
+    for bucket in (0, 1, 37, 255):
+        xs = {codes[z][0] for z in range(bucket * 256, (bucket + 1) * 256)}
+        ys = {codes[z][1] for z in range(bucket * 256, (bucket + 1) * 256)}
+        assert max(xs) - min(xs) == 15 and min(xs) % 16 == 0
+        assert max(ys) - min(ys) == 15 and min(ys) % 16 == 0
+
+
+@given(st.integers(0, 255), st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_morton_sql_formula_matches_reference_interleave(x, y):
+    """The generated SQL arithmetic (shift/and/add) must equal the bitwise
+    reference implementation for every input — evaluated in Python, since
+    the expression is plain integer math identical in all three runtimes."""
+    from docling_api_spark.operators.layout import _morton_sql
+
+    sql = _morton_sql("X", "Y").replace("X", str(x)).replace("Y", str(y))
+    assert eval(sql) == _morton_py(x, y)
