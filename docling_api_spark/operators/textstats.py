@@ -432,3 +432,67 @@ def q66_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.cast("int").alias("n_ws_tokens"),
         (F.size(toks).cast("double") / n_ws).alias("bpe_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — tokenizer vocabulary coverage (per-doc OOV rate)
+# ---------------------------------------------------------------------------
+VOCAB_K = 500  # vocabulary = top-K corpus tokens by frequency
+
+
+@register(
+    "q78_vocab_coverage",
+    tags=("text", "tokenizer", "vocab"),
+    oracle=f"""
+        WITH words AS (
+          SELECT doc_id, u.w AS word
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               UNNEST(t) AS u(w)
+        ),
+        vocab AS (
+          SELECT word FROM (
+            SELECT word, COUNT(*) AS c FROM words GROUP BY word
+            ORDER BY c DESC, word ASC LIMIT {VOCAB_K}
+          )
+        )
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov
+        FROM words w LEFT JOIN vocab v ON w.word = v.word
+        GROUP BY w.doc_id
+    """,
+)
+def q78_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit diagnostic: build the top-{500} corpus vocabulary by
+    token frequency (ties broken lexicographically — a total order, so both
+    engines pick the same vocabulary), then report each document's token
+    count and out-of-vocabulary count. Rising OOV rates on new data are the
+    signal to retrain a tokenizer.
+
+    Scale shape: one keyed word-count aggregation (map-side partials),
+    a top-K on the (vocabulary-sized, not corpus-sized) count relation,
+    then the corpus word relation LEFT-joins the K-row vocabulary — a
+    broadcast join at any corpus size, since K is fixed. No shuffle of
+    the exploded relation beyond its one count aggregation.
+    """
+    words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(VOCAB_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )

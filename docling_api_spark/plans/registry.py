@@ -169,6 +169,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q75_span_dedup_fraction",
     "q76_leakage_safe_split",
     "q77_streaming_sliding",
+    "q78_vocab_coverage",
 )
 
 

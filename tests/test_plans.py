@@ -231,3 +231,11 @@ def test_span_dedup_no_quadratic_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q75_span_dedup_fraction")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocabulary(spark, sf_dir):
+    # the K-row vocabulary must broadcast; the exploded word relation is
+    # only ever shuffled for its one count aggregation
+    plan = plan_of(spark, sf_dir, "q78_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-K, no global sort
