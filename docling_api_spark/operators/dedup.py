@@ -168,9 +168,9 @@ _HOT_SAMPLE_DUCK = (
 )
 
 
-# q42's oracle CTE chain, reusable (q45's cluster oracle replays the same
-# pair graph before its recursive closure).
-_Q42_ORACLE_CTES = f"""
+# The DF-capped shingle relation + per-doc counts as oracle CTEs —
+# shared by q42/q45 (full pair graph) and q57 (cross-boundary pairs only).
+_SHINGLE_CNT_CTES = f"""
         sh0 AS ({SHINGLES_DUCK}),
         hot AS (
           SELECT source, shingle FROM sh0
@@ -184,7 +184,13 @@ _Q42_ORACLE_CTES = f"""
             WHERE h.source = sh0.source AND h.shingle = sh0.shingle
           )
         ),
-        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+# q42's oracle CTE chain, reusable (q45's cluster oracle replays the same
+# pair graph before its recursive closure).
+_Q42_ORACLE_CTES = f"""
+        {_SHINGLE_CNT_CTES},
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
           FROM sh a
@@ -269,6 +275,147 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.05)
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — incremental dedup: delta batch vs existing corpus
+# ---------------------------------------------------------------------------
+# The ongoing-ingestion shape: a new batch (delta) must be deduped against
+# the already-curated corpus (base) WITHOUT re-pairing the corpus with
+# itself. Every join below crosses the boundary exactly once — base×base
+# and delta×delta pairs are never generated, so re-running daily costs
+# O(|delta| × collision rate), not O(|corpus|²). Split is deterministic
+# (doc_id % 10: 8/10 base, 2/10 delta) so DuckDB replays it exactly.
+_DELTA_PRED = "doc_id % 10 >= 8"
+_BASE_PRED = "doc_id % 10 < 8"
+
+
+@register(
+    "q57_incremental_dedup",
+    tags=("dedup", "incremental", "jaccard"),
+    oracle=f"""
+        WITH {_SHINGLE_CNT_CTES},
+        dmd AS (
+          SELECT doc_id, md5(text) AS h FROM documents WHERE {_DELTA_PRED}
+        ),
+        bmd AS (
+          SELECT md5(text) AS h, MIN(doc_id) AS exact_dup_of
+          FROM documents WHERE {_BASE_PRED} GROUP BY 1
+        ),
+        exact AS (
+          SELECT d.doc_id, b.exact_dup_of FROM dmd d LEFT JOIN bmd b ON d.h = b.h
+        ),
+        xpairs AS (
+          SELECT d.doc_id AS delta_id, b.doc_id AS base_id, COUNT(*) AS n_common
+          FROM sh d
+          JOIN sh b ON d.shingle = b.shingle AND d.source = b.source
+          WHERE d.{_DELTA_PRED} AND b.{_BASE_PRED}
+          GROUP BY 1, 2
+        ),
+        xjacc AS (
+          SELECT p.delta_id, p.base_id,
+                 CAST(p.n_common AS DOUBLE) / (cd.n + cb.n - p.n_common) AS j
+          FROM xpairs p
+          JOIN cnt cd ON p.delta_id = cd.doc_id
+          JOIN cnt cb ON p.base_id = cb.doc_id
+          WHERE CAST(p.n_common AS DOUBLE) / (cd.n + cb.n - p.n_common) >= 0.05
+        ),
+        best AS (
+          SELECT delta_id, base_id, j,
+                 ROW_NUMBER() OVER (PARTITION BY delta_id
+                                    ORDER BY j DESC, base_id ASC) AS rn
+          FROM xjacc
+        )
+        SELECT e.doc_id, e.exact_dup_of,
+               b.base_id AS near_dup_of, b.j AS near_jaccard
+        FROM exact e
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON e.doc_id = b.delta_id
+    """,
+)
+def q57_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a delta batch against the existing corpus: per delta doc, the
+    lowest-id base doc with identical md5(text) (exact layer) and the best
+    base doc by 3-gram Jaccard >= 0.05 (near layer).
+
+    Scale shape: a daily delta is orders of magnitude smaller than the
+    corpus, so BOTH layers build from the delta side — the exact layer
+    semi-filters the base md5 relation through the broadcast delta digest
+    set before its min-per-digest aggregate (only colliding base rows ever
+    shuffle), and the near layer broadcasts the delta shingle relation into
+    the base shingle scan (no corpus-sized shuffle at all). The hot-shingle
+    guard is q42's sampled probe — one boilerplate shingle would otherwise
+    contribute |base_k|×|delta_k| join rows.
+    """
+    cnt = F.count(F.lit(1))
+    doc_sh = doc_shingle_arrays(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    delta_md = docs.filter(F.expr(_DELTA_PRED))
+    # Only base rows whose digest occurs in the delta survive the scan —
+    # the min-per-digest shuffle is collision-sized, not corpus-sized.
+    base_exact = (
+        docs.filter(F.expr(_BASE_PRED))
+        .join(F.broadcast(delta_md.select("h").distinct()), "h", "semi")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    exact = delta_md.join(F.broadcast(base_exact), "h", "left").select(
+        "doc_id", "exact_dup_of"
+    )
+
+    hot = (
+        doc_sh.filter(F.expr(_HOT_SAMPLE_SPARK))
+        .select("source", F.explode("sh_arr").alias("shingle"))
+        .groupBy("source", "shingle")
+        .agg(cnt.alias("df"))
+        .filter(F.col("df") > HOT_SAMPLE_CAP)
+        .drop("df")
+    )
+    sh = doc_sh.select(
+        "doc_id", "source", F.explode("sh_arr").alias("shingle")
+    ).join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+    n_sh = sh.groupBy("doc_id").agg(cnt.alias("n"))
+    delta_sh = sh.filter(F.expr(_DELTA_PRED))
+    base_sh = sh.filter(F.expr(_BASE_PRED))
+    pairs = (
+        base_sh.alias("b")
+        .join(
+            F.broadcast(delta_sh.alias("d")),
+            (F.col("b.shingle") == F.col("d.shingle"))
+            & (F.col("b.source") == F.col("d.source")),
+        )
+        .groupBy(
+            F.col("d.doc_id").alias("delta_id"), F.col("b.doc_id").alias("base_id")
+        )
+        .agg(cnt.alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("cd.n") + F.col("cb.n") - F.col("n_common")
+    )
+    best = (
+        pairs.join(n_sh.alias("cd"), F.col("delta_id") == F.col("cd.doc_id"))
+        .join(n_sh.alias("cb"), F.col("base_id") == F.col("cb.doc_id"))
+        .select("delta_id", "base_id", jac.alias("near_jaccard"))
+        .filter(F.col("near_jaccard") >= 0.05)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("delta_id").orderBy(
+                    F.col("near_jaccard").desc(), F.col("base_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("delta_id"),
+            F.col("base_id").alias("near_dup_of"),
+            "near_jaccard",
+        )
+    )
+    return exact.join(
+        F.broadcast(best), exact.doc_id == best.delta_id, "left"
+    ).select("doc_id", "exact_dup_of", "near_dup_of", "near_jaccard")
 
 
 # ---------------------------------------------------------------------------

@@ -170,6 +170,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q76_leakage_safe_split",
     "q77_streaming_sliding",
     "q78_vocab_coverage",
+    "q57_incremental_dedup",
 )
 
 

@@ -239,3 +239,13 @@ def test_vocab_coverage_broadcasts_vocabulary(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q78_vocab_coverage")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-K, no global sort
+
+
+def test_incremental_dedup_broadcasts_delta(spark, sf_dir):
+    # the delta batch drives both layers: delta digests/shingles broadcast
+    # into the base scan, and the corpus is never self-joined (no base-base
+    # or delta-delta pair generation anywhere in the plan)
+    plan = plan_of(spark, sf_dir, "q57_incremental_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
