@@ -462,3 +462,76 @@ def q53_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.30)
         .select("vec_a", "vec_b", "label", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# q55 — embedding distribution drift (per-label centroid vs global centroid)
+# ---------------------------------------------------------------------------
+# Corpus-health diagnostic: if one source/label's centroid drifts from the
+# global centroid, its documents live in a different region of embedding
+# space (domain shift, encoder change, ingestion bug). Centroids are
+# element-wise means computed as 64 JVM-side aggregates in ONE groupBy —
+# no explode, so the shuffle carries |labels| × 64 decimals, not
+# |corpus| × 64 exploded rows. Cross-row float addition is not
+# associative, so elements are rounded to DECIMAL(18,6) first and summed
+# exactly (order-independent ⇒ bit-identical across engines and across
+# partition schedules); the final distance is evaluated in double with the
+# same left-associative term order on both engines.
+_DRIFT_DIM = 64
+
+
+def _drift_dist_sql(s: str, n: str, g: str, nn: str) -> str:
+    """Left-associative Σ_i (s_i/n − g_i/N)² in double, shared term shape."""
+    terms = [
+        f"(CAST({s}{i} AS DOUBLE)/CAST({n} AS DOUBLE)"
+        f" - CAST({g}{i} AS DOUBLE)/CAST({nn} AS DOUBLE))"
+        f" * (CAST({s}{i} AS DOUBLE)/CAST({n} AS DOUBLE)"
+        f" - CAST({g}{i} AS DOUBLE)/CAST({nn} AS DOUBLE))"
+        for i in range(1, _DRIFT_DIM + 1)
+    ]
+    return "SQRT(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q55_embedding_drift",
+    tags=("similarity", "embeddings", "drift"),
+    oracle=f"""
+        WITH per AS (
+          SELECT label, COUNT(*) AS n,
+                 {", ".join(
+                     f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE), 6)"
+                     f" AS DECIMAL(18,6))) AS s{i}"
+                     for i in range(1, _DRIFT_DIM + 1)
+                 )}
+          FROM embeddings GROUP BY label
+        ),
+        tot AS (
+          SELECT SUM(n) AS nn,
+                 {", ".join(f"SUM(s{i}) AS g{i}" for i in range(1, _DRIFT_DIM + 1))}
+          FROM per
+        )
+        SELECT p.label, p.n,
+               {_drift_dist_sql('p.s', 'p.n', 'g.g', 'g.nn')} AS drift
+        FROM per p CROSS JOIN tot g
+    """,
+)
+def q55_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2 distance between the label's embedding centroid and the
+    global centroid, with order-independent (decimal-exact) accumulation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = lambda i: (
+        F.round(F.element_at("embedding", i).cast("double"), 6).cast("decimal(18,6)")
+    )
+    per = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(dec(i)).alias(f"s{i}") for i in range(1, _DRIFT_DIM + 1)],
+    )
+    glob = per.groupBy().agg(
+        F.sum("n").alias("nn"),
+        *[F.sum(f"s{i}").alias(f"g{i}") for i in range(1, _DRIFT_DIM + 1)],
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .withColumn("drift", F.expr(_drift_dist_sql("s", "n", "g", "nn")))
+        .select("label", "n", "drift")
+    )

@@ -171,6 +171,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q77_streaming_sliding",
     "q78_vocab_coverage",
     "q57_incremental_dedup",
+    "q55_embedding_drift",
 )
 
 

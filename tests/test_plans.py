@@ -249,3 +249,12 @@ def test_incremental_dedup_broadcasts_delta(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_drift_no_explode_single_agg(spark, sf_dir):
+    # centroids are 64 element-wise aggregates in one groupBy — the plan
+    # must not explode the embedding array (no Generate), and the 1-row
+    # global centroid broadcasts into the 10-row per-label relation
+    plan = plan_of(spark, sf_dir, "q55_embedding_drift")
+    assert "Generate" not in plan
+    assert "Broadcast" in plan
