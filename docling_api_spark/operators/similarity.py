@@ -492,11 +492,9 @@ def _drift_dist_sql(s: str, n: str, g: str, nn: str) -> str:
     return "SQRT(" + " + ".join(terms) + ")"
 
 
-@register(
-    "q55_embedding_drift",
-    tags=("similarity", "embeddings", "drift"),
-    oracle=f"""
-        WITH per AS (
+# Per-label decimal-exact element sums as an oracle CTE — shared by q55
+# (drift vs global centroid) and q79 (per-vector outlier distance).
+_PER_LABEL_SUMS_SQL = f"""per AS (
           SELECT label, COUNT(*) AS n,
                  {", ".join(
                      f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE), 6)"
@@ -504,7 +502,14 @@ def _drift_dist_sql(s: str, n: str, g: str, nn: str) -> str:
                      for i in range(1, _DRIFT_DIM + 1)
                  )}
           FROM embeddings GROUP BY label
-        ),
+        )"""
+
+
+@register(
+    "q55_embedding_drift",
+    tags=("similarity", "embeddings", "drift"),
+    oracle=f"""
+        WITH {_PER_LABEL_SUMS_SQL},
         tot AS (
           SELECT SUM(n) AS nn,
                  {", ".join(f"SUM(s{i}) AS g{i}" for i in range(1, _DRIFT_DIM + 1))}
@@ -534,4 +539,90 @@ def q55_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.crossJoin(F.broadcast(glob))
         .withColumn("drift", F.expr(_drift_dist_sql("s", "n", "g", "nn")))
         .select("label", "n", "drift")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — embedding outliers (farthest from own-label centroid)
+# ---------------------------------------------------------------------------
+OUTLIER_K = 10
+
+
+def _point_dist_sql(elem_fmt: str, s: str, n: str) -> str:
+    """Left-associative Σ_i (e_i − s_i/n)² in double; `elem_fmt` formats the
+    i-th embedding element accessor for the engine at hand."""
+    terms = []
+    for i in range(1, _DRIFT_DIM + 1):
+        d = (
+            f"(CAST({elem_fmt.format(i=i)} AS DOUBLE)"
+            f" - CAST({s}{i} AS DOUBLE)/CAST({n} AS DOUBLE))"
+        )
+        terms.append(f"{d} * {d}")
+    return "SQRT(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q79_embedding_outliers",
+    tags=("similarity", "embeddings", "outliers", "curation"),
+    oracle=f"""
+        WITH {_PER_LABEL_SUMS_SQL},
+        dist AS (
+          SELECT e.vec_id, e.label,
+                 {_point_dist_sql('e.embedding[{i}]', 'p.s', 'p.n')} AS dist
+          FROM embeddings e JOIN per p ON e.label = p.label
+        ),
+        ranked AS (
+          SELECT vec_id, label, dist,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                                    ORDER BY dist DESC, vec_id ASC) AS rn
+          FROM dist
+        )
+        SELECT r.label, r.vec_id, r.dist, r.rn, d.n_chars
+        FROM ranked r JOIN documents d ON r.vec_id = d.doc_id
+        WHERE r.rn <= {OUTLIER_K}
+    """,
+)
+def q79_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{10} vectors per label by L2 distance to their own label centroid
+    (SemDeDup-style prototypicality pruning: far-from-centroid points are
+    the mislabeled / off-domain / junk candidates), joined to the source
+    document's length.
+
+    Scale shape: the 10×64 centroid table broadcasts into the corpus scan
+    (one pass, per-row fixed-order distance expression — deterministic, so
+    the oracle replays it bit-exactly); top-K per label is a window over
+    the label partitioning; the K×|labels| outlier rows then broadcast
+    into the documents scan. The only corpus-sized shuffle is the window's
+    label repartition — and at production scale that window would be
+    replaced by the same per-partition top-K + merge the engine already
+    uses for TakeOrderedAndProject.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = lambda i: (
+        F.round(F.element_at("embedding", i).cast("double"), 6).cast("decimal(18,6)")
+    )
+    per = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(dec(i)).alias(f"s{i}") for i in range(1, _DRIFT_DIM + 1)],
+    )
+    dist = (
+        emb.join(F.broadcast(per), "label")
+        .withColumn(
+            "dist", F.expr(_point_dist_sql("element_at(embedding, {i})", "s", "n"))
+        )
+        .select("vec_id", "label", "dist")
+    )
+    ranked = (
+        dist.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("label").orderBy(F.col("dist").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= OUTLIER_K)
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        docs.join(F.broadcast(ranked), docs.doc_id == ranked.vec_id)
+        .select("label", "vec_id", "dist", "rn", "n_chars")
     )

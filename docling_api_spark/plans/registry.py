@@ -172,6 +172,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q78_vocab_coverage",
     "q57_incremental_dedup",
     "q55_embedding_drift",
+    "q79_embedding_outliers",
 )
 
 

@@ -258,3 +258,12 @@ def test_embedding_drift_no_explode_single_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q55_embedding_drift")
     assert "Generate" not in plan
     assert "Broadcast" in plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
+    # the 10x64 centroid table and the K*|labels| outlier rows both
+    # broadcast; the embedding array is never exploded
+    plan = plan_of(spark, sf_dir, "q79_embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
