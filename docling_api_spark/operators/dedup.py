@@ -293,6 +293,7 @@ _BASE_PRED = "doc_id % 10 < 8"
 @register(
     "q57_incremental_dedup",
     tags=("dedup", "incremental", "jaccard"),
+    bench=True,
     oracle=f"""
         WITH {_SHINGLE_CNT_CTES},
         dmd AS (
