@@ -158,3 +158,71 @@ def q93_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bucket("doc_id") < F.col("pct"))
         .select("doc_id", "source", "pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — join-key skew diagnostic (the "should this join be salted?" signal)
+# ---------------------------------------------------------------------------
+SKEW_TOP_N = 5
+
+
+@register(
+    "q83_join_key_skew",
+    tags=("profiling", "skew", "join"),
+    oracle=f"""
+        WITH freq AS (
+          SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY 1
+        ),
+        summ AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 quantile_cont(cnt, 0.5) AS p50_freq,
+                 quantile_cont(cnt, 0.99) AS p99_freq,
+                 MAX(cnt) AS max_freq
+          FROM freq
+        ),
+        top AS (
+          SELECT l_orderkey, cnt FROM freq
+          ORDER BY cnt DESC, l_orderkey ASC LIMIT {SKEW_TOP_N}
+        )
+        SELECT t.l_orderkey, t.cnt, s.n_keys, s.p50_freq, s.p99_freq,
+               s.max_freq,
+               CAST(s.max_freq AS DOUBLE) / s.p50_freq AS skew_ratio
+        FROM top t CROSS JOIN summ s
+    """,
+)
+def q83_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency distribution of the orders↔lineitem join key: exact
+    p50/p99/max rows-per-key plus the {5} hottest keys. skew_ratio =
+    max/p50 is the planner signal — above ~an order of magnitude, salt the
+    key (q38's two-stage pattern) or rely on AQE skew-join splitting.
+
+    Scale shape: one keyed count (map-side partials), then everything
+    downstream runs on the keys-sized frequency relation — a two-phase
+    global aggregate for the summary, TakeOrderedAndProject for the top
+    keys, and a 1-row broadcast to stitch them. The base table is scanned
+    once, projected to the key column only.
+    """
+    freq = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    summ = freq.groupBy().agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_freq"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_freq"),
+        F.max("cnt").alias("max_freq"),
+    )
+    top = freq.orderBy(F.col("cnt").desc(), F.col("l_orderkey").asc()).limit(
+        SKEW_TOP_N
+    )
+    return top.crossJoin(F.broadcast(summ)).select(
+        "l_orderkey",
+        "cnt",
+        "n_keys",
+        "p50_freq",
+        "p99_freq",
+        "max_freq",
+        (F.col("max_freq").cast("double") / F.col("p50_freq")).alias("skew_ratio"),
+    )

@@ -173,6 +173,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q57_incremental_dedup",
     "q55_embedding_drift",
     "q79_embedding_outliers",
+    "q83_join_key_skew",
 )
 
 

@@ -267,3 +267,13 @@ def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Generate" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_key_skew_scans_key_only(spark, sf_dir):
+    # the diagnostic must read ONLY the join key from the base table and
+    # pick its top keys without a global sort
+    plan = plan_of(spark, sf_dir, "q83_join_key_skew")
+    assert "TakeOrderedAndProject" in plan
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "l_orderkey:bigint", m.group(1) if m else plan[:500]
