@@ -63,3 +63,34 @@ def test_lsh_scores_agree_with_brute_force(spark, sf_dir):
     assert len(lsh) <= N_QUERIES * TOP_K
     for r in lsh:
         assert abs(r["cosine"] - exact[(r["q_vec"], r["n_vec"])]) < 1e-12
+
+
+def test_drift_bit_identical_under_corpus_order(spark, sf_dir, tmp_path):
+    """q55/q79's whole correctness argument is that DECIMAL element sums
+    make the centroid independent of partial-aggregation order: shuffling
+    and repartitioning the corpus must not change a single output BIT of
+    either query (no tolerance — exact tuple equality on the doubles)."""
+    from pyspark.sql import functions as F
+
+    base55 = QUERIES["q55_embedding_drift"].fn(spark, sf_dir).collect()
+    base79 = QUERIES["q79_embedding_outliers"].fn(spark, sf_dir).collect()
+
+    perturbed_dir = tmp_path / "perturbed"
+    perturbed_dir.mkdir()
+    (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy(F.rand(seed=7))
+        .repartition(11)
+        .write.parquet(str(perturbed_dir / "embeddings.parquet"))
+    )
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(5)
+        .write.parquet(str(perturbed_dir / "documents.parquet"))
+    )
+
+    def key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    assert key(QUERIES["q55_embedding_drift"].fn(spark, str(perturbed_dir)).collect()) == key(base55)
+    assert key(QUERIES["q79_embedding_outliers"].fn(spark, str(perturbed_dir)).collect()) == key(base79)

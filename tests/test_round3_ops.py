@@ -318,3 +318,39 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     # both splits exist and the ratio is hash-80/20-ish
     n_train = sum(r["split"] == "train" for r in rows)
     assert 0.6 < n_train / len(rows) < 0.95
+
+
+def test_incremental_dedup_semantics(spark, tmp_path):
+    """Constructed corpus: delta doc 18 is an exact copy of base doc 3,
+    delta doc 19 is a near-copy of base doc 5 (one word changed), delta
+    doc 28 is novel. The operator must flag exactly those, never report a
+    base doc as delta, and never match across the source boundary."""
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_text = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        # base docs (doc_id % 10 < 8)
+        (3, base_text, "en", "web"),
+        (5, base_text.replace("alpha", "omega"), "en", "web"),
+        (7, "totally different words entirely here now folks", "en", "web"),
+        # delta docs (doc_id % 10 >= 8)
+        (18, base_text, "en", "web"),                       # exact dup of 3
+        (19, near_text.replace("alpha", "omega"), "en", "web"),  # near dup of 5
+        (28, "completely novel content with no overlap at all", "en", "web"),
+        (29, base_text, "en", "other-source"),  # same text, different source:
+        # exact layer still fires (md5 ignores source); near layer must not
+        # pair it with web docs
+    ]
+    write_documents(tmp_path, rows)
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["q57_incremental_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {18, 19, 28, 29}  # one row per delta doc, no base rows
+    assert out[18]["exact_dup_of"] == 3
+    assert out[18]["near_dup_of"] == 3 and out[18]["near_jaccard"] == 1.0
+    assert out[19]["exact_dup_of"] is None
+    assert out[19]["near_dup_of"] == 5
+    assert 0.05 <= out[19]["near_jaccard"] < 1.0
+    assert out[28]["exact_dup_of"] is None and out[28]["near_dup_of"] is None
+    assert out[29]["exact_dup_of"] == 3      # md5 layer is source-blind
+    assert out[29]["near_dup_of"] is None    # shingle layer is per-source
