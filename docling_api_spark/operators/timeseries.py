@@ -881,3 +881,79 @@ def q77_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_stream_to_parquet(stream, prefix="q77")
+
+
+# ---------------------------------------------------------------------------
+# q84 — gaps-and-islands: collapse event runs into SCD2 validity intervals
+# ---------------------------------------------------------------------------
+@register(
+    "q84_state_intervals",
+    tags=("eventtime", "islands", "scd2"),
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+          FROM events
+        ),
+        r AS (
+          SELECT *,
+                 CASE WHEN event_type = LAG(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id)
+                      THEN 0 ELSE 1 END AS chg
+          FROM e
+        ),
+        r2 AS (
+          SELECT *,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM r
+        ),
+        runs AS (
+          SELECT user_id, event_type, island,
+                 MIN(ts_us) AS valid_from_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM r2 GROUP BY 1, 2, 3
+        )
+        SELECT user_id, event_type, valid_from_us,
+               LEAD(valid_from_us) OVER (
+                 PARTITION BY user_id ORDER BY valid_from_us, event_type
+               ) AS valid_to_us,
+               n_events
+        FROM runs
+    """,
+)
+def q84_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive same-event_type
+    runs into one row, then stitch SCD2-style [valid_from, valid_to)
+    validity intervals (valid_to = next run's start; NULL = current state).
+
+    The island id is a running sum of change flags over ONE (user_id)
+    partitioning — the classic two-row_number difference trick needs a
+    second shuffle on (user_id, event_type); lag + running sum keeps both
+    window functions on the same Exchange+Sort. The interval stitch (lead)
+    then runs over the runs-sized relation, not the event stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = (
+        ev.withColumn(
+            "chg",
+            F.when(F.col("event_type") == F.lag("event_type").over(w), 0).otherwise(1),
+        )
+        .withColumn("island", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts_us").alias("valid_from_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us")
+        .over(W.partitionBy("user_id").orderBy("valid_from_us", "event_type"))
+        .alias("valid_to_us"),
+        "n_events",
+    )

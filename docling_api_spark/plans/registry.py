@@ -174,6 +174,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q55_embedding_drift",
     "q79_embedding_outliers",
     "q83_join_key_skew",
+    "q84_state_intervals",
 )
 
 

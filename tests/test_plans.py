@@ -277,3 +277,14 @@ def test_join_key_skew_scans_key_only(spark, sf_dir):
     import re
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1) == "l_orderkey:bigint", m.group(1) if m else plan[:500]
+
+
+def test_state_intervals_single_event_stream_shuffle(spark, sf_dir):
+    # lag + running-sum island detection keeps both event-stream window
+    # functions on ONE (user_id) Exchange, which Catalyst then reuses for
+    # the run aggregation and the interval stitch — the row_number
+    # difference idiom would force a second (user_id, event_type) shuffle
+    # of the full event stream
+    plan = plan_of(spark, sf_dir, "q84_state_intervals")
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
