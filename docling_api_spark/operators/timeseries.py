@@ -957,3 +957,62 @@ def q84_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("valid_to_us"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — event-type transition matrix (first-order Markov over user streams)
+# ---------------------------------------------------------------------------
+@register(
+    "q85_event_transitions",
+    tags=("eventtime", "sequence", "markov"),
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+          FROM events
+        ),
+        p AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                 ) AS to_type
+          FROM e
+        ),
+        c AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)
+                 AS share
+        FROM c
+    """,
+)
+def q85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities between
+    consecutive event types within each user's stream.
+
+    One (user_id) shuffle for the lead window (pipelined into the
+    transition count's map-side partials); the normalizing share window
+    runs over the |types|² count relation, not the event stream. The
+    share is a ratio of exactly-summed bigints — deterministic, so the
+    oracle replays every double bit-exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    counts = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type"))
+        ).alias("share"),
+    )

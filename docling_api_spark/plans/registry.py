@@ -175,6 +175,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q79_embedding_outliers",
     "q83_join_key_skew",
     "q84_state_intervals",
+    "q85_event_transitions",
 )
 
 
