@@ -1016,3 +1016,131 @@ def q85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(W.partitionBy("from_type"))
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — first-touch attribution (conditional last-non-null window)
+# ---------------------------------------------------------------------------
+@register(
+    "q86_click_attribution",
+    tags=("eventtime", "attribution", "window"),
+    oracle="""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events
+        ),
+        attr AS (
+          SELECT *,
+                 LAST_VALUE(CASE WHEN event_type = 'click' THEN ts_us END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS click_ts_us
+          FROM e
+        )
+        SELECT event_id, user_id, ts_us, click_ts_us,
+               ts_us - click_ts_us AS gap_us
+        FROM attr WHERE event_type = 'purchase'
+    """,
+)
+def q86_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute each purchase to the same user's most recent PRECEDING
+    click (NULL if the user never clicked before buying) — per-event as-of
+    within one stream, unlike q33's two-table as-of join.
+
+    The conditional last-non-null window needs no self-join and no second
+    relation: one (user_id) shuffle, the CASE projects click timestamps,
+    `last(..., ignorenulls)` carries the latest one forward, and the
+    purchase filter prunes the output after the window (it cannot be
+    pushed below it — earlier clicks must be seen).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "click_ts_us",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("ts_us")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "click_ts_us",
+            (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — growth accounting: daily active / new / returning users
+# ---------------------------------------------------------------------------
+@register(
+    "q87_growth_accounting",
+    tags=("eventtime", "growth", "retention"),
+    oracle="""
+        WITH e AS (
+          SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
+        ),
+        first_seen AS (
+          SELECT user_id, MIN(day) AS first_day FROM e GROUP BY 1
+        ),
+        daily AS (
+          SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+          FROM e GROUP BY 1
+        ),
+        news AS (
+          SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+          FROM first_seen GROUP BY 1
+        )
+        SELECT d.day, d.n_active,
+               COALESCE(n.n_new, 0) AS n_new,
+               d.n_active - COALESCE(n.n_new, 0) AS n_returning,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+                 ORDER BY d.day ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_users
+        FROM daily d LEFT JOIN news n ON d.day = n.day
+    """,
+)
+def q87_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / returning user counts plus the cumulative
+    registered-user curve — the growth-accounting pass every usage
+    pipeline runs.
+
+    Two keyed aggregations over the event stream (first-seen per user,
+    distinct-actives per day), then everything else — the new-user count,
+    the returning split, the cumulative sum — runs on the days-sized
+    relation (broadcast join + a window whose single partition holds
+    |days| rows, not events).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").cast("string").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.groupBy("day").agg(F.countDistinct("user_id").alias("n_active"))
+    news = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    n_new = F.coalesce(F.col("n_new"), F.lit(0).cast("bigint"))
+    return (
+        daily.join(F.broadcast(news), "day", "left")
+        .select(
+            "day",
+            "n_active",
+            n_new.alias("n_new"),
+            (F.col("n_active") - n_new).alias("n_returning"),
+            F.sum(n_new)
+            .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("cum_users"),
+        )
+    )

@@ -176,6 +176,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q83_join_key_skew",
     "q84_state_intervals",
     "q85_event_transitions",
+    "q86_click_attribution",
+    "q87_growth_accounting",
 )
 
 

@@ -288,3 +288,20 @@ def test_state_intervals_single_event_stream_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q84_state_intervals")
     assert plan.count("+- Exchange") == 1
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_click_attribution_single_shuffle_no_self_join(spark, sf_dir):
+    # the conditional last-non-null window replaces a click×purchase
+    # self-join: one (user_id) Exchange, no join operators at all
+    plan = plan_of(spark, sf_dir, "q86_click_attribution")
+    assert plan.count("+- Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_growth_accounting_windows_days_not_events(spark, sf_dir):
+    # the cumulative-users window must run on the days-sized relation
+    # (single partition of |days| rows) AFTER the aggregations — the
+    # event stream is only ever touched by the two keyed aggregations
+    plan = plan_of(spark, sf_dir, "q87_growth_accounting")
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" in plan
