@@ -354,3 +354,39 @@ def test_incremental_dedup_semantics(spark, tmp_path):
     assert out[28]["exact_dup_of"] is None and out[28]["near_dup_of"] is None
     assert out[29]["exact_dup_of"] == 3      # md5 layer is source-blind
     assert out[29]["near_dup_of"] is None    # shingle layer is per-source
+
+
+def test_state_intervals_and_attribution_semantics(spark, tmp_path):
+    """Constructed stream for user 1: view,view,click,click,view,purchase.
+    q84 must collapse to 4 runs with contiguous validity intervals; q86
+    must attribute the purchase to the LAST click (t4), and a purchase
+    with no preceding click (user 2) must get NULL."""
+    US = 1_000_000  # µs per second; ts_ns below are seconds * 1e9
+    rows = [
+        (0, 10 * 10**9, 1, "view", 0.0),
+        (1, 20 * 10**9, 1, "view", 0.0),
+        (2, 30 * 10**9, 1, "click", 0.0),
+        (3, 40 * 10**9, 1, "click", 0.0),
+        (4, 50 * 10**9, 1, "view", 0.0),
+        (5, 60 * 10**9, 1, "purchase", 9.9),
+        (6, 70 * 10**9, 2, "purchase", 1.0),
+    ]
+    write_events(tmp_path, rows)
+
+    runs = sorted(
+        (r["user_id"], r["valid_from_us"], r["valid_to_us"], r["event_type"], r["n_events"])
+        for r in QUERIES["q84_state_intervals"].fn(spark, str(tmp_path)).collect()
+    )
+    assert runs == [
+        (1, 10 * US, 30 * US, "view", 2),
+        (1, 30 * US, 50 * US, "click", 2),
+        (1, 50 * US, 60 * US, "view", 1),
+        (1, 60 * US, None, "purchase", 1),
+        (2, 70 * US, None, "purchase", 1),
+    ]
+
+    attr = {
+        r["event_id"]: (r["click_ts_us"], r["gap_us"])
+        for r in QUERIES["q86_click_attribution"].fn(spark, str(tmp_path)).collect()
+    }
+    assert attr == {5: (40 * US, 20 * US), 6: (None, None)}
