@@ -496,3 +496,104 @@ def q78_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — collocation mining (PMI of adjacent word pairs)
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "q88_collocations_pmi",
+    tags=("text", "collocations", "pmi"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        uni AS (
+          SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks, UNNEST(t) AS u(w) GROUP BY 1
+        ),
+        bi AS (
+          SELECT t[i] || ' ' || t[i+1] AS bigram, t[i] AS w1, t[i+1] AS w2,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks, UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t))
+                                 ELSE CAST([] AS BIGINT[]) END) AS u(i)
+          GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM uni) AS n_uni,
+                 (SELECT CAST(SUM(n) AS BIGINT) FROM bi) AS n_bi
+        )
+        SELECT b.bigram, b.n,
+               (CAST(b.n AS DOUBLE) / t.n_bi)
+                 / ((CAST(u1.n AS DOUBLE) / t.n_uni)
+                    * (CAST(u2.n AS DOUBLE) / t.n_uni)) AS pmi_ratio
+        FROM bi b
+        JOIN uni u1 ON b.w1 = u1.word
+        JOIN uni u2 ON b.w2 = u2.word
+        CROSS JOIN tot t
+        WHERE b.n >= {PMI_MIN_COUNT}
+        ORDER BY pmi_ratio DESC, bigram ASC LIMIT {PMI_TOP_K}
+    """,
+)
+def q88_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{50} adjacent-word collocations by pointwise mutual information
+    among pairs seen ≥ {5} times — the standard phrase-mining /
+    tokenizer-merge-candidate pass. The emitted score is the PMI RATIO
+    p(xy)/(p(x)·p(y)) rather than its log: ln() is a transcendental whose
+    last ulp differs between the JVM and DuckDB's libm (measured: 1-ulp
+    hash mismatch), while the ratio is pure IEEE arithmetic in one fixed
+    shape — same ordering (ln is monotonic), bit-exact replay.
+
+    Scale shape: bigram and unigram counts are two keyed aggregations with
+    map-side partials; the PMI join runs on the VOCABULARY-sized count
+    relations (bigram vocab × 2 unigram lookups), not the corpus; totals
+    are a 1-row broadcast. PMI evaluates in double from exact bigint
+    counts with one fixed expression shape, so the oracle replays every
+    bit. Top-K is TakeOrderedAndProject — no global sort.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                """CASE WHEN size(toks) >= 2
+                        THEN transform(sequence(1, size(toks) - 1),
+                                       i -> struct(toks[i-1] AS w1, toks[i] AS w2))
+                        ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+                   END"""
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = bi.groupBy().agg(F.sum("n").alias("n_bi")).crossJoin(
+        uni.groupBy().agg(F.sum("n").alias("n_uni"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n2"))
+    pmi_ratio = (F.col("n").cast("double") / F.col("n_bi")) / (
+        (F.col("n1").cast("double") / F.col("n_uni"))
+        * (F.col("n2").cast("double") / F.col("n_uni"))
+    )
+    return (
+        bi.filter(F.col("n") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n",
+            pmi_ratio.alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), F.col("bigram").asc())
+        .limit(PMI_TOP_K)
+    )

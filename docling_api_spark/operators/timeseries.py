@@ -1144,3 +1144,69 @@ def q87_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — top user journeys (most common first-N event-type paths)
+# ---------------------------------------------------------------------------
+PATH_LEN = 5
+PATH_TOP_K = 20
+_PATH_SEP = "\x1f"  # unit separator — cannot appear in event_type (q27 convention)
+
+
+@register(
+    "q89_top_paths",
+    tags=("eventtime", "sequence", "paths"),
+    oracle=f"""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+          FROM events
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+          FROM e
+        ),
+        p AS (
+          SELECT user_id,
+                 string_agg(event_type, chr(31) ORDER BY rn) AS path
+          FROM r WHERE rn <= {PATH_LEN} GROUP BY 1
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p GROUP BY 1
+        ORDER BY n_users DESC, path ASC LIMIT {PATH_TOP_K}
+    """,
+)
+def q89_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {20} most common first-{5}-event journeys (event-type sequences)
+    across users — the path-analysis pass behind onboarding funnels.
+
+    Scale shape: row_number + filter bound per-user state to {5} rows
+    BEFORE any aggregation buffer exists (WindowGroupLimit prunes
+    map-side); the path assembles via collect_list of (rn, type) structs
+    sorted IN the aggregation buffer (array_sort — deterministic without
+    relying on collect_list order, which Spark does not guarantee); the
+    path-frequency relation is paths-sized, and top-K is
+    TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    paths = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)"),
+                _PATH_SEP,
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+    )

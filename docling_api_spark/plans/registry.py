@@ -178,6 +178,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q85_event_transitions",
     "q86_click_attribution",
     "q87_growth_accounting",
+    "q88_collocations_pmi",
+    "q89_top_paths",
 )
 
 

@@ -305,3 +305,20 @@ def test_growth_accounting_windows_days_not_events(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q87_growth_accounting")
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" in plan
+
+
+def test_collocations_topk_no_global_sort(spark, sf_dir):
+    # PMI join runs on vocabulary-sized count relations; top-K must be
+    # TakeOrderedAndProject, never a global sort of the bigram vocab
+    plan = plan_of(spark, sf_dir, "q88_collocations_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_paths_prunes_per_user_state_mapside(spark, sf_dir):
+    # rn <= PATH_LEN must become a WindowGroupLimit (per-user state bounded
+    # to 5 rows before any aggregation buffer), and top-K paths must be
+    # TakeOrderedAndProject
+    plan = plan_of(spark, sf_dir, "q89_top_paths")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
