@@ -597,3 +597,120 @@ def q88_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ratio").desc(), F.col("bigram").asc())
         .limit(PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — per-source language purity (Gini impurity)
+# ---------------------------------------------------------------------------
+@register(
+    "q98_source_lang_purity",
+    tags=("text", "lang", "purity"),
+    oracle="""
+        WITH c AS (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs,
+                 CAST(SUM(n * n) AS BIGINT) AS sum_n2
+          FROM c GROUP BY source
+        )
+        SELECT source, n_docs, n_langs,
+               1.0 - CAST(sum_n2 AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                 AS gini_impurity
+        FROM t
+    """,
+)
+def q98_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mixing per source as Gini impurity (1 − Σ p_lang²): 0 =
+    monolingual source, → 1 = uniform mix. The entropy formulation needs
+    ln(), whose last ulp differs across libms (see q88); Gini is the same
+    signal in pure IEEE arithmetic — and with Gini = 1 − Σn²/n_docs² the
+    Σ accumulates EXACT bigint squares (order-independent, unlike a sum of
+    per-lang double fractions), leaving a single double division at the
+    end, so the oracle replays it bit-exactly.
+
+    Scale shape: one (source, lang) keyed count — the only pass over the
+    corpus — then the purity math runs on the |sources|×|langs| relation.
+    """
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return t.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (F.lit(1.0) - F.col("sum_n2").cast("double") / (nd * nd)).alias(
+            "gini_impurity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — corpus report card (one-row multi-metric summary)
+# ---------------------------------------------------------------------------
+@register(
+    "q99_corpus_report",
+    tags=("text", "report", "profiling"),
+    oracle="""
+        WITH base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents
+        ),
+        dup AS (
+          SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+          FROM documents
+        )
+        SELECT b.n_docs, b.n_langs, b.n_sources, b.total_chars,
+               d.n_unique_texts,
+               b.n_docs - d.n_unique_texts AS n_exact_dups,
+               CAST(b.n_docs - d.n_unique_texts AS DOUBLE)
+                 / CAST(b.n_docs AS DOUBLE) AS dup_fraction
+        FROM base b CROSS JOIN dup d
+    """,
+)
+def q99_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report card: document / language / source counts,
+    total characters, unique-text count (by md5), and the exact-duplicate
+    fraction — the summary line a curation dashboard prints per snapshot.
+
+    Scale shape: two aggregation passes over the corpus (the multi-metric
+    scan and the distinct-digest count — distinct md5 shuffles 16-byte
+    hashes, never documents), stitched by a 1-row cross join. All counts
+    exact bigints; the one ratio is a single double division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    dup = docs.select(F.md5(F.col("text").cast("binary")).alias("h")).groupBy().agg(
+        F.countDistinct("h").alias("n_unique_texts")
+    )
+    n_dups = F.col("n_docs") - F.col("n_unique_texts")
+    return base.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "n_unique_texts",
+        n_dups.alias("n_exact_dups"),
+        (n_dups.cast("double") / F.col("n_docs").cast("double")).alias(
+            "dup_fraction"
+        ),
+    )

@@ -180,6 +180,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q87_growth_accounting",
     "q88_collocations_pmi",
     "q89_top_paths",
+    "q98_source_lang_purity",
+    "q99_corpus_report",
 )
 
 
