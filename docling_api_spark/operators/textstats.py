@@ -714,3 +714,72 @@ def q99_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_fraction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — document chunking (fixed token windows with overlap, map-side)
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "q100_chunk_documents",
+    tags=("text", "chunking", "rag"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(ci AS BIGINT) AS chunk_idx,
+               CAST(len(t[ci * {CHUNK_STRIDE} + 1 :
+                         ci * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+                 AS n_tokens,
+               array_to_string(
+                 t[ci * {CHUNK_STRIDE} + 1 :
+                   ci * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+        FROM toks,
+             UNNEST(range(0, ((len(t) - 1) // {CHUNK_STRIDE}) + 1)) AS u(ci)
+    """,
+)
+def q100_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into {64}-token chunks with a {48}-token
+    stride ({16}-token overlap) — the chunking pass every RAG index and
+    fixed-context pretraining pipeline runs. Chunk boundaries are token
+    positions, so no chunk splits a token.
+
+    Scale shape: entirely map-side — tokenize, generate chunk indices
+    (sequence + explode), slice per index. ZERO shuffles: the plan is
+    Scan → Project → Generate → Project, pipelined in whole-stage codegen;
+    output partitioning inherits the scan. At 100 TB this runs at I/O
+    speed and is the stage you'd write straight back out partitioned for
+    the embedding/indexing job downstream.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.col("t"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("t") - 1) / F.lit(CHUNK_STRIDE)).cast("bigint"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                "t", (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -182,6 +182,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q89_top_paths",
     "q98_source_lang_purity",
     "q99_corpus_report",
+    "q100_chunk_documents",
 )
 
 

@@ -322,3 +322,11 @@ def test_top_paths_prunes_per_user_state_mapside(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q89_top_paths")
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    # chunking is tokenize + index-generate + slice, entirely map-side:
+    # the plan must contain no Exchange at all
+    plan = plan_of(spark, sf_dir, "q100_chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the chunk-index explode
