@@ -1210,3 +1210,83 @@ def q89_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(PATH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — two-sample Kolmogorov–Smirnov drift test (early vs late traffic)
+# ---------------------------------------------------------------------------
+_KS_SPLIT = "2024-01-16"  # first half vs second half of the event month
+
+
+@register(
+    "q101_ks_drift",
+    tags=("eventtime", "drift", "statistics"),
+    oracle=f"""
+        WITH e AS (
+          SELECT event_type, value,
+                 CASE WHEN CAST(ts AS DATE) < DATE '{_KS_SPLIT}'
+                      THEN 1 ELSE 0 END AS in_a
+          FROM events
+        ),
+        tot AS (
+          SELECT event_type,
+                 CAST(SUM(in_a) AS BIGINT) AS n_a,
+                 CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+          FROM e GROUP BY 1
+        ),
+        cum AS (
+          SELECT event_type, value,
+                 SUM(in_a) OVER w AS c_a,
+                 SUM(1 - in_a) OVER w AS c_b
+          FROM e
+          WINDOW w AS (PARTITION BY event_type ORDER BY value
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT c.event_type, t.n_a, t.n_b,
+               MAX(ABS(CAST(c.c_a AS DOUBLE) / t.n_a
+                       - CAST(c.c_b AS DOUBLE) / t.n_b)) AS ks_stat
+        FROM cum c JOIN tot t ON c.event_type = t.event_type
+        GROUP BY 1, 2, 3
+    """,
+)
+def q101_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per event type between
+    first-half and second-half traffic: D = max |ECDF_a(v) − ECDF_b(v)| —
+    the standard nonparametric has-the-value-distribution-shifted test.
+
+    Exactness: the RANGE frame makes both cumulative counts include ALL
+    rows with value ≤ v regardless of tie order inside the sort, so every
+    per-row ECDF difference is a ratio of exact bigints; MAX over doubles
+    is order-independent (unlike SUM). One shuffle: the (event_type)
+    window sort; the per-type totals join is a |types|-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.col("ts").cast("date") < F.lit(_KS_SPLIT).cast("date"), 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.sum("in_a").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("n_b"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    cum = ev.select(
+        "event_type",
+        F.sum("in_a").over(w).alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).over(w).alias("c_b"),
+    )
+    d = F.abs(
+        F.col("c_a").cast("double") / F.col("n_a")
+        - F.col("c_b").cast("double") / F.col("n_b")
+    )
+    return (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_a", "n_b")
+        .agg(F.max(d).alias("ks_stat"))
+    )

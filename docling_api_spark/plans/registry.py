@@ -183,6 +183,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q98_source_lang_purity",
     "q99_corpus_report",
     "q100_chunk_documents",
+    "q101_ks_drift",
 )
 
 
