@@ -226,3 +226,85 @@ def q83_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_freq",
         (F.col("max_freq").cast("double") / F.col("p50_freq")).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — revenue concentration (Pareto: share held above a percentile)
+# ---------------------------------------------------------------------------
+CONC_PCTS = (0.90, 0.99)
+
+
+@register(
+    "q102_revenue_concentration",
+    tags=("profiling", "pareto", "concentration"),
+    oracle=f"""
+        WITH cust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS rev
+          FROM orders GROUP BY 1
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+                 CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS total,
+                 quantile_cont(rev, 0.90) AS t90,
+                 quantile_cont(rev, 0.99) AS t99
+          FROM cust
+        ),
+        th AS (
+          SELECT CAST(0.90 AS DOUBLE) AS pct, t90 AS threshold, n_cust, total
+          FROM stats
+          UNION ALL
+          SELECT CAST(0.99 AS DOUBLE) AS pct, t99 AS threshold, n_cust, total
+          FROM stats
+        )
+        SELECT t.pct, t.threshold, t.n_cust,
+               CAST(COUNT(*) FILTER (WHERE c.rev > t.threshold) AS BIGINT)
+                 AS n_top,
+               CAST(SUM(CAST(c.rev AS DECIMAL(28,6)))
+                      FILTER (WHERE c.rev > t.threshold) AS DOUBLE) / t.total
+                 AS revenue_share
+        FROM cust c CROSS JOIN th t
+        GROUP BY 1, 2, 3, t.total
+    """,
+)
+def q102_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what share of total revenue do customers
+    ABOVE the p90 / p99 per-customer-revenue thresholds hold?
+
+    Deliberately NOT a Lorenz-curve global sort: ranking every customer
+    needs a single global order (unbounded single-partition window at
+    corpus scale), while thresholds come from an exact interpolated
+    percentile AGGREGATE (Spark `percentile` ≡ DuckDB quantile_cont,
+    q24's parity) and the shares from one conditional decimal-exact pass
+    over the customers-sized relation against a broadcast 1-row stats
+    table. Per-customer revenue is an exact DECIMAL sum cast to double,
+    so thresholds, counts, and shares all replay bit-exactly.
+    """
+    dec = lambda c: F.col(c).cast("decimal(28,6)")
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+    )
+    stats = cust.groupBy().agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(dec("rev")).cast("double").alias("total"),
+        F.expr("percentile(rev, 0.90)").alias("t90"),
+        F.expr("percentile(rev, 0.99)").alias("t99"),
+    )
+    th = stats.selectExpr(
+        "stack(2, 0.90D, t90, 0.99D, t99) AS (pct, threshold)", "n_cust", "total"
+    )
+    above = F.col("rev") > F.col("threshold")
+    return (
+        cust.crossJoin(F.broadcast(th))
+        .groupBy("pct", "threshold", "n_cust", "total")
+        .agg(
+            F.count(F.when(above, 1)).alias("n_top"),
+            (
+                F.sum(F.when(above, dec("rev"))).cast("double") / F.col("total")
+            ).alias("revenue_share"),
+        )
+        .drop("total")
+    )

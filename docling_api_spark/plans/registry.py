@@ -184,6 +184,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q99_corpus_report",
     "q100_chunk_documents",
     "q101_ks_drift",
+    "q102_revenue_concentration",
 )
 
 
