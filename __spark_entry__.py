@@ -29,6 +29,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # hand us an already-built session, so set it at runtime too.
 _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # naive µs parquet timestamps must read as TIMESTAMP (UTC instant),
+    # matching DuckDB's naive micros — not Spark 4's inferred TIMESTAMP_NTZ
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -353,25 +353,11 @@ def q36_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch result minus the still-open tail windows); q30 pins the full
     batch values.
     """
-    from pyspark.sql import types as T
-
     from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+    from docling_api_spark.tables import events_stream
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
@@ -590,26 +576,12 @@ def q37_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts closed == batch minus final. Drains through the production
     parquet sink (streaming/jobs.py), not a driver-resident memory sink.
     """
-    from pyspark.sql import types as T
-
     from docling_api_spark.streaming.jobs import drain_stream_to_parquet
     from docling_api_spark.streaming.stateful import sessionize_stream
+    from docling_api_spark.tables import events_stream
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", F.expr("ts div 1000").alias("t_us"), "value")
+    events = events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "value"
     )
     return drain_stream_to_parquet(sessionize_stream(events), prefix="q37")
 
@@ -777,30 +749,15 @@ def q56_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first occurrences as they arrive), so the drained result is exactly
     SELECT DISTINCT over the replayed batch — the oracle.
     """
-    from pyspark.sql import types as T
-
     from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+    from docling_api_spark.tables import events_stream
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir)
         .select(
             "user_id",
             "event_type",
-            F.date_trunc(
-                "minute", F.timestamp_micros(F.expr("ts div 1000"))
-            ).alias("ts_min"),
+            F.date_trunc("minute", F.col("ts")).alias("ts_min"),
         )
         .withWatermark("ts_min", "1 hour")
         .dropDuplicates(["user_id", "event_type", "ts_min"])
@@ -852,25 +809,11 @@ def q77_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply state by (length/slide) — here 2× — which the watermark
     bounds the same way it does for tumbling.
     """
-    from pyspark.sql import types as T
-
     from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+    from docling_api_spark.tables import events_stream
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # ns (nanosAsLong)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
@@ -1290,3 +1233,149 @@ def q101_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n_a", "n_b")
         .agg(F.max(d).alias("ks_stat"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — ordered funnel conversion (view → click → purchase, 24h step gaps)
+# ---------------------------------------------------------------------------
+US_24H = 24 * 60 * 60 * 1_000_000
+
+
+@register(
+    "q105_funnel_steps",
+    tags=("eventtime", "funnel", "product-analytics"),
+    oracle=f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (
+          SELECT user_id, MIN(ts) AS t_v FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_c
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_v
+            AND epoch_us(e.ts) <= epoch_us(v.t_v) + {US_24H}
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_p
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+            AND epoch_us(e.ts) <= epoch_us(c.t_c) + {US_24H}
+          GROUP BY e.user_id
+        )
+        SELECT funnel_step, COUNT(*) AS n_users FROM (
+          SELECT u.user_id,
+                 CASE WHEN p.user_id IS NOT NULL THEN 3
+                      WHEN c.user_id IS NOT NULL THEN 2
+                      WHEN v.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS funnel_step
+          FROM u
+          LEFT JOIN v ON u.user_id = v.user_id
+          LEFT JOIN c ON u.user_id = c.user_id
+          LEFT JOIN p ON u.user_id = p.user_id
+        ) t
+        GROUP BY funnel_step
+    """,
+)
+def q105_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view, first click strictly after it
+    (within 24h), first purchase strictly after that (within 24h); count
+    users by the furthest step reached.
+
+    Step k's anchor time depends on step k-1's, so the funnel is k
+    sequential aggregate+join rounds — but every round groups AND joins on
+    user_id, so after the first shuffle the per-step relations (one row
+    per user) are co-partitioned; AQE broadcasts them once they fall
+    under the threshold. This is the standard scale plan for ordered
+    funnels; collect_list-per-user alternatives blow memory on power
+    users at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    users = events.select("user_id").distinct()
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_v"))
+            & (F.unix_micros("ts") <= F.unix_micros("t_v") + US_24H)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_c"))
+            & (F.unix_micros("ts") <= F.unix_micros("t_c") + US_24H)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    step = (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("t_p").isNotNull(), F.lit(3))
+            .when(F.col("t_c").isNotNull(), F.lit(2))
+            .when(F.col("t_v").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("funnel_step")
+        )
+    )
+    return step.groupBy("funnel_step").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q107 — stream-static enrichment join (streaming events ⋈ broadcast dims)
+# ---------------------------------------------------------------------------
+@register(
+    "q107_stream_static_join",
+    tags=("streaming", "join", "enrichment"),
+    oracle="""
+        SELECT e.event_id, e.user_id, c.c_mktsegment AS mktsegment,
+               n.n_name AS nation
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q107_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched against static dimension tables — the
+    stream-static join class (the one streaming join Spark runs without
+    state on the static side).
+
+    The static side (customer ⋈ nation) is a batch relation resolved
+    per micro-batch and broadcast: unbounded stream, zero streaming
+    state, no watermark needed for correctness (rows enrich
+    independently). Drained through the production parquet sink. At
+    100 TB/day the static side refreshes by micro-batch re-resolution —
+    exactly how Structured Streaming defines stream-static semantics.
+    """
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+    from docling_api_spark.tables import events_stream, load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dims = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_name").alias("nation"),
+    )
+
+    stream = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "user_id")
+        .join(F.broadcast(dims), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "mktsegment", "nation")
+    )
+    return drain_stream_to_parquet(stream, prefix="q107")

@@ -55,6 +55,9 @@ def get_spark(
         # reference service.py:171-177)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config(NANOS_AS_LONG, "true")
+        # naive µs parquet timestamps read as TIMESTAMP (UTC instant) like
+        # Spark 3.x / DuckDB, not Spark 4's inferred TIMESTAMP_NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
