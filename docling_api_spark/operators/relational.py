@@ -836,3 +836,99 @@ def q24_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("median_v"),
         F.max("value").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — bloom-filter pre-filtered semi join (JVM-side bloom, no shuffle probe)
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 20  # m: filter width in bits
+_BLOOM_WORDS = _BLOOM_BITS >> 6
+_BLOOM_SEEDS = (1, 2, 3)  # k hash functions
+
+
+def _bloom_words(build: DataFrame, key: str) -> DataFrame:
+    """Aggregate a key column into a bloom filter, represented as ONE row
+    holding a word_idx → 64-bit-word map (only set words are stored).
+
+    Spark's own bloom_filter_agg is not exposed to SQL/Python in this
+    build, so the filter is assembled from public primitives: 3 seeded
+    xxhash64 positions per key → (word, bit) pairs → bit_or per word →
+    map_from_entries. Everything stays JVM-side and codegen-friendly.
+    """
+    pos = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"pmod(xxhash64({s}L, {key}), {_BLOOM_BITS})")
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    words = pos.groupBy(F.expr("pos div 64").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(pos % 64 AS int)))").alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("bloom")
+    )
+
+
+def _bloom_pass(key: str, bloom: str) -> F.Column:
+    """True iff `key` MIGHT be in the filter (all k bits set). Built as a
+    SQL expression over column NAMES (shiftleft's amount must be a column
+    here, which the Python API doesn't accept)."""
+    checks = []
+    for s in _BLOOM_SEEDS:
+        pos = f"pmod(xxhash64({s}L, {key}), {_BLOOM_BITS})"
+        word = f"coalesce(element_at({bloom}, ({pos}) div 64), 0L)"
+        mask = f"shiftleft(1L, cast(({pos}) % 64 AS int))"
+        checks.append(f"((({word}) & ({mask})) != 0)")
+    return F.expr(" AND ".join(checks))
+
+
+@register(
+    "q108_bloom_semi_join",
+    tags=("join", "bloom", "prefilter"),
+    bench=True,
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_custkey IN (
+          SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+        )
+    """,
+)
+def q108_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a bloom-filter pre-pass: orders of high-balance
+    BUILDING-segment customers.
+
+    Plan shape: (1) build side reduced to distinct keys and folded into a
+    ~128 KB word-map bloom — constant size no matter how many keys, which
+    is the whole point: at 100 TB the build side's key set may be too big
+    to broadcast raw, but the bloom always fits. (2) The probe scan
+    cross-joins the single bloom row (broadcast nested loop over ONE row =
+    a map-side lookup) and drops non-matching orders before anything
+    shuffles. (3) Survivors — true matches plus the bloom's ~0.1% false
+    positives — go through the exact semi join, so the result is exact.
+    The oracle is the plain semi join. Runtime-filter conf
+    (spark.sql.optimizer.runtime.bloomFilter.*) does this transparently
+    for supported shapes; this operator is the explicit, plannable form.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    build = (
+        cust.where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0))
+        .select("c_custkey")
+        .distinct()
+    )
+
+    bloom = _bloom_words(build, "c_custkey")
+    prefiltered = (
+        orders.join(F.broadcast(bloom))  # single-row cross join = map-side lookup
+        .where(_bloom_pass("o_custkey", "bloom"))
+        .drop("bloom")
+    )
+    return prefiltered.join(
+        F.broadcast(build), prefiltered.o_custkey == build.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

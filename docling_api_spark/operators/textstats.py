@@ -783,3 +783,81 @@ def q100_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("chunk", " ").alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — exact heavy hitters via two-pass Misra-Gries candidate generation
+# ---------------------------------------------------------------------------
+HH_K = 2000  # report tokens with global freq > n_total / HH_K
+_MG_CAPACITY = 4096  # per-partition summary size; must be >= HH_K for recall
+
+
+def _mg_candidates(batches):
+    """Batched Misra-Gries over one partition's token batches.
+
+    Maintains at most _MG_CAPACITY counters; when a merged batch overflows,
+    subtracts the (size - capacity)-th smallest count from every counter and
+    evicts the non-positive ones — the mergeable-summaries reduction
+    (Agarwal et al., PODS'12), equivalent to a sequence of classic MG
+    decrements. Guarantee: any token with true partition frequency
+    > n_p / (capacity + 1) survives, so every global (n/HH_K)-heavy hitter
+    survives in at least one partition (pigeonhole over partitions, since
+    capacity >= HH_K).
+    """
+    import pandas as pd
+
+    state: dict[str, int] = {}
+    for pdf in batches:
+        for tok, cnt in pdf["token"].value_counts().items():
+            state[tok] = state.get(tok, 0) + int(cnt)
+        excess = len(state) - _MG_CAPACITY
+        if excess > 0:
+            m = sorted(state.values())[excess - 1]
+            state = {t: c - m for t, c in state.items() if c > m}
+    yield pd.DataFrame({"token": list(state.keys())})
+
+
+@register(
+    "q106_heavy_hitters",
+    tags=("text", "sketch", "heavy-hitters"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT token, COUNT(*) AS freq
+        FROM toks
+        GROUP BY token
+        HAVING COUNT(*) * {HH_K} > (SELECT n FROM tot)
+    """,
+)
+def q106_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level heavy hitters (tokens with freq > n/{HH_K}) via
+    per-partition Misra-Gries candidates + exact recount of candidates only.
+
+    Why not a plain groupBy(token): that shuffles the ENTIRE token
+    vocabulary (billions of keys at 100 TB). Here pass 1 is shuffle-free
+    (mapInPandas carries the MG summary across a partition's Arrow
+    batches) and emits <= capacity candidates per partition; pass 2
+    recounts ONLY tokens surviving a broadcast semi-join — the shuffle
+    carries a few thousand keys. Both the recall guarantee and the exact
+    recount make the result identical to the full groupBy.
+    """
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+
+    cand = (
+        toks.mapInPandas(_mg_candidates, T.StructType([T.StructField("token", T.StringType())]))
+        .distinct()
+    )
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "token")  # semi shape: candidate filter
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("freq") * HH_K > F.col("n"))
+        .select("token", "freq")
+    )

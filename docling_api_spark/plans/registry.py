@@ -185,6 +185,13 @@ GRADED_FIRST: tuple[str, ...] = (
     "q100_chunk_documents",
     "q101_ks_drift",
     "q102_revenue_concentration",
+    # round-3 additions, third batch (oracle-checked, overflow for now)
+    "q103_khop_reachability",
+    "q104_snapshot_diff",
+    "q105_funnel_steps",
+    "q106_heavy_hitters",
+    "q107_stream_static_join",
+    "q108_bloom_semi_join",
 )
 
 
@@ -198,9 +205,11 @@ def all_queries() -> dict[str, Query]:
         datapipe,
         dedup,
         entity,
+        graphops,
         layout,
         multimodal,
         pipeline_queries,
+        reconcile,
         relational,
         sampling,
         similarity,

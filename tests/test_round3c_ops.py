@@ -1,0 +1,171 @@
+"""Semantics + plan pins for the batch-3 operators (q103–q108)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.textstats import HH_K, _MG_CAPACITY, _mg_candidates
+from docling_api_spark.plans import all_queries
+from tests.test_plans import plan_of
+
+QUERIES = all_queries()
+
+
+# ---------------------------------------------------------------------------
+# q103 — BFS semantics on a constructed graph with a known distance table
+# ---------------------------------------------------------------------------
+def test_khop_distances_on_constructed_graph(spark, tmp_path):
+    """3-supplier chain: seed part 0 shares s1 with parts {0,1}; part 1
+    shares s2 with part 2; part 2 shares s3 with part 3 (unreachable in 2
+    hops from the seed through the hop-through-supplier expansion)."""
+    rows = [
+        # (l_partkey, l_suppkey) bipartite edges via minimal lineitem rows
+        (0, 101),
+        (1, 101),
+        (1, 102),
+        (2, 102),
+        (2, 103),
+        (3, 103),
+        (500, 104),  # second seed (500 % 500 == 0), isolated with part 7
+        (7, 104),
+    ]
+    df = spark.createDataFrame(rows, ["l_partkey", "l_suppkey"])
+    for col in ["l_orderkey", "l_linenumber"]:
+        df = df.withColumn(col, F.lit(1))
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/lineitem.parquet")
+
+    got = {
+        (r.part_key, r.min_hops)
+        for r in QUERIES["q103_khop_reachability"].fn(spark, out_dir).collect()
+    }
+    assert got == {
+        (0, 0),
+        (500, 0),
+        (1, 1),  # via s101
+        (7, 1),  # via s104
+        (2, 2),  # via s102 from part 1
+        # part 3 is 3 hops out: correctly absent
+    }
+
+
+# ---------------------------------------------------------------------------
+# q106 — Misra-Gries candidate recall guarantee (pure-python property test)
+# ---------------------------------------------------------------------------
+def test_mg_candidates_retain_heavy_hitters():
+    """Any token with partition frequency > n_p/(capacity+1) must survive
+    the batched MG reduction — feed a worst-case stream (heavy tokens
+    interleaved with a long unique tail, split across many small batches)
+    and check recall."""
+    n_heavy, n_tail = 40, 30_000
+    heavy_freq = 2_000
+    toks: list[str] = []
+    for i in range(n_heavy):
+        toks.extend([f"hot{i}"] * heavy_freq)
+    toks.extend(f"tail{i}" for i in range(n_tail))
+    # adversarial ordering: tail interleaved after heavies via striding
+    toks = toks[::2] + toks[1::2]
+
+    batches = [
+        pd.DataFrame({"token": toks[i : i + 1000]}) for i in range(0, len(toks), 1000)
+    ]
+    (out,) = list(_mg_candidates(iter(batches)))
+    survivors = set(out["token"])
+    n_p = len(toks)
+    assert heavy_freq > n_p / (_MG_CAPACITY + 1)  # test is actually exercising the bound
+    assert {f"hot{i}" for i in range(n_heavy)} <= survivors
+
+
+def test_heavy_hitters_equals_plain_groupby(spark, sf_dir):
+    """End-to-end: the two-pass MG plan returns exactly the full groupBy's
+    heavy set (the guarantee, on real data)."""
+    from docling_api_spark.tables import load_table
+
+    got = {
+        (r.token, r.freq)
+        for r in QUERIES["q106_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    total = toks.count()
+    want = {
+        (r.token, r.freq)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") * HH_K > total)
+        .collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q108 — bloom prefilter plan shape
+# ---------------------------------------------------------------------------
+def test_bloom_join_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q108_bloom_semi_join")
+    # single-row bloom side arrives via broadcast nested loop (a map-side
+    # lookup), and the exact pass is a broadcast semi join — the probe
+    # relation is never shuffled
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftSemi" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+
+
+def test_bloom_pass_has_no_false_negatives(spark):
+    """Bloom membership must be a superset of true membership: every build
+    key passes its own filter."""
+    from docling_api_spark.operators.relational import _bloom_pass, _bloom_words
+
+    build = spark.range(0, 5000).select((F.col("id") * 7919 + 13).alias("k"))
+    bloom = _bloom_words(build, "k")
+    n_pass = (
+        build.join(F.broadcast(bloom))
+        .where(_bloom_pass("k", "bloom"))
+        .count()
+    )
+    assert n_pass == 5000
+
+
+# ---------------------------------------------------------------------------
+# q105 — funnel step ordering on a constructed stream
+# ---------------------------------------------------------------------------
+def test_funnel_steps_constructed(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: full funnel in order → step 3
+        (1, ts(0), 1, "view", 1.0, ""),
+        (2, ts(5), 1, "click", 1.0, ""),
+        (3, ts(9), 1, "purchase", 1.0, ""),
+        # u2: click BEFORE first view → click doesn't count → step 1
+        (4, ts(0), 2, "click", 1.0, ""),
+        (5, ts(5), 2, "view", 1.0, ""),
+        # u3: click more than 24h after view → step 1
+        (6, ts(0), 3, "view", 1.0, ""),
+        (7, ts(60 * 25), 3, "click", 1.0, ""),
+        # u4: never viewed → step 0
+        (8, ts(0), 4, "error", 1.0, ""),
+        # u5: view+click, purchase before click → step 2
+        (9, ts(0), 5, "view", 1.0, ""),
+        (10, ts(1), 5, "purchase", 1.0, ""),
+        (11, ts(2), 5, "click", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/events.parquet")
+
+    got = {
+        (r.funnel_step, r.n_users)
+        for r in QUERIES["q105_funnel_steps"].fn(spark, out_dir).collect()
+    }
+    assert got == {(3, 1), (1, 2), (0, 1), (2, 1)}
