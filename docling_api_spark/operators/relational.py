@@ -932,3 +932,66 @@ def q108_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefiltered.join(
         F.broadcast(build), prefiltered.o_custkey == build.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# q114 — winsorized (percentile-clamped) robust aggregation per group
+# ---------------------------------------------------------------------------
+@register(
+    "q114_winsorized_agg",
+    tags=("agg", "robust", "percentile"),
+    oracle=f"""
+        WITH pb AS (
+          SELECT p.p_brand, l.l_extendedprice AS x
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        cuts AS (
+          SELECT p_brand,
+                 quantile_cont(x, 0.05) AS p05,
+                 quantile_cont(x, 0.95) AS p95
+          FROM pb GROUP BY p_brand
+        )
+        SELECT
+          pb.p_brand,
+          COUNT(*) AS n,
+          {sql_dsum('LEAST(GREATEST(pb.x, c.p05), c.p95)', 'winsorized_revenue')},
+          CAST(SUM(CASE WHEN pb.x < c.p05 OR pb.x > c.p95 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clamped
+        FROM pb JOIN cuts c ON pb.p_brand = c.p_brand
+        GROUP BY pb.p_brand
+    """,
+)
+def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized revenue per brand: clamp each price into the brand's
+    [p5, p95] band before summing — the robust-statistics aggregate that
+    keeps a fat-tailed 100 TB corpus from being dominated by outliers.
+
+    Two passes over the joined relation: exact per-brand percentiles
+    (tiny result — one row per brand), broadcast back onto the fact rows,
+    clamp, DECIMAL-exact sum. The clamp is pure comparison/selection of
+    existing doubles, so both engines see bit-identical values; only the
+    interpolated cut points involve arithmetic, and Spark `percentile` ≡
+    DuckDB `quantile_cont` (same linear interpolation).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pb = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", F.col("l_extendedprice").alias("x")
+    )
+    cuts = pb.groupBy("p_brand").agg(
+        F.expr("percentile(x, 0.05)").alias("p05"),
+        F.expr("percentile(x, 0.95)").alias("p95"),
+    )
+    clamped = pb.join(F.broadcast(cuts), "p_brand").select(
+        "p_brand",
+        "x",
+        F.least(F.greatest(F.col("x"), F.col("p05")), F.col("p95")).alias("cx"),
+        ((F.col("x") < F.col("p05")) | (F.col("x") > F.col("p95")))
+        .cast("long")
+        .alias("clamped"),
+    )
+    return clamped.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("cx", "winsorized_revenue"),
+        F.sum("clamped").alias("n_clamped"),
+    )

@@ -861,3 +861,185 @@ def q106_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("freq") * HH_K > F.col("n"))
         .select("token", "freq")
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — unicode/text normalization pass (Arrow-vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+_WS_PATTERN = "[ \\t\\n\\r]+"  # explicit class: identical semantics in
+# pandas-re and DuckDB-RE2 (bare \s is unicode-aware in Python, ASCII in RE2)
+
+
+def _normalize_batch(batches):
+    """NFC-normalize, lowercase, collapse whitespace — per Arrow batch,
+    vectorized through pandas .str (no per-row Python)."""
+    import pandas as pd  # noqa: F401
+
+    for pdf in batches:
+        norm = (
+            pdf["text"]
+            .str.normalize("NFC")
+            .str.lower()
+            .str.replace(_WS_PATTERN, " ", regex=True)
+            .str.strip()
+        )
+        out = pdf[["doc_id"]].copy()
+        out["norm_len"] = norm.str.len().astype("int64")
+        out["norm_text"] = norm
+        yield out
+
+
+@register(
+    "q111_text_normalize",
+    tags=("text", "curation", "normalize"),
+    oracle=f"""
+        SELECT
+          doc_id,
+          CAST(length(t) AS BIGINT) AS norm_len,
+          md5(t) AS norm_md5
+        FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(nfc_normalize(text)),
+                                     '{_WS_PATTERN}', ' ', 'g')) AS t
+          FROM documents
+        )
+    """,
+)
+def q111_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (NFC → lowercase → whitespace collapse
+    → trim), the first pass of every training-data pipeline.
+
+    Spark has no built-in unicode normalizer, so this is the documented
+    Python boundary: mapInPandas with pandas' vectorized .str pipeline
+    (Arrow batches in/out, zero per-row Python). Emits a digest, not the
+    body, so downstream exact-dedup consumes 32-byte rows. Narrow,
+    shuffle-free, embarrassingly parallel — the UDF cost is the only cost.
+    """
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("norm_len", T.LongType()),
+            T.StructField("norm_text", T.StringType()),
+        ]
+    )
+    return docs.mapInPandas(_normalize_batch, schema).select(
+        "doc_id", "norm_len", F.md5("norm_text").alias("norm_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — inverted index construction (term → bounded posting list)
+# ---------------------------------------------------------------------------
+_POSTING_CAP = 20
+
+
+@register(
+    "q112_inverted_index",
+    tags=("text", "index", "posting-list"),
+    oracle=f"""
+        SELECT
+          token,
+          COUNT(DISTINCT doc_id) AS n_docs,
+          COUNT(*) AS total_tf,
+          array_to_string(
+            list_slice(list_sort(list(DISTINCT doc_id)), 1, {_POSTING_CAP}), ','
+          ) AS posting_head
+        FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ) t
+        GROUP BY token
+        HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def q112_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: per token, document frequency, total
+    term frequency, and the head of the sorted posting list.
+
+    One explode + one hash aggregation on the token key (map-side partial
+    aggs collapse within-doc repeats before the shuffle). The posting list
+    is CAPPED — an uncapped collect_list on a stopword key is a
+    straight OOM at 100 TB; real indexes shard long postings, so the query
+    surface exposes the head + exact counts. Emitted as a joined string
+    (doc ids are integers, ',' cannot collide) because the driver's
+    canonicalizer cannot hash array cells.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tf"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, _POSTING_CAP), ","
+            ).alias("posting_head"),
+        )
+        .where(F.col("n_docs") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — corpus-statistics familiarity score (bigram-frequency weighting)
+# ---------------------------------------------------------------------------
+@register(
+    "q113_bigram_familiarity",
+    tags=("text", "lm", "quality"),
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bigrams AS (
+          SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+          FROM toks, LATERAL (
+            SELECT unnest(range(1, len(t))) AS i
+          ) idx
+        ),
+        counted AS (
+          SELECT doc_id, bg,
+                 COUNT(*) OVER (PARTITION BY bg) AS c_bg
+          FROM bigrams
+        )
+        SELECT
+          doc_id,
+          COUNT(*) AS n_bigrams,
+          CAST(SUM(c_bg) AS BIGINT) AS familiarity_hits,
+          CAST(SUM(c_bg) AS DOUBLE) / COUNT(*) AS familiarity
+        FROM counted
+        GROUP BY doc_id
+    """,
+)
+def q113_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-style quality signal: how familiar each document's
+    bigrams are relative to the whole corpus (frequency-weighted; a doc of
+    common constructions scores high, gibberish scores ~1).
+
+    All integer arithmetic until one final division, so the score is
+    order-independent and exact — the log-prob formulation would sum
+    doubles in shuffle order (and libm log differs across engines).
+    Plan: bigrams from the token array via a JVM-side transform (no
+    self-join on position), ONE shuffle on the bigram key for the window
+    count, one groupBy back on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    counted = bg.withColumn("c_bg", F.count(F.lit(1)).over(W.partitionBy("bg")))
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("c_bg").alias("familiarity_hits"),
+        (F.sum("c_bg").cast("double") / F.count(F.lit(1))).alias("familiarity"),
+    )

@@ -1379,3 +1379,182 @@ def q107_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "mktsegment", "nation")
     )
     return drain_stream_to_parquet(stream, prefix="q107")
+
+
+# ---------------------------------------------------------------------------
+# q109 — stream-stream event-time join (watermarked, production drain)
+# ---------------------------------------------------------------------------
+@register(
+    "q109_stream_stream_join",
+    tags=("streaming", "join", "stream-stream"),
+    oracle=f"""
+        SELECT
+          c.event_id AS click_id,
+          p.event_id AS purchase_id,
+          c.user_id,
+          epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        FROM events c
+        JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.user_id = c.user_id
+         AND p.ts > c.ts
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + {US_30MIN}
+    """,
+)
+def q109_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each click matched to the purchases it
+    precedes by at most 30 minutes, per user — completing the streaming
+    join matrix (q107 covers stream-static).
+
+    Both sides carry 1-hour watermarks and the join condition bounds
+    purchase time relative to click time, which is what lets Spark expire
+    buffered click state once the purchase-side watermark passes
+    click.ts + 30min — bounded state on an unbounded stream. Inner-join
+    matches emit as soon as both rows are buffered; the single-file input
+    lands in one micro-batch, so the drained result is the complete batch
+    join (the oracle). Drains through the production parquet sink.
+    """
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+    from docling_api_spark.tables import events_stream
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts > c_ts "
+            "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    return drain_stream_to_parquet(joined, prefix="q109")
+
+
+# ---------------------------------------------------------------------------
+# q110 — interval overlap join (activity runs of two event types, per user)
+# ---------------------------------------------------------------------------
+# run gap sized to the test data's event density (30min gives near-zero
+# multi-event runs at sf<=0.01, a vacuous overlap check)
+_RUN_GAP_US = 12 * 60 * 60 * 1_000_000
+
+
+@register(
+    "q110_interval_overlap_join",
+    tags=("eventtime", "interval", "join"),
+    oracle=f"""
+        WITH runs AS (
+          SELECT user_id, event_type, t_us,
+                 SUM(new_run) OVER (
+                   PARTITION BY user_id, event_type ORDER BY t_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS run_id
+          FROM (
+            SELECT user_id, event_type, epoch_us(ts) AS t_us,
+                   CASE WHEN epoch_us(ts)
+                             - LAG(epoch_us(ts)) OVER (
+                                 PARTITION BY user_id, event_type ORDER BY ts)
+                             >= {_RUN_GAP_US}
+                        OR LAG(epoch_us(ts)) OVER (
+                             PARTITION BY user_id, event_type ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_run
+            FROM events
+            WHERE event_type IN ('view', 'click')
+          ) t
+        ),
+        iv AS (
+          SELECT user_id, event_type, run_id,
+                 MIN(t_us) AS start_us, MAX(t_us) AS end_us
+          FROM runs GROUP BY user_id, event_type, run_id
+        )
+        SELECT
+          a.user_id,
+          a.start_us AS view_start_us,
+          b.start_us AS click_start_us,
+          LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us) AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    """,
+)
+def q110_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join between two derived interval relations: each
+    user's 'view' activity runs joined to their overlapping 'click' runs
+    (a run = consecutive same-type events with gaps < 12h).
+
+    Both interval sets are built from ONE pass over events (single
+    shuffle on (user, type), gaps-and-islands window, min/max per run).
+    The overlap join equi-keys on user_id — per-user interval counts are
+    bounded by activity, so the within-key overlap filter is
+    output-bounded, unlike a global interval cross-join. For unkeyed
+    interval sets the q35 band-bucketing pattern applies instead; this
+    operator covers the keyed case every product-analytics stack needs.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t_us"))
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("t_us")
+    runs = ev.withColumn(
+        "new_run",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(w) >= _RUN_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    iv = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("t_us").alias("start_us"), F.max("t_us").alias("end_us")
+    )
+    a = iv.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+    )
+    b = iv.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("b_user"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end")),
+        )
+        .select(
+            "user_id",
+            F.col("a_start").alias("view_start_us"),
+            F.col("b_start").alias("click_start_us"),
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_us"),
+        )
+    )

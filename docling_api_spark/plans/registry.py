@@ -192,6 +192,12 @@ GRADED_FIRST: tuple[str, ...] = (
     "q106_heavy_hitters",
     "q107_stream_static_join",
     "q108_bloom_semi_join",
+    "q109_stream_stream_join",
+    "q110_interval_overlap_join",
+    "q111_text_normalize",
+    "q112_inverted_index",
+    "q113_bigram_familiarity",
+    "q114_winsorized_agg",
 )
 
 

@@ -169,3 +169,78 @@ def test_funnel_steps_constructed(spark, tmp_path):
         for r in QUERIES["q105_funnel_steps"].fn(spark, out_dir).collect()
     }
     assert got == {(3, 1), (1, 2), (0, 1), (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# q110 — interval overlap semantics on constructed runs
+# ---------------------------------------------------------------------------
+def test_interval_overlap_constructed(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(hours):
+        return t0 + dt.timedelta(hours=hours)
+
+    rows = [
+        # u1: view run [0h, 2h], click run [1h, 3h] → overlap 1h
+        (1, ts(0), 1, "view", 1.0, ""),
+        (2, ts(2), 1, "view", 1.0, ""),
+        (3, ts(1), 1, "click", 1.0, ""),
+        (4, ts(3), 1, "click", 1.0, ""),
+        # u1 second view run [20h, 20h] (12h gap from first): no click overlap
+        (5, ts(20), 1, "view", 1.0, ""),
+        # u2: view [0h] and click [40h] — disjoint
+        (6, ts(0), 2, "view", 1.0, ""),
+        (7, ts(40), 2, "click", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/events.parquet")
+
+    got = {
+        (r.user_id, r.view_start_us, r.click_start_us, r.overlap_us)
+        for r in QUERIES["q110_interval_overlap_join"].fn(spark, out_dir).collect()
+    }
+    h = 3_600_000_000  # 1h in µs
+    e0 = int(dt.datetime(2024, 1, 1).timestamp()) * 1_000_000
+    assert got == {(1, e0, e0 + h, h)}
+
+
+# ---------------------------------------------------------------------------
+# q111 — normalization batch semantics (pure python)
+# ---------------------------------------------------------------------------
+def test_normalize_batch_semantics():
+    from docling_api_spark.operators.textstats import _normalize_batch
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["Café  au   Lait", "  A\tB\nC  "],
+        }
+    )
+    (out,) = list(_normalize_batch(iter([pdf])))
+    assert list(out["norm_text"]) == ["café au lait", "a b c"]  # NFC composed é
+    assert list(out["norm_len"]) == [12, 5]
+
+
+# ---------------------------------------------------------------------------
+# q112 — posting list stays capped; q114 — no sort-merge join
+# ---------------------------------------------------------------------------
+def test_inverted_index_posting_cap(spark, sf_dir):
+    from docling_api_spark.operators.textstats import _POSTING_CAP
+
+    rows = QUERIES["q112_inverted_index"].fn(spark, sf_dir).collect()
+    assert rows, "vacuous: no tokens met the df threshold"
+    for r in rows:
+        n_posted = len(r.posting_head.split(","))
+        assert n_posted <= _POSTING_CAP
+        assert n_posted == min(r.n_docs, _POSTING_CAP)
+
+
+def test_winsorized_agg_broadcasts_cuts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q114_winsorized_agg")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
