@@ -995,3 +995,69 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("cx", "winsorized_revenue"),
         F.sum("clamped").alias("n_clamped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — exact equi-depth histogram WITHOUT a global sort
+# ---------------------------------------------------------------------------
+_EQD_BUCKETS = 16
+
+
+@register(
+    "q118_equidepth_histogram",
+    tags=("agg", "histogram", "percentile"),
+    oracle=f"""
+        WITH cuts AS (
+          SELECT quantile_cont(l_extendedprice,
+                   [x / {_EQD_BUCKETS}.0 FOR x IN range(1, {_EQD_BUCKETS})]) AS c
+          FROM lineitem
+        )
+        SELECT
+          CAST(1 + len(list_filter(c.c, v -> l.l_extendedprice > v)) AS INTEGER)
+            AS bucket_id,
+          COUNT(*) AS n,
+          MIN(l.l_extendedprice) AS min_x,
+          MAX(l.l_extendedprice) AS max_x
+        FROM lineitem l, cuts c
+        GROUP BY 1
+    """,
+)
+def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of lineitem prices in
+    {_EQD_BUCKETS} buckets.
+
+    The textbook formulation — ntile() over a global ORDER BY — plans as a
+    single-partition WindowExec: the round-1 scale-killer class. Instead:
+    one distributed exact-percentile aggregate produces the 15 interior
+    cut points, which broadcast back as a 15-element array; bucket
+    assignment is a map-side `1 + count(cuts < x)` higher-order function
+    and the histogram is a plain hash aggregate. No global sort anywhere,
+    identical bucket boundaries (Spark percentile ≡ DuckDB quantile_cont).
+    At 100 TB the same plan holds with approx_percentile cut points.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array({}))".format(
+                ", ".join(str(i / _EQD_BUCKETS) for i in range(1, _EQD_BUCKETS))
+            )
+        ).alias("c")
+    )
+    return (
+        li.join(F.broadcast(cuts))
+        .select(
+            (
+                F.lit(1)
+                + F.size(F.expr("filter(c, v -> l_extendedprice > v)"))
+            )
+            .cast("int")
+            .alias("bucket_id"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("min_x"),
+            F.max("l_extendedprice").alias("max_x"),
+        )
+    )

@@ -1558,3 +1558,237 @@ def q110_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — time-weighted average value (TWAP) per user per day
+# ---------------------------------------------------------------------------
+@register(
+    "q115_time_weighted_avg",
+    tags=("eventtime", "twap", "window_frame"),
+    oracle="""
+        WITH d AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS DATE) AS day,
+                 value,
+                 LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts
+                 ) - epoch_us(ts) AS dt_us
+          FROM events
+        )
+        SELECT
+          user_id,
+          CAST(day AS VARCHAR) AS day,
+          COUNT(*) AS n_intervals,
+          CAST(SUM(dt_us) AS BIGINT) AS covered_us,
+          CAST(SUM(CAST(round(value * dt_us) AS BIGINT)) AS DOUBLE)
+            / CAST(SUM(dt_us) AS DOUBLE) AS twap
+        FROM d
+        WHERE dt_us IS NOT NULL AND dt_us > 0
+        GROUP BY user_id, day
+    """,
+)
+def q115_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user-day: each observation is
+    weighted by how long it was the current value (until the next event) —
+    the telemetry/finance aggregate a plain AVG gets wrong under uneven
+    sampling.
+
+    One window pass (LEAD over the user-day partition — same shuffle as
+    the final groupBy, so Catalyst reuses the partitioning) and exact
+    arithmetic: each weighted product is quantized to an INTEGER
+    (round(value·dt_us), < 2^53 so the double→int conversion is exact and
+    identical in both engines), summed exactly, and divided once at the
+    end. The DECIMAL(28,6) route mismatches here — engines disagree on
+    the last decimal digit when casting large double PRODUCTS, and the
+    µs-scaled sums overflow double-exact range on the way back out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts")
+    d = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "value",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return d.groupBy("user_id", F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("covered_us"),
+        (
+            F.sum(F.round(F.col("value") * F.col("dt_us")).cast("bigint"))
+            .cast("double")
+            / F.sum("dt_us").cast("double")
+        ).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — seasonal-baseline anomaly detection (hour-of-day profile, 3σ gate)
+# ---------------------------------------------------------------------------
+@register(
+    "q116_seasonal_anomaly",
+    tags=("eventtime", "anomaly", "baseline"),
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type,
+                 date_trunc('hour', ts) AS bucket,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT event_type,
+                 EXTRACT(hour FROM bucket) AS hod,
+                 COUNT(*) AS k,
+                 CAST(SUM(n) AS BIGINT) AS s1,
+                 CAST(SUM(n * n) AS BIGINT) AS s2
+          FROM hourly GROUP BY 1, 2
+        )
+        SELECT
+          h.event_type,
+          epoch_us(h.bucket) AS bucket_us,
+          h.n,
+          (h.n - CAST(s.s1 AS DOUBLE) / s.k)
+            / sqrt(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE) / (s.k * s.k)) AS zscore
+        FROM hourly h
+        JOIN stats s
+          ON h.event_type = s.event_type
+         AND EXTRACT(hour FROM h.bucket) = s.hod
+        WHERE s.k * s.s2 - s.s1 * s.s1 > 0
+          AND abs(h.n - CAST(s.s1 AS DOUBLE) / s.k)
+              > 3 * sqrt(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE) / (s.k * s.k))
+    """,
+)
+def q116_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volumes flagged against each event type's hour-of-day
+    baseline (|n − mean| > 3σ): 'is 3am traffic weird *for 3am*'.
+
+    The baseline moments are INTEGER sums (Σn, Σn²) so the profile is
+    order-independent; mean/σ/z involve only +,−,×,÷,sqrt on identical
+    inputs — all correctly-rounded IEEE ops, bit-equal across engines
+    (unlike log/exp, whose libm rounding differs). Two hash aggregations
+    (hourly, then 24×5-row profile) + a broadcast join back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy(
+        "event_type", F.hour("bucket").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    var_num = F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
+    mean = F.col("s1").cast("double") / F.col("k")
+    sigma = F.sqrt(var_num.cast("double") / (F.col("k") * F.col("k")))
+    return (
+        hourly.join(
+            F.broadcast(stats),
+            (hourly.event_type == stats.event_type) & (F.hour("bucket") == stats.hod),
+        )
+        .drop(stats.event_type)
+        .where((var_num > 0) & (F.abs(F.col("n") - mean) > 3 * sigma))
+        .select(
+            "event_type",
+            F.unix_micros("bucket").alias("bucket_us"),
+            "n",
+            ((F.col("n") - mean) / sigma).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — co-movement matrix: Pearson r between event types' hourly volumes
+# ---------------------------------------------------------------------------
+@register(
+    "q117_comovement_matrix",
+    tags=("eventtime", "correlation", "matrix"),
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT b.bucket, t.event_type, COALESCE(h.n, 0) AS n
+          FROM (SELECT DISTINCT bucket FROM hourly) b
+          CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+          LEFT JOIN hourly h
+            ON h.bucket = b.bucket AND h.event_type = t.event_type
+        ),
+        sums AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS nb,
+                 CAST(SUM(a.n) AS BIGINT) AS sx,
+                 CAST(SUM(b.n) AS BIGINT) AS sy,
+                 CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+                 CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+                 CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+          FROM grid a JOIN grid b
+            ON a.bucket = b.bucket AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, nb,
+               CAST(nb * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(nb * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(nb * syy - sy * sy AS DOUBLE))) AS pearson_r
+        FROM sums
+        WHERE nb * sxx - sx * sx > 0 AND nb * syy - sy * sy > 0
+    """,
+)
+def q117_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' hourly volume
+    series — the drift/co-movement companion to q101's KS test.
+
+    Zero-filled grid (a type silent in some hour must contribute 0, or the
+    inner join silently biases r upward), integer moment sums, one final
+    double expression of correctly-rounded ops. The pair join equi-keys on
+    the hour bucket, so it shuffles the (tiny) hourly relation, never raw
+    events; the output is |types|² rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    buckets = hourly.select("bucket").distinct()
+    types = hourly.select("event_type").distinct()
+    grid = (
+        buckets.crossJoin(F.broadcast(types))
+        .join(hourly, ["bucket", "event_type"], "left")
+        .select("bucket", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = grid.select(
+        "bucket", F.col("event_type").alias("type_a"), F.col("n").alias("xa")
+    )
+    b = grid.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("xb"),
+    )
+    sums = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    vx = F.col("nb") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("nb") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.where((vx > 0) & (vy > 0)).select(
+        "type_a",
+        "type_b",
+        "nb",
+        (
+            (F.col("nb") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        ).alias("pearson_r"),
+    )

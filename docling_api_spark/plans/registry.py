@@ -198,6 +198,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q112_inverted_index",
     "q113_bigram_familiarity",
     "q114_winsorized_agg",
+    "q115_time_weighted_avg",
+    "q116_seasonal_anomaly",
+    "q117_comovement_matrix",
+    "q118_equidepth_histogram",
 )
 
 

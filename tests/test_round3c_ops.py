@@ -244,3 +244,51 @@ def test_winsorized_agg_broadcasts_cuts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q114_winsorized_agg")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# q118 — equi-depth histogram: no single-partition window, balanced buckets
+# ---------------------------------------------------------------------------
+def test_equidepth_no_global_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q118_equidepth_histogram")
+    assert "Window" not in plan  # cuts via aggregate, not ntile-over-all
+    # exactly one SinglePartition exchange: the 15-row cuts aggregate.
+    # ntile-over-all would add a second one carrying the FULL relation.
+    assert plan.count("SinglePartition") == 1
+
+
+def test_equidepth_buckets_are_balanced(spark, sf_dir):
+    from docling_api_spark.operators.relational import _EQD_BUCKETS
+
+    rows = QUERIES["q118_equidepth_histogram"].fn(spark, sf_dir).collect()
+    assert len(rows) == _EQD_BUCKETS
+    counts = [r.n for r in rows]
+    total = sum(counts)
+    # equal-frequency within interpolation slack (ties at cut points)
+    assert max(counts) - min(counts) <= max(4, total // _EQD_BUCKETS // 5)
+    # buckets tile the value range in order
+    by_id = sorted(rows, key=lambda r: r.bucket_id)
+    for lo, hi in zip(by_id, by_id[1:]):
+        assert lo.max_x <= hi.min_x
+
+
+# ---------------------------------------------------------------------------
+# q115 — TWAP semantics: constant value ⇒ twap == value
+# ---------------------------------------------------------------------------
+def test_twap_constant_value(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), 1, "view", 42.5, "")
+        for i, m in enumerate([0, 7, 30, 100])
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/events.parquet")
+    (r,) = QUERIES["q115_time_weighted_avg"].fn(spark, out_dir).collect()
+    assert r.n_intervals == 3
+    assert r.covered_us == 100 * 60 * 1_000_000
+    assert abs(r.twap - 42.5) < 1e-9
