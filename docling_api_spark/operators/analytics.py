@@ -1,0 +1,238 @@
+"""Business/experimentation analytics operators.
+
+A/B lift testing, RFM segmentation, and inter-arrival analysis — the
+decision-support queries a product team runs on the same event/order
+tables the training-data pipeline reads.
+
+Scale posture: every operator reduces facts to a per-entity relation with
+ONE keyed aggregation, derives tiny global statistics (cut points, arm
+totals) with a scalar aggregate that broadcasts back, and keeps all
+comparisons in exact-integer or correctly-rounded IEEE arithmetic so
+results are engine- and partitioning-independent. No global sorts, no
+single-partition windows (the q118 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.numeric import sql_dsum
+from docling_api_spark.operators.sampling import hash_bucket, sql_hash_bucket
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q120 — A/B experiment readout: two-proportion z-test on hash-assigned arms
+# ---------------------------------------------------------------------------
+CONV_MIN = 14  # "converted" = at least this many purchases (median-ish split)
+
+
+@register(
+    "q120_ab_test_ztest",
+    tags=("experiment", "abtest", "stats"),
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 {sql_hash_bucket('user_id', 2)} AS arm,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           >= {CONV_MIN} THEN 1 ELSE 0 END AS conv
+          FROM events
+          GROUP BY user_id
+        ),
+        s AS (
+          SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+            CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+          FROM u
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt(
+                     (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)
+                   ) AS z_stat
+        FROM s
+    """,
+)
+def q120_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministically hash-assigned arms
+    (conversion = a heavy purchaser, ≥ CONV_MIN purchases — a median-ish
+    split at every scale; "ever purchased" saturates to p=1 on this data,
+    a degenerate test with zero pooled variance).
+
+    Arm assignment reuses the engine's md5 bucket (q91's idiom) so the
+    same user lands in the same arm on any engine or partitioning — the
+    property that makes an experiment readout reproducible. One
+    aggregation to the per-user relation, one 4-integer scalar reduce;
+    the z statistic is a single closing expression of correctly-rounded
+    ops over those integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= CONV_MIN,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    ).select("user_id", hash_bucket("user_id", 2).alias("arm"), "conv")
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    p = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("conv_a").cast("double") / F.col("n_a")
+        - F.col("conv_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return s.select("n_a", "n_b", "conv_a", "conv_b", z.alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# q121 — RFM segmentation with percentile cut points (no ntile global sort)
+# ---------------------------------------------------------------------------
+@register(
+    "q121_rfm_segmentation",
+    tags=("segmentation", "rfm", "percentile"),
+    oracle=f"""
+        WITH base AS (
+          SELECT o_custkey,
+                 date_diff('day',
+                   CAST(MAX(o_orderdate) AS DATE),
+                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS r_days,
+                 COUNT(*) AS f_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS m_value
+          FROM orders GROUP BY o_custkey
+        ),
+        cuts AS (
+          SELECT quantile_cont(r_days, [1/3.0, 2/3.0]) AS rc,
+                 quantile_cont(f_orders, [1/3.0, 2/3.0]) AS fc,
+                 quantile_cont(m_value, [1/3.0, 2/3.0]) AS mc
+          FROM base
+        )
+        SELECT
+          CAST(
+            (1 + len(list_filter(c.rc, v -> b.r_days > v))) * 100
+            + (1 + len(list_filter(c.fc, v -> b.f_orders > v))) * 10
+            + (1 + len(list_filter(c.mc, v -> b.m_value > v)))
+            AS INTEGER) AS segment_code,
+          COUNT(*) AS n_customers,
+          {sql_dsum('b.m_value', 'total_monetary')}
+        FROM base b, cuts c
+        GROUP BY 1
+    """,
+)
+def q121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation: tercile scores per
+    dimension composed into a 3-digit segment code.
+
+    Same scale discipline as q118: cut points come from ONE distributed
+    percentile aggregate (2 cuts × 3 metrics), broadcast back, and score
+    assignment is a map-side array filter — the ntile formulation would
+    drag every customer through a single-partition sort three times.
+    Monetary sums are DECIMAL-exact; recency is integer days.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    gmax = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    base = (
+        orders.crossJoin(F.broadcast(gmax))
+        .groupBy("o_custkey", "dmax")
+        .agg(
+            F.count(F.lit(1)).alias("f_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("m_value"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff("dmax", "last_d").alias("r_days"),
+            "f_orders",
+            "m_value",
+        )
+    )
+    cuts = base.agg(
+        F.expr("percentile(r_days, array(0.3333333333333333, 0.6666666666666666))").alias("rc"),
+        F.expr("percentile(f_orders, array(0.3333333333333333, 0.6666666666666666))").alias("fc"),
+        F.expr("percentile(m_value, array(0.3333333333333333, 0.6666666666666666))").alias("mc"),
+    )
+    scored = base.join(F.broadcast(cuts)).select(
+        (
+            (F.lit(1) + F.size(F.expr("filter(rc, v -> r_days > v)"))) * 100
+            + (F.lit(1) + F.size(F.expr("filter(fc, v -> f_orders > v)"))) * 10
+            + (F.lit(1) + F.size(F.expr("filter(mc, v -> m_value > v)")))
+        )
+        .cast("int")
+        .alias("segment_code"),
+        "m_value",
+    )
+    return scored.groupBy("segment_code").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("m_value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — repeat-purchase inter-arrival histogram
+# ---------------------------------------------------------------------------
+@register(
+    "q122_interarrival_histogram",
+    tags=("eventtime", "interarrival", "histogram"),
+    oracle="""
+        WITH gaps AS (
+          SELECT o_custkey,
+                 date_diff('day',
+                   CAST(o_orderdate AS DATE),
+                   CAST(LEAD(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS DATE)) AS gap_days
+          FROM orders
+        )
+        SELECT
+          CAST(gap_days // 7 AS INTEGER) AS gap_week,
+          COUNT(*) AS n_gaps,
+          CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+          MIN(gap_days) AS min_gap_days,
+          MAX(gap_days) AS max_gap_days
+        FROM gaps
+        WHERE gap_days IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def q122_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of days between a customer's consecutive orders,
+    bucketed by week — the repeat-purchase cadence curve.
+
+    One window pass keyed on the customer (LEAD with a deterministic
+    (date, orderkey) tie-break) feeding a hash aggregate on the derived
+    week bucket. Gaps are integer day counts end to end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.lead(F.col("o_orderdate").cast("date")).over(w),
+            F.col("o_orderdate").cast("date"),
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy(
+        F.expr("gap_days div 7").cast("int").alias("gap_week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )

@@ -1792,3 +1792,81 @@ def q117_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
         ).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — CUSUM change-point detection over hourly volumes, per event type
+# ---------------------------------------------------------------------------
+@register(
+    "q119_cusum_changepoint",
+    tags=("eventtime", "changepoint", "cusum"),
+    oracle="""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bucket, n,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_i,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS i,
+                 SUM(n) OVER (PARTITION BY event_type) AS s1,
+                 COUNT(*) OVER (PARTITION BY event_type) AS k
+          FROM hourly
+        ),
+        scored AS (
+          SELECT event_type, bucket, k,
+                 abs(CAST(k * s_i - i * s1 AS BIGINT)) AS stat,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(CAST(k * s_i - i * s1 AS BIGINT)) DESC, bucket
+                 ) AS rn
+          FROM cum
+        )
+        SELECT event_type,
+               epoch_us(bucket) AS change_bucket_us,
+               CAST(stat AS DOUBLE) / k AS cusum_stat,
+               CAST(k AS BIGINT) AS n_buckets
+        FROM scored WHERE rn = 1
+    """,
+)
+def q119_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detector: for each event type, the hour where the
+    cumulative deviation from the series mean peaks — the standard 'when
+    did the level shift' scan.
+
+    The statistic is kept scaled-integer (k·S_i − i·Σn) so the argmax is
+    exact; one double division at the end. All windows partition by
+    event_type over the (tiny) hourly relation — per-key series length is
+    bounded, so no single-partition risk at scale. Ties break to the
+    earliest bucket, making the result total-order deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("event_type")
+    wo = wt.orderBy("bucket")
+    cum = hourly.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("s_i"),
+        F.row_number().over(wo).alias("i"),
+        F.sum("n").over(wt).alias("s1"),
+        F.count(F.lit(1)).over(wt).alias("k"),
+    )
+    scored = cum.select(
+        "event_type",
+        "bucket",
+        "k",
+        F.abs(F.col("k") * F.col("s_i") - F.col("i") * F.col("s1")).alias("stat"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(wt.orderBy(F.col("stat").desc(), F.col("bucket"))),
+    )
+    return scored.where(F.col("rn") == 1).select(
+        "event_type",
+        F.unix_micros("bucket").alias("change_bucket_us"),
+        (F.col("stat").cast("double") / F.col("k")).alias("cusum_stat"),
+        F.col("k").cast("bigint").alias("n_buckets"),
+    )

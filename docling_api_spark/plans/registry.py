@@ -202,6 +202,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q116_seasonal_anomaly",
     "q117_comovement_matrix",
     "q118_equidepth_histogram",
+    "q119_cusum_changepoint",
+    "q120_ab_test_ztest",
+    "q121_rfm_segmentation",
+    "q122_interarrival_histogram",
 )
 
 
@@ -212,6 +216,7 @@ def all_queries() -> dict[str, Query]:
     # Imports are deferred so `plans` can be imported without pulling pyspark
     # operator modules at module-import time in tooling contexts.
     from docling_api_spark.operators import (  # noqa: F401
+        analytics,
         datapipe,
         dedup,
         entity,

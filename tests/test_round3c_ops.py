@@ -292,3 +292,50 @@ def test_twap_constant_value(spark, tmp_path):
     assert r.n_intervals == 3
     assert r.covered_us == 100 * 60 * 1_000_000
     assert abs(r.twap - 42.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q119 — CUSUM finds an injected level shift
+# ---------------------------------------------------------------------------
+def test_cusum_finds_injected_shift(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    # 48 hourly buckets: 1 event/hour for 24h, then 5 events/hour for 24h
+    for h in range(48):
+        per_hour = 1 if h < 24 else 5
+        for j in range(per_hour):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, minutes=j), 7, "view", 1.0, "")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/events.parquet")
+
+    (r,) = QUERIES["q119_cusum_changepoint"].fn(spark, out_dir).collect()
+    # |k*S_i - i*s1| peaks exactly at the last pre-shift bucket (h=23)
+    change = dt.datetime.fromtimestamp(r.change_bucket_us / 1e6, dt.timezone.utc)
+    assert change == dt.datetime(2024, 5, 1, 23, tzinfo=dt.timezone.utc)
+    assert r.n_buckets == 48
+
+
+# ---------------------------------------------------------------------------
+# q121 — RFM segment codes are 3-digit tercile compositions
+# ---------------------------------------------------------------------------
+def test_rfm_segment_codes_valid(spark, sf_dir):
+    rows = QUERIES["q121_rfm_segmentation"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        c = r.segment_code
+        assert 111 <= c <= 333
+        assert all(1 <= int(d) <= 3 for d in str(c))
+    # every customer is in exactly one segment
+    from docling_api_spark.tables import load_table
+
+    n_cust = load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
