@@ -66,13 +66,17 @@ def register(
 # window come first. Round-3 rotation (VERDICT r2 #1): the six oracle-
 # checked-but-never-driver-graded queries (q36, q37, q54, q64, q66, q82)
 # move INTO the window in place of six double-green same-feature siblings
-# (q05/q06 → joins keep q03/q04/q07; q12/q13 → rollup family keeps q11;
+# (q05/q06 → joins keep q03/q04; q12/q13 → rollup family keeps q11;
 # q15/q16 → windows keep q14). The five round-3 curation passes
-# (q67/q68/q69/q95/q97) also enter the window in place of five more
-# double-green siblings (q21/q22/q27 → scalar-func row keeps q19/q20/q26;
-# q61/q62 → text-analysis row keeps q60/q63/q64/q65/q66). The overflow
-# tail is redundant same-feature siblings with an r1/r2 green grade on
-# record; all stay registered, pytest-pinned, and dryrun-swept.
+# (q67/q68/q69/q95/q97) and TEN new-operator-CLASS queries from this
+# round's continuation batches (q103–q120: BFS, snapshot diff, funnel,
+# Misra-Gries heavy hitters, bloom join, stream-stream join, interval
+# overlap, TWAP, equi-depth histogram, A/B z-test) also enter the window,
+# displacing double-green siblings (q10/q17/q19/q26/q31/q34/q39/q46/q52/
+# q65 all carry r1+r2 hash-green grades; their §2.9 rows stay covered by
+# in-window cousins or those standing grades). The overflow tail is
+# redundant same-feature siblings with an r1/r2 green grade on record;
+# all stay registered, pytest-pinned, and dryrun-swept.
 GRADED_FIRST: tuple[str, ...] = (
     # -- round-3 rotation: oracle-checked, never driver-graded --
     "q36_streaming_tumbling",
@@ -87,33 +91,35 @@ GRADED_FIRST: tuple[str, ...] = (
     "q69_contamination_check",
     "q95_temperature_mix",
     "q97_paragraph_dedup",
+    # -- round-3 continuation: new operator classes, never driver-graded --
+    "q103_khop_reachability",
+    "q104_snapshot_diff",
+    "q105_funnel_steps",
+    "q106_heavy_hitters",
+    "q108_bloom_semi_join",
+    "q109_stream_stream_join",
+    "q110_interval_overlap_join",
+    "q115_time_weighted_avg",
+    "q118_equidepth_histogram",
+    "q120_ab_test_ztest",
     # -- graded green in r2; keep graded (feature representatives) --
-    "q26_conditional_agg",
     "q30_tumbling_window",
-    "q31_sliding_window",
     "q32_session_window",
     "q33_asof_join",
-    "q34_funnel_range_join",
     "q35_bucketed_range_join",
     "q38_salted_skew_agg",
-    "q39_gap_fill_resample",
-    "q46_unpivot",
     "q47_retention_cohorts",
     "q60_lang_breakdown",
     "q63_tfidf_top_terms",
-    "q65_doc_fingerprint",
     "q80_media_features",
     "q90_profile_orders",
     "q01_pricing_summary",
     "q03_broadcast_dim_join",
     "q04_multiway_join_revenue",
     "q07_outer_join",
-    "q10_agg_distinct",
     "q11_rollup",
     "q14_window_topk_per_group",
-    "q17_topk_global",
     "q18_set_ops",
-    "q19_pivot",
     "q20_string_funcs",
     "q24_percentiles_exact",
     "q40_dedup_exact",
@@ -123,13 +129,22 @@ GRADED_FIRST: tuple[str, ...] = (
     "q45_dedup_clusters",
     "q50_cosine_topk",
     "q51_ann_lsh",
-    "q52_knn_label_vote",
     "q70_format_classify",
     "q71_upload_validation",
     "q81_frame_sample",
     # ---- overflow: beyond the driver's 50-entry window ----
     # (every name below has an r1 or r2 hash-green grade on record, or is
     # rows-only by design: q23 sketches, q43_xxh no DuckDB twin, q72 markdown)
+    "q10_agg_distinct",
+    "q17_topk_global",
+    "q19_pivot",
+    "q26_conditional_agg",
+    "q31_sliding_window",
+    "q34_funnel_range_join",
+    "q39_gap_fill_resample",
+    "q46_unpivot",
+    "q52_knn_label_vote",
+    "q65_doc_fingerprint",
     "q27_array_agg",
     "q21_date_funcs",
     "q22_math_json_funcs",
@@ -185,25 +200,16 @@ GRADED_FIRST: tuple[str, ...] = (
     "q100_chunk_documents",
     "q101_ks_drift",
     "q102_revenue_concentration",
-    # round-3 additions, third batch (oracle-checked, overflow for now)
-    "q103_khop_reachability",
-    "q104_snapshot_diff",
-    "q105_funnel_steps",
-    "q106_heavy_hitters",
+    # round-3 continuation, remaining additions (oracle-checked, overflow —
+    # rotate into the window next round; class cousins are in-window)
     "q107_stream_static_join",
-    "q108_bloom_semi_join",
-    "q109_stream_stream_join",
-    "q110_interval_overlap_join",
     "q111_text_normalize",
     "q112_inverted_index",
     "q113_bigram_familiarity",
     "q114_winsorized_agg",
-    "q115_time_weighted_avg",
     "q116_seasonal_anomaly",
     "q117_comovement_matrix",
-    "q118_equidepth_histogram",
     "q119_cusum_changepoint",
-    "q120_ab_test_ztest",
     "q121_rfm_segmentation",
     "q122_interarrival_histogram",
 )

@@ -9,21 +9,23 @@ from docling_api_spark.plans.registry import GRADED_FIRST, all_queries
 DRIVER_WINDOW = 50
 
 # Every query the round-3 verdict requires a driver verdict for: the six
-# never-driver-graded rotations, the five round-3 curation passes, plus one
-# representative per §2.9 feature (q21/q22/q27/q61/q62 rotated to overflow —
-# their r1/r2 hash-green grades stand; q19/q20/q26 and q60/q63-q66 keep the
-# scalar-func and text-analysis rows represented in-window).
+# never-driver-graded rotations, the five round-3 curation passes, the ten
+# new-operator-class continuation queries, plus one representative per
+# §2.9 feature (displaced siblings q10/q17/q19/q26/q31/q34/q39/q46/q52/q65
+# and q21/q22/q27/q61/q62 carry r1/r2 hash-green grades on record).
 MUST_GRADE = {
     "q36_streaming_tumbling", "q37_streaming_sessionize", "q54_ann_ivf",
     "q64_lang_id", "q66_regex_token_count", "q82_media_resize",
     "q67_pii_redaction", "q68_repetition_filter", "q69_contamination_check",
     "q95_temperature_mix", "q97_paragraph_dedup",
-    "q26_conditional_agg", "q30_tumbling_window",
-    "q31_sliding_window", "q32_session_window", "q33_asof_join",
-    "q34_funnel_range_join", "q35_bucketed_range_join", "q38_salted_skew_agg",
-    "q39_gap_fill_resample", "q46_unpivot", "q47_retention_cohorts",
-    "q60_lang_breakdown",
-    "q63_tfidf_top_terms", "q65_doc_fingerprint", "q80_media_features",
+    "q103_khop_reachability", "q104_snapshot_diff", "q105_funnel_steps",
+    "q106_heavy_hitters", "q108_bloom_semi_join", "q109_stream_stream_join",
+    "q110_interval_overlap_join", "q115_time_weighted_avg",
+    "q118_equidepth_histogram", "q120_ab_test_ztest",
+    "q30_tumbling_window", "q32_session_window", "q33_asof_join",
+    "q35_bucketed_range_join", "q38_salted_skew_agg",
+    "q47_retention_cohorts", "q60_lang_breakdown",
+    "q63_tfidf_top_terms", "q80_media_features",
     "q90_profile_orders", "q45_dedup_clusters",
 }
 
