@@ -820,6 +820,7 @@ def _mg_candidates(batches):
 @register(
     "q106_heavy_hitters",
     tags=("text", "sketch", "heavy-hitters"),
+    bench=True,
     oracle=f"""
         WITH toks AS (
           SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -939,6 +940,7 @@ _POSTING_CAP = 20
 @register(
     "q112_inverted_index",
     tags=("text", "index", "posting-list"),
+    bench=True,
     oracle=f"""
         SELECT
           token,
