@@ -236,3 +236,153 @@ def q122_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").alias("min_gap_days"),
         F.max("gap_days").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — market-basket pair mining (support / confidence / lift)
+# ---------------------------------------------------------------------------
+_MB_SUPPORT_PCT = 2  # keep pairs present in >= 2% of orders
+
+
+@register(
+    "q123_market_basket",
+    tags=("basket", "association", "join"),
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+        brand_cnt AS (
+          SELECT brand, COUNT(*) AS n_brand FROM items GROUP BY brand
+        ),
+        pairs AS (
+          SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_pair
+          FROM items a JOIN items b
+            ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2
+        )
+        SELECT
+          p.brand_a, p.brand_b, p.n_pair,
+          CAST(p.n_pair AS DOUBLE) / ca.n_brand AS confidence_a_to_b,
+          CAST(p.n_pair AS DOUBLE) * n.n_orders / (ca.n_brand * cb.n_brand)
+            AS lift
+        FROM pairs p
+        JOIN brand_cnt ca ON p.brand_a = ca.brand
+        JOIN brand_cnt cb ON p.brand_b = cb.brand
+        CROSS JOIN n
+        WHERE p.n_pair * 100 >= n.n_orders * {_MB_SUPPORT_PCT}
+    """,
+)
+def q123_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand pairs across orders with confidence and lift — the
+    association-rule readout of a market-basket scan.
+
+    Items collapse to DISTINCT (order, brand) FIRST (map-side, before any
+    join), so the within-order pair join explodes b² per order with b =
+    distinct brands per order — bounded by basket size, not table size.
+    Support/confidence/lift are integer counts with closing double
+    divisions; brand marginals are a tiny broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.select(F.count_distinct("okey").alias("n_orders"))
+    brand_cnt = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = items.select("okey", F.col("brand").alias("brand_a"))
+    b = items.select(F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (F.col("okey") == F.col("okey_b")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ca = brand_cnt.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a"))
+    cb = brand_cnt.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .where(F.col("n_pair") * 100 >= F.col("n_orders") * _MB_SUPPORT_PCT)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_a")).alias("confidence_a_to_b"),
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — chi-square independence test (event type × market segment)
+# ---------------------------------------------------------------------------
+@register(
+    "q124_chi_square",
+    tags=("stats", "contingency", "chi2"),
+    oracle="""
+        WITH cells AS (
+          SELECT e.event_type, c.c_mktsegment AS seg, COUNT(*) AS o
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type, seg, o,
+                 SUM(o) OVER (PARTITION BY event_type) AS r_tot,
+                 SUM(o) OVER (PARTITION BY seg) AS c_tot,
+                 SUM(o) OVER () AS g
+          FROM cells
+        )
+        SELECT
+          CAST(MAX(g) AS BIGINT) AS n_obs,
+          CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT seg) - 1)
+               AS BIGINT) AS dof,
+          CAST(SUM(CAST(
+            CAST((o * g - r_tot * c_tot) AS DOUBLE)
+              * (o * g - r_tot * c_tot) / (g * r_tot * c_tot)
+            AS DECIMAL(28,6))) AS DOUBLE) AS chi2
+        FROM m
+    """,
+)
+def q124_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and the acting
+    user's market segment.
+
+    Per-cell contribution is written as (o·g − r·c)²/(g·r·c) — integer
+    numerator, so each term is one double division on identical integers
+    in both engines — and the 25-term total goes through the
+    DECIMAL(28,6) exact-sum so it is accumulation-order independent.
+    Contingency marginals are windows over the CELL relation (|types| ×
+    |segments| rows), not the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("event_type", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = cells.select(
+        "event_type",
+        "seg",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("r_tot"),
+        F.sum("o").over(W.partitionBy("seg")).alias("c_tot"),
+        F.sum("o").over(W.partitionBy()).alias("g"),
+    )
+    num = F.col("o") * F.col("g") - F.col("r_tot") * F.col("c_tot")
+    term = num.cast("double") * num / (F.col("g") * F.col("r_tot") * F.col("c_tot"))
+    return m.agg(
+        F.max("g").cast("bigint").alias("n_obs"),
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("seg") - 1)
+        ).cast("bigint").alias("dof"),
+        F.sum(term.cast("decimal(28,6)")).cast("double").alias("chi2"),
+    )

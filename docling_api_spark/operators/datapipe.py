@@ -650,3 +650,62 @@ def q75_span_dedup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(shared, 1).otherwise(0)).cast("bigint").alias("n_shared"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — null imputation with group means (data-repair pass)
+# ---------------------------------------------------------------------------
+@register(
+    "q125_impute_group_mean",
+    tags=("curation", "impute", "repair"),
+    oracle="""
+        WITH marked AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+          FROM events
+        ),
+        means AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / COUNT(v) AS mu
+          FROM marked GROUP BY event_type
+        )
+        SELECT
+          m.event_type,
+          CAST(SUM(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+          COUNT(*) AS n_total,
+          CAST(SUM(CAST(COALESCE(m.v, mm.mu) AS DECIMAL(28,6))) AS DOUBLE)
+            AS filled_sum
+        FROM marked m JOIN means mm ON m.event_type = mm.event_type
+        GROUP BY m.event_type
+    """,
+)
+def q125_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation: rows with a (simulated) missing `value` are
+    filled with their event type's mean over the observed rows — the
+    standard data-repair pass before numeric featurization.
+
+    Two aggregations: per-group exact-decimal means (tiny, broadcast
+    back) and the verification aggregate over the filled column. The
+    missing mask is deterministic (event_id % 13) so the operator is
+    self-contained on the driver's fixed tables; in production the mask
+    is `value IS NULL`. The filled column mixes original doubles with
+    the group-mean double — both engines see identical values, and the
+    checksum goes through the DECIMAL exact-sum.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    means = marked.groupBy("event_type").agg(
+        (F.sum(F.col("v").cast("decimal(28,6)")).cast("double") / F.count("v")).alias("mu")
+    )
+    return (
+        marked.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("bigint").alias("n_imputed"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce("v", "mu").cast("decimal(28,6)")).cast("double").alias("filled_sum"),
+        )
+    )

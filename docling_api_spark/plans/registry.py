@@ -212,6 +212,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q119_cusum_changepoint",
     "q121_rfm_segmentation",
     "q122_interarrival_histogram",
+    "q123_market_basket",
+    "q124_chi_square",
+    "q125_impute_group_mean",
 )
 
 

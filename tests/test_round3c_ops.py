@@ -339,3 +339,66 @@ def test_rfm_segment_codes_valid(spark, sf_dir):
 
     n_cust = load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     assert sum(r.n_customers for r in rows) == n_cust
+
+
+# ---------------------------------------------------------------------------
+# q124 — chi-square is exactly 0 on a perfectly independent table
+# ---------------------------------------------------------------------------
+def test_chi_square_zero_under_independence(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # users: 1,2 in segment X; 3,4 in segment Y
+    cust = spark.createDataFrame(
+        [(1, "u1", 0, 0.0, "X"), (2, "u2", 0, 0.0, "X"),
+         (3, "u3", 0, 0.0, "Y"), (4, "u4", 0, 0.0, "Y")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    # counts factorize: type view = 20 per segment, type click = 10 per segment
+    rows, eid = [], 0
+    for utype, per_seg in [("view", 20), ("click", 10)]:
+        for seg_users in [(1, 2), (3, 4)]:
+            for i in range(per_seg):
+                rows.append(
+                    (eid, t0 + dt.timedelta(minutes=eid), seg_users[i % 2], utype, 1.0, "")
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out_dir = str(tmp_path / "sf")
+    ev.write.parquet(out_dir + "/events.parquet")
+    cust.write.parquet(out_dir + "/customer.parquet")
+
+    (r,) = QUERIES["q124_chi_square"].fn(spark, out_dir).collect()
+    assert r.n_obs == 60
+    assert r.dof == 1
+    assert r.chi2 == 0.0  # o == r*c/g exactly in every cell
+
+
+# ---------------------------------------------------------------------------
+# q125 — imputation restores the group sum exactly
+# ---------------------------------------------------------------------------
+def test_impute_filled_sum(spark, sf_dir):
+    from docling_api_spark.tables import load_table
+
+    rows = {r.event_type: r for r in QUERIES["q125_impute_group_mean"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    for r in rows.values():
+        assert r.n_imputed > 0  # the mask actually fired
+        assert r.n_total > r.n_imputed
+    # filled_sum == observed_sum + n_imputed * group_mean (exact decimal math)
+    obs = {
+        r.event_type: (r.s, r.c)
+        for r in ev.where(F.col("event_id") % 13 != 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .collect()
+    }
+    for et, r in rows.items():
+        s, c = obs[et]
+        # each imputed value is DECIMAL(28,6)-quantized: up to 5e-7 per row
+        assert abs(r.filled_sum - (s + r.n_imputed * (s / c))) < 1e-6 * r.n_imputed + 1e-9
