@@ -386,3 +386,129 @@ def q124_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("dof"),
         F.sum(term.cast("decimal(28,6)")).cast("double").alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — 2D skyline (Pareto-optimal set) via prune-and-verify
+# ---------------------------------------------------------------------------
+@register(
+    "q126_skyline",
+    tags=("skyline", "pareto", "prune-verify"),
+    oracle="""
+        SELECT a.p_partkey, a.p_retailprice, a.p_size
+        FROM part a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part b
+          WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+            AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+        )
+    """,
+)
+def q126_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front of parts minimizing (retail price, size): rows no other
+    row beats on both dimensions.
+
+    The textbook NOT EXISTS is a quadratic self-join — the oracle pays it
+    at sf0.01; at 100 TB it's a non-starter. Scale plan: (1) per-size
+    minimum price (one keyed agg → |size domain| rows), (2) prefix-min
+    over that tiny table = cheapest price at-or-below each size, (3) a
+    point survives pruning iff its price equals that prefix-min (any
+    dominated point is provably dominated by some surviving candidate —
+    the argmin-price point at its size class is itself a candidate),
+    (4) exact dominance anti-join among the few candidates. Facts are
+    touched by one aggregation and one broadcast-filter pass; the
+    quadratic step runs on the candidate set only.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("min_p"))
+    wpm = W.orderBy("p_size").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # prefix-min over the size-domain-sized relation (tiny; the lone
+    # SinglePartition, same class as q118's cuts aggregate)
+    prefix = per_size.select(
+        "p_size", F.min("min_p").over(wpm).alias("pm")
+    )
+    cand = (
+        part.join(F.broadcast(prefix), "p_size")
+        .where(F.col("p_retailprice") <= F.col("pm"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    b = cand.select(
+        F.col("p_retailprice").alias("bp"), F.col("p_size").alias("bs")
+    )
+    dominated = (
+        (F.col("bp") <= F.col("p_retailprice"))
+        & (F.col("bs") <= F.col("p_size"))
+        & ((F.col("bp") < F.col("p_retailprice")) | (F.col("bs") < F.col("p_size")))
+    )
+    return cand.join(F.broadcast(b), dominated, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# q127 — grouped OLS regression (value trend per event type, exact moments)
+# ---------------------------------------------------------------------------
+_REG_EPOCH = "1970-01-01"
+
+
+@register(
+    "q127_group_regression",
+    tags=("stats", "regression", "trend"),
+    oracle=f"""
+        WITH pts AS (
+          SELECT event_type,
+                 date_diff('day', DATE '{_REG_EPOCH}', CAST(ts AS DATE)) AS x,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events
+        ),
+        m AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) AS slope_cents_per_day,
+               (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (n * sxx - sx * sx) * sx) / n AS intercept_cents
+        FROM m
+        WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q127_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend line of `value` (in cents) over time
+    (in days): slope + intercept per event type.
+
+    OLS from five integer moments per group — one hash aggregation with
+    map-side partials, no covariance UDF, no per-group collect. x is
+    integer days and y integer cents, so every moment is exact (max
+    |Σxy| ≈ n·2e4·2e4 ≪ 2^63) and the closing slope/intercept doubles
+    are engine-identical. This is the template for any grouped moment
+    statistic (variance, covariance, correlation) at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit(_REG_EPOCH).cast("date")).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / det
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    return m.where(det > 0).select(
+        "event_type",
+        "n",
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )

@@ -215,6 +215,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q123_market_basket",
     "q124_chi_square",
     "q125_impute_group_mean",
+    "q126_skyline",
+    "q127_group_regression",
 )
 
 

@@ -402,3 +402,53 @@ def test_impute_filled_sum(spark, sf_dir):
         s, c = obs[et]
         # each imputed value is DECIMAL(28,6)-quantized: up to 5e-7 per row
         assert abs(r.filled_sum - (s + r.n_imputed * (s / c))) < 1e-6 * r.n_imputed + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q126 — skyline prune keeps all true Pareto points on a constructed set
+# ---------------------------------------------------------------------------
+def test_skyline_constructed(spark, tmp_path):
+    rows = [
+        # (partkey, price, size): front = {(1, 900.0, 30), (2, 950.0, 10), (3, 990.0, 5)}
+        (1, 900.0, 30),
+        (2, 950.0, 10),
+        (3, 990.0, 5),
+        (4, 900.0, 40),   # dominated by 1 (same price, bigger size)
+        (5, 960.0, 10),   # dominated by 2
+        (6, 990.0, 5),    # duplicate of 3: NOT dominated (no strict edge) → in front
+        (7, 999.0, 50),   # dominated by everything
+    ]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_retailprice", "p_size"])
+    df = df.withColumn("p_name", F.lit("x")).withColumn("p_brand", F.lit("b")).withColumn(
+        "p_type", F.lit("t")
+    )
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/part.parquet")
+
+    got = {r.p_partkey for r in QUERIES["q126_skyline"].fn(spark, out_dir).collect()}
+    assert got == {1, 2, 3, 6}
+
+
+# ---------------------------------------------------------------------------
+# q127 — regression recovers an exact injected linear trend
+# ---------------------------------------------------------------------------
+def test_regression_recovers_line(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # value = 10.00 + 0.25 * day  (exact in cents: 1000 + 25*day)
+    for day in range(30):
+        rows.append((day, t0 + dt.timedelta(days=day), 1, "view", 10.0 + 0.25 * day, ""))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/events.parquet")
+
+    (r,) = QUERIES["q127_group_regression"].fn(spark, out_dir).collect()
+    assert r.n == 30
+    assert abs(r.slope_cents_per_day - 25.0) < 1e-9
+    # intercept at day 0 of the x axis (days since 1970) — recompute directly
+    x0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert abs((r.intercept_cents + r.slope_cents_per_day * x0) - 1000.0) < 1e-6
