@@ -1061,3 +1061,198 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").alias("max_x"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — rolling median (order statistic over a moving frame)
+# ---------------------------------------------------------------------------
+_RM_FRAME = 5  # trailing window size (rows), current row included
+
+
+@register(
+    "q128_rolling_median",
+    tags=("window_frame", "median", "robust"),
+    oracle=f"""
+        SELECT event_id, user_id, med FROM (
+          SELECT event_id, user_id,
+                 quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_RM_FRAME - 1} PRECEDING AND CURRENT ROW
+                 ) AS med,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS rn
+          FROM events
+        ) t
+        WHERE rn >= {_RM_FRAME}
+    """,
+)
+def q128_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {_RM_FRAME}-row median of `value` per user — the robust
+    moving-average companion to q49's rolling z-score (an order statistic
+    in the frame, not a moment, so one outlier can't drag it).
+
+    Spark's `percentile` runs as a window aggregate over the ROWS frame
+    (≡ DuckDB quantile_cont — same linear interpolation, pinned by q24).
+    One shuffle on user_id; frame state is O({_RM_FRAME}) per row. Rows
+    without a full frame are dropped so every emitted median covers
+    exactly {_RM_FRAME} observations.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(_RM_FRAME - 1), W.currentRow)
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("percentile(value, 0.5)").over(frame).alias("med"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return out.where(F.col("rn") >= _RM_FRAME).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# q129 — referential-integrity audit (FK orphan counts across the schema)
+# ---------------------------------------------------------------------------
+@register(
+    "q129_fk_audit",
+    tags=("quality", "integrity", "anti-join"),
+    oracle="""
+        SELECT 'customers_without_orders' AS check_name,
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+               ) AS n_rows
+        UNION ALL
+        SELECT 'orders_without_customer',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitems_without_order',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'orders_without_lineitems',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        UNION ALL
+        SELECT 'parts_never_ordered',
+               (SELECT COUNT(*) FROM part p
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+        UNION ALL
+        SELECT 'suppliers_never_used',
+               (SELECT COUNT(*) FROM supplier s
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+    """,
+)
+def q129_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: six anti-join
+    violation counts in one labeled result — the referential-integrity
+    gate a warehouse load runs before publishing.
+
+    Each check is a LEFT ANTI join; small sides broadcast, the two
+    fact-fact checks (lineitem↔orders) shuffle on their join key once.
+    The key-only column pruning means every check reads one column per
+    table.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("check_name"), "n_rows"
+        )
+
+    okeys = orders.select("o_orderkey")
+    lkeys_o = li.select("l_orderkey")
+    checks = [
+        check(
+            "customers_without_orders",
+            cust.join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"),
+        ),
+        check(
+            "orders_without_customer",
+            orders.join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey"), "left_anti"),
+        ),
+        check(
+            "lineitems_without_order",
+            li.join(okeys, li.l_orderkey == F.col("o_orderkey"), "left_anti"),
+        ),
+        check(
+            "orders_without_lineitems",
+            orders.join(lkeys_o, orders.o_orderkey == F.col("l_orderkey"), "left_anti"),
+        ),
+        check(
+            "parts_never_ordered",
+            part.join(li.select("l_partkey"), part.p_partkey == F.col("l_partkey"), "left_anti"),
+        ),
+        check(
+            "suppliers_never_used",
+            supp.join(li.select("l_suppkey"), supp.s_suppkey == F.col("l_suppkey"), "left_anti"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q130 — hierarchical ratio-to-parent rollup (nation share of region, etc.)
+# ---------------------------------------------------------------------------
+@register(
+    "q130_ratio_to_parent",
+    tags=("agg", "hierarchy", "ratio"),
+    oracle=f"""
+        WITH leaf AS (
+          SELECT r_name, n_name,
+                 SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS bal_dec
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name
+        )
+        SELECT
+          r_name, n_name,
+          CAST(bal_dec AS DOUBLE) AS bal,
+          CAST(bal_dec AS DOUBLE)
+            / CAST(SUM(bal_dec) OVER (PARTITION BY r_name) AS DOUBLE)
+            AS share_of_region,
+          CAST(bal_dec AS DOUBLE)
+            / CAST(SUM(bal_dec) OVER () AS DOUBLE) AS share_of_global
+        FROM leaf
+    """,
+)
+def q130_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share report: each nation's balance as a fraction of
+    its region and of the world.
+
+    The facts aggregate ONCE to the leaf level (25 rows); parent totals
+    are windows over that tiny relation, so the 'ratio to parent' costs
+    nothing beyond the leaf rollup. Leaf AND parent sums stay DECIMAL
+    (exact, order-independent) all the way — parent sums of leaf DOUBLES
+    would accumulate in engine-dependent order — with one double cast on
+    each side of the closing division.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    leaf = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(28,6)")).alias("bal_dec"))
+    )
+    bal = F.col("bal_dec").cast("double")
+    return leaf.select(
+        "r_name",
+        "n_name",
+        bal.alias("bal"),
+        (bal / F.sum("bal_dec").over(W.partitionBy("r_name")).cast("double")).alias(
+            "share_of_region"
+        ),
+        (bal / F.sum("bal_dec").over(W.partitionBy()).cast("double")).alias(
+            "share_of_global"
+        ),
+    )

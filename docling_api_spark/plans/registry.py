@@ -217,6 +217,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q125_impute_group_mean",
     "q126_skyline",
     "q127_group_regression",
+    "q128_rolling_median",
+    "q129_fk_audit",
+    "q130_ratio_to_parent",
 )
 
 
