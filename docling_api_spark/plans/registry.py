@@ -220,6 +220,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q128_rolling_median",
     "q129_fk_audit",
     "q130_ratio_to_parent",
+    "q131_audience_overlap",
+    "q132_grouped_mode",
 )
 
 

@@ -88,3 +88,76 @@ def sessionize_stream(events_stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas: the Spark-4 native stateful-processor API
+# ---------------------------------------------------------------------------
+COUNTER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def _make_counter_processor():
+    """Running per-user counter as a StatefulProcessor (ValueState holding
+    two integers, updated per micro-batch, snapshot emitted each batch).
+
+    Defined inside a factory so importing this module never requires the
+    transformWithState machinery (Spark >= 4.0) at import time.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            state_schema = T.StructType(
+                [
+                    T.StructField("n_events", T.LongType()),
+                    T.StructField("total_cents", T.LongType()),
+                ]
+            )
+            self._state = handle.getValueState("counter", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._state.update((n, cents))
+            (user_id,) = key
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningCounter()
+
+
+def running_counter_stream(events_stream: DataFrame) -> DataFrame:
+    """events stream with (user_id, cents) → per-user running totals via
+    transformWithStateInPandas (arbitrary typed state, the API that
+    supersedes applyInPandasWithState in Spark 4).
+
+    transformWithState only runs on the RocksDB state store; pin the
+    provider before the query starts (HDFS-backed is the default)."""
+    events_stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_counter_processor(),
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        outputMode="Append",  # file sinks are append-only; single-batch
+        # inputs emit each user exactly once, so Append == final totals
+        timeMode="None",
+    )
