@@ -174,3 +174,83 @@ def test_morton_sql_formula_matches_reference_interleave(x, y):
 
     sql = _morton_sql("X", "Y").replace("X", str(x)).replace("Y", str(y))
     assert eval(sql) == _morton_py(x, y)
+
+
+# ---------------------------------------------------------------------------
+# Batched Misra-Gries: recall guarantee under random streams and batchings
+# ---------------------------------------------------------------------------
+@given(data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_mg_recall_under_random_streams(data):
+    """For any stream and any batching, every token with frequency
+    > n/(capacity+1) must survive the per-partition MG reduction."""
+    import pandas as pd
+
+    from docling_api_spark.operators import textstats
+
+    # small capacity to make the bound actually bite
+    orig = textstats._MG_CAPACITY
+    textstats._MG_CAPACITY = 16
+    try:
+        toks = data.draw(
+            st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=4000)
+        )
+        batch_size = data.draw(st.integers(min_value=1, max_value=len(toks)))
+        toks_s = [f"t{t}" for t in toks]
+        batches = [
+            pd.DataFrame({"token": toks_s[i : i + batch_size]})
+            for i in range(0, len(toks_s), batch_size)
+        ]
+        (out,) = list(textstats._mg_candidates(iter(batches)))
+        survivors = set(out["token"])
+        n = len(toks_s)
+        from collections import Counter
+
+        for tok, freq in Counter(toks_s).items():
+            if freq > n / (16 + 1):
+                assert tok in survivors, (tok, freq, n)
+    finally:
+        textstats._MG_CAPACITY = orig
+
+
+# ---------------------------------------------------------------------------
+# Skyline prune-and-verify: candidate set covers every true dominator
+# ---------------------------------------------------------------------------
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_skyline_prune_logic_matches_bruteforce(pts):
+    """Pure-python replay of q126's prune rule vs the quadratic answer:
+    a point survives pruning iff its price equals the prefix-min at its
+    size — and the pruned set must contain the whole true skyline AND a
+    dominator for every dominated point."""
+    import collections
+
+    per_size = collections.defaultdict(list)
+    for p, s in pts:
+        per_size[s].append(p)
+    sizes = sorted(per_size)
+    prefix_min, run = {}, None
+    for s in sizes:
+        m = min(per_size[s])
+        run = m if run is None else min(run, m)
+        prefix_min[s] = run
+
+    cand = [(p, s) for (p, s) in pts if p <= prefix_min[s]]
+
+    def dominated(a, others):
+        return any(
+            b[0] <= a[0] and b[1] <= a[1] and (b[0] < a[0] or b[1] < a[1])
+            for b in others
+        )
+
+    true_front = [a for a in pts if not dominated(a, pts)]
+    # every true-front point survives pruning
+    for a in true_front:
+        assert a in cand
+    # verify step on candidates alone reproduces the true front (multiset)
+    front_from_cand = [a for a in cand if not dominated(a, cand)]
+    assert sorted(front_from_cand) == sorted(true_front)
