@@ -709,3 +709,111 @@ def q125_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("v", "mu").cast("decimal(28,6)")).cast("double").alias("filled_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — composed curation pipeline (normalize → dedup → filter → pack)
+# ---------------------------------------------------------------------------
+_CP_WS = "[ \\t\\n\\r]+"
+_CP_MIN_WORDS = 10
+_CP_MIN_DISTINCT_PCT = 30
+_CP_BIN_TOKENS = 1024
+
+
+@register(
+    "q134_curation_pipeline",
+    tags=("curation", "pipeline", "composition"),
+    oracle=f"""
+        WITH norm AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(text), '{_CP_WS}', ' ', 'g')) AS t
+          FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id, lang, t, md5(t) AS h FROM norm
+        ),
+        deduped AS (
+          SELECT doc_id, lang, t FROM (
+            SELECT doc_id, lang, t,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM hashed
+          ) WHERE rn = 1
+        ),
+        kept AS (
+          SELECT doc_id, lang,
+                 len(string_split(t, ' ')) AS n_tokens,
+                 len(list_distinct(string_split(t, ' '))) AS n_distinct
+          FROM deduped
+          WHERE len(string_split(t, ' ')) >= {_CP_MIN_WORDS}
+            AND len(list_distinct(string_split(t, ' '))) * 100
+                > len(string_split(t, ' ')) * {_CP_MIN_DISTINCT_PCT}
+        ),
+        packed AS (
+          SELECT lang, n_tokens,
+                 CAST((SUM(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) // {_CP_BIN_TOKENS} AS BIGINT) AS bin_id
+          FROM kept
+        )
+        SELECT lang, bin_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+        FROM packed
+        GROUP BY lang, bin_id
+    """,
+)
+def q134_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation DAG in one plan: whitespace/case
+    normalization → exact dedup on the normalized digest (first doc_id
+    wins) → repetition-aware quality filter → per-language token-budget
+    packing → bin manifest. Every stage is an operator this engine ships
+    individually (q111, q40/q97, q68, q73); this query pins that they
+    COMPOSE — one Catalyst plan, no materialization between stages.
+
+    Stage costs: normalization is map-side; dedup shuffles 16-byte
+    digests; the filter is map-side integer arithmetic; packing reuses
+    q73's per-lang prefix-sum window (keyed — no single-partition
+    window); the manifest is one keyed aggregate. At 100 TB the digest
+    shuffle dominates and is the theoretical floor for exact dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        "lang",
+        F.trim(F.regexp_replace(F.lower("text"), _CP_WS, " ")).alias("t"),
+    )
+    hashed = norm.withColumn("h", F.md5(F.col("t").cast("binary")))
+    deduped = (
+        hashed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.split("t", " ").alias("toks"))
+    )
+    kept = deduped.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    ).where(
+        (F.col("n_tokens") >= _CP_MIN_WORDS)
+        & (F.col("n_distinct") * 100 > F.col("n_tokens") * _CP_MIN_DISTINCT_PCT)
+    )
+    wpack = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = kept.select(
+        "lang",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(wpack) - F.col("n_tokens"))
+            / F.lit(_CP_BIN_TOKENS)
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+    )

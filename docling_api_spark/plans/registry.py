@@ -222,6 +222,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q130_ratio_to_parent",
     "q131_audience_overlap",
     "q132_grouped_mode",
+    "q134_curation_pipeline",
 )
 
 
