@@ -1,0 +1,75 @@
+"""Repo-wide physical-plan audit: every registered query is screened for
+the two classic scale-killers —
+
+1. CartesianProduct anywhere (an accidental cross join is quadratic at
+   100 TB; the engine's only intentional cross joins are single-row
+   broadcast lookups, which plan as BroadcastNestedLoopJoin, not
+   CartesianProduct);
+2. unexpected SinglePartition exchanges (a global window/sort dragging
+   the FULL relation through one task — the round-1 q72 failure mode).
+   Scalar aggregates and tiny-stat relations legitimately reduce to one
+   partition; the allowance table pins each query's expected count so a
+   refactor that ADDS one fails loudly.
+
+Streaming drains and eager-materializing queries are exercised elsewhere
+(their fn() runs work, not just planning) and are skipped here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_api_spark.plans import all_queries
+from tests.test_plans import plan_of
+
+QUERIES = all_queries()
+
+# queries whose fn() executes work (streaming drains, eager checkpoints,
+# heavyweight UDF paths) — planned-and-run in their own tests
+_EXECUTING = (
+    "q36", "q37", "q56", "q77", "q107", "q109",  # streaming drains
+    "q103",  # BFS: eager localCheckpoints
+    "q43", "q45", "q57",  # checkpointed dedup ladders
+    "q72", "q80", "q82",  # conversion / media UDF paths
+)
+
+# legitimate SinglePartition exchanges: scalar aggregates / tiny stat
+# relations (cut points, global totals, per-check counts)
+_SP_ALLOWED = {
+    "q95_temperature_mix": 1,
+    "q106_heavy_hitters": 1,      # corpus token total
+    "q108_bloom_semi_join": 1,    # one-row bloom map
+    "q118_equidepth_histogram": 1,  # 15-row cuts
+    "q120_ab_test_ztest": 1,      # 4-integer scalar reduce
+    "q90_profile_orders": 1,
+    "q08_scalar_subquery": 1,
+    "q55_embedding_drift": 1,     # global centroid
+    "q83_join_key_skew": 1,
+    "q87_growth_accounting": 1,
+    "q88_collocations_pmi": 2,    # unigram + bigram totals
+    "q99_corpus_report": 2,       # one-row report card
+    "q102_revenue_concentration": 1,
+    "q121_rfm_segmentation": 3,   # global max date + 2-cut × 3-metric agg
+    "q123_market_basket": 1,      # order-count scalar
+    "q124_chi_square": 2,         # global window + final one-row agg
+    "q126_skyline": 2,            # size-domain prefix-min + candidate bcast
+    "q129_fk_audit": 6,           # six labeled scalar counts
+    "q130_ratio_to_parent": 1,    # 25-row global-share window
+    "q134_curation_pipeline": 0,
+}
+
+AUDITED = [
+    n for n in QUERIES if not any(n.startswith(p) for p in _EXECUTING)
+]
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_no_cartesian_and_bounded_single_partition(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: accidental cross join"
+    allowed = _SP_ALLOWED.get(name, 0)
+    got = plan.count("SinglePartition")
+    assert got <= allowed, (
+        f"{name}: {got} SinglePartition exchange(s), allowance {allowed} — "
+        "a global sort/window may have crept in"
+    )
