@@ -1,0 +1,63 @@
+"""Physical-plan observability: one summary line per registered query.
+
+    python /root/repo/tools/plan_report.py [sf_dir] [query_prefix...]
+
+Columns: #Exchange (shuffles), #BroadcastHJ, #SortMergeJ, #BNLJ,
+#Window, #SinglePartition. (Codegen spans are only visible in the
+POST-execution plan under AQE, so they are not reported here.) Streaming
+drains and eager-materializing queries are skipped (planning them runs
+them). Use alongside tests/test_global_plan_audit.py — this is the
+"look at it" tool, that is the regression gate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SKIP_PREFIXES = (
+    "q36", "q37", "q56", "q77", "q107", "q109",
+    "q103", "q43", "q45", "q57", "q72", "q80", "q82",
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    prefixes = tuple(sys.argv[2:])
+
+    from docling_api_spark.plans import all_queries
+    from docling_api_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-report", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    hdr = ("query", "exch", "bhj", "smj", "bnlj", "win", "single")
+    print(f"{hdr[0]:34} " + " ".join(f"{h:>6}" for h in hdr[1:]))
+    for name, q in all_queries().items():
+        if prefixes and not name.startswith(prefixes):
+            continue
+        if any(name.startswith(p) for p in SKIP_PREFIXES):
+            continue
+        try:
+            df = q.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as ex:  # surface, don't die — this is a report
+            print(f"{name:34} ERROR {type(ex).__name__}: {str(ex)[:60]}")
+            continue
+        row = (
+            plan.count("Exchange "),
+            plan.count("BroadcastHashJoin"),
+            plan.count("SortMergeJoin"),
+            plan.count("BroadcastNestedLoopJoin"),
+            plan.count("Window"),
+            plan.count("SinglePartition"),
+        )
+        print(f"{name:34} " + " ".join(f"{v:>6}" for v in row))
+
+
+if __name__ == "__main__":
+    main()
