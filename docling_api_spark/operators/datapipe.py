@@ -722,6 +722,7 @@ _CP_BIN_TOKENS = 1024
 
 @register(
     "q134_curation_pipeline",
+    bench=True,
     tags=("curation", "pipeline", "composition"),
     oracle=f"""
         WITH norm AS (

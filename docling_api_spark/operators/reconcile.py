@@ -32,6 +32,7 @@ def _row_digest(*cols: str) -> F.Column:
 
 @register(
     "q104_snapshot_diff",
+    bench=True,
     tags=("reconcile", "diff", "hash"),
     oracle="""
         WITH old AS (

@@ -1005,6 +1005,7 @@ _EQD_BUCKETS = 16
 
 @register(
     "q118_equidepth_histogram",
+    bench=True,
     tags=("agg", "histogram", "percentile"),
     oracle=f"""
         WITH cuts AS (
