@@ -596,3 +596,116 @@ def q132_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("lang", F.col("source").alias("mode_source"), F.col("c").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — shipping-delay SLA distribution per order priority
+# ---------------------------------------------------------------------------
+@register(
+    "q135_sla_shipping_delay",
+    tags=("sla", "percentile", "join"),
+    oracle="""
+        WITH d AS (
+          SELECT o.o_orderpriority AS priority,
+                 date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS delay_days
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT priority,
+               COUNT(*) AS n_items,
+               quantile_cont(delay_days, 0.5) AS p50_delay,
+               quantile_cont(delay_days, 0.95) AS p95_delay,
+               MAX(delay_days) AS max_delay,
+               CAST(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_breaches
+        FROM d
+        GROUP BY priority
+    """,
+)
+def q135_sla_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay distribution per order priority (p50/p95/max days
+    from order to line shipment, plus 90-day SLA breach counts).
+
+    One fact-fact equi-join (AQE-managed) into one keyed aggregate;
+    delays are integer days, percentiles are the exact interpolated form
+    (Spark percentile ≡ DuckDB quantile_cont), breaches are integer
+    comparisons — nothing engine-dependent anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay_days"),
+    )
+    return d.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr("percentile(delay_days, 0.5)").alias("p50_delay"),
+        F.expr("percentile(delay_days, 0.95)").alias("p95_delay"),
+        F.max("delay_days").alias("max_delay"),
+        F.sum(F.when(F.col("delay_days") > 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_breaches"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — sampling-error audit: hash-sample estimator vs exact population
+# ---------------------------------------------------------------------------
+@register(
+    "q136_sampling_error_audit",
+    tags=("sampling", "estimator", "quality"),
+    oracle=f"""
+        WITH pop AS (
+          SELECT COUNT(*) AS n_pop,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS exact_avg
+          FROM orders
+        ),
+        samp AS (
+          SELECT COUNT(*) AS n_sample,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS sample_avg
+          FROM orders
+          WHERE {sql_hash_bucket('o_orderkey')} < 10
+        )
+        SELECT n_pop, exact_avg, n_sample, sample_avg,
+               abs(sample_avg - exact_avg) / exact_avg AS rel_err
+        FROM pop, samp
+    """,
+)
+def q136_sampling_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator audit: average order value from the engine's
+    deterministic 10% md5-bucket sample (q91's idiom) side-by-side with
+    the exact population value, plus the realized relative error — the
+    'can we trust the cheap estimate' gate every sampled 100 TB
+    dashboard needs, on the exact sample a re-run would draw.
+
+    Two scalar aggregates (one full, one on the pre-filtered sample) and
+    a one-row join; both averages are DECIMAL-exact sums with one double
+    division.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    dec_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    pop = orders.agg(
+        F.count(F.lit(1)).alias("n_pop"), dec_avg.alias("exact_avg")
+    )
+    samp = orders.where(hash_bucket("o_orderkey") < 10).agg(
+        F.count(F.lit(1)).alias("n_sample"), dec_avg.alias("sample_avg")
+    )
+    return (
+        pop.crossJoin(F.broadcast(samp))
+        .select(
+            "n_pop",
+            "exact_avg",
+            "n_sample",
+            "sample_avg",
+            (
+                F.abs(F.col("sample_avg") - F.col("exact_avg")) / F.col("exact_avg")
+            ).alias("rel_err"),
+        )
+    )

@@ -223,6 +223,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q131_audience_overlap",
     "q132_grouped_mode",
     "q134_curation_pipeline",
+    "q135_sla_shipping_delay",
+    "q136_sampling_error_audit",
 )
 
 
