@@ -1905,3 +1905,46 @@ def stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
     return drain_stream_to_parquet(running_counter_stream(ev), prefix="tws_counter")
+
+
+# ---------------------------------------------------------------------------
+# q137 — streaming upsert snapshot via foreachBatch (merge-on-read sink)
+# ---------------------------------------------------------------------------
+@register(
+    "q137_streaming_upsert",
+    tags=("streaming", "upsert", "foreachBatch"),
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def q137_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed aggregate drained through a foreachBatch UPSERT
+    sink — the sink pattern the parquet append sink can't express
+    (update-mode aggregates), completing the engine's streaming sink
+    matrix: append file sink (q36/q77/q107/q109), stateful append
+    (q37/q56), and now update-mode merge-on-read upsert.
+
+    Each micro-batch appends its changed per-user rows stamped with the
+    batch id; the snapshot read resolves latest-batch-wins per key. The
+    single-file input lands in one micro-batch, so the snapshot equals
+    the batch aggregate — the oracle. Cents are integer-quantized as in
+    q115/q133.
+    """
+    from docling_api_spark.streaming.jobs import drain_stream_upsert
+    from docling_api_spark.tables import events_stream
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .select("user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+    return drain_stream_upsert(agg, keys=["user_id"], prefix="q137")

@@ -225,6 +225,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q134_curation_pipeline",
     "q135_sla_shipping_delay",
     "q136_sampling_error_audit",
+    "q137_streaming_upsert",
 )
 
 

@@ -165,3 +165,50 @@ def get_batch_status(
                 }
             )
     return {"job_id": batch_id, "status": JOB_SUCCESS, "conversion_results": members}
+
+
+def drain_stream_upsert(stream_df: DataFrame, keys: list[str], prefix: str = "upsert") -> DataFrame:
+    """Run an UPDATE-mode stream through a foreachBatch upsert sink and
+    return the resulting snapshot — the production pattern for keyed
+    aggregates (running totals, latest-state tables) that file sinks
+    can't take in append mode.
+
+    Sink layout is merge-on-read (Hudi/Delta MOR shape without the
+    table format): each micro-batch APPENDS its changed rows stamped
+    with the batch id; the snapshot read resolves latest-batch-wins per
+    key with one window. Appends keep the foreachBatch write atomic and
+    idempotent-enough for at-least-once replay (a replayed batch id
+    overwrites itself in the read view); a real deployment compacts the
+    log periodically with the same latest-wins query.
+    """
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    spark = stream_df.sparkSession
+    log_dir = tempfile.mkdtemp(prefix=f"{prefix}_log_")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(log_dir)
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}_ckpt_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    log = spark.read.parquet(log_dir)
+    w = W.partitionBy(*keys).orderBy(F.col("_batch_id").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )

@@ -452,3 +452,34 @@ def test_regression_recovers_line(spark, tmp_path):
     # intercept at day 0 of the x axis (days since 1970) — recompute directly
     x0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
     assert abs((r.intercept_cents + r.slope_cents_per_day * x0) - 1000.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# q137 — foreachBatch upsert: latest-batch-wins across REAL multiple batches
+# ---------------------------------------------------------------------------
+def test_stream_upsert_latest_wins_across_batches(spark, tmp_path):
+    """Two files forced into two micro-batches (maxFilesPerTrigger=1): the
+    snapshot must hold each user's cumulative aggregate from the LAST
+    batch that touched it, not an append of both emissions."""
+    from docling_api_spark.streaming.jobs import drain_stream_upsert
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, 100), (2, 200)], ["user_id", "cents"]
+    ).coalesce(1).write.parquet(str(d / "f1.parquet"))
+    spark.createDataFrame(
+        [(1, 50)], ["user_id", "cents"]
+    ).coalesce(1).write.parquet(str(d / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("total_cents"))
+    )
+    snap = drain_stream_upsert(stream, keys=["user_id"], prefix="upsert_test")
+    got = {(r.user_id, r.n_events, r.total_cents) for r in snap.collect()}
+    # user 1 was updated in a later batch: cumulative (2, 150), one row only
+    assert got == {(1, 2, 150), (2, 1, 200)}
