@@ -1948,3 +1948,102 @@ def q137_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain_stream_upsert(agg, keys=["user_id"], prefix="q137")
+
+
+# ---------------------------------------------------------------------------
+# q138 — SCD2 point-in-time join (facts probed against validity intervals)
+# ---------------------------------------------------------------------------
+@register(
+    "q138_scd2_point_in_time",
+    tags=("scd2", "interval", "join"),
+    oracle="""
+        WITH s AS (
+          SELECT user_id, epoch_us(ts) AS t, event_type
+          FROM events WHERE event_type <> 'purchase'
+        ),
+        r AS (
+          SELECT user_id, t, event_type,
+                 CASE WHEN LAG(event_type) OVER (
+                        PARTITION BY user_id ORDER BY t)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+          FROM s
+        ),
+        runs AS (
+          SELECT *, SUM(brk) OVER (
+            PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+          FROM r
+        ),
+        iv AS (
+          SELECT user_id, event_type AS state, MIN(t) AS valid_from_us,
+                 LEAD(MIN(t)) OVER (
+                   PARTITION BY user_id ORDER BY MIN(t)) AS valid_to_us
+          FROM runs GROUP BY user_id, event_type, rid
+        ),
+        p AS (
+          SELECT event_id, user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS purchase_id, p.user_id, iv.state,
+               iv.valid_from_us AS state_start_us
+        FROM p JOIN iv
+          ON p.user_id = iv.user_id
+         AND p.t >= iv.valid_from_us
+         AND (iv.valid_to_us IS NULL OR p.t < iv.valid_to_us)
+    """,
+)
+def q138_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase matched to the user
+    state interval that was valid when it happened — the SCD2 probe every
+    warehouse runs against dimension history (q84 builds such intervals;
+    this operator consumes them).
+
+    Interval construction is ONE shuffle on user_id (lag + running-sum
+    runs, LEAD-stitched [valid_from, valid_to)); the probe equi-keys on
+    user_id and applies the containment predicate inside the key — since
+    a user's intervals partition their timeline, each fact matches at
+    most one, so the join is output-bounded (≤ one row per purchase),
+    never an interval cross product.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_type"
+    )
+    wu = W.partitionBy("user_id").orderBy("t")
+    r = s.withColumn(
+        "brk",
+        F.when(
+            ~F.lag("event_type").over(wu).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "rid", F.sum("brk").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    iv = (
+        r.groupBy("user_id", F.col("event_type").alias("state"), "rid")
+        .agg(F.min("t").alias("valid_from_us"))
+        .withColumn(
+            "valid_to_us",
+            F.lead("valid_from_us").over(
+                W.partitionBy("user_id").orderBy("valid_from_us")
+            ),
+        )
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("t"),
+    )
+    return (
+        p.join(
+            iv,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("t") >= F.col("valid_from_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("t") < F.col("valid_to_us"))),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "state",
+            F.col("valid_from_us").alias("state_start_us"),
+        )
+    )

@@ -226,6 +226,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q135_sla_shipping_delay",
     "q136_sampling_error_audit",
     "q137_streaming_upsert",
+    "q138_scd2_point_in_time",
 )
 
 
