@@ -56,6 +56,7 @@ _SP_ALLOWED = {
     "q129_fk_audit": 6,           # six labeled scalar counts
     "q130_ratio_to_parent": 1,    # 25-row global-share window
     "q134_curation_pipeline": 0,
+    "q136_sampling_error_audit": 2,  # population + sample scalar reduces
 }
 
 AUDITED = [
