@@ -1045,3 +1045,109 @@ def q113_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_bg").alias("familiarity_hits"),
         (F.sum("c_bg").cast("double") / F.count(F.lit(1))).alias("familiarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — sparse TF-IDF cosine similarity join (df-capped posting lists)
+# ---------------------------------------------------------------------------
+_SIM_DF_CAP = 50  # ignore tokens appearing in more docs (stopword-ish)
+_SIM_TAU = 0.5  # emit pairs with cosine >= tau
+
+
+@register(
+    "q139_tfidf_cosine_pairs",
+    tags=("text", "similarity", "sparse", "join"),
+    oracle=f"""
+        WITH tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+          ) GROUP BY doc_id, token
+        ),
+        df AS (
+          SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        w AS (
+          SELECT tf.doc_id, tf.token,
+                 tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS wt
+          FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+          WHERE df.df <= {_SIM_DF_CAP}
+        ),
+        norms AS (
+          SELECT doc_id,
+                 CAST(SUM(CAST(wt * wt AS DECIMAL(28,6))) AS DOUBLE) AS nrm2
+          FROM w GROUP BY doc_id
+        ),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(28,6))) AS DOUBLE) AS dot
+          FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d.doc_a, d.doc_b,
+               d.dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) AS cosine
+        FROM dots d
+        JOIN norms na ON d.doc_a = na.doc_id
+        JOIN norms nb ON d.doc_b = nb.doc_id
+        WHERE d.dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) >= {_SIM_TAU}
+    """,
+)
+def q139_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector similarity join: document pairs with TF-IDF cosine
+    >= {_SIM_TAU}, computed through posting lists — the IR-side
+    near-duplicate detector (q42's Jaccard weighs all shingles equally;
+    this weighs rare terms up).
+
+    The scale lever is the DF CAP: a token in d documents contributes
+    O(d²) pair partials, so stopword-grade tokens (df > {_SIM_DF_CAP})
+    are dropped BEFORE the posting-list self-join — the same
+    quadratic-blowup guard as q42's hot-shingle cap, and standard IR
+    practice (their idf ≈ 0 anyway). idf is one double division
+    (deterministic); pair dot products and norms go through the
+    DECIMAL exact-sum so shuffle order can't move the cosine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df.where(F.col("df") <= _SIM_DF_CAP), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("wt"),
+        )
+        .localCheckpoint(eager=True)  # used three times below
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("nrm2")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), F.col("token").alias("token_b"), F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, (F.col("token") == F.col("token_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm2").alias("nb2"))
+    cos = F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .where(cos >= _SIM_TAU)
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+    )

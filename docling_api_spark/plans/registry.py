@@ -227,6 +227,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q136_sampling_error_audit",
     "q137_streaming_upsert",
     "q138_scd2_point_in_time",
+    "q139_tfidf_cosine_pairs",
 )
 
 
