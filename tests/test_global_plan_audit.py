@@ -27,8 +27,8 @@ QUERIES = all_queries()
 # queries whose fn() executes work (streaming drains, eager checkpoints,
 # heavyweight UDF paths) — planned-and-run in their own tests
 _EXECUTING = (
-    "q36", "q37", "q56", "q77", "q107", "q109",  # streaming drains
-    "q103",  # BFS: eager localCheckpoints
+    "q36", "q37", "q56", "q77", "q107", "q109", "q137",  # streaming drains
+    "q103", "q139",  # eager localCheckpoints
     "q43", "q45", "q57",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
