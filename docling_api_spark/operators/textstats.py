@@ -1151,3 +1151,59 @@ def q139_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= _SIM_TAU)
         .select("doc_a", "doc_b", cos.alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — corpus composition drift: per-period source shares of tokens
+# ---------------------------------------------------------------------------
+@register(
+    "q140_composition_drift",
+    tags=("text", "governance", "drift"),
+    oracle="""
+        WITH t AS (
+          SELECT source,
+                 CAST(doc_id % 12 AS INTEGER) AS period,
+                 len(string_split(text, ' ')) AS n_tokens
+          FROM documents
+        ),
+        agg AS (
+          SELECT period, source,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tokens
+          FROM t GROUP BY period, source
+        )
+        SELECT period, source, tokens,
+               CAST(tokens AS DOUBLE)
+                 / SUM(tokens) OVER (PARTITION BY period) AS share
+        FROM agg
+    """,
+)
+def q140_composition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition over ingestion periods: each source's token
+    share per period — the governance chart that catches one crawl
+    silently taking over the training mix. (The synthetic docs carry no
+    ingestion date, so the period is a deterministic doc_id bucket; on
+    real data it is date_trunc of the ingestion timestamp.)
+
+    Per-doc token counts are map-side; one keyed aggregate to
+    (period, source); the share window runs over the periods×sources
+    relation. Integer token sums; share is one double division of exact
+    bigints (the window SUM of bigints is exact in both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        (F.col("doc_id") % 12).cast("int").alias("period"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    agg = t.groupBy("period", "source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens")
+    )
+    return agg.select(
+        "period",
+        "source",
+        "tokens",
+        (
+            F.col("tokens").cast("double")
+            / F.sum("tokens").over(W.partitionBy("period"))
+        ).alias("share"),
+    )

@@ -228,6 +228,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q137_streaming_upsert",
     "q138_scd2_point_in_time",
     "q139_tfidf_cosine_pairs",
+    "q140_composition_drift",
 )
 
 
