@@ -709,3 +709,111 @@ def q136_sampling_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — grouped covariance matrix from exact integer moment sums
+# ---------------------------------------------------------------------------
+# per-column quantization: (key, source column, units per 1.0)
+_COV_COLS = [
+    ("q", "l_quantity", 100),
+    ("p", "l_extendedprice", 100),
+    ("d", "l_discount", 10000),
+]
+
+
+def _pairs():
+    for i, (ka, sa, ua) in enumerate(_COV_COLS):
+        for kb, sb, ub in _COV_COLS[i:]:
+            yield ka, sa, ua, kb, sb, ub
+
+
+def _cov_sql(a: str, ua: int, b: str, ub: int) -> str:
+    return (
+        f"(CAST(n AS DOUBLE) * CAST(s_{a}{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+        f" / ({ua}.0 * {ub}.0) AS cov_{a}{b}"
+    )
+
+
+_COV_SUMS_SQL = ", ".join(
+    f"CAST(SUM(CAST(round({src} * {u}) AS BIGINT)) AS BIGINT) AS s_{k}"
+    for k, src, u in _COV_COLS
+) + ", " + ", ".join(
+    f"CAST(SUM(CAST(round({sa} * {ua}) AS BIGINT)"
+    f" * CAST(round({sb} * {ub}) AS BIGINT)) AS BIGINT) AS s_{ka}{kb}"
+    for ka, sa, ua, kb, sb, ub in [
+        (ka, sa, ua, kb, sb, ub) for i, (ka, sa, ua) in enumerate(_COV_COLS)
+        for kb, sb, ub in _COV_COLS[i:]
+    ]
+)
+
+
+@register(
+    "q141_covariance_matrix",
+    tags=("stats", "covariance", "moments"),
+    oracle=f"""
+        WITH m AS (
+          SELECT l_returnflag AS grp,
+                 COUNT(*) AS n,
+                 {_COV_SUMS_SQL}
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT grp, n,
+               {_cov_sql('q', 100, 'q', 100)}, {_cov_sql('q', 100, 'p', 100)},
+               {_cov_sql('q', 100, 'd', 10000)}, {_cov_sql('p', 100, 'p', 100)},
+               {_cov_sql('p', 100, 'd', 10000)}, {_cov_sql('d', 10000, 'd', 10000)}
+        FROM m WHERE n > 1
+    """,
+)
+def q141_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sample covariance matrix of (quantity, price, discount)
+    — the multi-column generalization of q127's moment template: every
+    pairwise covariance from ONE hash aggregation, no per-group collect,
+    no MLlib.
+
+    Values quantize to INTEGER units per column (cents / cents /
+    basis-points) before any summation: the moment sums are exact
+    bigints (the DECIMAL(28,6) route fails here — Σprice² reaches
+    ~2e18, past double-exact range, where int128→double conversion
+    rounds differently across engines; bigint→double is a single
+    correctly-rounded instruction everywhere). The closing covariance
+    expression runs in double on identical bigints, divided back by the
+    unit product. At 1e11-row groups the squared-price sum would need
+    DECIMAL(38,0) partials — same plan, wider accumulator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def qcol(src: str, u: int):
+        return F.round(F.col(src) * u).cast("bigint")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k, src, u in _COV_COLS:
+        aggs.append(F.sum(qcol(src, u)).cast("bigint").alias(f"s_{k}"))
+    for ka, sa, ua, kb, sb, ub in _pairs():
+        aggs.append(
+            F.sum(qcol(sa, ua) * qcol(sb, ub)).cast("bigint").alias(f"s_{ka}{kb}")
+        )
+    m = li.groupBy(F.col("l_returnflag").alias("grp")).agg(*aggs)
+
+    def cov(a: str, ua: int, b: str, ub: int) -> F.Column:
+        return (
+            (
+                F.col("n").cast("double") * F.col(f"s_{a}{b}").cast("double")
+                - F.col(f"s_{a}").cast("double") * F.col(f"s_{b}").cast("double")
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+            / (float(ua) * float(ub))
+        ).alias(f"cov_{a}{b}")
+
+    return m.where(F.col("n") > 1).select(
+        "grp",
+        "n",
+        cov("q", 100, "q", 100),
+        cov("q", 100, "p", 100),
+        cov("q", 100, "d", 10000),
+        cov("p", 100, "p", 100),
+        cov("p", 100, "d", 10000),
+        cov("d", 10000, "d", 10000),
+    )

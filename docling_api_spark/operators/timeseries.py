@@ -2047,3 +2047,84 @@ def q138_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_from_us").alias("state_start_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q142 — sessionized bounce rate per day
+# ---------------------------------------------------------------------------
+@register(
+    "q142_bounce_rate",
+    tags=("eventtime", "session", "kpi"),
+    oracle=f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t_us,
+                 CASE WHEN LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) >= {US_30MIN}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, t_us,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY t_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, sess_id,
+                 MIN(t_us) AS start_us, COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sess_id
+        )
+        SELECT
+          CAST(CAST(to_timestamp(start_us / 1000000) AS DATE) AS VARCHAR) AS day,
+          COUNT(*) AS n_sessions,
+          CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bounces,
+          CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*) AS bounce_rate
+        FROM sess
+        GROUP BY 1
+    """,
+)
+def q142_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min gap rule, q32
+    semantics) containing exactly one event, keyed by session start day
+    — the canonical engagement KPI on top of the sessionizer.
+
+    Same single user-keyed shuffle as q32 (islands via lag + running
+    sum), then a day-keyed rollup of the sessions-sized relation.
+    Counts are integers; the rate is one closing double division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("t_us")
+    e = ev.select("user_id", F.unix_micros("ts").alias("t_us")).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("t_us").over(wu).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(wu) >= US_30MIN),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(wu.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sess = s.groupBy("user_id", "sess_id").agg(
+        F.min("t_us").alias("start_us"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sess.groupBy(
+            F.timestamp_micros(F.col("start_us"))
+            .cast("date")
+            .cast("string")
+            .alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounces.cast("bigint").alias("n_bounces"),
+            (bounces.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+        )
+    )

@@ -229,6 +229,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q138_scd2_point_in_time",
     "q139_tfidf_cosine_pairs",
     "q140_composition_drift",
+    "q141_covariance_matrix",
+    "q142_bounce_rate",
 )
 
 
