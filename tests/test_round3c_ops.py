@@ -483,3 +483,60 @@ def test_stream_upsert_latest_wins_across_batches(spark, tmp_path):
     got = {(r.user_id, r.n_events, r.total_cents) for r in snap.collect()}
     # user 1 was updated in a later batch: cumulative (2, 150), one row only
     assert got == {(1, 2, 150), (2, 1, 200)}
+
+
+# ---------------------------------------------------------------------------
+# q138 — SCD2 probe: boundary containment on a constructed stream
+# ---------------------------------------------------------------------------
+def test_scd2_point_in_time_boundaries(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1 states: view-run [0, 10), click-run [10, open)
+        (1, ts(0), 1, "view", 1.0, ""),
+        (2, ts(10), 1, "click", 1.0, ""),
+        # purchases: before any state (dropped), exactly at a boundary
+        # (belongs to the NEW state), inside the open tail
+        (3, ts(0) - dt.timedelta(minutes=5), 1, "purchase", 1.0, ""),
+        (4, ts(10), 1, "purchase", 1.0, ""),
+        (5, ts(60), 1, "purchase", 1.0, ""),
+        # also: purchase exactly at the FIRST state's start → matches it
+        (6, ts(0), 1, "purchase", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/events.parquet")
+
+    got = {
+        (r.purchase_id, r.state)
+        for r in QUERIES["q138_scd2_point_in_time"].fn(spark, out_dir).collect()
+    }
+    assert got == {(4, "click"), (5, "click"), (6, "view")}  # 3 dropped
+
+
+# ---------------------------------------------------------------------------
+# q139 — TF-IDF cosine: near-identical docs pair up, unrelated don't
+# ---------------------------------------------------------------------------
+def test_tfidf_cosine_constructed(spark, tmp_path):
+    rows = [
+        (1, "zebra quokka narwhal axolotl pangolin", "en", "a", 10),
+        (2, "zebra quokka narwhal axolotl wombat", "en", "a", 10),  # 4/5 shared
+        (3, "gamma delta epsilon zeta eta", "en", "b", 10),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out_dir = str(tmp_path / "sf")
+    df.write.parquet(out_dir + "/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in QUERIES["q139_tfidf_cosine_pairs"].fn(spark, out_dir).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert 0.5 <= got[(1, 2)] < 1.0  # high but not identical
