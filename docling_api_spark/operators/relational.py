@@ -1257,3 +1257,155 @@ def q130_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_global"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — promo revenue share per month (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q143_promo_share",
+    tags=("join", "agg", "share"),
+    oracle="""
+        WITH m AS (
+          SELECT strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS month,
+                 CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(28,6)) ELSE 0 END)
+                      AS DOUBLE) AS promo_rev,
+                 CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1
+        )
+        SELECT month, promo_rev, total_rev,
+               100.0 * promo_rev / total_rev AS promo_pct
+        FROM m
+    """,
+)
+def q143_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of revenue from promotional parts (TPC-H Q14's
+    conditional-share shape): broadcast part dim, one keyed aggregate,
+    DECIMAL-exact conditional and total sums, one closing division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return m.select(
+        "month",
+        "promo_rev",
+        "total_rev",
+        (100.0 * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144 — supplier diversity per part class (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q144_part_supplier_stats",
+    tags=("agg", "distinct", "join"),
+    oracle="""
+        SELECT p.p_brand, p.p_type,
+               CAST(p.p_size // 10 AS INTEGER) AS size_class,
+               COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+               COUNT(*) AS n_lineitems
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2, 3
+    """,
+)
+def q144_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier diversity per (brand, type, size class) — the
+    TPC-H Q16 sourcing-risk readout: how many suppliers can ship each
+    part class. Broadcast part dim; the distinct aggregation expands to
+    the standard two-phase plan (partial distinct on the composite key,
+    then merge) — no collect_set materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            "p_type",
+            F.expr("p_size div 10").cast("int").alias("size_class"),
+        )
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 — idle high-balance customers per nation (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q145_idle_rich_customers",
+    tags=("agg", "anti-join", "subquery"),
+    oracle="""
+        WITH cutoff AS (
+          SELECT c_nationkey,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey
+        )
+        SELECT n.n_name AS nation,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                 AS idle_balance
+        FROM customer c
+        JOIN cutoff t ON c.c_nationkey = t.c_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > t.avg_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY n.n_name
+    """,
+)
+def q145_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-nation-average balances and no orders since
+    2000 — TPC-H Q22's dormant-capital shape ("ever ordered" is vacuous
+    on this data: every customer has SOME order): per-nation averages
+    broadcast back, an anti-join against the date-pruned orders slice,
+    one rollup. The anti join is the only wide stage touching a fact
+    table (and its scan is date-pushdown-pruned); the average table is
+    |nations| rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    cutoff = (
+        cust.where(F.col("c_acctbal") > 0)
+        .groupBy("c_nationkey")
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    idle = (
+        cust.join(F.broadcast(cutoff), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00")
+            ).select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    )
+    return idle.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("idle_balance"),
+    )

@@ -231,6 +231,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q140_composition_drift",
     "q141_covariance_matrix",
     "q142_bounce_rate",
+    "q143_promo_share",
+    "q144_part_supplier_stats",
+    "q145_idle_rich_customers",
 )
 
 
