@@ -818,3 +818,46 @@ def q134_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — duplicate-text provenance report
+# ---------------------------------------------------------------------------
+@register(
+    "q146_dup_provenance",
+    tags=("curation", "dedup", "provenance"),
+    oracle="""
+        SELECT
+          md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_md5,
+          COUNT(*) AS n_copies,
+          COUNT(DISTINCT source) AS n_sources,
+          array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+          MIN(doc_id) AS keeper_doc_id
+        FROM documents
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+    """,
+)
+def q146_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance report for shared boilerplate openings (identical
+    8-token prefixes — full-text exact duplicates don't exist in this
+    corpus, but shared openings do, and they are the practical takedown/
+    attribution unit): which sources ship each duplicated opening and
+    which document survives as the keeper.
+
+    One hash aggregation on the 16-byte prefix digest; the source list
+    is a DISTINCT set (bounded by |sources|, not copies) emitted as a
+    sorted joined string (driver canonicalizer can't hash arrays).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return (
+        docs.groupBy(F.md5(prefix.cast("binary")).alias("prefix_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("source").alias("n_sources"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

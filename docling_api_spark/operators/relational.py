@@ -1409,3 +1409,130 @@ def q145_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double").alias("idle_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — supplier cold-start report (first-shipment recency)
+# ---------------------------------------------------------------------------
+@register(
+    "q147_supplier_cold_start",
+    tags=("agg", "onboarding", "recency"),
+    oracle="""
+        WITH firsts AS (
+          SELECT l_suppkey,
+                 MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+                 COUNT(*) AS n_shipments
+          FROM lineitem GROUP BY l_suppkey
+        ),
+        gmax AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS dmax FROM lineitem)
+        SELECT strftime(f.first_ship, '%Y-%m') AS onboarding_month,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(f.n_shipments) AS BIGINT) AS total_shipments,
+               MIN(date_diff('day', f.first_ship, g.dmax)) AS min_days_active,
+               MAX(date_diff('day', f.first_ship, g.dmax)) AS max_days_active
+        FROM firsts f CROSS JOIN gmax g
+        GROUP BY 1
+    """,
+)
+def q147_supplier_cold_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier onboarding cohorts: when each supplier FIRST shipped,
+    grouped by month, with activity spans — the cold-start report a
+    sourcing team watches (new suppliers have no track record for the
+    q135 SLA percentiles to mean anything).
+
+    One keyed aggregate over lineitem, a one-row horizon cross join and
+    a month rollup of the |suppliers|-sized relation; integer day
+    arithmetic end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    firsts = li.groupBy("l_suppkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.count(F.lit(1)).alias("n_shipments"),
+    )
+    gmax = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("dmax"))
+    return (
+        firsts.crossJoin(F.broadcast(gmax))
+        .groupBy(F.date_format("first_ship", "yyyy-MM").alias("onboarding_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("n_shipments").cast("bigint").alias("total_shipments"),
+            F.min(F.datediff("dmax", "first_ship")).alias("min_days_active"),
+            F.max(F.datediff("dmax", "first_ship")).alias("max_days_active"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — denormalization drift audit (order totals vs lineitem sums)
+# ---------------------------------------------------------------------------
+@register(
+    "q148_denorm_drift_audit",
+    tags=("quality", "reconcile", "agg"),
+    oracle="""
+        WITH li AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS li_total
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+          SELECT o.o_orderkey, o.o_totalprice, li.li_total,
+                 abs(li.li_total - o.o_totalprice)
+                   / greatest(o.o_totalprice, 1.0) AS rel_gap
+          FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+        )
+        SELECT
+          CAST(CASE WHEN rel_gap = 0 THEN 0
+                    WHEN rel_gap <= 0.01 THEN 1
+                    WHEN rel_gap <= 0.10 THEN 2
+                    WHEN rel_gap <= 0.50 THEN 3
+                    ELSE 4 END AS INTEGER) AS gap_bucket,
+          COUNT(*) AS n_orders,
+          MIN(rel_gap) AS min_gap,
+          MAX(rel_gap) AS max_gap
+        FROM j
+        GROUP BY 1
+    """,
+)
+def q148_denorm_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistency audit between the denormalized order total and the sum
+    of its line items, bucketed by relative discrepancy — the
+    cross-table conformance gate that catches partial loads and stale
+    denormalizations (a 100 TB warehouse re-runs this after every
+    backfill).
+
+    Line sums are DECIMAL-exact per order; the join is the standard
+    fact-fact equi-join; buckets are one map-side CASE, so both engines
+    bucket identical doubles identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sums = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("li_total")
+    )
+    j = orders.join(sums, orders.o_orderkey == sums.l_orderkey).select(
+        (
+            F.abs(F.col("li_total") - F.col("o_totalprice"))
+            / F.greatest(F.col("o_totalprice"), F.lit(1.0))
+        ).alias("rel_gap")
+    )
+    bucket = (
+        F.when(F.col("rel_gap") == 0, 0)
+        .when(F.col("rel_gap") <= 0.01, 1)
+        .when(F.col("rel_gap") <= 0.10, 2)
+        .when(F.col("rel_gap") <= 0.50, 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("gap_bucket")
+    )
+    return (
+        j.select(bucket, "rel_gap")
+        .groupBy("gap_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("rel_gap").alias("min_gap"),
+            F.max("rel_gap").alias("max_gap"),
+        )
+    )

@@ -234,6 +234,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q143_promo_share",
     "q144_part_supplier_stats",
     "q145_idle_rich_customers",
+    "q146_dup_provenance",
+    "q147_supplier_cold_start",
+    "q148_denorm_drift_audit",
 )
 
 

@@ -57,6 +57,7 @@ _SP_ALLOWED = {
     "q130_ratio_to_parent": 1,    # 25-row global-share window
     "q134_curation_pipeline": 0,
     "q136_sampling_error_audit": 2,  # population + sample scalar reduces
+    "q147_supplier_cold_start": 1,  # one-row shipping-horizon scalar
 }
 
 AUDITED = [
