@@ -817,3 +817,114 @@ def q141_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov("p", 100, "d", 10000),
         cov("d", 10000, "d", 10000),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — activation latency: signup → first purchase, by signup cohort
+# ---------------------------------------------------------------------------
+@register(
+    "q149_activation_latency",
+    tags=("eventtime", "activation", "percentile"),
+    oracle="""
+        WITH su AS (
+          SELECT user_id, MIN(ts) AS signup_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        fp AS (
+          SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+          FROM events e JOIN su ON e.user_id = su.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+          GROUP BY e.user_id
+        )
+        SELECT
+          strftime(CAST(su.signup_ts AS DATE), '%Y-%m') AS cohort_month,
+          COUNT(*) AS n_signups,
+          COUNT(fp.user_id) AS n_activated,
+          quantile_cont((epoch_us(fp.first_purchase_ts)
+                         - epoch_us(su.signup_ts)) // 3600000000, 0.5)
+            AS p50_hours,
+          quantile_cont((epoch_us(fp.first_purchase_ts)
+                         - epoch_us(su.signup_ts)) // 3600000000, 0.9)
+            AS p90_hours
+        FROM su LEFT JOIN fp ON su.user_id = fp.user_id
+        GROUP BY 1
+    """,
+)
+def q149_activation_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-activate per signup cohort: hours from a user's first
+    signup to their first subsequent purchase, with p50/p90 per cohort
+    month — the activation KPI behind every onboarding funnel review.
+
+    Two user-keyed aggregations (first signup, first purchase-after-
+    signup) joined on the user key, then a cohort-month rollup. Latency
+    is integer hours (µs difference floor-divided), so the exact
+    percentiles interpolate identical integers in both engines; users
+    who never purchased stay in n_signups (LEFT join) and out of the
+    percentile inputs (both engines skip NULLs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    j = su.join(fp, "user_id", "left").select(
+        F.date_format(F.col("signup_ts").cast("date"), "yyyy-MM").alias("cohort_month"),
+        F.expr(
+            "(unix_micros(first_purchase_ts) - unix_micros(signup_ts))"
+            " div 3600000000"
+        ).alias("hours"),
+    )
+    return j.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("hours").alias("n_activated"),
+        F.expr("percentile(hours, 0.5)").alias("p50_hours"),
+        F.expr("percentile(hours, 0.9)").alias("p90_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150 — order-size distribution (items per order histogram)
+# ---------------------------------------------------------------------------
+@register(
+    "q150_order_size_histogram",
+    tags=("agg", "histogram", "distribution"),
+    oracle="""
+        WITH sizes AS (
+          SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT n_items,
+               COUNT(*) AS n_orders,
+               CAST(SUM(COUNT(*)) OVER (
+                 ORDER BY n_items
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_orders
+        FROM sizes
+        GROUP BY n_items
+    """,
+)
+def q150_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Items-per-order distribution with a cumulative count — the basket-
+    size long-tail audit (informs the q123 pair-join cost model, whose
+    explosion is quadratic in exactly this quantity).
+
+    One keyed aggregation to per-order sizes, one rollup on the size,
+    and a cumulative window over the |distinct sizes| relation (a
+    handful of rows — the lone tiny SinglePartition, q118's class).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    hist = sizes.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_orders"))
+    w = W.orderBy("n_items").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hist.select(
+        "n_items",
+        "n_orders",
+        F.sum("n_orders").over(w).cast("bigint").alias("cum_orders"),
+    )

@@ -237,6 +237,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q146_dup_provenance",
     "q147_supplier_cold_start",
     "q148_denorm_drift_audit",
+    "q149_activation_latency",
+    "q150_order_size_histogram",
 )
 
 
