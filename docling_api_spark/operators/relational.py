@@ -855,11 +855,17 @@ def _bloom_words(build: DataFrame, key: str) -> DataFrame:
     xxhash64 positions per key → (word, bit) pairs → bit_or per word →
     map_from_entries. Everything stays JVM-side and codegen-friendly.
     """
+    # cast to bigint: xxhash64 is TYPE-sensitive, so an int build key vs a
+    # bigint probe key would set/probe different bits → silent false
+    # NEGATIVES the exact join can't recover. Pinning both sides to bigint
+    # makes the invariant hold regardless of source column width.
     pos = build.select(
         F.explode(
             F.array(
                 *[
-                    F.expr(f"pmod(xxhash64({s}L, {key}), {_BLOOM_BITS})")
+                    F.expr(
+                        f"pmod(xxhash64({s}L, cast({key} as bigint)), {_BLOOM_BITS})"
+                    )
                     for s in _BLOOM_SEEDS
                 ]
             )
@@ -879,7 +885,7 @@ def _bloom_pass(key: str, bloom: str) -> F.Column:
     here, which the Python API doesn't accept)."""
     checks = []
     for s in _BLOOM_SEEDS:
-        pos = f"pmod(xxhash64({s}L, {key}), {_BLOOM_BITS})"
+        pos = f"pmod(xxhash64({s}L, cast({key} as bigint)), {_BLOOM_BITS})"
         word = f"coalesce(element_at({bloom}, ({pos}) div 64), 0L)"
         mask = f"shiftleft(1L, cast(({pos}) % 64 AS int))"
         checks.append(f"((({word}) & ({mask})) != 0)")

@@ -1027,8 +1027,13 @@ def q113_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, one groupBy back on doc_id.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # size(t) >= 2 guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a
+    # 1-token doc would probe element_at indices 0 and 2 and crash
+    # (INVALID_ARRAY_INDEX_IN_ELEMENT_AT). DuckDB's range(1, 1) is empty —
+    # matching semantics are "short docs emit no bigram rows".
     bg = (
         docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 2)
         .select(
             "doc_id",
             F.explode(

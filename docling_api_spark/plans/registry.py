@@ -36,6 +36,18 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
+# Query-name prefixes whose fn() EXECUTES work when the plan is built
+# (streaming drains, eager localCheckpoints, checkpointed dedup ladders,
+# heavyweight UDF paths). Planning-only tooling (tools/plan_report.py) and
+# the static plan audit (tests/test_global_plan_audit.py) must both skip
+# these — shared here so the two lists can't drift.
+EXECUTING_PREFIXES: tuple[str, ...] = (
+    "q36", "q37", "q56", "q77", "q107", "q109", "q137",  # streaming drains
+    "q103", "q139",  # eager localCheckpoints
+    "q43", "q45", "q57",  # checkpointed dedup ladders
+    "q72", "q80", "q82",  # conversion / media UDF paths
+)
+
 
 def register(
     name: str,
@@ -63,35 +75,98 @@ def register(
 # CORRECTNESS_r01 was exactly the first 50 in module-import order, leaving
 # every timeseries and textstats query ungraded). GRADED_FIRST pins an
 # explicit order: the 50 queries that must land inside the correctness
-# window come first. Round-3 rotation (VERDICT r2 #1): the six oracle-
-# checked-but-never-driver-graded queries (q36, q37, q54, q64, q66, q82)
-# move INTO the window in place of six double-green same-feature siblings
-# (q05/q06 → joins keep q03/q04; q12/q13 → rollup family keeps q11;
-# q15/q16 → windows keep q14). The five round-3 curation passes
-# (q67/q68/q69/q95/q97) and TEN new-operator-CLASS queries from this
-# round's continuation batches (q103–q120: BFS, snapshot diff, funnel,
-# Misra-Gries heavy hitters, bloom join, stream-stream join, interval
-# overlap, TWAP, equi-depth histogram, A/B z-test) also enter the window,
-# displacing double-green siblings (q10/q17/q19/q26/q31/q34/q39/q46/q52/
-# q65 all carry r1+r2 hash-green grades; their §2.9 rows stay covered by
-# in-window cousins or those standing grades). The overflow tail is
-# redundant same-feature siblings with an r1/r2 green grade on record;
-# all stay registered, pytest-pinned, and dryrun-swept.
+# window come first.
+#
+# Round-4 rotation (VERDICT r3 #1): the ONLY way the driver ever certifies
+# the 64 queries that have never been driver-graded is to cycle them
+# through the window. So this round the window holds 50 never-graded
+# oracle-checked queries; every query with an r1/r2/r3 hash-green grade on
+# record moves to overflow (grades stand; pytest + tools/driver_dryrun.py
+# keep sweeping all 150 at sf0.01 and sf0.1). q80_media_features leaves
+# the window permanently (rows-only by design — it can never turn green
+# and was burning a slot). 13 never-graded queries with close graded
+# class-cousins (q77/q99/q134/q135/q142..q150) are deferred to the round-5
+# window, which will also pick up any round-4 additions.
 GRADED_FIRST: tuple[str, ...] = (
-    # -- round-3 rotation: oracle-checked, never driver-graded --
+    # ---- driver window (50): never driver-graded, all oracle-checked ----
+    "q48_fuzzy_match_parts",
+    "q49_rolling_zscore",
+    "q55_embedding_drift",
+    "q56_streaming_dedup",
+    "q57_incremental_dedup",
+    "q58_incremental_rollup",
+    "q59_zorder_layout",
+    "q73_sequence_packing",
+    "q74_curriculum_buckets",
+    "q75_span_dedup_fraction",
+    "q76_leakage_safe_split",
+    "q78_vocab_coverage",
+    "q79_embedding_outliers",
+    "q83_join_key_skew",
+    "q84_state_intervals",
+    "q85_event_transitions",
+    "q86_click_attribution",
+    "q87_growth_accounting",
+    "q88_collocations_pmi",
+    "q89_top_paths",
+    "q98_source_lang_purity",
+    "q100_chunk_documents",
+    "q101_ks_drift",
+    "q102_revenue_concentration",
+    "q107_stream_static_join",
+    "q111_text_normalize",
+    "q112_inverted_index",
+    "q113_bigram_familiarity",
+    "q114_winsorized_agg",
+    "q116_seasonal_anomaly",
+    "q117_comovement_matrix",
+    "q119_cusum_changepoint",
+    "q121_rfm_segmentation",
+    "q122_interarrival_histogram",
+    "q123_market_basket",
+    "q124_chi_square",
+    "q125_impute_group_mean",
+    "q126_skyline",
+    "q127_group_regression",
+    "q128_rolling_median",
+    "q129_fk_audit",
+    "q130_ratio_to_parent",
+    "q131_audience_overlap",
+    "q132_grouped_mode",
+    "q136_sampling_error_audit",
+    "q137_streaming_upsert",
+    "q138_scd2_point_in_time",
+    "q139_tfidf_cosine_pairs",
+    "q140_composition_drift",
+    "q141_covariance_matrix",
+    # ---- overflow: beyond the driver's 50-entry window ----
+    # never graded, deferred to the round-5 window (graded cousins cover
+    # their operator class meanwhile)
+    "q77_streaming_sliding",
+    "q99_corpus_report",
+    "q134_curation_pipeline",
+    "q135_sla_shipping_delay",
+    "q142_bounce_rate",
+    "q143_promo_share",
+    "q144_part_supplier_stats",
+    "q145_idle_rich_customers",
+    "q146_dup_provenance",
+    "q147_supplier_cold_start",
+    "q148_denorm_drift_audit",
+    "q149_activation_latency",
+    "q150_order_size_histogram",
+    # driver-graded green r3
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
     "q54_ann_ivf",
     "q64_lang_id",
     "q66_regex_token_count",
     "q82_media_resize",
-    # -- round-3 curation passes: oracle-checked, never driver-graded --
     "q67_pii_redaction",
     "q68_repetition_filter",
     "q69_contamination_check",
     "q95_temperature_mix",
     "q97_paragraph_dedup",
-    # -- round-3 continuation: new operator classes, never driver-graded --
     "q103_khop_reachability",
     "q104_snapshot_diff",
     "q105_funnel_steps",
@@ -102,7 +177,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q115_time_weighted_avg",
     "q118_equidepth_histogram",
     "q120_ab_test_ztest",
-    # -- graded green in r2; keep graded (feature representatives) --
     "q30_tumbling_window",
     "q32_session_window",
     "q33_asof_join",
@@ -111,7 +185,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q47_retention_cohorts",
     "q60_lang_breakdown",
     "q63_tfidf_top_terms",
-    "q80_media_features",
     "q90_profile_orders",
     "q01_pricing_summary",
     "q03_broadcast_dim_join",
@@ -132,10 +205,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q70_format_classify",
     "q71_upload_validation",
     "q81_frame_sample",
-    # ---- overflow: beyond the driver's 50-entry window ----
-    # (every name below has an r1 or r2 hash-green grade on record, or is
-    # rows-only by design: q23 sketches, q43_xxh no DuckDB twin, q72 markdown)
     "q10_agg_distinct",
+    # driver-graded green r1/r2
     "q17_topk_global",
     "q19_pivot",
     "q26_conditional_agg",
@@ -170,75 +241,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q94_merge_upsert",
     "q96_histogram",
     "q23_approx_aggs",
+    # rows-only by design (no DuckDB oracle possible)
     "q43_minhash_lsh_xxh",
     "q72_conversion_pipeline",
-    # round-3 additions, second batch (oracle-checked, overflow for now —
-    # rotate into the window next round in place of double-green siblings)
-    "q73_sequence_packing",
-    "q74_curriculum_buckets",
-    "q48_fuzzy_match_parts",
-    "q49_rolling_zscore",
-    "q58_incremental_rollup",
-    "q56_streaming_dedup",
-    "q59_zorder_layout",
-    "q75_span_dedup_fraction",
-    "q76_leakage_safe_split",
-    "q77_streaming_sliding",
-    "q78_vocab_coverage",
-    "q57_incremental_dedup",
-    "q55_embedding_drift",
-    "q79_embedding_outliers",
-    "q83_join_key_skew",
-    "q84_state_intervals",
-    "q85_event_transitions",
-    "q86_click_attribution",
-    "q87_growth_accounting",
-    "q88_collocations_pmi",
-    "q89_top_paths",
-    "q98_source_lang_purity",
-    "q99_corpus_report",
-    "q100_chunk_documents",
-    "q101_ks_drift",
-    "q102_revenue_concentration",
-    # round-3 continuation, remaining additions (oracle-checked, overflow —
-    # rotate into the window next round; class cousins are in-window)
-    "q107_stream_static_join",
-    "q111_text_normalize",
-    "q112_inverted_index",
-    "q113_bigram_familiarity",
-    "q114_winsorized_agg",
-    "q116_seasonal_anomaly",
-    "q117_comovement_matrix",
-    "q119_cusum_changepoint",
-    "q121_rfm_segmentation",
-    "q122_interarrival_histogram",
-    "q123_market_basket",
-    "q124_chi_square",
-    "q125_impute_group_mean",
-    "q126_skyline",
-    "q127_group_regression",
-    "q128_rolling_median",
-    "q129_fk_audit",
-    "q130_ratio_to_parent",
-    "q131_audience_overlap",
-    "q132_grouped_mode",
-    "q134_curation_pipeline",
-    "q135_sla_shipping_delay",
-    "q136_sampling_error_audit",
-    "q137_streaming_upsert",
-    "q138_scd2_point_in_time",
-    "q139_tfidf_cosine_pairs",
-    "q140_composition_drift",
-    "q141_covariance_matrix",
-    "q142_bounce_rate",
-    "q143_promo_share",
-    "q144_part_supplier_stats",
-    "q145_idle_rich_customers",
-    "q146_dup_provenance",
-    "q147_supplier_cold_start",
-    "q148_denorm_drift_audit",
-    "q149_activation_latency",
-    "q150_order_size_histogram",
+    "q80_media_features",
 )
 
 

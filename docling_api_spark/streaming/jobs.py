@@ -22,6 +22,8 @@ Status semantics preserved exactly:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -181,13 +183,16 @@ def drain_stream_upsert(stream_df: DataFrame, keys: list[str], prefix: str = "up
     overwrites itself in the read view); a real deployment compacts the
     log periodically with the same latest-wins query.
     """
+    import shutil
     import tempfile
 
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     spark = stream_df.sparkSession
-    log_dir = tempfile.mkdtemp(prefix=f"{prefix}_log_")
+    root = tempfile.mkdtemp(prefix=f"{prefix}_drain_")
+    log_dir = os.path.join(root, "log")
+    ckpt_dir = os.path.join(root, "ckpt")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -199,16 +204,30 @@ def drain_stream_upsert(stream_df: DataFrame, keys: list[str], prefix: str = "up
     q = (
         stream_df.writeStream.outputMode("update")
         .foreachBatch(upsert)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}_ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )
     q.processAllAvailable()
     q.stop()
 
+    # an empty source produces zero micro-batches → no parquet files, and a
+    # bare read would die on schema inference. The stream schema is known
+    # statically, so return an empty frame with it.
+    if not os.path.isdir(log_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(log_dir)
+    ):
+        shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame([], stream_df.schema)
+
     log = spark.read.parquet(log_dir)
     w = W.partitionBy(*keys).orderBy(F.col("_batch_id").desc())
-    return (
+    snapshot = (
         log.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_batch_id")
     )
+    # the snapshot must outlive the temp log (lazy plan) — materialize it
+    # driver-side-free via localCheckpoint, then drop the log directory.
+    snapshot = snapshot.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return snapshot

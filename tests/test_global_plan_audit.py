@@ -25,13 +25,9 @@ from tests.test_plans import plan_of
 QUERIES = all_queries()
 
 # queries whose fn() executes work (streaming drains, eager checkpoints,
-# heavyweight UDF paths) — planned-and-run in their own tests
-_EXECUTING = (
-    "q36", "q37", "q56", "q77", "q107", "q109", "q137",  # streaming drains
-    "q103", "q139",  # eager localCheckpoints
-    "q43", "q45", "q57",  # checkpointed dedup ladders
-    "q72", "q80", "q82",  # conversion / media UDF paths
-)
+# heavyweight UDF paths) — planned-and-run in their own tests; the list
+# lives in the registry so tools/plan_report.py skips the same set
+from docling_api_spark.plans.registry import EXECUTING_PREFIXES as _EXECUTING
 
 # legitimate SinglePartition exchanges: scalar aggregates / tiny stat
 # relations (cut points, global totals, per-check counts)

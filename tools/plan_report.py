@@ -18,17 +18,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SKIP_PREFIXES = (
-    "q36", "q37", "q56", "q77", "q107", "q109",
-    "q103", "q43", "q45", "q57", "q72", "q80", "q82",
-)
-
-
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     prefixes = tuple(sys.argv[2:])
 
     from docling_api_spark.plans import all_queries
+    from docling_api_spark.plans.registry import EXECUTING_PREFIXES as SKIP_PREFIXES
     from docling_api_spark.session import get_spark
 
     spark = get_spark(app_name="plan-report", master="local[8]", shuffle_partitions=8)
