@@ -1070,6 +1070,54 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q118_approx_equidepth",
+    bench=True,
+    tags=("agg", "histogram", "percentile", "approx"),
+    # rows-only by design: approx_percentile's KLL-sketch cut points are
+    # engine-specific, so no DuckDB hash oracle is possible. The exact twin
+    # (q118_equidepth_histogram) carries the oracle; tests pin that this
+    # twin's buckets agree with the exact one within sketch tolerance.
+)
+def q118_approx_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-scale equi-depth histogram: identical plan to
+    q118_equidepth_histogram but the {_EQD_BUCKETS}-1 interior cuts come
+    from `approx_percentile` (KLL sketch, bounded memory per partition,
+    mergeable partials) instead of exact `percentile` (which buffers every
+    value in ONE aggregation buffer — fine at sf0.1, not at 100 TB).
+
+    This is the plan you deploy: sketch agg → 15 cuts broadcast →
+    map-side bucket assign → hash agg. Zero Window nodes, zero global
+    sorts, memory bounded regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array({}), 10000)".format(
+                ", ".join(str(i / _EQD_BUCKETS) for i in range(1, _EQD_BUCKETS))
+            )
+        ).alias("c")
+    )
+    return (
+        li.join(F.broadcast(cuts))
+        .select(
+            (
+                F.lit(1)
+                + F.size(F.expr("filter(c, v -> l_extendedprice > v)"))
+            )
+            .cast("int")
+            .alias("bucket_id"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("min_x"),
+            F.max("l_extendedprice").alias("max_x"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # q128 — rolling median (order statistic over a moving frame)
 # ---------------------------------------------------------------------------

@@ -1873,7 +1873,49 @@ def q119_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# transformWithState demo (NOT registered: needs google.protobuf, absent here)
+# q151 — custom stateful streaming counter (stateful-processor class)
+# ---------------------------------------------------------------------------
+@register(
+    "q151_stateful_counter",
+    tags=("streaming", "stateful", "counter"),
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def q151_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals as a custom stateful streaming operator —
+    the stateful-processor class registered on whichever API the build
+    supports: transformWithStateInPandas (Spark-4 typed ValueState) when
+    its protobuf runner dependency is importable, else the
+    applyInPandasWithState twin (`streaming/stateful.py`), which has
+    identical per-batch semantics. tests/test_stateful_counter.py pins the
+    two paths against each other where both run.
+
+    State is two integers per user (cents integer-quantized exactly like
+    q115, so totals are order-independent and exact). The single-file
+    input lands in one micro-batch, so each user emits exactly one
+    snapshot == its batch aggregate, which is what the oracle computes.
+    Drains through the production parquet sink (streaming/jobs.py).
+    """
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+    from docling_api_spark.streaming.stateful import running_counter_stream_auto
+    from docling_api_spark.tables import events_stream
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return drain_stream_to_parquet(
+        running_counter_stream_auto(ev), prefix="q151_counter"
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState demo (import-gated: needs google.protobuf, absent here)
 # ---------------------------------------------------------------------------
 def stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals via `transformWithStateInPandas` — the

@@ -42,7 +42,7 @@ QUERIES: dict[str, Query] = {}
 # the static plan audit (tests/test_global_plan_audit.py) must both skip
 # these — shared here so the two lists can't drift.
 EXECUTING_PREFIXES: tuple[str, ...] = (
-    "q36", "q37", "q56", "q77", "q107", "q109", "q137",  # streaming drains
+    "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151",  # streaming drains
     "q103", "q139",  # eager localCheckpoints
     "q43", "q45", "q57",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
@@ -155,6 +155,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q148_denorm_drift_audit",
     "q149_activation_latency",
     "q150_order_size_histogram",
+    "q151_stateful_counter",
     # driver-graded green r3
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
@@ -245,6 +246,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q43_minhash_lsh_xxh",
     "q72_conversion_pipeline",
     "q80_media_features",
+    "q118_approx_equidepth",
 )
 
 

@@ -101,6 +101,57 @@ COUNTER_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# running-counter state: two integers per user
+COUNTER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def _counter_group(key, pdf_iter, state: GroupState):
+    """applyInPandasWithState twin of the RunningCounter processor: same
+    two-integer state, same one-snapshot-per-batch emission."""
+    import pandas as pd
+
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_counter_stream_fallback(events_stream: DataFrame) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState — identical
+    semantics to `running_counter_stream` on the API every Spark build
+    ships (no protobuf dependency, HDFS-backed state store is fine)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _counter_group,
+        COUNTER_OUTPUT_SCHEMA,
+        COUNTER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_counter_stream_auto(events_stream: DataFrame) -> DataFrame:
+    """Prefer the Spark-4 stateful-processor API (typed state, timers,
+    TTL); fall back to applyInPandasWithState where the TWS Python runner's
+    protobuf dependency is absent. Both paths produce identical output for
+    the same input batches, so the selection is an implementation detail —
+    exactly the DoclingConverter-selection pattern (pipeline/convert.py)."""
+    try:
+        import google.protobuf  # noqa: F401  (TWS runner hard-requires it)
+
+        return running_counter_stream(events_stream)
+    except ImportError:
+        return running_counter_stream_fallback(events_stream)
+
 
 def _make_counter_processor():
     """Running per-user counter as a StatefulProcessor (ValueState holding

@@ -79,10 +79,26 @@ def test_dotfiles_and_extensionless_have_no_extension_fallback():
         (b"\x00\x00\x00\x18ftypheic....", "image"),
         (b"\x00\x00\x00\x18ftypmif1....", "image"),
         (b"\x00\x00\x00\x18ftypavif....", "image"),
+        # full ISO-BMFF image-brand set (round-3 advice): stills, image
+        # sequences (msf1/avis), and the HEVC-coded variants
+        (b"\x00\x00\x00\x18ftypheix....", "image"),
+        (b"\x00\x00\x00\x18ftypheim....", "image"),
+        (b"\x00\x00\x00\x18ftypheis....", "image"),
+        (b"\x00\x00\x00\x18ftyphevc....", "image"),
+        (b"\x00\x00\x00\x18ftyphevx....", "image"),
+        (b"\x00\x00\x00\x18ftypmsf1....", "image"),
+        (b"\x00\x00\x00\x18ftypavis....", "image"),
     ],
 )
 def test_magic_bytes(content, expected):
     assert sniff_magic(content) == expected
+
+
+def test_ftyp_non_image_brands_fall_through():
+    # mp4/quicktime major brands share the ftyp box but are NOT images
+    assert sniff_magic(b"\x00\x00\x00\x18ftypisom....") is None
+    assert sniff_magic(b"\x00\x00\x00\x18ftypmp42....") is None
+    assert sniff_magic(b"\x00\x00\x00\x18ftypqt  ....") is None
 
 
 def test_riff_without_webp_tag_is_not_an_image():

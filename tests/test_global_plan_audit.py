@@ -36,6 +36,7 @@ _SP_ALLOWED = {
     "q106_heavy_hitters": 1,      # corpus token total
     "q108_bloom_semi_join": 1,    # one-row bloom map
     "q118_equidepth_histogram": 1,  # 15-row cuts
+    "q118_approx_equidepth": 1,     # 15-row sketch cuts
     "q120_ab_test_ztest": 1,      # 4-integer scalar reduce
     "q90_profile_orders": 1,
     "q08_scalar_subquery": 1,

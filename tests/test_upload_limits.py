@@ -130,6 +130,21 @@ def test_global_budget_no_single_partition_window(spark):
         assert "_w" in spec or "bucket" in spec or spec.count(",") >= 2, plan
 
 
+def test_global_budget_bucket_assignment_is_binary_search(spark):
+    # round-3 advice: the bucket assignment must NOT embed one literal per
+    # range in a per-row O(ranges) array filter. The binary-search rewrite
+    # carries the minima in ONE broadcast row and probes log2(ranges) times.
+    rows = [(f"f{i:04d}.pdf", 100, "b1") for i in range(500)]
+    df = _df(spark, rows).repartition(8)
+    out = with_size_validation(df, max_file_bytes=800, max_batch_bytes=5_000)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_sv_lows" in plan  # minima ride in as a column, not a literal
+    # no higher-order filter over the minima anywhere in the plan
+    assert "lambdafunction" not in plan.lower()
+    # helper columns do not leak into the result schema
+    assert not [c for c in out.columns if c.startswith("_sv_")]
+
+
 def test_global_budget_empty_and_boundary_cases(spark):
     # empty input: the prefix sum must not blow up on zero ranges
     empty = _df(spark, []).repartition(4)
