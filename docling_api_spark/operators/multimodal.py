@@ -227,6 +227,11 @@ def q81_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "media",
         F.ceil(F.expr("length(media)") / float(FRAME_BYTES)).cast("int").alias("n_frames"),
+    ).where(
+        # n_frames = 0 (empty payload) must emit NO frames: sequence(0, -1)
+        # is DESCENDING in Spark ([0, -1]) and would emit a spurious frame 0
+        # where the oracle's range(0, 0) is empty (q113 lesson).
+        F.col("n_frames") > 0
     ).select(
         "doc_id",
         "media",

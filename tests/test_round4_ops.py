@@ -114,3 +114,24 @@ def test_bloom_prefilter_int_vs_bigint_build_probe(spark):
     got = {r["k"] for r in passed.collect()}
     # every true member survives (bloom = no false negatives)
     assert set(range(1000)) <= got
+
+
+# ---------------------------------------------------------------------------
+# q81 — empty-payload frame sampling regression (q113 class)
+# ---------------------------------------------------------------------------
+
+
+def test_frame_sample_empty_media_emits_no_frames(spark, tmp_path):
+    """A zero-byte payload has n_frames = 0 and must emit NO rows:
+    sequence(0, -1) is descending in Spark and previously produced a
+    spurious frame 0 where the oracle's range(0, 0) is empty."""
+    docs = spark.createDataFrame(
+        # doc_id % 3 == 2 → classified "video" by the media corpus
+        [(2, "", 0), (5, "x" * 300, 300)],
+        "doc_id long, text string, n_chars int",
+    )
+    sf = str(tmp_path / "sf_media")
+    docs.write.parquet(sf + "/documents.parquet")
+    rows = QS["q81_frame_sample"].fn(spark, sf).collect()
+    assert {r["doc_id"] for r in rows} == {5}
+    assert all(r["frame_len"] > 0 for r in rows)
