@@ -861,3 +861,56 @@ def q146_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — per-source corpus quality rollup (domain-level curation readout)
+# ---------------------------------------------------------------------------
+SHORT_DOC_CHARS = 200
+
+
+@register(
+    "q154_source_quality_rollup",
+    tags=("curation", "quality", "rollup"),
+    oracle=f"""
+        SELECT
+          source,
+          COUNT(*) AS n_docs,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+          CAST(SUM(CASE WHEN n_chars < {SHORT_DOC_CHARS} THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*) AS short_share,
+          CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+          CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+            AS dup_share
+        FROM documents
+        GROUP BY source
+    """,
+)
+def q154_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) corpus governance card: volume, language spread,
+    length profile, and exact-dup pressure — the table a RefinedWeb-style
+    pipeline uses to decide which domains to keep, cap, or drop.
+
+    ONE hash aggregation keyed by source; the two DISTINCT aggregates ride
+    the same shuffle (Spark expands to a single multi-distinct plan). Text
+    never shuffles — only its md5. Divisions are by the group's own row
+    count (≥ 1 by construction), so the query is total under ANSI mode.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    dup = (n - F.count_distinct(F.md5("text"))).cast("bigint")
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / n).alias("avg_chars"),
+        (
+            F.sum(F.when(F.col("n_chars") < SHORT_DOC_CHARS, 1).otherwise(0))
+            .cast("double")
+            / n
+        ).alias("short_share"),
+        dup.alias("n_dup_docs"),
+        (dup.cast("double") / n).alias("dup_share"),
+    )

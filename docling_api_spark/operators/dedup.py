@@ -210,6 +210,32 @@ _Q42_ORACLE_CTES = f"""
 """
 
 
+def capped_shingles(spark: SparkSession, sf_dir: str):
+    """(sh, cnt): the DF-capped per-source shingle relation and per-doc
+    shingle counts — the shared front end of every shingle-pair operator
+    (q42 Jaccard, q45 clusters, q57 incremental, q155 containment).
+
+    Hot-shingle probe over the deterministic 1/8 doc sample: explode +
+    (source, shingle) aggregation touch only sampled docs, so the probe
+    shuffle is ~MOD× smaller than a full-relation DF count. The HOT set
+    itself is tiny — boilerplate shingles only — so applying the guard is
+    a broadcast anti-join: no extra shuffle of the full relation.
+    """
+    doc_sh = doc_shingle_arrays(spark, sf_dir)
+    hot = (
+        doc_sh.filter(F.expr(_HOT_SAMPLE_SPARK))
+        .select("source", F.explode("sh_arr").alias("shingle"))
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > HOT_SAMPLE_CAP)
+        .drop("df")
+    )
+    sh0 = doc_sh.select("doc_id", "source", F.explode("sh_arr").alias("shingle"))
+    sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return sh, cnt
+
+
 @register(
     "q42_ngram_jaccard",
     tags=("dedup", "neardup", "jaccard"),
@@ -234,23 +260,7 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides all explode from the checkpoint instead of re-paying the
     # parquet scan + tokenization 4× (r2 paid the rescan per consumer and
     # a full-relation hot aggregation on top — the 2× bench regression).
-    doc_sh = doc_shingle_arrays(spark, sf_dir)
-    # Hot-shingle probe over the deterministic 1/8 doc sample: explode +
-    # (source, shingle) aggregation touch only sampled docs, so the probe
-    # shuffle is ~MOD× smaller than a full-relation DF count. The HOT set
-    # itself is tiny — boilerplate shingles only — so applying the guard is
-    # a broadcast anti-join: no extra shuffle of the full relation.
-    hot = (
-        doc_sh.filter(F.expr(_HOT_SAMPLE_SPARK))
-        .select("source", F.explode("sh_arr").alias("shingle"))
-        .groupBy("source", "shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > HOT_SAMPLE_CAP)
-        .drop("df")
-    )
-    sh0 = doc_sh.select("doc_id", "source", F.explode("sh_arr").alias("shingle"))
-    sh = sh0.join(F.broadcast(hot), ["source", "shingle"], "left_anti")
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh, cnt = capped_shingles(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -972,4 +982,62 @@ def q76_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         F.when(u % 10 < 8, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — n-gram containment (asymmetric near-dup: subset/quotation copies)
+# ---------------------------------------------------------------------------
+CONT_TAU = 0.5  # emit src→dst when this share of src's shingles appear in dst
+
+
+@register(
+    "q155_ngram_containment",
+    tags=("dedup", "neardup", "containment"),
+    oracle=f"""
+        WITH {_SHINGLE_CNT_CTES},
+        pairs AS (
+          SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, COUNT(*) AS n_common
+          FROM sh a
+          JOIN sh b ON a.shingle = b.shingle AND a.source = b.source
+                   AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.doc_src, p.doc_dst, p.n_common,
+               CAST(p.n_common AS DOUBLE) / ca.n AS containment
+        FROM pairs p JOIN cnt ca ON p.doc_src = ca.doc_id
+        WHERE CAST(p.n_common AS DOUBLE) / ca.n >= {CONT_TAU}
+    """,
+)
+def q155_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment c(src→dst) = |G(src) ∩ G(dst)| / |G(src)| over
+    3-gram shingles: the asymmetric near-dup signal Jaccard (q42) misses —
+    a short document quoted wholesale inside a long one has low Jaccard
+    (union is large) but containment ≈ 1.
+
+    Same DF-capped shingle front end and shuffle-join-on-shingle shape as
+    q42 (cost bounded by shingle collisions, never |docs|²); the only
+    difference is the normalizer (src's own shingle count) and that pairs
+    are kept in both directions. At 100 TB the candidate pairs come from
+    the minhash-LSH buckets (q43) before the exact containment recount.
+    """
+    sh, cnt = capped_shingles(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_src"), F.col("b.doc_id").alias("doc_dst"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    containment = F.col("n_common").cast("double") / F.col("ca.n")
+    return (
+        pairs.join(ca, F.col("doc_src") == F.col("ca.doc_id"))
+        .select("doc_src", "doc_dst", "n_common", containment.alias("containment"))
+        .filter(F.col("containment") >= CONT_TAU)
     )

@@ -105,3 +105,131 @@ def q103_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
 
     return out.select(F.col("p").alias("part_key"), "min_hops")
+
+
+# ---------------------------------------------------------------------------
+# q152 — fixed-iteration PageRank (integer-exact, oracle-replayable)
+# ---------------------------------------------------------------------------
+PR_SCALE = 10**12  # rank unit = 1e-12 of total rank mass
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def _pr_oracle() -> str:
+    """Unrolled PR_ITERS-iteration PageRank in pure integer arithmetic.
+
+    Every quantity is a BIGINT number of rank units and every division is
+    integer floor division, so Spark (`div`) and DuckDB (`//`) compute
+    bit-identical ranks — the float formulation would drift in shuffle
+    order. Production would use doubles (drift is irrelevant there); the
+    integer form exists to make the iterative operator hash-checkable.
+    """
+    prev = "r0"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+        i{k} AS (
+          SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM edges e
+          JOIN {prev} r ON e.src = r.node
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ),
+        r{k} AS (
+          SELECT n2.node,
+                 CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * {PR_SCALE}) // ({PR_DAMP_DEN} * nn.n)
+                      + ({PR_DAMP_NUM} * COALESCE(i{k}.inflow, 0)) // {PR_DAMP_DEN}
+                   AS BIGINT) AS rank
+          FROM nodes n2 CROSS JOIN nn
+          LEFT JOIN i{k} ON n2.node = i{k}.node
+        )""")
+        prev = f"r{k}"
+    return f"""
+        WITH cs AS (
+          SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+          SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS rank FROM nodes CROSS JOIN nn),
+        {",".join(iters)}
+        SELECT node, rank AS rank_units FROM r{PR_ITERS}
+    """
+
+
+@register(
+    "q152_pagerank",
+    tags=("graph", "pagerank", "iterative"),
+    oracle=_pr_oracle(),
+)
+def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trading graph, 3 synchronous
+    iterations, damping 0.85.
+
+    Spark shape — the canonical distributed PageRank:
+    - the edge relation is reduced to DISTINCT key pairs once and
+      localCheckpointed (every iteration joins it twice; without the
+      checkpoint each iteration re-derives the orders⋈lineitem join and
+      plan depth grows O(iters²));
+    - per iteration: ONE shuffle-join of ranks onto edges (ranks are
+      keyed by node — at 100 TB both sides pre-partition on node id so
+      the join is co-located), ONE hash aggregation of inflow per dst
+      with map-side partials, and a left join back onto the node set for
+      dangling-safety;
+    - ranks are BIGINT units with integer division (see _pr_oracle):
+      bit-identical across engines and partitionings.
+
+    At 1000-executor scale the only knob that matters is keeping the
+    rank⋈edge join co-partitioned across iterations — same discipline as
+    the q45 connected-components ladder.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    base = F.expr(
+        f"({PR_DAMP_DEN - PR_DAMP_NUM} * {PR_SCALE}L) div ({PR_DAMP_DEN} * n)"
+    )
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{PR_SCALE}L div n").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", F.expr("rank div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(inflow, 0L)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("bigint").alias("rank"),
+            )
+        )
+    return ranks.select("node", F.col("rank").alias("rank_units"))

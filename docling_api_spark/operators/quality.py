@@ -1,0 +1,209 @@
+"""Data-quality / audit operators: distribution forensics and contract
+checks over the fact tables.
+
+These are the governance queries a 100 TB ingestion pipeline runs before
+anything downstream trusts the data: does a monetary column follow its
+expected digit law (fraud/synthetic-data tell), and does every table meet
+its column contracts (nulls, ranges, uniqueness, accepted values)?
+
+Scale posture: every check is a single column-pruned scan folded into a
+scalar or tiny-group aggregate with map-side partials. The expectation
+suite unions one-row aggregates — at 1000 executors each check is an
+independent stage pipeline over its own pruned scan, and the union is
+metadata-only (no shuffle joins anywhere).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_api_spark.plans.registry import register
+from docling_api_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q153 — Benford first-digit audit of order totals
+# ---------------------------------------------------------------------------
+# expected shares log10(1 + 1/d), embedded as IDENTICAL literal text in the
+# Spark plan and the DuckDB oracle so both engines parse the same doubles
+# (computing log10 at runtime risks last-ulp libm differences).
+_BENFORD = {d: repr(math.log10(1 + 1 / d)) for d in range(1, 10)}
+# CAST AS DOUBLE: Spark parses a bare decimal literal as DECIMAL(17,16),
+# which would hash-compare as a Decimal, not the float the oracle emits.
+_BENFORD_SQL_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "q153_benford_digit_audit",
+    tags=("quality", "distribution", "audit"),
+    oracle=f"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+          FROM orders
+          WHERE o_totalprice > 0
+        ),
+        obs AS (
+          SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY first_digit
+        ),
+        tot AS (SELECT SUM(n) AS total FROM obs)
+        SELECT
+          first_digit,
+          n,
+          CAST(n AS DOUBLE) / total AS obs_share,
+          {_BENFORD_SQL_CASE} AS benford_share,
+          abs(CAST(n AS DOUBLE) / total - ({_BENFORD_SQL_CASE})) AS abs_dev
+        FROM obs CROSS JOIN tot
+    """,
+)
+def q153_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic forensic screen for fabricated or truncated
+    monetary data.
+
+    The first digit is taken from the decimal text of the integer-cents
+    value (bigint→string renders identically in every engine; a
+    log10-based extraction would hinge on libm rounding). One hash
+    aggregation to 9 rows, a broadcast scalar total, map-side everything.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    obs = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.expr(_BENFORD_SQL_CASE)
+    obs_share = F.col("n").cast("double") / F.col("total")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n",
+        obs_share.alias("obs_share"),
+        benford.alias("benford_share"),
+        F.abs(obs_share - benford).alias("abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — column-contract expectation suite (dbt-tests / Great-Expectations
+# shape: one labeled violation count per declared contract)
+# ---------------------------------------------------------------------------
+_ACCEPTED_EVENT_TYPES = ("signup", "click", "view", "purchase", "error")
+
+
+@register(
+    "q156_expectation_suite",
+    tags=("quality", "contracts", "audit"),
+    oracle=f"""
+        SELECT 'orders.o_totalprice.positive' AS check_name,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderdate.in_range',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL
+                             OR o_orderdate <  TIMESTAMP '2020-01-01'
+                             OR o_orderdate >= TIMESTAMP '2030-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'customer.c_custkey.unique',
+               COUNT(*) - COUNT(DISTINCT c_custkey),
+               COUNT(*)
+        FROM customer
+        UNION ALL
+        SELECT 'lineitem.l_quantity.range_1_50',
+               CAST(SUM(CASE WHEN l_quantity IS NULL
+                             OR l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.event_type.accepted_values',
+               CAST(SUM(CASE WHEN event_type NOT IN
+                             {_ACCEPTED_EVENT_TYPES!r} THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               COUNT(*)
+        FROM events
+        UNION ALL
+        SELECT 'documents.text.not_null_not_empty',
+               CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM documents
+    """,
+)
+def q156_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative column-contract suite: six labeled checks (positivity,
+    date range, key uniqueness, value range, accepted values,
+    non-emptiness) each reduced to a (check_name, n_violations, n_rows)
+    row — the dbt-tests / Great Expectations readout as one DataFrame.
+
+    Each check scans ONLY its own columns (pruned scan → scalar agg with
+    map-side partials); the union is plan-level, so checks parallelize
+    across the cluster and a new contract is one more select-agg pair.
+    """
+
+    def check(df: DataFrame, name: str, violated: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(violated, 1).otherwise(0)).cast("bigint").alias(
+                "n_violations"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    tp = F.col("o_totalprice")
+    od = F.col("o_orderdate")
+    qty = F.col("l_quantity")
+    checks = [
+        check(orders, "orders.o_totalprice.positive", tp.isNull() | (tp <= 0)),
+        check(
+            orders,
+            "orders.o_orderdate.in_range",
+            od.isNull()
+            | (od < F.lit("2020-01-01").cast("timestamp"))
+            | (od >= F.lit("2030-01-01").cast("timestamp")),
+        ),
+        customer.agg(
+            F.lit("customer.c_custkey.unique").alias("check_name"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey")))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ),
+        check(
+            lineitem,
+            "lineitem.l_quantity.range_1_50",
+            qty.isNull() | (qty < 1) | (qty > 50),
+        ),
+        check(
+            events,
+            "events.event_type.accepted_values",
+            ~F.col("event_type").isin(*_ACCEPTED_EVENT_TYPES),
+        ),
+        check(
+            documents,
+            "documents.text.not_null_not_empty",
+            F.col("text").isNull() | (F.length("text") == 0),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -43,7 +43,7 @@ QUERIES: dict[str, Query] = {}
 # these — shared here so the two lists can't drift.
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151",  # streaming drains
-    "q103", "q139",  # eager localCheckpoints
+    "q103", "q139", "q152",  # eager localCheckpoints
     "q43", "q45", "q57",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
@@ -156,6 +156,11 @@ GRADED_FIRST: tuple[str, ...] = (
     "q149_activation_latency",
     "q150_order_size_histogram",
     "q151_stateful_counter",
+    "q152_pagerank",
+    "q153_benford_digit_audit",
+    "q154_source_quality_rollup",
+    "q155_ngram_containment",
+    "q156_expectation_suite",
     # driver-graded green r3
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
@@ -265,6 +270,7 @@ def all_queries() -> dict[str, Query]:
         layout,
         multimodal,
         pipeline_queries,
+        quality,
         reconcile,
         relational,
         sampling,

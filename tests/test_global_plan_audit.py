@@ -55,6 +55,8 @@ _SP_ALLOWED = {
     "q134_curation_pipeline": 0,
     "q136_sampling_error_audit": 2,  # population + sample scalar reduces
     "q147_supplier_cold_start": 1,  # one-row shipping-horizon scalar
+    "q153_benford_digit_audit": 1,  # one-row digit-count total
+    "q156_expectation_suite": 6,    # six labeled scalar contract checks
     "q150_order_size_histogram": 1,  # cumulative window over ~13 size rows
 }
 
