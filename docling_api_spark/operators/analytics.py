@@ -928,3 +928,76 @@ def q150_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("n_orders").over(w).cast("bigint").alias("cum_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — robust outlier gate: median/MAD per group (no mean/stddev fragility)
+# ---------------------------------------------------------------------------
+MAD_K = 3  # flag |x - median| > K * MAD
+
+
+@register(
+    "q158_median_mad_outliers",
+    tags=("stats", "robust", "outliers"),
+    oracle=f"""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+          FROM events e JOIN med m ON e.event_type = m.event_type
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               COUNT(*) AS n,
+               MAX(d.med) AS median_v,
+               MAX(m.mad) AS mad_v,
+               CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+    """,
+)
+def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier gate: median + MAD (median absolute
+    deviation) and the count of points beyond K·MAD — the screen that
+    survives heavy tails where mean/stddev z-scores (q49) blow up.
+
+    Two percentile aggregations (group-keyed, distributed) with the tiny
+    per-group statistics broadcast back between passes — the q118
+    cuts-broadcast discipline; no global sort, no Window over facts, and
+    the outlier test is a comparison (no division), so MAD = 0 groups are
+    total under ANSI mode. At 100 TB both percentile aggs swap to
+    approx_percentile exactly like q118_approx.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("median_v"),
+            F.max("mad").alias("mad_v"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -626,3 +626,80 @@ def q79_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(ranked), docs.doc_id == ranked.vec_id)
         .select("label", "vec_id", "dist", "rn", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — int8 embedding quantization audit (vector-compression error card)
+# ---------------------------------------------------------------------------
+QUANT_LEVELS = 127  # symmetric int8: q = round(x * 127 / max|x|)
+ERR_UNIT = 10**9  # abs reconstruction error quantized to 1e-9 units
+
+
+@register(
+    "q159_embedding_quantization",
+    tags=("similarity", "quantization", "vector"),
+    oracle=f"""
+        WITH s AS (
+          SELECT vec_id, label, embedding,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS scale
+          FROM embeddings
+        ),
+        e AS (
+          SELECT vec_id, label, scale,
+                 list_transform(embedding, x ->
+                   CAST(round(abs(CAST(x AS DOUBLE)
+                       - round(CAST(x AS DOUBLE) * {QUANT_LEVELS} / scale)
+                         * scale / {QUANT_LEVELS}) * {ERR_UNIT}) AS BIGINT)
+                 ) AS err_units
+          FROM s
+          WHERE scale > 0
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(list_sum(err_units)) AS BIGINT) AS total_err_units,
+               CAST(MAX(list_max(err_units)) AS BIGINT) AS max_err_units
+        FROM e
+        GROUP BY label
+    """,
+)
+def q159_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per label: total and worst-case
+    reconstruction error if embeddings were stored as int8 — the
+    compression-decision card for a vector index (4× smaller, how much
+    recall risk?).
+
+    All map-side: per-vector scale (max |x|), per-element quantize →
+    dequantize → error, with the error immediately integer-quantized to
+    1e-9 units so the per-label sums are exact bigints (raw double sums
+    would be shuffle-order dependent). round() is half-away-from-zero in
+    both engines; float→double widening is exact. One hash aggregation to
+    10 rows; zero joins, zero shuffles before the final group. All-zero
+    vectors are excluded (scale = 0 has no quantization to audit) — that
+    also keeps the division total under ANSI.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").alias(
+            "scale"
+        ),
+    ).where(F.col("scale") > 0)
+    e = s.select(
+        "label",
+        F.expr(
+            f"""transform(embedding, x ->
+                 CAST(round(abs(CAST(x AS DOUBLE)
+                     - round(CAST(x AS DOUBLE) * {QUANT_LEVELS} / scale)
+                       * scale / {QUANT_LEVELS}) * {ERR_UNIT}) AS BIGINT))"""
+        ).alias("err_units"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.expr("aggregate(err_units, 0L, (a, b) -> a + b)"))
+        .cast("bigint")
+        .alias("total_err_units"),
+        F.max(F.expr("array_max(err_units)")).cast("bigint").alias("max_err_units"),
+    )

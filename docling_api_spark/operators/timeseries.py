@@ -2170,3 +2170,71 @@ def q142_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bounces.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — OHLC bars (open-high-low-close candles per event type per day)
+# ---------------------------------------------------------------------------
+@register(
+    "q157_ohlc_bars",
+    tags=("eventtime", "ohlc", "finance"),
+    oracle="""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS DATE) AS day,
+                 value, ts, event_id
+          FROM events
+        ),
+        r AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM e
+        )
+        SELECT event_type,
+               CAST(day AS VARCHAR) AS day,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               COUNT(*) AS n_events
+        FROM r
+        GROUP BY event_type, day
+    """,
+)
+def q157_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type — the time-series bar aggregation
+    every metrics/finance stack needs (first/last are ORDER-dependent, so
+    a plain groupBy can't express them).
+
+    Open/close come from row_number windows with a full deterministic
+    ordering (ts, event_id — ties across users are broken by the unique
+    id, so the result is engine- and partition-independent), folded into
+    the same hash aggregation as high/low/count. Both windows share one
+    (event_type, day) shuffle; work per group is O(n log n) locally,
+    nothing global. At 100 TB: identical plan, partitioned by the bar key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", F.col("day").cast("string").alias("day")).agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -161,6 +161,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q154_source_quality_rollup",
     "q155_ngram_containment",
     "q156_expectation_suite",
+    "q157_ohlc_bars",
+    "q158_median_mad_outliers",
+    "q159_embedding_quantization",
     # driver-graded green r3
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
