@@ -872,6 +872,7 @@ SHORT_DOC_CHARS = 200
 @register(
     "q154_source_quality_rollup",
     tags=("curation", "quality", "rollup"),
+    bench=True,
     oracle=f"""
         SELECT
           source,

@@ -164,6 +164,7 @@ def _pr_oracle() -> str:
 @register(
     "q152_pagerank",
     tags=("graph", "pagerank", "iterative"),
+    bench=True,
     oracle=_pr_oracle(),
 )
 def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,6 +101,7 @@ _ACCEPTED_EVENT_TYPES = ("signup", "click", "view", "purchase", "error")
 @register(
     "q156_expectation_suite",
     tags=("quality", "contracts", "audit"),
+    bench=True,
     oracle=f"""
         SELECT 'orders.o_totalprice.positive' AS check_name,
                CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0

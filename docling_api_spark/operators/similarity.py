@@ -638,6 +638,7 @@ ERR_UNIT = 10**9  # abs reconstruction error quantized to 1e-9 units
 @register(
     "q159_embedding_quantization",
     tags=("similarity", "quantization", "vector"),
+    bench=True,
     oracle=f"""
         WITH s AS (
           SELECT vec_id, label, embedding,

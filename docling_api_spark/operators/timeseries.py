@@ -2178,6 +2178,7 @@ def q142_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q157_ohlc_bars",
     tags=("eventtime", "ohlc", "finance"),
+    bench=True,
     oracle="""
         WITH e AS (
           SELECT event_type,
