@@ -63,3 +63,23 @@ def write_partitioned(
     """Partitioned columnar sink: downstream scans prune on the partition
     columns (directory-level pruning, zero I/O for filtered-out partitions)."""
     df.write.mode("overwrite").partitionBy(*partition_by).format(fmt).save(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """ORC scan (columnar like parquet: predicate pushdown + column pruning
+    apply). Schema optional — ORC files carry their own types, so unlike
+    CSV/JSON there is no inference pass to avoid."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    """ORC sink — the interchange format for Hive-ecosystem consumers that
+    don't read parquet."""
+    df.write.mode(mode).orc(path)

@@ -103,3 +103,27 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
         assert warehouse is not None  # keep linters honest
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from docling_api_spark.sources.files import read_orc, write_orc
+    from docling_api_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert {f.name for f in back.schema.fields} == {
+        f.name for f in nation.schema.fields
+    }
+    # columnar scan: the filter reaches the ORC reader as a pushed filter
+    plan = (
+        back.filter(back.n_nationkey == 3)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan
