@@ -1001,3 +1001,315 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q160s... round-4 continuation statistics
+# q164 — Mann–Whitney U rank-sum test (click vs purchase value distributions)
+# ---------------------------------------------------------------------------
+_MWU_Z = """
+    (CAST(u2 AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+    / sqrt(
+        (CAST(n_a AS DOUBLE) * n_b / 12)
+        * ((n_a + n_b + 1) - CAST(tie_cubes AS DOUBLE)
+           / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+      )
+"""
+
+
+@register(
+    "q164_mannwhitney_u",
+    tags=("stats", "hypothesis-test", "rank"),
+    oracle=f"""
+        WITH s AS (
+          SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        g AS (
+          SELECT v,
+                 CAST(SUM(a) AS BIGINT) AS na,
+                 CAST(SUM(1 - a) AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS t
+          FROM s GROUP BY v
+        ),
+        r AS (
+          SELECT v, na, nb, t,
+                 CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cb
+          FROM g
+        ),
+        agg AS (
+          SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+                 CAST(SUM(nb) AS BIGINT) AS n_b,
+                 CAST(SUM(na * (2 * cb + t + 1)) AS BIGINT) AS two_r_a,
+                 CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+          FROM r
+        ),
+        u AS (
+          SELECT n_a, n_b, tie_cubes,
+                 CAST(two_r_a - n_a * (n_a + 1) AS BIGINT) AS u2
+          FROM agg
+        )
+        SELECT n_a, n_b, u2, tie_cubes, {_MWU_Z} AS z_stat FROM u
+    """,
+)
+def q164_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test: are click and purchase `value`
+    distributions shifted? Exact tie-corrected ranks, no global sort of
+    raw rows.
+
+    Values are floor-quantized to cents, so the joint ranking happens on
+    the (distinct cent value) relation — bounded by the VALUE DOMAIN
+    (~56k cells for this table's [0, 560] range), not the row count: one
+    keyed aggregation reduces the facts, the single cumulative-count
+    window runs over that bounded relation (q118 discipline), and every
+    rank quantity stays in exact bigint form (2·avg_rank = 2·cum_before
+    + ties + 1, so U is carried as u2 = 2·U with no halves). The z
+    statistic (tie-corrected variance) is one closing double expression
+    evaluated in the same operation order on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("a")).cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "na",
+        "nb",
+        "t",
+        F.coalesce(F.sum("t").over(wv), F.lit(0)).cast("bigint").alias("cb"),
+    )
+    agg = r.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(F.col("na") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("two_r_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_cubes"),
+    )
+    u = agg.select(
+        "n_a",
+        "n_b",
+        (F.col("two_r_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u2"),
+        "tie_cubes",
+    )
+    return u.select("n_a", "n_b", "u2", "tie_cubes", F.expr(_MWU_Z).alias("z_stat"))
+
+
+# ---------------------------------------------------------------------------
+# q165 — Gini inequality coefficient per market segment (bucketed Lorenz)
+# ---------------------------------------------------------------------------
+@register(
+    "q165_gini_revenue",
+    tags=("stats", "inequality", "window"),
+    oracle="""
+        WITH rev AS (
+          SELECT c.c_mktsegment AS mktsegment, o.o_custkey,
+                 CAST(FLOOR(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)))
+                                 AS DOUBLE) / 1000) AS BIGINT) AS kb
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT mktsegment, kb, CAST(COUNT(*) AS BIGINT) AS c
+          FROM rev GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT mktsegment, kb, c,
+            CAST(COALESCE(SUM(c) OVER (PARTITION BY mktsegment ORDER BY kb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_c,
+            CAST(COALESCE(SUM(c * kb) OVER (PARTITION BY mktsegment ORDER BY kb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_s
+          FROM b
+        )
+        SELECT mktsegment,
+               CAST(SUM(c) AS BIGINT) AS n_customers,
+               CAST(SUM(c * kb) AS BIGINT) AS total_kdollars,
+               CAST(SUM(c * (kb * cum_c - cum_s)) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c * kb) AS DOUBLE)) AS gini
+        FROM p GROUP BY mktsegment
+    """,
+)
+def q165_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each market segment,
+    computed on the $1000-bucketed revenue distribution (a declared
+    quantization — the statistic is exact on the bucketed values).
+
+    Shape: facts reduce to per-customer decimal-exact revenue (one keyed
+    agg), quantize map-side to a $1000 bucket, then aggregate again to
+    the (segment × bucket) relation — bounded by the PRICE DOMAIN (~500
+    buckets), not the data. The mean-absolute-difference identity
+    Σc·(v·C_lt − S_lt) needs only prefix count/sum windows over that
+    bounded relation, partitioned by segment; every term is bigint until
+    the one closing division. No Lorenz global sort of customers — the
+    q102/q118 discipline applied to an inequality statistic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "o_custkey")
+        .agg(
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double")
+                / 1000
+            )
+            .cast("bigint")
+            .alias("kb")
+        )
+    )
+    b = rev.groupBy("mktsegment", "kb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wseg = W.partitionBy("mktsegment").orderBy("kb").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    p = b.select(
+        "mktsegment",
+        "kb",
+        "c",
+        F.coalesce(F.sum("c").over(wseg), F.lit(0)).cast("bigint").alias("cum_c"),
+        F.coalesce(F.sum(F.col("c") * F.col("kb")).over(wseg), F.lit(0))
+        .cast("bigint")
+        .alias("cum_s"),
+    )
+    return p.groupBy("mktsegment").agg(
+        F.sum("c").cast("bigint").alias("n_customers"),
+        F.sum(F.col("c") * F.col("kb")).cast("bigint").alias("total_kdollars"),
+        (
+            F.sum(
+                F.col("c") * (F.col("kb") * F.col("cum_c") - F.col("cum_s"))
+            ).cast("double")
+            / (
+                F.sum("c").cast("double")
+                * F.sum(F.col("c") * F.col("kb")).cast("double")
+            )
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — model-evaluation gains/lift table (acctbal deciles vs heavy buyers)
+# ---------------------------------------------------------------------------
+LIFT_POS_MIN = 12  # "positive" = customer placed at least this many orders
+_DECILE_FRACS = ", ".join(f"0.{i}" for i in range(1, 10))
+
+
+@register(
+    "q162_lift_table",
+    tags=("experiment", "evaluation", "lift"),
+    oracle=f"""
+        WITH pc AS (
+          SELECT c.c_custkey, c.c_acctbal,
+                 CASE WHEN COALESCE(o.n, 0) >= {LIFT_POS_MIN} THEN 1 ELSE 0 END AS pos
+          FROM customer c
+          LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) o
+            ON c.c_custkey = o.o_custkey
+        ),
+        cuts AS (
+          SELECT quantile_cont(c_acctbal, [{_DECILE_FRACS}]) AS qc FROM pc
+        ),
+        dec AS (
+          SELECT CAST(1 + len(list_filter(c.qc, v -> p.c_acctbal > v)) AS INTEGER)
+                   AS decile,
+                 p.pos
+          FROM pc p, cuts c
+        ),
+        g AS (
+          SELECT decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(pos) AS BIGINT) AS n_pos
+          FROM dec GROUP BY decile
+        ),
+        t AS (
+          SELECT CAST(SUM(n_customers) AS BIGINT) AS tn,
+                 CAST(SUM(n_pos) AS BIGINT) AS tp
+          FROM g
+        )
+        SELECT g.decile, g.n_customers, g.n_pos,
+               CAST(g.n_pos AS DOUBLE) / g.n_customers AS pos_rate,
+               CAST(CAST(SUM(g.n_pos) OVER (ORDER BY g.decile DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS DOUBLE) / t.tp AS cum_gain,
+               (CAST(g.n_pos AS DOUBLE) / g.n_customers)
+                 / (CAST(t.tp AS DOUBLE) / t.tn) AS lift
+        FROM g, t
+    """,
+)
+def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for "account balance predicts heavy buyers": per
+    acctbal decile (10 = richest), positive rate, cumulative gain from the
+    top decile down, and lift over the base rate — the tabular readout
+    every targeting model is judged on.
+
+    Deciles come from ONE distributed percentile aggregate broadcast back
+    (q121's cut-point idiom — no ntile global sort); the per-decile
+    relation is 10 rows, so the cumulative-gain window and the scalar
+    totals join are driver-trivial while positives/counts stay exact
+    bigints. Closing divisions are the only doubles.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    pc = (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_acctbal",
+            F.when(F.coalesce(F.col("n"), F.lit(0)) >= LIFT_POS_MIN, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+    )
+    cuts = pc.agg(
+        F.expr(f"percentile(c_acctbal, array({_DECILE_FRACS}))").alias("qc")
+    )
+    dec = pc.join(F.broadcast(cuts)).select(
+        (F.lit(1) + F.size(F.expr("filter(qc, v -> c_acctbal > v)")))
+        .cast("int")
+        .alias("decile"),
+        "pos",
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    t = g.agg(
+        F.sum("n_customers").cast("bigint").alias("tn"),
+        F.sum("n_pos").cast("bigint").alias("tp"),
+    )
+    wg = W.orderBy(F.col("decile").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        g.join(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n_customers")).alias("pos_rate"),
+            (
+                F.sum("n_pos").over(wg).cast("bigint").cast("double") / F.col("tp")
+            ).alias("cum_gain"),
+            (
+                (F.col("n_pos").cast("double") / F.col("n_customers"))
+                / (F.col("tp").cast("double") / F.col("tn"))
+            ).alias("lift"),
+        )
+    )

@@ -1590,3 +1590,68 @@ def q148_denorm_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rel_gap").alias("max_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — weighted quantiles over a bounded value domain (revenue-weighted
+# quantity median/p90 per return flag)
+# ---------------------------------------------------------------------------
+@register(
+    "q160_weighted_median",
+    tags=("percentile", "weighted", "window"),
+    oracle="""
+        WITH grouped AS (
+          SELECT l_returnflag, l_quantity AS qty,
+                 SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS w
+          FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT l_returnflag, qty, w,
+                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+          FROM grouped
+        )
+        SELECT l_returnflag,
+               MIN(CASE WHEN cw * 2 >= tot THEN qty END) AS median_qty,
+               MIN(CASE WHEN cw * 10 >= tot * 9 THEN qty END) AS p90_qty,
+               CAST(MAX(tot) AS DOUBLE) AS total_weight
+        FROM cum GROUP BY l_returnflag
+    """,
+)
+def q160_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median and p90 of order quantity per return flag —
+    the weighted-quantile operator (each value counts with its dollar
+    weight, not once).
+
+    The whole computation lives on the (flag × quantity) relation:
+    l_quantity has a fixed 50-value domain, so one keyed aggregation
+    reduces lineitem to <= |flags|*50 rows before any window runs. The
+    cumulative-weight windows partition by flag over <= 50 rows each —
+    bounded by the value DOMAIN, not the data size, so the shape is
+    unchanged at 100 TB (the q118 discipline: never sort raw facts for a
+    quantile). Weights are DECIMAL(28,6) sums (order-independent, exact
+    cross-engine); the quantile gate is an integer-scaled decimal
+    comparison (cw*2 >= tot), no division anywhere before the closing
+    double cast of the total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag", F.col("l_quantity").alias("qty")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("w")
+    )
+    wc = W.partitionBy("l_returnflag").orderBy("qty")
+    cum = grouped.select(
+        "l_returnflag",
+        "qty",
+        F.sum("w").over(wc.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("tot"), F.col("qty"))).alias(
+            "median_qty"
+        ),
+        F.min(F.when(F.col("cw") * 10 >= F.col("tot") * 9, F.col("qty"))).alias(
+            "p90_qty"
+        ),
+        F.max("tot").cast("double").alias("total_weight"),
+    )

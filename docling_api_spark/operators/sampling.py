@@ -308,3 +308,158 @@ def q102_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — stratified proportional sample with largest-remainder allocation
+# ---------------------------------------------------------------------------
+SAMPLE_PCT = 10  # sample floor(N/10) documents overall
+
+
+@register(
+    "q163_stratified_sample",
+    tags=("sampling", "stratified", "window"),
+    oracle=f"""
+        WITH s AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_stratum
+          FROM documents GROUP BY lang
+        ),
+        t AS (
+          SELECT CAST(SUM(n_stratum) AS BIGINT) AS n_total,
+                 CAST(SUM(n_stratum) / {SAMPLE_PCT} AS BIGINT) AS target
+          FROM s
+        ),
+        base AS (
+          SELECT s.lang, s.n_stratum, t.n_total, t.target,
+                 CAST(s.n_stratum * t.target / t.n_total AS BIGINT) AS floor_alloc,
+                 CAST(s.n_stratum * t.target % t.n_total AS BIGINT) AS remainder
+          FROM s, t
+        ),
+        alloc AS (
+          SELECT lang, n_stratum,
+                 floor_alloc
+                 + CASE WHEN ROW_NUMBER() OVER (ORDER BY remainder DESC, lang)
+                             <= target - (SELECT SUM(floor_alloc) FROM base)
+                        THEN 1 ELSE 0 END AS n_alloc
+          FROM base
+        ),
+        ranked AS (
+          SELECT d.doc_id, d.lang,
+                 ROW_NUMBER() OVER (PARTITION BY d.lang
+                                    ORDER BY md5(CAST(d.doc_id AS VARCHAR))) AS rk
+          FROM documents d
+        )
+        SELECT r.doc_id, r.lang, a.n_stratum, CAST(a.n_alloc AS BIGINT) AS n_alloc
+        FROM ranked r JOIN alloc a ON r.lang = a.lang
+        WHERE r.rk <= a.n_alloc
+    """,
+)
+def q163_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 10% document sample, proportionally allocated per
+    language with largest-remainder rounding so the total hits the target
+    EXACTLY — the reproducible subsetting pass a corpus-mixing pipeline
+    runs before q95-style reweighting.
+
+    Allocation math is all integer (floor quota + largest-remainder
+    top-up, ties broken by lang) on the strata relation (|langs| rows —
+    driver-trivial, broadcast back). Selection is deterministic on any
+    engine or partitioning: the per-stratum rank orders by md5 of the
+    doc id (q91's hash idiom), and the rank <= n_alloc filter is pushed
+    map-side by WindowGroupLimit, so no stratum is ever fully sorted
+    past its sample prefix. At 100 TB the allocation plan is unchanged;
+    only the rank windows grow, bounded per stratum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_stratum"))
+    t = s.agg(
+        F.sum("n_stratum").cast("bigint").alias("n_total"),
+        (F.sum("n_stratum") / SAMPLE_PCT).cast("bigint").alias("target"),
+    )
+    base = s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_stratum",
+        "n_total",
+        "target",
+        (F.col("n_stratum") * F.col("target") / F.col("n_total"))
+        .cast("bigint")
+        .alias("floor_alloc"),
+        (F.col("n_stratum") * F.col("target") % F.col("n_total"))
+        .cast("bigint")
+        .alias("remainder"),
+    )
+    short = base.agg(
+        (F.max("target") - F.sum("floor_alloc")).cast("bigint").alias("shortfall")
+    )
+    wrem = W.orderBy(F.col("remainder").desc(), F.col("lang"))
+    alloc = (
+        base.crossJoin(F.broadcast(short))
+        .select(
+            "lang",
+            "n_stratum",
+            (
+                F.col("floor_alloc")
+                + F.when(F.row_number().over(wrem) <= F.col("shortfall"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+    )
+    wrank = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(wrank).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .where(F.col("rk") <= F.col("n_alloc"))
+        .select("doc_id", "lang", "n_stratum", "n_alloc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — skew-mitigation salt planner (ceil-quota salt counts per hot key)
+# ---------------------------------------------------------------------------
+SALT_TARGET_ROWS = 600  # rows a single (key, salt) group should not exceed
+
+
+@register(
+    "q167_salt_planner",
+    tags=("skew", "planning", "quality"),
+    oracle=f"""
+        WITH k AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM lineitem GROUP BY l_suppkey
+        ),
+        plan AS (
+          SELECT l_suppkey, n_rows,
+                 CAST((n_rows + {SALT_TARGET_ROWS} - 1) // {SALT_TARGET_ROWS}
+                      AS BIGINT) AS n_salts
+          FROM k
+        )
+        SELECT l_suppkey, n_rows, n_salts
+        FROM plan WHERE n_salts > 1
+    """,
+)
+def q167_salt_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting plan for a skewed aggregation/join key: per supplier key,
+    how many salt partitions a downstream q38-style salted aggregate
+    should fan it out to (ceil(rows / target-rows-per-group)); only keys
+    needing more than one salt are emitted.
+
+    This is the PLANNING half of the skew story (q83 diagnoses, q38
+    executes): one keyed count — partial-aggregated map-side, so the hot
+    key never concentrates — a map-side integer ceil, and a selective
+    filter. The emitted plan is keys-sized and broadcastable back into
+    the salted operator at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    plan = k.select(
+        "l_suppkey",
+        "n_rows",
+        F.expr(
+            f"CAST((n_rows + {SALT_TARGET_ROWS} - 1) DIV {SALT_TARGET_ROWS} AS BIGINT)"
+        ).alias("n_salts"),
+    )
+    return plan.where(F.col("n_salts") > 1)

@@ -2239,3 +2239,70 @@ def q157_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — Theil–Sen robust trend per event type (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+@register(
+    "q161_theil_sen_trend",
+    tags=("timeseries", "robust-stats", "trend"),
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS DATE) AS d,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.event_type,
+                 (b.m - a.m) / date_diff('day', a.d, b.d) AS slope
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               quantile_cont(slope, 0.5) AS theil_sen_slope
+        FROM pairs GROUP BY event_type
+    """,
+)
+def q161_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope estimator per event type: the median of all
+    pairwise day-mean slopes — the robust alternative to q127's
+    least-squares trend (one wild day cannot move it).
+
+    The O(n²) pair space is bounded by the CALENDAR, not the data: facts
+    reduce to per-(type, day) exact means first (decimal sum / count, one
+    keyed agg), so the self-join explodes days² per type (~60 days → ~2k
+    pairs), and the median runs inside a per-type hash-aggregate buffer
+    of that bounded size. Slopes divide identically-computed doubles by
+    integer day gaps; Spark `percentile` ≡ DuckDB `quantile_cont` on the
+    same operand multiset (q135's precedent).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.m") - F.col("a.m"))
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("theil_sen_slope"),
+    )
