@@ -317,7 +317,7 @@ SAMPLE_PCT = 10  # sample floor(N/10) documents overall
 
 
 @register(
-    "q163_stratified_sample",
+    "q163_proportional_sample",
     tags=("sampling", "stratified", "window"),
     oracle=f"""
         WITH s AS (
@@ -326,12 +326,12 @@ SAMPLE_PCT = 10  # sample floor(N/10) documents overall
         ),
         t AS (
           SELECT CAST(SUM(n_stratum) AS BIGINT) AS n_total,
-                 CAST(SUM(n_stratum) / {SAMPLE_PCT} AS BIGINT) AS target
+                 CAST(SUM(n_stratum) // {SAMPLE_PCT} AS BIGINT) AS target
           FROM s
         ),
         base AS (
           SELECT s.lang, s.n_stratum, t.n_total, t.target,
-                 CAST(s.n_stratum * t.target / t.n_total AS BIGINT) AS floor_alloc,
+                 CAST(s.n_stratum * t.target // t.n_total AS BIGINT) AS floor_alloc,
                  CAST(s.n_stratum * t.target % t.n_total AS BIGINT) AS remainder
           FROM s, t
         ),
@@ -354,7 +354,7 @@ SAMPLE_PCT = 10  # sample floor(N/10) documents overall
         WHERE r.rk <= a.n_alloc
     """,
 )
-def q163_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q163_proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified 10% document sample, proportionally allocated per
     language with largest-remainder rounding so the total hits the target
     EXACTLY — the reproducible subsetting pass a corpus-mixing pipeline
@@ -373,16 +373,16 @@ def q163_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_stratum"))
     t = s.agg(
         F.sum("n_stratum").cast("bigint").alias("n_total"),
-        (F.sum("n_stratum") / SAMPLE_PCT).cast("bigint").alias("target"),
+        F.expr(f"CAST(SUM(n_stratum) DIV {SAMPLE_PCT} AS BIGINT)").alias("target"),
     )
     base = s.crossJoin(F.broadcast(t)).select(
         "lang",
         "n_stratum",
         "n_total",
         "target",
-        (F.col("n_stratum") * F.col("target") / F.col("n_total"))
-        .cast("bigint")
-        .alias("floor_alloc"),
+        F.expr("CAST((n_stratum * target) DIV n_total AS BIGINT)").alias(
+            "floor_alloc"
+        ),
         (F.col("n_stratum") * F.col("target") % F.col("n_total"))
         .cast("bigint")
         .alias("remainder"),

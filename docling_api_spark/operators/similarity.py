@@ -704,3 +704,123 @@ def q159_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_err_units"),
         F.max(F.expr("array_max(err_units)")).cast("bigint").alias("max_err_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — distributed power iteration: top eigenvector of the Gram matrix
+# ---------------------------------------------------------------------------
+_PI_DIM = 64
+_PI_SCALE = 1000  # embedding quantization units AND eigenvector scale
+
+# per-element contribution e*s, exact at any scale: widen to decimal BEFORE
+# the product so the 38-digit result can't overflow a bigint intermediate
+_PI_PROD = "CAST(CAST(e AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS DECIMAL(38,0))"
+
+
+@register(
+    "q166_power_iteration",
+    tags=("similarity", "linalg", "iterative"),
+    oracle=f"""
+        WITH x AS (
+          SELECT list_transform(embedding,
+                   v -> CAST(round(CAST(v AS DOUBLE) * {_PI_SCALE}) AS BIGINT))
+                 AS xq
+          FROM embeddings
+        ),
+        e0 AS (
+          SELECT generate_subscripts(xq, 1) AS dim, unnest(xq) AS e,
+                 {_PI_SCALE} * list_sum(xq) AS s
+          FROM x
+        ),
+        w1 AS (SELECT dim, SUM(e * s) AS w FROM e0 GROUP BY dim),
+        m1 AS (SELECT CAST(MAX(ABS(w)) AS DOUBLE) AS m FROM w1),
+        v1 AS (
+          SELECT list(CAST(FLOOR(CAST(w AS DOUBLE) / m * {_PI_SCALE}) AS BIGINT)
+                      ORDER BY dim) AS v
+          FROM w1, m1
+        ),
+        s1 AS (
+          SELECT x.xq,
+                 list_sum(list_transform(range(1, {_PI_DIM + 1}),
+                          i -> x.xq[i] * v1.v[i])) AS s
+          FROM x, v1
+        ),
+        e1 AS (
+          SELECT generate_subscripts(xq, 1) AS dim, unnest(xq) AS e, s
+          FROM s1
+        ),
+        w2 AS (SELECT dim, SUM(e * s) AS w FROM e1 GROUP BY dim),
+        m2 AS (SELECT CAST(MAX(ABS(w)) AS DOUBLE) AS m FROM w2)
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST(FLOOR(CAST(w AS DOUBLE) / m * {_PI_SCALE}) AS BIGINT) AS weight
+        FROM w2, m2
+    """,
+)
+def q166_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top eigenvector of the embeddings Gram matrix XᵀX by two
+    distributed power iterations — the dominant principal direction of
+    the corpus, computed matrix-free (v' = Xᵀ(Xv)) without collecting a
+    vector to the driver.
+
+    Each iteration is one map-side pass (per-row dot product s_i = x_i·v
+    against the broadcast 64-term vector) then a posexplode →
+    groupBy(dim) aggregation: partial aggregation reduces every
+    partition to 64 rows before the shuffle, so a 100 TB corpus costs
+    two scans and two 64-row shuffles. The relation-shaped aggregate
+    (one narrow DECIMAL(38,0) sum column) keeps whole-stage codegen
+    small — a 64-column wide aggregate of DECIMAL(38,0) blows the JVM's
+    64 KB method limit and falls back to interpreted mode.
+
+    Exactness: embeddings quantize to 1e-3 integer units (round() is
+    half-away in both engines), per-element products widen to decimal
+    BEFORE multiplying (no bigint overflow at any scale; DuckDB's twin
+    sums in HUGEINT), and the between-iteration renormalization floors
+    one deterministic double ratio against max |w| — no sqrt, no drift,
+    bit-identical on any engine or partitioning. Convergence is
+    declared, not tested: two iterations from the all-ones start (the
+    q152 fixed-iteration discipline that keeps the oracle an unrolled
+    replay).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.expr(
+            f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_PI_SCALE})"
+            " AS BIGINT))"
+        ).alias("xq")
+    )
+
+    def wsum(sdf):
+        e = sdf.select("s", F.posexplode("xq").alias("pos", "e"))
+        return e.groupBy((F.col("pos") + 1).alias("dim")).agg(
+            F.sum(F.expr(_PI_PROD)).alias("w")
+        )
+
+    def normalize(wdf):
+        m = wdf.agg(F.max(F.abs(F.col("w"))).cast("double").alias("m"))
+        return wdf.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.floor(F.col("w").cast("double") / F.col("m") * _PI_SCALE)
+            .cast("bigint")
+            .alias("weight"),
+        )
+
+    s0 = x.select(
+        "xq",
+        (
+            F.lit(_PI_SCALE)
+            * F.expr("aggregate(xq, CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+        ).alias("s"),
+    )
+    v1 = normalize(wsum(s0)).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, weight))), p -> p.weight)"
+        ).alias("v")
+    )
+    s1 = x.crossJoin(F.broadcast(v1)).select(
+        "xq",
+        F.expr(
+            "aggregate(zip_with(xq, v, (a, b) -> a * b),"
+            " CAST(0 AS BIGINT), (acc, e) -> acc + e)"
+        ).alias("s"),
+    )
+    return normalize(wsum(s1)).select(F.col("dim").cast("int").alias("dim"), "weight")

