@@ -1313,3 +1313,103 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — weekly recurring-revenue waterfall (new/expansion/contraction/churn)
+# ---------------------------------------------------------------------------
+@register(
+    "q170_revenue_waterfall",
+    tags=("revenue", "waterfall", "window"),
+    oracle="""
+        WITH rev AS (
+          SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                 SUM(CAST(value AS DECIMAL(28,6))) AS r
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT u.user_id, w.wk
+          FROM (SELECT DISTINCT user_id FROM rev) u
+          CROSS JOIN (SELECT DISTINCT wk FROM rev) w
+        ),
+        dense AS (
+          SELECT g.user_id, g.wk, COALESCE(r.r, 0) AS cur
+          FROM grid g LEFT JOIN rev r
+            ON g.user_id = r.user_id AND g.wk = r.wk
+        ),
+        delta AS (
+          SELECT user_id, wk, cur,
+                 COALESCE(LAG(cur) OVER (PARTITION BY user_id ORDER BY wk), 0)
+                   AS prev
+          FROM dense
+        ),
+        labeled AS (
+          SELECT wk,
+                 CASE WHEN prev = 0 AND cur > 0 THEN 'new'
+                      WHEN prev > 0 AND cur = 0 THEN 'churn'
+                      WHEN cur > prev THEN 'expansion'
+                      WHEN cur < prev THEN 'contraction'
+                      ELSE 'flat' END AS movement,
+                 cur - prev AS d
+          FROM delta
+          WHERE NOT (cur = 0 AND prev = 0)
+        )
+        SELECT strftime(wk, '%Y-%m-%d') AS week, movement,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(d) AS DOUBLE) AS revenue_delta
+        FROM labeled GROUP BY 1, 2
+    """,
+)
+def q170_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly recurring-revenue waterfall: every active (user, week) cell
+    classified as new / expansion / contraction / churn / flat against
+    the prior week, with the exact revenue delta each class contributed —
+    the MRR bridge a subscription business reports.
+
+    The dense user × week grid comes from a broadcast cross join against
+    the CALENDAR-bounded week relation (plans as BroadcastNestedLoopJoin,
+    never CartesianProduct), missing cells coalesce to 0, and the
+    prior-week lookup is one lag window partitioned by user. Revenue
+    stays DECIMAL(28,6)-exact through the movement classification and the
+    per-(week, movement) sums; the only double is the emitted total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("r"))
+    )
+    users = rev.select("user_id").distinct()
+    weeks = rev.select("wk").distinct()
+    grid = users.crossJoin(F.broadcast(weeks))
+    dense = grid.join(rev, ["user_id", "wk"], "left").select(
+        "user_id", "wk", F.coalesce(F.col("r"), F.lit(0).cast("decimal(28,6)")).alias("cur")
+    )
+    wu = W.partitionBy("user_id").orderBy("wk")
+    delta = dense.select(
+        "user_id",
+        "wk",
+        "cur",
+        F.coalesce(F.lag("cur").over(wu), F.lit(0).cast("decimal(28,6)")).alias(
+            "prev"
+        ),
+    )
+    labeled = delta.where(~((F.col("cur") == 0) & (F.col("prev") == 0))).select(
+        "wk",
+        F.when((F.col("prev") == 0) & (F.col("cur") > 0), "new")
+        .when((F.col("prev") > 0) & (F.col("cur") == 0), "churn")
+        .when(F.col("cur") > F.col("prev"), "expansion")
+        .when(F.col("cur") < F.col("prev"), "contraction")
+        .otherwise("flat")
+        .alias("movement"),
+        (F.col("cur") - F.col("prev")).alias("d"),
+    )
+    return labeled.groupBy(
+        F.date_format("wk", "yyyy-MM-dd").alias("week"), "movement"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("d").cast("double").alias("revenue_delta"),
+    )

@@ -463,3 +463,72 @@ def q167_salt_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_salts"),
     )
     return plan.where(F.col("n_salts") > 1)
+
+
+# ---------------------------------------------------------------------------
+# q169 — unequal-probability (length-weighted) Bernoulli sample
+# ---------------------------------------------------------------------------
+WS_DIV = 5  # inclusion probability = n_chars / (WS_DIV * max_chars)
+_U32 = 4294967296  # 2^32: the md5-prefix uniform's denominator
+
+
+@register(
+    "q169_weighted_sample",
+    tags=("sampling", "weighted", "dedup"),
+    oracle=f"""
+        WITH mx AS (
+          SELECT CAST(MAX(n_chars) AS BIGINT) AS max_chars FROM documents
+        ),
+        u AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS u32
+          FROM documents
+        )
+        SELECT u.doc_id, u.lang, u.n_chars,
+               CAST(u.n_chars AS DOUBLE) / ({WS_DIV} * mx.max_chars)
+                 AS inclusion_p
+        FROM u, mx
+        WHERE u.u32 * {WS_DIV} * mx.max_chars < u.n_chars * {_U32}
+    """,
+)
+def q169_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sample: each document is kept with
+    probability proportional to its size (n_chars), so the sample's
+    token mass tracks the corpus while short documents are thinned —
+    the unequal-probability complement of q91 (uniform) and q163
+    (stratified).
+
+    The inclusion test is EXACT integer cross-multiplication — u32 ·
+    WS_DIV · max_chars < n_chars · 2³², where u32 is the engine's md5
+    uniform (q91's idiom) — no pow/log/double thresholds, so the same
+    rows are selected on any engine or partitioning and the decision is
+    map-side against one broadcast scalar (the corpus max). The emitted
+    inclusion_p is the only double, computed after selection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").cast("bigint").alias("max_chars"))
+    u = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("u32"),
+    )
+    return (
+        u.crossJoin(F.broadcast(mx))
+        .where(
+            F.col("u32") * WS_DIV * F.col("max_chars")
+            < F.col("n_chars") * F.lit(_U32)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (
+                F.col("n_chars").cast("double")
+                / (WS_DIV * F.col("max_chars"))
+            ).alias("inclusion_p"),
+        )
+    )

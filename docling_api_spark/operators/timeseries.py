@@ -2306,3 +2306,69 @@ def q161_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.expr("percentile(slope, 0.5)").alias("theil_sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — eventually-follows precedence matrix (process mining)
+# ---------------------------------------------------------------------------
+@register(
+    "q168_eventually_follows",
+    tags=("process-mining", "eventtime", "join"),
+    oracle="""
+        WITH f AS (
+          SELECT user_id, event_type, MIN(ts) AS fts
+          FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.event_type AS from_type, b.event_type AS to_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_both,
+                 CAST(SUM(CASE WHEN a.fts < b.fts THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ordered
+          FROM f a JOIN f b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n_both, n_ordered,
+               CAST(n_ordered AS DOUBLE) / n_both AS precedence_share
+        FROM pairs
+    """,
+)
+def q168_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining precedence matrix: for each unordered event-type
+    pair, how many users saw both, and in what fraction the first
+    occurrence of the alphabetically-smaller type strictly preceded the
+    other — the eventually-follows relation that discovers process order
+    (q85's directly-follows matrix only sees ADJACENT steps).
+
+    Facts reduce to the per-(user, type) first-occurrence relation (one
+    keyed agg, ≤ |types| rows per user), so the self-join explodes
+    types²/2 per user — bounded by the type taxonomy, not the stream
+    length — and co-partitions on user_id (one shuffle, AQE-managed).
+    Counts are exact bigints; the share is one closing division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("fts"))
+    a = f.alias("a")
+    b = f.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).groupBy(
+        F.col("a.event_type").alias("from_type"),
+        F.col("b.event_type").alias("to_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both"),
+        F.sum(F.when(F.col("a.fts") < F.col("b.fts"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ordered"),
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_both",
+        "n_ordered",
+        (F.col("n_ordered").cast("double") / F.col("n_both")).alias(
+            "precedence_share"
+        ),
+    )

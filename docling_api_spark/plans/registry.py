@@ -265,6 +265,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q165_gini_revenue",
     "q166_power_iteration",
     "q167_salt_planner",
+    "q168_eventually_follows",
+    "q169_weighted_sample",
+    "q170_revenue_waterfall",
 )
 
 

@@ -62,6 +62,7 @@ _SP_ALLOWED = {
     "q163_proportional_sample": 4,  # target/shortfall scalars + strata window
     "q164_mannwhitney_u": 1,      # cumulative window over the value-domain relation
     "q166_power_iteration": 5,    # 2× max|w| scalar + vector reassembly aggs
+    "q169_weighted_sample": 1,    # corpus-max scalar broadcast
 }
 
 AUDITED = [

@@ -209,3 +209,57 @@ def test_salt_planner_quota_math(spark, sf_dir):
         assert r["n_salts"] * SALT_TARGET_ROWS >= r["n_rows"]
         assert (r["n_salts"] - 1) * SALT_TARGET_ROWS < r["n_rows"]
         assert r["n_salts"] > 1  # only hot keys emitted
+
+def test_eventually_follows_symmetry_and_bounds(spark, sf_dir):
+    rows = QS["q168_eventually_follows"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["from_type"] < r["to_type"]  # canonical unordered pair
+        assert 0 <= r["n_ordered"] <= r["n_both"]
+        assert 0.0 <= r["precedence_share"] <= 1.0
+    # with 5 event types every pair should appear on real data
+    assert len(rows) == 10
+
+
+def test_weighted_sample_favors_long_documents(spark, sf_dir):
+    rows = QS["q169_weighted_sample"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    # inclusion ∝ length ⇒ the sample is longer than the corpus on average
+    assert sample_mean > corpus_mean
+    for r in rows:
+        assert 0.0 < r["inclusion_p"] <= 1.0
+
+
+def test_weighted_sample_is_deterministic(spark, sf_dir):
+    a = {r["doc_id"] for r in QS["q169_weighted_sample"].fn(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in QS["q169_weighted_sample"].fn(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_revenue_waterfall_accounting_identity(spark, sf_dir):
+    rows = QS["q170_revenue_waterfall"].fn(spark, sf_dir).collect()
+    assert rows
+    kinds = {r["movement"] for r in rows}
+    assert kinds <= {"new", "churn", "expansion", "contraction", "flat"}
+    # sign conventions: new/expansion add revenue, churn/contraction remove,
+    # flat moves nothing
+    for r in rows:
+        if r["movement"] in ("new", "expansion"):
+            assert r["revenue_delta"] > 0
+        elif r["movement"] in ("churn", "contraction"):
+            assert r["revenue_delta"] < 0
+        else:
+            assert r["revenue_delta"] == 0.0
+    # the waterfall telescopes per user to its final-week revenue (the
+    # first week's prev is 0), so the grand delta total equals the LAST
+    # week's total revenue from the raw stream
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    wk = ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("wk")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("r")
+    ).orderBy("wk").collect()
+    expect = float(wk[-1]["r"])
+    got = sum(r["revenue_delta"] for r in rows)
+    assert abs(got - expect) < 1e-6
