@@ -50,6 +50,15 @@ def main() -> None:
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, q in bench_queries.items():
+        # let the ContextCleaner drop checkpoint/broadcast blocks left by the
+        # previous query: a handful of entries (q43/q45/q103/q152/...) pin
+        # localCheckpoint blocks until their RDDs are GC'd, and without the
+        # nudge those blocks accumulate across the set and tax the
+        # checkpoint-heavy queries that run late in alphabetical order
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()

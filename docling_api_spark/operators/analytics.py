@@ -1020,6 +1020,7 @@ _MWU_Z = """
 @register(
     "q164_mannwhitney_u",
     tags=("stats", "hypothesis-test", "rank"),
+    bench=True,
     oracle=f"""
         WITH s AS (
           SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v,
@@ -1321,6 +1322,7 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q170_revenue_waterfall",
     tags=("revenue", "waterfall", "window"),
+    bench=True,
     oracle="""
         WITH rev AS (
           SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,

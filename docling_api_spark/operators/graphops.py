@@ -203,8 +203,15 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "src")
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # checkpoint the degree-annotated edges too: every iteration joins this
+    # relation, and without the cut each iteration re-runs the edge⋈degree
+    # shuffle inside an ever-deeper plan
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
 
     base = F.expr(
@@ -233,4 +240,8 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint").alias("rank"),
             )
         )
+        # per-round cut (the q45 ladder discipline): each iteration runs as
+        # its own bounded job instead of nesting three join⋈agg levels into
+        # one deep plan the scheduler re-executes per subtree
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("rank_units"))

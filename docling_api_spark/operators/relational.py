@@ -1599,6 +1599,7 @@ def q148_denorm_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q160_weighted_median",
     tags=("percentile", "weighted", "window"),
+    bench=True,
     oracle="""
         WITH grouped AS (
           SELECT l_returnflag, l_quantity AS qty,

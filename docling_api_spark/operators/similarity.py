@@ -720,6 +720,7 @@ _PI_PROD = "CAST(CAST(e AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS DECIMAL(
 @register(
     "q166_power_iteration",
     tags=("similarity", "linalg", "iterative"),
+    bench=True,
     oracle=f"""
         WITH x AS (
           SELECT list_transform(embedding,
