@@ -2372,3 +2372,103 @@ def q168_eventually_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precedence_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — mergeable HLL sketch rollup (hour sketches → day union → estimate)
+# ---------------------------------------------------------------------------
+@register(
+    "q171_hll_rollup",
+    tags=("sketch", "distinct", "rollup"),
+    oracle=None,  # Datasketches HLL binaries have no DuckDB twin; the
+    # hour→day merge is tolerance-pinned against exact distincts in
+    # tests/test_round4b_ops.py
+)
+def q171_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting: per-hour HLL sketches of active
+    users, merged (not recounted) into per-day estimates — THE 100 TB
+    pattern for distinct metrics, because the hourly sketch table is tiny
+    and any coarser rollup (day, week, campaign) is a cheap sketch union
+    instead of a full rescan of the raw stream.
+
+    `hll_sketch_agg` builds Datasketches HLL per (day, hour) group with
+    map-side partial aggregation; `hll_union_agg` merges the 24 hour
+    sketches per day. Exactness is the declared trade: the estimate is
+    within the sketch's published error (lgK=12 → ~1.6% at 1σ), pinned
+    against the exact per-day distinct in tests. Rows-only for the
+    driver: sketch binaries are engine-specific by design.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        hourly.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hour_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("est_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — salted replicated-dim join (skew-proof fact⋈dim execution)
+# ---------------------------------------------------------------------------
+SALT_N = 8  # salt fanout for the hot build side
+
+
+@register(
+    "q172_salted_join",
+    tags=("skew", "join", "execution"),
+    oracle=f"""
+        SELECT s.s_suppkey, s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               {sql_dsum('l.l_extendedprice', 'total_revenue')}
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def q172_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join by explicit salting: the dim side is
+    replicated SALT_N× (one copy per salt), the fact side picks a
+    deterministic salt per row, and the join key becomes (suppkey, salt)
+    — so a pathologically hot supplier spreads over SALT_N reducers
+    instead of melting one. q167 PLANS the fanout; this operator is the
+    execution pattern it feeds, and the oracle is simply the unsalted
+    join (salting must be semantically invisible).
+
+    The salt is xxhash64-derived from the fact's line identity (uniform,
+    deterministic, engine-independent-irrelevant: it never reaches the
+    output). The post-join aggregate keys on the REAL supplier key, so
+    partial aggregation collapses the salt fanout map-side. At the test
+    scale the dim broadcasts anyway; the pattern matters when the dim is
+    too big to broadcast and the shuffle join would see the hot key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    salted_dim = sup.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(F.expr(f"sequence(0, {SALT_N - 1})")).alias("salt"),
+    )
+    salted_fact = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.pmod(
+            F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(SALT_N)
+        )
+        .cast("int")
+        .alias("salt"),
+    )
+    joined = salted_fact.hint("shuffle_hash").join(
+        salted_dim,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum("l_extendedprice", "total_revenue"),
+    )

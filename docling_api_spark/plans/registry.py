@@ -268,6 +268,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q168_eventually_follows",
     "q169_weighted_sample",
     "q170_revenue_waterfall",
+    "q171_hll_rollup",  # rows-only: Datasketches binaries, tolerance-pinned
+    "q172_salted_join",
 )
 
 

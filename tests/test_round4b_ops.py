@@ -263,3 +263,54 @@ def test_revenue_waterfall_accounting_identity(spark, sf_dir):
     expect = float(wk[-1]["r"])
     got = sum(r["revenue_delta"] for r in rows)
     assert abs(got - expect) < 1e-6
+
+def test_hll_rollup_tracks_exact_distincts(spark, sf_dir):
+    rows = QS["q171_hll_rollup"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r["day"] for r in rows} == set(exact)
+    for r in rows:
+        # lgK=12 HLL: ±1.6% at 1σ — pin a generous 5% (≥3σ) envelope,
+        # and a ±2 absolute floor for the tiny sf0.001 cardinalities
+        tol = max(2.0, 0.05 * exact[r["day"]])
+        assert abs(r["est_users"] - exact[r["day"]]) <= tol
+        assert 1 <= r["n_hour_sketches"] <= 24
+
+
+def test_salted_join_salt_is_invisible(spark, sf_dir):
+    salted = {
+        (r["s_suppkey"]): (r["n_items"], r["total_revenue"])
+        for r in QS["q172_salted_join"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    plain = {
+        r["s_suppkey"]: (r["n"], float(r["rev"]))
+        for r in li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_plans_shuffle_hash_not_broadcast(spark, sf_dir):
+    df = QS["q172_salted_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pattern under test is the non-broadcast path: the hint must hold
+    # so the salted key actually spreads the hot key over reducers
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
