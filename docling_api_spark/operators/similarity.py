@@ -780,7 +780,11 @@ def q166_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical on any engine or partitioning. Convergence is
     declared, not tested: two iterations from the all-ones start (the
     q152 fixed-iteration discipline that keeps the oracle an unrolled
-    replay).
+    replay). On this corpus the Gram spectrum is nearly flat (λ1/λ2 ≈
+    1.07), so full direction isolation would need ~70 iterations — the
+    iteration count is the knob; the per-iteration plan shape is the
+    contract, and tests pin exact agreement with a numpy simulation of
+    the same integer algorithm plus monotone Rayleigh improvement.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     x = emb.select(
