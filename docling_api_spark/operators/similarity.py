@@ -829,3 +829,109 @@ def q166_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     return normalize(wsum(s1)).select(F.col("dim").cast("int").alias("dim"), "weight")
+
+
+# ---------------------------------------------------------------------------
+# q174 — grid-density clustering over the embedding plane (DBSCAN-style)
+# ---------------------------------------------------------------------------
+_DC_H = 10  # cells per unit: grid pitch 0.1 in embedding space
+_DC_MIN_PTS = 5  # a cell is dense at this occupancy
+
+
+@register(
+    "q174_density_clusters",
+    tags=("similarity", "clustering", "iterative"),
+    oracle=f"""
+        WITH RECURSIVE cells AS (
+          SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {_DC_H}) AS BIGINT) AS a,
+                 CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {_DC_H}) AS BIGINT) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM embeddings
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {_DC_MIN_PTS}
+        ),
+        ids AS (
+          SELECT a, b, n,
+                 CAST((a + 1000) * 100000 + (b + 1000) AS BIGINT) AS id
+          FROM cells
+        ),
+        e AS (
+          SELECT x.id AS src, y.id AS dst
+          FROM ids x JOIN ids y
+            ON abs(x.a - y.a) <= 1 AND abs(x.b - y.b) <= 1 AND x.id < y.id
+        ),
+        sym AS (
+          SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+        ),
+        reach AS (
+          SELECT src AS node, src AS r FROM sym
+          UNION
+          SELECT e2.dst AS node, reach.r AS r
+          FROM reach JOIN sym e2 ON e2.src = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node)
+        SELECT i.a AS cell_a, i.b AS cell_b, i.n AS n_points,
+               CAST(COALESCE(c.c, i.id) AS BIGINT) AS cluster_id
+        FROM ids i LEFT JOIN comp c ON i.id = c.node
+    """,
+)
+def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density clustering of the embedding corpus projected
+    onto its first two dimensions: occupancy-grid cells above MIN_PTS are
+    "dense", and 8-adjacent dense cells merge into clusters via the
+    engine's connected-components ladder (q45's machinery on a spatial
+    graph instead of a Jaccard graph).
+
+    The scale story is the grid: points reduce map-side to the CELL
+    relation (bounded by the embedding-space extent / pitch, not the
+    corpus size), the adjacency self-join runs on dense cells only, and
+    the iterative min-label propagation touches the dense-cell graph —
+    so a 100 TB corpus costs one scan plus work proportional to occupied
+    space. Isolated dense cells keep their own id as cluster (coalesce
+    after a left join — the CC ladder only sees cells with neighbors).
+    Oracle replays the components as a recursive closure (q45's idiom).
+    """
+    from docling_api_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            F.floor(F.element_at("embedding", 1).cast("double") * _DC_H)
+            .cast("bigint")
+            .alias("a"),
+            F.floor(F.element_at("embedding", 2).cast("double") * _DC_H)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") >= _DC_MIN_PTS)
+    )
+    ids = cells.select(
+        "a",
+        "b",
+        "n",
+        ((F.col("a") + 1000) * 100000 + (F.col("b") + 1000))
+        .cast("bigint")
+        .alias("id"),
+    )
+    x = ids.alias("x")
+    y = ids.alias("y")
+    edges = x.join(
+        y,
+        (F.abs(F.col("x.a") - F.col("y.a")) <= 1)
+        & (F.abs(F.col("x.b") - F.col("y.b")) <= 1)
+        & (F.col("x.id") < F.col("y.id")),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        ids.join(comp, ids.id == comp.node, "left")
+        .select(
+            F.col("a").alias("cell_a"),
+            F.col("b").alias("cell_b"),
+            F.col("n").alias("n_points"),
+            F.coalesce(F.col("component"), F.col("id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )

@@ -278,3 +278,56 @@ def q27_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("event_type")), "\x1f").alias("event_types"),
         F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — k-anonymity audit over quasi-identifiers (privacy risk gate)
+# ---------------------------------------------------------------------------
+KANON_K = 5  # groups smaller than this are re-identification risks
+_BAL_BAND = 5000  # acctbal quasi-identifier coarsening, dollars
+
+
+@register(
+    "q173_k_anonymity",
+    tags=("privacy", "quality", "audit"),
+    oracle=f"""
+        WITH g AS (
+          SELECT c_mktsegment, c_nationkey,
+                 CAST(FLOOR(c_acctbal / {_BAL_BAND}) AS BIGINT) AS bal_band,
+                 CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM customer
+          GROUP BY 1, 2, 3
+        ),
+        k AS (SELECT CAST(MIN(n_members) AS BIGINT) AS corpus_k FROM g)
+        SELECT g.c_mktsegment, g.c_nationkey, g.bal_band, g.n_members,
+               k.corpus_k
+        FROM g, k
+        WHERE g.n_members < {KANON_K}
+    """,
+)
+def q173_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: every quasi-identifier combination (market
+    segment × nation × $5000 balance band) whose group has fewer than K
+    members — the cells where a joined external dataset could
+    re-identify individuals — plus the corpus-wide k (the smallest
+    group anywhere) on every row.
+
+    One keyed aggregation to the QI-cell relation (bounded by the
+    attribute DOMAIN — segments × nations × bands, not the customer
+    count), a scalar min broadcast back, and a selective filter. The
+    release gate a privacy pipeline runs before publishing microdata;
+    the generalization knobs (band width, dropped attributes) are the
+    remediation when the audit fails.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / _BAL_BAND).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    k = g.agg(F.min("n_members").cast("bigint").alias("corpus_k"))
+    return (
+        g.crossJoin(F.broadcast(k))
+        .where(F.col("n_members") < KANON_K)
+        .select("c_mktsegment", "c_nationkey", "bal_band", "n_members", "corpus_k")
+    )

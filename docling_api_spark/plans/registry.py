@@ -43,7 +43,7 @@ QUERIES: dict[str, Query] = {}
 # these — shared here so the two lists can't drift.
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151",  # streaming drains
-    "q103", "q139", "q152",  # eager localCheckpoints
+    "q103", "q139", "q152", "q174",  # eager localCheckpoints
     "q43", "q45", "q57",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
@@ -270,6 +270,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q170_revenue_waterfall",
     "q171_hll_rollup",  # rows-only: Datasketches binaries, tolerance-pinned
     "q172_salted_join",
+    "q173_k_anonymity",
+    "q174_density_clusters",
 )
 
 

@@ -63,6 +63,7 @@ _SP_ALLOWED = {
     "q164_mannwhitney_u": 1,      # cumulative window over the value-domain relation
     "q166_power_iteration": 5,    # 2× max|w| scalar + vector reassembly aggs
     "q169_weighted_sample": 1,    # corpus-max scalar broadcast
+    "q173_k_anonymity": 1,        # corpus-k scalar broadcast
 }
 
 AUDITED = [

@@ -314,3 +314,38 @@ def test_salted_join_plans_shuffle_hash_not_broadcast(spark, sf_dir):
     # so the salted key actually spreads the hot key over reducers
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+def test_k_anonymity_cells_and_floor(spark, sf_dir):
+    rows = QS["q173_k_anonymity"].fn(spark, sf_dir).collect()
+    assert rows
+    from docling_api_spark.operators.subqueries import KANON_K
+
+    ks = {r["corpus_k"] for r in rows}
+    assert len(ks) == 1  # one corpus-wide k on every row
+    k = ks.pop()
+    for r in rows:
+        assert 1 <= r["n_members"] < KANON_K
+        assert r["n_members"] >= k
+    # corpus_k is genuinely the minimum over ALL cells, risky or not
+    assert k == min(r["n_members"] for r in rows)
+
+
+def test_density_clusters_structure(spark, sf_dir):
+    rows = QS["q174_density_clusters"].fn(spark, sf_dir).collect()
+    assert rows
+    from docling_api_spark.operators.similarity import _DC_MIN_PTS
+
+    cells = {(r["cell_a"], r["cell_b"]): r for r in rows}
+    for r in rows:
+        assert r["n_points"] >= _DC_MIN_PTS
+    # adjacency consistency: 8-adjacent dense cells MUST share a cluster
+    for (a, b), r in cells.items():
+        for da in (-1, 0, 1):
+            for db in (-1, 0, 1):
+                nb = cells.get((a + da, b + db))
+                if nb is not None:
+                    assert nb["cluster_id"] == r["cluster_id"]
+    # and cluster ids are actual member cell ids (min-label convention)
+    ids = {(r["cell_a"] + 1000) * 100000 + (r["cell_b"] + 1000) for r in rows}
+    for r in rows:
+        assert r["cluster_id"] in ids
