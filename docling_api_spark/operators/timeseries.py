@@ -2472,3 +2472,65 @@ def q172_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         dsum("l_extendedprice", "total_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — per-key debounce (grouped-sequential applyInPandas operator)
+# ---------------------------------------------------------------------------
+DEBOUNCE_S = 1800  # min seconds between KEPT events per user
+
+
+@register(
+    "q175_debounce",
+    tags=("eventtime", "stateful", "pandas"),
+    oracle=None,  # inherently sequential per key (each decision depends on
+    # the previous KEPT row, not the previous row) — no window/SQL form;
+    # brute-force pinned in tests/test_round4b_ops.py
+)
+def q175_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/throttle per user: keep an event only if it is at least
+    DEBOUNCE_S seconds after the last KEPT event — the dedup rule for
+    retriggering alerts, notification fatigue caps, and sensor chatter.
+
+    This is the one operator family where a window genuinely cannot
+    express the semantics: the reference point is the previous *kept*
+    row, a sequential dependency (q32's gap-sessionize compares against
+    the previous row regardless of keep status). So it runs as
+    `applyInPandas` — Spark groups by user, each group arrives as ONE
+    Arrow batch, and a vectorized-enough linear scan keeps state in two
+    locals. Batch twin of the q151 stateful-streaming contract: state is
+    O(1) per key, work is one shuffle to co-locate each user's events,
+    and a 100 TB stream shards by user across executors with no skew
+    beyond the hottest single user. Timestamps emit as epoch micros
+    (bigint), never raw timestamps.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+
+    schema = (
+        "user_id long, event_id long, event_type string, "
+        "ts_us long, value double"
+    )
+
+    def debounce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # pin the unit before the integer view: Arrow may hand the column
+        # over as datetime64[us] or [ns] depending on pandas version
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        keep = []
+        last = None
+        gap = DEBOUNCE_S * 1_000_000
+        for t in ts_us:
+            if last is None or t - last >= gap:
+                keep.append(True)
+                last = t
+            else:
+                keep.append(False)
+        out = pdf.loc[keep].copy()
+        out["ts_us"] = ts_us[keep]
+        return out[["user_id", "event_id", "event_type", "ts_us", "value"]]
+
+    return ev.groupBy("user_id").applyInPandas(debounce, schema=schema)

@@ -272,6 +272,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q172_salted_join",
     "q173_k_anonymity",
     "q174_density_clusters",
+    "q175_debounce",  # rows-only: sequential per-key semantics, brute-force pinned
 )
 
 

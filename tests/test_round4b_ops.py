@@ -349,3 +349,27 @@ def test_density_clusters_structure(spark, sf_dir):
     ids = {(r["cell_a"] + 1000) * 100000 + (r["cell_b"] + 1000) for r in rows}
     for r in rows:
         assert r["cluster_id"] in ids
+
+def test_debounce_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import DEBOUNCE_S
+
+    kept = QS["q175_debounce"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect = set()
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        last = None
+        for r in rows:
+            if last is None or (r["ts"] - last).total_seconds() >= DEBOUNCE_S:
+                expect.add(r["event_id"])
+                last = r["ts"]
+    assert {r["event_id"] for r in kept} == expect
+    # kept stream itself satisfies the debounce contract
+    per_user = {}
+    for r in sorted(kept, key=lambda r: r["ts_us"]):
+        if r["user_id"] in per_user:
+            assert r["ts_us"] - per_user[r["user_id"]] >= DEBOUNCE_S * 1_000_000
+        per_user[r["user_id"]] = r["ts_us"]
