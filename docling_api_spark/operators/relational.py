@@ -1656,3 +1656,66 @@ def q160_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("tot").cast("double").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — smoothed target encoding (supervised categorical feature)
+# ---------------------------------------------------------------------------
+TE_SMOOTH = 10  # pseudo-observations of the global mean per category
+
+
+@register(
+    "q177_target_encoding",
+    tags=("features", "encoding", "supervised"),
+    oracle=f"""
+        WITH per AS (
+          SELECT p.p_brand AS brand,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS s
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1
+        ),
+        g AS (
+          SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS gmean FROM per
+        )
+        SELECT per.brand, per.n,
+               CAST(per.s AS DOUBLE) / per.n AS raw_mean,
+               (CAST(per.s AS DOUBLE) + {TE_SMOOTH} * g.gmean)
+                 / (per.n + {TE_SMOOTH}) AS encoded
+        FROM per, g
+    """,
+)
+def q177_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of part brand against line revenue: each
+    category's feature value is its mean target shrunk toward the global
+    mean by TE_SMOOTH pseudo-observations — the supervised categorical
+    encoder that replaces one-hot columns at high cardinality without
+    letting rare categories memorize their few rows.
+
+    One fact⋈dim join (dim broadcast), one keyed aggregation to the
+    category relation, one scalar global mean broadcast back. Target
+    sums are DECIMAL-exact (order-independent); the shrinkage is a fixed
+    closing expression of the exact integers. At 100 TB nothing changes:
+    the category relation is vocabulary-sized, the smoothing constant is
+    the only knob.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("s"),
+        )
+    )
+    g = per.agg((F.sum("s").cast("double") / F.sum("n")).alias("gmean"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "brand",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("raw_mean"),
+        (
+            (F.col("s").cast("double") + TE_SMOOTH * F.col("gmean"))
+            / (F.col("n") + TE_SMOOTH)
+        ).alias("encoded"),
+    )

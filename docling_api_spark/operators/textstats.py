@@ -1212,3 +1212,120 @@ def q140_composition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("tokens").over(W.partitionBy("period"))
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — hashing-trick featurization (text → fixed-width sparse counts)
+# ---------------------------------------------------------------------------
+_FH_SLOTS = 32  # fixed feature width, independent of vocabulary size
+
+
+@register(
+    "q176_feature_hashing",
+    tags=("text", "features", "hashing"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT)
+                    % {_FH_SLOTS} AS INT) AS slot,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks
+        WHERE tok <> ''
+        GROUP BY 1, 2
+    """,
+)
+def q176_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every token maps to one of 32 fixed
+    slots by md5, giving each document a bounded sparse count vector with
+    NO vocabulary table — the feature-engineering move that removes the
+    vocabulary bottleneck entirely (no dictionary build, no OOV, no
+    vocabulary-sized shuffle; collisions are the declared trade).
+
+    Fully map-side until one (doc, slot) aggregation: explode tokens,
+    hash to a slot, count. Output is the sparse triple form (doc_id,
+    slot, n_tokens) — never an array column (the driver's pandas
+    canonicalization cannot hash arrays). At 100 TB the width knob is
+    the only thing that changes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return toks.groupBy(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _FH_SLOTS
+        )
+        .cast("int")
+        .alias("slot"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# q178 — classifier evaluation: confusion matrix over q64's predictions
+# ---------------------------------------------------------------------------
+def _q64_oracle_body() -> str:
+    from docling_api_spark.plans.registry import QUERIES
+
+    return QUERIES["q64_lang_id"].oracle
+
+
+@register(
+    "q178_confusion_matrix",
+    tags=("text", "evaluation", "langid"),
+    oracle=None,  # assigned below once q64 is registered (import order)
+)
+def q178_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation card: the (true language × predicted
+    language) confusion matrix over q64's bigram language-ID output,
+    with row-normalized recall share and column-normalized precision
+    share on every cell — the standard readout for any categorical
+    model, computed without collecting predictions.
+
+    Composition, not duplication: the Spark side aggregates q64's
+    DataFrame; the oracle wraps q64's oracle SQL as a derived table.
+    The matrix relation is |langs|² (bounded by the label taxonomy), so
+    the normalization windows are driver-trivial while counts stay exact
+    bigints.
+    """
+    preds = QUERIES_Q64_FN(spark, sf_dir)
+    m = preds.groupBy(
+        F.col("lang").alias("true_lang"),
+        F.col("predicted_lang"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_row = W.partitionBy("true_lang")
+    w_col = W.partitionBy("predicted_lang")
+    return m.select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_row)).alias("recall_share"),
+        (F.col("n").cast("double") / F.sum("n").over(w_col)).alias(
+            "precision_share"
+        ),
+    )
+
+
+# late-bind q64 pieces (both live in this module, so registration order is
+# deterministic: q64 registers above q178)
+from docling_api_spark.plans.registry import QUERIES as _REG
+
+QUERIES_Q64_FN = _REG["q64_lang_id"].fn
+_REG["q178_confusion_matrix"].oracle = f"""
+    WITH preds AS ({_REG["q64_lang_id"].oracle})
+    SELECT lang AS true_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang) AS recall_share,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY predicted_lang)
+             AS precision_share
+    FROM preds
+    GROUP BY lang, predicted_lang
+"""

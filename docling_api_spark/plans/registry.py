@@ -273,6 +273,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q173_k_anonymity",
     "q174_density_clusters",
     "q175_debounce",  # rows-only: sequential per-key semantics, brute-force pinned
+    "q176_feature_hashing",
+    "q177_target_encoding",
+    "q178_confusion_matrix",
 )
 
 

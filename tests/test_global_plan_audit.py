@@ -64,6 +64,7 @@ _SP_ALLOWED = {
     "q166_power_iteration": 5,    # 2× max|w| scalar + vector reassembly aggs
     "q169_weighted_sample": 1,    # corpus-max scalar broadcast
     "q173_k_anonymity": 1,        # corpus-k scalar broadcast
+    "q177_target_encoding": 1,    # global-mean scalar broadcast
 }
 
 AUDITED = [

@@ -373,3 +373,55 @@ def test_debounce_matches_brute_force(spark, sf_dir):
         if r["user_id"] in per_user:
             assert r["ts_us"] - per_user[r["user_id"]] >= DEBOUNCE_S * 1_000_000
         per_user[r["user_id"]] = r["ts_us"]
+
+def test_feature_hashing_conserves_tokens(spark, sf_dir):
+    rows = QS["q176_feature_hashing"].fn(spark, sf_dir).collect()
+    from docling_api_spark.operators.textstats import _FH_SLOTS
+
+    for r in rows:
+        assert 0 <= r["slot"] < _FH_SLOTS
+        assert r["n_tokens"] >= 1
+    # token mass is conserved: hashed counts sum to the corpus token count
+    docs = load_table(spark, sf_dir, "documents")
+    total = (
+        docs.select(
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+            .alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark, sf_dir):
+    rows = QS["q177_target_encoding"].fn(spark, sf_dir).collect()
+    assert rows
+    tot_n = sum(r["n"] for r in rows)
+    gmean = sum(r["raw_mean"] * r["n"] for r in rows) / tot_n
+    for r in rows:
+        lo, hi = sorted((r["raw_mean"], gmean))
+        # encoded strictly between the raw category mean and the global mean
+        assert lo - 1e-9 <= r["encoded"] <= hi + 1e-9
+        # shrinkage grows as n falls: |enc - raw| = m/(n+m)·|g - raw|
+        from docling_api_spark.operators.relational import TE_SMOOTH
+
+        expect_gap = TE_SMOOTH / (r["n"] + TE_SMOOTH) * abs(gmean - r["raw_mean"])
+        assert abs(abs(r["encoded"] - r["raw_mean"]) - expect_gap) < 1e-6
+
+
+def test_confusion_matrix_shares_normalize(spark, sf_dir):
+    rows = QS["q178_confusion_matrix"].fn(spark, sf_dir).collect()
+    assert rows
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == docs_n  # every doc classified once
+    from collections import defaultdict
+
+    row_sum, col_sum = defaultdict(float), defaultdict(float)
+    for r in rows:
+        row_sum[r["true_lang"]] += r["recall_share"]
+        col_sum[r["predicted_lang"]] += r["precision_share"]
+    for v in row_sum.values():
+        assert abs(v - 1.0) < 1e-9
+    for v in col_sum.values():
+        assert abs(v - 1.0) < 1e-9
