@@ -1415,3 +1415,135 @@ def q170_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("d").cast("double").alias("revenue_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — quantile normalization (map group distributions onto the pool)
+# ---------------------------------------------------------------------------
+@register(
+    "q179_quantile_normalize",
+    tags=("features", "normalization", "rank"),
+    oracle="""
+        WITH s AS (
+          SELECT event_type AS g, CAST(FLOOR(value * 100) AS BIGINT) AS v
+          FROM events
+        ),
+        gc AS (
+          SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2
+        ),
+        gn AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM gc GROUP BY g),
+        gcum AS (
+          SELECT g, v, c,
+                 CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cb
+          FROM gc
+        ),
+        pc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY v),
+        pcum AS (
+          SELECT v,
+                 CAST(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cp
+          FROM pc
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+        q AS (
+          SELECT gcum.g, gcum.v, gcum.c,
+                 CAST(((2 * gcum.cb + gcum.c + 1) * nn.n + 2 * gn.n_g - 1)
+                      // (2 * gn.n_g) AS BIGINT) AS t
+          FROM gcum JOIN gn ON gcum.g = gn.g, nn
+        ),
+        u AS (
+          SELECT t AS k, 0 AS tag, g, v, c, CAST(NULL AS BIGINT) AS pv FROM q
+          UNION ALL
+          SELECT cp AS k, 1 AS tag, NULL AS g, CAST(NULL AS BIGINT) AS v,
+                 CAST(NULL AS BIGINT) AS c, v AS pv
+          FROM pcum
+        ),
+        m AS (
+          SELECT g, v, c, tag,
+                 MIN(pv) OVER (ORDER BY k ASC, tag ASC
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS v_norm
+          FROM u
+        )
+        SELECT g AS event_type, v AS cent_value, c AS n_rows,
+               CAST(v_norm AS BIGINT) AS normalized_cent
+        FROM m WHERE tag = 0
+    """,
+)
+def q179_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: each event type's value distribution is
+    mapped onto the POOLED distribution at the same relative rank — the
+    batch-effect-removal transform (microarray normalization, feature
+    alignment across cohorts) that makes every group marginally
+    identical while preserving within-group order.
+
+    Exact and sort-free at scale: both the per-group and pooled
+    distributions reduce to cent-domain relations (the q164 discipline),
+    the target pooled rank is pure integer math (midpoint rank scaled by
+    pool/group sizes, ceil by integer division), and the "smallest pooled
+    value whose cumulative count reaches the target" lookup is ONE
+    merge-ordered window over the UNION of queries and pooled steps —
+    min-of-following on a relation bounded by the value domain, never an
+    O(domain²) inequality join. Output is the (group, value →
+    normalized value) mapping table, joinable back onto the raw stream
+    map-side. At extreme scale the rank product (2·cb+c+1)·N wants a
+    DECIMAL(38,0) widen; bigint holds to ~1e9 rows per group here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    gc = s.groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    gn = gc.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
+    wg = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    gcum = gc.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).cast("bigint").alias("cb"),
+    )
+    pc = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wp = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pcum = pc.select("v", F.sum("c").over(wp).cast("bigint").alias("cp"))
+    nn = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = (
+        gcum.join(F.broadcast(gn), "g")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "g",
+            "v",
+            "c",
+            F.expr(
+                "CAST(((2 * cb + c + 1) * n + 2 * n_g - 1) DIV (2 * n_g) AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    u = q.select(
+        F.col("t").alias("k"),
+        F.lit(0).alias("tag"),
+        "g",
+        "v",
+        "c",
+        F.lit(None).cast("bigint").alias("pv"),
+    ).unionByName(
+        pcum.select(
+            F.col("cp").alias("k"),
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("string").alias("g"),
+            F.lit(None).cast("bigint").alias("v"),
+            F.lit(None).cast("bigint").alias("c"),
+            F.col("v").alias("pv"),
+        )
+    )
+    wm = W.orderBy("k", "tag").rowsBetween(W.currentRow, W.unboundedFollowing)
+    m = u.select("g", "v", "c", "tag", F.min("pv").over(wm).alias("v_norm"))
+    return m.where(F.col("tag") == 0).select(
+        F.col("g").alias("event_type"),
+        F.col("v").alias("cent_value"),
+        F.col("c").alias("n_rows"),
+        F.col("v_norm").cast("bigint").alias("normalized_cent"),
+    )

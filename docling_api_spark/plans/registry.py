@@ -276,6 +276,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q176_feature_hashing",
     "q177_target_encoding",
     "q178_confusion_matrix",
+    "q179_quantile_normalize",
 )
 
 

@@ -65,6 +65,7 @@ _SP_ALLOWED = {
     "q169_weighted_sample": 1,    # corpus-max scalar broadcast
     "q173_k_anonymity": 1,        # corpus-k scalar broadcast
     "q177_target_encoding": 1,    # global-mean scalar broadcast
+    "q179_quantile_normalize": 3,  # pool-count scalar + pooled-cum + merge windows
 }
 
 AUDITED = [

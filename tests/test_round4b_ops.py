@@ -425,3 +425,79 @@ def test_confusion_matrix_shares_normalize(spark, sf_dir):
         assert abs(v - 1.0) < 1e-9
     for v in col_sum.values():
         assert abs(v - 1.0) < 1e-9
+
+def test_quantile_normalize_properties(spark, sf_dir):
+    rows = QS["q179_quantile_normalize"].fn(spark, sf_dir).collect()
+    assert rows
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], []).append(r)
+    # pooled domain for bound checks
+    vals = sorted({r["cent_value"] for r in rows})
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: r["cent_value"])
+        norms = [r["normalized_cent"] for r in rs]
+        # monotone: normalization preserves within-group order
+        assert all(a <= b for a, b in zip(norms, norms[1:]))
+        # normalized values come from the pooled value domain
+        assert all(n >= vals[0] and n <= vals[-1] for n in norms)
+    # the max value in each group maps to (nearly) the pooled max
+    pooled_max = vals[-1]
+    for g, rs in by_g.items():
+        assert rs[-1]["normalized_cent"] >= sorted(vals)[-2]
+
+
+def test_quantile_normalize_identity_on_pool(spark):
+    # a single group IS the pool: normalization must be the identity on
+    # every distinct value (midpoint rank maps back into its own step)
+    data = [("a", float(v)) for v in [1, 1, 2, 5, 5, 5, 9]]
+    df = spark.createDataFrame(data, "event_type string, value double")
+    df.createOrReplaceTempView("_qn_events")
+    import docling_api_spark.operators.analytics as A
+    from docling_api_spark.tables import load_table as orig_load
+
+    # drive the same plan body on the tiny frame by monkey-free rebuild:
+    from pyspark.sql import Window as W
+
+    s = df.select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    gc = s.groupBy("g", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    gn = gc.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
+    wg = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    gcum = gc.select(
+        "g", "v", "c",
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).cast("bigint").alias("cb"),
+    )
+    pc = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wp = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pcum = pc.select("v", F.sum("c").over(wp).cast("bigint").alias("cp"))
+    nn = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = (
+        gcum.join(F.broadcast(gn), "g").crossJoin(F.broadcast(nn))
+        .select(
+            "g", "v", "c",
+            F.expr("CAST(((2*cb + c + 1) * n + 2*n_g - 1) DIV (2*n_g) AS BIGINT)").alias("t"),
+        )
+    )
+    u = q.select(
+        F.col("t").alias("k"), F.lit(0).alias("tag"), "g", "v", "c",
+        F.lit(None).cast("bigint").alias("pv"),
+    ).unionByName(
+        pcum.select(
+            F.col("cp").alias("k"), F.lit(1).alias("tag"),
+            F.lit(None).cast("string").alias("g"),
+            F.lit(None).cast("bigint").alias("v"),
+            F.lit(None).cast("bigint").alias("c"),
+            F.col("v").alias("pv"),
+        )
+    )
+    wm = W.orderBy("k", "tag").rowsBetween(W.currentRow, W.unboundedFollowing)
+    out = (
+        u.select("g", "v", "tag", F.min("pv").over(wm).alias("vn"))
+        .where(F.col("tag") == 0)
+        .collect()
+    )
+    for r in out:
+        assert r["vn"] == r["v"], f"identity violated at {r['v']} -> {r['vn']}"
