@@ -1547,3 +1547,162 @@ def q179_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_rows"),
         F.col("v_norm").cast("bigint").alias("normalized_cent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — CUPED variance reduction for the A/B readout
+# ---------------------------------------------------------------------------
+CUPED_CUT = "2024-01-16"  # pre-period / outcome-period boundary (data: Jan 2024)
+
+
+@register(
+    "q182_cuped_adjustment",
+    tags=("experiment", "abtest", "variance-reduction"),
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 {sql_hash_bucket('user_id', 2)} AS arm,
+                 CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_CUT}'
+                          THEN CAST(value * 100 AS DECIMAL(28,6)) ELSE 0 END)
+                      AS DOUBLE) AS x,
+                 CAST(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_CUT}'
+                          THEN CAST(value * 100 AS DECIMAL(28,6)) ELSE 0 END)
+                      AS DOUBLE) AS y
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id
+        ),
+        g AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+                 SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+                 SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+                 SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
+          FROM u
+        ),
+        theta AS (
+          SELECT CAST(n AS BIGINT) AS n,
+                 CAST(sx AS DOUBLE) / n AS mx,
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS th
+          FROM g
+        ),
+        adj0 AS (
+          SELECT u.arm, u.y, t.th * (u.x - t.mx) AS shrink
+          FROM u, theta t
+        ),
+        adj AS (
+          SELECT arm, CAST(y AS BIGINT) AS y,
+                 CAST(round((y - shrink) * 1000) AS BIGINT) AS ym
+          FROM adj0
+        )
+        SELECT CAST(arm AS BIGINT) AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mean_y,
+               CAST(SUM(ym) AS DOUBLE) / (1000.0 * COUNT(*)) AS mean_y_cuped,
+               (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y * y) AS DOUBLE)
+                - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)) AS var_y,
+               (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(ym * ym) AS DOUBLE)
+                - CAST(SUM(ym) AS DOUBLE) * CAST(SUM(ym) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1) * 1000000.0)
+                 AS var_y_cuped
+        FROM adj GROUP BY arm
+    """,
+)
+def q182_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: each user's outcome-period purchase
+    revenue is shrunk by θ·(pre-period − mean), with θ = cov(X,Y)/var(X)
+    fit on the pooled pre/outcome moments — the industry-standard
+    variance-reduction trick that makes the same experiment detect
+    smaller effects with the same traffic.
+
+    One keyed aggregation to the per-user (x, y) relation (decimal-exact
+    cent sums; arms assigned by the engine's md5 bucket, q120's idiom),
+    one 5-term scalar moment reduce for θ, broadcast back, and a
+    map-side adjustment before the per-arm aggregate. Variances use the
+    exact-moment form (n·Σy² − (Σy)²)/(n(n−1)) over DECIMAL sums — the
+    q141 discipline; native var_samp is Welford-online and accumulation-
+    order dependent, which loses the cross-engine hash by an ulp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(CUPED_CUT).cast("timestamp")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ts") < cut,
+                    (F.col("value") * 100).cast("decimal(28,6)"),
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= cut,
+                    (F.col("value") * 100).cast("decimal(28,6)"),
+                ).otherwise(F.lit(0).cast("decimal(28,6)"))
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .select("user_id", hash_bucket("user_id", 2).alias("arm"), "x", "y")
+    )
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).alias("sxy"),
+    )
+    theta = g.select(
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (
+            (F.col("n").cast("double") * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (F.col("n").cast("double") * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("th"),
+    )
+    # two projection levels: a fused y − th·(x − mx) invites FMA
+    # contraction in a compiled engine, which shifts the double by an ulp
+    # vs the JVM's unfused multiply-then-subtract
+    adj0 = u.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (F.col("th") * (F.col("x") - F.col("mx"))).alias("shrink"),
+    )
+    # y is integer cents (value has 2 decimals), so y·y is exact; the
+    # fractional adjusted metric quantizes to 1e-3 cents via round() —
+    # half-away in BOTH engines, unlike CAST(double AS DECIMAL) whose
+    # half-boundary rule differs between them (found the hard way)
+    adj = adj0.select(
+        "arm",
+        F.col("y").cast("bigint").alias("y"),
+        F.round((F.col("y") - F.col("shrink")) * 1000)
+        .cast("bigint")
+        .alias("ym"),
+    )
+    n = F.count(F.lit(1))
+    return adj.groupBy(F.col("arm").cast("bigint").alias("arm")).agg(
+        n.cast("bigint").alias("n_users"),
+        (F.sum("y").cast("double") / n).alias("mean_y"),
+        (F.sum("ym").cast("double") / (1000.0 * n)).alias("mean_y_cuped"),
+        (
+            (
+                n.cast("double") * F.sum(F.col("y") * F.col("y")).cast("double")
+                - F.sum("y").cast("double") * F.sum("y").cast("double")
+            )
+            / (n.cast("double") * (n - 1))
+        ).alias("var_y"),
+        (
+            (
+                n.cast("double") * F.sum(F.col("ym") * F.col("ym")).cast("double")
+                - F.sum("ym").cast("double") * F.sum("ym").cast("double")
+            )
+            / (n.cast("double") * (n - 1) * 1000000.0)
+        ).alias("var_y_cuped"),
+    )

@@ -1719,3 +1719,81 @@ def q177_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") + TE_SMOOTH)
         ).alias("encoded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — join-size estimation from key-frequency relations (CBO-style)
+# ---------------------------------------------------------------------------
+def _join_audit_sql(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+        SELECT '{name}' AS join_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {lt}) AS n_left,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS n_right,
+               CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+               CAST(SUM(cl * cr) AS BIGINT) AS predicted_rows
+        FROM (SELECT {lk} AS k, COUNT(*) AS cl FROM {lt} GROUP BY 1) l
+        JOIN (SELECT {rk} AS k, COUNT(*) AS cr FROM {rt} GROUP BY 1) r
+          ON l.k = r.k"""
+
+
+@register(
+    "q181_join_size_estimate",
+    tags=("planning", "cbo", "audit"),
+    oracle=" UNION ALL ".join(
+        [
+            _join_audit_sql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            _join_audit_sql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+            _join_audit_sql("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ]
+    ),
+)
+def q181_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer-style join cardinality audit: the EXACT output
+    size of each fact⋈fact/dim equi-join — Σ_k c_left(k)·c_right(k) —
+    computed from the two key-frequency relations WITHOUT materializing a
+    single joined row. The planner's question ("how big would this join
+    be?") answered at keys-relation cost.
+
+    Each audited pair is two keyed counts (map-side partials) joined on
+    the key — both sides are keys-sized, orders of magnitude below the
+    fact tables — and one product-sum. At 100 TB the frequency
+    relations are what a CBO sketches with count-min/HLL; here they are
+    exact, so the prediction equals the true join size by identity (the
+    oracle replays the same identity).
+    """
+
+    def audit(name, left, lk, right, rk):
+        l = left.groupBy(F.col(lk).alias("k")).agg(F.count(F.lit(1)).alias("cl"))
+        r = right.groupBy(F.col(rk).alias("k")).agg(F.count(F.lit(1)).alias("cr"))
+        # table sizes as lazy scalar aggregates (no driver-side count() —
+        # the whole audit stays one deferred plan)
+        nl = left.agg(F.count(F.lit(1)).cast("bigint").alias("n_left"))
+        nr = right.agg(F.count(F.lit(1)).cast("bigint").alias("n_right"))
+        return (
+            l.join(r, "k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+                F.sum(F.col("cl") * F.col("cr")).cast("bigint").alias(
+                    "predicted_rows"
+                ),
+            )
+            .crossJoin(F.broadcast(nl))
+            .crossJoin(F.broadcast(nr))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "n_matching_keys",
+                "predicted_rows",
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        audit("lineitem_orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(audit("lineitem_part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(audit("orders_customer", orders, "o_custkey", cust, "c_custkey"))
+    )

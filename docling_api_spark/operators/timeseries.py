@@ -2534,3 +2534,154 @@ def q175_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out[["user_id", "event_id", "event_type", "ts_us", "value"]]
 
     return ev.groupBy("user_id").applyInPandas(debounce, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# q180 — SPC control chart (3σ gate + runs-of-R same-side rule)
+# ---------------------------------------------------------------------------
+SPC_RUN = 6  # Western-Electric-style run length: R consecutive same-side points
+
+
+@register(
+    "q180_control_chart",
+    tags=("quality", "spc", "window"),
+    oracle=f"""
+        WITH d AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+          FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+                 COUNT(*) AS n_days,
+                 sqrt(
+                   (COUNT(*) * CAST(SUM(CAST(m * m AS DECIMAL(28,6))) AS DOUBLE)
+                    - CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE)
+                      * CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE))
+                   / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))
+                 ) AS sigma
+          FROM d GROUP BY event_type
+        ),
+        pts AS (
+          SELECT d.event_type, d.day, d.m, s.mu, s.sigma,
+                 CASE WHEN d.m > s.mu THEN 1 ELSE -1 END AS side,
+                 CASE WHEN abs(d.m - s.mu) > 3 * s.sigma THEN 1 ELSE 0 END
+                   AS beyond_3s
+          FROM d JOIN stats s ON d.event_type = s.event_type
+        ),
+        runs AS (
+          SELECT *,
+                 CAST(SUM(CASE WHEN side <> prev_side THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS run_id
+          FROM (
+            SELECT *, LAG(side, 1, 0) OVER (
+                     PARTITION BY event_type ORDER BY day) AS prev_side
+            FROM pts
+          ) t
+        ),
+        run_len AS (
+          SELECT event_type, run_id, side,
+                 CAST(COUNT(*) AS BIGINT) AS len
+          FROM runs GROUP BY 1, 2, 3
+        )
+        SELECT r.event_type,
+               strftime(r.day, '%Y-%m-%d') AS day,
+               r.m AS day_mean, r.mu, r.sigma,
+               CAST(r.beyond_3s AS BIGINT) AS rule1_beyond_3sigma,
+               CAST(CASE WHEN l.len >= {SPC_RUN} THEN 1 ELSE 0 END AS BIGINT)
+                 AS rule2_long_run
+        FROM runs r JOIN run_len l
+          ON r.event_type = l.event_type AND r.run_id = l.run_id
+        WHERE r.beyond_3s = 1 OR l.len >= {SPC_RUN}
+    """,
+)
+def q180_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control chart over daily means per event type:
+    flag days beyond μ±3σ (rule 1) and days inside a run of SPC_RUN+
+    consecutive same-side points (rule 2, the Western Electric drift
+    signal that catches shifts too small for the 3σ gate).
+
+    Facts reduce once to the calendar-bounded daily-mean relation;
+    control limits are per-type scalar moments (decimal-exact sums, one
+    closing sqrt); the runs rule is the gaps-and-islands idiom (lag →
+    side-change cumsum → run lengths) on the same tiny relation. All
+    windows partition by event type over calendar-sized partitions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    stats = d.groupBy("event_type").agg(
+        (
+            F.sum(F.col("m").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sqrt(
+            (
+                F.count(F.lit(1))
+                * F.sum((F.col("m") * F.col("m")).cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                - F.sum(F.col("m").cast("decimal(28,6)")).cast("double")
+                * F.sum(F.col("m").cast("decimal(28,6)")).cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * (F.count(F.lit(1)) - 1)
+            )
+        ).alias("sigma"),
+    )
+    pts = d.join(F.broadcast(stats.drop("n_days")), "event_type").select(
+        "event_type",
+        "day",
+        "m",
+        "mu",
+        "sigma",
+        F.when(F.col("m") > F.col("mu"), 1).otherwise(-1).alias("side"),
+        F.when(
+            F.abs(F.col("m") - F.col("mu")) > 3 * F.col("sigma"), 1
+        )
+        .otherwise(0)
+        .alias("beyond_3s"),
+    )
+    wt = W.partitionBy("event_type").orderBy("day")
+    runs = pts.withColumn(
+        "prev_side", F.lag("side", 1, 0).over(wt)
+    ).withColumn(
+        "run_id",
+        F.sum(
+            F.when(F.col("side") != F.col("prev_side"), 1).otherwise(0)
+        )
+        .over(wt.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"),
+    )
+    run_len = runs.groupBy("event_type", "run_id", "side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return (
+        runs.join(run_len.drop("side"), ["event_type", "run_id"])
+        .where((F.col("beyond_3s") == 1) | (F.col("len") >= SPC_RUN))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("m").alias("day_mean"),
+            "mu",
+            "sigma",
+            F.col("beyond_3s").cast("bigint").alias("rule1_beyond_3sigma"),
+            F.when(F.col("len") >= SPC_RUN, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("rule2_long_run"),
+        )
+    )

@@ -277,6 +277,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q177_target_encoding",
     "q178_confusion_matrix",
     "q179_quantile_normalize",
+    "q180_control_chart",
+    "q181_join_size_estimate",
+    "q182_cuped_adjustment",
 )
 
 

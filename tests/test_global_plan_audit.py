@@ -66,6 +66,8 @@ _SP_ALLOWED = {
     "q173_k_anonymity": 1,        # corpus-k scalar broadcast
     "q177_target_encoding": 1,    # global-mean scalar broadcast
     "q179_quantile_normalize": 3,  # pool-count scalar + pooled-cum + merge windows
+    "q181_join_size_estimate": 9,  # 3 audits × (2 size scalars + 1 product-sum)
+    "q182_cuped_adjustment": 1,   # pooled-moment scalar broadcast
 }
 
 AUDITED = [

@@ -501,3 +501,83 @@ def test_quantile_normalize_identity_on_pool(spark):
     )
     for r in out:
         assert r["vn"] == r["v"], f"identity violated at {r['v']} -> {r['vn']}"
+
+def test_control_chart_flags_are_real(spark, sf_dir):
+    rows = QS["q180_control_chart"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rule1_beyond_3sigma"] == 1 or r["rule2_long_run"] == 1
+        assert r["sigma"] > 0
+        if r["rule1_beyond_3sigma"]:
+            assert abs(r["day_mean"] - r["mu"]) > 3 * r["sigma"]
+
+
+def test_join_size_estimate_is_exact(spark, sf_dir):
+    rows = {r["join_name"]: r for r in QS["q181_join_size_estimate"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    actual = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    r = rows["lineitem_orders"]
+    assert r["predicted_rows"] == actual  # identity, not an estimate, on exact counts
+    assert r["n_left"] == li.count() and r["n_right"] == orders.count()
+
+
+def test_cuped_reduces_variance_and_preserves_effect_scale(spark, sf_dir):
+    rows = QS["q182_cuped_adjustment"].fn(spark, sf_dir).collect()
+    assert {r["arm"] for r in rows} == {0, 1}
+    for r in rows:
+        assert r["var_y"] > 0 and r["var_y_cuped"] > 0
+        # adjusted mean stays within a few σ of the raw mean (the
+        # adjustment is a shrinkage, not a rescale)
+        import math
+
+        assert abs(r["mean_y_cuped"] - r["mean_y"]) < 3 * math.sqrt(
+            r["var_y"] / r["n_users"]
+        ) + 1e-6
+    # exact brute-force replay: recompute the whole CUPED pipeline in
+    # python from the raw stream and match every emitted number
+    # (variance REDUCTION is a statistical expectation, not an invariant —
+    # at sf0.001's ~7 users/arm a noisy θ can inflate an arm's variance)
+    from docling_api_spark.operators.analytics import CUPED_CUT
+    from docling_api_spark.operators.sampling import hash_bucket
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(CUPED_CUT).cast("timestamp")
+    u = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, (F.col("value") * 100).cast("decimal(28,6)"))
+                .otherwise(F.lit(0).cast("decimal(28,6)"))
+            ).cast("double").alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= cut, (F.col("value") * 100).cast("decimal(28,6)"))
+                .otherwise(F.lit(0).cast("decimal(28,6)"))
+            ).cast("double").alias("y"),
+        )
+        .select(hash_bucket("user_id", 2).alias("arm"), "x", "y")
+        .collect()
+    )
+    n = len(u)
+    sx = sum(r["x"] for r in u)
+    sy = sum(r["y"] for r in u)
+    sxx = sum(r["x"] * r["x"] for r in u)
+    sxy = sum(r["x"] * r["y"] for r in u)
+    mx = sx / n
+    th = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for arm in (0, 1):
+        ys = [r["y"] for r in u if r["arm"] == arm]
+        yms = [round((r["y"] - th * (r["x"] - mx)) * 1000) for r in u if r["arm"] == arm]
+        na = len(ys)
+        got = next(r for r in rows if r["arm"] == arm)
+        assert got["n_users"] == na
+        assert abs(got["mean_y"] - sum(ys) / na) < 1e-6
+        assert abs(got["mean_y_cuped"] - sum(yms) / 1000 / na) < 1e-6
+        var_y = (na * sum(v * v for v in ys) - sum(ys) ** 2) / (na * (na - 1))
+        var_ym = (na * sum(v * v for v in yms) - sum(yms) ** 2) / (
+            na * (na - 1) * 1_000_000
+        )
+        assert abs(got["var_y"] - var_y) / var_y < 1e-9
+        assert abs(got["var_y_cuped"] - var_ym) / var_ym < 1e-9
