@@ -1706,3 +1706,102 @@ def q182_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n.cast("double") * (n - 1) * 1000000.0)
         ).alias("var_y_cuped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — triangle census of the brand co-purchase backbone graph
+# ---------------------------------------------------------------------------
+@register(
+    "q185_triangle_census",
+    tags=("graph", "triangles", "join"),
+    oracle="""
+        WITH items AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+          SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS n
+          FROM items a JOIN items b
+            ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2
+        ),
+        med AS (SELECT quantile_cont(n, 0.5) AS m FROM pairs),
+        edges AS (
+          SELECT ba, bb FROM pairs, med WHERE n > m
+        ),
+        tri AS (
+          SELECT e1.ba AS a, e1.bb AS b, e2.bb AS c
+          FROM edges e1
+          JOIN edges e2 ON e1.bb = e2.ba
+          JOIN edges e3 ON e3.ba = e1.ba AND e3.bb = e2.bb
+        ),
+        member AS (
+          SELECT a AS brand FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM member GROUP BY brand
+    """,
+)
+def q185_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand triangle participation in the co-purchase backbone: keep
+    only brand pairs whose co-occurrence support is above the median
+    (the graph backbone), then count each brand's triangles — the local
+    clustering signal community detection and motif analysis start from.
+
+    The standard distributed triangle algorithm: edges oriented by the
+    total order on node ids (a < b), so each triangle is enumerated
+    exactly once by the edge⋈edge⋈edge chain — two equi-joins on node
+    keys, no direction deduplication. Everything happens on the
+    brand-vocabulary-sized pair relation: the fact table is touched
+    once (distinct map-side), the support cut is one scalar percentile
+    broadcast back, and at 100 TB the edge relation is what grows, not
+    the algorithm.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = pairs.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    edges = pairs.crossJoin(F.broadcast(med)).where(F.col("n") > F.col("m")).select(
+        "ba", "bb"
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.bb") == F.col("e2.ba"))
+        .join(
+            e3,
+            (F.col("e3.ba") == F.col("e1.ba")) & (F.col("e3.bb") == F.col("e2.bb")),
+        )
+        .select(
+            F.col("e1.ba").alias("a"),
+            F.col("e1.bb").alias("b"),
+            F.col("e2.bb").alias("c"),
+        )
+    )
+    # one explode instead of a triple union: unionAll(tri, tri, tri) clones
+    # the whole 3-way join subtree (and its scalar percentile) three times
+    # in the physical plan
+    member = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("brand")
+    )
+    return member.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

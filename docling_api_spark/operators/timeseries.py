@@ -2685,3 +2685,197 @@ def q180_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rule2_long_run"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — streaming top-k: windowed revenue leaders drained then ranked
+# ---------------------------------------------------------------------------
+TOPK_STREAM_K = 3
+
+
+@register(
+    "q183_streaming_topk",
+    tags=("eventtime", "streaming", "topk"),
+    oracle=f"""
+        WITH agg AS (
+          SELECT
+            epoch_us(date_trunc('hour', ts)) AS window_start_us,
+            event_type,
+            COUNT(*) AS n_events,
+            {sql_dsum('value', 'total_value')}
+          FROM events
+          GROUP BY 1, 2
+          HAVING epoch_us(date_trunc('hour', MIN(ts))) + {US_1H}
+                 <= (SELECT MAX(epoch_us(ts)) FROM events) - {US_1H}
+        )
+        SELECT window_start_us, event_type, n_events, total_value,
+               CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start_us
+                   ORDER BY total_value DESC, event_type) AS rk
+          FROM agg
+        ) t WHERE rk <= {TOPK_STREAM_K}
+    """,
+)
+def q183_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: the watermarked 1-hour windowed revenue
+    aggregate (q36's production drain) topped with a per-window rank —
+    the top-K event types per closed window, the dashboard read every
+    streaming pipeline ends in.
+
+    Honest split of labor: the STREAM maintains only the windowed
+    aggregate (bounded state, append-mode emission on watermark close);
+    the rank runs on the drained snapshot, because append-mode streaming
+    cannot re-rank rows it already emitted. At scale the snapshot is
+    windows × types (tiny), so the serving-side window is trivial while
+    state and shuffle stay on the aggregate. Emission contract and
+    oracle predicate are exactly q36's.
+    """
+    from docling_api_spark.streaming.jobs import drain_stream_to_parquet
+    from docling_api_spark.tables import events_stream
+
+    stream = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    snap = drain_stream_to_parquet(stream, prefix="q183")
+    wr = W.partitionBy("window_start_us").orderBy(
+        F.desc("total_value"), F.asc("event_type")
+    )
+    return (
+        snap.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rk") <= TOPK_STREAM_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — survival analysis: Nelson–Aalen cumulative churn hazard
+# ---------------------------------------------------------------------------
+CHURN_GAP_DAYS = 30  # last order this far before dataset end ⇒ churned
+
+
+@register(
+    "q184_survival_hazard",
+    tags=("survival", "churn", "window"),
+    oracle=f"""
+        WITH life AS (
+          SELECT o_custkey,
+                 date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                                  CAST(MAX(o_orderdate) AS DATE)) AS dur,
+                 CASE WHEN CAST(MAX(o_orderdate) AS DATE)
+                           < (SELECT CAST(MAX(o_orderdate) AS DATE)
+                              FROM orders) - {CHURN_GAP_DAYS}
+                      THEN 1 ELSE 0 END AS churned
+          FROM orders GROUP BY o_custkey
+        ),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM life),
+        d AS (
+          SELECT dur,
+                 CAST(SUM(churned) AS BIGINT) AS d_events,
+                 CAST(COUNT(*) AS BIGINT) AS leaving
+          FROM life GROUP BY dur
+        ),
+        r AS (
+          SELECT d.dur, d.d_events,
+                 t.n_total
+                 - CAST(COALESCE(SUM(d.leaving) OVER (ORDER BY d.dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS n_at_risk
+          FROM d, t
+        ),
+        h AS (
+          SELECT dur, d_events, n_at_risk,
+                 CAST(round(CAST(d_events AS DOUBLE) / n_at_risk * 1000000000)
+                      AS BIGINT) AS hz_ppb
+          FROM r WHERE d_events > 0
+        )
+        SELECT dur AS duration_days, d_events, n_at_risk,
+               CAST(hz_ppb AS DOUBLE) / 1000000000 AS hazard,
+               CAST(CAST(SUM(hz_ppb) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS DOUBLE) / 1000000000 AS cum_hazard
+        FROM h
+    """,
+)
+def q184_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of customer churn: per distinct
+    lifetime length (days between first and last order), the number
+    still at risk, the churn events at that length (censored customers —
+    still active near the dataset end — leave the risk set without an
+    event), and the running Σ d/n hazard curve.
+
+    The survival machinery lives entirely on the CALENDAR-bounded
+    duration relation: one keyed aggregation to per-customer lifetimes,
+    one grouping to ≤ max-duration rows, and cumulative windows over
+    that tiny relation. Cumulative hazard intentionally replaces the
+    Kaplan–Meier product (Π(1−d/n) needs exp/ln or a running product);
+    per-step hazards quantize to integer 1e-9 units before the running
+    sum because even a cumulative double window is association-order
+    dependent across engines (segment-tree vs row-at-a-time summation).
+    H(t) ≈ −ln S(t).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    gmax = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    life = (
+        orders.crossJoin(F.broadcast(gmax))
+        .groupBy("o_custkey", "dmax")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("dur"),
+            F.when(
+                F.max(F.col("o_orderdate").cast("date"))
+                < F.date_sub(F.max("dmax"), CHURN_GAP_DAYS),
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    t = life.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    d = life.groupBy("dur").agg(
+        F.sum("churned").cast("bigint").alias("d_events"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    wd = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    r = d.crossJoin(F.broadcast(t)).select(
+        "dur",
+        "d_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(wd), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    # per-step hazards quantize to integer 1e-9 units BEFORE the running
+    # sum: a cumulative window over raw doubles is association-order
+    # dependent (DuckDB sums windows via a segment tree, Spark row-by-row)
+    h = r.where(F.col("d_events") > 0).select(
+        "dur",
+        "d_events",
+        "n_at_risk",
+        F.round(F.col("d_events").cast("double") / F.col("n_at_risk") * 1e9)
+        .cast("bigint")
+        .alias("hz_ppb"),
+    )
+    wh = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return h.select(
+        F.col("dur").alias("duration_days"),
+        "d_events",
+        "n_at_risk",
+        (F.col("hz_ppb").cast("double") / 1e9).alias("hazard"),
+        (F.sum("hz_ppb").over(wh).cast("bigint").cast("double") / 1e9).alias(
+            "cum_hazard"
+        ),
+    )

@@ -42,7 +42,7 @@ QUERIES: dict[str, Query] = {}
 # the static plan audit (tests/test_global_plan_audit.py) must both skip
 # these — shared here so the two lists can't drift.
 EXECUTING_PREFIXES: tuple[str, ...] = (
-    "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151",  # streaming drains
+    "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
     "q103", "q139", "q152", "q174",  # eager localCheckpoints
     "q43", "q45", "q57",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
@@ -280,6 +280,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q180_control_chart",
     "q181_join_size_estimate",
     "q182_cuped_adjustment",
+    "q183_streaming_topk",
+    "q184_survival_hazard",
+    "q185_triangle_census",
 )
 
 

@@ -68,6 +68,8 @@ _SP_ALLOWED = {
     "q179_quantile_normalize": 3,  # pool-count scalar + pooled-cum + merge windows
     "q181_join_size_estimate": 9,  # 3 audits × (2 size scalars + 1 product-sum)
     "q182_cuped_adjustment": 1,   # pooled-moment scalar broadcast
+    "q184_survival_hazard": 4,    # dataset-max + total scalars + duration windows
+    "q185_triangle_census": 3,    # support-median scalar under each edge alias
 }
 
 AUDITED = [

@@ -581,3 +581,41 @@ def test_cuped_reduces_variance_and_preserves_effect_scale(spark, sf_dir):
         )
         assert abs(got["var_y"] - var_y) / var_y < 1e-9
         assert abs(got["var_y_cuped"] - var_ym) / var_ym < 1e-9
+
+def test_streaming_topk_is_ranked_prefix_of_batch(spark, sf_dir):
+    rows = QS["q183_streaming_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    from docling_api_spark.operators.timeseries import TOPK_STREAM_K
+
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["window_start_us"], []).append(r)
+    for w, rs in by_w.items():
+        assert len(rs) <= TOPK_STREAM_K
+        ranks = sorted(r["rk"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        vals = [r["total_value"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_survival_hazard_monotone_risk_set(spark, sf_dir):
+    rows = sorted(
+        QS["q184_survival_hazard"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    risk = [r["n_at_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(risk, risk[1:]))  # risk set only shrinks
+    cum = [r["cum_hazard"] for r in rows]
+    assert all(b >= a for a, b in zip(cum, cum[1:]))  # hazard accumulates
+    for r in rows:
+        assert 0 < r["hazard"] <= 1
+        assert r["d_events"] <= r["n_at_risk"]
+
+
+def test_triangle_census_counts_are_consistent(spark, sf_dir):
+    rows = QS["q185_triangle_census"].fn(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_triangles"] for r in rows)
+    assert total % 3 == 0  # each triangle contributes exactly 3 memberships
+    assert all(r["n_triangles"] >= 1 for r in rows)
