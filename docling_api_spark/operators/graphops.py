@@ -245,3 +245,121 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one deep plan the scheduler re-executes per subtree
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("rank_units"))
+
+
+# ---------------------------------------------------------------------------
+# q191 — bounded weighted shortest path (Bellman-Ford, SP_ROUNDS relaxations)
+# ---------------------------------------------------------------------------
+SP_ROUNDS = 3
+SP_SEED_MOD = 10  # suppliers with s_suppkey % 10 == 0 are the hub seeds
+
+
+def _sp_oracle() -> str:
+    """Unrolled SP_ROUNDS-round Bellman-Ford in pure integer arithmetic:
+    each round takes the elementwise min of the current distance table
+    and one edge relaxation — BIGINT weights, so both engines agree
+    bit-for-bit."""
+    prev = "d0"
+    rounds = []
+    for k in range(1, SP_ROUNDS + 1):
+        rounds.append(f"""
+        d{k} AS (
+          SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM edges e JOIN {prev} d ON e.src = d.node
+          ) t GROUP BY node
+        )""")
+        prev = f"d{k}"
+    return f"""
+        WITH cs AS (
+          SELECT o_custkey AS c, l_suppkey AS s,
+                 COUNT(DISTINCT o_orderkey) AS cnt
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1, 2
+        ),
+        e0 AS (
+          SELECT 'c' || c AS src, 's' || s AS dst,
+                 CAST(1 + (100 // cnt) AS BIGINT) AS w
+          FROM cs
+        ),
+        edges AS (
+          SELECT src, dst, w FROM e0
+          UNION ALL SELECT dst AS src, src AS dst, w FROM e0
+        ),
+        d0 AS (
+          SELECT DISTINCT 's' || s_suppkey AS node,
+                 CAST(0 AS BIGINT) AS dist
+          FROM supplier WHERE s_suppkey % {SP_SEED_MOD} = 0
+        ),
+        {",".join(rounds)}
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d{SP_ROUNDS}
+    """
+
+
+@register(
+    "q191_shortest_path",
+    tags=("graph", "shortest_path", "iterative"),
+    oracle=_sp_oracle(),
+)
+def q191_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest path (Bellman-Ford, SP_ROUNDS
+    synchronous relaxations) from the hub-supplier seed set over the
+    customer<->supplier trading graph. Edge weight is an integer
+    "route cost" 1 + 100/cnt — heavily traded links are cheap — so the
+    result is the cheapest <=3-hop route cost to each reachable node.
+
+    Spark shape: the edge relation reduces once (fact join -> grouped
+    distinct-order counts) and is localCheckpointed; each relaxation is
+    ONE shuffle-join of the frontier distance table onto edges plus ONE
+    min-aggregation — the q152 PageRank discipline, with per-round
+    localCheckpoint keeping plan depth O(1) per round. At 100 TB the
+    dist⋈edges join co-partitions on the node key across rounds, and the
+    relaxation count bounds total work at SP_ROUNDS x |edges|. Integer
+    weights make the min-fold bit-identical across engines (the oracle
+    unrolls the same rounds as CTEs).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("cnt"))
+        .select(
+            "src",
+            "dst",
+            F.expr("cast(1 + (100 div cnt) as bigint)").alias("w"),
+        )
+    )
+    edges = cs.unionByName(
+        cs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint(eager=True)
+
+    dist = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % SP_SEED_MOD == 0)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(SP_ROUNDS):
+        relaxed = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))

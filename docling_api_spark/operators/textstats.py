@@ -1329,3 +1329,198 @@ _REG["q178_confusion_matrix"].oracle = f"""
     FROM preds
     GROUP BY lang, predicted_lang
 """
+
+
+# ---------------------------------------------------------------------------
+# q189 — BPE merge training (3 rounds over the corpus vocabulary)
+# ---------------------------------------------------------------------------
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE_ROUNDS-round byte-pair-encoding trainer in SQL.
+
+    Each round: count adjacent symbol pairs over the (word, freq)
+    vocabulary, pick the most frequent pair (ties broken by pair text),
+    merge it corpus-wide via sentinel-padded `replace` — both engines
+    scan leftmost-non-overlapping, so the merged vocabularies stay
+    bit-identical."""
+    rounds = []
+    prev = "v0"
+    for k in range(1, BPE_ROUNDS + 1):
+        rounds.append(f"""
+        p{k} AS (
+          SELECT t[i] || ' ' || t[i + 1] AS pair, SUM(freq) AS cnt
+          FROM (SELECT freq, string_split(trim(sp), ' ') AS t FROM {prev}) s,
+               LATERAL (SELECT unnest(range(1, len(t))) AS i) idx
+          GROUP BY 1
+        ),
+        b{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair LIMIT 1),
+        v{k} AS (
+          SELECT word, freq,
+                 replace(sp, ' ' || (SELECT pair FROM b{k}) || ' ',
+                             ' ' || replace((SELECT pair FROM b{k}), ' ', '')
+                             || ' ') AS sp
+          FROM {prev}
+        )""")
+        prev = f"v{k}"
+    unions = "\n        UNION ALL ".join(
+        f"""SELECT CAST({k} AS INTEGER) AS rnd, pair,
+               replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS cnt
+        FROM b{k}"""
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+        WITH wf AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          ) t
+          WHERE word <> '' GROUP BY word
+        ),
+        v0 AS (
+          SELECT word, freq,
+                 ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+                   AS sp
+          FROM wf
+        ),
+        {",".join(rounds)}
+        {unions}
+    """
+
+
+@register(
+    "q189_bpe_merges",
+    tags=("text", "tokenizer", "iterative"),
+    oracle=_bpe_oracle(),
+)
+def q189_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training: the first BPE_ROUNDS merge
+    rules learned from the corpus (GPT-2-style, frequency-weighted over
+    the word vocabulary, ties broken lexicographically).
+
+    The 100 TB shape is exactly this one: the corpus reduces ONCE to a
+    (word, freq) vocabulary — the only fact-sized shuffle; every merge
+    round then runs on the vocabulary relation (thousands of rows per
+    language, never corpus-sized): a map-side pair explode bounded by
+    word length, one hash aggregation, a driver-side collect of the
+    SINGLE winning pair (the IVF-centroid discipline: scalar state, not
+    data), and a map-side sentinel-padded `replace` to apply the merge.
+    Per-round `localCheckpoint` keeps plan depth O(1) per round (the
+    q45/q152 ladder). Both engines' `replace` scan leftmost-
+    non-overlapping, so merged vocabularies match bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    v = wf.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("sp"),
+    ).localCheckpoint(eager=True)
+
+    out: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            v.select("freq", F.split(F.trim("sp"), " ").alias("t"))
+            .where(F.size("t") >= 2)  # 1-symbol words emit no pairs (q113 lesson)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> concat(element_at(t, i), ' ',"
+                        " element_at(t, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).collect()[0]
+        merged = top["pair"].replace(" ", "")
+        out.append((rnd, top["pair"], merged, top["cnt"]))
+        v = v.withColumn(
+            "sp",
+            F.replace(
+                F.col("sp"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {merged} "),
+            ),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        out, "rnd int, pair string, merged string, cnt bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — positional phrase search over the inverted-index postings
+# ---------------------------------------------------------------------------
+PHRASE = ("window", "join")  # the two-token phrase being served
+
+
+@register(
+    "q190_phrase_search",
+    tags=("text", "ir", "inverted_index"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, t[i] AS tok, i
+          FROM toks, LATERAL (
+            SELECT unnest(range(1, len(t) + 1)) AS i
+          ) idx
+        ),
+        a AS (SELECT doc_id, i FROM pos WHERE tok = '{PHRASE[0]}'),
+        b AS (SELECT doc_id, i FROM pos WHERE tok = '{PHRASE[1]}')
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM a JOIN b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY a.doc_id
+    """,
+)
+def q190_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("{PHRASE[0]} {PHRASE[1]}") served from
+    positional postings — the intersection step an inverted index (q112)
+    exists for.
+
+    Spark shape: ONE tokenization pass with the two query terms pushed
+    into the post-explode filter, positions gathered per (doc, term)
+    into arrays, and the adjacency test done map-side as
+    `array_intersect(positions_a + 1, positions_b)` — no positional
+    self-join, one shuffle keyed by doc_id. The oracle pays the
+    join-on-(doc, pos+1) formulation; both count the same adjacent
+    occurrences because positions within a document are distinct. At
+    100 TB the postings relation is the pre-built q112 index (term-
+    partitioned, doc-sorted); serving a phrase touches exactly the two
+    term partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).where(F.col("tok").isin(list(PHRASE)))
+    posted = toks.groupBy("doc_id").agg(
+        F.collect_list(
+            F.when(F.col("tok") == PHRASE[0], F.col("pos"))
+        ).alias("p1"),
+        F.collect_list(
+            F.when(F.col("tok") == PHRASE[1], F.col("pos"))
+        ).alias("p2"),
+    )
+    return posted.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.expr("transform(p1, i -> i + 1)"), F.col("p2")
+            )
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+    ).where(F.col("n_hits") > 0)

@@ -2879,3 +2879,324 @@ def q184_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_hazard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — EWMA smoothing (alpha=1/2, bounded horizon, integer-exact weights)
+# ---------------------------------------------------------------------------
+EWMA_H = 16  # newest EWMA_H orders per customer enter the average
+
+
+@register(
+    "q187_ewma_smoothing",
+    tags=("timeseries", "smoothing", "window"),
+    oracle=f"""
+        WITH ranked AS (
+          SELECT o_custkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC,
+                                             o_orderkey DESC) AS rn
+          FROM orders
+        ),
+        recent AS (SELECT * FROM ranked WHERE rn <= {EWMA_H})
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_used,
+               CAST(SUM(cents * (CAST(1 AS BIGINT) << ({EWMA_H} - rn)))
+                    AS DOUBLE)
+                 / CAST(SUM(CAST(1 AS BIGINT) << ({EWMA_H} - rn)) AS DOUBLE)
+                 AS ewma_cents
+        FROM recent GROUP BY o_custkey
+    """,
+)
+def q187_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each customer's order
+    value (adjusted form, alpha = 1/2) over their newest EWMA_H orders —
+    the demand-smoothing primitive behind reorder forecasts.
+
+    Exactness: prices quantize to integer cents; the alpha=1/2 weight
+    ladder is a power-of-two BIGINT shift (newest order weighs 2^15,
+    k-th newest 2^(15-k)), so numerator and denominator are exact
+    integers below 2^53 and the single closing division is the only
+    float op — bit-identical across engines and partitionings. The
+    horizon bound is what keeps the integer ladder in range AND what
+    makes the window cheap: one row_number window per customer
+    partition, one hash aggregation, no self-join. At 100 TB the
+    orders shuffle on o_custkey once and the window never spills (a
+    customer has bounded orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    wc = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    recent = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.row_number().over(wc).alias("rn"),
+        )
+        .where(F.col("rn") <= EWMA_H)
+        .withColumn(
+            "w", F.expr(f"shiftleft(cast(1 as bigint), {EWMA_H} - rn)")
+        )
+    )
+    return recent.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        (
+            F.sum(F.col("cents") * F.col("w")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("ewma_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — lag-1 autocorrelation of daily revenue per nation (exact moments)
+# ---------------------------------------------------------------------------
+@register(
+    "q188_lag1_autocorr",
+    tags=("timeseries", "stats", "autocorrelation"),
+    oracle="""
+        WITH daily AS (
+          SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT n_name, cents AS y,
+                 LAG(cents) OVER (PARTITION BY n_name ORDER BY day) AS x
+          FROM daily
+        ),
+        m AS (
+          SELECT n_name,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))
+                          * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))
+                          * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,0))
+                          * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+          FROM pairs WHERE x IS NOT NULL
+          GROUP BY n_name HAVING COUNT(*) >= 3
+        )
+        SELECT n_name,
+               CAST(n AS BIGINT) AS n_pairs,
+               (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 AS lag1_autocorr
+        FROM m
+    """,
+)
+def q188_lag1_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each nation's daily revenue series — the
+    day-to-day persistence signal a demand planner checks before trusting
+    any smoothing model (q187) or seasonal-naive forecast (q192).
+
+    The facts reduce ONCE to a calendar-bounded daily relation (the only
+    fact-sized shuffle; nation and customer are broadcast dims), the
+    lag pairs come from one window per nation over that tiny relation,
+    and the Pearson r over (x_t, x_{t-1}) pairs is assembled from
+    DECIMAL(38,0)-exact moment sums with the identical closing double
+    expression on both engines — no float accumulation anywhere, so the
+    result is independent of partitioning and shuffle order. Autocorr is
+    over observed days (gaps close ranks), documented semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wn = W.partitionBy("n_name").orderBy("day")
+    pairs = daily.select(
+        "n_name",
+        F.col("cents").alias("y"),
+        F.lag("cents").over(wn).alias("x"),
+    ).where(F.col("x").isNotNull())
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        pairs.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(dec("x")).cast("double").alias("sx"),
+            F.sum(dec("y")).cast("double").alias("sy"),
+            F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+            F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+            F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    return m.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("lag1_autocorr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — seasonal-naive forecast evaluation (WAPE + bias per nation)
+# ---------------------------------------------------------------------------
+@register(
+    "q192_forecast_wape",
+    tags=("timeseries", "forecast", "evaluation"),
+    oracle="""
+        WITH weekly AS (
+          SELECT n_name,
+                 CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT a.n_name, a.cents AS actual, f.cents AS forecast
+          FROM weekly a JOIN weekly f
+            ON a.n_name = f.n_name AND f.wk = a.wk - INTERVAL 7 DAY
+        )
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks_scored,
+               CAST(SUM(ABS(actual - forecast)) AS DOUBLE)
+                 / CAST(SUM(actual) AS DOUBLE) AS wape,
+               (CAST(SUM(forecast) AS DOUBLE) - CAST(SUM(actual) AS DOUBLE))
+                 / CAST(SUM(actual) AS DOUBLE) AS bias
+        FROM scored GROUP BY n_name
+    """,
+)
+def q192_forecast_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (next week = this week)
+    on weekly revenue per nation: WAPE (weighted absolute percentage
+    error) and signed bias — the forecast-evaluation primitive that
+    gates any fancier model.
+
+    WAPE is used instead of MAPE deliberately: sum|a-f| / sum(a) is two
+    exact BIGINT-cents sums and ONE closing division, where MAPE's
+    per-row division would accumulate floats in shuffle order. The
+    weekly relation is calendar-bounded; the forecast lookup is a
+    self-equi-join on (nation, week-7d) — at 100 TB both sides are the
+    same tiny pre-aggregated relation, hash-joined on nation+week, and
+    the fact table is touched exactly once."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    weekly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    a = weekly.select(
+        "n_name", F.col("wk").alias("awk"), F.col("cents").alias("actual")
+    )
+    f_ = weekly.select(
+        F.col("n_name").alias("fn"),
+        F.col("wk").alias("fwk"),
+        F.col("cents").alias("forecast"),
+    )
+    scored = a.join(
+        f_,
+        (a.n_name == f_.fn) & (f_.fwk == F.date_sub(a.awk, 7)),
+    )
+    return scored.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks_scored"),
+        (
+            F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast("double")
+            / F.sum("actual").cast("double")
+        ).alias("wape"),
+        (
+            (
+                F.sum("forecast").cast("double")
+                - F.sum("actual").cast("double")
+            )
+            / F.sum("actual").cast("double")
+        ).alias("bias"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — rolling 7-day distinct users per day (exact, no sketch)
+# ---------------------------------------------------------------------------
+ROLL_W = 7  # trailing window width in days
+
+
+@register(
+    "q193_rolling_distinct",
+    tags=("timeseries", "cardinality", "rolling"),
+    oracle=f"""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM events
+        ),
+        bounds AS (SELECT MAX(day) AS max_day FROM ud),
+        cov AS (
+          SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS day
+          FROM ud CROSS JOIN (
+            SELECT unnest(range(0, {ROLL_W})) AS o
+          ) offs
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS users_7d
+        FROM cov, bounds WHERE day <= max_day GROUP BY 1
+    """,
+)
+def q193_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users for every day — exact rolling
+    cardinality (the WAU curve), the metric HLL sketches (q171)
+    approximate.
+
+    Rolling COUNT(DISTINCT) does not decompose over a window frame, so
+    the classic trap is a day⋈day range self-join that rescans each
+    user-day W times *through a shuffle*. Instead: reduce facts to
+    DISTINCT (user, day) once, then each user-day votes for the W days
+    it keeps the user active (a map-side ROLL_W-way sequence explode —
+    bounded 7x blowup of the already-tiny distinct relation), dedup,
+    and count per day. Two hash shuffles total, both on pre-reduced
+    relations; the trailing edge is clipped at the corpus max day via a
+    broadcast scalar. At 100 TB the explode factor is the window width,
+    independent of data volume — linear and skew-free (day keys are
+    uniform)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    bounds = ud.agg(F.max("day").alias("max_day"))
+    cov = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(ROLL_W - 1))).alias("o"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, o)").alias("day"))
+        .distinct()
+    )
+    return (
+        cov.crossJoin(F.broadcast(bounds))
+        .where(F.col("day") <= F.col("max_day"))
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("users_7d"))
+    )

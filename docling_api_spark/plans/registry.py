@@ -43,7 +43,7 @@ QUERIES: dict[str, Query] = {}
 # these — shared here so the two lists can't drift.
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
-    "q103", "q139", "q152", "q174",  # eager localCheckpoints
+    "q103", "q139", "q152", "q174", "q189", "q191",  # eager localCheckpoints
     "q43", "q45", "q57",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
@@ -283,6 +283,14 @@ GRADED_FIRST: tuple[str, ...] = (
     "q183_streaming_topk",
     "q184_survival_hazard",
     "q185_triangle_census",
+    "q186_geo_grid_join",
+    "q187_ewma_smoothing",
+    "q188_lag1_autocorr",
+    "q189_bpe_merges",
+    "q190_phrase_search",
+    "q191_shortest_path",
+    "q192_forecast_wape",
+    "q193_rolling_distinct",
 )
 
 
@@ -306,6 +314,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         sampling,
         similarity,
+        spatial,
         subqueries,
         textstats,
         timeseries,

@@ -70,6 +70,7 @@ _SP_ALLOWED = {
     "q182_cuped_adjustment": 1,   # pooled-moment scalar broadcast
     "q184_survival_hazard": 4,    # dataset-max + total scalars + duration windows
     "q185_triangle_census": 3,    # support-median scalar under each edge alias
+    "q193_rolling_distinct": 1,   # corpus-max-day scalar broadcast
 }
 
 AUDITED = [
