@@ -1805,3 +1805,97 @@ def q185_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member.groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — customer spend-decile migration matrix (year over year)
+# ---------------------------------------------------------------------------
+@register(
+    "q195_decile_migration",
+    tags=("analytics", "cohort", "ntile"),
+    oracle="""
+        WITH yr AS (
+          SELECT CAST(MAX(EXTRACT(year FROM o_orderdate)) - 2 AS BIGINT)
+            AS y1
+          FROM orders
+        ),
+        spend AS (
+          SELECT o_custkey,
+                 CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT s.o_custkey, s.y,
+                 CAST(NTILE(10) OVER (
+                   PARTITION BY s.y ORDER BY s.cents, s.o_custkey)
+                   AS BIGINT) AS decile
+          FROM spend s, yr
+          WHERE s.y IN (yr.y1, yr.y1 + 1)
+        )
+        SELECT a.decile AS decile_from, b.decile AS decile_to,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM ranked a
+        JOIN ranked b ON a.o_custkey = b.o_custkey AND b.y = a.y + 1
+        CROSS JOIN yr
+        WHERE a.y = yr.y1
+        GROUP BY 1, 2
+    """,
+)
+def q195_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-decile migration matrix: customers ranked
+    into spend deciles in two consecutive full years (the last year is
+    partial, so years max-2 and max-1), counted per (decile_from,
+    decile_to) cell — the loyalty-migration report behind churn-risk
+    scoring. Only customers active in BOTH years appear (inner join;
+    entry/exit cohorts are q87 growth-accounting's job).
+
+    Spend is BIGINT-cents exact; deciles are NTILE(10) with a full
+    deterministic order (spend, then custkey) so bucket boundaries are
+    engine-identical; the year bound is a data-derived scalar broadcast.
+    One fact-sized shuffle (spend rollup), then year-partitioned windows
+    and a self-join on the customer key over two year-sized relations.
+    At 100 TB NTILE over a year partition is the only global-ish sort —
+    its input is the pre-aggregated customer-year relation, orders of
+    magnitude smaller than the facts."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = o.agg(
+        (F.max(F.year("o_orderdate")) - 2).cast("bigint").alias("y1")
+    )
+    spend = (
+        o.groupBy(
+            "o_custkey", F.year("o_orderdate").cast("bigint").alias("y")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wy = W.partitionBy("y").orderBy("cents", "o_custkey")
+    ranked = (
+        spend.crossJoin(F.broadcast(yr))
+        .where(
+            (F.col("y") == F.col("y1")) | (F.col("y") == F.col("y1") + 1)
+        )
+        .select(
+            "o_custkey",
+            "y",
+            "y1",
+            F.ntile(10).over(wy).cast("bigint").alias("decile"),
+        )
+    )
+    a = ranked.where(F.col("y") == F.col("y1")).select(
+        "o_custkey", F.col("decile").alias("decile_from"), "y"
+    )
+    b = ranked.select(
+        F.col("o_custkey").alias("bc"),
+        F.col("decile").alias("decile_to"),
+        F.col("y").alias("by"),
+    )
+    return (
+        a.join(b, (a.o_custkey == b.bc) & (b.by == a.y + 1))
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

@@ -935,3 +935,136 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — k-means (Lloyd's algorithm, KM_ITERS synchronous rounds, K=4)
+# ---------------------------------------------------------------------------
+KM_K = 4            # initial centroids = vectors 0..3
+KM_ITERS = 2        # assignment rounds (centroids update between them)
+KM_SCALE = 1_000_000
+KM_OFF = 2_000_000  # shift quantized coords positive: floor-division of the
+                    # centroid mean is then identical in Spark (`div`) and
+                    # DuckDB (`//`), which disagree on negative operands
+
+
+def _km_oracle() -> str:
+    """Unrolled KM_ITERS-round Lloyd's in long (vec, dim, value) format:
+    integer-quantized shifted coordinates, BIGINT squared distances,
+    floor-divided centroid means — bit-identical across engines."""
+    prev_c = "c0"
+    blocks = []
+    for k in range(KM_ITERS):
+        blocks.append(f"""
+        a{k} AS (
+          SELECT e.vec_id, c.j, SUM((e.v - c.v) * (e.v - c.v)) AS d2
+          FROM e JOIN {prev_c} c ON e.i = c.i
+          GROUP BY 1, 2
+        ),
+        m{k} AS (
+          SELECT vec_id, j AS cluster, CAST(d2 AS BIGINT) AS d2
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY d2, j) AS rk
+            FROM a{k}
+          ) t WHERE rk = 1
+        )""")
+        if k < KM_ITERS - 1:
+            blocks.append(f"""
+        c{k + 1} AS (
+          SELECT m{k}.cluster AS j, e.i,
+                 CAST(SUM(e.v) // COUNT(*) AS BIGINT) AS v
+          FROM e JOIN m{k} ON e.vec_id = m{k}.vec_id
+          GROUP BY 1, 2
+        )""")
+            prev_c = f"c{k + 1}"
+    last = KM_ITERS - 1
+    return f"""
+        WITH e AS (
+          SELECT vec_id, i,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * {KM_SCALE})
+                      AS BIGINT) + {KM_OFF} AS v
+          FROM embeddings, LATERAL (
+            SELECT unnest(range(1, len(embedding) + 1)) AS i
+          ) idx
+        ),
+        c0 AS (SELECT vec_id AS j, i, v FROM e WHERE vec_id < {KM_K}),
+        {",".join(blocks)}
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, d2 FROM m{last}
+    """
+
+
+@register(
+    "q194_kmeans_lloyd",
+    tags=("similarity", "clustering", "iterative"),
+    oracle=_km_oracle(),
+)
+def q194_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding corpus: KM_ITERS synchronous Lloyd
+    rounds from a deterministic seed (vectors 0..KM_K-1), emitting each
+    vector's final cluster and squared distance.
+
+    The distributed Lloyd shape: centroids are SCALAR state (K x dim
+    integers), collected driver-side and re-broadcast into the
+    assignment expression each round — the IVF-centroid discipline
+    (similarity.py q54), so assignment is a map-side zip_with/aggregate
+    fold with NO join and no shuffle; the only shuffle per round is the
+    centroid update (posexplode to (cluster, dim) -> hash agg with
+    map-side partials, K x dim output rows). Coordinates quantize to
+    shifted positive BIGINTs so squared distances are exact and the
+    floor-divided centroid mean is engine-identical (Spark `div` vs
+    DuckDB `//` disagree on negatives — the shift sidesteps it). At
+    100 TB this is exactly MLlib's k-means plan: broadcast centroids,
+    map-side assignment, one agg per iteration."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double)"
+            f" * {KM_SCALE}) as bigint) + {KM_OFF})"
+        ).alias("vq"),
+    )
+
+    def assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
+        structs = []
+        for j, c in enumerate(cents):
+            arr = "array(" + ",".join(f"{x}L" for x in c) + ")"
+            d2 = (
+                f"aggregate(zip_with(vq, {arr}, (a, b) -> (a - b) * (a - b)),"
+                f" 0L, (acc, v) -> acc + v)"
+            )
+            structs.append(f"struct({d2} AS d2, {j}L AS j)")
+        best = f"array_min(array({','.join(structs)}))"
+        return df.select(
+            "vec_id",
+            "vq",
+            F.expr(f"{best}.j").alias("cluster"),
+            F.expr(f"{best}.d2").alias("d2"),
+        )
+
+    cents = [
+        r.vq
+        for r in emb.where(F.col("vec_id") < KM_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assigned = assign(emb, cents)
+    for _ in range(KM_ITERS - 1):
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("vq").alias("i", "v")
+            )
+            .groupBy("cluster", "i")
+            .agg(F.expr("sum(v) div count(1)").alias("cv"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cluster.setdefault(r.cluster, {})[r.i] = r.cv
+        cents = [
+            [by_cluster[j][i] for i in range(len(cents[0]))]
+            for j in sorted(by_cluster)
+        ]
+        assigned = assign(emb, cents)
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2"
+    )

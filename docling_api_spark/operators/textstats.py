@@ -19,6 +19,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from docling_api_spark.functions.numeric import davg, sql_davg
+from docling_api_spark.operators.similarity import (
+    DOT_DUCK,
+    DOT_SPARK,
+    NORM_DUCK,
+    NORM_SPARK,
+)
 from docling_api_spark.plans.registry import register
 from docling_api_spark.tables import load_table
 
@@ -1524,3 +1530,221 @@ def q190_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hits"),
     ).where(F.col("n_hits") > 0)
+
+
+# ---------------------------------------------------------------------------
+# q197 — BM25 keyword scoring (rational-IDF, oracle-replayable)
+# q196 — hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("window", "join")  # the keyword query (same terms as q190)
+BM25_TOPK = 20
+RRF_K = 60          # the standard RRF damping constant
+RRF_POOL = 50       # per-system candidate pool fed into the fusion
+RRF_TOPK = 15
+_BM25_SCORE_SQL = """
+    (CAST(2 * n_docs - 2 * df + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+    * (CAST(tf AS DOUBLE) * 2.2)
+    / (CAST(tf AS DOUBLE)
+       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                               / CAST(total_len AS DOUBLE)))
+"""
+
+
+def _bm25_oracle_ctes() -> str:
+    """Shared DuckDB CTE block: (doc_id, score, rk) for the BM25_TERMS
+    query under the rational-IDF BM25 variant (k1=1.2, b=0.75)."""
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        corpus AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(t)) AS BIGINT) AS total_len
+          FROM toks
+        ),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks) u
+          WHERE tok IN ({terms}) GROUP BY 1, 2
+        ),
+        df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        bm25_scored AS (
+          SELECT tf.doc_id, SUM({_BM25_SCORE_SQL}) AS score
+          FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+          CROSS JOIN corpus
+          GROUP BY tf.doc_id
+        ),
+        bm25_ranked AS (
+          SELECT doc_id, score, CAST(ROW_NUMBER() OVER (
+                   ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+          FROM bm25_scored
+        )
+    """
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, rk) under rational-IDF BM25 — the Spark twin of
+    `_bm25_oracle_ctes`."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("t")).cast("bigint").alias("total_len"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .where(F.col("tok").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.expr(_BM25_SCORE_SQL).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    wr = W.orderBy(F.col("score").desc(), "doc_id")
+    return scored.select(
+        "doc_id", "score", F.row_number().over(wr).cast("bigint").alias("rk")
+    )
+
+
+@register(
+    "q197_bm25_scoring",
+    tags=("text", "ir", "ranking"),
+    oracle=f"""
+        WITH {_bm25_oracle_ctes()}
+        SELECT doc_id, score, rk FROM bm25_ranked WHERE rk <= {BM25_TOPK}
+    """,
+)
+def q197_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOPK} documents for the BM25_TERMS keyword query under
+    BM25 (k1=1.2, b=0.75) with a RATIONAL idf surrogate,
+    (N - df + 0.5)/(df + 0.5) kept as an exact integer ratio instead of
+    its log: ln()'s last ulp differs across libms (the q88 lesson), and
+    for a fixed query the rational form is a monotone transform of
+    log-idf per term, so the plan and the ranking machinery are the
+    production ones.
+
+    Shape: one tokenize+explode pass with the query terms pushed into
+    the post-explode filter (term-sized, not corpus-sized, after it),
+    document length and corpus totals reduced once, df per term a
+    2-row broadcast, and the per-(doc, term) partial scores summed per
+    doc (≤2 doubles — IEEE addition of two terms is commutative, so
+    still deterministic). Ranking is one window over the matched-docs
+    relation — at 100 TB that relation is posting-list-sized, and the
+    top-k would flow through the q17 TakeOrderedAndProject path."""
+    return _bm25_ranked(spark, sf_dir).where(F.col("rk") <= BM25_TOPK)
+
+
+@register(
+    "q196_hybrid_rank_fusion",
+    tags=("text", "ir", "similarity", "fusion"),
+    oracle=f"""
+        WITH {_bm25_oracle_ctes()},
+        qv AS (SELECT embedding AS q_emb, {NORM_DUCK} AS q_norm
+               FROM embeddings WHERE vec_id = 0),
+        dense AS (
+          SELECT vec_id AS doc_id,
+                 {DOT_DUCK.format(a='embedding', b='q_emb')}
+                   / (({NORM_DUCK}) * q_norm) AS cosine
+          FROM embeddings CROSS JOIN qv
+          WHERE vec_id <> 0
+        ),
+        dense_ranked AS (
+          SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                   ORDER BY cosine DESC, doc_id) AS BIGINT) AS rk
+          FROM dense
+        ),
+        dpool AS (SELECT * FROM dense_ranked WHERE rk <= {RRF_POOL}),
+        spool AS (SELECT doc_id, rk FROM bm25_ranked WHERE rk <= {RRF_POOL}),
+        fused AS (
+          SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+                 d.rk AS dense_rk, s.rk AS sparse_rk,
+                 COALESCE(1.0 / ({RRF_K} + d.rk), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + s.rk), 0.0) AS rrf
+          FROM dpool d FULL OUTER JOIN spool s ON d.doc_id = s.doc_id
+        )
+        SELECT doc_id, dense_rk, sparse_rk, rrf,
+               CAST(rn AS BIGINT) AS rn
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused
+        ) t WHERE rn <= {RRF_TOPK}
+    """,
+)
+def q196_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k={RRF_K}) of the BM25
+    keyword ranking (q197's scorer) and the dense cosine ranking against
+    query vector 0 — the modern two-tower search stack (sparse + dense,
+    fused by rank not score, so the two systems' incomparable score
+    scales never meet).
+
+    Each system contributes its top-{RRF_POOL}; rrf = Σ 1/(k + rank)
+    over the systems that retrieved the doc (a FULL OUTER join of two
+    candidate pools — pool-sized, never corpus-sized). The two 1/(k+r)
+    terms are exact-input divisions and one commutative addition, so
+    fusion is deterministic. At 100 TB each pool is produced by its own
+    index (inverted index / ANN) and the fusion join is a broadcast of
+    two k-row relations — the plan here is that join, unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("q_emb"),
+            F.expr(NORM_SPARK).alias("q_norm"),
+        )
+    )
+    dense = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                F.expr(DOT_SPARK.format(a="embedding", b="q_emb"))
+                / (F.expr(NORM_SPARK) * F.col("q_norm"))
+            ).alias("cosine"),
+        )
+    )
+    wd = W.orderBy(F.col("cosine").desc(), "doc_id")
+    dpool = (
+        dense.select(
+            "doc_id", F.row_number().over(wd).cast("bigint").alias("rk")
+        )
+        .where(F.col("rk") <= RRF_POOL)
+        .withColumnRenamed("rk", "dense_rk")
+    )
+    spool = (
+        _bm25_ranked(spark, sf_dir)
+        .where(F.col("rk") <= RRF_POOL)
+        .select("doc_id", F.col("rk").alias("sparse_rk"))
+    )
+    fused = (
+        dpool.join(spool, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "dense_rk",
+            "sparse_rk",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rk")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("sparse_rk")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf"),
+        )
+    )
+    wf = W.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rn") <= RRF_TOPK)
+    )

@@ -43,7 +43,7 @@ QUERIES: dict[str, Query] = {}
 # these — shared here so the two lists can't drift.
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
-    "q103", "q139", "q152", "q174", "q189", "q191",  # eager localCheckpoints
+    "q103", "q139", "q152", "q174", "q189", "q191", "q194",  # eager checkpoints / scalar-state collects
     "q43", "q45", "q57",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
@@ -291,6 +291,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q191_shortest_path",
     "q192_forecast_wape",
     "q193_rolling_distinct",
+    "q194_kmeans_lloyd",
+    "q195_decile_migration",
+    "q196_hybrid_rank_fusion",
+    "q197_bm25_scoring",
 )
 
 

@@ -71,6 +71,9 @@ _SP_ALLOWED = {
     "q184_survival_hazard": 4,    # dataset-max + total scalars + duration windows
     "q185_triangle_census": 3,    # support-median scalar under each edge alias
     "q193_rolling_distinct": 1,   # corpus-max-day scalar broadcast
+    "q195_decile_migration": 2,   # year-bound scalar under both join aliases
+    "q196_hybrid_rank_fusion": 1,  # pool-sized rank windows + corpus scalar
+    "q197_bm25_scoring": 1,       # matched-docs rank window (posting-sized)
 }
 
 AUDITED = [

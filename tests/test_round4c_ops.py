@@ -262,3 +262,176 @@ def test_q193_rolling_distinct_matches_brute_force(spark, sf_dir):
         for r in QS["q193_rolling_distinct"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_q194_kmeans_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.similarity import (
+        KM_ITERS,
+        KM_K,
+        KM_OFF,
+        KM_SCALE,
+    )
+
+    emb = {
+        r.vec_id: np.array(
+            [int(round(float(x) * KM_SCALE)) + KM_OFF for x in r.embedding],
+            dtype=object,  # python ints: exact
+        )
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = [emb[j].copy() for j in range(KM_K)]
+    assign = {}
+    for it in range(KM_ITERS):
+        assign = {}
+        for vid, v in emb.items():
+            d2s = [(int(((v - c) ** 2).sum()), j) for j, c in enumerate(cents)]
+            d2, j = min(d2s)
+            assign[vid] = (j, d2)
+        if it < KM_ITERS - 1:
+            for j in range(KM_K):
+                members = [emb[v] for v, (c, _) in assign.items() if c == j]
+                if members:
+                    s = np.sum(members, axis=0)
+                    cents[j] = np.array(
+                        [int(x) // len(members) for x in s], dtype=object
+                    )
+    got = {
+        r.vec_id: (r.cluster, r.d2)
+        for r in QS["q194_kmeans_lloyd"].fn(spark, sf_dir).collect()
+    }
+    assert got == assign
+
+
+def _ntile10(pairs):
+    """SQL NTILE(10) over rows already sorted: first (n % 10) buckets get
+    one extra row."""
+    n = len(pairs)
+    base, extra = n // 10, n % 10
+    out, idx = {}, 0
+    for b in range(1, 11):
+        size = base + (1 if b <= extra else 0)
+        for _ in range(size):
+            if idx < n:
+                out[pairs[idx]] = b
+                idx += 1
+    return out
+
+
+def test_q195_decile_migration_matches_brute_force(spark, sf_dir):
+    rows = _orders(spark, sf_dir)
+    y_max = max(d.year for _, _, d, _ in rows)
+    y1 = y_max - 2
+    spend = defaultdict(int)
+    for ck, _, d, cents in rows:
+        if d.year in (y1, y1 + 1):
+            spend[(ck, d.year)] += cents
+    deciles = {}
+    for y in (y1, y1 + 1):
+        pairs = sorted(
+            (cents, ck) for (ck, yy), cents in spend.items() if yy == y
+        )
+        deciles[y] = {
+            ck: b for (cents, ck), b in _ntile10(pairs).items()
+        }
+    expect = defaultdict(int)
+    for ck, d_from in deciles[y1].items():
+        d_to = deciles[y1 + 1].get(ck)
+        if d_to is not None:
+            expect[(d_from, d_to)] += 1
+    got = {
+        (r.decile_from, r.decile_to): r.n_customers
+        for r in QS["q195_decile_migration"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+
+
+def _brute_bm25(spark, sf_dir):
+    from docling_api_spark.operators.textstats import BM25_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    n_docs = len(toks)
+    total_len = sum(len(t) for t in toks.values())
+    tf = defaultdict(dict)
+    for did, t in toks.items():
+        for term in BM25_TERMS:
+            c = t.count(term)
+            if c:
+                tf[term][did] = c
+    scores = defaultdict(float)
+    for term in BM25_TERMS:
+        df = len(tf[term])
+        for did, f in tf[term].items():
+            dl = len(toks[did])
+            idf = (2 * n_docs - 2 * df + 1) / (2 * df + 1)
+            scores[did] += (
+                idf * (f * 2.2)
+                / (f + 1.2 * (0.25 + 0.75 * (dl * n_docs) / total_len))
+            )
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {did: (i + 1, s) for i, (did, s) in enumerate(ranked)}
+
+
+def test_q197_bm25_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.textstats import BM25_TOPK
+
+    brute = _brute_bm25(spark, sf_dir)
+    got = {
+        r.doc_id: (r.rk, r.score)
+        for r in QS["q197_bm25_scoring"].fn(spark, sf_dir).collect()
+    }
+    expect = {d: v for d, v in brute.items() if v[0] <= BM25_TOPK}
+    assert set(got) == set(expect)
+    for d, (rk, s) in expect.items():
+        assert got[d][0] == rk
+        assert abs(got[d][1] - s) < 1e-9
+
+
+def test_q196_rrf_matches_brute_force(spark, sf_dir):
+    import math
+
+    from docling_api_spark.operators.textstats import (
+        RRF_K,
+        RRF_POOL,
+        RRF_TOPK,
+    )
+
+    emb = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = emb[0]
+    qn = math.sqrt(float((q * q).sum()))
+    cos = {
+        vid: float((v * q).sum()) / (math.sqrt(float((v * v).sum())) * qn)
+        for vid, v in emb.items()
+        if vid != 0
+    }
+    dense_rk = {
+        vid: i + 1
+        for i, (vid, _) in enumerate(
+            sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+        if i < RRF_POOL
+    }
+    sparse_rk = {
+        d: rk for d, (rk, _) in _brute_bm25(spark, sf_dir).items() if rk <= RRF_POOL
+    }
+    fused = {}
+    for d in set(dense_rk) | set(sparse_rk):
+        rrf = 0.0
+        if d in dense_rk:
+            rrf += 1.0 / (RRF_K + dense_rk[d])
+        if d in sparse_rk:
+            rrf += 1.0 / (RRF_K + sparse_rk[d])
+        fused[d] = rrf
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+    expect = {
+        d: (dense_rk.get(d), sparse_rk.get(d), i + 1)
+        for i, (d, _) in enumerate(top)
+    }
+    got = {
+        r.doc_id: (r.dense_rk, r.sparse_rk, r.rn)
+        for r in QS["q196_hybrid_rank_fusion"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
