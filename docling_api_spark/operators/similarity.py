@@ -1024,9 +1024,15 @@ def q194_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vq"),
     )
 
-    def assign(df: DataFrame, cents: list[list[int]]) -> DataFrame:
+    def assign(
+        df: DataFrame, cents: list[tuple[int, list[int]]]
+    ) -> DataFrame:
+        # cents carries REAL cluster ids: if a cluster empties out, the
+        # survivors keep their labels (and the oracle, which derives the
+        # next round's centroids from the groups actually present, stays
+        # in lockstep) instead of being silently renumbered
         structs = []
-        for j, c in enumerate(cents):
+        for j, c in cents:
             arr = "array(" + ",".join(f"{x}L" for x in c) + ")"
             d2 = (
                 f"aggregate(zip_with(vq, {arr}, (a, b) -> (a - b) * (a - b)),"
@@ -1042,11 +1048,12 @@ def q194_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cents = [
-        r.vq
+        (r.vec_id, r.vq)
         for r in emb.where(F.col("vec_id") < KM_K)
         .orderBy("vec_id")
         .collect()
     ]
+    dim = len(cents[0][1])
     assigned = assign(emb, cents)
     for _ in range(KM_ITERS - 1):
         upd = (
@@ -1061,7 +1068,7 @@ def q194_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in upd:
             by_cluster.setdefault(r.cluster, {})[r.i] = r.cv
         cents = [
-            [by_cluster[j][i] for i in range(len(cents[0]))]
+            (j, [by_cluster[j][i] for i in range(dim)])
             for j in sorted(by_cluster)
         ]
         assigned = assign(emb, cents)

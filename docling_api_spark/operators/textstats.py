@@ -1450,7 +1450,10 @@ def q189_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = pairs.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).collect()[0]
+        winners = pairs.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).collect()
+        if not winners:  # corpus exhausted (empty / all 1-symbol words)
+            break
+        top = winners[0]
         merged = top["pair"].replace(" ", "")
         out.append((rnd, top["pair"], merged, top["cnt"]))
         v = v.withColumn(
