@@ -1899,3 +1899,189 @@ def q195_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile_from", "decile_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — hierarchical ancestor rollup (org-chart/BOM aggregation, bounded)
+# ---------------------------------------------------------------------------
+AR_DEPTH = 4  # levels of ancestry each node contributes to (plus itself)
+
+
+@register(
+    "q198_ancestor_rollup",
+    tags=("analytics", "hierarchy", "rollup"),
+    oracle=f"""
+        WITH spend AS (
+          SELECT o_custkey AS node,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY 1
+        ),
+        paths AS (
+          SELECT node // CAST(POW(2, j) AS BIGINT) AS ancestor,
+                 CAST(j AS BIGINT) AS j, cents
+          FROM spend CROSS JOIN (
+            SELECT unnest(range(0, {AR_DEPTH + 1})) AS j
+          ) lv
+          WHERE node // CAST(POW(2, j) AS BIGINT) >= 1
+        )
+        SELECT ancestor,
+               CAST(COUNT(*) AS BIGINT) AS n_contributors,
+               CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+               CAST(MAX(j) AS BIGINT) AS deepest_level
+        FROM paths GROUP BY ancestor
+    """,
+)
+def q198_ancestor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over an implicit binary referral tree
+    (parent(k) = k/2): every customer's spend is credited to its
+    ancestors up to AR_DEPTH levels above it — the bounded-depth
+    org-chart / bill-of-materials aggregation.
+
+    The classic trap is an iterative parent-join per level (AR_DEPTH
+    shuffles) or a recursive CTE (unbounded). With a computable parent
+    function the ancestor PATH is closed-form, so the whole rollup is
+    ONE map-side explode of (AR_DEPTH+1) (ancestor, contribution) pairs
+    per node followed by ONE hash aggregation — the same shape as q193's
+    offset explode: blowup bounded by depth, independent of data volume,
+    skew limited to log-depth fan-in near the root (the top node absorbs
+    at most 2^AR_DEPTH+... contributors here, and a production
+    materialized-path hierarchy would explode its stored path array the
+    same way). Spend is BIGINT-cents exact."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("node")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    paths = (
+        spend.select(
+            "node",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(AR_DEPTH))).alias("j"),
+        )
+        .select(
+            F.expr("node div shiftleft(1L, j)").alias("ancestor"),
+            F.col("j").cast("bigint").alias("j"),
+            "cents",
+        )
+        .where(F.col("ancestor") >= 1)
+    )
+    return paths.groupBy("ancestor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contributors"),
+        F.sum("cents").cast("bigint").alias("subtree_cents"),
+        F.max("j").cast("bigint").alias("deepest_level"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — item-item collaborative filtering (cosine over co-purchase counts)
+# ---------------------------------------------------------------------------
+CF_TOPK = 5
+CF_MIN_CO = 2  # ignore pairs co-purchased in fewer than 2 orders
+
+
+@register(
+    "q199_item_item_cf",
+    tags=("analytics", "recommender", "similarity"),
+    oracle=f"""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        item_n AS (
+          SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+          FROM basket GROUP BY 1
+        ),
+        co AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM basket a JOIN basket b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {CF_MIN_CO}
+        ),
+        sym AS (
+          SELECT p1 AS item, p2 AS neighbor, c FROM co
+          UNION ALL
+          SELECT p2 AS item, p1 AS neighbor, c FROM co
+        ),
+        scored AS (
+          SELECT s.item, s.neighbor,
+                 CAST(s.c AS DOUBLE)
+                   / sqrt(CAST(ni.n AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                   AS cosine,
+                 s.c
+          FROM sym s
+          JOIN item_n ni ON s.item = ni.l_partkey
+          JOIN item_n nn ON s.neighbor = nn.l_partkey
+        )
+        SELECT item, neighbor, cosine, c AS co_orders,
+               CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY item ORDER BY cosine DESC, neighbor) AS rk
+          FROM scored
+        ) t WHERE rk <= {CF_TOPK}
+    """,
+)
+def q199_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-{CF_TOPK} most similar
+    parts per part by cosine over binary co-purchase vectors
+    (cos = |A∩B| / sqrt(|A|·|B|) on order sets) — the classic
+    neighborhood recommender.
+
+    The co-occurrence join is the q103 concern inverted: joining the
+    basket relation to itself on the order key bounds output by the
+    per-order basket size squared (baskets are small and bounded by
+    schema, never corpus-sized) — NOT an item×item matrix. Counts and
+    norms are exact integers; cosine is one closing expression; the
+    per-item ranking window runs over candidate lists already cut to
+    co-purchased items with support ≥ {CF_MIN_CO}. At 100 TB: identical
+    plan with the basket relation bucketed by order key, plus a
+    frequent-item cap (the q38 salting discipline) for items in
+    millions of baskets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = basket.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = basket.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2")
+    )
+    co = (
+        a.join(b, (a.l_orderkey == b.ok2) & (a.p1 < b.p2))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .where(F.col("c") >= CF_MIN_CO)
+    )
+    sym = co.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "c"
+    ).unionByName(
+        co.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "c"
+        )
+    )
+    ni = item_n.select(F.col("l_partkey").alias("item"), F.col("n").alias("n_i"))
+    nn = item_n.select(
+        F.col("l_partkey").alias("neighbor"), F.col("n").alias("n_j")
+    )
+    scored = (
+        sym.join(ni, "item")
+        .join(nn, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            (
+                F.col("c").cast("double")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_j").cast("double"))
+            ).alias("cosine"),
+            "c",
+        )
+    )
+    wk = W.partitionBy("item").orderBy(F.col("cosine").desc(), "neighbor")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .where(F.col("rk") <= CF_TOPK)
+        .select(
+            "item", "neighbor", "cosine", F.col("c").alias("co_orders"), "rk"
+        )
+    )

@@ -1751,3 +1751,70 @@ def q196_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rn", F.row_number().over(wf).cast("bigint"))
         .where(F.col("rn") <= RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q200 — KWIC snippet generation for the phrase hits (search serving)
+# ---------------------------------------------------------------------------
+KWIC_BEFORE = 2  # context tokens left of the phrase
+KWIC_AFTER = 3   # context tokens right of the phrase start
+
+
+@register(
+    "q200_kwic_snippets",
+    tags=("text", "ir", "serving"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        hits AS (
+          SELECT doc_id, t, i
+          FROM toks, LATERAL (
+            SELECT unnest(range(1, len(t))) AS i
+          ) idx
+          WHERE t[i] = '{PHRASE[0]}' AND t[i + 1] = '{PHRASE[1]}'
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                 t[GREATEST(i - {KWIC_BEFORE}, 1):LEAST(i + {KWIC_AFTER}, len(t))],
+                 ' ') AS snippet
+        FROM hits
+    """,
+)
+def q200_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets: for every occurrence of the
+    "{PHRASE[0]} {PHRASE[1]}" phrase, the surrounding token window
+    (±{KWIC_BEFORE}/{KWIC_AFTER}) joined back into a display string —
+    the result-page rendering step that sits on top of q190's phrase
+    match.
+
+    Everything is map-side: tokenize once, posexplode with the
+    first-term filter pushed into it, the adjacency check via
+    element_at, and the snippet as a bounds-clamped `slice` of the
+    token array already in hand — no second scan, no join, no shuffle
+    at all (the plan is scan → project/explode → filter → project). At
+    100 TB snippets are generated per shard next to the postings that
+    matched them; the window bounds make output size linear in hit
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    hits = toks.select(
+        "doc_id", "t", F.posexplode("t").alias("p0", "tok")
+    ).where(
+        (F.col("tok") == PHRASE[0])
+        & (F.col("p0") + 2 <= F.size("t"))
+        & (F.expr("element_at(t, p0 + 2)") == PHRASE[1])
+    )
+    # 1-based phrase position (p0 + 1), mirroring the oracle's indexing
+    return hits.select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("pos"),
+        F.array_join(
+            F.expr(
+                f"slice(t, greatest(p0 + 1 - {KWIC_BEFORE}, 1), "
+                f"least(p0 + 1 + {KWIC_AFTER}, size(t)) "
+                f"- greatest(p0 + 1 - {KWIC_BEFORE}, 1) + 1)"
+            ),
+            " ",
+        ).alias("snippet"),
+    )

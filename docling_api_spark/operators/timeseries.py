@@ -3200,3 +3200,90 @@ def q193_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("users_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — Allen interval-algebra census between event-type activity spans
+# ---------------------------------------------------------------------------
+_ALLEN_CASE = """
+    CASE
+      WHEN e1 < s2 THEN 'before'
+      WHEN e1 = s2 THEN 'meets'
+      WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+      WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+      WHEN s1 > s2 AND e1 < e2 THEN 'during'
+      WHEN s1 > s2 AND e1 = e2 THEN 'finishes'
+      WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+      WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+      WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+      WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+      WHEN s1 > s2 AND s1 < e2 AND e1 > e2 THEN 'overlapped_by'
+      WHEN s1 = e2 THEN 'met_by'
+      ELSE 'after'
+    END
+"""
+
+
+@register(
+    "q201_allen_relations",
+    tags=("eventtime", "interval", "algebra"),
+    oracle=f"""
+        WITH spans AS (
+          SELECT user_id, event_type,
+                 MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+          FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+          FROM spans a JOIN spans b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+        )
+        SELECT type_a, type_b, {_ALLEN_CASE} AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM pairs GROUP BY 1, 2, 3
+    """,
+)
+def q201_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of Allen's 13 interval relations between each user's
+    per-event-type activity spans ([first, last] event time): for every
+    ordered type pair, how many users' spans are before / meet /
+    overlap / contain / ... each other — the temporal-reasoning
+    primitive behind protocol mining and care-pathway analysis.
+
+    Spans reduce the facts once to a (user x type)-sized relation; the
+    pair join is a self-join ON THE USER KEY, so its output is bounded
+    by types² per user, never corpus² (q110's interval-join discipline).
+    The classifier is one branch-exhaustive CASE over integer
+    microsecond endpoints — identical text in both engines, total by
+    construction (every endpoint ordering lands in exactly one arm,
+    degenerate point spans included). The census aggregation is
+    types²x13-sized. At 100 TB: one shuffle on user_id, one on the tiny
+    census key."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("s"),
+        F.max(F.unix_micros("ts")).alias("e"),
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = spans.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pairs = a.join(
+        b, (a.user_id == b.ub) & (a.type_a < b.type_b)
+    )
+    return (
+        pairs.select(
+            "type_a", "type_b", F.expr(_ALLEN_CASE).alias("relation")
+        )
+        .groupBy("type_a", "type_b", "relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )

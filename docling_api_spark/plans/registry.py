@@ -295,6 +295,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q195_decile_migration",
     "q196_hybrid_rank_fusion",
     "q197_bm25_scoring",
+    "q198_ancestor_rollup",
+    "q199_item_item_cf",
+    "q200_kwic_snippets",
+    "q201_allen_relations",
 )
 
 

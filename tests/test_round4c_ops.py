@@ -435,3 +435,145 @@ def test_q196_rrf_matches_brute_force(spark, sf_dir):
         for r in QS["q196_hybrid_rank_fusion"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_q198_ancestor_rollup_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.analytics import AR_DEPTH
+
+    spend = defaultdict(int)
+    for ck, _, _, cents in _orders(spark, sf_dir):
+        spend[ck] += cents
+    expect = {}
+    for node, cents in spend.items():
+        for j in range(AR_DEPTH + 1):
+            anc = node >> j
+            if anc >= 1:
+                n, s, d = expect.get(anc, (0, 0, 0))
+                expect[anc] = (n + 1, s + cents, max(d, j))
+    got = {
+        r.ancestor: (r.n_contributors, r.subtree_cents, r.deepest_level)
+        for r in QS["q198_ancestor_rollup"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_q199_item_item_cf_matches_brute_force(spark, sf_dir):
+    import math
+
+    from docling_api_spark.operators.analytics import CF_MIN_CO, CF_TOPK
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders_of = defaultdict(set)
+    for r in rows:
+        orders_of[r.l_partkey].add(r.l_orderkey)
+    by_order = defaultdict(set)
+    for r in rows:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    co = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for ii, p1 in enumerate(ps):
+            for p2 in ps[ii + 1:]:
+                co[(p1, p2)] += 1
+    cands = defaultdict(list)
+    for (p1, p2), c in co.items():
+        if c >= CF_MIN_CO:
+            cos = c / math.sqrt(len(orders_of[p1]) * len(orders_of[p2]))
+            cands[p1].append((cos, p2, c))
+            cands[p2].append((cos, p1, c))
+    expect = {}
+    for item, lst in cands.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (cos, nb, c) in enumerate(lst[:CF_TOPK], 1):
+            expect[(item, rk)] = (nb, cos, c)
+    got = {
+        (r.item, r.rk): (r.neighbor, r.cosine, r.co_orders)
+        for r in QS["q199_item_item_cf"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_q200_kwic_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.textstats import (
+        KWIC_AFTER,
+        KWIC_BEFORE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        t = r.text.split(" ")
+        for i in range(len(t) - 1):
+            if t[i] == PHRASE[0] and t[i + 1] == PHRASE[1]:
+                pos = i + 1  # 1-based
+                lo = max(pos - KWIC_BEFORE, 1)
+                hi = min(pos + KWIC_AFTER, len(t))
+                expect[(r.doc_id, pos)] = " ".join(t[lo - 1:hi])
+    got = {
+        (r.doc_id, r.pos): r.snippet
+        for r in QS["q200_kwic_snippets"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got
+
+
+def _allen(s1, e1, s2, e2):
+    if e1 < s2:
+        return "before"
+    if e1 == s2:
+        return "meets"
+    if s1 < s2 and e1 > s2 and e1 < e2:
+        return "overlaps"
+    if s1 == s2 and e1 < e2:
+        return "starts"
+    if s1 > s2 and e1 < e2:
+        return "during"
+    if s1 > s2 and e1 == e2:
+        return "finishes"
+    if s1 == s2 and e1 == e2:
+        return "equals"
+    if s1 < s2 and e1 == e2:
+        return "finished_by"
+    if s1 < s2 and e1 > e2:
+        return "contains"
+    if s1 == s2 and e1 > e2:
+        return "started_by"
+    if s1 > s2 and s1 < e2 and e1 > e2:
+        return "overlapped_by"
+    if s1 == e2:
+        return "met_by"
+    return "after"
+
+
+def test_q201_allen_matches_brute_force(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    spans = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        s, e = spans.get(k, (r.us, r.us))
+        spans[k] = (min(s, r.us), max(e, r.us))
+    by_user = defaultdict(dict)
+    for (u, t), se in spans.items():
+        by_user[u][t] = se
+    expect = defaultdict(int)
+    for u, types in by_user.items():
+        ts = sorted(types)
+        for ii, ta in enumerate(ts):
+            for tb in ts[ii + 1:]:
+                s1, e1 = types[ta]
+                s2, e2 = types[tb]
+                expect[(ta, tb, _allen(s1, e1, s2, e2))] += 1
+    got = {
+        (r.type_a, r.type_b, r.relation): r.n_users
+        for r in QS["q201_allen_relations"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
