@@ -330,3 +330,43 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q100_chunk_documents")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the chunk-index explode
+
+
+def test_geo_grid_join_broadcasts_exploded_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q186_geo_grid_join")
+    # the 9x-exploded supplier side is broadcast; the customer fact side
+    # joins on its map-side cell key — no shuffle of the big side, and
+    # never a nested-loop spatial join
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kwic_snippets_is_map_side_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q200_kwic_snippets")
+    # scan -> explode -> filter -> project: serving-side snippet
+    # generation must not shuffle anything
+    assert "Exchange" not in plan
+
+
+def test_ancestor_rollup_is_single_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q198_ancestor_rollup")
+    # spend rollup + ancestor agg share hash-partitioning work; the
+    # closed-form path explode must not introduce joins
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_item_cf_joins_on_order_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q199_item_item_cf")
+    # co-occurrence must come from the order-key equi-join (basket-
+    # bounded), not any nested-loop/cartesian item pairing
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_term_stats(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q197_bm25_scoring")
+    # df (2 rows) and the corpus totals (1 row) reach the scorer as
+    # broadcasts; the only windows run over matched docs
+    assert plan.count("BroadcastExchange") >= 2
