@@ -532,3 +532,89 @@ def q169_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inclusion_p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — deterministic negative sampling for recommender training pairs
+# ---------------------------------------------------------------------------
+NEG_K = 5          # candidate negatives drawn per user
+NEG_A = 2654435761  # Knuth multiplicative-hash constants: the candidate
+NEG_B = 40503       # stream is a pure function of (user, draw index)
+
+
+@register(
+    "q203_negative_sampling",
+    tags=("sampling", "recommender", "training-pairs"),
+    oracle=f"""
+        WITH pos AS (
+          SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        np AS (SELECT MAX(p_partkey) AS n_items FROM part),
+        users AS (SELECT DISTINCT user_id FROM pos),
+        cand AS (
+          SELECT u.user_id, CAST(j AS BIGINT) AS draw,
+                 (u.user_id * {NEG_A} + j * {NEG_B}) % np.n_items + 1
+                   AS item_id
+          FROM users u
+          CROSS JOIN (SELECT unnest(range(1, {NEG_K} + 1)) AS j) draws
+          CROSS JOIN np
+        )
+        SELECT c.user_id, c.item_id AS neg_item, c.draw
+        FROM cand c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pos p
+          WHERE p.user_id = c.user_id AND p.item_id = c.item_id
+        )
+    """,
+)
+def q203_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: NEG_K candidate non-purchased items per user from a
+    multiplicative-hash stream keyed by (user, draw), with accidental
+    positives removed — the training-pair generation step between the
+    interaction log and the learner.
+
+    The hash stream replaces an RNG so the sample is reproducible
+    across engines, runs, and partitionings (the q91 hash-sampling
+    discipline). Candidates are generated MAP-SIDE (a bounded NEG_K-way
+    explode of the distinct-user relation x one scalar item-count
+    broadcast); the only shuffle is the anti-join against the positives
+    relation on (user, item) — co-partitioned with how positives are
+    already keyed. Collisions with positives are dropped, not redrawn
+    (documented: k is a budget, not a quota — redraw loops serialize at
+    scale). At 100 TB: identical plan, positives bucketed by user."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    np_ = load_table(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("n_items")
+    )
+    users = pos.select("user_id").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(np_))
+        .select(
+            "user_id",
+            "n_items",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("j"),
+        )
+        .select(
+            "user_id",
+            F.col("j").cast("bigint").alias("draw"),
+            (
+                (F.col("user_id") * NEG_A + F.col("j") * NEG_B)
+                % F.col("n_items")
+                + 1
+            ).alias("item_id"),
+        )
+    )
+    return cand.join(
+        pos, ["user_id", "item_id"], "left_anti"
+    ).select("user_id", F.col("item_id").alias("neg_item"), "draw")

@@ -1343,14 +1343,15 @@ _REG["q178_confusion_matrix"].oracle = f"""
 BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
-    """Unrolled BPE_ROUNDS-round byte-pair-encoding trainer in SQL.
-
-    Each round: count adjacent symbol pairs over the (word, freq)
-    vocabulary, pick the most frequent pair (ties broken by pair text),
-    merge it corpus-wide via sentinel-padded `replace` — both engines
-    scan leftmost-non-overlapping, so the merged vocabularies stay
-    bit-identical."""
+def _bpe_chain() -> str:
+    """Shared DuckDB CTE chain for the unrolled BPE_ROUNDS-round
+    byte-pair-encoding trainer: wf (word, freq) -> v0 (char-spaced) ->
+    per round p{k} (pair counts), b{k} (winning pair), v{k} (merged
+    vocabulary). Each round counts adjacent symbol pairs over the
+    vocabulary, picks the most frequent (ties broken by pair text), and
+    merges corpus-wide via sentinel-padded `replace` — both engines
+    scan leftmost-non-overlapping, so vocabularies stay bit-identical.
+    q189 reads the b{k} winners; q202 reads the final v{k}."""
     rounds = []
     prev = "v0"
     for k in range(1, BPE_ROUNDS + 1):
@@ -1370,14 +1371,7 @@ def _bpe_oracle() -> str:
           FROM {prev}
         )""")
         prev = f"v{k}"
-    unions = "\n        UNION ALL ".join(
-        f"""SELECT CAST({k} AS INTEGER) AS rnd, pair,
-               replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS cnt
-        FROM b{k}"""
-        for k in range(1, BPE_ROUNDS + 1)
-    )
-    return f"""
-        WITH wf AS (
+    return f"""wf AS (
           SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
           FROM (
             SELECT unnest(string_split(text, ' ')) AS word FROM documents
@@ -1390,7 +1384,18 @@ def _bpe_oracle() -> str:
                    AS sp
           FROM wf
         ),
-        {",".join(rounds)}
+        {",".join(rounds)}"""
+
+
+def _bpe_oracle() -> str:
+    unions = "\n        UNION ALL ".join(
+        f"""SELECT CAST({k} AS INTEGER) AS rnd, pair,
+               replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS cnt
+        FROM b{k}"""
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+        WITH {_bpe_chain()}
         {unions}
     """
 
@@ -1415,6 +1420,18 @@ def q189_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-round `localCheckpoint` keeps plan depth O(1) per round (the
     q45/q152 ladder). Both engines' `replace` scan leftmost-
     non-overlapping, so merged vocabularies match bit-for-bit."""
+    out, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        out, "rnd int, pair string, merged string, cnt bigint"
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the BPE_ROUNDS merge loop; return (merge rules, final
+    vocabulary relation (word, freq, sp)) — q189 reports the rules,
+    q202 applies the trained vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1465,9 +1482,7 @@ def q189_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        out, "rnd int, pair string, merged string, cnt bigint"
-    )
+    return out, v
 
 
 # ---------------------------------------------------------------------------
@@ -1817,4 +1832,72 @@ def q200_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("snippet"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — BPE tokenizer application: corpus compression per source
+# ---------------------------------------------------------------------------
+@register(
+    "q202_bpe_encode",
+    tags=("text", "tokenizer", "composition"),
+    oracle=f"""
+        WITH {_bpe_chain()},
+        enc AS (
+          SELECT word,
+                 CAST(len(string_split(trim(sp), ' ')) AS BIGINT) AS n_toks,
+                 CAST(length(word) AS BIGINT) AS n_chars
+          FROM v{BPE_ROUNDS}
+        ),
+        docw AS (
+          SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(e.n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(e.n_chars) AS DOUBLE) / CAST(SUM(e.n_toks) AS DOUBLE)
+                 AS chars_per_token
+        FROM docw d JOIN enc e ON d.word = e.word
+        WHERE d.word <> ''
+        GROUP BY d.source
+    """,
+)
+def q202_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the q189-trained BPE vocabulary back to the corpus and
+    report per-source tokenization stats (words, chars, tokens,
+    chars/token compression) — the encode half of the tokenizer
+    pipeline, and the capacity-planning number (tokens per source)
+    every training run starts from.
+
+    Encoding is a JOIN, not a re-computation: token counts per WORD
+    come from the trained vocabulary relation (vocabulary-sized), and
+    the corpus explode joins against it broadcast — each corpus token
+    is touched once, map-side. At 100 TB this is exactly how you count
+    tokens: ship the trained vocab (small) to the data, never the data
+    to the trainer. Counts are exact integers; chars/token is one
+    closing division."""
+    _, v = _bpe_train(spark, sf_dir)
+    enc = v.select(
+        "word",
+        F.size(F.split(F.trim("sp"), " ")).cast("bigint").alias("n_toks"),
+        F.length("word").cast("bigint").alias("n_chars"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        docw.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.sum("n_toks").cast("double")
+            ).alias("chars_per_token"),
+        )
     )

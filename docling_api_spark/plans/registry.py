@@ -43,7 +43,7 @@ QUERIES: dict[str, Query] = {}
 # these — shared here so the two lists can't drift.
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
-    "q103", "q139", "q152", "q174", "q189", "q191", "q194",  # eager checkpoints / scalar-state collects
+    "q103", "q139", "q152", "q174", "q189", "q191", "q194", "q202",  # eager checkpoints / scalar-state collects
     "q43", "q45", "q57",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
@@ -299,6 +299,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q199_item_item_cf",
     "q200_kwic_snippets",
     "q201_allen_relations",
+    "q202_bpe_encode",
+    "q203_negative_sampling",
 )
 
 

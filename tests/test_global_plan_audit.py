@@ -74,6 +74,7 @@ _SP_ALLOWED = {
     "q195_decile_migration": 2,   # year-bound scalar under both join aliases
     "q196_hybrid_rank_fusion": 1,  # pool-sized rank windows + corpus scalar
     "q197_bm25_scoring": 1,       # matched-docs rank window (posting-sized)
+    "q203_negative_sampling": 1,  # item-count scalar broadcast
 }
 
 AUDITED = [

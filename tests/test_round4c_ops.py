@@ -577,3 +577,75 @@ def test_q201_allen_matches_brute_force(spark, sf_dir):
         for r in QS["q201_allen_relations"].fn(spark, sf_dir).collect()
     }
     assert got == dict(expect)
+
+
+def test_q202_bpe_encode_matches_brute_force(spark, sf_dir):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    wf = defaultdict(int)
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                wf[w] += 1
+    # re-train brute-force BPE, then token count per word
+    vocab = {w: list(w) for w in wf}
+    for _, pair, merged, _ in _brute_bpe(wf, BPE_ROUNDS):
+        a, b = pair.split(" ")
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                a = agg[r.source]
+                a[0] += 1
+                a[1] += len(w)
+                a[2] += len(vocab[w])
+    expect = {
+        src: (n, ch, tk, ch / tk) for src, (n, ch, tk) in agg.items()
+    }
+    got = {
+        r.source: (r.n_words, r.n_chars, r.n_tokens, r.chars_per_token)
+        for r in QS["q202_bpe_encode"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_q203_negative_sampling_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.sampling import NEG_A, NEG_B, NEG_K
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = {
+        (r.o_custkey, r.l_partkey)
+        for r in o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    n_items = (
+        load_table(spark, sf_dir, "part").agg(F.max("p_partkey")).collect()[0][0]
+    )
+    expect = set()
+    for u in {u for u, _ in pos}:
+        for j in range(1, NEG_K + 1):
+            item = (u * NEG_A + j * NEG_B) % n_items + 1
+            if (u, item) not in pos:
+                expect.add((u, item, j))
+    got = {
+        (r.user_id, r.neg_item, r.draw)
+        for r in QS["q203_negative_sampling"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got
