@@ -1075,3 +1075,73 @@ def q194_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "d2"
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — distributed Gram matrix (X^T X over the embedding corpus)
+# ---------------------------------------------------------------------------
+GRAM_SCALE = 1000  # the q166 quantization: integer units, exact products
+
+
+@register(
+    "q204_gram_matrix",
+    tags=("similarity", "linalg"),
+    oracle=f"""
+        WITH x AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   v -> CAST(round(CAST(v AS DOUBLE) * {GRAM_SCALE})
+                        AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        cells AS (
+          SELECT i, j, xq[i] * xq[j] AS p
+          FROM x,
+          LATERAL (SELECT unnest(range(1, len(xq) + 1)) AS i) ii,
+          LATERAL (SELECT unnest(range(1, len(xq) + 1)) AS j) jj
+          WHERE i <= j
+        )
+        SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+               CAST(SUM(p) AS BIGINT) AS g
+        FROM cells GROUP BY 1, 2
+    """,
+)
+def q204_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gram matrix X^T X of the (quantized) embedding corpus — upper
+    triangle as (i, j, value) cells. THE reduction underlying PCA /
+    covariance / linear regression at scale (q166's power iteration
+    consumes exactly this product implicitly; q141 is its statistical
+    twin): dim x dim output, corpus touched once.
+
+    Distributed shape: each row contributes its outer-product upper
+    triangle map-side (a bounded dim²/2-way explode), and ONE hash
+    aggregation with map-side partial sums reduces to dim(dim+1)/2
+    cells — at 100 TB the combiner does nearly all the work and the
+    shuffle moves only per-partition partial matrices (Spark's
+    treeAggregate in MLlib is this same plan). Integer quantized units
+    make every product and sum exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            f"transform(embedding, v -> cast(round(cast(v as double)"
+            f" * {GRAM_SCALE}) as bigint))"
+        ).alias("xq")
+    )
+    cells = (
+        emb.select(
+            "xq", F.posexplode("xq").alias("i0", "vi")
+        )
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            "vi",
+            F.posexplode("xq").alias("j0", "vj"),
+        )
+        .where(F.col("j0") + 1 >= F.col("i"))
+        .select(
+            "i",
+            (F.col("j0") + 1).alias("j"),
+            (F.col("vi") * F.col("vj")).alias("p"),
+        )
+    )
+    return cells.groupBy(
+        F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j")
+    ).agg(F.sum("p").cast("bigint").alias("g"))

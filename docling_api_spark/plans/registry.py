@@ -301,6 +301,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q201_allen_relations",
     "q202_bpe_encode",
     "q203_negative_sampling",
+    "q204_gram_matrix",
 )
 
 

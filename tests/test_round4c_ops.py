@@ -649,3 +649,26 @@ def test_q203_negative_sampling_matches_brute_force(spark, sf_dir):
     }
     assert got == expect
     assert got
+
+
+def test_q204_gram_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.similarity import GRAM_SCALE
+
+    X = np.array(
+        [
+            [int(round(float(v) * GRAM_SCALE)) for v in r.embedding]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.int64,
+    )
+    G = X.T @ X
+    got = {
+        (r.i, r.j): r.g
+        for r in QS["q204_gram_matrix"].fn(spark, sf_dir).collect()
+    }
+    expect = {
+        (i + 1, j + 1): int(G[i, j])
+        for i in range(X.shape[1])
+        for j in range(i, X.shape[1])
+    }
+    assert got == expect
