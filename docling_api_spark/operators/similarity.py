@@ -997,6 +997,7 @@ def _km_oracle() -> str:
 @register(
     "q194_kmeans_lloyd",
     tags=("similarity", "clustering", "iterative"),
+    bench=True,
     oracle=_km_oracle(),
 )
 def q194_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,6 +1087,7 @@ GRAM_SCALE = 1000  # the q166 quantization: integer units, exact products
 @register(
     "q204_gram_matrix",
     tags=("similarity", "linalg"),
+    bench=True,
     oracle=f"""
         WITH x AS (
           SELECT vec_id,

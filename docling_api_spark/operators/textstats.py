@@ -1403,6 +1403,7 @@ def _bpe_oracle() -> str:
 @register(
     "q189_bpe_merges",
     tags=("text", "tokenizer", "iterative"),
+    bench=True,
     oracle=_bpe_oracle(),
 )
 def q189_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,6 +1637,7 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q197_bm25_scoring",
     tags=("text", "ir", "ranking"),
+    bench=True,
     oracle=f"""
         WITH {_bm25_oracle_ctes()}
         SELECT doc_id, score, rk FROM bm25_ranked WHERE rk <= {BM25_TOPK}

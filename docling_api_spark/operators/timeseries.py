@@ -3146,6 +3146,7 @@ ROLL_W = 7  # trailing window width in days
 @register(
     "q193_rolling_distinct",
     tags=("timeseries", "cardinality", "rolling"),
+    bench=True,
     oracle=f"""
         WITH ud AS (
           SELECT DISTINCT user_id,
@@ -3227,6 +3228,7 @@ _ALLEN_CASE = """
 @register(
     "q201_allen_relations",
     tags=("eventtime", "interval", "algebra"),
+    bench=True,
     oracle=f"""
         WITH spans AS (
           SELECT user_id, event_type,
