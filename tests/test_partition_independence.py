@@ -1,0 +1,58 @@
+"""Partitioning-independence: the engine's core exactness claim is that
+every emitted float is assembled from integer/DECIMAL-exact partial
+aggregates plus one closing expression, so results cannot depend on how
+rows are distributed. This suite re-executes representative queries
+under a deliberately different shuffle partitioning and requires
+BIT-IDENTICAL rows — not approximately equal ones.
+
+(A float-summing implementation would pass the DuckDB oracle whenever
+the local partitioning happens to match, then drift on a 1000-executor
+cluster; this test is the local stand-in for that cluster.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_api_spark.plans import all_queries
+
+QS = all_queries()
+
+# Stat-heavy queries whose docstrings promise partition-independent
+# floats (exact moment sums, cents quantization, one closing division).
+PINNED = [
+    "q187_ewma_smoothing",
+    "q188_lag1_autocorr",
+    "q192_forecast_wape",
+    "q120_ab_test_ztest",
+    "q141_covariance_matrix",
+    "q164_mannwhitney_u",
+    "q165_gini_revenue",
+    "q180_control_chart",
+    "q182_cuped_adjustment",
+    "q196_hybrid_rank_fusion",
+    "q197_bm25_scoring",
+    "q199_item_item_cf",
+    "q201_allen_relations",
+]
+
+
+def _rows(spark, sf_dir, name):
+    df = QS[name].fn(spark, sf_dir)
+    return sorted(tuple(map(repr, r)) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_result_is_partitioning_independent(spark, sf_dir, name):
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        baseline = _rows(spark, sf_dir, name)
+        # radically different reducer count + AQE coalescing toggled off:
+        # any shuffle-order-dependent accumulation changes the bits
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = _rows(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
+    assert alt == baseline, f"{name}: result depends on partitioning"
