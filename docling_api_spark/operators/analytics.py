@@ -2085,3 +2085,139 @@ def q199_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item", "neighbor", "cosine", F.col("c").alias("co_orders"), "rk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — Mahalanobis bivariate outliers (multivariate anomaly gate)
+# ---------------------------------------------------------------------------
+MAHA_TOPK = 10  # flagged rows per return-flag segment
+
+
+@register(
+    "q205_mahalanobis_outliers",
+    tags=("stats", "anomaly", "multivariate"),
+    oracle=f"""
+        WITH pts AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS xq,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS yq
+          FROM lineitem
+        ),
+        m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(yq AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(xq AS DECIMAL(38,0))
+                          * CAST(xq AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(yq AS DECIMAL(38,0))
+                          * CAST(yq AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(xq AS DECIMAL(38,0))
+                          * CAST(yq AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+          FROM pts GROUP BY l_returnflag HAVING COUNT(*) >= 3
+        ),
+        cov AS (
+          SELECT l_returnflag, n, sx / n AS mux, sy / n AS muy,
+                 (n * sxx - sx * sx) / (n * (n - 1)) AS vxx,
+                 (n * syy - sy * sy) / (n * (n - 1)) AS vyy,
+                 (n * sxy - sx * sy) / (n * (n - 1)) AS vxy
+          FROM m
+        ),
+        scored AS (
+          SELECT p.l_orderkey, p.l_linenumber, p.l_returnflag,
+                 (c.vyy * (CAST(p.xq AS DOUBLE) - c.mux)
+                    * (CAST(p.xq AS DOUBLE) - c.mux)
+                  - 2 * c.vxy * (CAST(p.xq AS DOUBLE) - c.mux)
+                    * (CAST(p.yq AS DOUBLE) - c.muy)
+                  + c.vxx * (CAST(p.yq AS DOUBLE) - c.muy)
+                    * (CAST(p.yq AS DOUBLE) - c.muy))
+                 / (c.vxx * c.vyy - c.vxy * c.vxy) AS d2
+          FROM pts p JOIN cov c ON p.l_returnflag = c.l_returnflag
+        )
+        SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT)
+                 AS l_linenumber, d2, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY d2 DESC, l_orderkey, l_linenumber) AS rk
+          FROM scored
+        ) t WHERE rk <= {MAHA_TOPK}
+    """,
+)
+def q205_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier gate: the top-{MAHA_TOPK} (quantity, price)
+    points per return-flag segment by squared Mahalanobis distance —
+    the correlation-aware anomaly score that univariate z-gates (q49,
+    q158) cannot express (a cheap large order is anomalous even when
+    both coordinates are individually unremarkable).
+
+    The 2x2 covariance inverts in closed form, so the whole operator is:
+    one exact DECIMAL moment reduce per segment (5 sums + count), a
+    broadcast of the per-segment scalars back onto the facts, a
+    map-side quadratic-form expression — identical text both engines,
+    floats only in the closing arithmetic on exact inputs — and a
+    per-segment top-k window. At 100 TB: one fact shuffle for the
+    moments, one broadcast join, one TakeOrdered-shaped rank; the
+    d-dimensional generalization swaps the closed form for a
+    driver-side dxd inverse (scalar state, the q194 discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("xq"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("yq"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        pts.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(dec("xq")).cast("double").alias("sx"),
+            F.sum(dec("yq")).cast("double").alias("sy"),
+            F.sum(dec("xq") * dec("xq")).cast("double").alias("sxx"),
+            F.sum(dec("yq") * dec("yq")).cast("double").alias("syy"),
+            F.sum(dec("xq") * dec("yq")).cast("double").alias("sxy"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    cov = m.select(
+        "l_returnflag",
+        (F.col("sx") / F.col("n")).alias("mux"),
+        (F.col("sy") / F.col("n")).alias("muy"),
+        ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+         / (F.col("n") * (F.col("n") - 1))).alias("vxx"),
+        ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+         / (F.col("n") * (F.col("n") - 1))).alias("vyy"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n") * (F.col("n") - 1))).alias("vxy"),
+    )
+    dx = F.col("xq").cast("double") - F.col("mux")
+    dy = F.col("yq").cast("double") - F.col("muy")
+    scored = pts.join(F.broadcast(cov), "l_returnflag").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            (
+                F.col("vyy") * dx * dx
+                - 2 * F.col("vxy") * dx * dy
+                + F.col("vxx") * dy * dy
+            )
+            / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+        ).alias("d2"),
+    )
+    wk = W.partitionBy("l_returnflag").orderBy(
+        F.col("d2").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .where(F.col("rk") <= MAHA_TOPK)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            "d2",
+            "rk",
+        )
+    )

@@ -302,6 +302,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q202_bpe_encode",
     "q203_negative_sampling",
     "q204_gram_matrix",
+    "q205_mahalanobis_outliers",
 )
 
 

@@ -672,3 +672,43 @@ def test_q204_gram_matches_numpy(spark, sf_dir):
         for j in range(i, X.shape[1])
     }
     assert got == expect
+
+
+def test_q205_mahalanobis_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.analytics import MAHA_TOPK
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag = defaultdict(list)
+    for r in rows:
+        by_flag[r.l_returnflag].append(
+            (r.l_orderkey, r.l_linenumber,
+             round(r.l_quantity * 100), round(r.l_extendedprice * 100))
+        )
+    expect = {}
+    for flag, pts in by_flag.items():
+        if len(pts) < 3:
+            continue
+        X = np.array([(x, y) for _, _, x, y in pts], dtype=float)
+        mu = X.mean(axis=0)
+        C = np.cov(X.T, ddof=1)
+        Ci = np.linalg.inv(C)
+        d = X - mu
+        d2 = (d @ Ci * d).sum(axis=1)
+        order = sorted(
+            range(len(pts)), key=lambda i: (-d2[i], pts[i][0], pts[i][1])
+        )
+        for rk, i in enumerate(order[:MAHA_TOPK], 1):
+            expect[(flag, rk)] = (pts[i][0], pts[i][1], d2[i])
+    got = {
+        (r.l_returnflag, r.rk): (r.l_orderkey, r.l_linenumber, r.d2)
+        for r in QS["q205_mahalanobis_outliers"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (ok, ln, d2) in expect.items():
+        assert got[k][0] == ok and got[k][1] == ln
+        assert abs(got[k][2] - d2) < 1e-6
