@@ -208,3 +208,88 @@ def q156_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q206 — GDPR delete-propagation audit (right-to-be-forgotten sweep)
+# ---------------------------------------------------------------------------
+GDPR_MOD = 97  # deterministic stand-in for the uploaded deletion list
+
+
+@register(
+    "q206_gdpr_cascade",
+    tags=("privacy", "audit", "multi-table"),
+    oracle=f"""
+        WITH del AS (
+          SELECT DISTINCT user_id AS k FROM events WHERE user_id % {GDPR_MOD} = 0
+        )
+        SELECT 'events' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_to_purge,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys_matched
+        FROM events WHERE user_id IN (SELECT k FROM del)
+        UNION ALL
+        SELECT 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        FROM orders WHERE o_custkey IN (SELECT k FROM del)
+        UNION ALL
+        SELECT 'lineitem',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT k FROM del)
+        UNION ALL
+        SELECT 'customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+        FROM customer WHERE c_custkey IN (SELECT k FROM del)
+    """,
+)
+def q206_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion list of
+    subject keys, report per table how many rows the purge will touch —
+    including the FK cascade through orders into lineitem (lineitem
+    carries no customer key; purge reach is via its order). The
+    pre-flight every GDPR/CCPA erasure pipeline runs before mutating.
+
+    The deletion list is semi-join-shaped everywhere: each table is
+    LEFT SEMI joined (broadcast — deletion lists are small by nature)
+    against the key set, counted, and the per-table counts union into
+    the audit report. No table is rewritten here; at 100 TB the same
+    semi-joins become the predicate of the actual delete (with the
+    lineitem cascade resolved through the orders key map first, exactly
+    as this plan does). Deterministic stand-in list: user_id % {GDPR_MOD}
+    == 0."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    del_keys = (
+        ev.where(F.col("user_id") % GDPR_MOD == 0)
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+
+    def audit(df: DataFrame, key: str, label: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(del_keys), df[key] == F.col("k"), "left_semi")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows_to_purge"),
+                F.countDistinct(key).cast("bigint").alias("n_keys_matched"),
+            )
+            .select(
+                F.lit(label).alias("table_name"),
+                "n_rows_to_purge",
+                "n_keys_matched",
+            )
+        )
+
+    li_cascade = li.join(
+        o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey
+    )
+    return (
+        audit(ev, "user_id", "events")
+        .unionByName(audit(o, "o_custkey", "orders"))
+        .unionByName(audit(li_cascade, "o_custkey", "lineitem"))
+        .unionByName(audit(c, "c_custkey", "customer"))
+    )

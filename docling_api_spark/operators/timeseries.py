@@ -3289,3 +3289,78 @@ def q201_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b", "relation")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — time-decayed leaderboard (integer half-life popularity)
+# ---------------------------------------------------------------------------
+DECAY_HALFLIFE_D = 180  # weight halves every 180 days
+DECAY_UNIT = 1 << 16    # fresh-event weight: 16 half-lives stay integral
+DECAY_TOPK = 10
+
+
+@register(
+    "q207_decayed_leaderboard",
+    tags=("timeseries", "topk", "decay"),
+    oracle=f"""
+        WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS today FROM events),
+        w AS (
+          SELECT user_id,
+                 {DECAY_UNIT} >> CAST(LEAST(
+                   date_diff('day', CAST(ts AS DATE), today)
+                     // {DECAY_HALFLIFE_D}, 62) AS INTEGER) AS wt
+          FROM events, mx
+          WHERE event_type = 'purchase'
+        ),
+        s AS (
+          SELECT user_id, CAST(SUM(wt) AS BIGINT) AS decayed_score,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM w GROUP BY user_id
+        )
+        SELECT user_id, decayed_score, n_events, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   ORDER BY decayed_score DESC, user_id) AS rk
+          FROM s
+        ) t WHERE rk <= {DECAY_TOPK}
+    """,
+)
+def q207_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted purchase leaderboard: each event contributes a
+    weight that HALVES every DECAY_HALFLIFE_D days of age, so lapsed
+    heavy spenders sink below currently-active ones — the decayed
+    popularity score feeds/rankers use, in a shape sketches can't give
+    you exactly.
+
+    The classic float form (pow(0.5, age/h)) is transcendental and
+    libm-divergent; bucketing age into whole half-lives makes the decay
+    an INTEGER right-shift — exact, engine-identical, and mergeable
+    (partial sums of integer weights combine map-side like any counter;
+    re-basing "today" multiplies every weight by the same power of two,
+    so rank order is stable across reruns). One fact pass with a scalar
+    max-date broadcast, one hash agg per user, one top-k. The shift is
+    clamped at 62 so pre-epoch outliers can't underflow into negative
+    shifts."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("today"))
+    w = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.expr(
+                f"shiftright(cast({DECAY_UNIT} as bigint), "
+                f"cast(least(datediff(today, cast(ts as date)) "
+                f"div {DECAY_HALFLIFE_D}, 62) as int))"
+            ).alias("wt"),
+        )
+    )
+    s = w.groupBy("user_id").agg(
+        F.sum("wt").cast("bigint").alias("decayed_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wk = W.orderBy(F.col("decayed_score").desc(), "user_id")
+    return (
+        s.withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .where(F.col("rk") <= DECAY_TOPK)
+    )

@@ -82,11 +82,11 @@ def register(
 # through the window. So this round the window holds 50 never-graded
 # oracle-checked queries; every query with an r1/r2/r3 hash-green grade on
 # record moves to overflow (grades stand; pytest + tools/driver_dryrun.py
-# keep sweeping all 150 at sf0.01 and sf0.1). q80_media_features leaves
-# the window permanently (rows-only by design — it can never turn green
-# and was burning a slot). 13 never-graded queries with close graded
-# class-cousins (q77/q99/q134/q135/q142..q150) are deferred to the round-5
-# window, which will also pick up any round-4 additions.
+# keep sweeping the whole registry at sf0.01 and sf0.1). q80_media_features
+# leaves the window permanently (rows-only by design — it can never turn
+# green and was burning a slot). The round-5 window queue: the 13 deferred
+# class-cousins (q77/q99/q134/q135/q142..q150) plus every round-4 addition
+# (q151..q205) — ~100 oracle-checked never-graded queries for rounds 5-6.
 GRADED_FIRST: tuple[str, ...] = (
     # ---- driver window (50): never driver-graded, all oracle-checked ----
     "q48_fuzzy_match_parts",
@@ -303,6 +303,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q203_negative_sampling",
     "q204_gram_matrix",
     "q205_mahalanobis_outliers",
+    "q206_gdpr_cascade",
+    "q207_decayed_leaderboard",
 )
 
 

@@ -75,6 +75,8 @@ _SP_ALLOWED = {
     "q196_hybrid_rank_fusion": 1,  # pool-sized rank windows + corpus scalar
     "q197_bm25_scoring": 1,       # matched-docs rank window (posting-sized)
     "q203_negative_sampling": 1,  # item-count scalar broadcast
+    "q206_gdpr_cascade": 4,       # four one-row per-table audit reduces
+    "q207_decayed_leaderboard": 1,  # max-date scalar broadcast
 }
 
 AUDITED = [

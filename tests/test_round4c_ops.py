@@ -712,3 +712,68 @@ def test_q205_mahalanobis_matches_numpy(spark, sf_dir):
     for k, (ok, ln, d2) in expect.items():
         assert got[k][0] == ok and got[k][1] == ln
         assert abs(got[k][2] - d2) < 1e-6
+
+
+def test_q206_gdpr_cascade_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.quality import GDPR_MOD
+
+    ev = load_table(spark, sf_dir, "events").select("user_id").collect()
+    del_keys = {r.user_id for r in ev if r.user_id % GDPR_MOD == 0}
+    orders = _orders(spark, sf_dir)
+    o_by_key = {ok: ck for ck, ok, _, _ in orders}
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    custs = [
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    ev_rows = [r.user_id for r in ev if r.user_id in del_keys]
+    o_rows = [(ck, ok) for ck, ok, _, _ in orders if ck in del_keys]
+    li_rows = [
+        r.l_orderkey for r in li if o_by_key.get(r.l_orderkey) in del_keys
+    ]
+    expect = {
+        "events": (len(ev_rows), len(set(ev_rows))),
+        "orders": (len(o_rows), len({ck for ck, _ in o_rows})),
+        "lineitem": (len(li_rows), len({o_by_key[ok] for ok in li_rows})),
+        "customer": (
+            sum(1 for ck in custs if ck in del_keys),
+            len({ck for ck in custs if ck in del_keys}),
+        ),
+    }
+    got = {
+        r.table_name: (r.n_rows_to_purge, r.n_keys_matched)
+        for r in QS["q206_gdpr_cascade"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got["events"][0] > 0
+
+
+def test_q207_decayed_leaderboard_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import (
+        DECAY_HALFLIFE_D,
+        DECAY_TOPK,
+        DECAY_UNIT,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .collect()
+    )
+    today = max(r.d for r in rows)
+    score = defaultdict(lambda: [0, 0])
+    for r in rows:
+        age = (today - r.d).days
+        wt = DECAY_UNIT >> min(age // DECAY_HALFLIFE_D, 62)
+        score[r.user_id][0] += wt
+        score[r.user_id][1] += 1
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    expect = {
+        u: (s, n, rk) for rk, (u, (s, n)) in enumerate(ranked[:DECAY_TOPK], 1)
+    }
+    got = {
+        r.user_id: (r.decayed_score, r.n_events, r.rk)
+        for r in QS["q207_decayed_leaderboard"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
