@@ -44,7 +44,7 @@ QUERIES: dict[str, Query] = {}
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
     "q103", "q139", "q152", "q174", "q189", "q191", "q194", "q202",  # eager checkpoints / scalar-state collects
-    "q43", "q45", "q57",  # checkpointed dedup ladders
+    "q43", "q45", "q57", "q208",  # checkpointed dedup ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
 
@@ -305,6 +305,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q205_mahalanobis_outliers",
     "q206_gdpr_cascade",
     "q207_decayed_leaderboard",
+    "q208_entity_resolution",
 )
 
 

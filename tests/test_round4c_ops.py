@@ -777,3 +777,57 @@ def test_q207_decayed_leaderboard_matches_brute_force(spark, sf_dir):
         for r in QS["q207_decayed_leaderboard"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_q208_entity_resolution_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.entity import LEV_MAX
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > LEV_MAX:
+            return LEV_MAX + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    support = defaultdict(int)
+    for r in load_table(spark, sf_dir, "part").select("p_name").collect():
+        support[r.p_name] += 1
+    names = sorted(support)
+    adj = defaultdict(set)
+    by_block = defaultdict(list)
+    for n in names:
+        by_block[n.split(" ")[0]].append(n)
+    for blk in by_block.values():
+        for i, a in enumerate(blk):
+            for b in blk[i + 1:]:
+                if a < b and 0 < lev(a, b) <= LEV_MAX:
+                    adj[a].add(b)
+                    adj[b].add(a)
+    seen, expect = set(), {}
+    for n in names:
+        if n in seen or n not in adj:
+            continue
+        comp, stack = set(), [n]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        eid = min(comp)
+        canonical = sorted(comp, key=lambda m: (-support[m], m))[0]
+        expect[eid] = (
+            len(comp), sum(support[m] for m in comp), canonical
+        )
+    got = {
+        r.entity_id: (r.n_members, r.total_support, r.canonical_name)
+        for r in QS["q208_entity_resolution"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got
