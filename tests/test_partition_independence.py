@@ -33,6 +33,11 @@ PINNED = [
     "q197_bm25_scoring",
     "q199_item_item_cf",
     "q201_allen_relations",
+    # iterative operators: scalar/label state must also be
+    # partitioning-independent round over round
+    "q191_shortest_path",
+    "q194_kmeans_lloyd",
+    "q208_entity_resolution",
 ]
 
 
