@@ -1147,3 +1147,54 @@ def q204_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy(
         F.col("i").cast("int").alias("i"), F.col("j").cast("int").alias("j")
     ).agg(F.sum("p").cast("bigint").alias("g"))
+
+
+# ---------------------------------------------------------------------------
+# q209 — ANN index quality: recall@k of the LSH retriever vs exact top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q209_ann_recall",
+    tags=("similarity", "ann", "evaluation"),
+    oracle=f"""
+        WITH exact AS (
+          {COSINE_BASE_DUCK}
+          SELECT q_vec, n_vec FROM topk WHERE rn <= {TOP_K}
+        ),
+        lsh AS (
+          {_q51_oracle()}
+        )
+        SELECT e.q_vec,
+               CAST(COUNT(l.n_vec) AS BIGINT) AS n_hits,
+               CAST(COUNT(l.n_vec) AS DOUBLE) / {TOP_K} AS recall_at_k
+        FROM exact e
+        LEFT JOIN lsh l ON e.q_vec = l.q_vec AND e.n_vec = l.n_vec
+        GROUP BY e.q_vec
+    """,
+)
+def q209_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@{TOP_K} of the LSH retriever
+    (q51) against the exact cosine top-{TOP_K} (q50), per query — the
+    acceptance gate every ANN index ships with (you don't deploy a
+    bucketed index without measuring what the buckets lose).
+
+    Pure composition of the two retrievers' plans: both candidate lists
+    are k-row-per-query relations, so the evaluation join is trivially
+    small regardless of corpus size — at 100 TB you evaluate recall on
+    a sampled query set exactly this way, with the exact side computed
+    once offline. recall = hits/k is an exact-integer division."""
+    exact = q50_cosine_topk(spark, sf_dir).select("q_vec", "n_vec")
+    lsh = q51_ann_lsh(spark, sf_dir).select(
+        F.col("q_vec").alias("lq"), F.col("n_vec").alias("ln")
+    )
+    return (
+        exact.join(
+            lsh,
+            (F.col("q_vec") == F.col("lq")) & (F.col("n_vec") == F.col("ln")),
+            "left",
+        )
+        .groupBy("q_vec")
+        .agg(
+            F.count("ln").cast("bigint").alias("n_hits"),
+            (F.count("ln").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )

@@ -306,6 +306,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q206_gdpr_cascade",
     "q207_decayed_leaderboard",
     "q208_entity_resolution",
+    "q209_ann_recall",
 )
 
 
