@@ -2221,3 +2221,102 @@ def q205_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — calibration curve (reliability diagram) for a propensity score
+# ---------------------------------------------------------------------------
+CAL_BUCKETS = 10
+
+
+@register(
+    "q210_calibration_curve",
+    tags=("ml-eval", "calibration", "window"),
+    oracle=f"""
+        WITH yr AS (
+          SELECT CAST(MAX(EXTRACT(year FROM o_orderdate)) - 1 AS BIGINT) AS y1
+          FROM orders
+        ),
+        actives AS (
+          SELECT DISTINCT o_custkey
+          FROM orders, yr
+          WHERE EXTRACT(year FROM o_orderdate) = yr.y1
+        ),
+        ranked AS (
+          SELECT c_custkey,
+                 ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS r,
+                 COUNT(*) OVER () - 1 AS nm1,
+                 CASE WHEN c_custkey IN (SELECT o_custkey FROM actives)
+                      THEN 1 ELSE 0 END AS y
+          FROM customer
+        )
+        SELECT LEAST(r * {CAL_BUCKETS} // nm1, {CAL_BUCKETS - 1}) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(r) AS DOUBLE) / (CAST(nm1 AS DOUBLE) * COUNT(*))
+                 AS mean_score,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS empirical_rate
+        FROM ranked
+        GROUP BY 1, nm1
+    """,
+)
+def q210_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a propensity score: customers scored by
+    their account-balance percentile (the stand-in model), bucketed into
+    {CAL_BUCKETS} score deciles, each bucket reporting mean predicted
+    score vs the empirical rate of the outcome (placed an order in the
+    last FULL year) — the calibration check every deployed scoring model
+    ships with.
+
+    Exactness discipline: the score is never materialized as a float —
+    bucket = (rank*{CAL_BUCKETS}) div (n-1) is pure integer arithmetic,
+    and mean_score reconstructs Σ percent_rank per bucket from the exact
+    integer rank sum with ONE closing division (averaging per-row float
+    scores would be shuffle-order dependent). The outcome label is a
+    broadcast semi-join flag. The only global window is the rank over
+    customers — at 100 TB the score would come from a model table and
+    the rank from a pre-computed quantile index (q118's cuts), keeping
+    this plan windowless."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yr = o.agg(
+        (F.max(F.year("o_orderdate")) - 1).cast("bigint").alias("y1")
+    )
+    actives = (
+        o.crossJoin(F.broadcast(yr))
+        .where(F.year("o_orderdate") == F.col("y1"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    wr = W.orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        c.join(F.broadcast(actives), c.c_custkey == F.col("k"), "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.when(F.col("k").isNotNull(), 1).otherwise(0).alias("y"),
+        )
+        .withColumn("r", F.row_number().over(wr).cast("bigint") - 1)
+        .withColumn(
+            "nm1", F.count(F.lit(1)).over(W.partitionBy()).cast("bigint") - 1
+        )
+    )
+    return (
+        ranked.groupBy(
+            F.least(
+                F.expr(f"r * {CAL_BUCKETS} div nm1"),
+                F.lit(CAL_BUCKETS - 1).cast("bigint"),
+            ).alias("bucket"),
+            "nm1",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (
+                F.sum("r").cast("double")
+                / (F.col("nm1").cast("double") * F.count(F.lit(1)))
+            ).alias("mean_score"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+                "empirical_rate"
+            ),
+        )
+        .drop("nm1")
+    )

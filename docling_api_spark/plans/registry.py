@@ -307,6 +307,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q207_decayed_leaderboard",
     "q208_entity_resolution",
     "q209_ann_recall",
+    "q210_calibration_curve",
 )
 
 

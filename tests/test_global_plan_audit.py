@@ -77,6 +77,7 @@ _SP_ALLOWED = {
     "q203_negative_sampling": 1,  # item-count scalar broadcast
     "q206_gdpr_cascade": 4,       # four one-row per-table audit reduces
     "q207_decayed_leaderboard": 1,  # max-date scalar broadcast
+    "q210_calibration_curve": 2,  # customer-rank window + year scalar
 }
 
 AUDITED = [

@@ -831,3 +831,36 @@ def test_q208_entity_resolution_matches_brute_force(spark, sf_dir):
     }
     assert got == expect
     assert got
+
+
+def test_q210_calibration_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.analytics import CAL_BUCKETS
+
+    orders = _orders(spark, sf_dir)
+    y1 = max(d.year for _, _, d, _ in orders) - 1
+    actives = {ck for ck, _, d, _ in orders if d.year == y1}
+    custs = sorted(
+        (r.c_acctbal, r.c_custkey)
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    )
+    nm1 = len(custs) - 1
+    agg = defaultdict(lambda: [0, 0, 0])  # n, sum_r, positives
+    for r, (_, ck) in enumerate(custs):
+        b = min(r * CAL_BUCKETS // nm1, CAL_BUCKETS - 1)
+        agg[b][0] += 1
+        agg[b][1] += r
+        agg[b][2] += 1 if ck in actives else 0
+    expect = {
+        b: (n, sr / (nm1 * n), pos / n) for b, (n, sr, pos) in agg.items()
+    }
+    got = {
+        r.bucket: (r.n_customers, r.mean_score, r.empirical_rate)
+        for r in QS["q210_calibration_curve"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for b, (n, ms, er) in expect.items():
+        assert got[b][0] == n
+        assert abs(got[b][1] - ms) < 1e-12
+        assert got[b][2] == er
