@@ -1903,3 +1903,145 @@ def q202_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — RAKE keyphrase extraction (degree/frequency scored phrase runs)
+# ---------------------------------------------------------------------------
+RAKE_STOP = ("the", "a")  # the corpus' function words
+RAKE_TOPK = 15
+
+
+@register(
+    "q211_rake_keyphrases",
+    tags=("text", "keyphrase", "nlp"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, t[i] AS tok, i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s,
+          LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) idx
+          WHERE t[i] <> ''
+        ),
+        marked AS (
+          SELECT doc_id, tok, i,
+                 CASE WHEN tok IN {RAKE_STOP} THEN 1 ELSE 0 END AS st,
+                 SUM(CASE WHEN tok IN {RAKE_STOP} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS isl
+          FROM toks
+        ),
+        phr AS (
+          SELECT doc_id, isl,
+                 string_agg(tok, ' ' ORDER BY i) AS phrase,
+                 COUNT(*) AS plen
+          FROM marked WHERE st = 0 GROUP BY doc_id, isl
+        ),
+        wstats AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(plen) AS BIGINT) AS deg
+          FROM (SELECT unnest(string_split(phrase, ' ')) AS word, plen
+                FROM phr) w
+          GROUP BY word
+        ),
+        dphr AS (
+          SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                 CAST(MAX(plen) AS BIGINT) AS n_words
+          FROM phr GROUP BY phrase
+        ),
+        pw AS (
+          SELECT d.phrase, k, string_split(d.phrase, ' ')[k] AS word
+          FROM dphr d, LATERAL (
+            SELECT unnest(range(1, len(string_split(d.phrase, ' ')) + 1)) AS k
+          ) kk
+        ),
+        ps AS (
+          SELECT pw.phrase,
+                 list_sum(list(CAST(w.deg AS DOUBLE) / w.freq ORDER BY pw.k))
+                   AS score
+          FROM pw JOIN wstats w ON pw.word = w.word GROUP BY pw.phrase
+        )
+        SELECT phrase, n_words, n_occurrences, score, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT dphr.phrase, n_words, n_occurrences, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, dphr.phrase) AS rk
+          FROM dphr JOIN ps ON dphr.phrase = ps.phrase
+        ) t WHERE rk <= {RAKE_TOPK}
+    """,
+)
+def q211_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: candidate phrases are maximal runs of
+    non-stopword tokens; each phrase scores the sum of its member words'
+    degree/frequency ratios (degree = total length of phrases the word
+    appears in) — the classic unsupervised keyphrase extractor.
+
+    Shapes: phrase runs come from the gaps-and-islands idiom (stopword
+    cumsum per document — one doc-partitioned window over the token
+    relation); word statistics reduce to the VOCABULARY and broadcast
+    back onto the distinct-phrase relation; the per-phrase score folds
+    the member ratios IN TOKEN ORDER (sort_array + sequential aggregate
+    here, ORDER BY inside list() in the oracle) so the float sum is
+    deterministic on both engines — a plain SUM over doubles would be
+    shuffle-order dependent. One fact-sized shuffle (tokens), everything
+    after is phrase/vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", "tok", (F.col("p0") + 1).alias("i"))
+    )
+    st = F.when(F.col("tok").isin(list(RAKE_STOP)), 1).otherwise(0)
+    wd = W.partitionBy("doc_id").orderBy("i")
+    marked = toks.select(
+        "doc_id", "tok", "i", st.alias("st"), F.sum(st).over(wd).alias("isl")
+    )
+    phr = (
+        marked.where(F.col("st") == 0)
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(struct(i, tok)))"
+                       ", x -> x.tok)"),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    wstats = (
+        phr.select(F.explode(F.split("phrase", " ")).alias("word"), "plen")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    dphr = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("plen").cast("bigint").alias("n_words"),
+    )
+    pw = dphr.select(
+        "phrase", F.posexplode(F.split("phrase", " ")).alias("k0", "word")
+    )
+    ps = (
+        pw.join(F.broadcast(wstats), "word")
+        .select(
+            "phrase",
+            "k0",
+            (F.col("deg").cast("double") / F.col("freq")).alias("ratio"),
+        )
+        .groupBy("phrase")
+        .agg(
+            F.expr(
+                "aggregate(transform(sort_array(collect_list("
+                "struct(k0, ratio))), x -> x.ratio),"
+                " cast(0.0 as double), (a, b) -> a + b)"
+            ).alias("score")
+        )
+    )
+    wk = W.orderBy(F.col("score").desc(), "phrase")
+    return (
+        dphr.join(ps, "phrase")
+        .withColumn("rk", F.row_number().over(wk).cast("bigint"))
+        .where(F.col("rk") <= RAKE_TOPK)
+        .select("phrase", "n_words", "n_occurrences", "score", "rk")
+    )

@@ -308,6 +308,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q208_entity_resolution",
     "q209_ann_recall",
     "q210_calibration_curve",
+    "q211_rake_keyphrases",
 )
 
 

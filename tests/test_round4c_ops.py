@@ -864,3 +864,49 @@ def test_q210_calibration_matches_brute_force(spark, sf_dir):
         assert got[b][0] == n
         assert abs(got[b][1] - ms) < 1e-12
         assert got[b][2] == er
+
+
+def test_q211_rake_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.textstats import RAKE_STOP, RAKE_TOPK
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    phrases = []
+    for r in docs:
+        run = []
+        for tok in [t for t in r.text.split(" ") if t]:
+            if tok in RAKE_STOP:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(tok)
+        if run:
+            phrases.append(run)
+    freq, deg = defaultdict(int), defaultdict(int)
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    occ = defaultdict(int)
+    for p in phrases:
+        occ[" ".join(p)] += 1
+    scored = []
+    for phrase, n in occ.items():
+        words = phrase.split(" ")
+        score = 0.0
+        for w in words:
+            score += deg[w] / freq[w]
+        scored.append((phrase, len(words), n, score))
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    expect = {
+        p: (nw, n, s, rk)
+        for rk, (p, nw, n, s) in enumerate(scored[:RAKE_TOPK], 1)
+    }
+    got = {
+        r.phrase: (r.n_words, r.n_occurrences, r.score, r.rk)
+        for r in QS["q211_rake_keyphrases"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for p, (nw, n, s, rk) in expect.items():
+        assert got[p][0] == nw and got[p][1] == n and got[p][3] == rk
+        assert abs(got[p][2] - s) < 1e-9
