@@ -20,6 +20,7 @@ Scale posture (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from docling_api_spark.plans.registry import register
@@ -363,3 +364,126 @@ def q191_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# q212 — modularity of the nation partition over the trading graph
+# ---------------------------------------------------------------------------
+@register(
+    "q212_nation_modularity",
+    tags=("graph", "community", "evaluation"),
+    oracle="""
+        WITH e AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        lab AS (
+          SELECT e.c, e.s,
+                 cn.n_name AS c_nat, sn.n_name AS s_nat
+          FROM e
+          JOIN customer ON e.c = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN supplier ON e.s = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+        deg AS (
+          SELECT nat, CAST(SUM(cnt) AS BIGINT) AS d FROM (
+            SELECT c_nat AS nat, COUNT(*) AS cnt FROM lab GROUP BY 1
+            UNION ALL
+            SELECT s_nat AS nat, COUNT(*) AS cnt FROM lab GROUP BY 1
+          ) u GROUP BY nat
+        ),
+        ein AS (
+          SELECT c_nat AS nat, CAST(COUNT(*) AS BIGINT) AS e_in
+          FROM lab WHERE c_nat = s_nat GROUP BY 1
+        ),
+        comm AS (
+          SELECT deg.nat, COALESCE(ein.e_in, 0) AS e_in, deg.d,
+                 4 * m.m * COALESCE(ein.e_in, 0) - deg.d * deg.d AS contrib_num
+          FROM deg LEFT JOIN ein ON deg.nat = ein.nat CROSS JOIN m
+        )
+        SELECT nat AS community, e_in, d AS degree_sum,
+               CAST(contrib_num AS BIGINT) AS contrib_num,
+               CAST(SUM(contrib_num) OVER () AS DOUBLE)
+                 / (4.0 * m.m * m.m) AS modularity
+        FROM comm CROSS JOIN m
+    """,
+)
+def q212_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the customer-
+    supplier trading graph: is trade nation-assortative? Per community:
+    internal edges, degree sum, and its exact integer contribution to
+    Q = Sigma_c (e_c/m - (d_c/2m)^2) — rearranged to
+    Sigma_c (4*m*e_c - d_c^2) / (4m^2) so the cross-community sum is an
+    EXACT bigint window total and the single division is the only float
+    (the naive per-community double sum would be order-dependent).
+
+    The partition-quality metric that closes the community-detection
+    loop (q45/q152/q174 find structure; this scores a labeling). One
+    distinct-edge reduce, nation labels via broadcast dims, degree and
+    internal-edge stats on the community-sized relation. At 100 TB:
+    same shape — modularity is a one-pass reduce over edges regardless
+    of graph size."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    lab = (
+        e.join(F.broadcast(c), e.c == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                 F.col("n_name").alias("c_nat"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(F.broadcast(sup), e.s == sup.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                 F.col("n_name").alias("s_nat"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .select("c_nat", "s_nat")
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = (
+        lab.select(F.col("c_nat").alias("nat"))
+        .unionByName(lab.select(F.col("s_nat").alias("nat")))
+        .groupBy("nat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ein = (
+        lab.where(F.col("c_nat") == F.col("s_nat"))
+        .groupBy(F.col("c_nat").alias("nat"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    comm = (
+        deg.join(ein, "nat", "left")
+        .na.fill({"e_in": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            "nat",
+            "e_in",
+            "d",
+            (4 * F.col("m") * F.col("e_in") - F.col("d") * F.col("d"))
+            .cast("bigint")
+            .alias("contrib_num"),
+            "m",
+        )
+    )
+    wall = W.partitionBy()
+    return comm.select(
+        F.col("nat").alias("community"),
+        "e_in",
+        F.col("d").alias("degree_sum"),
+        "contrib_num",
+        (
+            F.sum("contrib_num").over(wall).cast("double")
+            / (4.0 * F.col("m") * F.col("m"))
+        ).alias("modularity"),
+    )

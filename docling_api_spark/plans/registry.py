@@ -309,6 +309,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q209_ann_recall",
     "q210_calibration_curve",
     "q211_rake_keyphrases",
+    "q212_nation_modularity",
 )
 
 

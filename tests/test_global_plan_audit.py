@@ -78,6 +78,7 @@ _SP_ALLOWED = {
     "q206_gdpr_cascade": 4,       # four one-row per-table audit reduces
     "q207_decayed_leaderboard": 1,  # max-date scalar broadcast
     "q210_calibration_curve": 2,  # customer-rank window + year scalar
+    "q212_nation_modularity": 2,  # edge-count scalar + 25-row global total
 }
 
 AUDITED = [

@@ -910,3 +910,50 @@ def test_q211_rake_matches_brute_force(spark, sf_dir):
     for p, (nw, n, s, rk) in expect.items():
         assert got[p][0] == nw and got[p][1] == n and got[p][3] == rk
         assert abs(got[p][2] - s) < 1e-9
+
+
+def test_q212_modularity_matches_brute_force(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = {
+        (r.o_custkey, r.l_suppkey)
+        for r in o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .collect()
+    }
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    c_nat = {
+        r.c_custkey: nations[r.c_nationkey]
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    s_nat = {
+        r.s_suppkey: nations[r.s_nationkey]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    m = len(pairs)
+    deg, ein = defaultdict(int), defaultdict(int)
+    for c, s in pairs:
+        deg[c_nat[c]] += 1
+        deg[s_nat[s]] += 1
+        if c_nat[c] == s_nat[s]:
+            ein[c_nat[c]] += 1
+    total_num = sum(4 * m * ein[nat] - deg[nat] ** 2 for nat in deg)
+    q = total_num / (4.0 * m * m)
+    # sanity: matches the textbook Sigma (e/m - (d/2m)^2) within float eps
+    q_text = sum(
+        ein[nat] / m - (deg[nat] / (2 * m)) ** 2 for nat in deg
+    )
+    assert abs(q - q_text) < 1e-12
+    got = {
+        r.community: (r.e_in, r.degree_sum, r.contrib_num, r.modularity)
+        for r in QS["q212_nation_modularity"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(deg)
+    for nat in deg:
+        assert got[nat][0] == ein[nat]
+        assert got[nat][1] == deg[nat]
+        assert got[nat][2] == 4 * m * ein[nat] - deg[nat] ** 2
+        assert got[nat][3] == q
