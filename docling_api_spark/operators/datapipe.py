@@ -915,3 +915,102 @@ def q154_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_dup_docs"),
         (dup.cast("double") / n).alias("dup_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — point-in-time-correct churn features (leakage-safe cutoff)
+# ---------------------------------------------------------------------------
+FEAT_LABEL_DAYS = 365  # label window: activity within this many days after cutoff
+
+
+@register(
+    "q213_churn_features",
+    tags=("ml-features", "point-in-time", "leakage"),
+    oracle=f"""
+        WITH cut AS (
+          SELECT CAST(MAX(o_orderdate) AS DATE)
+                   - INTERVAL {FEAT_LABEL_DAYS} DAY AS cutoff
+          FROM orders
+        ),
+        hist AS (
+          SELECT o_custkey,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS monetary_cents,
+                 CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                                CAST(cut.cutoff AS DATE)) AS BIGINT)
+                   AS recency_days,
+                 CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                   AS priority_diversity
+          FROM orders, cut
+          WHERE CAST(o_orderdate AS DATE) <= cut.cutoff
+          GROUP BY o_custkey, cut.cutoff
+        ),
+        fut AS (
+          SELECT DISTINCT o_custkey
+          FROM orders, cut
+          WHERE CAST(o_orderdate AS DATE) > cut.cutoff
+        )
+        SELECT h.o_custkey, h.recency_days, h.frequency, h.monetary_cents,
+               h.priority_diversity,
+               CAST(CASE WHEN f.o_custkey IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS churned
+        FROM hist h LEFT JOIN fut f ON h.o_custkey = f.o_custkey
+    """,
+)
+def q213_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct churn training table: RFM-style features
+    computed ONLY from orders at-or-before the cutoff date, the churn
+    label ONLY from activity strictly after it — the temporal-leakage
+    discipline (features must never see the label window) that q76
+    enforces for near-dup leakage and this operator enforces for time.
+
+    One fact pass split by the broadcast scalar cutoff: the feature
+    aggregation reads the history side, the label is an anti-join-
+    shaped flag from the future side, and the join key is the customer
+    the features are already grouped by (co-partitioned). At 100 TB a
+    feature store materializes exactly this plan per snapshot date;
+    every feature here is an exact integer (days, counts, cents)."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = o.agg(
+        F.date_sub(
+            F.max(F.col("o_orderdate").cast("date")), FEAT_LABEL_DAYS
+        ).alias("cutoff")
+    )
+    oc = o.crossJoin(F.broadcast(cut))
+    hist = (
+        oc.where(F.col("o_orderdate").cast("date") <= F.col("cutoff"))
+        .groupBy("o_custkey", "cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("bigint").alias("monetary_cents"),
+            F.datediff(
+                F.col("cutoff"), F.max(F.col("o_orderdate").cast("date"))
+            ).cast("bigint").alias("recency_days"),
+            F.countDistinct("o_orderpriority")
+            .cast("bigint")
+            .alias("priority_diversity"),
+        )
+        .drop("cutoff")
+    )
+    fut = (
+        oc.where(F.col("o_orderdate").cast("date") > F.col("cutoff"))
+        .select(F.col("o_custkey").alias("fk"))
+        .distinct()
+    )
+    return (
+        hist.join(fut, hist.o_custkey == fut.fk, "left")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "priority_diversity",
+            F.when(F.col("fk").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("churned"),
+        )
+    )

@@ -90,3 +90,85 @@ def q59_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("bigint").alias("y_min"),
         F.max("y").cast("bigint").alias("y_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — partition-key advisor (physical-design audit for candidate keys)
+# ---------------------------------------------------------------------------
+@register(
+    "q214_partition_advisor",
+    tags=("layout", "physical-design", "audit"),
+    oracle="""
+        WITH keys AS (
+          SELECT 'order_month' AS candidate_key,
+                 strftime(CAST(date_trunc('month', o_orderdate) AS DATE),
+                          '%Y-%m') AS part
+          FROM orders
+          UNION ALL
+          SELECT 'order_priority', o_orderpriority FROM orders
+          UNION ALL
+          SELECT 'order_status', o_orderstatus FROM orders
+        ),
+        per_part AS (
+          SELECT candidate_key, part, CAST(COUNT(*) AS BIGINT) AS n
+          FROM keys GROUP BY 1, 2
+        )
+        SELECT candidate_key,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_partition_rows,
+               CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) AS skew_ratio,
+               CAST(MIN(n) AS BIGINT) AS min_partition_rows
+        FROM per_part GROUP BY candidate_key
+    """,
+)
+def q214_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-design advisor: for each candidate partition key of the
+    orders table, the partition count, row distribution, and skew ratio
+    (max partition / ideal even share) — the audit that decides what to
+    PARTITION BY before a 100 TB table is laid down (too many tiny
+    partitions ruin listing + small files; one hot partition ruins
+    pruning; skew_ratio ~1 is the target). Completes the physical-design
+    toolkit next to q59 (Z-order within files) and q167 (salt planning
+    for joins).
+
+    One pass per candidate (a union of label+key projections — column-
+    pruned scans), one hash agg to per-partition counts, one tiny
+    rollup per candidate. All counts exact; the skew ratio is the only
+    float, from exact inputs. At 100 TB you run this on a sample or on
+    footer-level metadata — the plan shape is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = (
+        o.select(
+            F.lit("order_month").alias("candidate_key"),
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("part"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("order_priority").alias("candidate_key"),
+                F.col("o_orderpriority").alias("part"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("order_status").alias("candidate_key"),
+                F.col("o_orderstatus").alias("part"),
+            )
+        )
+    )
+    per_part = keys.groupBy("candidate_key", "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return per_part.groupBy("candidate_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_partition_rows"),
+        (
+            F.max("n").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("n")
+        ).alias("skew_ratio"),
+        F.min("n").cast("bigint").alias("min_partition_rows"),
+    )

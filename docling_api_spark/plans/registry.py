@@ -310,6 +310,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q210_calibration_curve",
     "q211_rake_keyphrases",
     "q212_nation_modularity",
+    "q213_churn_features",
+    "q214_partition_advisor",
 )
 
 

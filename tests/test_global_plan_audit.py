@@ -79,6 +79,7 @@ _SP_ALLOWED = {
     "q207_decayed_leaderboard": 1,  # max-date scalar broadcast
     "q210_calibration_curve": 2,  # customer-rank window + year scalar
     "q212_nation_modularity": 2,  # edge-count scalar + 25-row global total
+    "q213_churn_features": 2,     # cutoff scalar under both fact aliases
 }
 
 AUDITED = [

@@ -957,3 +957,82 @@ def test_q212_modularity_matches_brute_force(spark, sf_dir):
         assert got[nat][1] == deg[nat]
         assert got[nat][2] == 4 * m * ein[nat] - deg[nat] ** 2
         assert got[nat][3] == q
+
+
+def test_q213_churn_features_matches_brute_force(spark, sf_dir):
+    from docling_api_spark.operators.datapipe import FEAT_LABEL_DAYS
+
+    orders = _orders(spark, sf_dir)
+    prio = {
+        (r.o_orderkey): r.o_orderpriority
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .collect()
+    }
+    cutoff = max(d for _, _, d, _ in orders) - dt.timedelta(
+        days=FEAT_LABEL_DAYS
+    )
+    hist = defaultdict(list)
+    fut = set()
+    for ck, ok, d, cents in orders:
+        if d <= cutoff:
+            hist[ck].append((d, cents, prio[ok]))
+        else:
+            fut.add(ck)
+    expect = {}
+    for ck, rows in hist.items():
+        last = max(d for d, _, _ in rows)
+        expect[ck] = (
+            (cutoff - last).days,
+            len(rows),
+            sum(c for _, c, _ in rows),
+            len({p for _, _, p in rows}),
+            0 if ck in fut else 1,
+        )
+    got = {
+        r.o_custkey: (
+            r.recency_days,
+            r.frequency,
+            r.monetary_cents,
+            r.priority_diversity,
+            r.churned,
+        )
+        for r in QS["q213_churn_features"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_q214_partition_advisor_matches_brute_force(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    cands = {
+        "order_month": [r.o_orderdate.strftime("%Y-%m") for r in rows],
+        "order_priority": [r.o_orderpriority for r in rows],
+        "order_status": [r.o_orderstatus for r in rows],
+    }
+    expect = {}
+    for key, parts in cands.items():
+        counts = defaultdict(int)
+        for p in parts:
+            counts[p] += 1
+        n_parts, n_rows = len(counts), len(parts)
+        mx, mn = max(counts.values()), min(counts.values())
+        expect[key] = (n_parts, n_rows, mx, mx * n_parts / n_rows, mn)
+    got = {
+        r.candidate_key: (
+            r.n_partitions,
+            r.n_rows,
+            r.max_partition_rows,
+            r.skew_ratio,
+            r.min_partition_rows,
+        )
+        for r in QS["q214_partition_advisor"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (np_, nr, mx, sk, mn) in expect.items():
+        assert got[k][0] == np_ and got[k][1] == nr
+        assert got[k][2] == mx and got[k][4] == mn
+        assert abs(got[k][3] - sk) < 1e-12
