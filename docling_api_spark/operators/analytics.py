@@ -2320,3 +2320,234 @@ def q210_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("nm1")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — closed-form 2-D PCA of the customer (frequency, monetary) cloud
+# ---------------------------------------------------------------------------
+# Eigen-analysis without a linear-algebra library: for two features the
+# covariance matrix is 2x2, so the spectrum has a closed form
+#     lam = ((vx+vy) +/- sqrt((vx-vy)^2 + 4 cov^2)) / 2
+# and the whole decomposition reduces to one scalar aggregate of exact
+# moment sums (n, Sx, Sy, Sxx, Syy, Sxy — DECIMAL, order-independent)
+# followed by +-*/sqrt arithmetic on a single row. That is the 100 TB
+# shape for ANY fixed-k covariance spectrum: moments are map-side partial
+# sums, the eigenproblem never touches the cluster. (The d-dimensional
+# cousin is q204's Gram matrix + q166's power iteration.)
+#
+# The expression strings are SHARED between the Spark plan and the DuckDB
+# oracle so both engines evaluate the same IEEE tree on the same exact
+# inputs — +,-,*,/ and sqrt are all correctly rounded, so the hashes match
+# bit-for-bit.
+_PCA_MOM = {
+    "vx": "(sxx - sx * sx / n) / n",
+    "vy": "(syy - sy * sy / n) / n",
+    "cxy": "(sxy - sx * sy / n) / n",
+}
+_PCA_EIG = {
+    "lam1": "((vx + vy) + sqrt((vx - vy) * (vx - vy) + 4 * cxy * cxy)) / 2",
+    "lam2": "((vx + vy) - sqrt((vx - vy) * (vx - vy) + 4 * cxy * cxy)) / 2",
+}
+_PCA_OUT = {
+    "explained_ratio": "lam1 / (lam1 + lam2)",
+    "pc1_f": "cxy / sqrt(cxy * cxy + (lam1 - vx) * (lam1 - vx))",
+    "pc1_m": "(lam1 - vx) / sqrt(cxy * cxy + (lam1 - vx) * (lam1 - vx))",
+}
+
+
+@register(
+    "q216_pca2d",
+    tags=("stats", "pca", "eigen"),
+    oracle=f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(COUNT(*) AS DOUBLE) AS f,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS m
+          FROM orders GROUP BY o_custkey
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(f AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(f * f AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(m * m AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+                 CAST(SUM(CAST(f * m AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+          FROM per_cust
+        ),
+        mom AS (
+          SELECT n, {_PCA_MOM['vx']} AS vx, {_PCA_MOM['vy']} AS vy,
+                 {_PCA_MOM['cxy']} AS cxy
+          FROM stats
+        ),
+        eig AS (
+          SELECT n, vx, vy, cxy, {_PCA_EIG['lam1']} AS lam1,
+                 {_PCA_EIG['lam2']} AS lam2
+          FROM mom
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers, vx, vy, cxy, lam1, lam2,
+               {_PCA_OUT['explained_ratio']} AS explained_ratio,
+               {_PCA_OUT['pc1_f']} AS pc1_f,
+               {_PCA_OUT['pc1_m']} AS pc1_m
+        FROM eig
+    """,
+)
+def q216_pca2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal axis of the per-customer (order count, total spend) cloud:
+    closed-form eigendecomposition of the 2x2 covariance matrix from one
+    exact-moment aggregate (see block comment — map-side partial sums, the
+    eigenproblem is a single-row expression, no linear-algebra library and
+    no collect). Emits variances, covariance, eigenvalues, explained-
+    variance ratio, and the unit PC1 direction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("double").alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("m"),
+    )
+    stats = per_cust.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("f").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("m").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("f") * F.col("f")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("m") * F.col("m")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("f") * F.col("m")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    mom = stats.selectExpr(
+        "n",
+        f"{_PCA_MOM['vx']} AS vx",
+        f"{_PCA_MOM['vy']} AS vy",
+        f"{_PCA_MOM['cxy']} AS cxy",
+    )
+    eig = mom.selectExpr(
+        "n", "vx", "vy", "cxy",
+        f"{_PCA_EIG['lam1']} AS lam1",
+        f"{_PCA_EIG['lam2']} AS lam2",
+    )
+    return eig.selectExpr(
+        "CAST(n AS BIGINT) AS n_customers",
+        "vx", "vy", "cxy", "lam1", "lam2",
+        f"{_PCA_OUT['explained_ratio']} AS explained_ratio",
+        f"{_PCA_OUT['pc1_f']} AS pc1_f",
+        f"{_PCA_OUT['pc1_m']} AS pc1_m",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — NDCG@10: graded ranking quality of a predicted ordering
+# ---------------------------------------------------------------------------
+# The retrieval/recommender evaluation metric: does ranking suppliers by
+# account balance (the "predicted" ordering) recover the ordering by actual
+# fulfilled volume (the graded relevance)? NDCG@k = DCG@k / IDCG@k with
+# DCG = sum rel_i / log2(i+1). Logarithms are NOT cross-engine
+# reproducible, but the discounts only ever apply to ranks 1..10 — so the
+# discount column is a LITERAL lookup (log2 values precomputed to 15
+# digits), shared textually between the Spark plan and the DuckDB oracle.
+# This also makes the metric libm-free at any scale.
+#
+# Scale shape: relevance is one keyed fact aggregate; both orderings are
+# per-group row_number windows (partitioned by nation — no global sort);
+# DCG sums go through DECIMAL so partial-aggregation order can't shift the
+# hash. Complements q209 (set-overlap recall) with a graded, position-
+# discounted metric.
+_NDCG_K = 10
+_NDCG_DISC = "CASE rn WHEN 1 THEN CAST(1.0 AS DOUBLE) WHEN 2 THEN CAST(0.630929753571458 AS DOUBLE) WHEN 3 THEN CAST(0.5 AS DOUBLE) WHEN 4 THEN CAST(0.430676558073393 AS DOUBLE) WHEN 5 THEN CAST(0.386852807234542 AS DOUBLE) WHEN 6 THEN CAST(0.356207187108022 AS DOUBLE) WHEN 7 THEN CAST(0.333333333333333 AS DOUBLE) WHEN 8 THEN CAST(0.315464876785729 AS DOUBLE) WHEN 9 THEN CAST(0.301029995663981 AS DOUBLE) WHEN 10 THEN CAST(0.289064826317888 AS DOUBLE) END"  # literals cast to DOUBLE on both engines (bare decimal literals parse as DECIMAL with engine-specific rounding)
+
+
+@register(
+    "q218_ndcg_ranking",
+    tags=("ranking", "evaluation", "window"),
+    oracle=f"""
+        WITH rel AS (
+          SELECT s.s_suppkey, s.s_nationkey, s.s_acctbal,
+                 CAST(COALESCE(cnt.c, 0) AS BIGINT) AS rel
+          FROM supplier s
+          LEFT JOIN (SELECT l_suppkey, COUNT(*) AS c
+                     FROM lineitem GROUP BY l_suppkey) cnt
+            ON s.s_suppkey = cnt.l_suppkey
+        ),
+        pred AS (
+          SELECT s_nationkey, rel,
+                 ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal DESC, s_suppkey) AS rn
+          FROM rel
+        ),
+        ideal AS (
+          SELECT s_nationkey, rel,
+                 ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                    ORDER BY rel DESC, s_suppkey) AS rn
+          FROM rel
+        ),
+        d AS (
+          SELECT s_nationkey,
+                 CAST(SUM(CAST(rel * ({_NDCG_DISC}) AS DECIMAL(28,6)))
+                      AS DOUBLE) AS dcg
+          FROM pred WHERE rn <= {_NDCG_K} GROUP BY s_nationkey
+        ),
+        i AS (
+          SELECT s_nationkey,
+                 CAST(SUM(CAST(rel * ({_NDCG_DISC}) AS DECIMAL(28,6)))
+                      AS DOUBLE) AS idcg
+          FROM ideal WHERE rn <= {_NDCG_K} GROUP BY s_nationkey
+        )
+        SELECT n.n_name AS nation, d.dcg, i.idcg,
+               CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END
+                 AS ndcg_at_10
+        FROM d
+        JOIN i ON d.s_nationkey = i.s_nationkey
+        JOIN nation n ON n.n_nationkey = d.s_nationkey
+    """,
+)
+def q218_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per nation of the balance-predicted supplier ranking against
+    fulfilled-volume relevance (literal log2 discounts — libm-free; see
+    block comment). Per-group windows only, DECIMAL-exact DCG sums."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation")
+    cnt = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    rel = sup.join(cnt, sup.s_suppkey == cnt.l_suppkey, "left").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("rel"),
+    )
+    w_pred = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    w_ideal = W.partitionBy("s_nationkey").orderBy(
+        F.col("rel").desc(), "s_suppkey"
+    )
+
+    def dcg_of(ranked: DataFrame, out: str) -> DataFrame:
+        return (
+            ranked.where(F.col("rn") <= _NDCG_K)
+            .select(
+                "s_nationkey",
+                F.expr(f"CAST(rel * ({_NDCG_DISC}) AS DECIMAL(28,6))").alias("g"),
+            )
+            .groupBy("s_nationkey")
+            .agg(F.sum("g").cast("double").alias(out))
+        )
+
+    d = dcg_of(rel.withColumn("rn", F.row_number().over(w_pred)), "dcg")
+    i = dcg_of(rel.withColumn("rn", F.row_number().over(w_ideal)), "idcg")
+    return (
+        d.join(i, "s_nationkey")
+        .join(F.broadcast(nat), d.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "dcg",
+            "idcg",
+            F.expr(
+                "CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END"
+            ).alias("ndcg_at_10"),
+        )
+    )

@@ -2045,3 +2045,87 @@ def q211_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= RAKE_TOPK)
         .select("phrase", "n_words", "n_occurrences", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — Hellinger drift: each source's unigram distribution vs the corpus
+# ---------------------------------------------------------------------------
+# Distribution-level drift for text: the Hellinger distance
+#     H(P,Q) = sqrt(1 - sum_t sqrt(p_t * q_t))
+# between each source's term distribution and the corpus-wide one. Unlike
+# KL/JS it needs no logarithms (libm log is not cross-engine reproducible;
+# sqrt is IEEE-correctly-rounded), and unlike q101's KS (numeric samples)
+# or q140's share drift (coarse token counts) it compares the full lexical
+# *distribution* — the governance check that catches a crawl whose volume
+# share is stable but whose vocabulary silently shifted.
+#
+# Scale shape: two vocabulary-sized aggregates (source-term, term), one
+# equi-join on term, per-source totals broadcast; the fact table is read
+# once and only vocabulary-sized relations shuffle. The per-term masses are
+# summed through DECIMAL(28,12) so the Bhattacharyya coefficient is order-
+# independent and engine-exact.
+@register(
+    "q217_hellinger_drift",
+    tags=("text", "drift", "governance"),
+    oracle="""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        st AS (SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY source, term),
+        ct AS (SELECT term, COUNT(*) AS c_t FROM tok GROUP BY term),
+        ns AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY source),
+        tot AS (SELECT COUNT(*) AS n FROM tok),
+        bc AS (
+          SELECT st.source,
+                 CAST(SUM(CAST(
+                   sqrt((CAST(st.c_st AS DOUBLE) / ns.n_s)
+                        * (CAST(ct.c_t AS DOUBLE) / tot.n))
+                 AS DECIMAL(28,12))) AS DOUBLE) AS bhattacharyya
+          FROM st
+          JOIN ct USING (term)
+          JOIN ns USING (source)
+          CROSS JOIN tot
+          GROUP BY st.source
+        )
+        SELECT bc.source,
+               CAST(ns.n_s AS BIGINT) AS n_tokens,
+               bc.bhattacharyya AS bhattacharyya,
+               sqrt(1 - bc.bhattacharyya) AS hellinger
+        FROM bc JOIN ns USING (source)
+    """,
+)
+def q217_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between each source's unigram distribution and the
+    corpus distribution (log-free drift metric — see block comment). One
+    corpus scan, vocabulary-sized shuffles, term equi-join, broadcast
+    totals; DECIMAL-exact Bhattacharyya sum so any partitioning hashes
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    mass = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.sqrt(
+                (F.col("c_st").cast("double") / F.col("n_s"))
+                * (F.col("c_t").cast("double") / F.col("n"))
+            )
+            .cast("decimal(28,12)")
+            .alias("m"),
+        )
+    )
+    bc = mass.groupBy("source").agg(
+        F.sum("m").cast("double").alias("bhattacharyya")
+    )
+    return bc.join(F.broadcast(ns), "source").select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_tokens"),
+        "bhattacharyya",
+        F.sqrt(1 - F.col("bhattacharyya")).alias("hellinger"),
+    )

@@ -3364,3 +3364,93 @@ def q207_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("rk", F.row_number().over(wk).cast("bigint"))
         .where(F.col("rk") <= DECAY_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — per-user work-queue depth via Lindley's recursion (closed form)
+# ---------------------------------------------------------------------------
+# The reference's async job intake (document_converter: queued uploads vs
+# completed conversions) is a birth-death process; the operational question
+# is "how deep does each user's queue get, and where does it end". The naive
+# implementation is a sequential clamp-at-zero scan (non-associative, so no
+# plain window can express it) — but the floor-at-zero recursion
+#     d_t = max(0, d_{t-1} + delta_t)
+# has Lindley's closed form over the UNCLAMPED prefix sum S_t:
+#     d_t = S_t - min(0, min_{j<=t} S_j)
+# which IS two associative windows (running sum + running min). That turns a
+# per-key sequential scan into distributed window frames: partitioned by
+# user, each key's frames evaluated independently — at 100 TB this is one
+# shuffle by user_id and zero driver involvement, where the applyInPandas
+# sequential replay would hold whole histories in Python. All-integer deltas
+# so prefix values are exact on any engine or partitioning.
+QUEUE_PUSH = ("view", "click", "signup")  # work arrives
+# everything else ('purchase', 'error') resolves an item
+
+
+@register(
+    "q215_queue_depth",
+    tags=("timeseries", "window", "queueing"),
+    oracle=f"""
+        WITH d AS (
+          SELECT user_id, epoch_us(ts) AS t_us, event_id,
+                 CASE WHEN event_type IN {QUEUE_PUSH} THEN 1 ELSE -1 END AS delta
+          FROM events
+        ),
+        r AS (
+          SELECT user_id, t_us,
+                 SUM(delta) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS run
+          FROM d
+        ),
+        q AS (
+          SELECT user_id, t_us,
+                 run - LEAST(0, MIN(run) OVER (PARTITION BY user_id ORDER BY t_us
+                                               ROWS UNBOUNDED PRECEDING)) AS depth
+          FROM r
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               CAST(max_by(depth, t_us) AS BIGINT) AS end_depth
+        FROM q GROUP BY user_id
+    """,
+)
+def q215_queue_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user queue depth (floor-at-zero birth-death walk) via Lindley's
+    closed form: depth = prefix_sum - min(0, running_min(prefix_sum)),
+    turning the non-associative clamp scan into two associative window
+    frames (see module comment — the 100 TB shape is one user_id shuffle,
+    no sequential replay). Emits per-user n_events, max depth, end depth.
+
+    Reference seam: document_converter's async intake
+    (reference/document_converter/service.py task queue) — queue pressure
+    per tenant is the capacity-planning readout of that pipeline.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        "event_id",
+        F.when(F.col("event_type").isin(*QUEUE_PUSH), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("delta"),
+    )
+    wseq = (
+        W.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = d.withColumn("run", F.sum("delta").over(wseq))
+    wmin = (
+        W.partitionBy("user_id")
+        .orderBy("t_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    q = r.withColumn(
+        "depth", F.col("run") - F.least(F.lit(0), F.min("run").over(wmin))
+    )
+    return q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("depth").cast("bigint").alias("max_depth"),
+        F.expr("max_by(depth, t_us)").cast("bigint").alias("end_depth"),
+    )

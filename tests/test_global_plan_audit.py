@@ -80,6 +80,8 @@ _SP_ALLOWED = {
     "q210_calibration_curve": 2,  # customer-rank window + year scalar
     "q212_nation_modularity": 2,  # edge-count scalar + 25-row global total
     "q213_churn_features": 2,     # cutoff scalar under both fact aliases
+    "q216_pca2d": 1,              # six-moment scalar reduce (one row)
+    "q217_hellinger_drift": 1,    # corpus-total scalar broadcast
 }
 
 AUDITED = [
