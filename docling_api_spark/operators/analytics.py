@@ -2551,3 +2551,384 @@ def q218_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — raking / iterative proportional fitting of sample weights
+# ---------------------------------------------------------------------------
+# Survey-statistics calibration: a deterministic 10% sample of orders is
+# raked so its (region x priority) cell weights reproduce BOTH full-
+# population margins — the standard post-stratification fix when a sample
+# (or a filtered training subset) is demographically skewed. IPF alternates
+# row and column scaling; three rounds are unrolled as expressions (IPF on
+# a 5x5 table converges geometrically, and a FIXED unroll keeps the whole
+# computation one declarative plan — no driver loop, no collect).
+#
+# Scale shape: facts reduce to a 25-cell relation + two 5-row margins in
+# ONE pass each; every subsequent step is window arithmetic over 25 rows.
+# Margin sums inside the rounds go through DECIMAL(28,12) so the scaling
+# factors are accumulation-order independent; everything else is
+# correctly-rounded double arithmetic with textually shared expressions.
+_IPF_SAMPLE_MOD = 10  # o_orderkey % 10 = 0 -> the "skewed" 10% sample
+
+
+def _ipf_round(w: str) -> tuple[str, str]:
+    """One IPF round: scale to region margins, then priority margins.
+    Returns (row-step expr, col-step expr template using 'WROW')."""
+    # margin sums go through ROUND(x*1e6)->BIGINT (half-away in BOTH
+    # engines) rather than CAST AS DECIMAL (whose half-boundary rule
+    # differs between them — the q185 lesson): integer sums are exact
+    # and order-free, and the /1e6 rescale is correctly rounded.
+    row = (
+        f"{w} * (tr / (CAST(SUM(CAST(ROUND({w} * 1000000.0) AS BIGINT)) "
+        "OVER (PARTITION BY region) AS DOUBLE) / 1000000.0))"
+    )
+    col = (
+        "WROW * (tp / (CAST(SUM(CAST(ROUND(WROW * 1000000.0) AS BIGINT)) "
+        "OVER (PARTITION BY priority) AS DOUBLE) / 1000000.0))"
+    )
+    return row, col
+
+
+@register(
+    "q220_raking_ipf",
+    tags=("stats", "calibration", "sampling"),
+    oracle=f"""
+        WITH labeled AS (
+          SELECT o.o_orderkey, o.o_orderpriority AS priority, r.r_name AS region
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        cells AS (
+          SELECT region, priority,
+                 CAST(COUNT(*) AS DOUBLE) AS w0,
+                 CAST(COUNT(*) AS BIGINT) AS n_sample
+          FROM labeled WHERE o_orderkey % {_IPF_SAMPLE_MOD} = 0
+          GROUP BY region, priority
+        ),
+        tr AS (SELECT region, CAST(COUNT(*) AS DOUBLE) AS tr
+               FROM labeled GROUP BY region),
+        tp AS (SELECT priority, CAST(COUNT(*) AS DOUBLE) AS tp
+               FROM labeled GROUP BY priority),
+        base AS (
+          SELECT cells.region, cells.priority, n_sample, w0, tr.tr, tp.tp
+          FROM cells JOIN tr ON cells.region = tr.region
+                     JOIN tp ON cells.priority = tp.priority
+        ),
+        r1a AS (SELECT *, {_ipf_round('w0')[0]} AS wr1 FROM base),
+        r1b AS (SELECT *, {_ipf_round('w0')[1].replace('WROW', 'wr1')} AS w1 FROM r1a),
+        r2a AS (SELECT *, {_ipf_round('w1')[0]} AS wr2 FROM r1b),
+        r2b AS (SELECT *, {_ipf_round('w1')[1].replace('WROW', 'wr2')} AS w2 FROM r2a),
+        r3a AS (SELECT *, {_ipf_round('w2')[0]} AS wr3 FROM r2b),
+        r3b AS (SELECT *, {_ipf_round('w2')[1].replace('WROW', 'wr3')} AS w3 FROM r3a)
+        SELECT region, priority, n_sample, w3 AS raked_weight,
+               w3 / w0 AS expansion_factor
+        FROM r3b
+    """,
+)
+def q220_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled IPF rounds raking a deterministic 10% order sample to
+    full-population region x priority margins (see block comment: one fact
+    pass to a 25-cell relation, then pure window arithmetic; DECIMAL-exact
+    margin sums keep every scaling factor engine- and partition-stable)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    labeled = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    cells = (
+        labeled.where(F.col("o_orderkey") % _IPF_SAMPLE_MOD == 0)
+        .groupBy("region", "priority")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("w0"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        )
+    )
+    tr = labeled.groupBy("region").agg(F.count(F.lit(1)).cast("double").alias("tr"))
+    tp = labeled.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("double").alias("tp")
+    )
+    base = cells.join(F.broadcast(tr), "region").join(F.broadcast(tp), "priority")
+    step = base
+    w = "w0"
+    for rnd in (1, 2, 3):
+        row_expr, col_expr = _ipf_round(w)
+        step = step.selectExpr("*", f"{row_expr} AS wr{rnd}")
+        step = step.selectExpr(
+            "*", f"{col_expr.replace('WROW', f'wr{rnd}')} AS w{rnd}"
+        )
+        w = f"w{rnd}"
+    return step.selectExpr(
+        "region",
+        "priority",
+        "n_sample",
+        "w3 AS raked_weight",
+        "w3 / w0 AS expansion_factor",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — Poisson-bootstrap confidence interval for the mean order value
+# ---------------------------------------------------------------------------
+# Resampling inference without RNG state: the Poisson bootstrap draws each
+# row's multiplicity in replicate b as Poisson(1), approximated here by
+# inverting the Poisson CDF on a uniform derived from md5(row_key || b) —
+# fully deterministic, so any engine/partitioning produces the same
+# replicate weights (the property classical sampled bootstraps lose on a
+# cluster, and the reason Poisson bootstrap IS the distributed idiom:
+# no replicate ever needs a global n or a shared sample state — each row
+# decides its own multiplicity locally, map-side).
+#
+# Shape: one fact pass explodes each order into B=32 (replicate, weight)
+# pairs (weight 0 rows drop immediately), one hash agg to per-replicate
+# weighted means (exact integer cents x integer weights), then order
+# statistics over the 32-row relation give the percentile CI. The only
+# doubles are final divisions.
+_BOOT_B = 32
+# Poisson(1) CDF cut points scaled to the md5 %1e6 uniform grid (integer
+# thresholds — no float compare at the boundary on either engine)
+_BOOT_CUTS = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+_BOOT_W = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_BOOT_CUTS)
+    )
+    + " ELSE 7 END"
+)
+
+
+@register(
+    "q221_poisson_bootstrap",
+    tags=("stats", "bootstrap", "resampling"),
+    oracle=f"""
+        WITH expanded AS (
+          SELECT b.b AS rep,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(concat('0x', substring(md5(CAST(
+                     o.o_orderkey * {_BOOT_B} + b.b AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000 AS u
+          FROM orders o
+          CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+        ),
+        weighted AS (
+          SELECT rep, cents, {_BOOT_W} AS w FROM expanded
+        ),
+        reps AS (
+          SELECT rep,
+                 CAST(SUM(w * cents) AS DOUBLE)
+                   / (100.0 * SUM(w)) AS boot_mean
+          FROM weighted WHERE w > 0 GROUP BY rep
+        ),
+        ranked AS (
+          SELECT boot_mean,
+                 ROW_NUMBER() OVER (ORDER BY boot_mean, rep) AS rk
+          FROM reps
+        ),
+        full_mean AS (
+          SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / (100.0 * COUNT(*)) AS mean_full
+          FROM orders
+        )
+        SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+               f.mean_full,
+               MIN(CASE WHEN rk = 2 THEN boot_mean END) AS ci_lo,
+               MIN(CASE WHEN rk = {_BOOT_B - 1} THEN boot_mean END) AS ci_hi
+        FROM ranked CROSS JOIN full_mean f
+        GROUP BY f.mean_full
+    """,
+)
+def q221_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~95% percentile-bootstrap CI for the mean order value via the
+    deterministic Poisson bootstrap (see block comment — map-side local
+    multiplicities, per-replicate exact integer sums, 32-row order
+    statistics; the distributed bootstrap idiom)."""
+    o = load_table(spark, sf_dir, "orders")
+    reps_src = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).crossJoin(
+        F.broadcast(
+            spark.range(_BOOT_B).select(F.col("id").cast("bigint").alias("rep"))
+        )
+    )
+    expanded = reps_src.select(
+        "rep",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        (F.col("o_orderkey") * _BOOT_B + F.col("rep"))
+                        .cast("string")
+                        .cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("u"),
+    )
+    weighted = expanded.selectExpr("rep", "cents", f"{_BOOT_W} AS w")
+    reps = (
+        weighted.where(F.col("w") > 0)
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / (100.0 * F.sum("w"))
+            ).alias("boot_mean")
+        )
+    )
+    ranked = reps.select(
+        "boot_mean",
+        F.row_number()
+        .over(W.orderBy("boot_mean", "rep"))
+        .alias("rk"),
+    )
+    full_mean = o.agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("mean_full")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_mean))
+        .groupBy("mean_full")
+        .agg(
+            F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+            F.min(F.when(F.col("rk") == 2, F.col("boot_mean"))).alias("ci_lo"),
+            F.min(
+                F.when(F.col("rk") == _BOOT_B - 1, F.col("boot_mean"))
+            ).alias("ci_hi"),
+        )
+        .select("n_replicates", "mean_full", "ci_lo", "ci_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222 — degree assortativity of the co-purchase backbone graph
+# ---------------------------------------------------------------------------
+# The graph-level mixing statistic that complements q185's triangle census
+# and q212's modularity: Newman's degree assortativity — the Pearson
+# correlation of endpoint degrees over the (directed-both-ways) edge list.
+# Positive r: hubs link to hubs (hub-and-spoke catalogs behave very
+# differently from assortative ones under sampling and under LSH blocking).
+#
+# Everything reduces on vocabulary-sized relations: same backbone edge
+# derivation as q185 (distinct fact pass -> pair support -> median cut),
+# then degrees via one hash agg over the edge list, one equi-join to
+# decorate each directed edge with endpoint degrees, and a single exact
+# integer moment reduce; r is one closing double expression (the q216
+# moment-reduce discipline, here with integer sums so there is no decimal
+# rounding at all).
+@register(
+    "q222_degree_assortativity",
+    tags=("graph", "stats", "join"),
+    oracle="""
+        WITH items AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+          SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS n
+          FROM items a JOIN items b
+            ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2
+        ),
+        med AS (SELECT quantile_cont(n, 0.5) AS m FROM pairs),
+        edges AS (
+          SELECT ba, bb FROM pairs, med WHERE n > m
+        ),
+        directed AS (
+          SELECT ba AS x, bb AS y FROM edges
+          UNION ALL
+          SELECT bb AS x, ba AS y FROM edges
+        ),
+        deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM directed GROUP BY x),
+        decorated AS (
+          SELECT dx.d AS j, dy.d AS k
+          FROM directed e
+          JOIN deg dx ON e.x = dx.x
+          JOIN deg dy ON e.y = dy.x
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(j) AS BIGINT) AS sj,
+                 CAST(SUM(j * j) AS BIGINT) AS sjj,
+                 CAST(SUM(j * k) AS BIGINT) AS sjk
+          FROM decorated
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               m / 2 AS n_edges,
+               (CAST(m AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)
+                 / (CAST(m AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj)
+                 AS assortativity
+        FROM mom
+    """,
+)
+def q222_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the above-median-support brand
+    co-purchase backbone (see block comment — vocabulary-sized joins and
+    one exact-integer moment reduce; r is a single closing expression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = pairs.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    edges = pairs.crossJoin(F.broadcast(med)).where(F.col("n") > F.col("m"))
+    directed = edges.select(
+        F.col("ba").alias("x"), F.col("bb").alias("y")
+    ).unionAll(edges.select(F.col("bb").alias("x"), F.col("ba").alias("y")))
+    deg = directed.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    dx, dy = deg.alias("dx"), deg.alias("dy")
+    decorated = (
+        directed.alias("e")
+        .join(dx, F.col("e.x") == F.col("dx.x"))
+        .join(dy, F.col("e.y") == F.col("dy.x"))
+        .select(F.col("dx.d").alias("j"), F.col("dy.d").alias("k"))
+    )
+    mom = decorated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sjj"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return mom.crossJoin(F.broadcast(n_nodes)).selectExpr(
+        "n_nodes",
+        "m / 2 AS n_edges",
+        "(CAST(m AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sj)"
+        " / (CAST(m AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj)"
+        " AS assortativity",
+    )

@@ -3454,3 +3454,123 @@ def q215_queue_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("depth").cast("bigint").alias("max_depth"),
         F.expr("max_by(depth, t_us)").cast("bigint").alias("end_depth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — Haar wavelet pyramid of the daily revenue series
+# ---------------------------------------------------------------------------
+# Multiresolution downsampling: level-L Haar coefficients are (scaled)
+# pairwise sums (approximation) and pairwise differences (detail) of the
+# level below. Two levels over the gap-filled daily series give 2-day and
+# 4-day resolution with the detail channel that says WHERE signal was lost
+# — the principled alternative to plain decimation when a 100 TB metric
+# store keeps coarse tiers (each level is one integer-keyed hash agg over
+# the level below: day//2 then bucket//2 — map-side, shuffle bounded by
+# series length, trivially iterable to level log2(span)).
+#
+# All pyramid math is exact BIGINT cents (sums and signed differences);
+# the only doubles are the final /2^level/100 rescales (exact halving +
+# one correctly-rounded /100), so any partitioning and engine hash alike.
+# A trailing odd bucket keeps its single member (zero-padded tail),
+# identically on both sides.
+@register(
+    "q219_haar_downsample",
+    tags=("timeseries", "wavelet", "downsample"),
+    oracle="""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                           MAX(CAST(o_orderdate AS DATE))) AS span
+          FROM orders
+        ),
+        days AS (
+          SELECT unnest(range(0, span + 1)) AS day FROM bounds
+        ),
+        rev AS (
+          SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders o CROSS JOIN bounds b
+          GROUP BY 1
+        ),
+        series AS (
+          SELECT d.day, COALESCE(r.cents, 0) AS cents
+          FROM days d LEFT JOIN rev r ON d.day = r.day
+        ),
+        l1 AS (
+          SELECT day // 2 AS bucket,
+                 SUM(cents) AS s,
+                 SUM(CASE WHEN day % 2 = 0 THEN cents ELSE -cents END) AS d
+          FROM series GROUP BY 1
+        ),
+        l2 AS (
+          SELECT bucket // 2 AS bucket,
+                 SUM(s) AS s,
+                 SUM(CASE WHEN bucket % 2 = 0 THEN s ELSE -s END) AS d
+          FROM l1 GROUP BY 1
+        )
+        SELECT CAST(1 AS INTEGER) AS level, CAST(bucket AS BIGINT) AS bucket,
+               CAST(s AS DOUBLE) / 2.0 / 100.0 AS approx_rev,
+               CAST(d AS DOUBLE) / 2.0 / 100.0 AS detail_rev
+        FROM l1
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), CAST(bucket AS BIGINT),
+               CAST(s AS DOUBLE) / 4.0 / 100.0,
+               CAST(d AS DOUBLE) / 4.0 / 100.0
+        FROM l2
+    """,
+)
+def q219_haar_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Haar pyramid (approximation + detail) of gap-filled daily
+    revenue — exact-integer pairwise sums/differences per level, one hash
+    agg per level (see block comment for the 100 TB tiering story)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(0, span)")).alias("day")
+    )
+    rev = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")).alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    series = (
+        days.join(rev, "day", "left")
+        .select("day", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+
+    def level_up(df: DataFrame, key: str, val: str) -> DataFrame:
+        """One Haar level: pairwise sum (s) and signed difference (d)."""
+        return df.groupBy(
+            F.floor(F.col(key) / 2).cast("bigint").alias("bucket")
+        ).agg(
+            F.sum(val).alias("s"),
+            F.sum(
+                F.when(F.col(key) % 2 == 0, F.col(val)).otherwise(-F.col(val))
+            ).alias("d"),
+        )
+
+    l1 = level_up(series, "day", "cents")
+    l2 = level_up(l1.select(F.col("bucket").alias("day"), "s"), "day", "s")
+    out1 = l1.select(
+        F.lit(1).cast("int").alias("level"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("s").cast("double") / 2.0 / 100.0).alias("approx_rev"),
+        (F.col("d").cast("double") / 2.0 / 100.0).alias("detail_rev"),
+    )
+    out2 = l2.select(
+        F.lit(2).cast("int").alias("level"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("s").cast("double") / 4.0 / 100.0).alias("approx_rev"),
+        (F.col("d").cast("double") / 4.0 / 100.0).alias("detail_rev"),
+    )
+    return out1.unionByName(out2)

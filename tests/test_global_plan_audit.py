@@ -82,6 +82,11 @@ _SP_ALLOWED = {
     "q213_churn_features": 2,     # cutoff scalar under both fact aliases
     "q216_pca2d": 1,              # six-moment scalar reduce (one row)
     "q217_hellinger_drift": 1,    # corpus-total scalar broadcast
+    "q219_haar_downsample": 4,    # date-bounds scalar under days+rev aliases
+    "q221_poisson_bootstrap": 2,  # 32-row CI rank window + full-mean scalar
+    "q222_degree_assortativity": 10,  # median scalar under each edge-list
+    # subtree (AQE ReusedExchange collapses them at runtime) + moment/node
+    # one-row reduces — all scalar, none data-sized
 }
 
 AUDITED = [

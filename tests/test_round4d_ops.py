@@ -1,9 +1,11 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q218): each result recomputed by an independent pure-Python/numpy
+(q215-q222): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
-naive sequential clamp recursion it must equal)."""
+naive sequential clamp recursion it must equal, and q220, where the
+replay also asserts the raked margins actually hit the population
+margins — the fixpoint IPF exists to reach)."""
 
 from __future__ import annotations
 
@@ -145,3 +147,150 @@ def test_q218_ndcg_matches_python(spark, sf_dir):
         assert math.isclose(got[nk][0], d, abs_tol=1e-5)
         assert math.isclose(got[nk][1], i, abs_tol=1e-5)
         assert math.isclose(got[nk][2], nd, abs_tol=1e-8)
+
+
+def test_q219_haar_matches_python(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        daily[r.o_orderdate.date()] += round(r.o_totalprice * 100)
+    d0, d1 = min(daily), max(daily)
+    series = [daily.get(d0 + __import__("datetime").timedelta(days=i), 0)
+              for i in range((d1 - d0).days + 1)]
+
+    def level(vals):
+        out = {}
+        for i, v in enumerate(vals):
+            b = i // 2
+            s, d = out.get(b, (0, 0))
+            out[b] = (s + v, d + (v if i % 2 == 0 else -v))
+        return out
+
+    l1 = level(series)
+    l2 = level([l1[b][0] for b in sorted(l1)])
+    expect = {}
+    for b, (s, d) in l1.items():
+        expect[(1, b)] = (s / 2.0 / 100.0, d / 2.0 / 100.0)
+    for b, (s, d) in l2.items():
+        expect[(2, b)] = (s / 4.0 / 100.0, d / 4.0 / 100.0)
+    got = {
+        (r.level, r.bucket): (r.approx_rev, r.detail_rev)
+        for r in QS["q219_haar_downsample"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect  # exact: integer pyramid, exact halving
+
+
+def test_q220_ipf_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _IPF_SAMPLE_MOD
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rg = load_table(spark, sf_dir, "region")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(rg, n.n_regionkey == rg.r_regionkey)
+        .select("o_orderkey", "o_orderpriority", "r_name")
+        .collect()
+    )
+    cells = defaultdict(float)
+    tr = defaultdict(float)
+    tp = defaultdict(float)
+    for r in rows:
+        tr[r.r_name] += 1
+        tp[r.o_orderpriority] += 1
+        if r.o_orderkey % _IPF_SAMPLE_MOD == 0:
+            cells[(r.r_name, r.o_orderpriority)] += 1
+    w = dict(cells)
+    for _ in range(3):
+        rs = defaultdict(float)
+        for (rg_, p), v in w.items():
+            rs[rg_] += v
+        w = {(rg_, p): v * tr[rg_] / rs[rg_] for (rg_, p), v in w.items()}
+        ps = defaultdict(float)
+        for (rg_, p), v in w.items():
+            ps[p] += v
+        w = {(rg_, p): v * tp[p] / ps[p] for (rg_, p), v in w.items()}
+    got = {
+        (r.region, r.priority): (r.n_sample, r.raked_weight, r.expansion_factor)
+        for r in QS["q220_raking_ipf"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(w)
+    for key, wv in w.items():
+        assert got[key][0] == int(cells[key])
+        assert math.isclose(got[key][1], wv, rel_tol=1e-6)
+        assert math.isclose(got[key][2], wv / cells[key], rel_tol=1e-6)
+    # raked margins actually hit the population margins (the point of IPF)
+    for rg_ in tr:
+        s = sum(v for (g, _), v in w.items() if g == rg_)
+        assert math.isclose(s, tr[rg_], rel_tol=1e-3)
+
+
+def test_q221_bootstrap_matches_python(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.analytics import _BOOT_B, _BOOT_CUTS
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    cents = [(r.o_orderkey, round(r.o_totalprice * 100)) for r in rows]
+    means = []
+    for b in range(_BOOT_B):
+        num = den = 0
+        for ok, cv in cents:
+            u = int(hashlib.md5(str(ok * _BOOT_B + b).encode()).hexdigest()[:8],
+                    16) % 1000000
+            w = next((k for k, cut in enumerate(_BOOT_CUTS) if u < cut), 7)
+            num += w * cv
+            den += w
+        means.append(num / (100.0 * den))
+    means.sort()
+    row = QS["q221_poisson_bootstrap"].fn(spark, sf_dir).collect()[0]
+    assert row.n_replicates == _BOOT_B
+    full = sum(cv for _, cv in cents) / (100.0 * len(cents))
+    assert math.isclose(row.mean_full, full, rel_tol=1e-12)
+    assert math.isclose(row.ci_lo, means[1], rel_tol=1e-12)
+    assert math.isclose(row.ci_hi, means[_BOOT_B - 2], rel_tol=1e-12)
+    assert row.ci_lo < row.mean_full < row.ci_hi
+
+
+def test_q222_assortativity_matches_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    pt = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    items = {(r.l_orderkey, pt[r.l_partkey]) for r in li}
+    by_order = defaultdict(set)
+    for ok, br in items:
+        by_order[ok].add(br)
+    support = defaultdict(int)
+    for brs in by_order.values():
+        srt = sorted(brs)
+        for i, a in enumerate(srt):
+            for b in srt[i + 1:]:
+                support[(a, b)] += 1
+    med = float(np.median(list(support.values())))
+    edges = [e for e, s in support.items() if s > med]
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    js = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ks = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    m = len(js)
+    sj, sjj = sum(js), sum(j * j for j in js)
+    sjk = sum(j * k for j, k in zip(js, ks))
+    r_expect = (m * sjk - sj * sj) / (m * sjj - sj * sj)
+    row = QS["q222_degree_assortativity"].fn(spark, sf_dir).collect()[0]
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(edges)
+    assert math.isclose(row.assortativity, r_expect, rel_tol=1e-9)
