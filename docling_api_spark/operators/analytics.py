@@ -2932,3 +2932,277 @@ def q222_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(m AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj)"
         " AS assortativity",
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — 1-D earth mover's distance: regional price mix vs the global mix
+# ---------------------------------------------------------------------------
+# Optimal-transport drift: W1 between each region's order-value
+# distribution and the corpus-wide one. In 1-D the transport problem has
+# the closed form W1 = ∫|CDF_a − CDF_b|, so on a bucketed value grid it is
+# a cumulative-window + absolute-difference sum — no solver. W1 reads in
+# value units ("average dollars each order must move"), which q101's KS
+# statistic (a sup-norm probability) cannot give; together they cover both
+# drift geometries.
+#
+# Shape: one labeled fact pass to (region, bucket) counts, a dense bucket
+# grid (sequence over the ~120-bucket value range), per-region cumulative
+# windows (partitioned by region — never SinglePartition), |ΔCDF| terms
+# quantized to integer nano-units (ROUND, half-away both engines) so the
+# final sums are exact. Scale: everything after the fact pass is
+# grid × regions sized.
+_EMD_BUCKET = 5000  # dollars per histogram bucket
+
+
+@register(
+    "q226_emd_regions",
+    tags=("stats", "drift", "transport"),
+    oracle=f"""
+        WITH vals AS (
+          SELECT r.r_name AS region,
+                 CAST(ROUND(o.o_totalprice) AS BIGINT) // {_EMD_BUCKET} AS bucket
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        rh AS (SELECT region, bucket, CAST(COUNT(*) AS BIGINT) AS c
+               FROM vals GROUP BY 1, 2),
+        gh AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+               FROM vals GROUP BY 1),
+        nr AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n
+               FROM vals GROUP BY 1),
+        ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+        mb AS (SELECT MAX(bucket) AS m FROM vals),
+        grid AS (
+          SELECT rr.region, gg.b
+          FROM (SELECT DISTINCT region FROM vals) rr
+          CROSS JOIN (SELECT unnest(range(0, m + 1)) AS b FROM mb) gg
+        ),
+        cum AS (
+          SELECT grid.region, grid.b,
+                 SUM(COALESCE(rh.c, 0)) OVER (PARTITION BY grid.region
+                                              ORDER BY grid.b) AS cr,
+                 SUM(COALESCE(gh.c, 0)) OVER (PARTITION BY grid.region
+                                              ORDER BY grid.b) AS cg
+          FROM grid
+          LEFT JOIN rh ON grid.region = rh.region AND grid.b = rh.bucket
+          LEFT JOIN gh ON grid.b = gh.bucket
+        ),
+        terms AS (
+          SELECT cum.region,
+                 CAST(ROUND(1000000000.0 * abs(
+                   CAST(cum.cr AS DOUBLE) / nr.n
+                   - CAST(cum.cg AS DOUBLE) / ng.n)) AS BIGINT) AS t
+          FROM cum JOIN nr ON cum.region = nr.region CROSS JOIN ng
+        )
+        SELECT t.region, nr.n AS n_orders,
+               CAST(SUM(t.t) AS DOUBLE) / 1000000000.0 * {_EMD_BUCKET}
+                 AS emd_dollars
+        FROM terms t JOIN nr ON t.region = nr.region
+        GROUP BY t.region, nr.n
+    """,
+)
+def q226_emd_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (earth mover's) distance between each region's order-value
+    distribution and the global one, via the 1-D closed form over a
+    bucketed grid (see block comment — cumulative windows partitioned by
+    region, integer-quantized terms)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    vals = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.expr(
+                f"CAST(ROUND(o_totalprice) AS BIGINT) div {_EMD_BUCKET}"
+            ).alias("bucket"),
+        )
+    )
+    rh = vals.groupBy("region", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    gh = vals.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("gc"))
+    nr = vals.groupBy("region").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ng = vals.agg(F.count(F.lit(1)).cast("bigint").alias("gn"))
+    mb = vals.agg(F.max("bucket").alias("m"))
+    grid = (
+        vals.select("region")
+        .distinct()
+        .crossJoin(
+            F.broadcast(mb).select(F.explode(F.expr("sequence(0, m)")).alias("b"))
+        )
+    )
+    cum = (
+        grid.join(
+            rh,
+            (grid.region == rh.region) & (grid.b == rh.bucket),
+            "left",
+        )
+        .select(grid.region, grid.b, F.coalesce("c", F.lit(0)).alias("c"))
+        .join(gh, F.col("b") == gh.bucket, "left")
+        .select(
+            "region", "b", "c", F.coalesce("gc", F.lit(0)).alias("gc")
+        )
+        .select(
+            "region",
+            "b",
+            F.sum("c")
+            .over(W.partitionBy("region").orderBy("b"))
+            .alias("cr"),
+            F.sum("gc")
+            .over(W.partitionBy("region").orderBy("b"))
+            .alias("cg"),
+        )
+    )
+    terms = (
+        cum.join(F.broadcast(nr), "region")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "region",
+            "n",
+            F.expr(
+                "CAST(ROUND(1000000000.0 * abs("
+                "CAST(cr AS DOUBLE) / n - CAST(cg AS DOUBLE) / gn)) AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    return terms.groupBy("region", "n").agg(
+        F.expr(
+            f"CAST(SUM(t) AS DOUBLE) / 1000000000.0 * {_EMD_BUCKET}"
+        ).alias("emd_dollars")
+    ).select("region", F.col("n").alias("n_orders"), "emd_dollars")
+
+
+# ---------------------------------------------------------------------------
+# q227 — split-conformal prediction interval for a per-group regression
+# ---------------------------------------------------------------------------
+# Distribution-free uncertainty quantification: fit OLS (order value ~
+# line count) on a deterministic train half, take the 90th percentile of
+# absolute calibration-half residuals — by the conformal guarantee,
+# prediction ± q̂ then covers ≥90% of future orders with NO distributional
+# assumption. This is the modern ML-adjacent layer over q127's closed-form
+# group regression: the same exact-integer moment sums produce the fit,
+# and the interval is one exact order statistic per group.
+#
+# Determinism: the train/cal split is o_orderkey parity (engine-free);
+# beta/alpha come from exact BIGINT moments via textually shared
+# expressions; residuals are ROUNDed to integer cents before the
+# percentile so interpolation happens on identical integers in both
+# engines. Exact percentile over the calibration rows is the documented
+# oracle-parity tax (q118 discipline — approx_percentile is the 100 TB
+# swap).
+_CONF_EXPRS = {
+    "beta": "(CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)",
+    "alpha": "(CAST(sy AS DOUBLE) - ((CAST(k AS DOUBLE) * sxy"
+             " - CAST(sx AS DOUBLE) * sy)"
+             " / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+             " * sx) / k",
+}
+
+
+@register(
+    "q227_conformal_interval",
+    tags=("stats", "conformal", "regression"),
+    oracle=f"""
+        WITH sized AS (
+          SELECT o.o_orderkey, o.o_orderpriority AS priority,
+                 o.o_orderkey % 2 AS half,
+                 CAST(COUNT(*) AS BIGINT) AS x,
+                 CAST(ROUND(MIN(o.o_totalprice) * 100) AS BIGINT) AS y
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderkey % 2
+        ),
+        fit AS (
+          SELECT priority,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM sized WHERE half = 0 GROUP BY priority
+        ),
+        coef AS (
+          SELECT priority, k,
+                 {_CONF_EXPRS['beta']} AS beta,
+                 {_CONF_EXPRS['alpha']} AS alpha
+          FROM fit
+        ),
+        resid AS (
+          SELECT s.priority,
+                 CAST(ROUND(abs(CAST(s.y AS DOUBLE)
+                                - (c.alpha + c.beta * s.x))) AS BIGINT) AS r
+          FROM sized s JOIN coef c ON s.priority = c.priority
+          WHERE s.half = 1
+        )
+        SELECT c.priority, c.k AS n_train,
+               CAST(COUNT(*) AS BIGINT) AS n_cal,
+               c.beta, c.alpha,
+               quantile_cont(r.r, 0.9) / 100.0 AS qhat_dollars
+        FROM resid r JOIN coef c ON r.priority = c.priority
+        GROUP BY c.priority, c.k, c.beta, c.alpha
+    """,
+)
+def q227_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% split-conformal interval half-width per order priority for the
+    (order value ~ line count) OLS fit — parity-split halves, exact-moment
+    coefficients, integer-cent residual percentile (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sized = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            (F.col("o_orderkey") % 2).alias("half"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.round(F.min("o_totalprice") * 100).cast("bigint").alias("y"),
+        )
+    )
+    fit = (
+        sized.where(F.col("half") == 0)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    coef = fit.selectExpr(
+        "priority",
+        "k",
+        f"{_CONF_EXPRS['beta']} AS beta",
+        f"{_CONF_EXPRS['alpha']} AS alpha",
+    )
+    resid = (
+        sized.where(F.col("half") == 1)
+        .join(F.broadcast(coef), "priority")
+        .selectExpr(
+            "priority",
+            "k",
+            "beta",
+            "alpha",
+            "CAST(ROUND(abs(CAST(y AS DOUBLE) - (alpha + beta * x)))"
+            " AS BIGINT) AS r",
+        )
+    )
+    return resid.groupBy("priority", "k", "beta", "alpha").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        (F.expr("percentile(r, 0.9)") / 100.0).alias("qhat_dollars"),
+    ).select(
+        "priority",
+        F.col("k").alias("n_train"),
+        "n_cal",
+        "beta",
+        "alpha",
+        "qhat_dollars",
+    )

@@ -3574,3 +3574,357 @@ def q219_haar_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d").cast("double") / 4.0 / 100.0).alias("detail_rev"),
     )
     return out1.unionByName(out2)
+
+
+# ---------------------------------------------------------------------------
+# q223 — additive seasonal decomposition (trend + day-of-week + residual)
+# ---------------------------------------------------------------------------
+# Classical STL-style decomposition of the daily revenue series:
+#   trend    = centered 7-day moving average (full windows only)
+#   seasonal = per-day-of-week mean of the detrended series
+#   resid    = detrended - seasonal
+# q116 flags anomalies against an hour-of-day baseline; this emits the
+# decomposition itself — the series triage view (is growth trend or
+# seasonality?) and the input to seasonal-adjusted downstream models.
+#
+# Scale: the fact table reduces to a series-length relation (one row per
+# day) in one pass; the MA window and the dow aggregate run on that tiny
+# relation (documented SinglePartition allowance — series-sized, not
+# fact-sized; a per-series key would partition it). Day-of-week is
+# day_index % 7 — pure integer arithmetic, no engine calendar functions.
+# The detrended values are quantized to integer micro-cents (ROUND — the
+# half-away op both engines share) so the seasonal means are
+# accumulation-order free.
+@register(
+    "q223_stl_decompose",
+    tags=("timeseries", "decomposition", "window"),
+    oracle="""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                           MAX(CAST(o_orderdate AS DATE))) AS span
+          FROM orders
+        ),
+        days AS (SELECT unnest(range(0, span + 1)) AS day, span FROM bounds),
+        rev AS (
+          SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS day,
+                 SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders o CROSS JOIN bounds b GROUP BY 1
+        ),
+        series AS (
+          SELECT d.day, d.span, COALESCE(r.cents, 0) AS cents
+          FROM days d LEFT JOIN rev r ON d.day = r.day
+        ),
+        ma AS (
+          SELECT day, span, cents,
+                 SUM(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+          FROM series
+        ),
+        det AS (
+          SELECT day, cents,
+                 CAST(ROUND((cents - s7 / 7.0) * 1000000.0) AS BIGINT) AS dmic
+          FROM ma WHERE day >= 3 AND day <= span - 3
+        ),
+        seas AS (
+          SELECT day % 7 AS dow,
+                 CAST(SUM(dmic) AS DOUBLE) / (1000000.0 * COUNT(*)) AS seasonal
+          FROM det GROUP BY 1
+        )
+        SELECT d.day AS day, CAST(d.day % 7 AS INTEGER) AS dow,
+               CAST(d.cents AS DOUBLE) / 100.0 AS revenue,
+               (d.cents - d.dmic / 1000000.0) / 100.0 AS trend,
+               s.seasonal / 100.0 AS seasonal,
+               (d.dmic / 1000000.0 - s.seasonal) / 100.0 AS resid
+        FROM det d JOIN seas s ON d.day % 7 = s.dow
+    """,
+)
+def q223_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/day-of-week/residual decomposition of daily revenue
+    (centered 7-day MA trend, integer-quantized detrended series — see
+    block comment for the exactness and scale shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(0, span)")).alias("day"), "span"
+    )
+    rev = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")).alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", "span", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    ma = series.withColumn(
+        "s7", F.sum("cents").over(W.orderBy("day").rowsBetween(-3, 3))
+    )
+    det = ma.where(
+        (F.col("day") >= 3) & (F.col("day") <= F.col("span") - 3)
+    ).select(
+        "day",
+        "cents",
+        F.round((F.col("cents") - F.col("s7") / 7.0) * 1000000.0)
+        .cast("bigint")
+        .alias("dmic"),
+    )
+    seas = det.groupBy((F.col("day") % 7).alias("dow")).agg(
+        (F.sum("dmic").cast("double") / (1000000.0 * F.count(F.lit(1)))).alias(
+            "seasonal"
+        )
+    )
+    return det.join(seas, det.day % 7 == seas.dow).select(
+        "day",
+        (F.col("day") % 7).cast("int").alias("dow"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        ((F.col("cents") - F.col("dmic") / 1000000.0) / 100.0).alias("trend"),
+        (F.col("seasonal") / 100.0).alias("seasonal"),
+        ((F.col("dmic") / 1000000.0 - F.col("seasonal")) / 100.0).alias("resid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 — SAX symbolization of the weekly revenue series
+# ---------------------------------------------------------------------------
+# Symbolic Aggregate approXimation — the classic symbolic index for
+# similarity search over massive series collections (Lin/Keogh): PAA-
+# average the series into fixed segments, z-normalize, then discretize
+# into an alphabet at Gaussian-equiprobable breakpoints. Downstream,
+# equal SAX words are a blocking key for series similarity — the
+# time-series analog of q43's MinHash bands.
+#
+# Exactness: weekly PAA values are s/7 of integer dollar sums, and the
+# z-score moments come from exact integer Σs, Σs² — so mean/σ/z are
+# identical IEEE trees on identical inputs. Breakpoints (±0.6745, the
+# N(0,1) quartiles) are literals CAST AS DOUBLE on both engines. The
+# 4-week SAX words are built by ORDERED string aggregation — determinism
+# from the explicit week ordering, not row order. Scale: series-length
+# relations only after the first fact pass (q223's posture); per-series
+# keys would partition every step.
+@register(
+    "q224_sax_symbols",
+    tags=("timeseries", "sax", "indexing"),
+    oracle="""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                           MAX(CAST(o_orderdate AS DATE))) AS span
+          FROM orders
+        ),
+        days AS (SELECT unnest(range(0, span + 1)) AS day FROM bounds),
+        rev AS (
+          SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS dollars
+          FROM orders o CROSS JOIN bounds b GROUP BY 1
+        ),
+        series AS (
+          SELECT d.day, COALESCE(r.dollars, 0) AS dollars
+          FROM days d LEFT JOIN rev r ON d.day = r.day
+        ),
+        weeks AS (
+          SELECT day // 7 AS week, CAST(SUM(dollars) AS BIGINT) AS s,
+                 COUNT(*) AS c
+          FROM series GROUP BY 1
+        ),
+        full_weeks AS (SELECT week, s FROM weeks WHERE c = 7),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(s) AS BIGINT) AS ss,
+                 CAST(SUM(s * s) AS BIGINT) AS ss2
+          FROM full_weeks
+        ),
+        z AS (
+          SELECT week,
+                 (CAST(s AS DOUBLE) / 7.0 - CAST(ss AS DOUBLE) / (7.0 * k))
+                 / sqrt(CAST(ss2 AS DOUBLE) / (49.0 * k)
+                        - (CAST(ss AS DOUBLE) / (7.0 * k))
+                          * (CAST(ss AS DOUBLE) / (7.0 * k))) AS zz
+          FROM full_weeks CROSS JOIN stats
+        ),
+        sym AS (
+          SELECT week,
+                 CASE WHEN zz < CAST(-0.6744897501960817 AS DOUBLE) THEN 'a'
+                      WHEN zz < CAST(0.0 AS DOUBLE) THEN 'b'
+                      WHEN zz < CAST(0.6744897501960817 AS DOUBLE) THEN 'c'
+                      ELSE 'd' END AS sym
+          FROM z
+        )
+        SELECT week // 4 AS block, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               string_agg(sym, '' ORDER BY week) AS sax_word
+        FROM sym GROUP BY 1
+    """,
+)
+def q224_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words (4-symbol Gaussian alphabet, weekly PAA, 4-week words)
+    over daily revenue — the symbolic blocking key for series similarity
+    at scale (see block comment; exact integer moments, literal
+    breakpoints, ordered word assembly)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    days = bounds.select(F.explode(F.expr("sequence(0, span)")).alias("day"))
+    rev = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")).alias("day"),
+            F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"),
+        )
+        .groupBy("day")
+        .agg(F.sum("dollars").cast("bigint").alias("dollars"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", F.coalesce("dollars", F.lit(0)).alias("dollars")
+    )
+    weeks = series.groupBy(F.expr("day div 7").alias("week")).agg(
+        F.sum("dollars").cast("bigint").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    full_weeks = weeks.where(F.col("c") == 7).select("week", "s")
+    stats = full_weeks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("ss2"),
+    )
+    z = full_weeks.crossJoin(F.broadcast(stats)).selectExpr(
+        "week",
+        "(CAST(s AS DOUBLE) / 7.0 - CAST(ss AS DOUBLE) / (7.0 * k))"
+        " / sqrt(CAST(ss2 AS DOUBLE) / (49.0 * k)"
+        "        - (CAST(ss AS DOUBLE) / (7.0 * k))"
+        "          * (CAST(ss AS DOUBLE) / (7.0 * k))) AS zz",
+    )
+    sym = z.selectExpr(
+        "week",
+        "CASE WHEN zz < CAST(-0.6744897501960817 AS DOUBLE) THEN 'a' "
+        "WHEN zz < CAST(0.0 AS DOUBLE) THEN 'b' "
+        "WHEN zz < CAST(0.6744897501960817 AS DOUBLE) THEN 'c' "
+        "ELSE 'd' END AS sym",
+    )
+    return sym.groupBy(F.expr("week div 4").alias("block")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(week, sym))),"
+            " x -> x.sym), '')"
+        ).alias("sax_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 — Markov absorption: P(reach 'purchase' within 3 steps) per state
+# ---------------------------------------------------------------------------
+# q85 emits the transition matrix; this answers the question the matrix is
+# usually built for — from each behavioral state, how likely is the user
+# to hit the absorbing target within k steps? The recursion
+#     h_k(x) = P(x→T) + Σ_{y≠T} P(x→y) · h_{k-1}(y)
+# is unrolled 3 rounds as equi-joins on the STATE-VOCABULARY-sized
+# transition relation (25 rows) — never on facts; the fact pass is one
+# lag-window per user (q85's shape).
+#
+# Determinism: probabilities are quantized to integer nano-units with
+# ROUND (half-away on both engines), every per-round sum is an exact
+# BIGINT sum of nano-products (≤4e18, in range), and the /1e9 rescale +
+# re-ROUND is correctly rounded — the whole ladder is integer-exact on
+# any engine and partitioning. Quantization error ≤ 1e-9/round.
+_ABSORB_TARGET = "purchase"
+_ABS_N = 1_000_000_000  # nano-unit scale
+
+
+def _absorb_round(prev: str) -> str:
+    """One absorption round (shared SQL text): contribution of an edge to
+    the target is pn·1 (already absorbed); to a live state, pn·h_prev."""
+    return (
+        f"CAST(ROUND(CAST(SUM(CASE WHEN y = '{_ABSORB_TARGET}' "
+        f"THEN pn * CAST({_ABS_N} AS BIGINT) "
+        f"ELSE pn * COALESCE({prev}, CAST(0 AS BIGINT)) END) AS DOUBLE) "
+        f"/ {_ABS_N}.0) AS BIGINT)"
+    )
+
+
+@register(
+    "q225_markov_absorption",
+    tags=("timeseries", "markov", "graph"),
+    oracle=f"""
+        WITH trans AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS x,
+                 event_type AS y
+          FROM events
+        ),
+        counts AS (
+          SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+          FROM trans WHERE x IS NOT NULL GROUP BY x, y
+        ),
+        totals AS (
+          SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM counts GROUP BY x
+        ),
+        p AS (
+          SELECT c.x, c.y, t.cx,
+                 CAST(ROUND({_ABS_N}.0 * c.cxy / t.cx) AS BIGINT) AS pn
+          FROM counts c JOIN totals t ON c.x = t.x
+        ),
+        h1 AS (
+          SELECT x, {_absorb_round('NULL')} AS h
+          FROM p GROUP BY x
+        ),
+        h2 AS (
+          SELECT p.x, {_absorb_round('hp.h')} AS h
+          FROM p LEFT JOIN h1 hp ON p.y = hp.x GROUP BY p.x
+        ),
+        h3 AS (
+          SELECT p.x, {_absorb_round('hp.h')} AS h
+          FROM p LEFT JOIN h2 hp ON p.y = hp.x GROUP BY p.x
+        )
+        SELECT t.x AS state, t.cx AS n_obs,
+               CAST(h3.h AS DOUBLE) / {_ABS_N}.0 AS p_absorb_3
+        FROM totals t JOIN h3 ON t.x = h3.x
+    """,
+)
+def q225_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability of reaching the purchase state within 3 transitions from
+    each behavioral state — 3 unrolled absorption rounds on the 25-row
+    transition matrix, integer-nano-quantized (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    trans = ev.select(
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts"))
+        .alias("x"),
+        F.col("event_type").alias("y"),
+    ).where(F.col("x").isNotNull())
+    counts = trans.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    totals = counts.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    p = counts.join(F.broadcast(totals), "x").select(
+        "x",
+        "y",
+        "cx",
+        F.expr(f"CAST(ROUND({_ABS_N}.0 * cxy / cx) AS BIGINT)").alias("pn"),
+    )
+    h = None
+    for _ in range(3):
+        if h is None:
+            joined = p.withColumn("hprev", F.lit(None).cast("bigint"))
+        else:
+            joined = p.join(
+                F.broadcast(h.selectExpr("x AS y", "h AS hprev")), "y", "left"
+            )
+        h = joined.groupBy("x").agg(
+            F.expr(_absorb_round("hprev")).alias("h")
+        )
+    return totals.join(h, "x").selectExpr(
+        "x AS state", "cx AS n_obs", f"CAST(h AS DOUBLE) / {_ABS_N}.0 AS p_absorb_3"
+    )

@@ -87,6 +87,12 @@ _SP_ALLOWED = {
     "q222_degree_assortativity": 10,  # median scalar under each edge-list
     # subtree (AQE ReusedExchange collapses them at runtime) + moment/node
     # one-row reduces — all scalar, none data-sized
+    "q223_stl_decompose": 4,      # date-bounds scalar ×2 + series-length
+    # (one row per day, ~2.4k) MA window — series-sized, not fact-sized
+    "q224_sax_symbols": 4,        # date-bounds scalar ×2 + weekly-moment
+    # scalar; PAA/z relations are series-sized
+    "q226_emd_regions": 2,        # corpus-n + max-bucket scalars (grid
+    # windows are partitioned by region)
 }
 
 AUDITED = [

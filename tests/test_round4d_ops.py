@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q222): each result recomputed by an independent pure-Python/numpy
+(q215-q227): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -13,6 +13,7 @@ import math
 from collections import defaultdict
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from docling_api_spark.operators.analytics import _NDCG_K
 from docling_api_spark.operators.timeseries import QUEUE_PUSH
@@ -294,3 +295,210 @@ def test_q222_assortativity_matches_python(spark, sf_dir):
     assert row.n_nodes == len(deg)
     assert row.n_edges == len(edges)
     assert math.isclose(row.assortativity, r_expect, rel_tol=1e-9)
+
+
+def _daily_cents(spark, sf_dir, round_to_dollars=False):
+    import datetime as dt
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        v = round(r.o_totalprice) if round_to_dollars else round(r.o_totalprice * 100)
+        daily[r.o_orderdate.date()] += v
+    d0, d1 = min(daily), max(daily)
+    return [daily.get(d0 + dt.timedelta(days=i), 0)
+            for i in range((d1 - d0).days + 1)]
+
+
+def test_q223_stl_matches_python(spark, sf_dir):
+    series = _daily_cents(spark, sf_dir)
+    span = len(series) - 1
+    det = {}
+    for day in range(3, span - 2):
+        s7 = sum(series[day - 3:day + 4])
+        det[day] = round((series[day] - s7 / 7.0) * 1e6)
+    seas = defaultdict(list)
+    for day, d in det.items():
+        seas[day % 7].append(d)
+    seas = {k: sum(v) / (1e6 * len(v)) for k, v in seas.items()}
+    got = {r.day: r for r in QS["q223_stl_decompose"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(det)
+    for day, d in det.items():
+        r = got[day]
+        assert r.dow == day % 7
+        assert math.isclose(r.revenue, series[day] / 100.0, rel_tol=1e-12)
+        assert math.isclose(r.trend, (series[day] - d / 1e6) / 100.0, rel_tol=1e-9)
+        assert math.isclose(r.seasonal, seas[day % 7] / 100.0, rel_tol=1e-9)
+        assert math.isclose(
+            r.resid, (d / 1e6 - seas[day % 7]) / 100.0,
+            rel_tol=1e-6, abs_tol=1e-6,
+        )
+        # the decomposition recomposes: trend + seasonal + resid == revenue
+        assert math.isclose(
+            r.trend + r.seasonal + r.resid, r.revenue,
+            rel_tol=1e-9, abs_tol=1e-6,  # abs_tol for zero-revenue gap days
+        )
+
+
+def test_q224_sax_matches_python(spark, sf_dir):
+    series = _daily_cents(spark, sf_dir, round_to_dollars=True)
+    weekly = defaultdict(lambda: [0, 0])
+    for day, v in enumerate(series):
+        weekly[day // 7][0] += v
+        weekly[day // 7][1] += 1
+    full = {w: s for w, (s, c) in weekly.items() if c == 7}
+    k = len(full)
+    mu = sum(full.values()) / (7.0 * k)
+    var = sum(s * s for s in full.values()) / (49.0 * k) - mu * mu
+    sd = math.sqrt(var)
+    bp = 0.6744897501960817
+    words = defaultdict(dict)
+    for w, s in full.items():
+        z = (s / 7.0 - mu) / sd
+        sym = "a" if z < -bp else ("b" if z < 0 else ("c" if z < bp else "d"))
+        words[w // 4][w] = sym
+    expect = {
+        blk: "".join(sym for _, sym in sorted(d.items()))
+        for blk, d in words.items()
+    }
+    got = {
+        r.block: (r.n_weeks, r.sax_word)
+        for r in QS["q224_sax_symbols"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for blk, word in expect.items():
+        assert got[blk] == (len(word), word)
+
+
+def test_q225_absorption_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _ABS_N, _ABSORB_TARGET
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_type))
+    counts = defaultdict(int)
+    for rows in per_user.values():
+        rows.sort()
+        for (_, a), (_, b) in zip(rows, rows[1:]):
+            counts[(a, b)] += 1
+    totals = defaultdict(int)
+    for (a, _), c in counts.items():
+        totals[a] += c
+    pn = {xy: round(_ABS_N * c / totals[xy[0]]) for xy, c in counts.items()}
+    h = {}
+    for _ in range(3):
+        nh = {}
+        for x in totals:
+            acc = 0
+            for (a, y), p in pn.items():
+                if a != x:
+                    continue
+                acc += p * (_ABS_N if y == _ABSORB_TARGET else h.get(y, 0))
+            nh[x] = round(float(acc) / _ABS_N)
+        h = nh
+    got = {
+        r.state: (r.n_obs, r.p_absorb_3)
+        for r in QS["q225_markov_absorption"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(totals)
+    for x in totals:
+        assert got[x][0] == totals[x]
+        assert math.isclose(got[x][1], h[x] / _ABS_N, abs_tol=2e-9)
+        assert 0.0 <= got[x][1] <= 1.0
+
+
+def test_q226_emd_matches_scipy_style(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _EMD_BUCKET
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .join(load_table(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(load_table(spark, sf_dir, "nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(load_table(spark, sf_dir, "region"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "o_totalprice")
+        .collect()
+    )
+    by_region = defaultdict(list)
+    allv = []
+    for r in rows:
+        b = round(r.o_totalprice) // _EMD_BUCKET
+        by_region[r.r_name].append(b)
+        allv.append(b)
+    mb = max(allv)
+    ng = len(allv)
+    gh = defaultdict(int)
+    for b in allv:
+        gh[b] += 1
+    expect = {}
+    for region, bs in by_region.items():
+        rh = defaultdict(int)
+        for b in bs:
+            rh[b] += 1
+        cr = cg = 0
+        acc = 0
+        for b in range(mb + 1):
+            cr += rh.get(b, 0)
+            cg += gh.get(b, 0)
+            acc += round(1e9 * abs(cr / len(bs) - cg / ng))
+        expect[region] = (len(bs), acc / 1e9 * _EMD_BUCKET)
+    got = {
+        r.region: (r.n_orders, r.emd_dollars)
+        for r in QS["q226_emd_regions"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for region, (n, emd) in expect.items():
+        assert got[region][0] == n
+        assert math.isclose(got[region][1], emd, rel_tol=1e-9)
+
+
+def test_q227_conformal_matches_python(spark, sf_dir):
+    import numpy as np
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    xs = defaultdict(int)
+    for r in li:
+        xs[r.l_orderkey] += 1
+    groups = defaultdict(lambda: ([], []))  # train, cal
+    for r in o:
+        if r.o_orderkey not in xs:
+            continue
+        pt = (xs[r.o_orderkey], round(r.o_totalprice * 100))
+        groups[r.o_orderpriority][r.o_orderkey % 2].append(pt)
+    got = {
+        r.priority: r
+        for r in QS["q227_conformal_interval"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for pr, (train, cal) in groups.items():
+        k = len(train)
+        sx = sum(x for x, _ in train)
+        sy = sum(y for _, y in train)
+        sxx = sum(x * x for x, _ in train)
+        sxy = sum(x * y for x, y in train)
+        beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        alpha = (sy - beta * sx) / k
+        resid = [round(abs(y - (alpha + beta * x))) for x, y in cal]
+        qhat = float(np.percentile(resid, 90, method="linear")) / 100.0
+        r = got[pr]
+        assert r.n_train == k and r.n_cal == len(cal)
+        assert math.isclose(r.beta, beta, rel_tol=1e-9)
+        assert math.isclose(r.alpha, alpha, rel_tol=1e-9)
+        assert math.isclose(r.qhat_dollars, qhat, rel_tol=1e-9)
+        # conformal guarantee sanity: ~90% of calibration residuals inside
+        inside = sum(1 for rr in resid if rr / 100.0 <= r.qhat_dollars)
+        assert inside >= 0.88 * len(cal)
