@@ -3206,3 +3206,396 @@ def q227_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha",
         "qhat_dollars",
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — geometric median of the customer cloud (Weiszfeld, unrolled)
+# ---------------------------------------------------------------------------
+# Robust 2-D location estimation: the geometric median minimizes the sum
+# of Euclidean distances and shrugs off the outliers that wreck the
+# component-wise mean. Weiszfeld's iteration
+#     c_{k+1} = Σ(p_i / d_i(c_k)) / Σ(1 / d_i(c_k))
+# is three unrolled rounds here, seeded at the mean: each round is ONE
+# scalar aggregate over the per-customer relation with the previous center
+# broadcast — the iterative-refinement shape that runs at any scale (3
+# passes over a keyed aggregate, no driver loop state beyond the plan).
+#
+# Determinism: distances are sqrt of correctly-rounded double arithmetic
+# on exact coordinates (order count, exact-cent spend dollars); each round's
+# three sums are quantized to 1e-12-resolution integers with ROUND
+# (half-away on both engines) so accumulation order cannot shift the
+# center. d=0 terms are guarded out identically on both sides.
+_WEISZ_Q = "1000000000000.0"  # 1e12 quantization for the weighted sums
+
+
+def _weisz_round(cx: str, cy: str) -> dict[str, str]:
+    d = f"sqrt((f - {cx}) * (f - {cx}) + (m - {cy}) * (m - {cy}))"
+    return {
+        "nx": f"SUM(CASE WHEN {d} > 0 THEN CAST(ROUND({_WEISZ_Q} * f / {d}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
+        "ny": f"SUM(CASE WHEN {d} > 0 THEN CAST(ROUND({_WEISZ_Q} * m / {d}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
+        "dn": f"SUM(CASE WHEN {d} > 0 THEN CAST(ROUND({_WEISZ_Q} / {d}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)",
+    }
+
+
+@register(
+    "q228_geometric_median",
+    tags=("stats", "robust", "iterative"),
+    oracle=f"""
+        WITH pts AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS f,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 AS m,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        c0 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(f AS BIGINT)) AS DOUBLE) / COUNT(*) AS cx,
+                 CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) AS cy
+          FROM pts
+        ),
+        r1 AS (
+          SELECT n, {_weisz_round('c0.cx', 'c0.cy')['nx']} AS nx,
+                    {_weisz_round('c0.cx', 'c0.cy')['ny']} AS ny,
+                    {_weisz_round('c0.cx', 'c0.cy')['dn']} AS dn
+          FROM pts CROSS JOIN c0 GROUP BY n
+        ),
+        c1 AS (SELECT n, CAST(nx AS DOUBLE) / dn AS cx,
+                      CAST(ny AS DOUBLE) / dn AS cy FROM r1),
+        r2 AS (
+          SELECT n, {_weisz_round('c1.cx', 'c1.cy')['nx']} AS nx,
+                    {_weisz_round('c1.cx', 'c1.cy')['ny']} AS ny,
+                    {_weisz_round('c1.cx', 'c1.cy')['dn']} AS dn
+          FROM pts CROSS JOIN c1 GROUP BY n
+        ),
+        c2 AS (SELECT n, CAST(nx AS DOUBLE) / dn AS cx,
+                      CAST(ny AS DOUBLE) / dn AS cy FROM r2),
+        r3 AS (
+          SELECT n, {_weisz_round('c2.cx', 'c2.cy')['nx']} AS nx,
+                    {_weisz_round('c2.cx', 'c2.cy')['ny']} AS ny,
+                    {_weisz_round('c2.cx', 'c2.cy')['dn']} AS dn
+          FROM pts CROSS JOIN c2 GROUP BY n
+        )
+        SELECT r3.n AS n_customers,
+               c0.cx AS mean_f, c0.cy AS mean_m,
+               CAST(r3.nx AS DOUBLE) / r3.dn AS gmed_f,
+               CAST(r3.ny AS DOUBLE) / r3.dn AS gmed_m
+        FROM r3 CROSS JOIN c0
+    """,
+)
+def q228_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of per-customer (order count, spend dollars) via
+    three unrolled Weiszfeld rounds seeded at the mean (see block comment
+    — one scalar reduce per round, quantized weighted sums, broadcast
+    center). Emits the mean alongside for the robustness contrast."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("double").alias("f"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double")
+            / 100.0
+        ).alias("m"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c0 = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("f").cast("bigint")).cast("double") / F.count(F.lit(1))).alias("cx"),
+        (F.sum("cents").cast("double") / (100.0 * F.count(F.lit(1)))).alias("cy"),
+    )
+    center = c0
+    for _ in range(3):
+        exprs = _weisz_round("cx", "cy")
+        r = (
+            pts.crossJoin(F.broadcast(center))
+            .groupBy("n")
+            .agg(
+                F.expr(exprs["nx"]).alias("nx"),
+                F.expr(exprs["ny"]).alias("ny"),
+                F.expr(exprs["dn"]).alias("dn"),
+            )
+        )
+        center = r.selectExpr(
+            "n",
+            "CAST(nx AS DOUBLE) / dn AS cx",
+            "CAST(ny AS DOUBLE) / dn AS cy",
+        )
+    return center.crossJoin(
+        F.broadcast(c0.selectExpr("cx AS mean_f", "cy AS mean_m"))
+    ).selectExpr(
+        "n AS n_customers",
+        "mean_f",
+        "mean_m",
+        "cx AS gmed_f",
+        "cy AS gmed_m",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229 — bitmap-index audience intersection (bit-packed set algebra)
+# ---------------------------------------------------------------------------
+# The physical-design twin of q131's join-based audience overlap: pack
+# each behavioral segment's membership into 63-bit words (word = id div
+# 63, bit = id mod 63 — bit 63 avoided so masks stay positive on both
+# engines), then set intersections become word-aligned AND + popcount.
+# This is the roaring-bitmap idea in pure relational form: segment
+# comparisons cost |universe|/63 words instead of |members| rows, the
+# word join is an equi-join, and masks OR together associatively (so
+# bitmap construction is map-side combinable — the property that makes
+# bitmap indexes THE segment-algebra structure at warehouse scale).
+# Union counts come from |A|+|B|−|A∩B| rather than a word join, so words
+# present in only one bitmap are never miscounted. All integer ops.
+@register(
+    "q229_bitmap_intersect",
+    tags=("bitmap", "segments", "set-algebra"),
+    oracle="""
+        WITH members AS (
+          SELECT DISTINCT event_type AS seg, user_id FROM events
+        ),
+        words AS (
+          SELECT seg, user_id // 63 AS w,
+                 bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+                   AS mask
+          FROM members GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT seg, CAST(SUM(bit_count(mask)) AS BIGINT) AS n
+          FROM words GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.seg AS seg_a, b.seg AS seg_b,
+                 CAST(SUM(bit_count(a.mask & b.mask)) AS BIGINT) AS n_intersect
+          FROM words a JOIN words b ON a.w = b.w AND a.seg < b.seg
+          GROUP BY 1, 2
+        )
+        SELECT p.seg_a, p.seg_b, sa.n AS n_a, sb.n AS n_b, p.n_intersect,
+               sa.n + sb.n - p.n_intersect AS n_union,
+               CAST(p.n_intersect AS DOUBLE)
+                 / (sa.n + sb.n - p.n_intersect) AS jaccard
+        FROM pairs p
+        JOIN sizes sa ON p.seg_a = sa.seg
+        JOIN sizes sb ON p.seg_b = sb.seg
+    """,
+)
+def q229_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience intersection/Jaccard over bit-packed segment
+    bitmaps — word-aligned AND + popcount instead of row joins (see block
+    comment for why this is the segment algebra that survives scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select(
+        F.col("event_type").alias("seg"), "user_id"
+    ).distinct()
+    words = members.groupBy(
+        "seg", F.expr("user_id div 63").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+        ).alias("mask")
+    )
+    sizes = words.groupBy("seg").agg(
+        F.expr("CAST(SUM(bit_count(mask)) AS BIGINT)").alias("n")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.seg") < F.col("b.seg")),
+        )
+        .groupBy(
+            F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b")
+        )
+        .agg(
+            F.expr("CAST(SUM(bit_count(a.mask & b.mask)) AS BIGINT)").alias(
+                "n_intersect"
+            )
+        )
+    )
+    sa = sizes.selectExpr("seg AS seg_a", "n AS n_a")
+    sb = sizes.selectExpr("seg AS seg_b", "n AS n_b")
+    return (
+        pairs.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .selectExpr(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_intersect",
+            "n_a + n_b - n_intersect AS n_union",
+            "CAST(n_intersect AS DOUBLE) / (n_a + n_b - n_intersect)"
+            " AS jaccard",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q231 — difference-in-differences with a pooled-variance z statistic
+# ---------------------------------------------------------------------------
+# The workhorse causal estimator when a change ships to part of the user
+# base: compare each arm's before→after movement, so shared time trends
+# cancel. Arms are the md5 hash assignment (q120's reproducibility
+# property); periods split the stream at its midpoint; the outcome is
+# per-user purchase spend in the period, ZERO-FILLED over the full
+# user × period universe (dropping silent users biases every cell mean —
+# the classic DiD mistake).
+#
+# Shape: one fact pass to per-(user, period) integer outcomes, one
+# distinct-users relation crossed with the 2-row period grid for the
+# zero-fill, one hash agg to 4 cell moment rows, one closing expression
+# (q216 discipline). All moments exact BIGINT.
+@register(
+    "q231_diff_in_diff",
+    tags=("experiment", "causal", "stats"),
+    oracle=f"""
+        WITH bounds AS (
+          SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+        ),
+        outcomes AS (
+          SELECT user_id,
+                 CASE WHEN epoch_us(e.ts) < (b.t0 + b.t1) // 2
+                      THEN 0 ELSE 1 END AS period,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ROUND(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS y
+          FROM events e CROSS JOIN bounds b
+          GROUP BY 1, 2
+        ),
+        universe AS (
+          SELECT u.user_id, {sql_hash_bucket('u.user_id', 2)} AS arm, p.period
+          FROM (SELECT DISTINCT user_id FROM events) u
+          CROSS JOIN (SELECT unnest(range(0, 2)) AS period) p
+        ),
+        filled AS (
+          SELECT un.arm, un.period, COALESCE(o.y, 0) AS y
+          FROM universe un
+          LEFT JOIN outcomes o
+            ON un.user_id = o.user_id AND un.period = o.period
+        ),
+        cells AS (
+          SELECT arm, period,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS s,
+                 CAST(SUM(y * y) AS BIGINT) AS ss
+          FROM filled GROUP BY arm, period
+        ),
+        wide AS (
+          SELECT
+            MIN(CASE WHEN arm = 1 AND period = 0 THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+            MIN(CASE WHEN arm = 1 AND period = 1 THEN CAST(s AS DOUBLE) / n END) AS t_post,
+            MIN(CASE WHEN arm = 0 AND period = 0 THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+            MIN(CASE WHEN arm = 0 AND period = 1 THEN CAST(s AS DOUBLE) / n END) AS c_post,
+            CAST(SUM(CASE WHEN arm = 1 AND period = 0 THEN n END) AS BIGINT) AS n_t,
+            CAST(SUM(CASE WHEN arm = 0 AND period = 0 THEN n END) AS BIGINT) AS n_c,
+            CAST(SUM(CAST(ROUND(1000000.0 *
+                  (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                  / (CAST(n AS DOUBLE) * (n - 1) * n)) AS BIGINT))
+                 AS DOUBLE) / 1000000.0 AS var_sum
+          FROM cells
+        )
+        SELECT n_t, n_c,
+               t_pre / 100.0 AS t_pre, t_post / 100.0 AS t_post,
+               c_pre / 100.0 AS c_pre, c_post / 100.0 AS c_post,
+               ((t_post - t_pre) - (c_post - c_pre)) / 100.0 AS did_estimate,
+               ((t_post - t_pre) - (c_post - c_pre)) / sqrt(var_sum) AS z_stat
+        FROM wide
+    """,
+)
+def q231_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on per-user purchase spend across the
+    stream midpoint, hash-assigned arms, zero-filled user x period
+    universe, pooled-variance z (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    outcomes = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(
+                F.unix_micros("ts") < F.expr("(t0 + t1) div 2"), 0
+            )
+            .otherwise(1)
+            .alias("period"),  # integer div, matching the oracle's `//`
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    universe = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", hash_bucket("user_id", 2).alias("arm"))
+        .crossJoin(
+            F.broadcast(spark.range(2).select(F.col("id").alias("period")))
+        )
+    )
+    filled = universe.join(outcomes, ["user_id", "period"], "left").select(
+        "arm", "period", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    cells = filled.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    wide = cells.agg(
+        F.min(
+            F.when((F.col("arm") == 1) & (F.col("period") == 0),
+                   F.col("s").cast("double") / F.col("n"))
+        ).alias("t_pre_r"),
+        F.min(
+            F.when((F.col("arm") == 1) & (F.col("period") == 1),
+                   F.col("s").cast("double") / F.col("n"))
+        ).alias("t_post_r"),
+        F.min(
+            F.when((F.col("arm") == 0) & (F.col("period") == 0),
+                   F.col("s").cast("double") / F.col("n"))
+        ).alias("c_pre_r"),
+        F.min(
+            F.when((F.col("arm") == 0) & (F.col("period") == 1),
+                   F.col("s").cast("double") / F.col("n"))
+        ).alias("c_post_r"),
+        F.sum(
+            F.when((F.col("arm") == 1) & (F.col("period") == 0), F.col("n"))
+        ).cast("bigint").alias("n_t"),
+        F.sum(
+            F.when((F.col("arm") == 0) & (F.col("period") == 0), F.col("n"))
+        ).cast("bigint").alias("n_c"),
+        # 4-term double sum quantized to micro-units (ROUND half-away on
+        # both engines) so accumulation order cannot move the last ulp
+        (
+            F.sum(
+                F.round(
+                    1000000.0
+                    * (
+                        F.col("n").cast("double") * F.col("ss")
+                        - F.col("s").cast("double") * F.col("s")
+                    )
+                    / (F.col("n").cast("double") * (F.col("n") - 1) * F.col("n"))
+                ).cast("bigint")
+            ).cast("double")
+            / 1000000.0
+        ).alias("var_sum"),
+    )
+    return wide.selectExpr(
+        "n_t",
+        "n_c",
+        "t_pre_r / 100.0 AS t_pre",
+        "t_post_r / 100.0 AS t_post",
+        "c_pre_r / 100.0 AS c_pre",
+        "c_post_r / 100.0 AS c_post",
+        "((t_post_r - t_pre_r) - (c_post_r - c_pre_r)) / 100.0"
+        " AS did_estimate",
+        "((t_post_r - t_pre_r) - (c_post_r - c_pre_r)) / sqrt(var_sum)"
+        " AS z_stat",
+    )

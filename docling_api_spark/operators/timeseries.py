@@ -3928,3 +3928,123 @@ def q225_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(h, "x").selectExpr(
         "x AS state", "cx AS n_obs", f"CAST(h AS DOUBLE) / {_ABS_N}.0 AS p_absorb_3"
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — lead-lag cross-correlation between two event streams
+# ---------------------------------------------------------------------------
+# q117's comovement matrix is contemporaneous; operations questions are
+# usually lead-lag ("do views at hour t predict purchases at t+2?"). This
+# computes Pearson correlation between the hourly 'view' series and the
+# 'purchase' series shifted by every lag in [-3, +3] — the discrete
+# cross-correlation function whose argmax is the lead time.
+#
+# Shape: one fact pass to two dense hourly series (gap-filled via the
+# hour grid), a 7-row lag relation exploded against the series (series ×
+# lags sized, not fact sized), and per-lag exact integer moment sums —
+# corr is the single closing sqrt expression per lag (q216 discipline).
+_XCORR_LAGS = 3
+_XCORR_A = "view"
+_XCORR_B = "purchase"
+
+
+@register(
+    "q230_lagged_xcorr",
+    tags=("timeseries", "correlation", "leadlag"),
+    oracle=f"""
+        WITH bounds AS (
+          SELECT MIN(epoch_us(ts) // 3600000000) AS h0,
+                 MAX(epoch_us(ts) // 3600000000) AS h1
+          FROM events
+        ),
+        hours AS (
+          SELECT unnest(range(0, h1 - h0 + 1)) AS h FROM bounds
+        ),
+        va AS (
+          SELECT epoch_us(ts) // 3600000000 - b.h0 AS h,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events e CROSS JOIN bounds b
+          WHERE event_type = '{_XCORR_A}' GROUP BY 1
+        ),
+        vb AS (
+          SELECT epoch_us(ts) // 3600000000 - b.h0 AS h,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events e CROSS JOIN bounds b
+          WHERE event_type = '{_XCORR_B}' GROUP BY 1
+        ),
+        sa_ AS (SELECT hours.h, COALESCE(va.c, 0) AS x
+               FROM hours LEFT JOIN va ON hours.h = va.h),
+        sb_ AS (SELECT hours.h, COALESCE(vb.c, 0) AS y
+               FROM hours LEFT JOIN vb ON hours.h = vb.h),
+        lags AS (SELECT unnest(range(-{_XCORR_LAGS}, {_XCORR_LAGS} + 1))
+                   AS lag),
+        joined AS (
+          SELECT l.lag, a.x, b.y
+          FROM lags l
+          CROSS JOIN sa_ a
+          JOIN sb_ b ON b.h = a.h + l.lag
+        ),
+        mom AS (
+          SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM joined GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 AS xcorr
+        FROM mom
+    """,
+)
+def q230_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function (lags −3..+3 hours) between hourly view
+    and purchase volumes — dense gap-filled series, per-lag exact integer
+    moments, one closing sqrt expression per lag (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev_h = ev.select(F.floor(F.unix_micros("ts") / 3600000000).cast("bigint").alias("habs"), "event_type")
+    bounds = ev_h.agg(
+        F.min("habs").alias("h0"), F.max("habs").alias("h1")
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(0, h1 - h0)")).alias("h")
+    )
+    def series(ev_type: str, out: str) -> DataFrame:
+        v = (
+            ev_h.where(F.col("event_type") == ev_type)
+            .crossJoin(F.broadcast(bounds))
+            .groupBy((F.col("habs") - F.col("h0")).alias("h"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        return hours.join(v, "h", "left").select(
+            "h", F.coalesce("c", F.lit(0)).alias(out)
+        )
+    sa_ = series(_XCORR_A, "x")
+    sb_ = series(_XCORR_B, "y")
+    lags = spark.range(-_XCORR_LAGS, _XCORR_LAGS + 1).select(
+        F.col("id").alias("lag")
+    )
+    joined = (
+        F.broadcast(lags)
+        .crossJoin(sa_)
+        .join(sb_.selectExpr("h AS hb", "y"), F.col("hb") == F.col("h") + F.col("lag"))
+    )
+    mom = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return mom.selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "n",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        "    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+        " AS xcorr",
+    )

@@ -93,6 +93,9 @@ _SP_ALLOWED = {
     # scalar; PAA/z relations are series-sized
     "q226_emd_regions": 2,        # corpus-n + max-bucket scalars (grid
     # windows are partitioned by region)
+    "q228_geometric_median": 2,   # mean seed + per-round center scalars
+    "q230_lagged_xcorr": 4,       # hour-bounds scalar under both series
+    "q231_diff_in_diff": 2,       # stream-midpoint scalar + 4-cell reduce
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q227): each result recomputed by an independent pure-Python/numpy
+(q215-q231): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -502,3 +502,134 @@ def test_q227_conformal_matches_python(spark, sf_dir):
         # conformal guarantee sanity: ~90% of calibration residuals inside
         inside = sum(1 for rr in resid if rr / 100.0 <= r.qhat_dollars)
         assert inside >= 0.88 * len(cal)
+
+
+def test_q228_weiszfeld_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _WEISZ_Q
+
+    q = float(_WEISZ_Q)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    f = defaultdict(int)
+    cents = defaultdict(int)
+    for r in orders:
+        f[r.o_custkey] += 1
+        cents[r.o_custkey] += round(r.o_totalprice * 100)
+    pts = [(float(f[k]), cents[k] / 100.0) for k in f]
+    n = len(pts)
+    cx = sum(int(x) for x, _ in pts) / n
+    cy = sum(cents.values()) / (100.0 * n)
+    mean = (cx, cy)
+    for _ in range(3):
+        nx = ny = dn = 0
+        for x, y in pts:
+            d = math.sqrt((x - cx) * (x - cx) + (y - cy) * (y - cy))
+            if d > 0:
+                nx += round(q * x / d)
+                ny += round(q * y / d)
+                dn += round(q / d)
+        cx, cy = nx / dn, ny / dn
+    row = QS["q228_geometric_median"].fn(spark, sf_dir).collect()[0]
+    assert row.n_customers == n
+    assert math.isclose(row.mean_f, mean[0], rel_tol=1e-12)
+    assert math.isclose(row.mean_m, mean[1], rel_tol=1e-12)
+    assert math.isclose(row.gmed_f, cx, rel_tol=1e-9)
+    assert math.isclose(row.gmed_m, cy, rel_tol=1e-9)
+    # robustness direction: the spend cloud is right-skewed, so the
+    # geometric median must sit at or below the mean on the spend axis
+    assert row.gmed_m <= row.mean_m
+
+
+def test_q229_bitmap_matches_set_algebra(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    segs = defaultdict(set)
+    for r in ev:
+        segs[r.event_type].add(r.user_id)
+    names = sorted(segs)
+    expect = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            inter = len(segs[a] & segs[b])
+            union = len(segs[a] | segs[b])
+            expect[(a, b)] = (len(segs[a]), len(segs[b]), inter, union,
+                              inter / union)
+    got = {
+        (r.seg_a, r.seg_b): (r.n_a, r.n_b, r.n_intersect, r.n_union, r.jaccard)
+        for r in QS["q229_bitmap_intersect"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (na, nb, i_, u, j) in expect.items():
+        assert got[k][:4] == (na, nb, i_, u)
+        assert math.isclose(got[k][4], j, rel_tol=1e-12)
+
+
+def test_q230_xcorr_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import (
+        _XCORR_A, _XCORR_B, _XCORR_LAGS,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    hours = [int(r.ts.timestamp() * 1e6) // 3600000000 for r in ev]
+    h0, h1 = min(hours), max(hours)
+    nh = h1 - h0 + 1
+    xa = np.zeros(nh)
+    xb = np.zeros(nh)
+    for r, h in zip(ev, hours):
+        if r.event_type == _XCORR_A:
+            xa[h - h0] += 1
+        elif r.event_type == _XCORR_B:
+            xb[h - h0] += 1
+    got = {
+        r.lag: (r.n, r.xcorr)
+        for r in QS["q230_lagged_xcorr"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(-_XCORR_LAGS, _XCORR_LAGS + 1))
+    for lag in got:
+        # pair x_t with y_{t+lag}
+        if lag >= 0:
+            a, b = xa[: nh - lag], xb[lag:]
+        else:
+            a, b = xa[-lag:], xb[: nh + lag]
+        r_np = float(np.corrcoef(a, b)[0, 1])
+        assert got[lag][0] == len(a)
+        assert math.isclose(got[lag][1], r_np, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_q231_did_matches_python(spark, sf_dir):
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    ts_us = [int(r.ts.timestamp() * 1e6) for r in ev]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    users = sorted({r.user_id for r in ev})
+    arm = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        for u in users
+    }
+    y = defaultdict(int)
+    for r, t in zip(ev, ts_us):
+        if r.event_type == "purchase":
+            y[(r.user_id, 0 if t < mid else 1)] += round(r.value * 100)
+    cells = defaultdict(list)
+    for u in users:
+        for p in (0, 1):
+            cells[(arm[u], p)].append(y.get((u, p), 0))
+    mean = {k: sum(v) / len(v) for k, v in cells.items()}
+    did = ((mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])) / 100.0
+    var_sum = 0.0
+    for k, v in cells.items():
+        n = len(v)
+        s, ss = sum(v), sum(x * x for x in v)
+        var_sum += round(1e6 * (n * ss - s * s) / (n * (n - 1) * n)) / 1e6
+    z = ((mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])) / math.sqrt(var_sum)
+    row = QS["q231_diff_in_diff"].fn(spark, sf_dir).collect()[0]
+    assert row.n_t == len(cells[(1, 0)]) and row.n_c == len(cells[(0, 0)])
+    assert math.isclose(row.t_pre, mean[(1, 0)] / 100.0, rel_tol=1e-12)
+    assert math.isclose(row.c_post, mean[(0, 1)] / 100.0, rel_tol=1e-12)
+    assert math.isclose(row.did_estimate, did, rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(row.z_stat, z, rel_tol=1e-9)
