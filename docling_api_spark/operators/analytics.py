@@ -3599,3 +3599,110 @@ def q231_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((t_post_r - t_pre_r) - (c_post_r - c_pre_r)) / sqrt(var_sum)"
         " AS z_stat",
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — stratified ATT: observational effect with confounder adjustment
+# ---------------------------------------------------------------------------
+# The observational counterpart of q231's DiD: "BUILDING-segment" customers
+# are the treated group, average yearly spend the outcome, and nation the
+# confounder — so the effect is estimated WITHIN nation strata and
+# averaged with treated-share weights (exact stratification, the
+# degenerate-but-assumption-free form of propensity adjustment):
+#     ATT = Σ_s (n_Ts / n_T) · (ȳ_Ts − ȳ_Cs)
+# Strata where either arm is empty are excluded (no counterfactual), and
+# the weight renormalizes over contributing strata — both sides compute
+# the same support set by construction.
+#
+# Shape: one keyed fact aggregate to per-customer spend, broadcast-join
+# the dimension labels, one hash agg to ~25 stratum moment rows, one
+# weighted reduce (micro-quantized — the q231 lesson). Exact integer
+# moments throughout.
+_ATT_TREAT_SEG = "BUILDING"
+
+
+@register(
+    "q232_stratified_att",
+    tags=("causal", "stratification", "stats"),
+    oracle=f"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY o_custkey
+        ),
+        labeled AS (
+          SELECT c.c_nationkey AS stratum,
+                 CASE WHEN c.c_mktsegment = '{_ATT_TREAT_SEG}'
+                      THEN 1 ELSE 0 END AS t,
+                 COALESCE(s.y, 0) AS y
+          FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+        ),
+        strata AS (
+          SELECT stratum,
+                 CAST(SUM(t) AS BIGINT) AS n_t,
+                 CAST(COUNT(*) - SUM(t) AS BIGINT) AS n_c,
+                 CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s_t,
+                 CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s_c
+          FROM labeled GROUP BY stratum
+        ),
+        usable AS (
+          SELECT * FROM strata WHERE n_t > 0 AND n_c > 0
+        )
+        SELECT CAST(SUM(n_t) AS BIGINT) AS n_treated,
+               CAST(SUM(n_c) AS BIGINT) AS n_control,
+               CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(CAST(ROUND(1000000.0 * n_t *
+                      (CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c))
+                    AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * 100.0 * SUM(n_t)) AS att_dollars
+        FROM usable
+    """,
+)
+def q232_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average treatment effect on the treated for the BUILDING segment's
+    spend, exactly stratified by nation (see block comment — broadcast
+    labels, ~25 stratum moment rows, micro-quantized weighted reduce)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    labeled = c.join(spend, c.c_custkey == spend.o_custkey, "left").select(
+        F.col("c_nationkey").alias("stratum"),
+        F.when(F.col("c_mktsegment") == _ATT_TREAT_SEG, 1)
+        .otherwise(0)
+        .alias("t"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    strata = labeled.groupBy("stratum").agg(
+        F.sum("t").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("s_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("s_c"),
+    )
+    usable = strata.where((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    return usable.agg(
+        F.sum("n_t").cast("bigint").alias("n_treated"),
+        F.sum("n_c").cast("bigint").alias("n_control"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        (
+            F.sum(
+                F.round(
+                    1000000.0
+                    * F.col("n_t")
+                    * (
+                        F.col("s_t").cast("double") / F.col("n_t")
+                        - F.col("s_c").cast("double") / F.col("n_c")
+                    )
+                ).cast("bigint")
+            ).cast("double")
+            / (1000000.0 * 100.0 * F.sum("n_t"))
+        ).alias("att_dollars"),
+    )

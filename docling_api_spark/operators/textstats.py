@@ -2129,3 +2129,195 @@ def q217_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bhattacharyya",
         F.sqrt(1 - F.col("bhattacharyya")).alias("hellinger"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — Count-Min sketch: build + probe, with exact-count error audit
+# ---------------------------------------------------------------------------
+# The point-query sketch missing from the family (q106 Misra-Gries finds
+# heavy hitters, q171 HLL counts distincts, q108 Bloom tests membership;
+# CMS answers "how often did THIS term occur" in sublinear space): d=4
+# salted hash rows × w=1024 columns of exact counters, estimate = min over
+# the d cells, always an overestimate. Hashes are the engine-portable md5
+# idiom, so build and probe replay identically anywhere.
+#
+# Scale: the build is ONE hash agg to d×w=4096 cells (each row explodes
+# into d (row, col) pairs map-side; partial aggregation combines before
+# the shuffle, so the wire carries ≤4096 cells per task, not tokens). The
+# probe set (top-20 exact terms, the worst case for CMS collisions) is a
+# TakeOrderedAndProject; estimates are a broadcast join against the cell
+# relation. The audit column (est − exact ≥ 0) is the CMS guarantee,
+# checked per term.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 20
+
+
+def _cms_cell_sql(j: str, term: str) -> str:
+    """DuckDB-side salted CMS cell (md5 hex → first 8 nybbles → column)."""
+    return (
+        f"CAST(concat('0x', substring(md5(concat(CAST({j} AS VARCHAR), ':', "
+        f"{term})), 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_cell_spark(j: str, term: str) -> str:
+    """Spark twin of :func:`_cms_cell_sql` — same md5-hex value, expressed
+    with conv() (Spark can't parse '0x' string casts or bare VARCHAR)."""
+    return (
+        f"CAST(conv(substring(md5(CAST(concat(CAST({j} AS STRING), ':', "
+        f"{term}) AS BINARY)), 1, 8), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "q233_count_min_sketch",
+    tags=("sketch", "text", "approx"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        exact AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM toks GROUP BY term
+        ),
+        cells AS (
+          SELECT j.j, {_cms_cell_sql('j.j', 'toks.term')} AS col,
+                 CAST(COUNT(*) AS BIGINT) AS cell_n
+          FROM toks CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS j) j
+          GROUP BY 1, 2
+        ),
+        probe AS (
+          SELECT term, exact_n FROM exact
+          ORDER BY exact_n DESC, term LIMIT {_CMS_TOPK}
+        ),
+        est AS (
+          SELECT p.term, p.exact_n,
+                 CAST(MIN(c.cell_n) AS BIGINT) AS cms_est
+          FROM probe p
+          CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS j) j
+          JOIN cells c
+            ON c.j = j.j AND c.col = {_cms_cell_sql('j.j', 'p.term')}
+          GROUP BY p.term, p.exact_n
+        )
+        SELECT term, exact_n, cms_est, cms_est - exact_n AS overestimate
+        FROM est
+    """,
+)
+def q233_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (4×1024, md5-salted) over the corpus vocabulary,
+    probed at the top-20 exact terms with the ≥0 overestimate audit (see
+    block comment — one 4096-cell hash agg, top-k probe, broadcast
+    estimate join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    js = spark.range(_CMS_D).select(F.col("id").alias("j"))
+    cells = (
+        toks.crossJoin(F.broadcast(js))
+        .selectExpr("j", f"{_cms_cell_spark('j', 'term')} AS col")
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_n"))
+    )
+    probe = exact.orderBy(
+        F.col("exact_n").desc(), "term"
+    ).limit(_CMS_TOPK)
+    probed = (
+        F.broadcast(probe)
+        .crossJoin(F.broadcast(js))
+        .selectExpr(
+            "term",
+            "exact_n",
+            "j",
+            f"{_cms_cell_spark('j', 'term')} AS col",
+        )
+    )
+    est = (
+        probed.join(cells, ["j", "col"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cell_n").cast("bigint").alias("cms_est"))
+    )
+    return est.selectExpr(
+        "term", "exact_n", "cms_est", "cms_est - exact_n AS overestimate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q235 — n-gram novelty: which documents introduce new trigrams?
+# ---------------------------------------------------------------------------
+# Memorization/contamination triage for training corpora: a document whose
+# trigrams have all been seen in earlier documents adds no new sequence
+# material (a near-copy or boilerplate); one full of first-occurrence
+# trigrams is genuinely novel. Novelty(doc) = fraction of the doc's
+# DISTINCT trigrams whose global first occurrence (min doc_id, the
+# ingestion-order stand-in) is this doc.
+#
+# Shape: positional trigram explode (map-side, the q113 guard for short
+# docs), distinct (doc, tri) pairs, one vocabulary-sized min-aggregate,
+# one equi-join back. All counts exact integers. At 100 TB the trigram
+# vocabulary is the working set — same budget as q63's tf-idf postings;
+# a rolling-hash of the trigram (q65) would shrink the shuffle width.
+@register(
+    "q235_ngram_novelty",
+    tags=("text", "dedup", "novelty"),
+    oracle="""
+        WITH tris AS (
+          SELECT DISTINCT doc_id,
+                 t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tri
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+                           ELSE [] END) AS u(i)
+        ),
+        firsts AS (
+          SELECT tri, MIN(doc_id) AS first_doc FROM tris GROUP BY tri
+        )
+        SELECT tris.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tris,
+               CAST(SUM(CASE WHEN f.first_doc = tris.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = tris.doc_id
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                 AS novelty
+        FROM tris JOIN firsts f ON tris.tri = f.tri
+        GROUP BY tris.doc_id
+    """,
+)
+def q235_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct trigrams first introduced by that
+    document (ingestion order = doc_id) — the novelty triage for corpus
+    curation (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tris = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 3)  # sequence(1, 0) descends (q113 lesson)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(t) - 2)")).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.expr("element_at(t, i)"),
+                F.expr("element_at(t, i + 1)"),
+                F.expr("element_at(t, i + 2)"),
+            ).alias("tri"),
+        )
+        .distinct()
+    )
+    firsts = tris.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        tris.join(firsts, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tris"),
+            novel.cast("bigint").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

@@ -4048,3 +4048,113 @@ def q230_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
         " AS xcorr",
     )
+
+
+# ---------------------------------------------------------------------------
+# q234 — multi-window SLO burn-rate alerts (SRE error-budget policy)
+# ---------------------------------------------------------------------------
+# The Google-SRE alerting rule: page when the error-budget burn rate is
+# high in BOTH a short and a long window — the short window gives fast
+# detection, the long window suppresses blips. burn = (errors/events) /
+# budget; here budget = 25% error share and the windows are 1h and
+# trailing 6h over the dense hourly grid.
+#
+# Shape: one fact pass to hourly (errors, total) integer pairs, gap-filled
+# on the hour grid; the 6h trailing sums are ROWS windows over the
+# series-length relation (q223 posture — series-sized, documented
+# allowance). Rates are exact-integer ratios; the alert predicate is pure
+# integer cross-multiplication (err * 4 > tot  ⇔  err/tot / 0.25 > 1), so
+# the alert set is engine- and partition-exact with NO float compare at
+# the boundary.
+_SLO_BUDGET_X = 4  # budget = 1/4 error share; burn>1 ⇔ err * 4 > tot
+
+
+@register(
+    "q234_slo_burn_alerts",
+    tags=("timeseries", "slo", "operational"),
+    oracle=f"""
+        WITH bounds AS (
+          SELECT MIN(epoch_us(ts) // 3600000000) AS h0,
+                 MAX(epoch_us(ts) // 3600000000) AS h1
+          FROM events
+        ),
+        hours AS (SELECT unnest(range(0, h1 - h0 + 1)) AS h FROM bounds),
+        hourly AS (
+          SELECT epoch_us(ts) // 3600000000 - b.h0 AS h,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS err,
+                 CAST(COUNT(*) AS BIGINT) AS tot
+          FROM events e CROSS JOIN bounds b GROUP BY 1
+        ),
+        grid AS (
+          SELECT hours.h, COALESCE(hourly.err, 0) AS err,
+                 COALESCE(hourly.tot, 0) AS tot
+          FROM hours LEFT JOIN hourly ON hours.h = hourly.h
+        ),
+        windows AS (
+          SELECT h, err, tot,
+                 SUM(err) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                                AND CURRENT ROW) AS err6,
+                 SUM(tot) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                                AND CURRENT ROW) AS tot6
+          FROM grid
+        )
+        SELECT h AS hour, err, tot,
+               CAST(err6 AS BIGINT) AS err_6h, CAST(tot6 AS BIGINT) AS tot_6h,
+               CASE WHEN tot > 0 THEN CAST(err AS DOUBLE) / tot
+                      * {_SLO_BUDGET_X} ELSE 0.0 END AS burn_1h,
+               CASE WHEN tot6 > 0 THEN CAST(err6 AS DOUBLE) / tot6
+                      * {_SLO_BUDGET_X} ELSE 0.0 END AS burn_6h,
+               CASE WHEN err * {_SLO_BUDGET_X} > tot
+                     AND err6 * {_SLO_BUDGET_X} > tot6
+                    THEN 1 ELSE 0 END AS alert
+        FROM windows
+    """,
+)
+def q234_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-window (1h + trailing 6h) error-budget burn-rate alerts over the
+    hourly event grid — integer cross-multiplied alert predicate, dense
+    gap-filled series (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev_h = ev.select(
+        F.floor(F.unix_micros("ts") / 3600000000).cast("bigint").alias("habs"),
+        "event_type",
+    )
+    bounds = ev_h.agg(F.min("habs").alias("h0"), F.max("habs").alias("h1"))
+    hours = bounds.select(F.explode(F.expr("sequence(0, h1 - h0)")).alias("h"))
+    hourly = (
+        ev_h.crossJoin(F.broadcast(bounds))
+        .groupBy((F.col("habs") - F.col("h0")).alias("h"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("bigint").alias("err"),
+            F.count(F.lit(1)).cast("bigint").alias("tot"),
+        )
+    )
+    grid = hours.join(hourly, "h", "left").select(
+        "h",
+        F.coalesce("err", F.lit(0)).alias("err"),
+        F.coalesce("tot", F.lit(0)).alias("tot"),
+    )
+    w6 = W.orderBy("h").rowsBetween(-5, 0)
+    windows = grid.select(
+        "h",
+        "err",
+        "tot",
+        F.sum("err").over(w6).alias("err6"),
+        F.sum("tot").over(w6).alias("tot6"),
+    )
+    return windows.selectExpr(
+        "h AS hour",
+        "err",
+        "tot",
+        "CAST(err6 AS BIGINT) AS err_6h",
+        "CAST(tot6 AS BIGINT) AS tot_6h",
+        f"CASE WHEN tot > 0 THEN CAST(err AS DOUBLE) / tot * {_SLO_BUDGET_X}"
+        " ELSE 0.0 END AS burn_1h",
+        f"CASE WHEN tot6 > 0 THEN CAST(err6 AS DOUBLE) / tot6 * {_SLO_BUDGET_X}"
+        " ELSE 0.0 END AS burn_6h",
+        f"CASE WHEN err * {_SLO_BUDGET_X} > tot"
+        f" AND err6 * {_SLO_BUDGET_X} > tot6 THEN 1 ELSE 0 END AS alert",
+    )

@@ -96,6 +96,9 @@ _SP_ALLOWED = {
     "q228_geometric_median": 2,   # mean seed + per-round center scalars
     "q230_lagged_xcorr": 4,       # hour-bounds scalar under both series
     "q231_diff_in_diff": 2,       # stream-midpoint scalar + 4-cell reduce
+    "q232_stratified_att": 1,     # closing ~25-stratum weighted reduce
+    "q234_slo_burn_alerts": 2,    # hour-bounds scalar + 720-row series
+    # window (series-sized, q223 posture)
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q231): each result recomputed by an independent pure-Python/numpy
+(q215-q235): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -633,3 +633,119 @@ def test_q231_did_matches_python(spark, sf_dir):
     assert math.isclose(row.c_post, mean[(0, 1)] / 100.0, rel_tol=1e-12)
     assert math.isclose(row.did_estimate, did, rel_tol=1e-9, abs_tol=1e-9)
     assert math.isclose(row.z_stat, z, rel_tol=1e-9)
+
+
+def test_q232_att_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _ATT_TREAT_SEG
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    ).collect()
+    spend = defaultdict(int)
+    for r in o:
+        spend[r.o_custkey] += round(r.o_totalprice * 100)
+    strata = defaultdict(lambda: {0: [], 1: []})
+    for r in c:
+        t = 1 if r.c_mktsegment == _ATT_TREAT_SEG else 0
+        strata[r.c_nationkey][t].append(spend.get(r.c_custkey, 0))
+    num = 0
+    n_t_tot = n_c_tot = n_strata = 0
+    for cell in strata.values():
+        if not cell[0] or not cell[1]:
+            continue
+        n_strata += 1
+        n_t, n_c = len(cell[1]), len(cell[0])
+        n_t_tot += n_t
+        n_c_tot += n_c
+        num += round(1e6 * n_t * (sum(cell[1]) / n_t - sum(cell[0]) / n_c))
+    att = num / (1e6 * 100.0 * n_t_tot)
+    row = QS["q232_stratified_att"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_treated, row.n_control, row.n_strata) == (
+        n_t_tot, n_c_tot, n_strata,
+    )
+    assert math.isclose(row.att_dollars, att, rel_tol=1e-9)
+
+
+def test_q233_cms_matches_python_and_guarantee(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.textstats import _CMS_D, _CMS_TOPK, _CMS_W
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    exact = defaultdict(int)
+    for r in docs:
+        for t in r.text.split(" "):
+            exact[t] += 1
+
+    def cell(j, term):
+        return int(
+            hashlib.md5(f"{j}:{term}".encode()).hexdigest()[:8], 16
+        ) % _CMS_W
+
+    cells = defaultdict(int)
+    for term, n in exact.items():
+        for j in range(_CMS_D):
+            cells[(j, cell(j, term))] += n
+    probe = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:_CMS_TOPK]
+    expect = {}
+    for term, n in probe:
+        est = min(cells[(j, cell(j, term))] for j in range(_CMS_D))
+        expect[term] = (n, est, est - n)
+    got = {
+        r.term: (r.exact_n, r.cms_est, r.overestimate)
+        for r in QS["q233_count_min_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(v[2] >= 0 for v in got.values())  # the CMS guarantee
+
+
+def test_q234_slo_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _SLO_BUDGET_X
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    hrs = [int(r.ts.timestamp() * 1e6) // 3600000000 for r in ev]
+    h0, h1 = min(hrs), max(hrs)
+    err = defaultdict(int)
+    tot = defaultdict(int)
+    for r, h in zip(ev, hrs):
+        tot[h - h0] += 1
+        if r.event_type == "error":
+            err[h - h0] += 1
+    got = {r.hour: r for r in QS["q234_slo_burn_alerts"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(range(h1 - h0 + 1))
+    for h in got:
+        e, t = err.get(h, 0), tot.get(h, 0)
+        e6 = sum(err.get(i, 0) for i in range(max(0, h - 5), h + 1))
+        t6 = sum(tot.get(i, 0) for i in range(max(0, h - 5), h + 1))
+        r = got[h]
+        assert (r.err, r.tot, r.err_6h, r.tot_6h) == (e, t, e6, t6)
+        assert r.alert == (
+            1 if e * _SLO_BUDGET_X > t and e6 * _SLO_BUDGET_X > t6 else 0
+        )
+        if t:
+            assert math.isclose(r.burn_1h, e / t * _SLO_BUDGET_X, rel_tol=1e-12)
+
+
+def test_q235_novelty_matches_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tris = defaultdict(set)
+    for r in docs:
+        t = r.text.split(" ")
+        for i in range(len(t) - 2):
+            tris[r.doc_id].add(" ".join(t[i:i + 3]))
+    first = {}
+    for did in sorted(tris):
+        for tr in tris[did]:
+            first.setdefault(tr, did)
+    got = {
+        r.doc_id: (r.n_tris, r.n_novel, r.novelty)
+        for r in QS["q235_ngram_novelty"].fn(spark, sf_dir).collect()
+    }
+    expect_docs = {d for d, s in tris.items() if s}
+    assert set(got) == expect_docs
+    for did in expect_docs:
+        n = len(tris[did])
+        nov = sum(1 for tr in tris[did] if first[tr] == did)
+        assert got[did][0] == n and got[did][1] == nov
+        assert math.isclose(got[did][2], nov / n, rel_tol=1e-12)
