@@ -2956,6 +2956,7 @@ _EMD_BUCKET = 5000  # dollars per histogram bucket
 
 @register(
     "q226_emd_regions",
+    bench=True,
     tags=("stats", "drift", "transport"),
     oracle=f"""
         WITH vals AS (
@@ -3349,6 +3350,7 @@ def q228_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # present in only one bitmap are never miscounted. All integer ops.
 @register(
     "q229_bitmap_intersect",
+    bench=True,
     tags=("bitmap", "segments", "set-algebra"),
     oracle="""
         WITH members AS (
@@ -3705,4 +3707,304 @@ def q232_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / (1000000.0 * 100.0 * F.sum("n_t"))
         ).alias("att_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 — k-core peeling of the co-purchase backbone (3 unrolled rounds)
+# ---------------------------------------------------------------------------
+# The degeneracy view of the backbone graph: repeatedly peel nodes of
+# degree < k; what survives is the k-core, the cohesive kernel community
+# detection and influence seeding start from. Exactly-one peel round is a
+# degree filter; the fixpoint needs iteration — three unrolled rounds here
+# (the declarative-ladder idiom of q220/q225/q228: each round is a degree
+# aggregate + two semi-joins on the vocabulary-sized edge list, and the
+# unroll depth bounds plan size; the checkpoint-loop twin for unbounded
+# peeling is q45's CC discipline). Emits surviving nodes with their final
+# degree and whether the peel had already converged (degree-k-stable) by
+# round 3 — all integer.
+_KCORE_K = 2
+
+
+@register(
+    "q236_kcore_peel",
+    tags=("graph", "kcore", "join"),
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+          SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS n
+          FROM items a JOIN items b
+            ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2
+        ),
+        med AS (SELECT quantile_cont(n, 0.5) AS m FROM pairs),
+        e0 AS (SELECT ba, bb FROM pairs, med WHERE n > m),
+        d1 AS (
+          SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT ba AS x FROM e0 UNION ALL SELECT bb FROM e0
+          ) GROUP BY x
+        ),
+        k1 AS (SELECT x FROM d1 WHERE d >= {_KCORE_K}),
+        e1 AS (
+          SELECT ba, bb FROM e0
+          WHERE ba IN (SELECT x FROM k1) AND bb IN (SELECT x FROM k1)
+        ),
+        d2 AS (
+          SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT ba AS x FROM e1 UNION ALL SELECT bb FROM e1
+          ) GROUP BY x
+        ),
+        k2 AS (SELECT x FROM d2 WHERE d >= {_KCORE_K}),
+        e2 AS (
+          SELECT ba, bb FROM e1
+          WHERE ba IN (SELECT x FROM k2) AND bb IN (SELECT x FROM k2)
+        ),
+        d3 AS (
+          SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT ba AS x FROM e2 UNION ALL SELECT bb FROM e2
+          ) GROUP BY x
+        )
+        SELECT x AS brand, d AS degree,
+               CASE WHEN d >= {_KCORE_K} THEN 1 ELSE 0 END AS stable
+        FROM d3
+    """,
+)
+def q236_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peel rounds toward the 2-core of the brand backbone —
+    degree aggregate + semi-join filters per round on the vocabulary-sized
+    edge list (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = pairs.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    edges = (
+        pairs.crossJoin(F.broadcast(med))
+        .where(F.col("n") > F.col("m"))
+        .select("ba", "bb")
+    )
+    # materialize the backbone once (q45/q103 checkpoint discipline):
+    # every peel round re-reads the edge list, and without the checkpoint
+    # the fact-join + median subtree replays per round (50 scalar
+    # exchanges in the unrolled plan). Registered under EXECUTING_PREFIXES.
+    edges = edges.localCheckpoint(eager=True)
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("ba").alias("x"))
+            .unionAll(e.select(F.col("bb").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+
+    e = edges
+    for _ in range(2):  # two peels, then report round-3 degrees
+        keep = degrees(e).where(F.col("d") >= _KCORE_K).select("x")
+        e = (
+            e.join(
+                F.broadcast(keep.selectExpr("x AS ba")), "ba", "semi"
+            ).join(F.broadcast(keep.selectExpr("x AS bb")), "bb", "semi")
+        )
+    return degrees(e).selectExpr(
+        "x AS brand",
+        "d AS degree",
+        f"CASE WHEN d >= {_KCORE_K} THEN 1 ELSE 0 END AS stable",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237 — rank-biased overlap between two supplier rankings
+# ---------------------------------------------------------------------------
+# RBO (Webber et al.) — the top-weighted similarity between two rankings,
+# the right metric when two scoring functions (here: account balance vs
+# fulfilled volume) must be compared as RANKINGS, not value lists (q218
+# judges one ranking against relevance; RBO compares two rankings to each
+# other). Fixed-depth form:
+#     RBO@D = (1-p) * sum_{d=1..D} p^(d-1) * |A_:d intersect B_:d| / d
+# with p = 0.9, D = 20. The geometric weights p^(d-1) are literal
+# constants (libm-free — the q218 discipline); prefix-overlap counts X_d
+# are exact integers (pairs with max(rank_a, rank_b) <= d); the 20-term
+# weighted sum is micro-quantized.
+#
+# Shape: two TakeOrderedAndProject top-20s, an equi-join on supplier, a
+# 20-row depth explode against the <=20-row pair relation, one closing
+# reduce. Constant-size after the fact aggregates at any scale.
+_RBO_D = 20
+_RBO_W = (
+    "CASE d WHEN 1 THEN CAST(1.0 AS DOUBLE) WHEN 2 THEN CAST(0.9 AS DOUBLE) WHEN 3 THEN CAST(0.81 AS DOUBLE) WHEN 4 THEN CAST(0.729 AS DOUBLE) WHEN 5 THEN CAST(0.6561 AS DOUBLE) WHEN 6 THEN CAST(0.59049 AS DOUBLE) WHEN 7 THEN CAST(0.531441 AS DOUBLE) WHEN 8 THEN CAST(0.4782969 AS DOUBLE) WHEN 9 THEN CAST(0.43046721 AS DOUBLE) WHEN 10 THEN CAST(0.387420489 AS DOUBLE) WHEN 11 THEN CAST(0.3486784401 AS DOUBLE) WHEN 12 THEN CAST(0.31381059609 AS DOUBLE) WHEN 13 THEN CAST(0.282429536481 AS DOUBLE) WHEN 14 THEN CAST(0.2541865828329 AS DOUBLE) WHEN 15 THEN CAST(0.22876792454961 AS DOUBLE) WHEN 16 THEN CAST(0.205891132094649 AS DOUBLE) WHEN 17 THEN CAST(0.185302018885184 AS DOUBLE) WHEN 18 THEN CAST(0.166771816996666 AS DOUBLE) WHEN 19 THEN CAST(0.150094635296999 AS DOUBLE) WHEN 20 THEN CAST(0.135085171767299 AS DOUBLE) END"
+)
+
+
+@register(
+    "q237_rank_biased_overlap",
+    tags=("ranking", "evaluation", "metric"),
+    oracle=f"""
+        WITH vol AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS v
+          FROM lineitem GROUP BY l_suppkey
+        ),
+        a AS (
+          SELECT s_suppkey, ROW_NUMBER() OVER
+                   (ORDER BY s_acctbal DESC, s_suppkey) AS ra
+          FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT {_RBO_D}
+        ),
+        b AS (
+          SELECT s.s_suppkey, ROW_NUMBER() OVER
+                   (ORDER BY COALESCE(v.v, 0) DESC, s.s_suppkey) AS rb
+          FROM supplier s LEFT JOIN vol v ON s.s_suppkey = v.l_suppkey
+          ORDER BY COALESCE(v.v, 0) DESC, s.s_suppkey LIMIT {_RBO_D}
+        ),
+        both_ranked AS (
+          SELECT a.ra, b.rb FROM a JOIN b ON a.s_suppkey = b.s_suppkey
+        ),
+        depths AS (SELECT unnest(range(1, {_RBO_D} + 1)) AS d),
+        xd AS (
+          SELECT depths.d,
+                 CAST(COUNT(CASE WHEN br.ra <= depths.d
+                                  AND br.rb <= depths.d THEN 1 END)
+                      AS BIGINT) AS x
+          FROM depths LEFT JOIN both_ranked br ON TRUE
+          GROUP BY depths.d
+        )
+        SELECT CAST({_RBO_D} AS BIGINT) AS depth,
+               CAST(MAX(CASE WHEN d = {_RBO_D} THEN x END) AS BIGINT)
+                 AS overlap_at_depth,
+               0.1 * CAST(SUM(CAST(ROUND(1000000000000.0 * ({_RBO_W})
+                     * x / d) AS BIGINT)) AS DOUBLE) / 1000000000000.0
+                 AS rbo
+        FROM xd
+    """,
+)
+def q237_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO@20 (p=0.9) between the balance-ranked and volume-ranked supplier
+    lists — literal geometric weights, exact prefix-overlap counts,
+    micro-quantized 20-term sum (see block comment)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    wa = W.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    a = (
+        sup.select("s_suppkey", F.row_number().over(wa).alias("ra"))
+        .where(F.col("ra") <= _RBO_D)
+    )
+    svol = sup.join(vol, sup.s_suppkey == vol.l_suppkey, "left").select(
+        "s_suppkey", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    wb = W.orderBy(F.col("v").desc(), "s_suppkey")
+    b = (
+        svol.select("s_suppkey", F.row_number().over(wb).alias("rb"))
+        .where(F.col("rb") <= _RBO_D)
+    )
+    both_ranked = a.join(b, "s_suppkey").select("ra", "rb")
+    depths = spark.range(1, _RBO_D + 1).select(F.col("id").alias("d"))
+    xd = (
+        F.broadcast(depths)
+        .join(both_ranked, F.lit(True), "left")
+        .groupBy("d")
+        .agg(
+            F.count(
+                F.when((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")), 1)
+            ).cast("bigint").alias("x")
+        )
+    )
+    return xd.agg(
+        F.lit(_RBO_D).cast("bigint").alias("depth"),
+        F.max(F.when(F.col("d") == _RBO_D, F.col("x"))).cast("bigint")
+        .alias("overlap_at_depth"),
+        F.expr(
+            f"0.1 * CAST(SUM(CAST(ROUND(1000000000000.0 * ({_RBO_W})"
+            " * x / d) AS BIGINT)) AS DOUBLE) / 1000000000000.0"
+        ).alias("rbo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — Beta-binomial posterior for per-segment conversion rates
+# ---------------------------------------------------------------------------
+# Bayesian shrinkage for rate readouts: with a Beta(1,1) prior the
+# posterior over each segment's heavy-buyer rate is Beta(1+k, 1+n−k) —
+# closed-form mean and sd, all rational except the final sqrt, so the
+# whole posterior is exact-engine arithmetic. Small segments shrink
+# toward 1/2, large ones toward k/n — the principled fix for ranking
+# segments by raw rates (q120's z-test answers "is B better than A";
+# this answers "what IS each rate, honestly, given its sample size").
+# One keyed fact aggregate to per-customer order counts, one hash agg to
+# segment (n, k) integers, one closing expression row per segment.
+_BB_HEAVY = 8  # heavy buyer: >= this many orders (median-ish split)
+
+
+@register(
+    "q238_beta_binomial",
+    tags=("bayesian", "stats", "segmentation"),
+    oracle=f"""
+        WITH per_cust AS (
+          SELECT c.c_custkey, c.c_mktsegment AS segment,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey, c.c_mktsegment
+        ),
+        seg AS (
+          SELECT segment,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN n_orders >= {_BB_HEAVY} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS k
+          FROM per_cust GROUP BY segment
+        )
+        SELECT segment, n, k,
+               CAST(k AS DOUBLE) / n AS raw_rate,
+               (1.0 + CAST(k AS DOUBLE)) / (2.0 + CAST(n AS DOUBLE))
+                 AS post_mean,
+               sqrt(((1.0 + CAST(k AS DOUBLE))
+                     * (1.0 + CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                    / (((2.0 + CAST(n AS DOUBLE)) * (2.0 + CAST(n AS DOUBLE)))
+                       * (3.0 + CAST(n AS DOUBLE)))) AS post_sd
+        FROM seg
+    """,
+)
+def q238_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta(1,1)-posterior mean and sd of each market segment's heavy-buyer
+    rate — closed-form Bayesian shrinkage from exact (n, k) integers (see
+    block comment)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    seg = per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("n_orders") >= _BB_HEAVY, 1).otherwise(0)
+        ).cast("bigint").alias("k"),
+    )
+    return seg.selectExpr(
+        "segment",
+        "n",
+        "k",
+        # bare decimal literals + BIGINT parse as DECIMAL in Spark with
+        # scale-truncating products (the q218 lesson) — cast columns to
+        # DOUBLE so both engines run the same IEEE tree
+        "CAST(k AS DOUBLE) / n AS raw_rate",
+        "(1.0 + CAST(k AS DOUBLE)) / (2.0 + CAST(n AS DOUBLE)) AS post_mean",
+        "sqrt(((1.0 + CAST(k AS DOUBLE))"
+        " * (1.0 + CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"
+        " / (((2.0 + CAST(n AS DOUBLE)) * (2.0 + CAST(n AS DOUBLE)))"
+        "    * (3.0 + CAST(n AS DOUBLE)))) AS post_sd",
     )

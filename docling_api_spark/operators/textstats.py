@@ -2172,6 +2172,7 @@ def _cms_cell_spark(j: str, term: str) -> str:
 
 @register(
     "q233_count_min_sketch",
+    bench=True,
     tags=("sketch", "text", "approx"),
     oracle=f"""
         WITH toks AS (
@@ -2261,6 +2262,7 @@ def q233_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a rolling-hash of the trigram (q65) would shrink the shuffle width.
 @register(
     "q235_ngram_novelty",
+    bench=True,
     tags=("text", "dedup", "novelty"),
     oracle="""
         WITH tris AS (

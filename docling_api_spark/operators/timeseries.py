@@ -3389,6 +3389,7 @@ QUEUE_PUSH = ("view", "click", "signup")  # work arrives
 
 @register(
     "q215_queue_depth",
+    bench=True,
     tags=("timeseries", "window", "queueing"),
     oracle=f"""
         WITH d AS (
@@ -4157,4 +4158,119 @@ def q234_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 0.0 END AS burn_6h",
         f"CASE WHEN err * {_SLO_BUDGET_X} > tot"
         f" AND err6 * {_SLO_BUDGET_X} > tot6 THEN 1 ELSE 0 END AS alert",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239 — burstiness and memory of per-user event interarrivals
+# ---------------------------------------------------------------------------
+# The Goh–Barabási point-process fingerprint: burstiness
+# B = (σ−μ)/(σ+μ) of interarrival times (−1 = periodic, 0 = Poisson,
+# →1 = bursty) and the memory coefficient M = lag-1 Pearson correlation
+# of consecutive interarrivals. Together they classify a stream's
+# temporal texture — q122 histograms interarrivals; this reduces each
+# user's process to the two canonical coordinates.
+#
+# Interarrivals are exact integer SECONDS (lag window on unique
+# timestamps); all moments — including the lag-1 cross moment, built by
+# pairing each gap with the NEXT gap via a second lag window — are exact
+# BIGINT sums, so μ, σ, B, M are closing sqrt/÷ expressions per user.
+# One shuffle by user_id; everything else is map-side.
+@register(
+    "q239_burstiness",
+    tags=("timeseries", "pointprocess", "stats"),
+    oracle="""
+        WITH gaps0 AS (
+          SELECT user_id, ts,
+                 (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts)) // 1000000 AS g
+          FROM events
+        ),
+        gaps AS (
+          SELECT user_id, g,
+                 LEAD(g) OVER (PARTITION BY user_id ORDER BY ts) AS g_next
+          FROM gaps0
+        ),
+        mom AS (
+          SELECT user_id,
+                 CAST(COUNT(g) AS BIGINT) AS n,
+                 CAST(SUM(g) AS BIGINT) AS s1,
+                 CAST(SUM(g * g) AS BIGINT) AS s2,
+                 CAST(COUNT(CASE WHEN g_next IS NOT NULL THEN 1 END)
+                      AS BIGINT) AS np,
+                 CAST(SUM(CASE WHEN g_next IS NOT NULL THEN g END)
+                      AS BIGINT) AS px,
+                 CAST(SUM(CASE WHEN g_next IS NOT NULL THEN g_next END)
+                      AS BIGINT) AS py,
+                 CAST(SUM(CASE WHEN g_next IS NOT NULL THEN g * g END)
+                      AS BIGINT) AS pxx,
+                 CAST(SUM(CASE WHEN g_next IS NOT NULL THEN g_next * g_next END)
+                      AS BIGINT) AS pyy,
+                 CAST(SUM(CASE WHEN g_next IS NOT NULL THEN g * g_next END)
+                      AS BIGINT) AS pxy
+          FROM gaps WHERE g IS NOT NULL
+          GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CAST(s1 AS DOUBLE) / n AS mean_gap_s,
+               sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1))
+                 / n AS sd_gap_s,
+               (sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / n
+                - CAST(s1 AS DOUBLE) / n)
+               / (sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / n
+                  + CAST(s1 AS DOUBLE) / n) AS burstiness,
+               (CAST(np AS DOUBLE) * pxy - CAST(px AS DOUBLE) * py)
+               / (sqrt(CAST(np AS DOUBLE) * pxx - CAST(px AS DOUBLE) * px)
+                  * sqrt(CAST(np AS DOUBLE) * pyy - CAST(py AS DOUBLE) * py))
+                 AS memory_coef
+        FROM mom WHERE n >= 3
+    """,
+)
+def q239_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B and memory coefficient M per user from
+    exact-integer interarrival moments (see block comment — one user_id
+    shuffle, closing sqrt expressions)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts")
+    # integer SECONDS (floor div): µs² moments overflow BIGINT at month-
+    # scale gaps; second-resolution keeps Σg² exact with 6 decades of room
+    gcol = (
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu))
+        / F.lit(1000000)
+    ).cast("bigint")
+    gaps = ev.select(
+        "user_id",
+        gcol.alias("g"),
+        F.lead(gcol).over(wu).alias("g_next"),
+    ).where(F.col("g").isNotNull())
+    has_next = F.col("g_next").isNotNull()
+    mom = gaps.groupBy("user_id").agg(
+        F.count("g").cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("s2"),
+        F.count(F.when(has_next, 1)).cast("bigint").alias("np"),
+        F.sum(F.when(has_next, F.col("g"))).cast("bigint").alias("px"),
+        F.sum(F.when(has_next, F.col("g_next"))).cast("bigint").alias("py"),
+        F.sum(F.when(has_next, F.col("g") * F.col("g"))).cast("bigint").alias("pxx"),
+        F.sum(F.when(has_next, F.col("g_next") * F.col("g_next")))
+        .cast("bigint")
+        .alias("pyy"),
+        F.sum(F.when(has_next, F.col("g") * F.col("g_next")))
+        .cast("bigint")
+        .alias("pxy"),
+    )
+    return mom.where(F.col("n") >= 3).selectExpr(
+        "user_id",
+        "n",
+        "CAST(s1 AS DOUBLE) / n AS mean_gap_s",
+        "sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1))"
+        " / n AS sd_gap_s",
+        "(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / n"
+        " - CAST(s1 AS DOUBLE) / n)"
+        " / (sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / n"
+        "    + CAST(s1 AS DOUBLE) / n) AS burstiness",
+        "(CAST(np AS DOUBLE) * pxy - CAST(px AS DOUBLE) * py)"
+        " / (sqrt(CAST(np AS DOUBLE) * pxx - CAST(px AS DOUBLE) * px)"
+        "    * sqrt(CAST(np AS DOUBLE) * pyy - CAST(py AS DOUBLE) * py))"
+        " AS memory_coef",
     )

@@ -44,7 +44,7 @@ QUERIES: dict[str, Query] = {}
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
     "q103", "q139", "q152", "q174", "q189", "q191", "q194", "q202",  # eager checkpoints / scalar-state collects
-    "q43", "q45", "q57", "q208",  # checkpointed dedup ladders
+    "q43", "q45", "q57", "q208", "q236",  # checkpointed dedup/peel ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
 
@@ -312,6 +312,32 @@ GRADED_FIRST: tuple[str, ...] = (
     "q212_nation_modularity",
     "q213_churn_features",
     "q214_partition_advisor",
+    # ---- round-4 fourth-session additions (overflow; round-5+ queue) ----
+    "q215_queue_depth",
+    "q216_pca2d",
+    "q217_hellinger_drift",
+    "q218_ndcg_ranking",
+    "q219_haar_downsample",
+    "q220_raking_ipf",
+    "q221_poisson_bootstrap",
+    "q222_degree_assortativity",
+    "q223_stl_decompose",
+    "q224_sax_symbols",
+    "q225_markov_absorption",
+    "q226_emd_regions",
+    "q227_conformal_interval",
+    "q228_geometric_median",
+    "q229_bitmap_intersect",
+    "q230_lagged_xcorr",
+    "q231_diff_in_diff",
+    "q232_stratified_att",
+    "q233_count_min_sketch",
+    "q234_slo_burn_alerts",
+    "q235_ngram_novelty",
+    "q236_kcore_peel",
+    "q237_rank_biased_overlap",
+    "q238_beta_binomial",
+    "q239_burstiness",
 )
 
 

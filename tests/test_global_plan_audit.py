@@ -99,6 +99,8 @@ _SP_ALLOWED = {
     "q232_stratified_att": 1,     # closing ~25-stratum weighted reduce
     "q234_slo_burn_alerts": 2,    # hour-bounds scalar + 720-row series
     # window (series-sized, q223 posture)
+    "q237_rank_biased_overlap": 1,  # two 20-row top-k rank windows +
+    # closing 20-term reduce — constant-size relations
 }
 
 AUDITED = [

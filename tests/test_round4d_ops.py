@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q235): each result recomputed by an independent pure-Python/numpy
+(q215-q239): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -749,3 +749,118 @@ def test_q235_novelty_matches_python(spark, sf_dir):
         nov = sum(1 for tr in tris[did] if first[tr] == did)
         assert got[did][0] == n and got[did][1] == nov
         assert math.isclose(got[did][2], nov / n, rel_tol=1e-12)
+
+
+def test_q236_kcore_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _KCORE_K
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    pt = {r.p_partkey: r.p_brand for r in load_table(spark, sf_dir, "part").collect()}
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(pt[r.l_partkey])
+    support = defaultdict(int)
+    for brs in by_order.values():
+        srt = sorted(brs)
+        for i, a in enumerate(srt):
+            for b in srt[i + 1:]:
+                support[(a, b)] += 1
+    med = float(np.median(list(support.values())))
+    edges = [e for e, sup in support.items() if sup > med]
+    for _ in range(2):  # two peels, as in the query
+        deg = defaultdict(int)
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {x for x, d in deg.items() if d >= _KCORE_K}
+        edges = [(a, b) for a, b in edges if a in keep and b in keep]
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    expect = {x: (d, 1 if d >= _KCORE_K else 0) for x, d in deg.items()}
+    got = {
+        r.brand: (r.degree, r.stable)
+        for r in QS["q236_kcore_peel"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_q237_rbo_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _RBO_D
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal").collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey").collect()
+    vol = defaultdict(int)
+    for r in li:
+        vol[r.l_suppkey] += 1
+    a = [k for k, _ in sorted(((r.s_suppkey, r.s_acctbal) for r in sup),
+                              key=lambda t: (-t[1], t[0]))][:_RBO_D]
+    b = [k for k, _ in sorted(((r.s_suppkey, vol.get(r.s_suppkey, 0)) for r in sup),
+                              key=lambda t: (-t[1], t[0]))][:_RBO_D]
+    p = 0.9
+    rbo = 0.0
+    for d in range(1, _RBO_D + 1):
+        x = len(set(a[:d]) & set(b[:d]))
+        rbo += round(1e12 * round(p ** (d - 1), 15) * x / d)
+    rbo = 0.1 * rbo / 1e12
+    row = QS["q237_rank_biased_overlap"].fn(spark, sf_dir).collect()[0]
+    assert row.depth == _RBO_D
+    assert row.overlap_at_depth == len(set(a) & set(b))
+    assert math.isclose(row.rbo, rbo, abs_tol=1e-9)
+    assert 0.0 <= row.rbo <= 1.0
+
+
+def test_q238_beta_binomial_matches_scipy_formulas(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _BB_HEAVY
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").collect()
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").collect()
+    cnt = defaultdict(int)
+    for r in o:
+        cnt[r.o_custkey] += 1
+    seg = defaultdict(lambda: [0, 0])
+    for r in c:
+        seg[r.c_mktsegment][0] += 1
+        if cnt.get(r.c_custkey, 0) >= _BB_HEAVY:
+            seg[r.c_mktsegment][1] += 1
+    got = {r.segment: r for r in QS["q238_beta_binomial"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(seg)
+    for sname, (n, k) in seg.items():
+        a, b = 1.0 + k, 1.0 + n - k
+        mean = a / (a + b)
+        sd = math.sqrt(a * b / ((a + b) ** 2 * (a + b + 1)))
+        r = got[sname]
+        assert (r.n, r.k) == (n, k)
+        assert math.isclose(r.post_mean, mean, rel_tol=1e-12)
+        assert math.isclose(r.post_sd, sd, rel_tol=1e-12)
+        # shrinkage direction: posterior mean sits between raw rate and 1/2
+        lo, hi = sorted((r.raw_rate, 0.5))
+        assert lo - 1e-12 <= r.post_mean <= hi + 1e-12
+
+
+def test_q239_burstiness_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append(int(r.ts.timestamp() * 1e6))
+    got = {r.user_id: r for r in QS["q239_burstiness"].fn(spark, sf_dir).collect()}
+    for uid, tss in per_user.items():
+        tss.sort()
+        gaps = [(b - a) // 1000000 for a, b in zip(tss, tss[1:])]
+        n = len(gaps)
+        if n < 3:
+            assert uid not in got
+            continue
+        mu = sum(gaps) / n
+        sd = math.sqrt(n * sum(g * g for g in gaps) - sum(gaps) ** 2) / n
+        bB = (sd - mu) / (sd + mu)
+        pairs = list(zip(gaps, gaps[1:]))
+        m = float(np.corrcoef([x for x, _ in pairs], [y for _, y in pairs])[0, 1])
+        r = got[uid]
+        assert r.n == n
+        assert math.isclose(r.mean_gap_s, mu, rel_tol=1e-12)
+        assert math.isclose(r.sd_gap_s, sd, rel_tol=1e-9)
+        assert math.isclose(r.burstiness, bB, rel_tol=1e-9)
+        assert math.isclose(r.memory_coef, m, rel_tol=1e-6, abs_tol=1e-9)
+        assert -1.0 <= r.burstiness <= 1.0
