@@ -4008,3 +4008,81 @@ def q238_beta_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (((2.0 + CAST(n AS DOUBLE)) * (2.0 + CAST(n AS DOUBLE)))"
         "    * (3.0 + CAST(n AS DOUBLE)))) AS post_sd",
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — quantile treatment effects (distributional A/B readout)
+# ---------------------------------------------------------------------------
+# q120 tests the MEAN; experiments that move the tails (pricing, limits,
+# ranking changes) need the quantile view: QTE(τ) = Q_treat(τ) − Q_ctrl(τ)
+# at τ ∈ {0.1, 0.5, 0.9}. Arms are the md5 assignment; the outcome is
+# per-user purchase spend in exact integer cents, so the exact percentile
+# interpolates identical integers on both engines (q24/q227 discipline —
+# approx_percentile is the 100 TB swap). One keyed aggregate, 2×3 exact
+# percentiles, a 3-row output.
+_QTE_TAUS = (0.1, 0.5, 0.9)
+
+
+@register(
+    "q241_quantile_treatment_effect",
+    tags=("experiment", "quantile", "stats"),
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 {sql_hash_bucket('user_id', 2)} AS arm,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ROUND(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY user_id
+        ),
+        wide AS (
+          SELECT
+            quantile_cont(CASE WHEN arm = 1 THEN y END, 0.1) AS t0,
+            quantile_cont(CASE WHEN arm = 0 THEN y END, 0.1) AS c0,
+            quantile_cont(CASE WHEN arm = 1 THEN y END, 0.5) AS t1,
+            quantile_cont(CASE WHEN arm = 0 THEN y END, 0.5) AS c1,
+            quantile_cont(CASE WHEN arm = 1 THEN y END, 0.9) AS t2,
+            quantile_cont(CASE WHEN arm = 0 THEN y END, 0.9) AS c2
+          FROM u
+        ),
+        q AS (
+          SELECT CAST(0.1 AS DOUBLE) AS tau, t0 AS q_treat_c, c0 AS q_ctrl_c FROM wide
+          UNION ALL
+          SELECT CAST(0.5 AS DOUBLE), t1, c1 FROM wide
+          UNION ALL
+          SELECT CAST(0.9 AS DOUBLE), t2, c2 FROM wide
+        )
+        SELECT tau, q_treat_c / 100.0 AS q_treat, q_ctrl_c / 100.0 AS q_ctrl,
+               (q_treat_c - q_ctrl_c) / 100.0 AS qte
+        FROM q
+    """,
+)
+def q241_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QTE at τ=0.1/0.5/0.9 for per-user purchase spend between hash arms
+    — exact integer-cent percentiles per arm (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("y")
+    ).select(hash_bucket("user_id", 2).alias("arm"), "y")
+    # Spark's percentile needs FOLDABLE percentages — compute the three
+    # taus as literal columns in one agg, then stack to the 3-row shape
+    wide = u.agg(
+            F.expr("percentile(CASE WHEN arm = 1 THEN y END, 0.1)").alias("t0"),
+            F.expr("percentile(CASE WHEN arm = 0 THEN y END, 0.1)").alias("c0"),
+            F.expr("percentile(CASE WHEN arm = 1 THEN y END, 0.5)").alias("t1"),
+            F.expr("percentile(CASE WHEN arm = 0 THEN y END, 0.5)").alias("c1"),
+            F.expr("percentile(CASE WHEN arm = 1 THEN y END, 0.9)").alias("t2"),
+            F.expr("percentile(CASE WHEN arm = 0 THEN y END, 0.9)").alias("c2"),
+    )
+    q = wide.selectExpr("stack(3, CAST(0.1 AS DOUBLE), t0, c0, CAST(0.5 AS DOUBLE), t1, c1, CAST(0.9 AS DOUBLE), t2, c2) AS (tau, q_treat_c, q_ctrl_c)")
+    return q.selectExpr(
+        "tau",
+        "q_treat_c / 100.0 AS q_treat",
+        "q_ctrl_c / 100.0 AS q_ctrl",
+        "(q_treat_c - q_ctrl_c) / 100.0 AS qte",
+    )

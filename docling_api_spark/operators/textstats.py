@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from docling_api_spark.functions.numeric import davg, sql_davg
 from docling_api_spark.operators.similarity import (
@@ -2322,4 +2323,52 @@ def q235_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             novel.cast("bigint").alias("n_novel"),
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q240 — zlib compression ratio (the Gopher-style compressibility gate)
+# ---------------------------------------------------------------------------
+def _compress_batch(batches):
+    """Per-doc zlib(level=6) compressed size — the one curation signal that
+    needs a real codec, hence the documented Python boundary (Arrow
+    batches; zlib is C-speed, the per-row loop is just the call)."""
+    import zlib
+
+    for pdf in batches:
+        raw = pdf["text"].str.encode("utf-8")
+        out = pdf[["doc_id"]].copy()
+        out["raw_len"] = raw.str.len().astype("int64")
+        out["zlib_len"] = raw.map(
+            lambda b: len(zlib.compress(b, 6))
+        ).astype("int64")
+        yield out
+
+
+@register(
+    "q240_compression_ratio",
+    tags=("text", "curation", "udf"),
+    # no SQL oracle: DuckDB has no zlib — rows-only at the driver; the
+    # exact byte counts are pinned against python zlib in
+    # tests/test_round4d_ops.py
+)
+def q240_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — low-compressibility text is
+    noise/binary junk, high-compressibility is boilerplate/repetition; the
+    two-sided gate from the Gopher curation rules. mapInPandas (q111's
+    boundary discipline): narrow, shuffle-free, codec cost only. Ratio is
+    a rational of two exact byte counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("zlib_len", T.LongType()),
+        ]
+    )
+    return docs.mapInPandas(_compress_batch, schema).select(
+        "doc_id",
+        "raw_len",
+        "zlib_len",
+        (F.col("zlib_len").cast("double") / F.col("raw_len")).alias("ratio"),
     )

@@ -4274,3 +4274,281 @@ def q239_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    * sqrt(CAST(np AS DOUBLE) * pyy - CAST(py AS DOUBLE) * py))"
         " AS memory_coef",
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 — optimal single changepoint (binary segmentation, exact)
+# ---------------------------------------------------------------------------
+# q119's CUSUM *detects* drift against a reference; binary segmentation
+# *locates* the optimal break: the split t minimizing SSE_left+SSE_right,
+# equivalently maximizing g(t) = S_L²/n_L + S_R²/n_R (prefix-sum closed
+# form — no per-split scan; scores round to whole units, ulp-scale
+# resolution at these magnitudes, before the argmax). One cumulative window over the series-length
+# relation computes every candidate's score; the argmax is a two-step
+# exact reduce (max of micro-quantized score, then min day achieving it —
+# deterministic tie-break, no float compare). Recursing on each side
+# yields full binary segmentation; one level is the declarative unit.
+@register(
+    "q242_binary_segmentation",
+    tags=("timeseries", "changepoint", "window"),
+    oracle="""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                           MAX(CAST(o_orderdate AS DATE))) AS span
+          FROM orders
+        ),
+        days AS (SELECT unnest(range(0, span + 1)) AS day FROM bounds),
+        rev AS (
+          SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+          FROM orders o CROSS JOIN bounds b GROUP BY 1
+        ),
+        series AS (
+          SELECT d.day, COALESCE(r.v, 0) AS v
+          FROM days d LEFT JOIN rev r ON d.day = r.day
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+          FROM series
+        ),
+        pre AS (
+          SELECT day,
+                 SUM(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sl,
+                 ROW_NUMBER() OVER (ORDER BY day) AS nl
+          FROM series
+        ),
+        scored AS (
+          SELECT p.day,
+                 CAST(ROUND(
+                   CAST(p.sl AS DOUBLE) * p.sl / p.nl
+                   + CAST(t.s - p.sl AS DOUBLE) * (t.s - p.sl)
+                     / greatest(t.n - p.nl, 1)) AS BIGINT) AS gq,
+                 p.sl, p.nl, t.s, t.n
+          FROM pre p CROSS JOIN tot t
+          WHERE p.nl < t.n
+        ),
+        best AS (SELECT MAX(gq) AS m FROM scored)
+        SELECT CAST(MIN(s.day) AS BIGINT) AS split_day,
+               CAST(MIN(s.nl) AS BIGINT) AS n_left,
+               CAST(MIN(s.n - s.nl) AS BIGINT) AS n_right,
+               MIN(CAST(s.sl AS DOUBLE) / s.nl) AS mean_left,
+               MIN(CAST(s.s - s.sl AS DOUBLE) / (s.n - s.nl)) AS mean_right
+        FROM scored s CROSS JOIN best b
+        WHERE s.gq = b.m
+    """,
+)
+def q242_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact optimal single changepoint of the daily revenue series via the
+    prefix-sum SSE closed form (see block comment — one cumulative window,
+    quantized argmax with deterministic tie-break)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    days = bounds.select(F.explode(F.expr("sequence(0, span)")).alias("day"))
+    rev = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")).alias("day"),
+            F.round(F.col("o_totalprice")).cast("bigint").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    tot = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    wseq = W.orderBy("day")
+    pre = series.select(
+        "day",
+        F.sum("v").over(wseq.rowsBetween(W.unboundedPreceding, 0)).alias("sl"),
+        F.row_number().over(wseq).alias("nl"),
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("n"))
+        .selectExpr(
+            "day",
+            "CAST(ROUND("
+            " CAST(sl AS DOUBLE) * sl / nl"
+            " + CAST(s - sl AS DOUBLE) * (s - sl) / greatest(n - nl, 1))"
+            " AS BIGINT) AS gq",
+            "sl", "nl", "s", "n",
+        )
+    )
+    best = scored.agg(F.max("gq").alias("m"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .where(F.col("gq") == F.col("m"))
+        .agg(
+            F.min("day").cast("bigint").alias("split_day"),
+            F.min("nl").cast("bigint").alias("n_left"),
+            F.min(F.col("n") - F.col("nl")).cast("bigint").alias("n_right"),
+            F.min(F.col("sl").cast("double") / F.col("nl")).alias("mean_left"),
+            F.min(
+                (F.col("s") - F.col("sl")).cast("double")
+                / (F.col("n") - F.col("nl"))
+            ).alias("mean_right"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243 — Gini-Simpson behavioral diversity per user
+# ---------------------------------------------------------------------------
+# Entropy without logarithms: the Gini-Simpson index 1 − Σp² and the
+# effective number of behaviors 1/Σp² (inverse Simpson) — exact rational
+# functions of integer counts, so the diversity profile is engine-exact
+# (Shannon entropy's log is not cross-engine reproducible; for k=5
+# behavior classes the Hill numbers carry the same ordering). One keyed
+# aggregate to (user, type) counts, one hash agg of squared counts.
+@register(
+    "q243_simpson_diversity",
+    tags=("stats", "diversity", "behavior"),
+    oracle="""
+        WITH c AS (
+          SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k
+          FROM events GROUP BY user_id, event_type
+        ),
+        agg AS (
+          SELECT user_id,
+                 CAST(SUM(k) AS BIGINT) AS n,
+                 CAST(SUM(k * k) AS BIGINT) AS kk,
+                 CAST(COUNT(*) AS BIGINT) AS n_types
+          FROM c GROUP BY user_id
+        )
+        SELECT user_id, n, n_types,
+               1.0 - CAST(kk AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                 AS gini_simpson,
+               (CAST(n AS DOUBLE) * n) / kk AS effective_types
+        FROM agg
+    """,
+)
+def q243_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson diversity and inverse-Simpson effective behavior count
+    per user — the log-free diversity profile (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    agg = c.groupBy("user_id").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("kk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return agg.selectExpr(
+        "user_id",
+        "n",
+        "n_types",
+        "1.0 - CAST(kk AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS gini_simpson",
+        "(CAST(n AS DOUBLE) * n) / kk AS effective_types",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 — peak detection with an integer prominence gate
+# ---------------------------------------------------------------------------
+# Local-maximum mining on the daily revenue series: a day is a peak when
+# it strictly exceeds its ±3-day neighborhood AND clears 1.2× the centered
+# 7-day average. Both predicates are pure INTEGER comparisons (the ratio
+# gate cross-multiplies: 35·v > 6·s7 ⇔ v > 1.2·s7/7), so the peak set is
+# bit-exact on any engine — no float at the decision boundary (the q234
+# discipline). Windows run on the series-length relation (q223 posture).
+@register(
+    "q244_peak_detection",
+    tags=("timeseries", "peaks", "window"),
+    oracle="""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                           MAX(CAST(o_orderdate AS DATE))) AS span
+          FROM orders
+        ),
+        days AS (SELECT unnest(range(0, span + 1)) AS day, span FROM bounds),
+        rev AS (
+          SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS v
+          FROM orders o CROSS JOIN bounds b GROUP BY 1
+        ),
+        series AS (
+          SELECT d.day, d.span, COALESCE(r.v, 0) AS v
+          FROM days d LEFT JOIN rev r ON d.day = r.day
+        ),
+        ctx AS (
+          SELECT day, span, v,
+                 MAX(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 1 PRECEDING) AS mx_l,
+                 MAX(v) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING
+                              AND 3 FOLLOWING) AS mx_r,
+                 SUM(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS s7
+          FROM series
+        )
+        SELECT day AS peak_day, v AS revenue_dollars,
+               CAST(s7 AS BIGINT) AS window_sum,
+               CAST(7 AS DOUBLE) * v / s7 AS lift
+        FROM ctx
+        WHERE day >= 3 AND day <= span - 3
+          AND v > mx_l AND v > mx_r
+          AND 35 * v > 6 * s7
+    """,
+)
+def q244_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ±3-day local maxima of daily revenue clearing a 1.2× weekly-
+    average prominence gate — all-integer peak predicate (see block
+    comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(0, span)")).alias("day"), "span"
+    )
+    rev = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")).alias("day"),
+            F.round(F.col("o_totalprice")).cast("bigint").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", "span", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    wd = W.orderBy("day")
+    ctx = series.select(
+        "day",
+        "span",
+        "v",
+        F.max("v").over(wd.rowsBetween(-3, -1)).alias("mx_l"),
+        F.max("v").over(wd.rowsBetween(1, 3)).alias("mx_r"),
+        F.sum("v").over(wd.rowsBetween(-3, 3)).alias("s7"),
+    )
+    return ctx.where(
+        (F.col("day") >= 3)
+        & (F.col("day") <= F.col("span") - 3)
+        & (F.col("v") > F.col("mx_l"))
+        & (F.col("v") > F.col("mx_r"))
+        & (35 * F.col("v") > 6 * F.col("s7"))
+    ).selectExpr(
+        "day AS peak_day",
+        "v AS revenue_dollars",
+        "CAST(s7 AS BIGINT) AS window_sum",
+        "CAST(7 AS DOUBLE) * v / s7 AS lift",
+    )

@@ -338,6 +338,11 @@ GRADED_FIRST: tuple[str, ...] = (
     "q237_rank_biased_overlap",
     "q238_beta_binomial",
     "q239_burstiness",
+    "q240_compression_ratio",
+    "q241_quantile_treatment_effect",
+    "q242_binary_segmentation",
+    "q243_simpson_diversity",
+    "q244_peak_detection",
 )
 
 

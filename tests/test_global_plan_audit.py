@@ -101,6 +101,12 @@ _SP_ALLOWED = {
     # window (series-sized, q223 posture)
     "q237_rank_biased_overlap": 1,  # two 20-row top-k rank windows +
     # closing 20-term reduce — constant-size relations
+    "q241_quantile_treatment_effect": 1,  # 6-percentile scalar reduce
+    "q242_binary_segmentation": 8,  # date-bounds + series-total scalars
+    # under the prefix/score aliases + the series-length cumulative window
+    # (q223 posture) + argmax scalar — all scalar or series-sized
+    "q244_peak_detection": 2,     # date-bounds scalar + series-length
+    # neighborhood windows (q223 posture)
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q239): each result recomputed by an independent pure-Python/numpy
+(q215-q244): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -307,7 +307,10 @@ def _daily_cents(spark, sf_dir, round_to_dollars=False):
     )
     daily = defaultdict(int)
     for r in rows:
-        v = round(r.o_totalprice) if round_to_dollars else round(r.o_totalprice * 100)
+        # engine ROUND is half-AWAY; python round() is half-even (cents
+        # are safe — 2-decimal data makes *100 integral — dollars are not)
+        v = (int(math.floor(r.o_totalprice + 0.5)) if round_to_dollars
+             else round(r.o_totalprice * 100))
         daily[r.o_orderdate.date()] += v
     d0, d1 = min(daily), max(daily)
     return [daily.get(d0 + dt.timedelta(days=i), 0)
@@ -864,3 +867,129 @@ def test_q239_burstiness_matches_python(spark, sf_dir):
         assert math.isclose(r.burstiness, bB, rel_tol=1e-9)
         assert math.isclose(r.memory_coef, m, rel_tol=1e-6, abs_tol=1e-9)
         assert -1.0 <= r.burstiness <= 1.0
+
+
+def test_q240_compression_matches_zlib(spark, sf_dir):
+    import zlib
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        raw = r.text.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        expect[r.doc_id] = (len(raw), z, z / len(raw))
+    got = {
+        r.doc_id: (r.raw_len, r.zlib_len, r.ratio)
+        for r in QS["q240_compression_ratio"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for did, (rl, zl, ratio) in expect.items():
+        assert got[did][0] == rl and got[did][1] == zl
+        assert math.isclose(got[did][2], ratio, rel_tol=1e-12)
+
+
+def test_q241_qte_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    y = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            y[r.user_id] += round(r.value * 100)
+    arms = {0: [], 1: []}
+    for u in users:
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        arms[arm].append(y.get(u, 0))
+    got = {r.tau: r for r in
+           QS["q241_quantile_treatment_effect"].fn(spark, sf_dir).collect()}
+    assert set(got) == {0.1, 0.5, 0.9}
+    for tau in got:
+        qt = float(np.percentile(arms[1], tau * 100, method="linear")) / 100
+        qc = float(np.percentile(arms[0], tau * 100, method="linear")) / 100
+        r = got[tau]
+        assert math.isclose(r.q_treat, qt, rel_tol=1e-9)
+        assert math.isclose(r.q_ctrl, qc, rel_tol=1e-9)
+        assert math.isclose(r.qte, qt - qc, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _daily_dollars(spark, sf_dir):
+    import datetime as dt
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        # engine ROUND is half-AWAY; python round() is half-even
+        daily[r.o_orderdate.date()] += int(math.floor(r.o_totalprice + 0.5))
+    d0, d1 = min(daily), max(daily)
+    return [daily.get(d0 + dt.timedelta(days=i), 0)
+            for i in range((d1 - d0).days + 1)]
+
+
+def test_q242_binary_segmentation_matches_python(spark, sf_dir):
+    v = _daily_dollars(spark, sf_dir)
+    n, s = len(v), sum(v)
+    best = (None, None)
+    sl = 0
+    for i, x in enumerate(v[:-1]):
+        sl += x
+        nl = i + 1
+        g = round(sl * sl / nl + (s - sl) * (s - sl) / (n - nl))
+        if best[0] is None or g > best[0]:
+            best = (g, (i, nl, sl))
+    _, (day, nl, sl) = best
+    row = QS["q242_binary_segmentation"].fn(spark, sf_dir).collect()[0]
+    assert row.split_day == day
+    assert (row.n_left, row.n_right) == (nl, n - nl)
+    assert math.isclose(row.mean_left, sl / nl, rel_tol=1e-12)
+    assert math.isclose(row.mean_right, (s - sl) / (n - nl), rel_tol=1e-12)
+    # the split genuinely reduces SSE vs no split
+    sse0 = sum(x * x for x in v) - s * s / n
+    sse1 = (sum(x * x for x in v[:nl]) - sl * sl / nl) + (
+        sum(x * x for x in v[nl:]) - (s - sl) ** 2 / (n - nl)
+    )
+    assert sse1 < sse0
+
+
+def test_q243_diversity_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    c = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        c[r.user_id][r.event_type] += 1
+    got = {r.user_id: r for r in QS["q243_simpson_diversity"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(c)
+    for uid, types in c.items():
+        n = sum(types.values())
+        kk = sum(k * k for k in types.values())
+        r = got[uid]
+        assert (r.n, r.n_types) == (n, len(types))
+        assert math.isclose(r.gini_simpson, 1 - kk / (n * n), rel_tol=1e-12)
+        assert math.isclose(r.effective_types, n * n / kk, rel_tol=1e-12)
+        assert 1.0 <= r.effective_types <= len(types) + 1e-9
+
+
+def test_q244_peaks_match_python(spark, sf_dir):
+    v = _daily_dollars(spark, sf_dir)
+    span = len(v) - 1
+    expect = {}
+    for d in range(3, span - 2):
+        s7 = sum(v[d - 3:d + 4])
+        if (v[d] > max(v[d - 3:d]) and v[d] > max(v[d + 1:d + 4])
+                and 35 * v[d] > 6 * s7):
+            expect[d] = (v[d], s7, 7.0 * v[d] / s7)
+    got = {
+        r.peak_day: (r.revenue_dollars, r.window_sum, r.lift)
+        for r in QS["q244_peak_detection"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (rev, s7, lift) in expect.items():
+        assert got[d][0] == rev and got[d][1] == s7
+        assert math.isclose(got[d][2], lift, rel_tol=1e-12)
+        assert got[d][2] > 1.2
