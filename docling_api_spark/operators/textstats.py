@@ -2142,9 +2142,11 @@ def q217_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the d cells, always an overestimate. Hashes are the engine-portable md5
 # idiom, so build and probe replay identically anywhere.
 #
-# Scale: the build is ONE hash agg to d×w=4096 cells (each row explodes
-# into d (row, col) pairs map-side; partial aggregation combines before
-# the shuffle, so the wire carries ≤4096 cells per task, not tokens). The
+# Scale: the build is ONE hash agg to d×w=4096 cells, derived from the
+# count-weighted VOCABULARY relation (the d-way explode costs d×|vocab|,
+# never d×|corpus|; partial aggregation combines map-side, so the wire
+# carries ≤4096 cells per task). On an unbounded stream you'd explode the
+# raw tokens instead — same cells, no vocab materialization. The
 # probe set (top-20 exact terms, the worst case for CMS collisions) is a
 # TakeOrderedAndProject; estimates are a broadcast join against the cell
 # relation. The audit column (est − exact ≥ 0) is the CMS guarantee,
@@ -2184,9 +2186,12 @@ def _cms_cell_spark(j: str, term: str) -> str:
           FROM toks GROUP BY term
         ),
         cells AS (
-          SELECT j.j, {_cms_cell_sql('j.j', 'toks.term')} AS col,
-                 CAST(COUNT(*) AS BIGINT) AS cell_n
-          FROM toks CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS j) j
+          -- built from the VOCABULARY relation, not the token stream: the
+          -- d-way explode runs on ~|vocab| rows with count weights, so the
+          -- sketch build costs d x vocab, never d x corpus
+          SELECT j.j, {_cms_cell_sql('j.j', 'exact.term')} AS col,
+                 CAST(SUM(exact.exact_n) AS BIGINT) AS cell_n
+          FROM exact CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS j) j
           GROUP BY 1, 2
         ),
         probe AS (
@@ -2217,11 +2222,13 @@ def q233_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("exact_n")
     )
     js = spark.range(_CMS_D).select(F.col("id").alias("j"))
+    # cells from the vocabulary relation (count-weighted), not the token
+    # stream — the d-way explode costs d×|vocab|, never d×|corpus|
     cells = (
-        toks.crossJoin(F.broadcast(js))
-        .selectExpr("j", f"{_cms_cell_spark('j', 'term')} AS col")
+        exact.crossJoin(F.broadcast(js))
+        .selectExpr("j", f"{_cms_cell_spark('j', 'term')} AS col", "exact_n")
         .groupBy("j", "col")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_n"))
+        .agg(F.sum("exact_n").cast("bigint").alias("cell_n"))
     )
     probe = exact.orderBy(
         F.col("exact_n").desc(), "term"
