@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from docling_api_spark.functions.numeric import sql_dsum
 from docling_api_spark.operators.sampling import hash_bucket, sql_hash_bucket
@@ -4085,4 +4086,119 @@ def q241_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
         "q_treat_c / 100.0 AS q_treat",
         "q_ctrl_c / 100.0 AS q_ctrl",
         "(q_treat_c - q_ctrl_c) / 100.0 AS qte",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q246 — isotonic calibration (PAVA) of late-shipment risk by price band
+# ---------------------------------------------------------------------------
+# Monotone calibration: the raw late-shipment rate per price band is
+# noisy and can invert; the pool-adjacent-violators algorithm (PAVA)
+# produces the best monotone fit — the standard score-calibration step
+# (Platt's alternative) before risk thresholds go to production. PAVA's
+# pooling is inherently sequential, so it is the documented Python
+# boundary: the DISTRIBUTED part reduces facts to (group, band, n, k)
+# integers; applyInPandas then runs PAVA per group over ≤10 band rows —
+# the q175-class pattern (sequential semantics on pre-aggregated
+# group-local rows, never on facts).
+_ISO_BANDS = 10
+_LATE_DAYS = 90
+
+
+def _pava_batch(pdf):
+    """PAVA over one priority group's bands (sorted by band): pool adjacent
+    violators until nondecreasing; fitted rate = pooled k/n."""
+    pdf = pdf.sort_values("band").reset_index(drop=True)
+    blocks = [
+        [int(r.band), int(r.n), int(r.k)] for r in pdf.itertuples()
+    ]  # [first_band, n, k]
+    merged = []
+    for b in blocks:
+        merged.append(b)
+        while len(merged) >= 2 and (
+            merged[-2][2] * merged[-1][1] > merged[-1][2] * merged[-2][1]
+        ):  # rate[-2] > rate[-1] in exact cross-multiplied form
+            last = merged.pop()
+            merged[-1][1] += last[1]
+            merged[-1][2] += last[2]
+    fitted = {}
+    for i, (first, n, k) in enumerate(merged):
+        until = merged[i + 1][0] if i + 1 < len(merged) else _ISO_BANDS
+        for band in range(first, until):
+            fitted[band] = k / n
+    out = pdf.copy()
+    out["iso_rate"] = [fitted[int(b)] for b in pdf["band"]]
+    return out
+
+
+@register(
+    "q246_isotonic_calibration",
+    tags=("ml", "calibration", "udf"),
+    # no SQL oracle: PAVA is a sequential pooling scan — rows-only at the
+    # driver; an independent sklearn-free python PAVA replay pins every
+    # fitted value in tests/test_round4d_ops.py
+)
+def q246_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone (PAVA) calibration of P(late shipment) against order price
+    band, per priority — distributed band aggregation + per-group
+    applyInPandas pooling (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                    > _LATE_DAYS,
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    bounds = late.agg(
+        F.min(F.round("o_totalprice").cast("bigint")).alias("lo"),
+        (F.max(F.round("o_totalprice").cast("bigint")) + 1).alias("hi"),
+    )
+    bands = (
+        late.crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "priority",
+            f"CAST(({_ISO_BANDS} * (CAST(ROUND(o_totalprice) AS BIGINT) - lo))"
+            " div (hi - lo) AS BIGINT) AS band",
+            "late",
+        )
+        .groupBy("priority", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("late").cast("bigint").alias("k"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("priority", T.StringType()),
+            T.StructField("band", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("iso_rate", T.DoubleType()),
+        ]
+    )
+    fitted = bands.groupBy("priority").applyInPandas(
+        lambda pdf: _pava_batch(pdf), schema
+    )
+    return fitted.select(
+        "priority",
+        "band",
+        "n",
+        "k",
+        (F.col("k").cast("double") / F.col("n")).alias("raw_rate"),
+        "iso_rate",
     )

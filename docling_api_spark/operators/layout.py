@@ -172,3 +172,148 @@ def q214_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skew_ratio"),
         F.min("n").cast("bigint").alias("min_partition_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — optimizer-style selectivity estimation audit (equi-width histogram)
+# ---------------------------------------------------------------------------
+# The cardinality-estimation quality check that closes the physical-design
+# toolkit (q181 audits JOIN size estimates; this audits RANGE-predicate
+# estimates): build the 20-bucket equi-width histogram a catalog would
+# keep for o_totalprice, estimate three range predicates' selectivity with
+# uniform-within-bucket interpolation, and compare against the exact
+# answer. The estimation error column is what tells you whether the
+# optimizer's stats would have picked the right plan at 100 TB.
+#
+# All counts exact integers; interpolation fractions are correctly-rounded
+# doubles from identical exact inputs; bucket bounds are integer dollars.
+# One fact pass for the histogram, one for the exact counts (a real system
+# reads the second from the query log instead).
+_SEL_BUCKETS = 20
+_SEL_PREDS = ((50_000, 150_000), (200_000, 300_000), (0, 600_000))
+
+
+def _sel_pred_sql(alias: str) -> str:
+    rows = ", ".join(f"({lo}, {hi})" for lo, hi in _SEL_PREDS)
+    return f"(VALUES {rows}) AS {alias}(lo, hi)"
+
+
+@register(
+    "q245_selectivity_audit",
+    tags=("physical-design", "stats", "estimation"),
+    oracle=f"""
+        WITH v AS (
+          SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS d FROM orders
+        ),
+        bounds AS (
+          SELECT MIN(d) AS lo_all, MAX(d) + 1 AS hi_all,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM v
+        ),
+        hist AS (
+          SELECT CAST(({_SEL_BUCKETS} * (v.d - b.lo_all))
+                      // (b.hi_all - b.lo_all) AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM v CROSS JOIN bounds b GROUP BY 1
+        ),
+        preds AS (SELECT * FROM {_sel_pred_sql('p')}),
+        est AS (
+          SELECT p.lo, p.hi,
+                 CAST(SUM(CAST(ROUND(1000000.0 * h.c * (
+                   least(CAST(p.hi AS DOUBLE),
+                         b.lo_all + (h.bucket + 1)
+                           * (CAST(b.hi_all - b.lo_all AS DOUBLE)
+                              / {_SEL_BUCKETS}))
+                   - greatest(CAST(p.lo AS DOUBLE),
+                              b.lo_all + h.bucket
+                                * (CAST(b.hi_all - b.lo_all AS DOUBLE)
+                                   / {_SEL_BUCKETS}))
+                 ) / (CAST(b.hi_all - b.lo_all AS DOUBLE) / {_SEL_BUCKETS}))
+                 AS BIGINT)) AS BIGINT) AS est_millirows,
+                 b.n AS n
+          FROM preds p
+          CROSS JOIN bounds b
+          JOIN hist h
+            ON b.lo_all + (h.bucket + 1) * (CAST(b.hi_all - b.lo_all AS DOUBLE)
+                                            / {_SEL_BUCKETS}) > p.lo
+           AND b.lo_all + h.bucket * (CAST(b.hi_all - b.lo_all AS DOUBLE)
+                                      / {_SEL_BUCKETS}) < p.hi
+          GROUP BY p.lo, p.hi, b.n
+        ),
+        actual AS (
+          SELECT p.lo, p.hi, CAST(COUNT(CASE WHEN v.d >= p.lo AND v.d < p.hi
+                                             THEN 1 END) AS BIGINT) AS act
+          FROM preds p CROSS JOIN v GROUP BY p.lo, p.hi
+        )
+        SELECT e.lo AS pred_lo, e.hi AS pred_hi,
+               CAST(ROUND(CAST(e.est_millirows AS DOUBLE) / 1000000.0)
+                    AS BIGINT) AS est_rows,
+               a.act AS actual_rows,
+               CAST(e.est_millirows AS DOUBLE) / (1000000.0 * e.n)
+                 AS est_selectivity,
+               CAST(a.act AS DOUBLE) / e.n AS actual_selectivity
+        FROM est e JOIN actual a ON e.lo = a.lo AND e.hi = a.hi
+    """,
+)
+def q245_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate selectivity estimates from a 20-bucket equi-width
+    histogram vs exact counts — the optimizer-stats quality audit (see
+    block comment; micro-quantized interpolation, integer bounds)."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round("o_totalprice").cast("bigint").alias("d"))
+    bounds = v.agg(
+        F.min("d").alias("lo_all"),
+        (F.max("d") + 1).alias("hi_all"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    hist = (
+        v.crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            f"CAST(({_SEL_BUCKETS} * (d - lo_all)) div (hi_all - lo_all)"
+            " AS BIGINT) AS bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    preds = spark.createDataFrame(list(_SEL_PREDS), "lo bigint, hi bigint")
+    width = f"(CAST(hi_all - lo_all AS DOUBLE) / {_SEL_BUCKETS})"
+    b_lo = f"lo_all + bucket * {width}"
+    b_hi = f"lo_all + (bucket + 1) * {width}"
+    est = (
+        F.broadcast(preds)
+        .crossJoin(F.broadcast(bounds))
+        .join(
+            hist,
+            F.expr(f"{b_hi} > lo AND {b_lo} < hi"),
+        )
+        .groupBy("lo", "hi", "n")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(1000000.0 * c * ("
+                f"least(CAST(hi AS DOUBLE), {b_hi})"
+                f" - greatest(CAST(lo AS DOUBLE), {b_lo})"
+                f") / {width}) AS BIGINT)) AS BIGINT)"
+            ).alias("est_millirows")
+        )
+    )
+    actual = (
+        F.broadcast(preds.selectExpr("lo AS alo", "hi AS ahi"))
+        .crossJoin(v)
+        .groupBy("alo", "ahi")
+        .agg(
+            F.count(
+                F.when((F.col("d") >= F.col("alo")) & (F.col("d") < F.col("ahi")), 1)
+            ).cast("bigint").alias("act")
+        )
+    )
+    return est.join(
+        actual, (est.lo == actual.alo) & (est.hi == actual.ahi)
+    ).selectExpr(
+        "lo AS pred_lo",
+        "hi AS pred_hi",
+        "CAST(ROUND(CAST(est_millirows AS DOUBLE) / 1000000.0) AS BIGINT)"
+        " AS est_rows",
+        "act AS actual_rows",
+        "CAST(est_millirows AS DOUBLE) / (1000000.0 * n) AS est_selectivity",
+        "CAST(act AS DOUBLE) / n AS actual_selectivity",
+    )

@@ -2379,3 +2379,155 @@ def q240_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zlib_len",
         (F.col("zlib_len").cast("double") / F.col("raw_len")).alias("ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 — TextTiling-style topic segmentation signal
+# ---------------------------------------------------------------------------
+# Topic-aware chunking for RAG/training pipelines: q100 chunks on fixed
+# boundaries; TextTiling (Hearst) places boundaries where LEXICAL COHESION
+# dips — the cosine similarity between adjacent fixed-size token blocks,
+# with boundaries at strict local minima of the gap series. Emits the
+# per-document segmentation profile (gap count, boundary count, min/mean
+# cohesion) — the statistic that decides whether a document needs topic
+# splitting at all.
+#
+# Shape: block term counts are one map-side explode + hash agg; adjacent-
+# block cosine is an equi-join on (doc, term, block+1) — vocabulary-sized,
+# never all-pairs (the q139 restraint); the gap series windows are per-doc
+# (partitioned). Dot products and norms are exact integers; cosines are
+# identical IEEE trees; the mean is nano-quantized before summing.
+_TILE_BLOCK = 20
+
+
+@register(
+    "q247_text_tiling",
+    tags=("text", "segmentation", "chunking"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, CAST((u.i - 1) // {_TILE_BLOCK} AS BIGINT) AS block,
+                 t[u.i] AS term
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               UNNEST(range(1, len(t) + 1)) AS u(i)
+        ),
+        tc AS (
+          SELECT doc_id, block, term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1, 2, 3
+        ),
+        norms AS (
+          SELECT doc_id, block, CAST(SUM(c * c) AS BIGINT) AS nn
+          FROM tc GROUP BY 1, 2
+        ),
+        dots AS (
+          SELECT a.doc_id, a.block AS g, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+          FROM tc a
+          JOIN tc b ON a.doc_id = b.doc_id AND b.block = a.block + 1
+                    AND a.term = b.term
+          GROUP BY 1, 2
+        ),
+        gaps AS (
+          SELECT na.doc_id, na.block AS g,
+                 CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                   / (sqrt(CAST(na.nn AS DOUBLE))
+                      * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+          FROM norms na
+          JOIN norms nb ON na.doc_id = nb.doc_id AND nb.block = na.block + 1
+          LEFT JOIN dots d ON d.doc_id = na.doc_id AND d.g = na.block
+        ),
+        w AS (
+          SELECT doc_id, g, sim,
+                 LAG(sim) OVER (PARTITION BY doc_id ORDER BY g) AS pv,
+                 LEAD(sim) OVER (PARTITION BY doc_id ORDER BY g) AS nx
+          FROM gaps
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_blocks,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                              AND sim < pv AND sim < nx
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+               MIN(sim) AS min_sim,
+               CAST(SUM(CAST(ROUND(1000000000.0 * sim) AS BIGINT)) AS DOUBLE)
+                 / (1000000000.0 * COUNT(*)) AS mean_sim
+        FROM w GROUP BY doc_id
+    """,
+)
+def q247_text_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling cohesion profile per document: adjacent 20-token-block
+    cosines, strict-local-minimum boundaries, nano-quantized mean (see
+    block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(pos div {_TILE_BLOCK} AS BIGINT)").alias("block"),
+        "term",
+    )
+    tc = toks.groupBy("doc_id", "block", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    norms = tc.groupBy("doc_id", "block").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("nn")
+    )
+    a, b = tc.alias("a"), tc.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.block") == F.col("a.block") + 1)
+            & (F.col("a.term") == F.col("b.term")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.block").alias("g"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    gaps = (
+        na.join(
+            nb,
+            (F.col("na.doc_id") == F.col("nb.doc_id"))
+            & (F.col("nb.block") == F.col("na.block") + 1),
+        )
+        .select(
+            F.col("na.doc_id").alias("doc_id"),
+            F.col("na.block").alias("g"),
+            F.col("na.nn").alias("nna"),
+            F.col("nb.nn").alias("nnb"),
+        )
+        .join(dots, ["doc_id", "g"], "left")
+        .selectExpr(
+            "doc_id",
+            "g",
+            "CAST(COALESCE(dot, 0) AS DOUBLE)"
+            " / (sqrt(CAST(nna AS DOUBLE)) * sqrt(CAST(nnb AS DOUBLE)))"
+            " AS sim",
+        )
+    )
+    wd = W.partitionBy("doc_id").orderBy("g")
+    w = gaps.select(
+        "doc_id",
+        "g",
+        "sim",
+        F.lag("sim").over(wd).alias("pv"),
+        F.lead("sim").over(wd).alias("nx"),
+    )
+    return w.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_blocks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull()
+                & F.col("nx").isNotNull()
+                & (F.col("sim") < F.col("pv"))
+                & (F.col("sim") < F.col("nx")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_boundaries"),
+        F.min("sim").alias("min_sim"),
+        (
+            F.sum(F.expr("CAST(ROUND(1000000000.0 * sim) AS BIGINT)")).cast(
+                "double"
+            )
+            / (1000000000.0 * F.count(F.lit(1)))
+        ).alias("mean_sim"),
+    )

@@ -4552,3 +4552,144 @@ def q244_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(s7 AS BIGINT) AS window_sum",
         "CAST(7 AS DOUBLE) * v / s7 AS lift",
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — hierarchical forecast reconciliation (nation → region coherence)
+# ---------------------------------------------------------------------------
+# The forecasting-ops problem q192 (accuracy backtest) doesn't cover:
+# forecasts made independently at two hierarchy levels DISAGREE, and
+# downstream allocation needs one coherent set. Nation-level forecasts use
+# seasonal-naive (same month last year); the region level uses a
+# trailing-3-month mean (a deliberately different model); top-down
+# reconciliation scales each nation's seasonal forecast so the region sums
+# match the region model:  f̂_n = f_region · f_n / Σ_region f_n.
+#
+# All calendar arithmetic is INTEGER month keys (year·12+month) — no
+# engine interval/date functions in the logic; revenues are exact cents;
+# shares and the reconciled values are the only doubles. One fact pass to
+# (nation, month) cells; everything after is hierarchy-sized.
+@register(
+    "q248_forecast_reconcile",
+    tags=("timeseries", "forecast", "hierarchy"),
+    oracle="""
+        WITH monthly AS (
+          SELECT n.n_name AS nation, r.r_name AS region,
+                 CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                      AS BIGINT) AS mk,
+                 CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY 1, 2, 3
+        ),
+        tgt AS (SELECT MAX(mk) + 1 AS t FROM monthly),
+        nat AS (
+          SELECT nation, MIN(region) AS region,
+                 CAST(COALESCE(SUM(CASE WHEN monthly.mk = tgt.t - 12
+                                        THEN cents END), 0) AS BIGINT)
+                   AS f_nat_cents
+          FROM monthly CROSS JOIN tgt GROUP BY nation
+        ),
+        reg AS (
+          SELECT region,
+                 CAST(SUM(CASE WHEN monthly.mk >= tgt.t - 3
+                                AND monthly.mk <= tgt.t - 1
+                               THEN cents ELSE 0 END) AS BIGINT) AS trail3
+          FROM monthly CROSS JOIN tgt GROUP BY region
+        ),
+        regshare AS (
+          SELECT nat.nation, nat.region, nat.f_nat_cents,
+                 reg.trail3,
+                 CAST(SUM(nat.f_nat_cents) OVER (PARTITION BY nat.region)
+                      AS BIGINT) AS reg_seasonal
+          FROM nat JOIN reg ON nat.region = reg.region
+        )
+        SELECT nation, region,
+               CAST(f_nat_cents AS DOUBLE) / 100.0 AS f_nation_naive,
+               CAST(trail3 AS DOUBLE) / 300.0 AS f_region_trail3,
+               CASE WHEN reg_seasonal > 0
+                    THEN CAST(f_nat_cents AS DOUBLE) / reg_seasonal
+                    ELSE 0.0 END AS share,
+               CASE WHEN reg_seasonal > 0
+                    THEN (CAST(trail3 AS DOUBLE) / 300.0)
+                         * (CAST(f_nat_cents AS DOUBLE) / reg_seasonal)
+                    ELSE 0.0 END AS f_reconciled
+        FROM regshare
+    """,
+)
+def q248_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down reconciliation of nation seasonal-naive forecasts to the
+    region trailing-3-month model (see block comment — integer month keys,
+    exact cents, hierarchy-sized relations after one fact pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mk"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tgt = monthly.agg((F.max("mk") + 1).alias("t"))
+    nat = (
+        monthly.crossJoin(F.broadcast(tgt))
+        .groupBy("nation")
+        .agg(
+            F.min("region").alias("region"),
+            F.coalesce(
+                F.sum(F.when(F.col("mk") == F.col("t") - 12, F.col("cents"))),
+                F.lit(0),
+            ).cast("bigint").alias("f_nat_cents"),
+        )
+    )
+    reg = (
+        monthly.crossJoin(F.broadcast(tgt))
+        .groupBy("region")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("mk") >= F.col("t") - 3)
+                    & (F.col("mk") <= F.col("t") - 1),
+                    F.col("cents"),
+                ).otherwise(0)
+            ).cast("bigint").alias("trail3")
+        )
+    )
+    regshare = nat.join(F.broadcast(reg), "region").select(
+        "nation",
+        "region",
+        "f_nat_cents",
+        "trail3",
+        F.sum("f_nat_cents")
+        .over(W.partitionBy("region"))
+        .cast("bigint")
+        .alias("reg_seasonal"),
+    )
+    return regshare.selectExpr(
+        "nation",
+        "region",
+        "CAST(f_nat_cents AS DOUBLE) / 100.0 AS f_nation_naive",
+        "CAST(trail3 AS DOUBLE) / 300.0 AS f_region_trail3",
+        "CASE WHEN reg_seasonal > 0"
+        " THEN CAST(f_nat_cents AS DOUBLE) / reg_seasonal"
+        " ELSE 0.0 END AS share",
+        "CASE WHEN reg_seasonal > 0"
+        " THEN (CAST(trail3 AS DOUBLE) / 300.0)"
+        "      * (CAST(f_nat_cents AS DOUBLE) / reg_seasonal)"
+        " ELSE 0.0 END AS f_reconciled",
+    )

@@ -343,6 +343,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q242_binary_segmentation",
     "q243_simpson_diversity",
     "q244_peak_detection",
+    "q245_selectivity_audit",
+    "q246_isotonic_calibration",
+    "q247_text_tiling",
+    "q248_forecast_reconcile",
 )
 
 

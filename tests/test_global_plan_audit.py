@@ -107,6 +107,11 @@ _SP_ALLOWED = {
     # (q223 posture) + argmax scalar — all scalar or series-sized
     "q244_peak_detection": 2,     # date-bounds scalar + series-length
     # neighborhood windows (q223 posture)
+    "q245_selectivity_audit": 2,  # histogram-bounds scalar under both
+    # the histogram and exact-count branches
+    "q246_isotonic_calibration": 1,  # price-bounds scalar broadcast
+    "q248_forecast_reconcile": 2,  # target-month scalar under nation and
+    # region branches (hierarchy-sized relations after)
 }
 
 AUDITED = [

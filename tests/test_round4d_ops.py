@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q244): each result recomputed by an independent pure-Python/numpy
+(q215-q248): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -993,3 +993,176 @@ def test_q244_peaks_match_python(spark, sf_dir):
         assert got[d][0] == rev and got[d][1] == s7
         assert math.isclose(got[d][2], lift, rel_tol=1e-12)
         assert got[d][2] > 1.2
+
+
+def test_q245_selectivity_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.layout import _SEL_BUCKETS, _SEL_PREDS
+
+    vals = [int(math.floor(r.o_totalprice + 0.5)) for r in
+            load_table(spark, sf_dir, "orders").select("o_totalprice").collect()]
+    lo_all, hi_all, n = min(vals), max(vals) + 1, len(vals)
+    width = (hi_all - lo_all) / _SEL_BUCKETS
+    hist = defaultdict(int)
+    for d in vals:
+        hist[(_SEL_BUCKETS * (d - lo_all)) // (hi_all - lo_all)] += 1
+    got = {(r.pred_lo, r.pred_hi): r for r in
+           QS["q245_selectivity_audit"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(_SEL_PREDS)
+    for lo, hi in _SEL_PREDS:
+        est_m = 0
+        for b, c in hist.items():
+            b_lo, b_hi = lo_all + b * width, lo_all + (b + 1) * width
+            if b_hi > lo and b_lo < hi:
+                frac = (min(float(hi), b_hi) - max(float(lo), b_lo)) / width
+                est_m += int(math.floor(1e6 * c * frac + 0.5))
+        act = sum(1 for d in vals if lo <= d < hi)
+        r = got[(lo, hi)]
+        assert r.est_rows == int(math.floor(est_m / 1e6 + 0.5))
+        assert r.actual_rows == act
+        assert math.isclose(r.est_selectivity, est_m / (1e6 * n), rel_tol=1e-9)
+        assert math.isclose(r.actual_selectivity, act / n, rel_tol=1e-12)
+        # an equi-width histogram must be near-exact on the full range
+        if (lo, hi) == (0, 600_000):
+            assert abs(r.est_rows - act) <= 1
+
+
+def test_q246_isotonic_matches_python_pava(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _ISO_BANDS, _LATE_DAYS
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect()
+    odate = {r.o_orderkey: r.o_orderdate.date() for r in o}
+    late = defaultdict(int)
+    for r in li:
+        lag = (r.l_shipdate.date() - odate[r.l_orderkey]).days
+        if lag > _LATE_DAYS:
+            late[r.l_orderkey] = 1
+    with_lines = {r.l_orderkey for r in li}
+    o = [r for r in o if r.o_orderkey in with_lines]  # the query joins
+    dollars = {r.o_orderkey: int(math.floor(r.o_totalprice + 0.5)) for r in o}
+    lo, hi = min(dollars.values()), max(dollars.values()) + 1
+    bands = defaultdict(lambda: [0, 0])
+    for r in o:
+        band = (_ISO_BANDS * (dollars[r.o_orderkey] - lo)) // (hi - lo)
+        cell = bands[(r.o_orderpriority, band)]
+        cell[0] += 1
+        cell[1] += late.get(r.o_orderkey, 0)
+    got = {
+        (r.priority, r.band): r
+        for r in QS["q246_isotonic_calibration"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(bands)
+    prios = {p for p, _ in bands}
+    for pr in prios:
+        rows = sorted(
+            (band, nk[0], nk[1]) for (p, band), nk in bands.items() if p == pr
+        )
+        merged = []
+        for band, bn, bk in rows:
+            merged.append([band, bn, bk])
+            while len(merged) >= 2 and (
+                merged[-2][2] * merged[-1][1] > merged[-1][2] * merged[-2][1]
+            ):
+                lastm = merged.pop()
+                merged[-1][1] += lastm[1]
+                merged[-1][2] += lastm[2]
+        fitted = {}
+        for i, (first, bn, bk) in enumerate(merged):
+            until = merged[i + 1][0] if i + 1 < len(merged) else _ISO_BANDS
+            for band in range(first, until):
+                fitted[band] = bk / bn
+        seq = []
+        for band, bn, bk in rows:
+            r = got[(pr, band)]
+            assert (r.n, r.k) == (bn, bk)
+            assert math.isclose(r.iso_rate, fitted[band], rel_tol=1e-12)
+            seq.append(r.iso_rate)
+        assert seq == sorted(seq)  # the monotonicity PAVA guarantees
+
+
+def test_q247_texttiling_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.textstats import _TILE_BLOCK
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    got = {r.doc_id: r for r in QS["q247_text_tiling"].fn(spark, sf_dir).collect()}
+    for r in docs:
+        toks = r.text.split(" ")
+        blocks = [toks[i:i + _TILE_BLOCK]
+                  for i in range(0, len(toks), _TILE_BLOCK)]
+        if len(blocks) < 2:
+            assert r.doc_id not in got
+            continue
+        counts = []
+        for blk in blocks:
+            c = defaultdict(int)
+            for t in blk:
+                c[t] += 1
+            counts.append(c)
+        sims = []
+        for a, b in zip(counts, counts[1:]):
+            dot = sum(ca * b.get(t, 0) for t, ca in a.items())
+            na = math.sqrt(sum(x * x for x in a.values()))
+            nb = math.sqrt(sum(x * x for x in b.values()))
+            sims.append(dot / (na * nb))
+        bounds = sum(
+            1 for i in range(1, len(sims) - 1)
+            if sims[i] < sims[i - 1] and sims[i] < sims[i + 1]
+        )
+        row = got[r.doc_id]
+        assert row.n_blocks == len(blocks)
+        assert row.n_gaps == len(sims)
+        assert row.n_boundaries == bounds
+        assert math.isclose(row.min_sim, min(sims), rel_tol=1e-9)
+        mean_q = sum(int(math.floor(1e9 * s + 0.5)) for s in sims) / (1e9 * len(sims))
+        assert math.isclose(row.mean_sim, mean_q, rel_tol=1e-9)
+
+
+def test_q248_reconcile_matches_python(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    c = {r.c_custkey: r.c_nationkey
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    n = {r.n_nationkey: (r.n_name, r.n_regionkey)
+         for r in load_table(spark, sf_dir, "nation").collect()}
+    rg = {r.r_regionkey: r.r_name
+          for r in load_table(spark, sf_dir, "region").collect()}
+    monthly = defaultdict(int)
+    for r in o:
+        nat, rk = n[c[r.o_custkey]]
+        mk = r.o_orderdate.year * 12 + r.o_orderdate.month
+        monthly[(nat, rg[rk], mk)] += round(r.o_totalprice * 100)
+    t = max(mk for _, _, mk in monthly) + 1
+    nat_f = defaultdict(int)
+    reg_trail = defaultdict(int)
+    nat_region = {}
+    for (nat, region, mk), cents in monthly.items():
+        nat_region[nat] = region
+        if mk == t - 12:
+            nat_f[nat] += cents
+        if t - 3 <= mk <= t - 1:
+            reg_trail[region] += cents
+    reg_seasonal = defaultdict(int)
+    for nat, region in nat_region.items():
+        reg_seasonal[region] += nat_f.get(nat, 0)
+    got = {r.nation: r for r in QS["q248_forecast_reconcile"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(nat_region)
+    recon_sums = defaultdict(float)
+    for nat, region in nat_region.items():
+        r = got[nat]
+        f_nat = nat_f.get(nat, 0)
+        assert r.region == region
+        assert math.isclose(r.f_nation_naive, f_nat / 100.0, rel_tol=1e-12)
+        assert math.isclose(r.f_region_trail3, reg_trail[region] / 300.0,
+                            rel_tol=1e-12)
+        share = f_nat / reg_seasonal[region] if reg_seasonal[region] else 0.0
+        assert math.isclose(r.share, share, rel_tol=1e-12)
+        recon_sums[region] += r.f_reconciled
+    # coherence: reconciled nation forecasts sum to the region model
+    for region, s in recon_sums.items():
+        if reg_seasonal[region]:
+            assert math.isclose(s, reg_trail[region] / 300.0, rel_tol=1e-9)
