@@ -4202,3 +4202,232 @@ def q246_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k").cast("double") / F.col("n")).alias("raw_rate"),
         "iso_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — link prediction on the co-purchase backbone (neighbor Jaccard)
+# ---------------------------------------------------------------------------
+# The classic recommender/graph-completion primitive: score NON-edges by
+# how much neighborhood they share. Candidates are generated by the wedge
+# join (a–b, b–c ⇒ candidate a–c with a < c) — only pairs at distance 2
+# are ever scored, never the quadratic non-edge set; existing edges are
+# anti-joined out; the score is neighbor Jaccard |N∩|/|N∪| from exact
+# integer counts (log-free — Adamic-Adar's 1/log(deg) weights are not
+# cross-engine reproducible; common-neighbor Jaccard carries the same
+# ordering on this graph family). Top-20 by (jaccard, pair) is a
+# TakeOrderedAndProject.
+_LP_TOPK = 20
+
+
+@register(
+    "q250_link_prediction",
+    tags=("graph", "linkpred", "join"),
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+          SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS n
+          FROM items a JOIN items b
+            ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2
+        ),
+        med AS (SELECT quantile_cont(n, 0.5) AS m FROM pairs),
+        edges AS (SELECT ba, bb FROM pairs, med WHERE n > m),
+        directed AS (
+          SELECT ba AS x, bb AS y FROM edges
+          UNION ALL SELECT bb, ba FROM edges
+        ),
+        deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM directed GROUP BY x),
+        wedges AS (
+          SELECT e1.x AS a, e2.y AS c, CAST(COUNT(*) AS BIGINT) AS common
+          FROM directed e1 JOIN directed e2
+            ON e1.y = e2.x AND e1.x < e2.y
+          GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT w.a, w.c, w.common, da.d AS dega, dc.d AS degc
+          FROM wedges w
+          JOIN deg da ON w.a = da.x
+          JOIN deg dc ON w.c = dc.x
+          WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.ba = w.a AND e.bb = w.c
+          )
+        )
+        SELECT a AS brand_a, c AS brand_b, common, dega, degc,
+               CAST(common AS DOUBLE) / (dega + degc - common) AS jaccard
+        FROM cand
+        ORDER BY jaccard DESC, a, c LIMIT {_LP_TOPK}
+    """,
+)
+def q250_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links on the brand backbone by neighbor Jaccard —
+    wedge-join candidates, existing edges anti-joined, exact integer
+    neighborhood counts (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = pairs.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    edges = (
+        pairs.crossJoin(F.broadcast(med))
+        .where(F.col("n") > F.col("m"))
+        .select("ba", "bb")
+        .localCheckpoint(eager=True)  # wedge join + anti-join + degrees all
+        # re-read the backbone; materialize once (q236 discipline)
+    )
+    directed = edges.selectExpr("ba AS x", "bb AS y").unionAll(
+        edges.selectExpr("bb AS x", "ba AS y")
+    )
+    deg = directed.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1, e2 = directed.alias("e1"), directed.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.y") == F.col("e2.x")) & (F.col("e1.x") < F.col("e2.y")),
+        )
+        .groupBy(F.col("e1.x").alias("a"), F.col("e2.y").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    cand = (
+        wedges.join(
+            edges.selectExpr("ba AS a", "bb AS c"), ["a", "c"], "anti"
+        )
+        .join(F.broadcast(deg.selectExpr("x AS a", "d AS dega")), "a")
+        .join(F.broadcast(deg.selectExpr("x AS c", "d AS degc")), "c")
+    )
+    return (
+        cand.selectExpr(
+            "a AS brand_a",
+            "c AS brand_b",
+            "common",
+            "dega",
+            "degc",
+            "CAST(common AS DOUBLE) / (dega + degc - common) AS jaccard",
+        )
+        .orderBy(F.col("jaccard").desc(), "brand_a", "brand_b")
+        .limit(_LP_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — expected calibration error (the scalar the q210 diagram rolls to)
+# ---------------------------------------------------------------------------
+# ECE = Σ_b (n_b/n)·|acc_b − conf_b| and MCE = max_b |acc_b − conf_b| over
+# the same integer-rank score buckets as q210's reliability diagram — the
+# one-number calibration gate a model-deployment checklist actually
+# thresholds on. Bucket moments are exact integers (Σrank, Σy); the
+# per-bucket gap is a correctly-rounded expression; the weighted sum is
+# micro-quantized (q231 discipline). One global rank window over the
+# customer dimension (dimension-sized, documented) then a 10-row reduce.
+@register(
+    "q252_expected_calibration_error",
+    tags=("ml-eval", "calibration", "stats"),
+    oracle=f"""
+        WITH yr AS (
+          SELECT CAST(MAX(EXTRACT(year FROM o_orderdate)) - 1 AS BIGINT) AS y1
+          FROM orders
+        ),
+        actives AS (
+          SELECT DISTINCT o_custkey
+          FROM orders, yr
+          WHERE EXTRACT(year FROM o_orderdate) = yr.y1
+        ),
+        ranked AS (
+          SELECT c_custkey,
+                 ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS r,
+                 COUNT(*) OVER () - 1 AS nm1,
+                 CASE WHEN c_custkey IN (SELECT o_custkey FROM actives)
+                      THEN 1 ELSE 0 END AS y
+          FROM customer
+        ),
+        buckets AS (
+          SELECT LEAST(r * {CAL_BUCKETS} // nm1, {CAL_BUCKETS - 1}) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS nb,
+                 CAST(SUM(r) AS BIGINT) AS sr,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(MIN(nm1) AS BIGINT) AS nm1
+          FROM ranked GROUP BY 1
+        )
+        SELECT CAST(SUM(nb) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(ROUND(1000000.0 * nb * abs(
+                      CAST(sy AS DOUBLE) / nb
+                      - CAST(sr AS DOUBLE) / (CAST(nm1 AS DOUBLE) * nb)))
+                    AS BIGINT)) AS DOUBLE) / (1000000.0 * SUM(nb)) AS ece,
+               MAX(abs(CAST(sy AS DOUBLE) / nb
+                       - CAST(sr AS DOUBLE) / (CAST(nm1 AS DOUBLE) * nb)))
+                 AS mce
+        FROM buckets
+    """,
+)
+def q252_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE and MCE of the account-balance propensity score against
+    last-full-year activity, over q210's integer-rank buckets (see block
+    comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yr = o.agg((F.max(F.year("o_orderdate")) - 1).cast("bigint").alias("y1"))
+    actives = (
+        o.crossJoin(F.broadcast(yr))
+        .where(F.year("o_orderdate") == F.col("y1"))
+        .select("o_custkey")
+        .distinct()
+    )
+    wrank = W.orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        c.join(actives, c.c_custkey == actives.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+        )
+        .select(
+            (F.row_number().over(wrank) - 1).alias("r"),
+            (F.count(F.lit(1)).over(W.partitionBy()) - 1).alias("nm1"),
+            "y",
+        )
+    )
+    buckets = ranked.groupBy(
+        F.least(
+            F.expr(f"r * {CAL_BUCKETS} div nm1"), F.lit(CAL_BUCKETS - 1)
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.min("nm1").cast("bigint").alias("nm1"),
+    )
+    return buckets.agg(
+        F.sum("nb").cast("bigint").alias("n_customers"),
+        (
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(1000000.0 * nb * abs("
+                    "CAST(sy AS DOUBLE) / nb"
+                    " - CAST(sr AS DOUBLE) / (CAST(nm1 AS DOUBLE) * nb)))"
+                    " AS BIGINT)"
+                )
+            ).cast("double")
+            / (1000000.0 * F.sum("nb"))
+        ).alias("ece"),
+        F.max(
+            F.expr(
+                "abs(CAST(sy AS DOUBLE) / nb"
+                " - CAST(sr AS DOUBLE) / (CAST(nm1 AS DOUBLE) * nb))"
+            )
+        ).alias("mce"),
+    )

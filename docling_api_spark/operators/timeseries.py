@@ -4693,3 +4693,103 @@ def q248_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      * (CAST(f_nat_cents AS DOUBLE) / reg_seasonal)"
         " ELSE 0.0 END AS f_reconciled",
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — rolling 30-day regression slope (local trend estimation)
+# ---------------------------------------------------------------------------
+# q161 fits ONE robust trend to the whole series; operations wants the
+# LOCAL trend: the OLS slope over a trailing 30-day window, per day — the
+# "is this metric accelerating right now" readout. All five moment sums
+# (n, Σx, Σy, Σxy, Σxx) are integer window sums over the series-length
+# relation (q223 posture), so the closed-form slope/intercept are closing
+# expressions on exact inputs — a rolling regression with zero per-window
+# refits.
+_ROLL_REG_W = 30
+
+
+@register(
+    "q249_rolling_regression",
+    tags=("timeseries", "regression", "window"),
+    oracle=f"""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                           MAX(CAST(o_orderdate AS DATE))) AS span
+          FROM orders
+        ),
+        days AS (SELECT unnest(range(0, span + 1)) AS day FROM bounds),
+        rev AS (
+          SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+          FROM orders o CROSS JOIN bounds b GROUP BY 1
+        ),
+        series AS (
+          SELECT d.day, COALESCE(r.y, 0) AS y
+          FROM days d LEFT JOIN rev r ON d.day = r.day
+        ),
+        mom AS (
+          SELECT day,
+                 COUNT(*) OVER w AS n,
+                 SUM(day) OVER w AS sx,
+                 SUM(y) OVER w AS sy,
+                 SUM(day * y) OVER w AS sxy,
+                 SUM(day * day) OVER w AS sxx
+          FROM series
+          WINDOW w AS (ORDER BY day ROWS BETWEEN {_ROLL_REG_W - 1} PRECEDING
+                       AND CURRENT ROW)
+        )
+        SELECT day,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 AS slope_per_day,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                  * sx) / n AS intercept
+        FROM mom WHERE n = {_ROLL_REG_W}
+    """,
+)
+def q249_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day OLS slope and intercept of daily revenue, per day —
+    integer moment windows, closed-form coefficients (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    days = bounds.select(F.explode(F.expr("sequence(0, span)")).alias("day"))
+    rev = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")).alias("day"),
+            F.round(F.col("o_totalprice")).cast("bigint").alias("y"),
+        )
+        .groupBy("day")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = W.orderBy("day").rowsBetween(-(_ROLL_REG_W - 1), 0)
+    mom = series.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("day").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("day") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).over(w).alias("sxx"),
+    )
+    return mom.where(F.col("n") == _ROLL_REG_W).selectExpr(
+        "day",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " AS slope_per_day",
+        "(CAST(sy AS DOUBLE)"
+        " - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        "    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+        "   * sx) / n AS intercept",
+    )

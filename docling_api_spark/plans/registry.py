@@ -44,7 +44,7 @@ QUERIES: dict[str, Query] = {}
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
     "q103", "q139", "q152", "q174", "q189", "q191", "q194", "q202",  # eager checkpoints / scalar-state collects
-    "q43", "q45", "q57", "q208", "q236",  # checkpointed dedup/peel ladders
+    "q43", "q45", "q57", "q208", "q236", "q250",  # checkpointed dedup/peel/graph ladders
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
 
@@ -347,6 +347,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q246_isotonic_calibration",
     "q247_text_tiling",
     "q248_forecast_reconcile",
+    "q249_rolling_regression",
+    "q250_link_prediction",
+    "q251_lcs_verify",
+    "q252_expected_calibration_error",
 )
 
 

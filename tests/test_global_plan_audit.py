@@ -112,6 +112,10 @@ _SP_ALLOWED = {
     "q246_isotonic_calibration": 1,  # price-bounds scalar broadcast
     "q248_forecast_reconcile": 2,  # target-month scalar under nation and
     # region branches (hierarchy-sized relations after)
+    "q249_rolling_regression": 2,  # date-bounds scalar + series-length
+    # moment window (q223 posture)
+    "q252_expected_calibration_error": 2,  # customer-dimension rank window
+    # (q210's documented shape) + closing 10-bucket reduce
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q248): each result recomputed by an independent pure-Python/numpy
+(q215-q252): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -1166,3 +1166,139 @@ def test_q248_reconcile_matches_python(spark, sf_dir):
     for region, s in recon_sums.items():
         if reg_seasonal[region]:
             assert math.isclose(s, reg_trail[region] / 300.0, rel_tol=1e-9)
+
+
+def test_q249_rolling_regression_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _ROLL_REG_W
+
+    v = _daily_dollars(spark, sf_dir)
+    got = {r.day: r for r in QS["q249_rolling_regression"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(range(_ROLL_REG_W - 1, len(v)))
+    for day in list(got)[:50] + list(got)[-5:]:
+        xs = np.arange(day - _ROLL_REG_W + 1, day + 1, dtype=float)
+        ys = np.array(v[day - _ROLL_REG_W + 1: day + 1], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert math.isclose(got[day].slope_per_day, slope, rel_tol=1e-6, abs_tol=1e-6)
+        assert math.isclose(got[day].intercept, intercept, rel_tol=1e-6,
+                            abs_tol=abs(slope) + 1e-6)
+
+
+def test_q250_link_prediction_matches_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    pt = {r.p_partkey: r.p_brand for r in load_table(spark, sf_dir, "part").collect()}
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(pt[r.l_partkey])
+    support = defaultdict(int)
+    for brs in by_order.values():
+        srt = sorted(brs)
+        for i, x in enumerate(srt):
+            for yb in srt[i + 1:]:
+                support[(x, yb)] += 1
+    med = float(np.median(list(support.values())))
+    edges = {e for e, s in support.items() if s > med}
+    nbrs = defaultdict(set)
+    for x, yb in edges:
+        nbrs[x].add(yb)
+        nbrs[yb].add(x)
+    cand = {}
+    for x in nbrs:
+        for via in nbrs[x]:
+            for yb in nbrs[via]:
+                if x < yb and (x, yb) not in edges:
+                    key = (x, yb)
+                    if key not in cand:
+                        inter = len(nbrs[x] & nbrs[yb])
+                        union = len(nbrs[x] | nbrs[yb])
+                        cand[key] = (inter, len(nbrs[x]), len(nbrs[yb]),
+                                     inter / union)
+    top = sorted(cand.items(), key=lambda kv: (-kv[1][3], kv[0]))[:20]
+    got = [
+        ((r.brand_a, r.brand_b), (r.common, r.dega, r.degc, r.jaccard))
+        for r in QS["q250_link_prediction"].fn(spark, sf_dir).collect()
+    ]
+    assert len(got) == len(top)
+    for (k_exp, v_exp), (k_got, v_got) in zip(top, got):
+        assert k_got == k_exp
+        assert v_got[:3] == v_exp[:3]
+        assert math.isclose(v_got[3], v_exp[3], rel_tol=1e-12)
+
+
+def test_q251_lcs_matches_python_dp(spark, sf_dir):
+    from docling_api_spark.operators.entity import LEV_MAX
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, yb in enumerate(b, 1):
+                cur.append(prev[j - 1] + 1 if x == yb
+                           else max(prev[j], cur[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    names = sorted({r.p_name for r in
+                    load_table(spark, sf_dir, "part").collect()})
+    expect = {}
+    blocks = defaultdict(list)
+    for nm in names:
+        blocks[nm.split(" ")[0]].append(nm)
+    for blk in blocks.values():
+        for i, na in enumerate(blk):
+            for nb in blk[i + 1:]:
+                if abs(len(na) - len(nb)) <= LEV_MAX and 0 < lev(na, nb) <= LEV_MAX:
+                    lt = lcs(na.split(" "), nb.split(" "))
+                    expect[(na, nb)] = (
+                        lt,
+                        2.0 * lt / (len(na.split(" ")) + len(nb.split(" "))),
+                    )
+    got = {
+        (r.name_a, r.name_b): (r.lcs_tokens, r.lcs_ratio)
+        for r in QS["q251_lcs_verify"].fn(spark, sf_dir).collect()
+    }
+    # q48's candidate predicate allows lev = 0 only for distinct names,
+    # and name_a < name_b — mirror exactly
+    assert set(got) == set(expect)
+    for k, (lt, ratio) in expect.items():
+        assert got[k][0] == lt
+        assert math.isclose(got[k][1], ratio, rel_tol=1e-12)
+
+
+def test_q252_ece_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import CAL_BUCKETS
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate").collect()
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").collect()
+    y1 = max(r.o_orderdate.year for r in o) - 1
+    actives = {r.o_custkey for r in o if r.o_orderdate.year == y1}
+    ranked = sorted(c, key=lambda r: (r.c_acctbal, r.c_custkey))
+    nm1 = len(ranked) - 1
+    buckets = defaultdict(lambda: [0, 0, 0])  # nb, sr, sy
+    for r0, r in enumerate(ranked):
+        b = min(r0 * CAL_BUCKETS // nm1, CAL_BUCKETS - 1)
+        cell = buckets[b]
+        cell[0] += 1
+        cell[1] += r0
+        cell[2] += 1 if r.c_custkey in actives else 0
+    n = len(ranked)
+    num = 0
+    mce = 0.0
+    for nb, sr, sy in buckets.values():
+        gap = abs(sy / nb - sr / (nm1 * nb))
+        num += int(math.floor(1e6 * nb * gap + 0.5))
+        mce = max(mce, gap)
+    row = QS["q252_expected_calibration_error"].fn(spark, sf_dir).collect()[0]
+    assert row.n_customers == n
+    assert math.isclose(row.ece, num / (1e6 * n), rel_tol=1e-9)
+    assert math.isclose(row.mce, mce, rel_tol=1e-9)
+    assert 0.0 <= row.ece <= row.mce <= 1.0
