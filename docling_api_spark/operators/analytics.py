@@ -4431,3 +4431,317 @@ def q252_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
             )
         ).alias("mce"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — Spearman rank correlation (distribution-free comovement)
+# ---------------------------------------------------------------------------
+# q141/q117 correlate raw values — one whale customer can manufacture a
+# Pearson correlation. Spearman is Pearson ON RANKS: monotone-invariant,
+# outlier-proof, and exactly computable — ranks are integers (average
+# ranks for ties are exact .5 rationals, carried as DOUBLED integer ranks
+# so every moment stays a BIGINT). One keyed aggregate to per-customer
+# (order count, spend cents), two rank windows over the customer
+# dimension (dimension-sized, documented), one exact moment reduce.
+@register(
+    "q253_spearman_rank_corr",
+    tags=("stats", "correlation", "rank"),
+    oracle="""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(COUNT(*) AS BIGINT) AS f,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS m
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT
+            CAST(2 * RANK() OVER (ORDER BY f)
+                 + COUNT(*) OVER (PARTITION BY f) - 1 AS BIGINT) AS rf2,
+            CAST(2 * RANK() OVER (ORDER BY m)
+                 + COUNT(*) OVER (PARTITION BY m) - 1 AS BIGINT) AS rm2
+          FROM per_cust
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rf2) AS BIGINT) AS sx,
+                 CAST(SUM(rm2) AS BIGINT) AS sy,
+                 CAST(SUM(rf2 * rf2) AS BIGINT) AS sxx,
+                 CAST(SUM(rm2 * rm2) AS BIGINT) AS syy,
+                 CAST(SUM(rf2 * rm2) AS BIGINT) AS sxy
+          FROM ranked
+        )
+        SELECT n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                 AS spearman_rho
+        FROM mom
+    """,
+)
+def q253_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ between per-customer order count and spend — doubled
+    integer average-ranks (ties exact), one moment reduce (see block
+    comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    # average rank with ties, doubled to stay integer:
+    # 2*avg_rank = 2*rank + (tie_count - 1)
+    ranked = per_cust.select(
+        (
+            2 * F.rank().over(W.orderBy("f"))
+            + F.count(F.lit(1)).over(W.partitionBy("f"))
+            - 1
+        ).cast("bigint").alias("rf2"),
+        (
+            2 * F.rank().over(W.orderBy("m"))
+            + F.count(F.lit(1)).over(W.partitionBy("m"))
+            - 1
+        ).cast("bigint").alias("rm2"),
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rf2").cast("bigint").alias("sx"),
+        F.sum("rm2").cast("bigint").alias("sy"),
+        F.sum(F.col("rf2") * F.col("rf2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("rm2") * F.col("rm2")).cast("bigint").alias("syy"),
+        F.sum(F.col("rf2") * F.col("rm2")).cast("bigint").alias("sxy"),
+    )
+    return mom.selectExpr(
+        "n",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        "    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+        " AS spearman_rho",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254 — partial correlation (confound-adjusted comovement)
+# ---------------------------------------------------------------------------
+# "Do order count and spend still move together once account balance is
+# held fixed?" — the partial correlation
+#     ρ_xy·z = (ρ_xy − ρ_xz·ρ_yz) / (sqrt(1−ρ_xz²)·sqrt(1−ρ_yz²))
+# from the three pairwise Pearson correlations, each computed from ONE
+# exact integer-moment reduce over the joined relation (q216 discipline).
+# The closed form means the adjustment costs nothing beyond the moments —
+# no residual regressions, no second pass.
+@register(
+    "q254_partial_correlation",
+    tags=("stats", "correlation", "causal"),
+    oracle="""
+        WITH per_cust AS (
+          SELECT o.o_custkey,
+                 CAST(COUNT(*) AS BIGINT) AS x,
+                 -- whole dollars: cents-scale Σy² overflows BIGINT at the
+                 -- customer counts this reduce sees (q239's ceiling lesson)
+                 CAST(SUM(CAST(ROUND(o.o_totalprice) AS BIGINT))
+                      AS BIGINT) AS y,
+                 CAST(MIN(CAST(ROUND(c.c_acctbal) AS BIGINT))
+                      AS BIGINT) AS z
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY o.o_custkey
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(z) AS BIGINT) AS sz,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(z * z) AS BIGINT) AS szz,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * z) AS BIGINT) AS sxz,
+                 CAST(SUM(y * z) AS BIGINT) AS syz
+          FROM per_cust
+        ),
+        r AS (
+          SELECT n,
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                   AS rxy,
+                 (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+                   AS rxz,
+                 (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+                 / (sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                    * sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+                   AS ryz
+          FROM mom
+        )
+        SELECT n, rxy, rxz, ryz,
+               (rxy - rxz * ryz)
+                 / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz))
+                 AS partial_rxy_given_z
+        FROM r
+    """,
+)
+def q254_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of order count and spend given account balance
+    — closed form over one exact ten-moment reduce (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.round(F.col("o_totalprice")).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+            F.min(F.round(F.col("c_acctbal")).cast("bigint"))
+            .cast("bigint")
+            .alias("z"),
+        )
+    )
+    mom = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("bigint").alias("syz"),
+    )
+    def corr(sab, sa, sb, saa, sbb):
+        return (
+            f"(CAST(n AS DOUBLE) * {sab} - CAST({sa} AS DOUBLE) * {sb})"
+            f" / (sqrt(CAST(n AS DOUBLE) * {saa} - CAST({sa} AS DOUBLE) * {sa})"
+            f"    * sqrt(CAST(n AS DOUBLE) * {sbb} - CAST({sb} AS DOUBLE) * {sb}))"
+        )
+    r = mom.selectExpr(
+        "n",
+        f"{corr('sxy','sx','sy','sxx','syy')} AS rxy",
+        f"{corr('sxz','sx','sz','sxx','szz')} AS rxz",
+        f"{corr('syz','sy','sz','syy','szz')} AS ryz",
+    )
+    return r.selectExpr(
+        "n", "rxy", "rxz", "ryz",
+        "(rxy - rxz * ryz)"
+        " / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz))"
+        " AS partial_rxy_given_z",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q255 — Qini curve: uplift-model evaluation by score decile
+# ---------------------------------------------------------------------------
+# Uplift modeling's standard readout: rank users by a targeting score,
+# then per cumulative decile compare treated conversions against the
+# control conversions SCALED to the treated exposure:
+#     Qini(k) = conv_T(k) − conv_C(k) · n_T(k)/n_C(k)
+# A positive, front-loaded curve means the score finds persuadables; the
+# random-targeting baseline is the straight line to Qini(10). Arms are
+# the md5 assignment; the score is the account-balance rank (q210's
+# integer-rank discipline); conversions are heavy-purchaser flags. All
+# cumulative sums are exact integers; the scaled term is the only double.
+@register(
+    "q255_qini_uplift",
+    tags=("experiment", "uplift", "ranking"),
+    oracle=f"""
+        WITH conv AS (
+          SELECT user_id,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= {CONV_MIN}
+                      THEN 1 ELSE 0 END AS y
+          FROM events GROUP BY user_id
+        ),
+        scored AS (
+          SELECT user_id, y,
+                 {sql_hash_bucket('user_id', 2)} AS arm,
+                 ROW_NUMBER() OVER (ORDER BY {sql_hash_bucket('user_id * 7919', 1000000)},
+                                    user_id) - 1 AS r,
+                 COUNT(*) OVER () AS n
+          FROM conv
+        ),
+        deciled AS (
+          SELECT LEAST(r * 10 // n, 9) AS decile, arm, y FROM scored
+        ),
+        cum AS (
+          SELECT decile,
+                 SUM(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END))
+                   OVER (ORDER BY decile) AS nt,
+                 SUM(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END))
+                   OVER (ORDER BY decile) AS nc,
+                 SUM(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END))
+                   OVER (ORDER BY decile) AS ct,
+                 SUM(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END))
+                   OVER (ORDER BY decile) AS cc
+          FROM deciled GROUP BY decile
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+               CAST(ct AS BIGINT) AS conv_treat,
+               CAST(cc AS BIGINT) AS conv_ctrl,
+               CAST(ct AS DOUBLE)
+                 - CAST(cc AS DOUBLE) * nt / nc AS qini
+        FROM cum
+    """,
+)
+def q255_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative Qini curve over hash-score deciles (deterministic
+    pseudo-score so the curve is reproducible; see block comment — exact
+    cumulative integers, one scaled double)."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= CONV_MIN,
+            1,
+        ).otherwise(0).alias("y")
+    )
+    score = hash_bucket("skey", 1000000)
+    scored = (
+        conv.select(
+            "user_id",
+            "y",
+            hash_bucket("user_id", 2).alias("arm"),
+            (F.col("user_id") * 7919).alias("skey"),
+        )
+        .select(
+            "user_id",
+            "y",
+            "arm",
+            (
+                F.row_number().over(W.orderBy(score, "user_id")) - 1
+            ).alias("r"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
+    )
+    deciled = scored.select(
+        F.least(F.expr("r * 10 div n"), F.lit(9)).alias("decile"), "arm", "y"
+    )
+    wc = W.orderBy("decile")
+    cum = (
+        deciled.groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("bnt"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("bnc"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("bct"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("bcc"),
+        )
+        .select(
+            "decile",
+            F.sum("bnt").over(wc).alias("nt"),
+            F.sum("bnc").over(wc).alias("nc"),
+            F.sum("bct").over(wc).alias("ct"),
+            F.sum("bcc").over(wc).alias("cc"),
+        )
+    )
+    return cum.selectExpr(
+        "CAST(decile AS BIGINT) AS decile",
+        "CAST(nt AS BIGINT) AS n_treat",
+        "CAST(nc AS BIGINT) AS n_ctrl",
+        "CAST(ct AS BIGINT) AS conv_treat",
+        "CAST(cc AS BIGINT) AS conv_ctrl",
+        "CAST(ct AS DOUBLE) - CAST(cc AS DOUBLE) * nt / nc AS qini",
+    )

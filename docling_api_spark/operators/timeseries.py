@@ -4793,3 +4793,123 @@ def q249_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
         "   * sx) / n AS intercept",
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — rolling-origin backtest (forecast cross-validation)
+# ---------------------------------------------------------------------------
+# q192 scores ONE forecast origin; honest forecast evaluation re-fits at
+# several origins and aggregates — rolling-origin cross-validation. For
+# each of the last 6 month origins, the seasonal-naive forecast (same
+# month, prior year) per nation is scored against the actual; the output
+# is per-origin WAPE and bias — the stability view that catches a model
+# that only looked good on one month. Integer month keys (q248), exact
+# cents, WAPE as a ratio of exact integer sums.
+_RO_FOLDS = 6
+
+
+@register(
+    "q256_rolling_origin_backtest",
+    tags=("timeseries", "forecast", "backtest"),
+    oracle=f"""
+        WITH monthly AS (
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                      AS BIGINT) AS mk,
+                 CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2
+        ),
+        mx AS (SELECT MAX(mk) AS mmax FROM monthly),
+        folds AS (
+          SELECT unnest(range(0, {_RO_FOLDS})) AS fold
+        ),
+        eval_ AS (
+          SELECT f.fold, mx.mmax - f.fold AS target_mk
+          FROM folds f CROSS JOIN mx
+        ),
+        joined AS (
+          SELECT e.fold, e.target_mk, a.nation,
+                 a.cents AS actual,
+                 COALESCE(p.cents, 0) AS forecast
+          FROM eval_ e
+          JOIN monthly a ON a.mk = e.target_mk
+          LEFT JOIN monthly p
+            ON p.nation = a.nation AND p.mk = e.target_mk - 12
+        )
+        SELECT CAST(fold AS BIGINT) AS fold,
+               CAST(target_mk AS BIGINT) AS target_mk,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               CAST(SUM(abs(forecast - actual)) AS DOUBLE)
+                 / CAST(SUM(actual) AS DOUBLE) AS wape,
+               CAST(SUM(forecast - actual) AS DOUBLE)
+                 / CAST(SUM(actual) AS DOUBLE) AS bias
+        FROM joined GROUP BY fold, target_mk
+    """,
+)
+def q256_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive WAPE/bias at each of the last 6 month origins —
+    rolling-origin forecast cross-validation (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mk"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    mx = monthly.agg(F.max("mk").alias("mmax"))
+    folds = spark.range(_RO_FOLDS).select(F.col("id").alias("fold"))
+    eval_ = F.broadcast(folds).crossJoin(F.broadcast(mx)).select(
+        "fold", (F.col("mmax") - F.col("fold")).alias("target_mk")
+    )
+    actual = monthly.selectExpr("nation", "mk", "cents AS actual")
+    prior = monthly.selectExpr(
+        "nation AS p_nation", "mk AS p_mk", "cents AS forecast"
+    )
+    joined = (
+        eval_.join(actual, actual.mk == eval_.target_mk)
+        .join(
+            prior,
+            (F.col("p_nation") == F.col("nation"))
+            & (F.col("p_mk") == F.col("target_mk") - 12),
+            "left",
+        )
+        .select(
+            "fold",
+            "target_mk",
+            "nation",
+            "actual",
+            F.coalesce("forecast", F.lit(0)).alias("forecast"),
+        )
+    )
+    return joined.groupBy("fold", "target_mk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        (
+            F.sum(F.abs(F.col("forecast") - F.col("actual"))).cast("double")
+            / F.sum("actual").cast("double")
+        ).alias("wape"),
+        (
+            F.sum(F.col("forecast") - F.col("actual")).cast("double")
+            / F.sum("actual").cast("double")
+        ).alias("bias"),
+    ).select(
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("target_mk").cast("bigint").alias("target_mk"),
+        "n_nations",
+        "wape",
+        "bias",
+    )

@@ -351,6 +351,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q250_link_prediction",
     "q251_lcs_verify",
     "q252_expected_calibration_error",
+    "q253_spearman_rank_corr",
+    "q254_partial_correlation",
+    "q255_qini_uplift",
+    "q256_rolling_origin_backtest",
 )
 
 

@@ -116,6 +116,11 @@ _SP_ALLOWED = {
     # moment window (q223 posture)
     "q252_expected_calibration_error": 2,  # customer-dimension rank window
     # (q210's documented shape) + closing 10-bucket reduce
+    "q253_spearman_rank_corr": 1,  # customer-dimension rank windows +
+    # closing moment reduce
+    "q254_partial_correlation": 1,  # closing ten-moment scalar reduce
+    "q255_qini_uplift": 1,        # user-dimension rank window (q210 shape)
+    "q256_rolling_origin_backtest": 1,  # max-month scalar broadcast
 }
 
 AUDITED = [

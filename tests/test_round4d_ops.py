@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q252): each result recomputed by an independent pure-Python/numpy
+(q215-q256): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -1302,3 +1302,136 @@ def test_q252_ece_matches_python(spark, sf_dir):
     assert math.isclose(row.ece, num / (1e6 * n), rel_tol=1e-9)
     assert math.isclose(row.mce, mce, rel_tol=1e-9)
     assert 0.0 <= row.ece <= row.mce <= 1.0
+
+
+def test_q253_spearman_matches_scipy_formula(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    f = defaultdict(int)
+    m = defaultdict(int)
+    for r in orders:
+        f[r.o_custkey] += 1
+        m[r.o_custkey] += round(r.o_totalprice * 100)
+    keys = sorted(f)
+    fx = np.array([f[k] for k in keys], dtype=float)
+    my = np.array([m[k] for k in keys], dtype=float)
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rf, rm = avg_ranks(fx), avg_ranks(my)
+    rho = float(np.corrcoef(rf, rm)[0, 1])
+    row = QS["q253_spearman_rank_corr"].fn(spark, sf_dir).collect()[0]
+    assert row.n == len(keys)
+    assert math.isclose(row.spearman_rho, rho, rel_tol=1e-9)
+    assert -1.0 <= row.spearman_rho <= 1.0
+
+
+def test_q254_partial_corr_matches_numpy(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    c = {r.c_custkey: r.c_acctbal
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    x = defaultdict(int)
+    y = defaultdict(int)
+    for r in o:
+        x[r.o_custkey] += 1
+        y[r.o_custkey] += int(math.floor(r.o_totalprice + 0.5))
+    keys = sorted(x)
+    xa = np.array([x[k] for k in keys], dtype=float)
+    ya = np.array([y[k] for k in keys], dtype=float)
+    za = np.array([int(math.floor(c[k] + 0.5)) for k in keys], dtype=float)
+    rxy = float(np.corrcoef(xa, ya)[0, 1])
+    rxz = float(np.corrcoef(xa, za)[0, 1])
+    ryz = float(np.corrcoef(ya, za)[0, 1])
+    part = (rxy - rxz * ryz) / (math.sqrt(1 - rxz**2) * math.sqrt(1 - ryz**2))
+    row = QS["q254_partial_correlation"].fn(spark, sf_dir).collect()[0]
+    assert row.n == len(keys)
+    for got, exp in ((row.rxy, rxy), (row.rxz, rxz), (row.ryz, ryz),
+                     (row.partial_rxy_given_z, part)):
+        assert math.isclose(got, exp, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_q255_qini_matches_python(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.analytics import CONV_MIN
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    pur = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            pur[r.user_id] += 1
+
+    def h(key, mod):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % mod
+
+    rows = sorted(
+        ((h(u * 7919, 1000000), u) for u in users)
+    )
+    n = len(rows)
+    cum = defaultdict(lambda: [0, 0, 0, 0])
+    for r0, (_, u) in enumerate(rows):
+        d = min(r0 * 10 // n, 9)
+        arm = h(u, 2)
+        yv = 1 if pur.get(u, 0) >= CONV_MIN else 0
+        cell = cum[d]
+        if arm == 1:
+            cell[0] += 1
+            cell[2] += yv
+        else:
+            cell[1] += 1
+            cell[3] += yv
+    got = {r.decile: r for r in QS["q255_qini_uplift"].fn(spark, sf_dir).collect()}
+    nt = nc = ct = cc = 0
+    for d in sorted(cum):
+        bnt, bnc, bct, bcc = cum[d]
+        nt, nc, ct, cc = nt + bnt, nc + bnc, ct + bct, cc + bcc
+        r = got[d]
+        assert (r.n_treat, r.n_ctrl, r.conv_treat, r.conv_ctrl) == (nt, nc, ct, cc)
+        assert math.isclose(r.qini, ct - cc * nt / nc, rel_tol=1e-12)
+
+
+def test_q256_rolling_origin_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _RO_FOLDS
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    c = {r.c_custkey: r.c_nationkey
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    n = {r.n_nationkey: r.n_name
+         for r in load_table(spark, sf_dir, "nation").collect()}
+    monthly = defaultdict(int)
+    for r in o:
+        mk = r.o_orderdate.year * 12 + r.o_orderdate.month
+        monthly[(n[c[r.o_custkey]], mk)] += round(r.o_totalprice * 100)
+    mmax = max(mk for _, mk in monthly)
+    got = {r.fold: r for r in
+           QS["q256_rolling_origin_backtest"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(range(_RO_FOLDS))
+    for fold in range(_RO_FOLDS):
+        t = mmax - fold
+        acts = {nat: v for (nat, mk), v in monthly.items() if mk == t}
+        sae = sse = sa = 0
+        for nat, act in acts.items():
+            fc = monthly.get((nat, t - 12), 0)
+            sae += abs(fc - act)
+            sse += fc - act
+            sa += act
+        r = got[fold]
+        assert r.target_mk == t and r.n_nations == len(acts)
+        assert math.isclose(r.wape, sae / sa, rel_tol=1e-12)
+        assert math.isclose(r.bias, sse / sa, rel_tol=1e-12)
