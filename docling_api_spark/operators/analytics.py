@@ -4745,3 +4745,180 @@ def q255_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(cc AS BIGINT) AS conv_ctrl",
         "CAST(ct AS DOUBLE) - CAST(cc AS DOUBLE) * nt / nc AS qini",
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — arc price elasticity by brand (log-free elasticity estimation)
+# ---------------------------------------------------------------------------
+# Pricing analytics without log-log regression (libm-unsafe): the ARC
+# elasticity between consecutive months uses midpoint percentage changes,
+#     e = [(q2−q1)/((q2+q1)/2)] / [(p2−p1)/((p2+p1)/2)]
+# — a pure rational of exact integer quantity sums and cent-exact average
+# prices. Per brand-month: total quantity and quantity-weighted mean
+# price; consecutive months pair via a lag window per brand; the reported
+# elasticity is the support-weighted mean of month-pair arcs
+# (micro-quantized — the q231 sum discipline). Brand-vocabulary-sized
+# everything after one fact pass.
+@register(
+    "q259_arc_elasticity",
+    tags=("pricing", "elasticity", "window"),
+    oracle="""
+        WITH bm AS (
+          SELECT p.p_brand AS brand,
+                 CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate)
+                      AS BIGINT) AS mk,
+                 CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qty,
+                 CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1, 2
+        ),
+        paired AS (
+          SELECT brand, mk, qty, cents,
+                 LAG(qty) OVER (PARTITION BY brand ORDER BY mk) AS q1,
+                 LAG(cents) OVER (PARTITION BY brand ORDER BY mk) AS c1,
+                 LAG(mk) OVER (PARTITION BY brand ORDER BY mk) AS mk1
+          FROM bm
+        ),
+        arcs AS (
+          SELECT brand,
+                 ((CAST(qty AS DOUBLE) - q1) / ((CAST(qty AS DOUBLE) + q1) / 2))
+                 / (((CAST(cents AS DOUBLE) / qty)
+                     - (CAST(c1 AS DOUBLE) / q1))
+                    / (((CAST(cents AS DOUBLE) / qty)
+                        + (CAST(c1 AS DOUBLE) / q1)) / 2)) AS e,
+                 qty + q1 AS support
+          FROM paired
+          WHERE mk1 = mk - 1 AND q1 > 0 AND qty > 0
+            AND (CAST(cents AS DOUBLE) / qty) <> (CAST(c1 AS DOUBLE) / q1)
+        )
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(support AS BIGINT)) AS BIGINT) AS total_support,
+               CAST(SUM(CAST(ROUND(1000000.0 * support * e) AS BIGINT))
+                    AS DOUBLE)
+                 / (1000000.0 * SUM(CAST(support AS BIGINT)))
+                 AS weighted_elasticity
+        FROM arcs GROUP BY brand
+    """,
+)
+def q259_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-weighted arc price elasticity per brand over consecutive
+    ship months (log-free midpoint form; see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    bm = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("mk"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    wb = W.partitionBy("brand").orderBy("mk")
+    paired = bm.select(
+        "brand",
+        "mk",
+        "qty",
+        "cents",
+        F.lag("qty").over(wb).alias("q1"),
+        F.lag("cents").over(wb).alias("c1"),
+        F.lag("mk").over(wb).alias("mk1"),
+    )
+    arcs = paired.where(
+        (F.col("mk1") == F.col("mk") - 1)
+        & (F.col("q1") > 0)
+        & (F.col("qty") > 0)
+        & (
+            F.expr("CAST(cents AS DOUBLE) / qty")
+            != F.expr("CAST(c1 AS DOUBLE) / q1")
+        )
+    ).selectExpr(
+        "brand",
+        "((CAST(qty AS DOUBLE) - q1) / ((CAST(qty AS DOUBLE) + q1) / 2))"
+        " / (((CAST(cents AS DOUBLE) / qty) - (CAST(c1 AS DOUBLE) / q1))"
+        "    / (((CAST(cents AS DOUBLE) / qty)"
+        "        + (CAST(c1 AS DOUBLE) / q1)) / 2)) AS e",
+        "qty + q1 AS support",
+    )
+    return arcs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("support").cast("bigint")).cast("bigint").alias("total_support"),
+        (
+            F.sum(
+                F.expr("CAST(ROUND(1000000.0 * support * e) AS BIGINT)")
+            ).cast("double")
+            / (1000000.0 * F.sum(F.col("support").cast("bigint")))
+        ).alias("weighted_elasticity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260 — Markov baseline accuracy for next-event prediction
+# ---------------------------------------------------------------------------
+# Before any sequence model ships, the bar is the first-order Markov
+# baseline: predict the most likely next event type given the current one
+# (argmax of q85's transition matrix, deterministic alphabetical
+# tie-break) and measure top-1 accuracy on the same stream. Everything is
+# exact integers: the matrix argmax packs (count, reversed-initial) into
+# one BIGINT max_by key (c*1000 + 255 - ascii(y) — count dominates, the
+# alphabetically-first type wins ties) and accuracy is a ratio of exact
+# counts per state.
+@register(
+    "q260_markov_baseline_accuracy",
+    tags=("sequence", "evaluation", "baseline"),
+    oracle="""
+        WITH trans AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS x,
+                 event_type AS y
+          FROM events
+        ),
+        counts AS (
+          SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+          FROM trans WHERE x IS NOT NULL GROUP BY x, y
+        ),
+        pred AS (
+          SELECT x, max_by(y, c * 1000 + 255 - ascii(y)) AS y_hat,
+                 CAST(MAX(c) AS BIGINT) AS c_hat,
+                 CAST(SUM(c) AS BIGINT) AS n
+          FROM counts GROUP BY x
+        )
+        SELECT p.x AS state, p.y_hat AS predicted_next, p.n AS n_obs,
+               p.c_hat AS n_correct,
+               CAST(p.c_hat AS DOUBLE) / p.n AS top1_accuracy
+        FROM pred p
+    """,
+)
+def q260_markov_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 accuracy of the first-order Markov next-event baseline per
+    state — exact counts, deterministic argmax tie-break (see block
+    comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    trans = ev.select(
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts"))
+        .alias("x"),
+        F.col("event_type").alias("y"),
+    ).where(F.col("x").isNotNull())
+    counts = trans.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pred = counts.groupBy("x").agg(
+        F.expr("max_by(y, c * 1000 + 255 - ascii(y))").alias("y_hat"),
+        F.max("c").cast("bigint").alias("c_hat"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    return pred.selectExpr(
+        "x AS state",
+        "y_hat AS predicted_next",
+        "n AS n_obs",
+        "c_hat AS n_correct",
+        "CAST(c_hat AS DOUBLE) / n AS top1_accuracy",
+    )

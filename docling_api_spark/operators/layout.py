@@ -317,3 +317,103 @@ def q245_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(est_millirows AS DOUBLE) / (1000000.0 * n) AS est_selectivity",
         "CAST(act AS DOUBLE) / n AS actual_selectivity",
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — range-partition planner (repartitionByRange boundary advisor)
+# ---------------------------------------------------------------------------
+# The physical-design decision q214 (hash partition keys) doesn't cover:
+# RANGE layout — time-travel pruning and ordered scans want
+# repartitionByRange(orderdate), and the planner needs split boundaries
+# that balance rows. Boundaries are the exact k-quantiles of the epoch-day
+# key (the oracle-parity tax; Spark's own RangePartitioner samples — the
+# audit here is what tells you sampled boundaries drift); the audit then
+# bins the table with those boundaries and reports each target partition's
+# fill against the ideal share (the q214 skew-ratio discipline). All
+# integer days and counts.
+_RANGE_PARTS = 16
+
+
+@register(
+    "q258_range_partition_planner",
+    tags=("physical-design", "partitioning", "percentile"),
+    oracle=f"""
+        WITH v AS (
+          SELECT date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS d
+          FROM orders
+        ),
+        cuts AS (
+          SELECT unnest(quantile_disc(d, [{", ".join(str((i + 1) / _RANGE_PARTS) for i in range(_RANGE_PARTS - 1))}]))
+                   AS cut,
+                 generate_subscripts(quantile_disc(d, [{", ".join(str((i + 1) / _RANGE_PARTS) for i in range(_RANGE_PARTS - 1))}]), 1) AS idx
+          FROM v
+        ),
+        assigned AS (
+          SELECT v.d,
+                 COALESCE((SELECT MIN(c.idx) FROM cuts c WHERE v.d <= c.cut),
+                          {_RANGE_PARTS}) AS part
+          FROM v
+        ),
+        stats AS (
+          SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(MIN(d) AS BIGINT) AS min_day,
+                 CAST(MAX(d) AS BIGINT) AS max_day
+          FROM assigned GROUP BY part
+        ),
+        tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM stats)
+        SELECT CAST(s.part AS BIGINT) AS part, s.n_rows, s.min_day, s.max_day,
+               CAST(s.n_rows AS DOUBLE) * {_RANGE_PARTS} / t.n AS fill_ratio
+        FROM stats s CROSS JOIN tot t
+    """,
+)
+def q258_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 16-way range boundaries for orderdate plus the per-partition
+    fill audit — the repartitionByRange planner (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("d")
+    )
+    taus = [(i + 1) / _RANGE_PARTS for i in range(_RANGE_PARTS - 1)]
+    cuts_row = v.agg(
+        *[
+            F.expr(f"percentile_disc({t}) WITHIN GROUP (ORDER BY d)").alias(
+                f"c{i}"
+            )
+            for i, t in enumerate(taus)
+        ]
+    )
+    cuts = cuts_row.selectExpr(
+        "stack("
+        + str(len(taus))
+        + ", "
+        + ", ".join(f"CAST({i + 1} AS BIGINT), c{i}" for i in range(len(taus)))
+        + ") AS (idx, cut)"
+    )
+    # assign the DISTINCT day domain (~series-sized), then join rows to it
+    # — the cut comparison never amplifies the fact table (q233 discipline)
+    day_part = (
+        v.distinct()
+        .crossJoin(F.broadcast(cuts))
+        .where(F.col("d") <= F.col("cut"))
+        .groupBy("d")
+        .agg(F.min("idx").alias("part"))
+    )
+    assigned = v.join(F.broadcast(day_part), "d", "left").select(
+        "d", F.coalesce("part", F.lit(_RANGE_PARTS)).alias("part")
+    )
+    stats = assigned.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("d").cast("bigint").alias("min_day"),
+        F.max("d").cast("bigint").alias("max_day"),
+    )
+    tot = stats.agg(F.sum("n_rows").cast("bigint").alias("n"))
+    return stats.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(part AS BIGINT) AS part",
+        "n_rows",
+        "min_day",
+        "max_day",
+        f"CAST(n_rows AS DOUBLE) * {_RANGE_PARTS} / n AS fill_ratio",
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from docling_api_spark.functions.numeric import dsum, sql_dsum
 from docling_api_spark.plans.registry import register
@@ -4913,3 +4914,90 @@ def q256_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wape",
         "bias",
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — DTW distance matrix between nation revenue series
+# ---------------------------------------------------------------------------
+# Time-series clustering needs a warping-tolerant distance: dynamic time
+# warping aligns two monthly revenue curves that move alike but shifted.
+# DTW is an O(T²) DP with no SQL form — the sequential boundary again
+# (q246/q251 pattern): the DISTRIBUTED part reduces facts to 25 monthly
+# series (collect_list ordered by month key inside the array — q224's
+# ordered-assembly discipline), pairs come from a self-join on nation
+# name (a < b — 300 pairs, vocabulary-sized), and the DP runs per pair in
+# mapInPandas over ~80-point z-normalized arrays.
+def _dtw_batch(batches):
+    import numpy as np
+
+    def dtw(a, b):
+        na, nb = len(a), len(b)
+        prev = np.full(nb + 1, np.inf)
+        prev[0] = 0.0
+        for i in range(1, na + 1):
+            cur = np.full(nb + 1, np.inf)
+            for j in range(1, nb + 1):
+                d = abs(a[i - 1] - b[j - 1])
+                cur[j] = d + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return float(prev[nb])
+
+    for pdf in batches:
+        out = pdf[["nation_a", "nation_b"]].copy()
+        dists = []
+        for sa, sb in zip(pdf["series_a"], pdf["series_b"]):
+            a = np.asarray(sa, dtype=float)
+            b = np.asarray(sb, dtype=float)
+            a = (a - a.mean()) / (a.std() or 1.0)
+            b = (b - b.mean()) / (b.std() or 1.0)
+            dists.append(dtw(a, b))
+        out["dtw"] = dists
+        yield out
+
+
+@register(
+    "q257_dtw_distance",
+    tags=("timeseries", "dtw", "udf"),
+    # no SQL oracle: DTW is an O(T²) DP — rows-only at the driver; every
+    # distance is pinned against an independent python DP in
+    # tests/test_round4d_ops.py
+)
+def q257_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance for every nation pair over z-normalized monthly revenue
+    series — distributed series assembly, per-pair DP in mapInPandas (see
+    block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mk"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice")).cast("bigint")).alias("v")
+        )
+    )
+    series = monthly.groupBy("nation").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(mk, v))), x -> x.v)"
+        ).alias("series")
+    )
+    a = series.selectExpr("nation AS nation_a", "series AS series_a")
+    b = series.selectExpr("nation AS nation_b", "series AS series_b")
+    # broadcast the 25-row side: the inequality pair join plans as a
+    # BroadcastNestedLoopJoin over vocabulary-sized relations, never a
+    # CartesianProduct over facts
+    pairs = a.join(F.broadcast(b), F.col("nation_a") < F.col("nation_b"))
+    schema = T.StructType(
+        [
+            T.StructField("nation_a", T.StringType()),
+            T.StructField("nation_b", T.StringType()),
+            T.StructField("dtw", T.DoubleType()),
+        ]
+    )
+    return pairs.mapInPandas(_dtw_batch, schema)

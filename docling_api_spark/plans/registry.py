@@ -355,6 +355,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q254_partial_correlation",
     "q255_qini_uplift",
     "q256_rolling_origin_backtest",
+    "q257_dtw_distance",
+    "q258_range_partition_planner",
+    "q259_arc_elasticity",
+    "q260_markov_baseline_accuracy",
 )
 
 

@@ -121,6 +121,8 @@ _SP_ALLOWED = {
     "q254_partial_correlation": 1,  # closing ten-moment scalar reduce
     "q255_qini_uplift": 1,        # user-dimension rank window (q210 shape)
     "q256_rolling_origin_backtest": 1,  # max-month scalar broadcast
+    "q258_range_partition_planner": 3,  # 15-quantile scalar + cuts stack +
+    # total scalar — all catalog-stat sized
 }
 
 AUDITED = [

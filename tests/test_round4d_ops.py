@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q256): each result recomputed by an independent pure-Python/numpy
+(q215-q260): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -1435,3 +1435,143 @@ def test_q256_rolling_origin_matches_python(spark, sf_dir):
         assert r.target_mk == t and r.n_nations == len(acts)
         assert math.isclose(r.wape, sae / sa, rel_tol=1e-12)
         assert math.isclose(r.bias, sse / sa, rel_tol=1e-12)
+
+
+def test_q257_dtw_matches_python_dp(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    c = {r.c_custkey: r.c_nationkey
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    n = {r.n_nationkey: r.n_name
+         for r in load_table(spark, sf_dir, "nation").collect()}
+    monthly = defaultdict(lambda: defaultdict(int))
+    for r in o:
+        mk = r.o_orderdate.year * 12 + r.o_orderdate.month
+        monthly[n[c[r.o_custkey]]][mk] += int(math.floor(r.o_totalprice + 0.5))
+    series = {
+        nat: np.array([v for _, v in sorted(d.items())], dtype=float)
+        for nat, d in monthly.items()
+    }
+
+    def znorm(a):
+        return (a - a.mean()) / (a.std() or 1.0)
+
+    def dtw(a, b):
+        na, nb = len(a), len(b)
+        prev = np.full(nb + 1, np.inf)
+        prev[0] = 0.0
+        for i in range(1, na + 1):
+            cur = np.full(nb + 1, np.inf)
+            for j in range(1, nb + 1):
+                d = abs(a[i - 1] - b[j - 1])
+                cur[j] = d + min(prev[j], cur[j - 1], prev[j - 1])
+            prev = cur
+        return float(prev[nb])
+
+    got = {
+        (r.nation_a, r.nation_b): r.dtw
+        for r in QS["q257_dtw_distance"].fn(spark, sf_dir).collect()
+    }
+    names = sorted(series)
+    expect_keys = {(a, b) for i, a in enumerate(names) for b in names[i + 1:]}
+    assert set(got) == expect_keys
+    for (a, b) in sorted(expect_keys)[:40]:
+        exp = dtw(znorm(series[a]), znorm(series[b]))
+        assert math.isclose(got[(a, b)], exp, rel_tol=1e-9)
+        # DTW never exceeds the straight (unwarped) alignment cost
+        za, zb = znorm(series[a]), znorm(series[b])
+        if len(za) == len(zb):
+            assert got[(a, b)] <= float(np.abs(za - zb).sum()) + 1e-9
+
+
+def test_q258_range_planner_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.layout import _RANGE_PARTS
+
+    days = [
+        (r.o_orderdate.date() - __import__("datetime").date(1970, 1, 1)).days
+        for r in load_table(spark, sf_dir, "orders").select("o_orderdate").collect()
+    ]
+    taus = [(i + 1) / _RANGE_PARTS for i in range(_RANGE_PARTS - 1)]
+    cuts = [
+        float(np.percentile(days, t * 100, method="inverted_cdf"))
+        for t in taus
+    ]
+    parts = defaultdict(list)
+    for d in days:
+        part = next(
+            (i + 1 for i, cut in enumerate(cuts) if d <= cut), _RANGE_PARTS
+        )
+        parts[part].append(d)
+    got = {r.part: r for r in
+           QS["q258_range_partition_planner"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(parts)
+    n = len(days)
+    for part, ds in parts.items():
+        r = got[part]
+        assert r.n_rows == len(ds)
+        assert (r.min_day, r.max_day) == (min(ds), max(ds))
+        assert math.isclose(r.fill_ratio, len(ds) * _RANGE_PARTS / n,
+                            rel_tol=1e-12)
+    # balanced by construction: every partition within 2x of ideal
+    assert max(r.fill_ratio for r in got.values()) < 2.0
+
+
+def test_q259_elasticity_matches_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    ).collect()
+    pt = {r.p_partkey: r.p_brand for r in load_table(spark, sf_dir, "part").collect()}
+    bm = defaultdict(lambda: [0, 0])
+    for r in li:
+        mk = r.l_shipdate.year * 12 + r.l_shipdate.month
+        cell = bm[(pt[r.l_partkey], mk)]
+        cell[0] += int(math.floor(r.l_quantity + 0.5))
+        cell[1] += round(r.l_extendedprice * 100)
+    expect = defaultdict(lambda: [0, 0, 0])  # n_pairs, support, num
+    brands = {b for b, _ in bm}
+    for b in brands:
+        mks = sorted(mk for bb, mk in bm if bb == b)
+        for m1, m2 in zip(mks, mks[1:]):
+            if m2 != m1 + 1:
+                continue
+            q1, c1 = bm[(b, m1)]
+            q2, c2 = bm[(b, m2)]
+            if q1 <= 0 or q2 <= 0 or c2 / q2 == c1 / q1:
+                continue
+            e = ((q2 - q1) / ((q2 + q1) / 2)) / (
+                ((c2 / q2) - (c1 / q1)) / (((c2 / q2) + (c1 / q1)) / 2)
+            )
+            cell = expect[b]
+            cell[0] += 1
+            cell[1] += q1 + q2
+            cell[2] += int(math.floor(1e6 * (q1 + q2) * e + 0.5)) if (q1 + q2) * e >= 0 else -int(math.floor(-1e6 * (q1 + q2) * e + 0.5))
+    got = {r.brand: r for r in QS["q259_arc_elasticity"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for b, (np_, sup, num) in expect.items():
+        r = got[b]
+        assert (r.n_pairs, r.total_support) == (np_, sup)
+        assert math.isclose(r.weighted_elasticity, num / (1e6 * sup), rel_tol=1e-6)
+
+
+def test_q260_markov_baseline_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_type))
+    counts = defaultdict(lambda: defaultdict(int))
+    for rows in per_user.values():
+        rows.sort()
+        for (_, x), (_, y) in zip(rows, rows[1:]):
+            counts[x][y] += 1
+    got = {r.state: r for r in
+           QS["q260_markov_baseline_accuracy"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for x, ys in counts.items():
+        # max count, ties to alphabetically first
+        y_hat = max(ys.items(), key=lambda kv: (kv[1], -ord(kv[0][0])))[0]
+        n = sum(ys.values())
+        r = got[x]
+        assert r.predicted_next == y_hat
+        assert (r.n_obs, r.n_correct) == (n, ys[y_hat])
+        assert math.isclose(r.top1_accuracy, ys[y_hat] / n, rel_tol=1e-12)
