@@ -4922,3 +4922,320 @@ def q260_markov_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_hat AS n_correct",
         "CAST(c_hat AS DOUBLE) / n AS top1_accuracy",
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — Kruskal-Wallis H: distribution-free k-group comparison
+# ---------------------------------------------------------------------------
+# "Does order value differ by region?" without normality assumptions:
+# the rank-based one-way ANOVA. H = [12/(n(n+1))]·Σ nᵢ·r̄ᵢ² − 3(n+1),
+# divided by the tie correction 1 − Σ(t³−t)/(n³−n). Ranks use q253's
+# doubled-integer average-rank trick (Σ of doubled ranks per group is an
+# exact BIGINT), and the tie factor is exact integer sums over the
+# value-domain relation — so H is a closing expression on exact inputs.
+# One rank window over the order relation (documented), two hash aggs.
+@register(
+    "q261_kruskal_wallis",
+    tags=("stats", "nonparametric", "rank"),
+    oracle="""
+        WITH labeled AS (
+          SELECT r.r_name AS region,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        ranked AS (
+          SELECT region,
+                 CAST(2 * RANK() OVER (ORDER BY v)
+                      + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2
+          FROM labeled
+        ),
+        grp AS (
+          SELECT region, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(r2) AS BIGINT) AS sr2
+          FROM ranked GROUP BY region
+        ),
+        ties AS (
+          SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM labeled GROUP BY v)
+        ),
+        tot AS (SELECT CAST(SUM(ni) AS BIGINT) AS n FROM grp),
+        h AS (
+          -- whole-unit rounding: the summand is ~1e14 at sf0.1, where
+          -- integer resolution is already ulp-level; a finer scale
+          -- overflows BIGINT (q239 ceiling lesson)
+          SELECT CAST(SUM(CAST(ROUND(
+                   (CAST(sr2 AS DOUBLE) / 2) * (CAST(sr2 AS DOUBLE) / 2) / ni)
+                 AS BIGINT)) AS DOUBLE) AS s_term,
+                 MIN(t.n) AS n
+          FROM grp CROSS JOIN tot t
+        )
+        SELECT h.n AS n_orders,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM grp) AS k_groups,
+               ((12.0 / (CAST(h.n AS DOUBLE) * (h.n + 1))) * h.s_term
+                - 3.0 * (h.n + 1))
+               / (1.0 - CAST(ties.tsum AS DOUBLE)
+                        / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n))
+                 AS h_statistic
+        FROM h CROSS JOIN ties
+    """,
+)
+def q261_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H for order value across regions — doubled-integer
+    average ranks, exact tie correction, one closing expression (see
+    block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    labeled = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        )
+    )
+    ranked = labeled.select(
+        "region",
+        (
+            2 * F.rank().over(W.orderBy("v"))
+            + F.count(F.lit(1)).over(W.partitionBy("v"))
+            - 1
+        ).cast("bigint").alias("r2"),
+    )
+    grp = ranked.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ni"),
+        F.sum("r2").cast("bigint").alias("sr2"),
+    )
+    ties = (
+        labeled.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    tot = grp.agg(F.sum("ni").cast("bigint").alias("n"))
+    h = grp.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(
+                F.expr(
+                    "CAST(ROUND((CAST(sr2 AS DOUBLE) / 2)"
+                    " * (CAST(sr2 AS DOUBLE) / 2) / ni) AS BIGINT)"
+                )
+            ).cast("double")
+        ).alias("s_term"),
+        F.min("n").alias("n"),
+    )
+    k = grp.agg(F.count(F.lit(1)).cast("bigint").alias("k_groups"))
+    return (
+        h.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(k))
+        .selectExpr(
+            "n AS n_orders",
+            "k_groups",
+            "((12.0 / (CAST(n AS DOUBLE) * (n + 1))) * s_term"
+            " - 3.0 * (n + 1))"
+            " / (1.0 - CAST(tsum AS DOUBLE)"
+            "          / (CAST(n AS DOUBLE) * n * n - n)) AS h_statistic",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262 — power analysis: sample size for the next experiment
+# ---------------------------------------------------------------------------
+# Experiment design closes the loop the readouts (q120/q241/q255) open:
+# given the OBSERVED baseline conversion rate, how many users per arm
+# does detecting a given absolute lift take at α=0.05, power=0.80?
+#     n = (z_{α/2} + z_β)² · (p₁q₁ + p₂q₂) / (p₁ − p₂)²
+# The normal quantiles are literals CAST AS DOUBLE (libm-free — the q218
+# discipline); the baseline rate comes from one exact integer reduce;
+# three MDE scenarios are a literal row explode. Also reports achievable
+# MDE at the CURRENT population size (inverted formula, sqrt only).
+_PWR_Z_ALPHA = "1.959963984540054"  # z_{0.975}
+_PWR_Z_BETA = "0.8416212335729143"  # z_{0.80}
+_PWR_MDES = (0.02, 0.05, 0.10)
+
+
+@register(
+    "q262_power_analysis",
+    tags=("experiment", "design", "stats"),
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= {CONV_MIN}
+                      THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY user_id
+        ),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(conv) AS BIGINT) AS k
+          FROM u
+        ),
+        mdes AS (
+          SELECT unnest(ARRAY[{", ".join(f"CAST({m} AS DOUBLE)" for m in _PWR_MDES)}]) AS mde
+        )
+        SELECT b.n_users, b.k,
+               CAST(b.k AS DOUBLE) / b.n_users AS p1,
+               m.mde,
+               CAST(CEIL(
+                 (CAST({_PWR_Z_ALPHA} AS DOUBLE)
+                  + CAST({_PWR_Z_BETA} AS DOUBLE))
+                 * (CAST({_PWR_Z_ALPHA} AS DOUBLE)
+                    + CAST({_PWR_Z_BETA} AS DOUBLE))
+                 * ((CAST(b.k AS DOUBLE) / b.n_users)
+                      * (1 - CAST(b.k AS DOUBLE) / b.n_users)
+                    + (CAST(b.k AS DOUBLE) / b.n_users + m.mde)
+                      * (1 - (CAST(b.k AS DOUBLE) / b.n_users + m.mde)))
+                 / (m.mde * m.mde)) AS BIGINT) AS n_per_arm
+        FROM base b CROSS JOIN mdes m
+    """,
+)
+def q262_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Required users per arm to detect 2/5/10-point conversion lifts at
+    α=0.05, power=0.80, from the observed baseline (literal z quantiles —
+    see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= CONV_MIN,
+            1,
+        ).otherwise(0).alias("conv")
+    )
+    base = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    mdes = spark.createDataFrame([(m,) for m in _PWR_MDES], "mde double")
+    zsum = f"(CAST({_PWR_Z_ALPHA} AS DOUBLE) + CAST({_PWR_Z_BETA} AS DOUBLE))"
+    p1 = "(CAST(k AS DOUBLE) / n_users)"
+    return base.crossJoin(F.broadcast(mdes)).selectExpr(
+        "n_users",
+        "k",
+        f"{p1} AS p1",
+        "mde",
+        f"CAST(CEIL({zsum} * {zsum}"
+        f" * ({p1} * (1 - {p1}) + ({p1} + mde) * (1 - ({p1} + mde)))"
+        " / (mde * mde)) AS BIGINT) AS n_per_arm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263 — jackknife variance of a ratio metric (delete-one-bucket)
+# ---------------------------------------------------------------------------
+# Ratio metrics (revenue per order, conversion per user) have no closed
+# i.i.d. variance — the standard production answer is the delete-one
+# jackknife over g deterministic buckets:
+#     var = (g−1)/g · Σ (θ₋ᵢ − θ̄)²
+# where θ₋ᵢ recomputes the ratio EXCLUDING bucket i — from totals minus
+# bucket sums, so the whole estimate is one bucket-level reduce, not g
+# passes (the algebraic identity that makes jackknife free at scale).
+# Buckets are md5 (q91 idiom); every θ₋ᵢ is a ratio of exact integers;
+# the squared-deviation sum is micro-quantized (q231 discipline).
+_JK_BUCKETS = 32
+
+
+@register(
+    "q263_jackknife_ratio_variance",
+    tags=("stats", "resampling", "variance"),
+    oracle=f"""
+        WITH b AS (
+          SELECT {sql_hash_bucket('o_custkey', _JK_BUCKETS)} AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS tn,
+                 CAST(SUM(cents) AS BIGINT) AS tc,
+                 CAST(COUNT(*) AS BIGINT) AS g
+          FROM b
+        ),
+        loo AS (
+          SELECT b.bucket,
+                 CAST(t.tc - b.cents AS DOUBLE) / (t.tn - b.n) AS theta_i,
+                 t.g, t.tn, t.tc
+          FROM b CROSS JOIN tot t
+        ),
+        mean_ AS (
+          SELECT CAST(SUM(CAST(ROUND(1000000.0 * theta_i) AS BIGINT))
+                      AS DOUBLE) / (1000000.0 * MIN(g)) AS tbar,
+                 MIN(g) AS g, MIN(tn) AS tn, MIN(tc) AS tc
+          FROM loo
+        )
+        SELECT m.g AS n_buckets,
+               CAST(m.tc AS DOUBLE) / (100.0 * m.tn) AS mean_order_value,
+               (CAST(m.g AS DOUBLE) - 1) / m.g
+                 * (SELECT CAST(SUM(CAST(ROUND(1000.0
+                       * (l.theta_i - m.tbar) * (l.theta_i - m.tbar))
+                     AS BIGINT)) AS DOUBLE) / 1000.0 FROM loo l)
+                 / 10000.0 AS jackknife_variance,
+               sqrt((CAST(m.g AS DOUBLE) - 1) / m.g
+                 * (SELECT CAST(SUM(CAST(ROUND(1000.0
+                       * (l.theta_i - m.tbar) * (l.theta_i - m.tbar))
+                     AS BIGINT)) AS DOUBLE) / 1000.0 FROM loo l))
+                 / 100.0 AS jackknife_se
+        FROM mean_ m
+    """,
+)
+def q263_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife variance/SE of mean order value — the
+    algebraic totals-minus-bucket form, one bucket-level reduce (see
+    block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        hash_bucket("o_custkey", _JK_BUCKETS).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("cents").cast("bigint").alias("tc"),
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    )
+    loo = b.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        "CAST(tc - cents AS DOUBLE) / (tn - n) AS theta_i",
+        "g", "tn", "tc",
+    )
+    mean_ = loo.agg(
+        (
+            F.sum(F.expr("CAST(ROUND(1000000.0 * theta_i) AS BIGINT)")).cast(
+                "double"
+            )
+            / (1000000.0 * F.min("g"))
+        ).alias("tbar"),
+        F.min("g").alias("g"),
+        F.min("tn").alias("tn"),
+        F.min("tc").alias("tc"),
+    )
+    dev = loo.crossJoin(F.broadcast(mean_.select("tbar"))).agg(
+        (
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(1000.0 * (theta_i - tbar)"
+                    " * (theta_i - tbar)) AS BIGINT)"
+                )
+            ).cast("double")
+            / 1000.0  # milli-quantized: deviations are cents², nano would
+            # overflow BIGINT on sparse buckets (q239 ceiling lesson)
+        ).alias("ssd")
+    )
+    return mean_.crossJoin(F.broadcast(dev)).selectExpr(
+        "g AS n_buckets",
+        "CAST(tc AS DOUBLE) / (100.0 * tn) AS mean_order_value",
+        "(CAST(g AS DOUBLE) - 1) / g * ssd / 10000.0 AS jackknife_variance",
+        "sqrt((CAST(g AS DOUBLE) - 1) / g * ssd) / 100.0 AS jackknife_se",
+    )

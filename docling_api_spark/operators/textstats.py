@@ -2531,3 +2531,71 @@ def q247_text_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (1000000000.0 * F.count(F.lit(1)))
         ).alias("mean_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — source-level vocabulary overlap (corpus-granularity clone signal)
+# ---------------------------------------------------------------------------
+# Doc-level near-dup (q42/q43) misses a corpus-level failure: two crawl
+# SOURCES that are substantially the same feed. The source-pair vocabulary
+# Jaccard and containment — |Va∩Vb|/|Va∪Vb| and |Va∩Vb|/min(|Va|,|Vb|) —
+# are the triage signals (high containment + asymmetric sizes = one feed
+# wraps the other). All from the DISTINCT (source, term) relation: an
+# equi-join on term produces intersections (vocabulary-sized, never
+# doc-pairs), per-source sizes broadcast, union by inclusion-exclusion.
+@register(
+    "q264_source_vocab_overlap",
+    tags=("text", "dedup", "governance"),
+    oracle="""
+        WITH st AS (
+          SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        sizes AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY source
+        ),
+        inter AS (
+          SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS i
+          FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT i.sa AS source_a, i.sb AS source_b,
+               za.v AS vocab_a, zb.v AS vocab_b, i.i AS vocab_common,
+               CAST(i.i AS DOUBLE) / (za.v + zb.v - i.i) AS jaccard,
+               CAST(i.i AS DOUBLE) / least(za.v, zb.v) AS containment
+        FROM inter i
+        JOIN sizes za ON i.sa = za.source
+        JOIN sizes zb ON i.sb = zb.source
+    """,
+)
+def q264_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary Jaccard and containment — the corpus-
+    granularity duplicate-feed triage (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.selectExpr("source AS sa", "v AS vocab_a")), "sa")
+        .join(F.broadcast(sizes.selectExpr("source AS sb", "v AS vocab_b")), "sb")
+        .selectExpr(
+            "sa AS source_a",
+            "sb AS source_b",
+            "vocab_a",
+            "vocab_b",
+            "i AS vocab_common",
+            "CAST(i AS DOUBLE) / (vocab_a + vocab_b - i) AS jaccard",
+            "CAST(i AS DOUBLE) / least(vocab_a, vocab_b) AS containment",
+        )
+    )

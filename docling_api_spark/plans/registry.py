@@ -359,6 +359,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q258_range_partition_planner",
     "q259_arc_elasticity",
     "q260_markov_baseline_accuracy",
+    "q261_kruskal_wallis",
+    "q262_power_analysis",
+    "q263_jackknife_ratio_variance",
+    "q264_source_vocab_overlap",
 )
 
 

@@ -123,6 +123,11 @@ _SP_ALLOWED = {
     "q256_rolling_origin_backtest": 1,  # max-month scalar broadcast
     "q258_range_partition_planner": 3,  # 15-quantile scalar + cuts stack +
     # total scalar — all catalog-stat sized
+    "q261_kruskal_wallis": 4,     # order-relation rank window (documented
+    # exact-rank tax) + tie/total/k one-row reduces
+    "q262_power_analysis": 1,     # baseline-rate scalar reduce
+    "q263_jackknife_ratio_variance": 6,  # 32-bucket relation reduces: the
+    # totals, LOO mean, and deviation scalars (all ≤32-row)
 }
 
 AUDITED = [

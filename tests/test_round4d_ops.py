@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q260): each result recomputed by an independent pure-Python/numpy
+(q215-q264): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -1575,3 +1575,133 @@ def test_q260_markov_baseline_matches_python(spark, sf_dir):
         assert r.predicted_next == y_hat
         assert (r.n_obs, r.n_correct) == (n, ys[y_hat])
         assert math.isclose(r.top1_accuracy, ys[y_hat] / n, rel_tol=1e-12)
+
+
+def test_q261_kruskal_matches_scipy_formula(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    c = {r.c_custkey: r.c_nationkey
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    n = {r.n_nationkey: r.n_regionkey
+         for r in load_table(spark, sf_dir, "nation").collect()}
+    rg = {r.r_regionkey: r.r_name
+          for r in load_table(spark, sf_dir, "region").collect()}
+    vals = [(rg[n[c[r.o_custkey]]], round(r.o_totalprice * 100)) for r in o]
+    try:
+        from scipy import stats as sps
+        groups = defaultdict(list)
+        for g, v in vals:
+            groups[g].append(v)
+        h_ref = float(sps.kruskal(*groups.values()).statistic)
+    except ImportError:
+        # manual H with tie correction
+        allv = sorted(v for _, v in vals)
+        ranks = {}
+        i = 0
+        while i < len(allv):
+            j = i
+            while j + 1 < len(allv) and allv[j + 1] == allv[i]:
+                j += 1
+            ranks[allv[i]] = (i + j) / 2 + 1
+            i = j + 1
+        nn = len(vals)
+        groups = defaultdict(list)
+        for g, v in vals:
+            groups[g].append(ranks[v])
+        h = 12 / (nn * (nn + 1)) * sum(
+            len(rs) * (sum(rs) / len(rs)) ** 2 for rs in groups.values()
+        ) - 3 * (nn + 1)
+        tiecnt = defaultdict(int)
+        for _, v in vals:
+            tiecnt[v] += 1
+        h_ref = h / (1 - sum(t**3 - t for t in tiecnt.values()) / (nn**3 - nn))
+    row = QS["q261_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    assert row.n_orders == len(vals)
+    assert row.k_groups == len({g for g, _ in vals})
+    assert math.isclose(row.h_statistic, h_ref, rel_tol=1e-6)
+
+
+def test_q262_power_matches_statsmodels_formula(spark, sf_dir):
+    from docling_api_spark.operators.analytics import (
+        _PWR_MDES, _PWR_Z_ALPHA, _PWR_Z_BETA, CONV_MIN,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    pur = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            pur[r.user_id] += 1
+    k = sum(1 for u in users if pur.get(u, 0) >= CONV_MIN)
+    p1 = k / len(users)
+    z = float(_PWR_Z_ALPHA) + float(_PWR_Z_BETA)
+    got = {r.mde: r for r in QS["q262_power_analysis"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(_PWR_MDES)
+    for mde in _PWR_MDES:
+        p2 = p1 + mde
+        n = math.ceil(z * z * (p1 * (1 - p1) + p2 * (1 - p2)) / (mde * mde))
+        r = got[mde]
+        assert (r.n_users, r.k) == (len(users), k)
+        assert r.n_per_arm == n
+    # a smaller effect needs more samples
+    ns = [got[m].n_per_arm for m in sorted(_PWR_MDES)]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_q263_jackknife_matches_python(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.analytics import _JK_BUCKETS
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    b = defaultdict(lambda: [0, 0])
+    for r in o:
+        bk = int(hashlib.md5(str(r.o_custkey).encode()).hexdigest()[:8],
+                 16) % _JK_BUCKETS
+        cell = b[bk]
+        cell[0] += 1
+        cell[1] += round(r.o_totalprice * 100)
+    tn = sum(n for n, _ in b.values())
+    tc = sum(cents for _, cents in b.values())
+    g = len(b)
+    thetas = [(tc - cents) / (tn - n) for n, cents in b.values()]
+    tbar = sum(int(math.floor(1e6 * t + 0.5)) for t in thetas) / (1e6 * g)
+    ssd = sum(
+        int(math.floor(1e3 * (t - tbar) ** 2 + 0.5)) for t in thetas
+    ) / 1e3
+    var = (g - 1) / g * ssd / 1e4
+    row = QS["q263_jackknife_ratio_variance"].fn(spark, sf_dir).collect()[0]
+    assert row.n_buckets == g
+    assert math.isclose(row.mean_order_value, tc / (100.0 * tn), rel_tol=1e-12)
+    assert math.isclose(row.jackknife_variance, var, rel_tol=1e-6)
+    assert math.isclose(row.jackknife_se, math.sqrt((g - 1) / g * ssd) / 100,
+                        rel_tol=1e-6)
+
+
+def test_q264_vocab_overlap_matches_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    vocab = defaultdict(set)
+    for r in docs:
+        vocab[r.source].update(r.text.split(" "))
+    names = sorted(vocab)
+    got = {
+        (r.source_a, r.source_b): r
+        for r in QS["q264_source_vocab_overlap"].fn(spark, sf_dir).collect()
+    }
+    for i, a in enumerate(names):
+        for b_ in names[i + 1:]:
+            inter = len(vocab[a] & vocab[b_])
+            if inter == 0:
+                assert (a, b_) not in got
+                continue
+            r = got[(a, b_)]
+            assert (r.vocab_a, r.vocab_b, r.vocab_common) == (
+                len(vocab[a]), len(vocab[b_]), inter,
+            )
+            assert math.isclose(
+                r.jaccard, inter / len(vocab[a] | vocab[b_]), rel_tol=1e-12
+            )
+            assert math.isclose(
+                r.containment, inter / min(len(vocab[a]), len(vocab[b_])),
+                rel_tol=1e-12,
+            )
