@@ -5239,3 +5239,270 @@ def q263_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame
         "(CAST(g AS DOUBLE) - 1) / g * ssd / 10000.0 AS jackknife_variance",
         "sqrt((CAST(g AS DOUBLE) - 1) / g * ssd) / 100.0 AS jackknife_se",
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — James-Stein / empirical-Bayes shrinkage of group means
+# ---------------------------------------------------------------------------
+# The multilevel-model workhorse: small nations' mean order values are
+# noisy, and ranking raw means rewards noise. Method-of-moments empirical
+# Bayes shrinks each group mean toward the grand mean with weight
+#     w_i = σ²_b / (σ²_b + σ²_w / n_i)
+# where σ²_w is the pooled within-group variance and σ²_b the
+# between-group variance component (one-way ANOVA decomposition, all from
+# exact integer moment sums — dollars, q254's overflow-aware unit). The
+# whole fit is two hash aggs and a closing expression per group — no
+# iterative solver (this IS the conjugate-normal posterior mean).
+@register(
+    "q265_james_stein_shrinkage",
+    tags=("stats", "bayes", "hierarchy"),
+    oracle="""
+        WITH labeled AS (
+          SELECT n.n_name AS nation,
+                 CAST(ROUND(o.o_totalprice) AS BIGINT) AS v
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        grp AS (
+          SELECT nation, CAST(COUNT(*) AS BIGINT) AS ni,
+                 CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(SUM(v * v) AS BIGINT) AS ss
+          FROM labeled GROUP BY nation
+        ),
+        pool AS (
+          SELECT CAST(SUM(ni) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(s) AS BIGINT) AS ts,
+                 -- whole-unit quantized (summands ~1e14: integer
+                 -- resolution is ulp-level, order-free — q261 discipline)
+                 CAST(SUM(CAST(ROUND(CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * s / ni) AS BIGINT)) AS DOUBLE)
+                   AS ssw,
+                 CAST(SUM(CAST(ROUND(CAST(ni AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / ni) * (CAST(s AS DOUBLE) / ni))
+                     AS BIGINT)) AS DOUBLE) AS ssb_raw
+          FROM grp
+        ),
+        vc AS (
+          SELECT n, k, ts,
+                 ssw / (n - k) AS var_w,
+                 greatest(
+                   ((ssb_raw - (CAST(ts AS DOUBLE) * ts / n)) / (k - 1)
+                    - ssw / (n - k))
+                   / (CAST(n AS DOUBLE) / k), 0.0) AS var_b
+          FROM pool
+        )
+        SELECT g.nation, g.ni,
+               CAST(g.s AS DOUBLE) / g.ni AS raw_mean,
+               CAST(vc.ts AS DOUBLE) / vc.n AS grand_mean,
+               vc.var_b / (vc.var_b + vc.var_w / g.ni) AS w,
+               (vc.var_b / (vc.var_b + vc.var_w / g.ni))
+                 * (CAST(g.s AS DOUBLE) / g.ni)
+               + (1 - vc.var_b / (vc.var_b + vc.var_w / g.ni))
+                 * (CAST(vc.ts AS DOUBLE) / vc.n) AS shrunk_mean
+        FROM grp g CROSS JOIN vc
+    """,
+)
+def q265_james_stein_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation mean order value toward the
+    grand mean with method-of-moments variance components (see block
+    comment — exact moments, closed form, no solver)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    labeled = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round("o_totalprice").cast("bigint").alias("v"),
+        )
+    )
+    grp = labeled.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ni"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    pool = grp.agg(
+        F.sum("ni").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s").cast("bigint").alias("ts"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CAST(ss AS DOUBLE)"
+                " - CAST(s AS DOUBLE) * s / ni) AS BIGINT)"
+            )
+        ).cast("double").alias("ssw"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CAST(ni AS DOUBLE) * (CAST(s AS DOUBLE) / ni)"
+                " * (CAST(s AS DOUBLE) / ni)) AS BIGINT)"
+            )
+        ).cast("double").alias("ssb_raw"),
+    )
+    vc = pool.selectExpr(
+        "n", "k", "ts",
+        "ssw / (n - k) AS var_w",
+        "greatest(((ssb_raw - (CAST(ts AS DOUBLE) * ts / n)) / (k - 1)"
+        " - ssw / (n - k)) / (CAST(n AS DOUBLE) / k), 0.0) AS var_b",
+    )
+    return grp.crossJoin(F.broadcast(vc)).selectExpr(
+        "nation",
+        "ni",
+        "CAST(s AS DOUBLE) / ni AS raw_mean",
+        "CAST(ts AS DOUBLE) / n AS grand_mean",
+        "var_b / (var_b + var_w / ni) AS w",
+        "(var_b / (var_b + var_w / ni)) * (CAST(s AS DOUBLE) / ni)"
+        " + (1 - var_b / (var_b + var_w / ni))"
+        "   * (CAST(ts AS DOUBLE) / n) AS shrunk_mean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268 — decision stump: best single Gini split (tree induction, level 1)
+# ---------------------------------------------------------------------------
+# The first level of every gradient-boosted tree: over candidate split
+# points of a feature (order price, 20 equi-width bucket boundaries),
+# pick the split minimizing weighted Gini impurity of the late-shipment
+# label. Cumulative bucket sums price EVERY candidate with one pass
+# (q242's prefix-sum discipline); Gini terms are exact rationals of
+# integer counts; the argmin uses quantized scores with a deterministic
+# lowest-boundary tie-break. This is the distributed histogram-split
+# algorithm XGBoost/LightGBM run per feature per node.
+_STUMP_BUCKETS = 20
+
+
+@register(
+    "q268_gini_stump",
+    tags=("ml", "tree", "split"),
+    oracle=f"""
+        WITH labeled AS (
+          SELECT o.o_orderkey,
+                 CAST(ROUND(o.o_totalprice) AS BIGINT) AS d,
+                 MAX(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                          CAST(l.l_shipdate AS DATE)) > {_LATE_DAYS}
+                          THEN 1 ELSE 0 END) AS y
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        bounds AS (
+          SELECT MIN(d) AS lo, MAX(d) + 1 AS hi FROM labeled
+        ),
+        bucketed AS (
+          SELECT CAST(({_STUMP_BUCKETS} * (lb.d - b.lo)) // (b.hi - b.lo)
+                      AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS k
+          FROM labeled lb CROSS JOIN bounds b GROUP BY 1
+        ),
+        cum AS (
+          SELECT bucket,
+                 SUM(n) OVER (ORDER BY bucket) AS nl,
+                 SUM(k) OVER (ORDER BY bucket) AS kl,
+                 SUM(n) OVER () AS nt,
+                 SUM(k) OVER () AS kt
+          FROM bucketed
+        ),
+        scored AS (
+          SELECT bucket, nl, kl, nt, kt,
+                 CAST(ROUND(1000000000.0 * (
+                   (CAST(nl AS DOUBLE) / nt)
+                     * (1 - (CAST(kl AS DOUBLE) / nl) * (CAST(kl AS DOUBLE) / nl)
+                          - (1 - CAST(kl AS DOUBLE) / nl)
+                            * (1 - CAST(kl AS DOUBLE) / nl))
+                   + (CAST(nt - nl AS DOUBLE) / nt)
+                     * (1 - (CAST(kt - kl AS DOUBLE) / (nt - nl))
+                            * (CAST(kt - kl AS DOUBLE) / (nt - nl))
+                          - (1 - CAST(kt - kl AS DOUBLE) / (nt - nl))
+                            * (1 - CAST(kt - kl AS DOUBLE) / (nt - nl)))
+                 )) AS BIGINT) AS gq
+          FROM cum WHERE nl < nt
+        ),
+        best AS (SELECT MIN(gq) AS m FROM scored)
+        SELECT CAST(MIN(s.bucket) AS BIGINT) AS split_bucket,
+               CAST(MIN(s.nl) AS BIGINT) AS n_left,
+               CAST(MIN(s.nt - s.nl) AS BIGINT) AS n_right,
+               MIN(CAST(s.kl AS DOUBLE) / s.nl) AS left_rate,
+               MIN(CAST(s.kt - s.kl AS DOUBLE) / (s.nt - s.nl)) AS right_rate,
+               MIN(CAST(s.gq AS DOUBLE) / 1000000000.0) AS weighted_gini
+        FROM scored s CROSS JOIN best b
+        WHERE s.gq = b.m
+    """,
+)
+def q268_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single Gini split of late-shipment risk over 20 price-bucket
+    boundaries — one cumulative pass prices all candidates, quantized
+    argmin with lowest-boundary tie-break (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    labeled = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                    > _LATE_DAYS,
+                    1,
+                ).otherwise(0)
+            ).alias("y")
+        )
+        .select(
+            F.round("o_totalprice").cast("bigint").alias("d"), "y"
+        )
+    )
+    bounds = labeled.agg(
+        F.min("d").alias("lo"), (F.max("d") + 1).alias("hi")
+    )
+    bucketed = (
+        labeled.crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            f"CAST(({_STUMP_BUCKETS} * (d - lo)) div (hi - lo) AS BIGINT)"
+            " AS bucket",
+            "y",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("k"),
+        )
+    )
+    wc = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = bucketed.select(
+        "bucket",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("k").over(wc).alias("kl"),
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("k").over(wall).alias("kt"),
+    )
+    pl = "CAST(kl AS DOUBLE) / nl"
+    pr = "CAST(kt - kl AS DOUBLE) / (nt - nl)"
+    scored = cum.where(F.col("nl") < F.col("nt")).selectExpr(
+        "bucket", "nl", "kl", "nt", "kt",
+        "CAST(ROUND(1000000000.0 * ("
+        f"(CAST(nl AS DOUBLE) / nt) * (1 - ({pl}) * ({pl})"
+        f" - (1 - {pl}) * (1 - {pl}))"
+        f" + (CAST(nt - nl AS DOUBLE) / nt) * (1 - ({pr}) * ({pr})"
+        f" - (1 - {pr}) * (1 - {pr}))"
+        ")) AS BIGINT) AS gq",
+    )
+    best = scored.agg(F.min("gq").alias("m"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .where(F.col("gq") == F.col("m"))
+        .agg(
+            F.min("bucket").cast("bigint").alias("split_bucket"),
+            F.min("nl").cast("bigint").alias("n_left"),
+            F.min(F.col("nt") - F.col("nl")).cast("bigint").alias("n_right"),
+            F.min(F.expr(pl)).alias("left_rate"),
+            F.min(F.expr(pr)).alias("right_rate"),
+            F.min(F.col("gq").cast("double") / 1000000000.0).alias(
+                "weighted_gini"
+            ),
+        )
+    )

@@ -293,3 +293,83 @@ def q206_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(li_cascade, "o_custkey", "lineitem"))
         .unionByName(audit(c, "c_custkey", "customer"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — l-diversity audit (the privacy gate k-anonymity alone misses)
+# ---------------------------------------------------------------------------
+# q173 certifies k-anonymity: every quasi-identifier group has ≥ k rows.
+# But a group of 50 users who ALL share one sensitive value leaks that
+# value despite k=50 — distinct-l-diversity additionally requires ≥ l
+# DISTINCT sensitive values per group. Quasi-identifiers here: (nation,
+# market segment); sensitive attribute: order priority of the customer's
+# orders. Emits per-group size, distinct-sensitive count, and the
+# dominant-value share (the homogeneity-attack risk); plus pass flags.
+# Exact counts; the argmax share uses the q260 packed max_by key.
+_LDIV_K = 5
+_LDIV_L = 3
+
+
+@register(
+    "q267_l_diversity",
+    tags=("privacy", "governance", "audit"),
+    oracle=f"""
+        WITH joined AS (
+          SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+                 o.o_orderpriority AS sensitive
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey
+        ),
+        sv AS (
+          SELECT nation, segment, sensitive, CAST(COUNT(*) AS BIGINT) AS c
+          FROM joined GROUP BY 1, 2, 3
+        ),
+        grp AS (
+          SELECT nation, segment,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS l_distinct,
+                 CAST(MAX(c) AS BIGINT) AS dominant_n
+          FROM sv GROUP BY 1, 2
+        )
+        SELECT nation, segment, n_rows, l_distinct,
+               CAST(dominant_n AS DOUBLE) / n_rows AS dominant_share,
+               CASE WHEN n_rows >= {_LDIV_K} THEN 1 ELSE 0 END AS k_anonymous,
+               CASE WHEN l_distinct >= {_LDIV_L} THEN 1 ELSE 0 END
+                 AS l_diverse
+        FROM grp
+    """,
+)
+def q267_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit over (nation, segment) quasi-groups with
+    order priority as the sensitive attribute — the homogeneity-attack
+    check beyond q173's k-anonymity (see block comment)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    sv = joined.groupBy("nation", "segment", "sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grp = sv.groupBy("nation", "segment").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.max("c").cast("bigint").alias("dominant_n"),
+    )
+    return grp.selectExpr(
+        "nation",
+        "segment",
+        "n_rows",
+        "l_distinct",
+        "CAST(dominant_n AS DOUBLE) / n_rows AS dominant_share",
+        f"CASE WHEN n_rows >= {_LDIV_K} THEN 1 ELSE 0 END AS k_anonymous",
+        f"CASE WHEN l_distinct >= {_LDIV_L} THEN 1 ELSE 0 END AS l_diverse",
+    )

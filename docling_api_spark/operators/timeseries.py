@@ -5001,3 +5001,134 @@ def q257_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pairs.mapInPandas(_dtw_batch, schema)
+
+
+# ---------------------------------------------------------------------------
+# q266 — hysteresis alerting (two-threshold alarm with closed-form state)
+# ---------------------------------------------------------------------------
+# Single-threshold alerts flap when the metric hovers at the line; control
+# practice uses HYSTERESIS: arm when the series crosses the high
+# watermark, disarm only below the low watermark. The alarm state at time
+# t looks sequential, but it has a closed form — the state is simply the
+# DIRECTION OF THE LAST CROSSING:
+#     state(t) = 1 if the most recent sample outside (lo, hi) was ≥ hi
+# which is last_value(crossing, ignorenulls) over time (q215's
+# closed-form-over-windows discipline). Thresholds are the p90/p70 of the
+# daily series (exact percentiles, scalar broadcast); comparisons are
+# integer-vs-percentile (both engines interpolate identical integers).
+@register(
+    "q266_hysteresis_alerts",
+    tags=("timeseries", "alerting", "window"),
+    oracle="""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                           MAX(CAST(o_orderdate AS DATE))) AS span
+          FROM orders
+        ),
+        days AS (SELECT unnest(range(0, span + 1)) AS day FROM bounds),
+        rev AS (
+          SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+          FROM orders o CROSS JOIN bounds b GROUP BY 1
+        ),
+        series AS (
+          SELECT d.day, COALESCE(r.v, 0) AS v
+          FROM days d LEFT JOIN rev r ON d.day = r.day
+        ),
+        th AS (
+          SELECT quantile_cont(v, 0.9) AS hi, quantile_cont(v, 0.7) AS lo
+          FROM series
+        ),
+        crossings AS (
+          SELECT s.day, s.v, t.hi, t.lo,
+                 CASE WHEN s.v >= t.hi THEN 1
+                      WHEN s.v <= t.lo THEN 0 END AS crossing
+          FROM series s CROSS JOIN th t
+        ),
+        state AS (
+          SELECT day, v, hi, lo,
+                 COALESCE(LAST_VALUE(crossing IGNORE NULLS) OVER
+                   (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS armed
+          FROM crossings
+        ),
+        onsets AS (
+          SELECT armed, hi, lo,
+                 CASE WHEN armed = 1 AND
+                       COALESCE(LAG(armed) OVER (ORDER BY day), 0) = 0
+                      THEN 1 ELSE 0 END AS onset
+          FROM state
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(armed) AS BIGINT) AS days_armed,
+               CAST(SUM(onset) AS BIGINT) AS n_alerts,
+               MIN(hi) AS hi_threshold, MIN(lo) AS lo_threshold
+        FROM onsets
+    """,
+)
+def q266_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold hysteresis alarm over daily revenue — state is the
+    direction of the last watermark crossing (last_value ignorenulls
+    closed form); emits armed-day and alert-onset counts (see block
+    comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    days = bounds.select(F.explode(F.expr("sequence(0, span)")).alias("day"))
+    rev = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")).alias("day"),
+            F.round("o_totalprice").cast("bigint").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    th = series.agg(
+        F.expr("percentile(v, 0.9)").alias("hi"),
+        F.expr("percentile(v, 0.7)").alias("lo"),
+    )
+    crossings = series.crossJoin(F.broadcast(th)).select(
+        "day",
+        "v",
+        "hi",
+        "lo",
+        F.when(F.col("v") >= F.col("hi"), 1)
+        .when(F.col("v") <= F.col("lo"), 0)
+        .alias("crossing"),
+    )
+    wseq = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    state = crossings.select(
+        "day",
+        "hi",
+        "lo",
+        F.coalesce(
+            F.last("crossing", ignorenulls=True).over(wseq), F.lit(0)
+        ).alias("armed"),
+    )
+    wl = W.orderBy("day")
+    onsets = state.select(
+        "armed",
+        "hi",
+        "lo",
+        F.when(
+            (F.col("armed") == 1)
+            & (F.coalesce(F.lag("armed").over(wl), F.lit(0)) == 0),
+            1,
+        ).otherwise(0).alias("onset"),
+    )
+    return onsets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("armed").cast("bigint").alias("days_armed"),
+        F.sum("onset").cast("bigint").alias("n_alerts"),
+        F.min("hi").alias("hi_threshold"),
+        F.min("lo").alias("lo_threshold"),
+    )

@@ -363,6 +363,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q262_power_analysis",
     "q263_jackknife_ratio_variance",
     "q264_source_vocab_overlap",
+    "q265_james_stein_shrinkage",
+    "q266_hysteresis_alerts",
+    "q267_l_diversity",
+    "q268_gini_stump",
 )
 
 

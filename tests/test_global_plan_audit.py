@@ -128,6 +128,11 @@ _SP_ALLOWED = {
     "q262_power_analysis": 1,     # baseline-rate scalar reduce
     "q263_jackknife_ratio_variance": 6,  # 32-bucket relation reduces: the
     # totals, LOO mean, and deviation scalars (all ≤32-row)
+    "q265_james_stein_shrinkage": 1,  # pooled variance-component scalar
+    "q266_hysteresis_alerts": 4,  # date-bounds + threshold scalars +
+    # series-length state windows (q223 posture)
+    "q268_gini_stump": 4,         # price-bounds scalar + 20-bucket
+    # cumulative/total windows + argmin scalar — catalog-stat sized
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q264): each result recomputed by an independent pure-Python/numpy
+(q215-q268): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -1705,3 +1705,149 @@ def test_q264_vocab_overlap_matches_python(spark, sf_dir):
                 r.containment, inter / min(len(vocab[a]), len(vocab[b_])),
                 rel_tol=1e-12,
             )
+
+
+def test_q265_shrinkage_matches_python(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    c = {r.c_custkey: r.c_nationkey
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    nn = {r.n_nationkey: r.n_name
+          for r in load_table(spark, sf_dir, "nation").collect()}
+    groups = defaultdict(list)
+    for r in o:
+        groups[nn[c[r.o_custkey]]].append(int(math.floor(r.o_totalprice + 0.5)))
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    ts = sum(sum(v) for v in groups.values())
+    ssw = sum(
+        int(math.floor(sum(x * x for x in v) - sum(v) ** 2 / len(v) + 0.5))
+        for v in groups.values()
+    )
+    ssb_raw = sum(
+        int(math.floor(len(v) * (sum(v) / len(v)) ** 2 + 0.5))
+        for v in groups.values()
+    )
+    var_w = ssw / (n - k)
+    var_b = max(
+        ((ssb_raw - ts * ts / n) / (k - 1) - var_w) / (n / k), 0.0
+    )
+    got = {r.nation: r for r in
+           QS["q265_james_stein_shrinkage"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    grand = ts / n
+    for nat, v in groups.items():
+        ni = len(v)
+        raw = sum(v) / ni
+        w = var_b / (var_b + var_w / ni)
+        r = got[nat]
+        assert r.ni == ni
+        assert math.isclose(r.raw_mean, raw, rel_tol=1e-12)
+        assert math.isclose(r.grand_mean, grand, rel_tol=1e-12)
+        assert math.isclose(r.w, w, rel_tol=1e-9)
+        assert math.isclose(r.shrunk_mean, w * raw + (1 - w) * grand,
+                            rel_tol=1e-9)
+        # shrinkage pulls toward (never past) the grand mean
+        lo, hi = sorted((raw, grand))
+        assert lo - 1e-9 <= r.shrunk_mean <= hi + 1e-9
+
+
+def test_q266_hysteresis_matches_python(spark, sf_dir):
+    v = _daily_dollars(spark, sf_dir)
+    hi = float(np.percentile(v, 90, method="linear"))
+    lo = float(np.percentile(v, 70, method="linear"))
+    armed = 0
+    days_armed = alerts = 0
+    for x in v:
+        prev = armed
+        if x >= hi:
+            armed = 1
+        elif x <= lo:
+            armed = 0
+        days_armed += armed
+        if armed and not prev:
+            alerts += 1
+    row = QS["q266_hysteresis_alerts"].fn(spark, sf_dir).collect()[0]
+    assert row.n_days == len(v)
+    assert (row.days_armed, row.n_alerts) == (days_armed, alerts)
+    assert math.isclose(row.hi_threshold, hi, rel_tol=1e-9)
+    assert math.isclose(row.lo_threshold, lo, rel_tol=1e-9)
+    # hysteresis suppresses flapping: each alert covers >= 1 armed day
+    assert row.n_alerts <= row.days_armed
+
+
+def test_q267_l_diversity_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.quality import _LDIV_K, _LDIV_L
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority").collect()
+    c = {r.c_custkey: (r.c_nationkey, r.c_mktsegment)
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    nn = {r.n_nationkey: r.n_name
+          for r in load_table(spark, sf_dir, "nation").collect()}
+    cells = defaultdict(lambda: defaultdict(int))
+    for r in o:
+        nk, seg = c[r.o_custkey]
+        cells[(nn[nk], seg)][r.o_orderpriority] += 1
+    got = {(r.nation, r.segment): r for r in
+           QS["q267_l_diversity"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for key, sens in cells.items():
+        n = sum(sens.values())
+        r = got[key]
+        assert (r.n_rows, r.l_distinct) == (n, len(sens))
+        assert math.isclose(r.dominant_share, max(sens.values()) / n,
+                            rel_tol=1e-12)
+        assert r.k_anonymous == (1 if n >= _LDIV_K else 0)
+        assert r.l_diverse == (1 if len(sens) >= _LDIV_L else 0)
+
+
+def test_q268_gini_stump_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _LATE_DAYS, _STUMP_BUCKETS
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    odate = {r.o_orderkey: r.o_orderdate.date() for r in o}
+    late = defaultdict(int)
+    for r in li:
+        if (r.l_shipdate.date() - odate[r.l_orderkey]).days > _LATE_DAYS:
+            late[r.l_orderkey] = 1
+    with_lines = {r.l_orderkey for r in li}
+    pts = [
+        (int(math.floor(r.o_totalprice + 0.5)), late.get(r.o_orderkey, 0))
+        for r in o if r.o_orderkey in with_lines
+    ]
+    lo, hi = min(d for d, _ in pts), max(d for d, _ in pts) + 1
+    buckets = defaultdict(lambda: [0, 0])
+    for d, y in pts:
+        cell = buckets[(_STUMP_BUCKETS * (d - lo)) // (hi - lo)]
+        cell[0] += 1
+        cell[1] += y
+    nt = sum(n for n, _ in buckets.values())
+    kt = sum(k for _, k in buckets.values())
+
+    def gini(k, n):
+        p = k / n
+        return 1 - p * p - (1 - p) * (1 - p)
+
+    best = None
+    nl = kl = 0
+    for b in sorted(buckets):
+        nl += buckets[b][0]
+        kl += buckets[b][1]
+        if nl >= nt:
+            continue
+        gq = int(math.floor(1e9 * (
+            nl / nt * gini(kl, nl) + (nt - nl) / nt * gini(kt - kl, nt - nl)
+        ) + 0.5))
+        if best is None or gq < best[0]:
+            best = (gq, b, nl, kl)
+    gq, b, nl, kl = best
+    row = QS["q268_gini_stump"].fn(spark, sf_dir).collect()[0]
+    assert row.split_bucket == b
+    assert (row.n_left, row.n_right) == (nl, nt - nl)
+    assert math.isclose(row.left_rate, kl / nl, rel_tol=1e-12)
+    assert math.isclose(row.right_rate, (kt - kl) / (nt - nl), rel_tol=1e-12)
+    assert math.isclose(row.weighted_gini, gq / 1e9, rel_tol=1e-12)
+    # the chosen split beats the no-split impurity
+    assert row.weighted_gini <= gini(kt, nt) + 1e-12
