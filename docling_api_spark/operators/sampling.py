@@ -618,3 +618,63 @@ def q203_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(
         pos, ["user_id", "item_id"], "left_anti"
     ).select("user_id", F.col("item_id").alias("neg_item"), "draw")
+
+
+# ---------------------------------------------------------------------------
+# q270 — capture-recapture population estimate (Lincoln-Petersen/Chapman)
+# ---------------------------------------------------------------------------
+# The ecology estimator data teams reach for when the true universe is
+# unobservable (how many users exist, how many near-dup clusters does the
+# corpus hold): treat two independent observation channels as capture
+# rounds; the overlap calibrates the total.
+#     N̂_Chapman = (n1+1)(n2+1)/(m+1) − 1
+# Channels here: users seen in 'view' events vs users seen in 'click'
+# events; ground truth (total distinct users) is in the data, so the
+# output also reports the estimator's actual error — a self-auditing
+# estimate. All exact integer set sizes from one distinct aggregate.
+@register(
+    "q270_capture_recapture",
+    tags=("stats", "estimation", "sampling"),
+    oracle="""
+        WITH caps AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+                 MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+          FROM events GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2,
+                 CAST(SUM(c1 * c2) AS BIGINT) AS m,
+                 CAST(COUNT(*) AS BIGINT) AS n_true
+          FROM caps
+        )
+        SELECT n1, n2, m, n_true,
+               (CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1
+                 AS n_chapman,
+               ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1 - n_true)
+                 / n_true AS rel_error
+        FROM sizes
+    """,
+)
+def q270_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the user universe from the
+    view/click channels, with the self-audit against the observable truth
+    (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    caps = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c1"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c2"),
+    )
+    sizes = caps.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+    )
+    return sizes.selectExpr(
+        "n1", "n2", "m", "n_true",
+        "(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1 AS n_chapman",
+        "((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1 - n_true)"
+        " / n_true AS rel_error",
+    )

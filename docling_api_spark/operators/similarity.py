@@ -1198,3 +1198,127 @@ def q209_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("ln").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 — Matryoshka truncation recall: do 16 of 64 dims retrieve the same?
+# ---------------------------------------------------------------------------
+# The storage/latency question for modern embedding stores: serving the
+# first 16 dimensions costs a quarter of the memory — how much of the
+# full-precision top-10 does truncated retrieval keep? For each of 20
+# deterministic query vectors: recall@10 = |top10_full ∩ top10_trunc|/10.
+# Both rankings are exact brute-force cosine (q50's oracle-baseline role)
+# computed in ONE pass — the truncated dot/norm reuses the first 16
+# slices of the same zipped products, so the comparison is self-
+# consistent. Ties break on vec_id (deterministic rank).
+_TRUNC_DIMS = 16
+_TRUNC_K = 10
+_TRUNC_QUERIES = 20  # vec_id % 97 == 0 -> deterministic query set
+
+
+@register(
+    "q271_truncation_recall",
+    tags=("similarity", "embedding", "evaluation"),
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id % 97 = 0
+          ORDER BY vec_id LIMIT {_TRUNC_QUERIES}
+        ),
+        pairs AS (
+          SELECT q.qid, e.vec_id,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i])) AS dot_f,
+                 sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * x))) AS nrm_f,
+                 sqrt(list_sum(list_transform(q.qe,
+                     x -> CAST(x AS DOUBLE) * x))) AS qn_f,
+                 list_sum(list_transform(range(1, {_TRUNC_DIMS} + 1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i])) AS dot_t,
+                 sqrt(list_sum(list_transform(range(1, {_TRUNC_DIMS} + 1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * e.embedding[i]))) AS nrm_t,
+                 sqrt(list_sum(list_transform(range(1, {_TRUNC_DIMS} + 1),
+                     i -> CAST(q.qe[i] AS DOUBLE) * q.qe[i]))) AS qn_t
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.qid
+        ),
+        rf AS (
+          SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY dot_f / (nrm_f * qn_f) DESC, vec_id) AS r
+          FROM pairs
+        ),
+        rt AS (
+          SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY dot_t / (nrm_t * qn_t) DESC, vec_id) AS r
+          FROM pairs
+        )
+        SELECT rf.qid AS query_id,
+               CAST(COUNT(rt.vec_id) AS BIGINT) AS n_common,
+               CAST(COUNT(rt.vec_id) AS DOUBLE) / {_TRUNC_K} AS recall_at_10
+        FROM rf LEFT JOIN rt
+          ON rf.qid = rt.qid AND rf.vec_id = rt.vec_id AND rt.r <= {_TRUNC_K}
+        WHERE rf.r <= {_TRUNC_K}
+        GROUP BY rf.qid
+    """,
+)
+def q271_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of 16-dim truncated cosine retrieval against the full
+    64-dim ranking, per query vector (see block comment — one zipped
+    pass, both rankings from the same products)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") % 97 == 0)
+        .orderBy("vec_id")
+        .limit(_TRUNC_QUERIES)
+        .selectExpr("vec_id AS qid", "embedding AS qe")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .selectExpr(
+            "qid",
+            "vec_id",
+            "aggregate(zip_with(embedding, qe, (a, b) ->"
+            " CAST(a AS DOUBLE) * b), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+            " AS dot_f",
+            "sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+            " (s, x) -> s + CAST(x AS DOUBLE) * x)) AS nrm_f",
+            "sqrt(aggregate(qe, CAST(0 AS DOUBLE),"
+            " (s, x) -> s + CAST(x AS DOUBLE) * x)) AS qn_f",
+            f"aggregate(zip_with(slice(embedding, 1, {_TRUNC_DIMS}),"
+            f" slice(qe, 1, {_TRUNC_DIMS}), (a, b) -> CAST(a AS DOUBLE) * b),"
+            " CAST(0 AS DOUBLE), (s, x) -> s + x) AS dot_t",
+            f"sqrt(aggregate(slice(embedding, 1, {_TRUNC_DIMS}),"
+            " CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x))"
+            " AS nrm_t",
+            f"sqrt(aggregate(slice(qe, 1, {_TRUNC_DIMS}),"
+            " CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE) * x))"
+            " AS qn_t",
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(
+        F.expr("dot_f / (nrm_f * qn_f)").desc(), "vec_id"
+    )
+    wt = W.partitionBy("qid").orderBy(
+        F.expr("dot_t / (nrm_t * qn_t)").desc(), "vec_id"
+    )
+    rf = pairs.select(
+        "qid", "vec_id", F.row_number().over(wf).alias("r")
+    ).where(F.col("r") <= _TRUNC_K)
+    rt = pairs.select(
+        "qid", "vec_id", F.row_number().over(wt).alias("r")
+    ).where(F.col("r") <= _TRUNC_K)
+    return (
+        rf.join(
+            rt.selectExpr("qid", "vec_id", "r AS rt_r"),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("rt_r").cast("bigint").alias("n_common"),
+            (F.count("rt_r").cast("double") / _TRUNC_K).alias("recall_at_10"),
+        )
+    )

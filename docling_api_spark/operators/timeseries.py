@@ -5132,3 +5132,233 @@ def q266_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hi").alias("hi_threshold"),
         F.min("lo").alias("lo_threshold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q269 — Viterbi: most probable 3-step behavioral path to purchase
+# ---------------------------------------------------------------------------
+# q225 computes absorption PROBABILITY (sum-product over the transition
+# matrix); product teams also want the PATH — the single most likely
+# 3-step route from each state into 'purchase'. That is the same ladder
+# in the MAX-product semiring (Viterbi): per round keep, for each state,
+# the best continuation's probability and its path string. Probabilities
+# are integer nano-units; per-round products renormalize by /1e9 with
+# ROUND (deterministic); argmax packs (prob, path) into max_by with the
+# path as an unambiguous dash-joined string and a lexicographic tie-break
+# via md5-free string compare — identical on both engines.
+def _vit_round(prev_p: str, prev_path: str) -> tuple[str, str]:
+    """One Viterbi round: best = argmax over edges of pn·prev (absorbed
+    edges to the target carry prob 1 and terminate the path)."""
+    score = (
+        f"CAST(ROUND(CAST(pn AS DOUBLE) * (CASE WHEN y = '{_ABSORB_TARGET}' "
+        f"THEN CAST({_ABS_N} AS BIGINT) ELSE COALESCE({prev_p}, CAST(0 AS BIGINT)) END) "
+        f"/ {_ABS_N}.0) AS BIGINT)"
+    )
+    path = (
+        f"CASE WHEN y = '{_ABSORB_TARGET}' THEN '{_ABSORB_TARGET}' "
+        f"ELSE concat(y, '-', COALESCE({prev_path}, '?')) END"
+    )
+    return score, path
+
+
+@register(
+    "q269_viterbi_path",
+    tags=("timeseries", "markov", "viterbi"),
+    oracle=f"""
+        WITH trans AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS x,
+                 event_type AS y
+          FROM events
+        ),
+        counts AS (
+          SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+          FROM trans WHERE x IS NOT NULL GROUP BY x, y
+        ),
+        totals AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM counts GROUP BY x),
+        p AS (
+          SELECT c.x, c.y,
+                 CAST(ROUND({_ABS_N}.0 * c.cxy / t.cx) AS BIGINT) AS pn
+          FROM counts c JOIN totals t ON c.x = t.x
+        ),
+        v1 AS (
+          SELECT x,
+                 CAST(MAX({_vit_round('NULL', 'NULL')[0]}) AS BIGINT) AS bp,
+                 max_by({_vit_round('NULL', 'NULL')[1]},
+                        concat(lpad(CAST({_vit_round('NULL', 'NULL')[0]} AS VARCHAR), 19, '0'), '|', {_vit_round('NULL', 'NULL')[1]})) AS path
+          FROM p GROUP BY x
+        ),
+        v2 AS (
+          SELECT p.x,
+                 CAST(MAX({_vit_round('hp.bp', 'hp.path')[0]}) AS BIGINT) AS bp,
+                 max_by({_vit_round('hp.bp', 'hp.path')[1]},
+                        concat(lpad(CAST({_vit_round('hp.bp', 'hp.path')[0]} AS VARCHAR), 19, '0'), '|', {_vit_round('hp.bp', 'hp.path')[1]})) AS path
+          FROM p LEFT JOIN v1 hp ON p.y = hp.x GROUP BY p.x
+        ),
+        v3 AS (
+          SELECT p.x,
+                 CAST(MAX({_vit_round('hp.bp', 'hp.path')[0]}) AS BIGINT) AS bp,
+                 max_by({_vit_round('hp.bp', 'hp.path')[1]},
+                        concat(lpad(CAST({_vit_round('hp.bp', 'hp.path')[0]} AS VARCHAR), 19, '0'), '|', {_vit_round('hp.bp', 'hp.path')[1]})) AS path
+          FROM p LEFT JOIN v2 hp ON p.y = hp.x GROUP BY p.x
+        )
+        SELECT v3.x AS state,
+               concat(v3.x, '-', v3.path) AS best_path,
+               CAST(v3.bp AS DOUBLE) / {_ABS_N}.0 AS path_prob
+        FROM v3
+    """,
+)
+def q269_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most probable 3-step path from each behavioral state into purchase —
+    q225's ladder in the max-product semiring with path tracking (see
+    block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    trans = ev.select(
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts"))
+        .alias("x"),
+        F.col("event_type").alias("y"),
+    ).where(F.col("x").isNotNull())
+    counts = trans.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    totals = counts.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    p = counts.join(F.broadcast(totals), "x").selectExpr(
+        "x", "y", f"CAST(ROUND({_ABS_N}.0 * cxy / cx) AS BIGINT) AS pn"
+    )
+    v = None
+    for _ in range(3):
+        if v is None:
+            joined = p.withColumn("bp", F.lit(None).cast("bigint")).withColumn(
+                "vpath", F.lit(None).cast("string")
+            )
+            score, path = _vit_round("NULL", "NULL")
+        else:
+            joined = p.join(
+                F.broadcast(
+                    v.selectExpr("x AS y", "bp", "path AS vpath")
+                ),
+                "y",
+                "left",
+            )
+            score, path = _vit_round("bp", "vpath")
+        v = joined.groupBy("x").agg(
+            F.expr(f"CAST(MAX({score}) AS BIGINT)").alias("bp"),
+            F.expr(
+                f"max_by({path}, concat(lpad(CAST({score} AS STRING),"
+                f" 19, '0'), '|', {path}))"
+            ).alias("path"),
+        )
+    return v.selectExpr(
+        "x AS state",
+        "concat(x, '-', path) AS best_path",
+        f"CAST(bp AS DOUBLE) / {_ABS_N}.0 AS path_prob",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q272 — revenue recognition: prorate order value across service months
+# ---------------------------------------------------------------------------
+# Accounting-grade proration: an order's value is recognized uniformly
+# over its service window (order date → last line shipment), split by
+# calendar month — the deferred-revenue schedule. Per order the month
+# explode is bounded by the service span; the per-month share is
+#     ROUND(cents · overlap_days / span_days)
+# an integer, so monthly totals are exact BIGINT sums (per-order rounding
+# residue ≤ months/2 cents, documented). Month enumeration uses integer
+# month keys + make_date/last_day — both engines share the proleptic
+# Gregorian calendar.
+@register(
+    "q272_revenue_proration",
+    tags=("timeseries", "finance", "interval"),
+    oracle="""
+        WITH spans AS (
+          SELECT o.o_orderkey,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(o.o_orderdate AS DATE) AS s,
+                 -- clamp: synthetic shipdates can precede the order date
+                 greatest(MAX(CAST(l.l_shipdate AS DATE)),
+                          CAST(o.o_orderdate AS DATE)) AS e
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+        ),
+        months AS (
+          SELECT sp.o_orderkey, sp.cents, sp.s, sp.e,
+                 date_diff('day', sp.s, sp.e) + 1 AS span,
+                 u.mk
+          FROM spans sp,
+               UNNEST(range(CAST(year(sp.s) * 12 + month(sp.s) - 1 AS BIGINT),
+                            CAST(year(sp.e) * 12 + month(sp.e) AS BIGINT)))
+                 AS u(mk)
+        ),
+        ovm AS (
+          SELECT mk, cents, span,
+                 date_diff('day',
+                   greatest(s, make_date(CAST(mk // 12 AS INTEGER),
+                                         CAST(mk % 12 + 1 AS INTEGER), 1)),
+                   least(e, last_day(make_date(CAST(mk // 12 AS INTEGER),
+                                               CAST(mk % 12 + 1 AS INTEGER), 1))))
+                 + 1 AS ov
+          FROM months
+        )
+        SELECT CAST(mk AS BIGINT) AS month_key,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(CAST(cents AS DOUBLE) * ov / span)
+                             AS BIGINT)) AS DOUBLE) / 100.0
+                 AS recognized_revenue
+        FROM ovm GROUP BY mk
+    """,
+)
+def q272_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly recognized revenue with per-order uniform proration over the
+    order→last-shipment window (see block comment — integer month keys,
+    exact cent sums)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
+        .agg(
+            F.greatest(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.col("o_orderdate").cast("date"),
+            ).alias("e")  # clamp: synthetic shipdates can precede the order
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.col("o_orderdate").cast("date").alias("s"),
+            "e",
+        )
+    )
+    months = spans.select(
+        "cents",
+        "s",
+        "e",
+        (F.datediff("e", "s") + 1).alias("span"),
+        F.explode(
+            F.expr(
+                "sequence(CAST(year(s) * 12 + month(s) - 1 AS BIGINT),"
+                " CAST(year(e) * 12 + month(e) - 1 AS BIGINT))"
+            )
+        ).alias("mk"),
+    )
+    overlaps = months.selectExpr(
+        "mk",
+        "cents",
+        "span",
+        "datediff("
+        " least(e, last_day(make_date(CAST(mk div 12 AS INT),"
+        "                             CAST(mk % 12 + 1 AS INT), 1))),"
+        " greatest(s, make_date(CAST(mk div 12 AS INT),"
+        "                       CAST(mk % 12 + 1 AS INT), 1))) + 1 AS ov",
+    )
+    return overlaps.groupBy(F.col("mk").cast("bigint").alias("month_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(CAST(cents AS DOUBLE) * ov / span) AS BIGINT)"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("recognized_revenue"),
+    )

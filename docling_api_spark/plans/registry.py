@@ -367,6 +367,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q266_hysteresis_alerts",
     "q267_l_diversity",
     "q268_gini_stump",
+    "q269_viterbi_path",
+    "q270_capture_recapture",
+    "q271_truncation_recall",
+    "q272_revenue_proration",
 )
 
 

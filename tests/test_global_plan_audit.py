@@ -133,6 +133,7 @@ _SP_ALLOWED = {
     # series-length state windows (q223 posture)
     "q268_gini_stump": 4,         # price-bounds scalar + 20-bucket
     # cumulative/total windows + argmin scalar — catalog-stat sized
+    "q270_capture_recapture": 1,  # four-integer scalar reduce
 }
 
 AUDITED = [

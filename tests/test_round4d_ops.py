@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q268): each result recomputed by an independent pure-Python/numpy
+(q215-q272): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -1851,3 +1851,144 @@ def test_q268_gini_stump_matches_python(spark, sf_dir):
     assert math.isclose(row.weighted_gini, gq / 1e9, rel_tol=1e-12)
     # the chosen split beats the no-split impurity
     assert row.weighted_gini <= gini(kt, nt) + 1e-12
+
+
+def test_q269_viterbi_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _ABS_N, _ABSORB_TARGET
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_type))
+    counts = defaultdict(int)
+    for rows in per_user.values():
+        rows.sort()
+        for (_, a), (_, b) in zip(rows, rows[1:]):
+            counts[(a, b)] += 1
+    totals = defaultdict(int)
+    for (a, _), c in counts.items():
+        totals[a] += c
+    pn = {xy: round(_ABS_N * c / totals[xy[0]]) for xy, c in counts.items()}
+    v = {}  # state -> (best_prob_n, path)
+    for _ in range(3):
+        nv = {}
+        for x in totals:
+            cands = []
+            for (a, y), p in pn.items():
+                if a != x:
+                    continue
+                if y == _ABSORB_TARGET:
+                    sc = round(float(p * _ABS_N) / _ABS_N)
+                    pa = _ABSORB_TARGET
+                else:
+                    prev = v.get(y)
+                    sc = round(float(p * (prev[0] if prev else 0)) / _ABS_N)
+                    pa = f"{y}-{prev[1] if prev else '?'}"
+                cands.append((sc, pa))
+            best_sc = max(sc for sc, _ in cands)
+            # ties: lexicographically largest path (the packed-key rule)
+            best_pa = max(pa for sc, pa in cands if sc == best_sc)
+            nv[x] = (best_sc, best_pa)
+        v = nv
+    got = {r.state: r for r in QS["q269_viterbi_path"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(totals)
+    for x, (sc, pa) in v.items():
+        r = got[x]
+        assert r.best_path == f"{x}-{pa}"
+        assert math.isclose(r.path_prob, sc / _ABS_N, abs_tol=2e-9)
+        assert r.best_path.endswith(_ABSORB_TARGET)
+
+
+def test_q270_capture_recapture_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    views = {r.user_id for r in ev if r.event_type == "view"}
+    clicks = {r.user_id for r in ev if r.event_type == "click"}
+    allu = {r.user_id for r in ev}
+    n1, n2, m = len(views), len(clicks), len(views & clicks)
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    row = QS["q270_capture_recapture"].fn(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2, row.m, row.n_true) == (n1, n2, m, len(allu))
+    assert math.isclose(row.n_chapman, est, rel_tol=1e-12)
+    assert math.isclose(row.rel_error, (est - len(allu)) / len(allu),
+                        rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_q271_truncation_recall_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.similarity import (
+        _TRUNC_DIMS, _TRUNC_K, _TRUNC_QUERIES,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    qids = sorted(v for v in vecs if v % 97 == 0)[:_TRUNC_QUERIES]
+
+    def topk(qid, dims):
+        qv = vecs[qid][:dims] if dims else vecs[qid]
+        scored = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            vv = v[:dims] if dims else v
+            cos = float(vv @ qv) / (
+                float(np.sqrt(vv @ vv)) * float(np.sqrt(qv @ qv))
+            )
+            scored.append((-cos, vid))
+        scored.sort()
+        return {vid for _, vid in scored[:_TRUNC_K]}
+
+    got = {r.query_id: r for r in
+           QS["q271_truncation_recall"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(qids)
+    for qid in qids:
+        full = topk(qid, None)
+        trunc = topk(qid, _TRUNC_DIMS)
+        common = len(full & trunc)
+        r = got[qid]
+        assert r.n_common == common
+        assert math.isclose(r.recall_at_10, common / _TRUNC_K, rel_tol=1e-12)
+
+
+def test_q272_proration_matches_python(spark, sf_dir):
+    import calendar
+    import datetime as dt
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    last_ship = {}
+    for r in li:
+        d = r.l_shipdate.date()
+        if r.l_orderkey not in last_ship or d > last_ship[r.l_orderkey]:
+            last_ship[r.l_orderkey] = d
+    monthly = defaultdict(lambda: [0, 0])
+    for r in o:
+        if r.o_orderkey not in last_ship:
+            continue
+        s = r.o_orderdate.date()
+        e = max(last_ship[r.o_orderkey], s)
+        cents = round(r.o_totalprice * 100)
+        span = (e - s).days + 1
+        mk = s.year * 12 + s.month - 1
+        mk_e = e.year * 12 + e.month - 1
+        while mk <= mk_e:
+            y, m0 = mk // 12, mk % 12 + 1
+            m_start = dt.date(y, m0, 1)
+            m_end = dt.date(y, m0, calendar.monthrange(y, m0)[1])
+            ov = (min(e, m_end) - max(s, m_start)).days + 1
+            cell = monthly[mk]
+            cell[0] += 1
+            cell[1] += int(math.floor(cents * ov / span + 0.5))
+            mk += 1
+    got = {r.month_key: r for r in
+           QS["q272_revenue_proration"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(monthly)
+    total_rec = 0.0
+    for mk, (n, cents) in monthly.items():
+        r = got[mk]
+        assert r.n_orders == n
+        assert math.isclose(r.recognized_revenue, cents / 100.0, rel_tol=1e-12)
+        total_rec += r.recognized_revenue
+    # conservation: recognized total ~ booked total (rounding residue only)
+    booked = sum(r.o_totalprice for r in o if r.o_orderkey in last_ship)
+    assert abs(total_rec - booked) < 0.01 * len(monthly) * 40
