@@ -5506,3 +5506,116 @@ def q268_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q275 — 2×2 factorial experiment readout (two factors + interaction)
+# ---------------------------------------------------------------------------
+# Shipping two features at once with independent hash assignment gives a
+# 2×2 factorial for free — and the readout that matters is whether the
+# features INTERACT. Effects in the standard contrast algebra:
+#     A  = (ȳ_a1 − ȳ_a0),  B = (ȳ_b1 − ȳ_b0)
+#     AB = (ȳ_11 − ȳ_10) − (ȳ_01 − ȳ_00)   (difference-in-differences of
+# the randomized cells — q231's algebra under full randomization). Two
+# independent md5 assignments (different salts, q221's keying), exact
+# integer cell moments, micro-quantized variance pooling for the
+# interaction z.
+@register(
+    "q275_factorial_experiment",
+    tags=("experiment", "factorial", "stats"),
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 {sql_hash_bucket('user_id', 2)} AS a,
+                 {sql_hash_bucket("user_id * 31 + 7", 2)} AS b,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ROUND(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS y
+          FROM events GROUP BY user_id
+        ),
+        cells AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS s,
+                 CAST(SUM(y * y) AS BIGINT) AS ss
+          FROM u GROUP BY a, b
+        ),
+        wide AS (
+          SELECT
+            MIN(CASE WHEN a = 0 AND b = 0 THEN CAST(s AS DOUBLE) / n END) AS m00,
+            MIN(CASE WHEN a = 0 AND b = 1 THEN CAST(s AS DOUBLE) / n END) AS m01,
+            MIN(CASE WHEN a = 1 AND b = 0 THEN CAST(s AS DOUBLE) / n END) AS m10,
+            MIN(CASE WHEN a = 1 AND b = 1 THEN CAST(s AS DOUBLE) / n END) AS m11,
+            CAST(SUM(n) AS BIGINT) AS n_users,
+            CAST(SUM(CAST(ROUND(1000000.0 *
+                  (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                  / (CAST(n AS DOUBLE) * (n - 1) * n)) AS BIGINT))
+                 AS DOUBLE) / 1000000.0 AS var_sum
+          FROM cells
+        )
+        SELECT n_users,
+               ((m10 + m11) / 2 - (m00 + m01) / 2) / 100.0 AS effect_a,
+               ((m01 + m11) / 2 - (m00 + m10) / 2) / 100.0 AS effect_b,
+               ((m11 - m10) - (m01 - m00)) / 100.0 AS interaction_ab,
+               ((m11 - m10) - (m01 - m00)) / sqrt(var_sum) AS interaction_z
+        FROM wide
+    """,
+)
+def q275_factorial_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 factorial readout on per-user purchase spend: both main effects
+    and the interaction contrast with its pooled-variance z (see block
+    comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("y")
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") * 31 + 7).alias("bkey"),  # factor-B salt
+            "y",
+        )
+        .select(
+            hash_bucket("user_id", 2).alias("a"),
+            hash_bucket("bkey", 2).alias("b"),
+            "y",
+        )
+    )
+    cells = u.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("ss"),
+    )
+    wide = cells.agg(
+        F.min(F.when((F.col("a") == 0) & (F.col("b") == 0),
+                     F.col("s").cast("double") / F.col("n"))).alias("m00"),
+        F.min(F.when((F.col("a") == 0) & (F.col("b") == 1),
+                     F.col("s").cast("double") / F.col("n"))).alias("m01"),
+        F.min(F.when((F.col("a") == 1) & (F.col("b") == 0),
+                     F.col("s").cast("double") / F.col("n"))).alias("m10"),
+        F.min(F.when((F.col("a") == 1) & (F.col("b") == 1),
+                     F.col("s").cast("double") / F.col("n"))).alias("m11"),
+        F.sum("n").cast("bigint").alias("n_users"),
+        (
+            F.sum(
+                F.expr(
+                    "CAST(ROUND(1000000.0 *"
+                    " (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)"
+                    " / (CAST(n AS DOUBLE) * (n - 1) * n)) AS BIGINT)"
+                )
+            ).cast("double")
+            / 1000000.0
+        ).alias("var_sum"),
+    )
+    return wide.selectExpr(
+        "n_users",
+        "((m10 + m11) / 2 - (m00 + m01) / 2) / 100.0 AS effect_a",
+        "((m01 + m11) / 2 - (m00 + m10) / 2) / 100.0 AS effect_b",
+        "((m11 - m10) - (m01 - m00)) / 100.0 AS interaction_ab",
+        "((m11 - m10) - (m01 - m00)) / sqrt(var_sum) AS interaction_z",
+    )

@@ -1014,3 +1014,92 @@ def q213_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — token-budget curation: bucketed greedy quality-per-token selection
+# ---------------------------------------------------------------------------
+# The curation endgame: a training run affords a fixed token budget; keep
+# the documents with the best quality-per-token until the budget is
+# spent. Exact greedy needs a global sort of all documents; the
+# scale-correct form quantizes the quality ratio into integer ranks
+# (1000 buckets) and takes whole buckets in rank order — one hash agg to
+# bucket totals, one cumulative window over the 1000-row bucket relation,
+# and a threshold bucket that splits pro-rata. Quality is q62's lexical-
+# diversity ratio in integer permille; everything to the final fraction
+# is exact.
+_BUDGET_FRACTION_PCT = 25  # keep ~25% of corpus tokens
+
+
+@register(
+    "q273_token_budget_selection",
+    tags=("curation", "budget", "selection"),
+    oracle=f"""
+        WITH docs_q AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(1000 * len(list_distinct(string_split(text, ' ')))
+                      // len(string_split(text, ' ')) AS BIGINT) AS quality_pm
+          FROM documents
+        ),
+        buckets AS (
+          SELECT quality_pm, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tokens
+          FROM docs_q GROUP BY quality_pm
+        ),
+        tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM buckets),
+        cum AS (
+          SELECT b.quality_pm, b.n_docs, b.tokens, t.t,
+                 SUM(b.tokens) OVER (ORDER BY b.quality_pm DESC) AS cum_tokens
+          FROM buckets b CROSS JOIN tot t
+        ),
+        kept AS (
+          SELECT * FROM cum
+          WHERE cum_tokens - tokens < t * {_BUDGET_FRACTION_PCT} // 100
+        )
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(tokens) AS BIGINT) AS tokens_kept,
+               CAST(MIN(quality_pm) AS BIGINT) AS threshold_permille,
+               CAST(SUM(tokens) AS DOUBLE) / MIN(t) AS budget_used
+        FROM kept
+    """,
+)
+def q273_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-per-token greedy curation under a 25% token budget, via
+    1000 integer quality buckets + one cumulative window (see block
+    comment — the scale-correct form of global greedy selection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs_q = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(1000 * size(array_distinct(split(text, ' ')))"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("quality_pm"),
+    )
+    buckets = docs_q.groupBy("quality_pm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+    tot = buckets.agg(F.sum("tokens").cast("bigint").alias("t"))
+    wq = W.orderBy(F.col("quality_pm").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = buckets.crossJoin(F.broadcast(tot)).select(
+        "quality_pm",
+        "n_docs",
+        "tokens",
+        "t",
+        F.sum("tokens").over(wq).alias("cum_tokens"),
+    )
+    kept = cum.where(
+        F.col("cum_tokens") - F.col("tokens")
+        < F.expr(f"t * {_BUDGET_FRACTION_PCT} div 100")
+    )
+    return kept.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs_kept"),
+        F.sum("tokens").cast("bigint").alias("tokens_kept"),
+        F.min("quality_pm").cast("bigint").alias("threshold_permille"),
+        (F.sum("tokens").cast("double") / F.min("t")).alias("budget_used"),
+    )

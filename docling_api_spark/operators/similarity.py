@@ -1322,3 +1322,109 @@ def q271_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("rt_r").cast("double") / _TRUNC_K).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q274 — nearest-centroid classification (class prototypes from embeddings)
+# ---------------------------------------------------------------------------
+# The strongest cheap baseline for embedding classification: mean-pool
+# each label's vectors into a prototype, assign every vector to its
+# nearest prototype by cosine, report per-label accuracy — the
+# Rocchio/nearest-class-mean classifier. Prototypes are computed by
+# per-dimension exact means (posexplode → DECIMAL sums per (label, dim) —
+# order-free — → ordered reassembly, q224's discipline); assignment is a
+# broadcast of the tiny prototype matrix; the argmin uses the packed
+# string key (q269) so ties are engine-identical.
+@register(
+    "q274_nearest_centroid",
+    tags=("embedding", "classification", "baseline"),
+    oracle="""
+        WITH dims AS (
+          SELECT label, u.i AS dim,
+                 CAST(e.embedding[u.i] AS DOUBLE) AS x
+          FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+        ),
+        proto AS (
+          SELECT label, dim,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                   AS c
+          FROM dims GROUP BY label, dim
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label AS true_label, p.label AS cand,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * list_extract(p.cs, i))) /
+                 (sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(list_sum(list_transform(p.cs, x -> x * x)))) AS cos
+          FROM embeddings e
+          CROSS JOIN (
+            SELECT label, list(c ORDER BY dim) AS cs FROM proto GROUP BY label
+          ) p
+        ),
+        assigned AS (
+          SELECT vec_id, true_label,
+                 max_by(cand,
+                        concat(lpad(CAST(CAST(ROUND(1000000000.0 * (cos + 1))
+                          AS BIGINT) AS VARCHAR), 12, '0'), '|', cand))
+                   AS pred
+          FROM scored GROUP BY vec_id, true_label
+        )
+        SELECT true_label AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS accuracy
+        FROM assigned GROUP BY true_label
+    """,
+)
+def q274_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) accuracy per label over the embedding
+    table — exact-mean prototypes, broadcast assignment, packed-key
+    argmax (see block comment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), F.col("x").cast("double").alias("x"))
+    proto = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    proto_arr = proto.groupBy(F.col("label").alias("cand")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("cs")
+    )
+    scored = emb.crossJoin(F.broadcast(proto_arr)).selectExpr(
+        "vec_id",
+        "label AS true_label",
+        "cand",
+        "aggregate(zip_with(embedding, cs, (a, b) -> CAST(a AS DOUBLE) * b),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)"
+        " / (sqrt(aggregate(embedding, CAST(0 AS DOUBLE),"
+        "          (s, x) -> s + CAST(x AS DOUBLE) * x))"
+        "    * sqrt(aggregate(cs, CAST(0 AS DOUBLE),"
+        "            (s, x) -> s + x * x))) AS cos",
+    )
+    assigned = scored.groupBy("vec_id", "true_label").agg(
+        F.expr(
+            "max_by(cand, concat(lpad(CAST(CAST(ROUND(1000000000.0"
+            " * (cos + 1)) AS BIGINT) AS STRING), 12, '0'), '|', cand))"
+        ).alias("pred")
+    )
+    return assigned.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            F.sum(
+                F.when(F.col("pred") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )

@@ -2599,3 +2599,136 @@ def q264_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(i AS DOUBLE) / least(vocab_a, vocab_b) AS containment",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q276 — Burrows' Delta: stylometric distance between sources
+# ---------------------------------------------------------------------------
+# Authorship/style attribution's standard measure: z-score each source's
+# relative frequency of the corpus's top-K most frequent words (function
+# words carry style), then Delta(a,b) = mean |z_a − z_b| over those words.
+# Complements q217 (lexical DISTRIBUTION drift) with a style-space
+# metric robust to topic. Frequencies are exact integer counts over
+# integer totals; the per-word mean/sd across sources come from exact
+# micro-quantized frequency integers, so the z-matrix and Delta are
+# engine-identical. Top-K words are a TakeOrderedAndProject; the source-
+# pair join is source-vocabulary sized.
+_DELTA_TOPK = 30
+
+
+@register(
+    "q276_burrows_delta",
+    tags=("text", "stylometry", "distance"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        topw AS (
+          SELECT w FROM toks GROUP BY w
+          ORDER BY COUNT(*) DESC, w LIMIT {_DELTA_TOPK}
+        ),
+        ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM toks GROUP BY source),
+        freq AS (
+          SELECT t.source, t.w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks t JOIN topw ON t.w = topw.w
+          GROUP BY t.source, t.w
+        ),
+        grid AS (
+          SELECT ns.source, topw.w, ns.n, COALESCE(freq.c, 0) AS c,
+                 CAST(ROUND(1000000000.0 * COALESCE(freq.c, 0) / ns.n)
+                      AS BIGINT) AS fq
+          FROM ns CROSS JOIN topw
+          LEFT JOIN freq ON freq.source = ns.source AND freq.w = topw.w
+        ),
+        wstats AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(fq) AS BIGINT) AS s1,
+                 CAST(SUM(fq * fq) AS BIGINT) AS s2
+          FROM grid GROUP BY w
+        ),
+        z AS (
+          SELECT g.source, g.w,
+                 (CAST(g.fq AS DOUBLE) - CAST(ws.s1 AS DOUBLE) / ws.k)
+                 / sqrt((CAST(ws.k AS DOUBLE) * ws.s2
+                         - CAST(ws.s1 AS DOUBLE) * ws.s1)
+                        / (CAST(ws.k AS DOUBLE) * ws.k)) AS zz
+          FROM grid g JOIN wstats ws ON g.w = ws.w
+        ),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(SUM(CAST(ROUND(1000000.0 * abs(a.zz - b.zz))
+                               AS BIGINT)) AS DOUBLE)
+                   / (1000000.0 * COUNT(*)) AS delta
+          FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, delta FROM pairs
+    """,
+)
+def q276_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair over the top-30 corpus
+    words — exact quantized frequencies, cross-source z-scores, micro-
+    quantized mean absolute difference (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    topw = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(_DELTA_TOPK)
+        .select("w")
+    )
+    ns = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    freq = (
+        toks.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(topw))
+        .join(freq, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            "n",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.expr(
+                "CAST(ROUND(1000000000.0 * COALESCE(c, 0) / n) AS BIGINT)"
+            ).alias("fq"),
+        )
+    )
+    wstats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("fq").cast("bigint").alias("s1"),
+        F.sum(F.col("fq") * F.col("fq")).cast("bigint").alias("s2"),
+    )
+    z = grid.join(wstats, "w").selectExpr(
+        "source",
+        "w",
+        "(CAST(fq AS DOUBLE) - CAST(s1 AS DOUBLE) / k)"
+        " / sqrt((CAST(k AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+        "        / (CAST(k AS DOUBLE) * k)) AS zz",
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(ROUND(1000000.0 * abs(a.zz - b.zz)) AS BIGINT)"
+                    )
+                ).cast("double")
+                / (1000000.0 * F.count(F.lit(1)))
+            ).alias("delta")
+        )
+    )

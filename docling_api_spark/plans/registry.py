@@ -371,6 +371,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q270_capture_recapture",
     "q271_truncation_recall",
     "q272_revenue_proration",
+    "q273_token_budget_selection",
+    "q274_nearest_centroid",
+    "q275_factorial_experiment",
+    "q276_burrows_delta",
 )
 
 

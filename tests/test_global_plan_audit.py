@@ -134,6 +134,9 @@ _SP_ALLOWED = {
     "q268_gini_stump": 4,         # price-bounds scalar + 20-bucket
     # cumulative/total windows + argmin scalar — catalog-stat sized
     "q270_capture_recapture": 1,  # four-integer scalar reduce
+    "q273_token_budget_selection": 2,  # corpus-token scalar + 1000-row
+    # quality-bucket cumulative window
+    "q275_factorial_experiment": 1,  # 4-cell closing reduce
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q272): each result recomputed by an independent pure-Python/numpy
+(q215-q276): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -1992,3 +1992,153 @@ def test_q272_proration_matches_python(spark, sf_dir):
     # conservation: recognized total ~ booked total (rounding residue only)
     booked = sum(r.o_totalprice for r in o if r.o_orderkey in last_ship)
     assert abs(total_rec - booked) < 0.01 * len(monthly) * 40
+
+
+def test_q273_budget_selection_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.datapipe import _BUDGET_FRACTION_PCT
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    buckets = defaultdict(lambda: [0, 0])
+    total = 0
+    for r in docs:
+        t = r.text.split(" ")
+        q = 1000 * len(set(t)) // len(t)
+        cell = buckets[q]
+        cell[0] += 1
+        cell[1] += len(t)
+        total += len(t)
+    budget = total * _BUDGET_FRACTION_PCT // 100
+    kept_docs = kept_tokens = 0
+    threshold = None
+    cum = 0
+    for q in sorted(buckets, reverse=True):
+        n, toks = buckets[q]
+        if cum < budget:  # bucket starts inside budget -> taken whole
+            kept_docs += n
+            kept_tokens += toks
+            threshold = q
+        cum += toks
+    row = QS["q273_token_budget_selection"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_docs_kept, row.tokens_kept) == (kept_docs, kept_tokens)
+    assert row.threshold_permille == threshold
+    assert math.isclose(row.budget_used, kept_tokens / total, rel_tol=1e-12)
+
+
+def test_q274_nearest_centroid_matches_numpy(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
+    protos = {}
+    for lab, vs in by_label.items():
+        # mirror the DECIMAL(28,12)-quantized per-dim mean
+        m = np.stack(vs)
+        protos[lab] = np.array([
+            sum(round(float(x), 12) for x in m[:, j]) / len(vs)
+            for j in range(m.shape[1])
+        ])
+    correct = defaultdict(int)
+    count = defaultdict(int)
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        best = None
+        for lab in sorted(protos):
+            c = protos[lab]
+            cos = float(v @ c) / (
+                float(np.sqrt(v @ v)) * float(np.sqrt(c @ c))
+            )
+            key = (round(1e9 * (cos + 1)), lab)
+            if best is None or key > best[0]:
+                best = (key, lab)
+        count[r.label] += 1
+        if best[1] == r.label:
+            correct[r.label] += 1
+    got = {r.label: r for r in QS["q274_nearest_centroid"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(count)
+    for lab in count:
+        r = got[lab]
+        assert (r.n_vectors, r.n_correct) == (count[lab], correct[lab])
+        assert math.isclose(r.accuracy, correct[lab] / count[lab], rel_tol=1e-12)
+
+
+def test_q275_factorial_matches_python(spark, sf_dir):
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    y = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            y[r.user_id] += round(r.value * 100)
+
+    def h(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 2
+
+    cells = defaultdict(list)
+    for u in users:
+        cells[(h(u), h(u * 31 + 7))].append(y.get(u, 0))
+    m = {k: sum(v) / len(v) for k, v in cells.items()}
+    var_sum = sum(
+        int(math.floor(1e6 * (len(v) * sum(x * x for x in v) - sum(v) ** 2)
+                       / (len(v) * (len(v) - 1) * len(v)) + 0.5)) / 1e6
+        for v in cells.values()
+    )
+    inter = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    row = QS["q275_factorial_experiment"].fn(spark, sf_dir).collect()[0]
+    assert row.n_users == len(users)
+    assert math.isclose(
+        row.effect_a,
+        ((m[(1, 0)] + m[(1, 1)]) / 2 - (m[(0, 0)] + m[(0, 1)]) / 2) / 100,
+        rel_tol=1e-9, abs_tol=1e-9,
+    )
+    assert math.isclose(
+        row.effect_b,
+        ((m[(0, 1)] + m[(1, 1)]) / 2 - (m[(0, 0)] + m[(1, 0)]) / 2) / 100,
+        rel_tol=1e-9, abs_tol=1e-9,
+    )
+    assert math.isclose(row.interaction_ab, inter / 100, rel_tol=1e-9,
+                        abs_tol=1e-9)
+    assert math.isclose(row.interaction_z, inter / math.sqrt(var_sum),
+                        rel_tol=1e-6)
+
+
+def test_q276_burrows_delta_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.textstats import _DELTA_TOPK
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    freq = defaultdict(lambda: defaultdict(int))
+    tot = defaultdict(int)
+    corpus = defaultdict(int)
+    for r in docs:
+        for w in r.text.split(" "):
+            freq[r.source][w] += 1
+            tot[r.source] += 1
+            corpus[w] += 1
+    topw = [w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:_DELTA_TOPK]]
+    sources = sorted(tot)
+    fq = {
+        (s, w): int(math.floor(1e9 * freq[s].get(w, 0) / tot[s] + 0.5))
+        for s in sources for w in topw
+    }
+    z = {}
+    for w in topw:
+        vals = [fq[(s, w)] for s in sources]
+        k = len(vals)
+        s1, s2 = sum(vals), sum(v * v for v in vals)
+        sd = math.sqrt((k * s2 - s1 * s1) / (k * k))
+        for s in sources:
+            z[(s, w)] = (fq[(s, w)] - s1 / k) / sd
+    got = {(r.source_a, r.source_b): r.delta
+           for r in QS["q276_burrows_delta"].fn(spark, sf_dir).collect()}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            d = sum(
+                int(math.floor(1e6 * abs(z[(a, w)] - z[(b, w)]) + 0.5))
+                for w in topw
+            ) / (1e6 * len(topw))
+            assert math.isclose(got[(a, b)], d, rel_tol=1e-9)
