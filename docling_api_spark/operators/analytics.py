@@ -5619,3 +5619,232 @@ def q275_factorial_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((m11 - m10) - (m01 - m00)) / 100.0 AS interaction_ab",
         "((m11 - m10) - (m01 - m00)) / sqrt(var_sum) AS interaction_z",
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — reserve-price revenue curve (second-price auction tuning)
+# ---------------------------------------------------------------------------
+# Mechanism design on observed bids: treating each part's lineitem prices
+# as bids in a second-price auction, the seller's revenue at reserve r is
+#     Σ_parts [ max_bid ≥ r ] · max(second_bid, r)
+# — the curve whose argmax sets the reserve. Top-2 bids per part come
+# from one rank window (partitioned by part); candidate reserves are the
+# deciles of the max-bid distribution (exact integer percentiles,
+# broadcast); the curve is one broadcast-explode + conditional sum over
+# exact cents. The classic empirical-Myerson workflow, distributed.
+@register(
+    "q277_reserve_price_curve",
+    tags=("auction", "pricing", "window"),
+    oracle="""
+        WITH bids AS (
+          SELECT l_partkey,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS b,
+                 ROW_NUMBER() OVER (PARTITION BY l_partkey
+                   ORDER BY ROUND(l_extendedprice * 100) DESC,
+                            l_orderkey, l_linenumber) AS rk
+          FROM lineitem
+        ),
+        top2 AS (
+          SELECT l_partkey,
+                 MAX(CASE WHEN rk = 1 THEN b END) AS b1,
+                 COALESCE(MAX(CASE WHEN rk = 2 THEN b END), 0) AS b2
+          FROM bids WHERE rk <= 2 GROUP BY l_partkey
+        ),
+        reserves AS (
+          SELECT unnest(quantile_disc(b1, [0.1, 0.3, 0.5, 0.7, 0.9])) AS r
+          FROM top2
+        ),
+        curve AS (
+          SELECT r.r,
+                 CAST(COUNT(CASE WHEN t.b1 >= r.r THEN 1 END) AS BIGINT)
+                   AS n_sold,
+                 CAST(SUM(CASE WHEN t.b1 >= r.r
+                               THEN greatest(t.b2, r.r) ELSE 0 END)
+                      AS BIGINT) AS revenue_cents
+          FROM top2 t CROSS JOIN reserves r
+          GROUP BY r.r
+        )
+        SELECT CAST(r AS BIGINT) AS reserve_cents, n_sold,
+               CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue
+        FROM curve
+    """,
+)
+def q277_reserve_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-price revenue at five decile reserve candidates over per-part
+    bid stacks (see block comment — one rank window, broadcast reserves,
+    exact cents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wb = W.partitionBy("l_partkey").orderBy(
+        F.round(F.col("l_extendedprice") * 100).desc(),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    bids = li.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("b"),
+        F.row_number().over(wb).alias("rk"),
+    ).where(F.col("rk") <= 2)
+    top2 = bids.groupBy("l_partkey").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("b"))).alias("b1"),
+        F.coalesce(
+            F.max(F.when(F.col("rk") == 2, F.col("b"))), F.lit(0)
+        ).alias("b2"),
+    )
+    reserves = top2.agg(
+        *[
+            F.expr(f"percentile_disc({t}) WITHIN GROUP (ORDER BY b1)").alias(
+                f"r{i}"
+            )
+            for i, t in enumerate((0.1, 0.3, 0.5, 0.7, 0.9))
+        ]
+    ).selectExpr(
+        "stack(5, r0, r1, r2, r3, r4) AS r"
+    )
+    curve = (
+        top2.crossJoin(F.broadcast(reserves))
+        .groupBy("r")
+        .agg(
+            F.count(F.when(F.col("b1") >= F.col("r"), 1))
+            .cast("bigint")
+            .alias("n_sold"),
+            F.sum(
+                F.when(
+                    F.col("b1") >= F.col("r"),
+                    F.greatest(F.col("b2"), F.col("r")),
+                ).otherwise(0)
+            ).cast("bigint").alias("revenue_cents"),
+        )
+    )
+    return curve.selectExpr(
+        "CAST(r AS BIGINT) AS reserve_cents",
+        "n_sold",
+        "CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 — regression discontinuity: jump at a price threshold
+# ---------------------------------------------------------------------------
+# The third causal design in the toolkit (q231 DiD, q232 stratification):
+# when treatment switches at a known cutoff of a running variable, the
+# OUTCOME jump at the cutoff — after fitting local linear trends on each
+# side — identifies the effect. Running variable: order price; cutoff:
+# $300k; bandwidth ±$100k; outcome: late-shipment rate. Both side fits
+# are closed-form OLS from exact integer moments (q227's machinery); the
+# jump is the difference of the two intercepts AT the cutoff. One fact
+# pass, two moment rows, one closing expression.
+_RD_CUTOFF = 300_000
+_RD_BW = 100_000
+
+
+def _rd_fit(side: str) -> dict[str, str]:
+    b = (
+        f"(CAST({side}_k AS DOUBLE) * {side}_sxy"
+        f" - CAST({side}_sx AS DOUBLE) * {side}_sy)"
+        f" / (CAST({side}_k AS DOUBLE) * {side}_sxx"
+        f" - CAST({side}_sx AS DOUBLE) * {side}_sx)"
+    )
+    return {
+        "beta": b,
+        "at_cut": f"(CAST({side}_sy AS DOUBLE) - ({b}) * {side}_sx)"
+                  f" / {side}_k",
+    }
+
+
+@register(
+    "q279_regression_discontinuity",
+    tags=("causal", "rdd", "stats"),
+    oracle=f"""
+        WITH pts AS (
+          SELECT o.o_orderkey,
+                 CAST(ROUND(o.o_totalprice) AS BIGINT) - {_RD_CUTOFF} AS x,
+                 MAX(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                          CAST(l.l_shipdate AS DATE))
+                               > {_LATE_DAYS}
+                          THEN 1 ELSE 0 END) AS y
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          WHERE ROUND(o.o_totalprice) >= {_RD_CUTOFF - _RD_BW}
+            AND ROUND(o.o_totalprice) < {_RD_CUTOFF + _RD_BW}
+          GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        mom AS (
+          SELECT
+            CAST(SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS l_k,
+            CAST(SUM(CASE WHEN x < 0 THEN x ELSE 0 END) AS BIGINT) AS l_sx,
+            CAST(SUM(CASE WHEN x < 0 THEN y ELSE 0 END) AS BIGINT) AS l_sy,
+            CAST(SUM(CASE WHEN x < 0 THEN x * x ELSE 0 END) AS BIGINT) AS l_sxx,
+            CAST(SUM(CASE WHEN x < 0 THEN x * y ELSE 0 END) AS BIGINT) AS l_sxy,
+            CAST(SUM(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_k,
+            CAST(SUM(CASE WHEN x >= 0 THEN x ELSE 0 END) AS BIGINT) AS r_sx,
+            CAST(SUM(CASE WHEN x >= 0 THEN y ELSE 0 END) AS BIGINT) AS r_sy,
+            CAST(SUM(CASE WHEN x >= 0 THEN x * x ELSE 0 END) AS BIGINT) AS r_sxx,
+            CAST(SUM(CASE WHEN x >= 0 THEN x * y ELSE 0 END) AS BIGINT) AS r_sxy
+          FROM pts
+        )
+        SELECT l_k AS n_left, r_k AS n_right,
+               {_rd_fit('l')['beta']} AS slope_left,
+               {_rd_fit('r')['beta']} AS slope_right,
+               {_rd_fit('l')['at_cut']} AS rate_at_cut_left,
+               {_rd_fit('r')['at_cut']} AS rate_at_cut_right,
+               ({_rd_fit('r')['at_cut']}) - ({_rd_fit('l')['at_cut']})
+                 AS rd_jump
+        FROM mom
+    """,
+)
+def q279_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-linear RD estimate of the late-shipment-rate jump at the
+    $300k price threshold (±$100k bandwidth, closed-form side fits — see
+    block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(
+            (F.round("o_totalprice") >= _RD_CUTOFF - _RD_BW)
+            & (F.round("o_totalprice") < _RD_CUTOFF + _RD_BW)
+        )
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.max(
+                F.when(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    )
+                    > _LATE_DAYS,
+                    1,
+                ).otherwise(0)
+            ).alias("y")
+        )
+        .select(
+            (F.round("o_totalprice").cast("bigint") - _RD_CUTOFF).alias("x"),
+            "y",
+        )
+    )
+    left = F.col("x") < 0
+    right = F.col("x") >= 0
+    mom = pts.agg(
+        F.sum(F.when(left, 1).otherwise(0)).cast("bigint").alias("l_k"),
+        F.sum(F.when(left, F.col("x")).otherwise(0)).cast("bigint").alias("l_sx"),
+        F.sum(F.when(left, F.col("y")).otherwise(0)).cast("bigint").alias("l_sy"),
+        F.sum(F.when(left, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint").alias("l_sxx"),
+        F.sum(F.when(left, F.col("x") * F.col("y")).otherwise(0))
+        .cast("bigint").alias("l_sxy"),
+        F.sum(F.when(right, 1).otherwise(0)).cast("bigint").alias("r_k"),
+        F.sum(F.when(right, F.col("x")).otherwise(0)).cast("bigint").alias("r_sx"),
+        F.sum(F.when(right, F.col("y")).otherwise(0)).cast("bigint").alias("r_sy"),
+        F.sum(F.when(right, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint").alias("r_sxx"),
+        F.sum(F.when(right, F.col("x") * F.col("y")).otherwise(0))
+        .cast("bigint").alias("r_sxy"),
+    )
+    return mom.selectExpr(
+        "l_k AS n_left",
+        "r_k AS n_right",
+        f"{_rd_fit('l')['beta']} AS slope_left",
+        f"{_rd_fit('r')['beta']} AS slope_right",
+        f"{_rd_fit('l')['at_cut']} AS rate_at_cut_left",
+        f"{_rd_fit('r')['at_cut']} AS rate_at_cut_right",
+        f"({_rd_fit('r')['at_cut']}) - ({_rd_fit('l')['at_cut']}) AS rd_jump",
+    )

@@ -417,3 +417,131 @@ def q258_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_day",
         f"CAST(n_rows AS DOUBLE) * {_RANGE_PARTS} / n AS fill_ratio",
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 — consistent-hashing rebalance audit (what moves when a node joins?)
+# ---------------------------------------------------------------------------
+# The distributed-systems design check for any sharded cache/store: with
+# naive modulo placement, adding a node remaps ~everything; a consistent-
+# hash ring with virtual nodes remaps ~1/(n+1). This audit builds both
+# rings deterministically (md5 positions, 8 vnodes/node — the q91 hash
+# idiom), assigns every customer key by ring successor (argmin of the
+# clockwise distance — a broadcast of the ≤40-row vnode table + one
+# min_by, q260's packed-key-free case since distances are unique mod 2³²
+# with overwhelming margin and ties break by vnode id), and reports the
+# moved-key fraction for modulo vs ring placement side by side.
+_CH_NODES = 4
+_CH_VNODES = 8
+_CH_SPACE = 4294967296  # 2^32
+
+
+def _ring_sql(n_nodes: int, alias: str) -> str:
+    """DuckDB vnode ring: (node, vnode) -> md5 position in [0, 2^32)."""
+    rows = ", ".join(
+        f"({node}, {v})" for node in range(n_nodes) for v in range(_CH_VNODES)
+    )
+    return f"""(
+      SELECT node,
+             CAST(concat('0x', substring(md5(concat('n', CAST(node AS VARCHAR),
+                 ':', CAST(v AS VARCHAR))), 1, 8)) AS BIGINT) AS pos
+      FROM (VALUES {rows}) AS t(node, v)
+    ) AS {alias}"""
+
+
+@register(
+    "q280_consistent_hashing",
+    tags=("physical-design", "sharding", "distributed"),
+    oracle=f"""
+        WITH keys AS (
+          SELECT c_custkey AS k,
+                 CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)),
+                     1, 8)) AS BIGINT) AS kh
+          FROM customer
+        ),
+        ring_a AS (
+          SELECT keys.k,
+                 min_by(r.node, ((r.pos - keys.kh) % {_CH_SPACE}
+                                 + {_CH_SPACE}) % {_CH_SPACE} * 100 + r.node)
+                   AS node
+          FROM keys CROSS JOIN {_ring_sql(_CH_NODES, 'r')}
+          GROUP BY keys.k
+        ),
+        ring_b AS (
+          SELECT keys.k,
+                 min_by(r.node, ((r.pos - keys.kh) % {_CH_SPACE}
+                                 + {_CH_SPACE}) % {_CH_SPACE} * 100 + r.node)
+                   AS node
+          FROM keys CROSS JOIN {_ring_sql(_CH_NODES + 1, 'r')}
+          GROUP BY keys.k
+        ),
+        stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ring_moved,
+                 CAST(SUM(CASE WHEN a.k % {_CH_NODES}
+                                    <> a.k % {_CH_NODES + 1}
+                               THEN 1 ELSE 0 END) AS BIGINT) AS modulo_moved
+          FROM ring_a a JOIN ring_b b ON a.k = b.k
+        )
+        SELECT n AS n_keys, ring_moved, modulo_moved,
+               CAST(ring_moved AS DOUBLE) / n AS ring_moved_frac,
+               CAST(modulo_moved AS DOUBLE) / n AS modulo_moved_frac
+        FROM stats
+    """,
+)
+def q280_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moved-key fraction when a 5th node joins: consistent-hash ring (8
+    vnodes/node) vs naive modulo — the rebalance audit (see block
+    comment; broadcast vnode table, deterministic md5 ring)."""
+    c = load_table(spark, sf_dir, "customer")
+    keys = c.selectExpr(
+        "c_custkey AS k",
+        "CAST(conv(substring(md5(CAST(CAST(c_custkey AS STRING) AS BINARY)),"
+        " 1, 8), 16, 10) AS BIGINT) AS kh",
+    )
+
+    def ring(n_nodes: int) -> DataFrame:
+        vn = spark.createDataFrame(
+            [(node, v) for node in range(n_nodes) for v in range(_CH_VNODES)],
+            "node bigint, v bigint",
+        )
+        return vn.selectExpr(
+            "node",
+            "CAST(conv(substring(md5(CAST(concat('n', CAST(node AS STRING),"
+            " ':', CAST(v AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+            " AS pos",
+        )
+
+    def assign(ring_df: DataFrame, out: str) -> DataFrame:
+        return (
+            keys.crossJoin(F.broadcast(ring_df))
+            .groupBy("k")
+            .agg(
+                F.expr(
+                    f"min_by(node, ((pos - kh) % {_CH_SPACE}"
+                    f" + {_CH_SPACE}) % {_CH_SPACE} * 100 + node)"
+                ).alias(out)
+            )
+        )
+
+    a = assign(ring(_CH_NODES), "node_a")
+    b = assign(ring(_CH_NODES + 1), "node_b")
+    stats = a.join(b, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("node_a") != F.col("node_b"), 1).otherwise(0)
+        ).cast("bigint").alias("ring_moved"),
+        F.sum(
+            F.when(
+                F.col("k") % _CH_NODES != F.col("k") % (_CH_NODES + 1), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("modulo_moved"),
+    )
+    return stats.selectExpr(
+        "n AS n_keys",
+        "ring_moved",
+        "modulo_moved",
+        "CAST(ring_moved AS DOUBLE) / n AS ring_moved_frac",
+        "CAST(modulo_moved AS DOUBLE) / n AS modulo_moved_frac",
+    )

@@ -2732,3 +2732,72 @@ def q276_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 — n-gram coverage curve (how head-heavy is the corpus?)
+# ---------------------------------------------------------------------------
+# Tokenizer and cache design both start from one number: what share of
+# all token occurrences do the top-k vocabulary items cover? The coverage
+# curve at k ∈ {10, 100, 1000} — exact rank by (count desc, token) then
+# cumulative mass — says how much a small vocabulary/cache buys. The rank
+# rides the VOCABULARY relation (the documented value-domain window), the
+# masses are exact integers, and the three curve points are conditional
+# sums — no per-k passes.
+_COV_KS = (10, 100, 1000)
+
+
+@register(
+    "q278_ngram_coverage",
+    tags=("text", "vocabulary", "coverage"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        vocab AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+        ),
+        ranked AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+                 CAST(SUM(c) OVER () AS BIGINT) AS total
+          FROM vocab
+        )
+        SELECT k, CAST(MIN(total) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT)
+                 AS covered_tokens,
+               CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) AS DOUBLE)
+                 / MIN(total) AS coverage
+        FROM ranked
+        CROSS JOIN (SELECT unnest(ARRAY[{", ".join(str(k) for k in _COV_KS)}])
+                      AS k)
+        GROUP BY k
+    """,
+)
+def q278_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-10/100/1000 vocabulary items — the
+    head-heaviness curve for tokenizer/cache sizing (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ranked = vocab.select(
+        "c",
+        F.row_number().over(W.orderBy(F.col("c").desc(), "w")).alias("rk"),
+        F.sum("c").over(W.partitionBy()).cast("bigint").alias("total"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k bigint")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.min("total").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            (
+                F.sum(
+                    F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0)
+                ).cast("double")
+                / F.min("total")
+            ).alias("coverage"),
+        )
+    )

@@ -375,6 +375,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q274_nearest_centroid",
     "q275_factorial_experiment",
     "q276_burrows_delta",
+    "q277_reserve_price_curve",
+    "q278_ngram_coverage",
+    "q279_regression_discontinuity",
+    "q280_consistent_hashing",
 )
 
 

@@ -137,6 +137,10 @@ _SP_ALLOWED = {
     "q273_token_budget_selection": 2,  # corpus-token scalar + 1000-row
     # quality-bucket cumulative window
     "q275_factorial_experiment": 1,  # 4-cell closing reduce
+    "q277_reserve_price_curve": 1,  # 5-decile reserve scalar broadcast
+    "q278_ngram_coverage": 1,     # vocabulary rank window (value-domain)
+    "q279_regression_discontinuity": 1,  # ten-moment scalar reduce
+    "q280_consistent_hashing": 1,  # closing move-count scalar reduce
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q276): each result recomputed by an independent pure-Python/numpy
+(q215-q280): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2142,3 +2142,145 @@ def test_q276_burrows_delta_matches_python(spark, sf_dir):
                 for w in topw
             ) / (1e6 * len(topw))
             assert math.isclose(got[(a, b)], d, rel_tol=1e-9)
+
+
+def test_q277_reserve_curve_matches_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect()
+    stacks = defaultdict(list)
+    for r in li:
+        stacks[r.l_partkey].append(
+            (round(r.l_extendedprice * 100), r.l_orderkey, r.l_linenumber)
+        )
+    top2 = {}
+    for pk, bids in stacks.items():
+        bids.sort(key=lambda t: (-t[0], t[1], t[2]))
+        top2[pk] = (bids[0][0], bids[1][0] if len(bids) > 1 else 0)
+    b1s = sorted(b1 for b1, _ in top2.values())
+    reserves = {
+        float(np.percentile(b1s, t * 100, method="inverted_cdf"))
+        for t in (0.1, 0.3, 0.5, 0.7, 0.9)
+    }
+    got = {r.reserve_cents: r for r in
+           QS["q277_reserve_price_curve"].fn(spark, sf_dir).collect()}
+    assert set(got) == {int(r) for r in reserves}
+    for r in reserves:
+        sold = [(b1, b2) for b1, b2 in top2.values() if b1 >= r]
+        rev = sum(max(b2, int(r)) for _, b2 in sold)
+        row = got[int(r)]
+        assert row.n_sold == len(sold)
+        assert math.isclose(row.revenue, rev / 100.0, rel_tol=1e-12)
+    # monotone trade-off: higher reserve, fewer sales
+    ordered = [got[k].n_sold for k in sorted(got)]
+    assert ordered == sorted(ordered, reverse=True)
+
+
+def test_q278_coverage_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.textstats import _COV_KS
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    counts = defaultdict(int)
+    for r in docs:
+        for w in r.text.split(" "):
+            counts[w] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    got = {r.k: r for r in QS["q278_ngram_coverage"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(_COV_KS)
+    prev = 0.0
+    for k in sorted(_COV_KS):
+        cov = sum(c for _, c in ranked[:k])
+        r = got[k]
+        assert r.total_tokens == total and r.covered_tokens == cov
+        assert math.isclose(r.coverage, cov / total, rel_tol=1e-12)
+        assert r.coverage >= prev  # coverage is monotone in k
+        prev = r.coverage
+
+
+def test_q279_rdd_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.analytics import (
+        _LATE_DAYS, _RD_BW, _RD_CUTOFF,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    odate = {r.o_orderkey: r.o_orderdate.date() for r in o}
+    late = defaultdict(int)
+    order_has = set()
+    for r in li:
+        order_has.add(r.l_orderkey)
+        if (r.l_shipdate.date() - odate[r.l_orderkey]).days > _LATE_DAYS:
+            late[r.l_orderkey] = 1
+    pts = []
+    for r in o:
+        if r.o_orderkey not in order_has:
+            continue
+        d = int(math.floor(r.o_totalprice + 0.5))
+        if _RD_CUTOFF - _RD_BW <= d < _RD_CUTOFF + _RD_BW:
+            pts.append((d - _RD_CUTOFF, late.get(r.o_orderkey, 0)))
+    row = QS["q279_regression_discontinuity"].fn(spark, sf_dir).collect()[0]
+    for side, flt in (("l", lambda x: x < 0), ("r", lambda x: x >= 0)):
+        xs = np.array([x for x, _ in pts if flt(x)], dtype=float)
+        ys = np.array([y for x, y in pts if flt(x)], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        if side == "l":
+            assert row.n_left == len(xs)
+            assert math.isclose(row.slope_left, slope, rel_tol=1e-6,
+                                abs_tol=1e-12)
+            assert math.isclose(row.rate_at_cut_left, intercept,
+                                rel_tol=1e-6, abs_tol=1e-9)
+        else:
+            assert row.n_right == len(xs)
+            assert math.isclose(row.slope_right, slope, rel_tol=1e-6,
+                                abs_tol=1e-12)
+            assert math.isclose(row.rate_at_cut_right, intercept,
+                                rel_tol=1e-6, abs_tol=1e-9)
+    assert math.isclose(
+        row.rd_jump, row.rate_at_cut_right - row.rate_at_cut_left,
+        rel_tol=1e-9, abs_tol=1e-12,
+    )
+
+
+def test_q280_consistent_hashing_matches_python(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.layout import (
+        _CH_NODES, _CH_SPACE, _CH_VNODES,
+    )
+
+    keys = [r.c_custkey for r in
+            load_table(spark, sf_dir, "customer").select("c_custkey").collect()]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def ring(n):
+        return [
+            (node, h(f"n{node}:{v}"))
+            for node in range(n) for v in range(_CH_VNODES)
+        ]
+
+    def assign(kh, r):
+        return min(
+            r, key=lambda t: (((t[1] - kh) % _CH_SPACE + _CH_SPACE)
+                              % _CH_SPACE) * 100 + t[0]
+        )[0]
+
+    ra, rb = ring(_CH_NODES), ring(_CH_NODES + 1)
+    ring_moved = modulo_moved = 0
+    for k in keys:
+        kh = h(str(k))
+        if assign(kh, ra) != assign(kh, rb):
+            ring_moved += 1
+        if k % _CH_NODES != k % (_CH_NODES + 1):
+            modulo_moved += 1
+    row = QS["q280_consistent_hashing"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_keys, row.ring_moved, row.modulo_moved) == (
+        len(keys), ring_moved, modulo_moved,
+    )
+    # the point of the ring: a node join moves a ~1/(n+1) minority, while
+    # modulo moves a large majority
+    assert row.ring_moved_frac < 0.5 < row.modulo_moved_frac
