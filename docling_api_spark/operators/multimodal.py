@@ -352,3 +352,148 @@ def q82_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return corpus.mapInPandas(resize, _RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q281 — exact media dedup by content digest (binary-column governance)
+# ---------------------------------------------------------------------------
+# The first pass of every media pipeline: identical blobs (re-uploads,
+# mirrored crawls) collapse by full-content digest before any expensive
+# decode runs. Digest = md5 over the BINARY column (computed JVM-side /
+# engine-native — the bytes never reach Python), keeper = lowest doc_id
+# (q40's deterministic-survivor rule), and duplicate groups are
+# flagged (every group is emitted so the audit is non-vacuous at any
+# corpus scale). At 100 TB the digest is computed once at ingest and this
+# becomes a pure hash-aggregate on stored metadata.
+@register(
+    "q281_media_content_dedup",
+    tags=("multimodal", "dedup", "binary"),
+    oracle="""
+        -- DuckDB's md5 takes VARCHAR; the synthetic blobs are ASCII text
+        -- bytes (module docstring), so digest/size over the text equal
+        -- digest/size over the binary the Spark side hashes
+        WITH blobs AS (
+          SELECT doc_id, text AS media FROM documents
+        ),
+        groups AS (
+          SELECT md5(media) AS digest,
+                 CAST(octet_length(encode(media)) AS BIGINT) AS n_bytes,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+                 CAST(SUM(CAST(octet_length(encode(media)) AS BIGINT))
+                      - MIN(CAST(octet_length(encode(media)) AS BIGINT))
+                   AS BIGINT) AS reclaimable_bytes
+          FROM blobs GROUP BY md5(media), octet_length(encode(media))
+        )
+        SELECT digest, n_bytes, n_copies, keeper_doc, reclaimable_bytes,
+               CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END AS is_duplicate
+        FROM groups
+    """,
+)
+def q281_media_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate media groups by full-content md5 over the binary
+    column, with deterministic keeper and reclaimable-byte accounting
+    (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    groups = blobs.groupBy(
+        F.md5("media").alias("digest"),
+        F.length("media").cast("bigint").alias("n_bytes"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        (
+            F.sum(F.length("media").cast("bigint"))
+            - F.min(F.length("media").cast("bigint"))
+        ).cast("bigint").alias("reclaimable_bytes"),
+    )
+    return groups.selectExpr(
+        "digest",
+        "n_bytes",
+        "n_copies",
+        "keeper_doc",
+        "reclaimable_bytes",
+        "CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END AS is_duplicate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q282 — stride-signature near-dup candidates for media blobs
+# ---------------------------------------------------------------------------
+# Exact digests miss blobs that differ in a few bytes (re-encodes,
+# trailing metadata). The cheap scalable candidate generator samples the
+# binary at fixed offsets — a stride signature (here: 4 × 8-byte windows
+# at proportional offsets, hashed together) — and buckets blobs by
+# signature: same signature → near-dup candidate group, verified
+# downstream (q43's candidate→verify ladder, in the binary domain). The
+# windows are substring-on-binary: JVM-side, no byte ever copied to
+# Python; a candidate group is REAL when it holds ≥2 distinct digests
+# (else it's q281's exact group again) — both counts are emitted.
+@register(
+    "q282_media_stride_signature",
+    tags=("multimodal", "neardedup", "binary"),
+    oracle="""
+        -- ASCII blobs: char-offset windows over the text equal the
+        -- byte-offset windows the Spark side takes on the binary
+        WITH blobs AS (
+          SELECT doc_id, text AS media,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n
+          FROM documents
+        ),
+        sigs AS (
+          SELECT doc_id, md5(media) AS digest,
+                 md5(concat(
+                   substring(media, 1, 8),
+                   substring(media, CAST(n // 4 AS INTEGER) + 1, 8),
+                   substring(media, CAST(n // 2 AS INTEGER) + 1, 8),
+                   substring(media, CAST((3 * n) // 4 AS INTEGER) + 1, 8)
+                 )) AS sig
+          FROM blobs
+        ),
+        groups AS (
+          SELECT sig,
+                 CAST(COUNT(*) AS BIGINT) AS n_blobs,
+                 CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct,
+                 CAST(MIN(doc_id) AS BIGINT) AS sample_doc
+          FROM sigs GROUP BY sig
+        )
+        SELECT sig, n_blobs, n_distinct, sample_doc,
+               CASE WHEN n_blobs >= 2 THEN 1 ELSE 0 END AS candidate_group,
+               CASE WHEN n_distinct >= 2 THEN 1 ELSE 0 END AS near_dup_group
+        FROM groups
+    """,
+)
+def q282_media_stride_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-sampled binary signatures over all media blobs, flagging
+    candidate groups (≥2 blobs) and true near-dup groups (≥2 distinct
+    exact digests) — see block comment."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("n"),
+    )
+    sigs = blobs.selectExpr(
+        "doc_id",
+        "md5(media) AS digest",
+        "md5(concat("
+        " substring(media, 1, 8),"
+        " substring(media, CAST(n div 4 AS INT) + 1, 8),"
+        " substring(media, CAST(n div 2 AS INT) + 1, 8),"
+        " substring(media, CAST((3 * n) div 4 AS INT) + 1, 8))) AS sig",
+    )
+    groups = sigs.groupBy("sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+        F.countDistinct("digest").cast("bigint").alias("n_distinct"),
+        F.min("doc_id").cast("bigint").alias("sample_doc"),
+    )
+    return groups.selectExpr(
+        "sig",
+        "n_blobs",
+        "n_distinct",
+        "sample_doc",
+        "CASE WHEN n_blobs >= 2 THEN 1 ELSE 0 END AS candidate_group",
+        "CASE WHEN n_distinct >= 2 THEN 1 ELSE 0 END AS near_dup_group",
+    )

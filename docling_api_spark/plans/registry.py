@@ -379,6 +379,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q278_ngram_coverage",
     "q279_regression_discontinuity",
     "q280_consistent_hashing",
+    "q281_media_content_dedup",
+    "q282_media_stride_signature",
 )
 
 

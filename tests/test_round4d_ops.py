@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q280): each result recomputed by an independent pure-Python/numpy
+(q215-q282): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2284,3 +2284,51 @@ def test_q280_consistent_hashing_matches_python(spark, sf_dir):
     # the point of the ring: a node join moves a ~1/(n+1) minority, while
     # modulo moves a large majority
     assert row.ring_moved_frac < 0.5 < row.modulo_moved_frac
+
+
+def test_q281_media_dedup_matches_python(spark, sf_dir):
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    groups = defaultdict(list)
+    for r in docs:
+        b = r.text.encode("utf-8")
+        groups[(hashlib.md5(b).hexdigest(), len(b))].append(r.doc_id)
+    got = {(r.digest, r.n_bytes): r for r in
+           QS["q281_media_content_dedup"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for key, ids in groups.items():
+        r = got[key]
+        assert r.n_copies == len(ids)
+        assert r.keeper_doc == min(ids)
+        assert r.reclaimable_bytes == (len(ids) - 1) * key[1]
+        assert r.is_duplicate == (1 if len(ids) >= 2 else 0)
+
+
+def test_q282_stride_signature_matches_python(spark, sf_dir):
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    groups = defaultdict(lambda: [0, set(), None])
+    for r in docs:
+        b = r.text.encode("utf-8")
+        n = len(b)
+        sig = hashlib.md5(
+            b[0:8] + b[n // 4:n // 4 + 8] + b[n // 2:n // 2 + 8]
+            + b[(3 * n) // 4:(3 * n) // 4 + 8]
+        ).hexdigest()
+        cell = groups[sig]
+        cell[0] += 1
+        cell[1].add(hashlib.md5(b).hexdigest())
+        cell[2] = r.doc_id if cell[2] is None else min(cell[2], r.doc_id)
+    got = {r.sig: r for r in
+           QS["q282_media_stride_signature"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for sig, (n, digs, sample) in groups.items():
+        r = got[sig]
+        assert (r.n_blobs, r.n_distinct, r.sample_doc) == (n, len(digs), sample)
+        assert r.candidate_group == (1 if n >= 2 else 0)
+        assert r.near_dup_group == (1 if len(digs) >= 2 else 0)
+        # an exact-dup group is always also a candidate group
+        if r.near_dup_group:
+            assert r.candidate_group
