@@ -5848,3 +5848,91 @@ def q279_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
         f"{_rd_fit('r')['at_cut']} AS rate_at_cut_right",
         f"({_rd_fit('r')['at_cut']}) - ({_rd_fit('l')['at_cut']}) AS rd_jump",
     )
+
+
+# ---------------------------------------------------------------------------
+# q285 — quadratic response surface: the revenue-optimal discount
+# ---------------------------------------------------------------------------
+# Pricing's canonical curve question: quantity responds to discount with
+# curvature, and the optimum sits at the vertex. Fit qty ~ a + b·x + c·x²
+# (x = discount in exact permille integers) by closed-form normal
+# equations — the 3×3 system solved with Cramer determinants over exact
+# moment sums S0..S4, Sy, Sxy, Sx²y (all BIGINT; x ≤ 100 keeps Σx⁴ far
+# inside range). The vertex −b/(2c) is the revenue-maximizing discount.
+# One scalar reduce; the algebra is a closing expression (q216 ladder,
+# one degree higher).
+_QRS_DETS = {
+    "d": "(CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s3)"
+         " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s2)"
+         " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * s2))",
+    "da": "(CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s3)"
+          " - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * sx2y)"
+          " + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * sx2y))",
+    "db": "(CAST(s0 AS DOUBLE) * (CAST(sxy AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * sx2y)"
+          " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s4 - CAST(s3 AS DOUBLE) * s2)"
+          " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * sx2y - CAST(sxy AS DOUBLE) * s2))",
+    "dc": "(CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * sx2y - CAST(sxy AS DOUBLE) * s3)"
+          " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * sx2y - CAST(sxy AS DOUBLE) * s2)"
+          " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s3 - CAST(s2 AS DOUBLE) * s2))",
+}
+
+
+@register(
+    "q285_quadratic_response",
+    tags=("pricing", "regression", "optimization"),
+    oracle=f"""
+        WITH pts AS (
+          SELECT CAST(ROUND(l_discount * 1000) AS BIGINT) AS x,
+                 CAST(ROUND(l_quantity) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+                 CAST(SUM(x) AS BIGINT) AS s1,
+                 CAST(SUM(x * x) AS BIGINT) AS s2,
+                 CAST(SUM(x * x * x) AS BIGINT) AS s3,
+                 CAST(SUM(x * x * x * x) AS BIGINT) AS s4,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x * y) AS BIGINT) AS sx2y
+          FROM pts
+        )
+        SELECT s0 AS n_lines,
+               {_QRS_DETS['da']} / {_QRS_DETS['d']} AS a,
+               {_QRS_DETS['db']} / {_QRS_DETS['d']} AS b,
+               {_QRS_DETS['dc']} / {_QRS_DETS['d']} AS c,
+               -({_QRS_DETS['db']} / {_QRS_DETS['d']})
+                 / (2 * ({_QRS_DETS['dc']} / {_QRS_DETS['d']}))
+                 AS vertex_permille
+        FROM mom
+    """,
+)
+def q285_quadratic_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form quadratic fit of quantity vs discount (permille) with
+    the vertex (optimal discount) — Cramer determinants over one exact
+    moment reduce (see block comment)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("x"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("bigint").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("bigint")
+        .alias("s4"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x") * F.col("y")).cast("bigint").alias("sx2y"),
+    )
+    return mom.selectExpr(
+        "s0 AS n_lines",
+        f"{_QRS_DETS['da']} / {_QRS_DETS['d']} AS a",
+        f"{_QRS_DETS['db']} / {_QRS_DETS['d']} AS b",
+        f"{_QRS_DETS['dc']} / {_QRS_DETS['d']} AS c",
+        f"-({_QRS_DETS['db']} / {_QRS_DETS['d']})"
+        f" / (2 * ({_QRS_DETS['dc']} / {_QRS_DETS['d']})) AS vertex_permille",
+    )

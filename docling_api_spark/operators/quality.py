@@ -373,3 +373,95 @@ def q267_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN n_rows >= {_LDIV_K} THEN 1 ELSE 0 END AS k_anonymous",
         f"CASE WHEN l_distinct >= {_LDIV_L} THEN 1 ELSE 0 END AS l_diverse",
     )
+
+
+# ---------------------------------------------------------------------------
+# q283 — Cohen's kappa: do two quality gates agree beyond chance?
+# ---------------------------------------------------------------------------
+# Curation pipelines stack quality gates; the governance question is
+# whether two gates measure the SAME thing (redundant) or different
+# things (complementary). Cohen's κ = (p_o − p_e)/(1 − p_e) corrects raw
+# agreement for chance. Raters here: the lexical-diversity gate (q62's
+# uniq-ratio ≥ corpus median) and the token-length gate (mean token
+# length ≥ corpus median) — both deterministic integer-permille scores
+# with exact median cuts, so the 2×2 agreement table is exact and κ is a
+# closing rational expression.
+@register(
+    "q283_cohen_kappa",
+    tags=("governance", "agreement", "stats"),
+    oracle="""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST(1000 * len(list_distinct(string_split(text, ' ')))
+                      // len(string_split(text, ' ')) AS BIGINT) AS uniq_pm,
+                 CAST(1000 * (length(text)
+                              - len(string_split(text, ' ')) + 1)
+                      // len(string_split(text, ' ')) AS BIGINT) AS tlen_pm
+          FROM documents
+        ),
+        cuts AS (
+          SELECT quantile_cont(uniq_pm, 0.5) AS cu,
+                 quantile_cont(tlen_pm, 0.5) AS ct
+          FROM scored
+        ),
+        rated AS (
+          SELECT CASE WHEN s.uniq_pm >= c.cu THEN 1 ELSE 0 END AS a,
+                 CASE WHEN s.tlen_pm >= c.ct THEN 1 ELSE 0 END AS b
+          FROM scored s CROSS JOIN cuts c
+        ),
+        cells AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(a * b) AS BIGINT) AS n11,
+                 CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                 CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+          FROM rated
+        )
+        SELECT n, n11, n10, n01, n00,
+               CAST(n11 + n00 AS DOUBLE) / n AS observed_agreement,
+               (CAST(n11 + n00 AS DOUBLE) / n
+                - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                   + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                  / (CAST(n AS DOUBLE) * n))
+               / (1 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                       + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                      / (CAST(n AS DOUBLE) * n)) AS kappa
+        FROM cells
+    """,
+)
+def q283_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the lexical-diversity and token-length quality
+    gates (exact median cuts, exact 2×2 table — see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "CAST(1000 * size(array_distinct(split(text, ' ')))"
+        " div size(split(text, ' ')) AS BIGINT) AS uniq_pm",
+        "CAST(1000 * (length(text) - size(split(text, ' ')) + 1)"
+        " div size(split(text, ' ')) AS BIGINT) AS tlen_pm",
+    )
+    cuts = scored.agg(
+        F.expr("percentile(uniq_pm, 0.5)").alias("cu"),
+        F.expr("percentile(tlen_pm, 0.5)").alias("ct"),
+    )
+    rated = scored.crossJoin(F.broadcast(cuts)).selectExpr(
+        "CASE WHEN uniq_pm >= cu THEN 1 ELSE 0 END AS a",
+        "CASE WHEN tlen_pm >= ct THEN 1 ELSE 0 END AS b",
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    pe = (
+        "(CAST(n11 + n10 AS DOUBLE) * (n11 + n01)"
+        " + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))"
+        " / (CAST(n AS DOUBLE) * n)"
+    )
+    return cells.selectExpr(
+        "n", "n11", "n10", "n01", "n00",
+        "CAST(n11 + n00 AS DOUBLE) / n AS observed_agreement",
+        f"(CAST(n11 + n00 AS DOUBLE) / n - {pe}) / (1 - {pe}) AS kappa",
+    )

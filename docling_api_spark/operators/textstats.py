@@ -2801,3 +2801,83 @@ def q278_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — weighted Jaccard between source term-frequency vectors
+# ---------------------------------------------------------------------------
+# q264 compares sources as SETS (a word counts once); weighted Jaccard
+#     J_w(a,b) = Σ_t min(f_at, f_bt) / Σ_t max(f_at, f_bt)
+# compares them as BAGS — the right similarity when one feed repeats its
+# vocabulary at very different rates. The union side never needs an outer
+# join: per term max = f_a + f_b − min, so Σmax = N_a + N_b − Σmin and
+# one INNER equi-join on term suffices (the algebraic identity that keeps
+# this vocabulary-sized). All exact integers until the final ratio.
+@register(
+    "q284_weighted_jaccard",
+    tags=("text", "similarity", "governance"),
+    oracle="""
+        WITH tf AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ),
+        freq AS (
+          SELECT source, term, CAST(COUNT(*) AS BIGINT) AS f
+          FROM tf GROUP BY source, term
+        ),
+        totals AS (
+          SELECT source, CAST(SUM(f) AS BIGINT) AS n FROM freq GROUP BY source
+        ),
+        mins AS (
+          SELECT a.source AS sa, b.source AS sb,
+                 CAST(SUM(least(a.f, b.f)) AS BIGINT) AS sum_min
+          FROM freq a JOIN freq b
+            ON a.term = b.term AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT m.sa AS source_a, m.sb AS source_b,
+               ta.n AS tokens_a, tb.n AS tokens_b, m.sum_min,
+               CAST(m.sum_min AS DOUBLE) / (ta.n + tb.n - m.sum_min)
+                 AS weighted_jaccard
+        FROM mins m
+        JOIN totals ta ON m.sa = ta.source
+        JOIN totals tb ON m.sb = tb.source
+    """,
+)
+def q284_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words weighted Jaccard for every source pair via the
+    Σmax = N_a + N_b − Σmin identity — inner join only, vocabulary-sized
+    (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    freq = tf.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    totals = freq.groupBy("source").agg(F.sum("f").cast("bigint").alias("n"))
+    a, b = freq.alias("a"), freq.alias("b")
+    mins = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(
+            F.sum(F.least(F.col("a.f"), F.col("b.f")))
+            .cast("bigint")
+            .alias("sum_min")
+        )
+    )
+    return (
+        mins.join(F.broadcast(totals.selectExpr("source AS sa", "n AS tokens_a")), "sa")
+        .join(F.broadcast(totals.selectExpr("source AS sb", "n AS tokens_b")), "sb")
+        .selectExpr(
+            "sa AS source_a",
+            "sb AS source_b",
+            "tokens_a",
+            "tokens_b",
+            "sum_min",
+            "CAST(sum_min AS DOUBLE) / (tokens_a + tokens_b - sum_min)"
+            " AS weighted_jaccard",
+        )
+    )

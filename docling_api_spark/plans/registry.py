@@ -381,6 +381,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q280_consistent_hashing",
     "q281_media_content_dedup",
     "q282_media_stride_signature",
+    "q283_cohen_kappa",
+    "q284_weighted_jaccard",
+    "q285_quadratic_response",
 )
 
 

@@ -141,6 +141,8 @@ _SP_ALLOWED = {
     "q278_ngram_coverage": 1,     # vocabulary rank window (value-domain)
     "q279_regression_discontinuity": 1,  # ten-moment scalar reduce
     "q280_consistent_hashing": 1,  # closing move-count scalar reduce
+    "q283_cohen_kappa": 2,        # median-cut scalar + 2×2-cell reduce
+    "q285_quadratic_response": 1,  # eight-moment scalar reduce
 }
 
 AUDITED = [

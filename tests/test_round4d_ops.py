@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q282): each result recomputed by an independent pure-Python/numpy
+(q215-q285): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2332,3 +2332,66 @@ def test_q282_stride_signature_matches_python(spark, sf_dir):
         # an exact-dup group is always also a candidate group
         if r.near_dup_group:
             assert r.candidate_group
+
+
+def test_q283_kappa_matches_sklearn_formula(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    uniq = []
+    tlen = []
+    for r in docs:
+        t = r.text.split(" ")
+        uniq.append(1000 * len(set(t)) // len(t))
+        tlen.append(1000 * (len(r.text) - len(t) + 1) // len(t))
+    cu = float(np.percentile(uniq, 50, method="linear"))
+    ct = float(np.percentile(tlen, 50, method="linear"))
+    cells = defaultdict(int)
+    for u, tl in zip(uniq, tlen):
+        cells[(1 if u >= cu else 0, 1 if tl >= ct else 0)] += 1
+    n = len(uniq)
+    po = (cells[(1, 1)] + cells[(0, 0)]) / n
+    pa1 = (cells[(1, 1)] + cells[(1, 0)]) / n
+    pb1 = (cells[(1, 1)] + cells[(0, 1)]) / n
+    pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    kappa = (po - pe) / (1 - pe)
+    row = QS["q283_cohen_kappa"].fn(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert (row.n11, row.n10, row.n01, row.n00) == (
+        cells[(1, 1)], cells[(1, 0)], cells[(0, 1)], cells[(0, 0)],
+    )
+    assert math.isclose(row.observed_agreement, po, rel_tol=1e-12)
+    assert math.isclose(row.kappa, kappa, rel_tol=1e-9)
+    assert -1.0 <= row.kappa <= 1.0
+
+
+def test_q284_weighted_jaccard_matches_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    freq = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        for w in r.text.split(" "):
+            freq[r.source][w] += 1
+    names = sorted(freq)
+    got = {(r.source_a, r.source_b): r for r in
+           QS["q284_weighted_jaccard"].fn(spark, sf_dir).collect()}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            smin = sum(min(f, freq[b].get(w, 0)) for w, f in freq[a].items())
+            na, nb = sum(freq[a].values()), sum(freq[b].values())
+            r = got[(a, b)]
+            assert (r.tokens_a, r.tokens_b, r.sum_min) == (na, nb, smin)
+            jw = smin / (na + nb - smin)
+            assert math.isclose(r.weighted_jaccard, jw, rel_tol=1e-12)
+            # bag similarity never exceeds 1 and is 0 only for disjoint bags
+            assert 0.0 <= r.weighted_jaccard <= 1.0
+
+
+def test_q285_quadratic_matches_numpy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_discount", "l_quantity").collect()
+    xs = np.array([round(r.l_discount * 1000) for r in li], dtype=float)
+    ys = np.array([int(math.floor(r.l_quantity + 0.5)) for r in li], dtype=float)
+    c2, c1, c0 = np.polyfit(xs, ys, 2)
+    row = QS["q285_quadratic_response"].fn(spark, sf_dir).collect()[0]
+    assert row.n_lines == len(xs)
+    assert math.isclose(row.a, c0, rel_tol=1e-6)
+    assert math.isclose(row.b, c1, rel_tol=1e-6, abs_tol=1e-9)
+    assert math.isclose(row.c, c2, rel_tol=1e-6, abs_tol=1e-12)
+    assert math.isclose(row.vertex_permille, -c1 / (2 * c2), rel_tol=1e-5)
