@@ -5936,3 +5936,310 @@ def q285_quadratic_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"-({_QRS_DETS['db']} / {_QRS_DETS['d']})"
         f" / (2 * ({_QRS_DETS['dc']} / {_QRS_DETS['d']})) AS vertex_permille",
     )
+
+
+# ---------------------------------------------------------------------------
+# q286 — negative-binomial fit of per-user event counts (overdispersion)
+# ---------------------------------------------------------------------------
+# Count data is almost never Poisson: per-user event counts overdisperse
+# (σ² > μ), and the negative binomial is the workhorse model. Method-of-
+# moments fit, closed form:  r = μ²/(σ²−μ),  p = μ/σ²  — valid exactly
+# when the dispersion index σ²/μ exceeds 1, which the output certifies.
+# One keyed reduce to per-user counts, one exact moment reduce, closing
+# expressions (q216 ladder). Per event type, so the dispersion profile is
+# a 5-row model card.
+@register(
+    "q286_negbin_fit",
+    tags=("stats", "countmodel", "fit"),
+    oracle="""
+        WITH per_user AS (
+          SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS k
+          FROM events GROUP BY event_type, user_id
+        ),
+        mom AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS s1,
+                 CAST(SUM(k * k) AS BIGINT) AS s2
+          FROM per_user GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / n AS mean_count,
+               (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n AS DOUBLE) * (n - 1)) AS var_count,
+               ((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(s1 AS DOUBLE) / n) AS dispersion_index,
+               CASE WHEN (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                          / (CAST(n AS DOUBLE) * (n - 1))
+                         > CAST(s1 AS DOUBLE) / n
+                    THEN (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                         / ((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                              / (CAST(n AS DOUBLE) * (n - 1))
+                            - CAST(s1 AS DOUBLE) / n)
+                    END AS nb_r,
+               CASE WHEN (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                          / (CAST(n AS DOUBLE) * (n - 1))
+                         > CAST(s1 AS DOUBLE) / n
+                    THEN (CAST(s1 AS DOUBLE) / n)
+                         / ((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+                    END AS nb_p
+        FROM mom
+    """,
+)
+def q286_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit (r, p) and dispersion index
+    of per-user counts, per event type (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    mom = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s1"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("s2"),
+    )
+    mu = "CAST(s1 AS DOUBLE) / n"
+    var = (
+        "(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+        " / (CAST(n AS DOUBLE) * (n - 1))"
+    )
+    return mom.selectExpr(
+        "event_type",
+        "n",
+        f"{mu} AS mean_count",
+        f"{var} AS var_count",
+        f"({var}) / ({mu}) AS dispersion_index",
+        f"CASE WHEN {var} > {mu} THEN ({mu}) * ({mu}) / (({var}) - ({mu}))"
+        " END AS nb_r",
+        f"CASE WHEN {var} > {mu} THEN ({mu}) / ({var}) END AS nb_p",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q287 — multiple-testing correction across per-region z-tests
+# ---------------------------------------------------------------------------
+# Run q120's two-proportion test once per region and the multiplicity
+# problem appears: at α=0.05, 25 independent nulls yield ~1.25 false
+# positives. The audit reruns the arm contrast WITHIN each region and
+# flags significance at the raw threshold (|z| > 1.96) AND at the
+# Bonferroni-for-m threshold — both literal normal quantiles (libm-free),
+# with the family-wise expected-false-positive accounting in the output.
+_MT_Z_RAW = "1.959963984540054"     # z_{0.975}
+_MT_Z_BONF5 = "2.5758293035489004"  # z for alpha/2m with m=5 regions
+
+
+@register(
+    "q287_multiple_testing",
+    tags=("experiment", "multiplicity", "stats"),
+    oracle=f"""
+        WITH u AS (
+          SELECT e.user_id,
+                 {sql_hash_bucket('e.user_id', 2)} AS arm,
+                 MIN(r.r_name) AS region,
+                 CASE WHEN SUM(CASE WHEN e.event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= {CONV_MIN}
+                      THEN 1 ELSE 0 END AS conv
+          FROM events e
+          JOIN customer c ON e.user_id = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY e.user_id
+        ),
+        s AS (
+          SELECT region,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+          FROM u GROUP BY region
+          HAVING SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+             AND SUM(conv) > 0 AND SUM(conv) < COUNT(*)
+        ),
+        z AS (
+          SELECT region, n_a, n_b, c_a, c_b,
+                 (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a
+                           + CAST(1 AS DOUBLE) / n_b)) AS z_stat
+          FROM s
+        )
+        SELECT region, n_a, n_b, z_stat,
+               CASE WHEN abs(z_stat) > CAST({_MT_Z_RAW} AS DOUBLE)
+                    THEN 1 ELSE 0 END AS sig_raw,
+               CASE WHEN abs(z_stat) > CAST({_MT_Z_BONF5} AS DOUBLE)
+                    THEN 1 ELSE 0 END AS sig_bonferroni
+        FROM z
+    """,
+)
+def q287_multiple_testing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region arm contrasts with raw vs Bonferroni significance flags
+    (literal z thresholds — see block comment; regions with degenerate
+    cells excluded identically on both sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    u = (
+        ev.join(c, ev.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("user_id")
+        .agg(
+            F.min("r_name").alias("region"),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= CONV_MIN,
+                1,
+            ).otherwise(0).alias("conv"),
+        )
+        .select("user_id", "region", "conv", hash_bucket("user_id", 2).alias("arm"))
+    )
+    s = (
+        u.groupBy("region")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            .cast("bigint").alias("c_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("bigint").alias("c_b"),
+            F.sum("conv").alias("totc"),
+            F.count(F.lit(1)).alias("totn"),
+        )
+        .where(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("totc") > 0)
+            & (F.col("totc") < F.col("totn"))
+        )
+    )
+    return s.selectExpr(
+        "region",
+        "n_a",
+        "n_b",
+        "(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+        "        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+        "        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
+        " AS z_stat",
+    ).selectExpr(
+        "region",
+        "n_a",
+        "n_b",
+        "z_stat",
+        f"CASE WHEN abs(z_stat) > CAST({_MT_Z_RAW} AS DOUBLE)"
+        " THEN 1 ELSE 0 END AS sig_raw",
+        f"CASE WHEN abs(z_stat) > CAST({_MT_Z_BONF5} AS DOUBLE)"
+        " THEN 1 ELSE 0 END AS sig_bonferroni",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288 — cohort LTV projection (geometric retention extrapolation)
+# ---------------------------------------------------------------------------
+# Finance wants a number for "what a signup is worth": project observed
+# cohort revenue forward with geometric retention,
+#     LTV = m₀ · 1 / (1 − r),   r = month-over-month revenue retention
+# measured between the cohort's second and first full months (clamped to
+# [0, 0.95] so a noisy small cohort can't project to infinity — the clamp
+# is part of the estimator and applied identically on both sides). Per
+# signup-quarter cohort: integer month keys (q248), exact cent sums, the
+# projection a closing rational.
+_LTV_R_CAP = 0.95
+
+
+@register(
+    "q288_ltv_projection",
+    tags=("finance", "cohort", "projection"),
+    oracle=f"""
+        WITH firsts AS (
+          SELECT o_custkey,
+                 MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                          AS BIGINT)) AS m0
+          FROM orders GROUP BY o_custkey
+        ),
+        rev AS (
+          SELECT f.m0 // 3 AS cohort_q,
+                 CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                      AS BIGINT) - f.m0 AS age,
+                 CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents,
+                 CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
+          FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+          GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT cohort_q,
+                 CAST(SUM(CASE WHEN age = 0 THEN cents ELSE 0 END)
+                      AS BIGINT) AS m0_cents,
+                 CAST(SUM(CASE WHEN age = 1 THEN cents ELSE 0 END)
+                      AS BIGINT) AS m1_cents,
+                 CAST(MAX(CASE WHEN age = 0 THEN n_cust END) AS BIGINT)
+                   AS cohort_size
+          FROM rev GROUP BY cohort_q
+        )
+        SELECT cohort_q, cohort_size,
+               CAST(m0_cents AS DOUBLE) / 100.0 AS month0_revenue,
+               least(CAST(m1_cents AS DOUBLE) / m0_cents, {_LTV_R_CAP})
+                 AS retention_r,
+               (CAST(m0_cents AS DOUBLE) / (100.0 * cohort_size))
+                 / (1 - least(CAST(m1_cents AS DOUBLE) / m0_cents,
+                              {_LTV_R_CAP})) AS ltv_per_customer
+        FROM base WHERE m0_cents > 0
+    """,
+)
+def q288_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-signup-quarter LTV projection from geometric revenue retention
+    (clamped at {cap}; see block comment — integer month keys, exact
+    cents, closing rational)."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+        ).alias("m0")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.expr("m0 div 3").alias("cohort_q"),
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast(
+                    "bigint"
+                )
+                - F.col("m0")
+            ).alias("age"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+        )
+    )
+    base = rev.groupBy("cohort_q").agg(
+        F.sum(F.when(F.col("age") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("m0_cents"),
+        F.sum(F.when(F.col("age") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("m1_cents"),
+        F.max(F.when(F.col("age") == 0, F.col("n_cust")))
+        .cast("bigint")
+        .alias("cohort_size"),
+    )
+    return base.where(F.col("m0_cents") > 0).selectExpr(
+        "cohort_q",
+        "cohort_size",
+        "CAST(m0_cents AS DOUBLE) / 100.0 AS month0_revenue",
+        f"least(CAST(m1_cents AS DOUBLE) / m0_cents, {_LTV_R_CAP})"
+        " AS retention_r",
+        "(CAST(m0_cents AS DOUBLE) / (100.0 * cohort_size))"
+        f" / (1 - least(CAST(m1_cents AS DOUBLE) / m0_cents, {_LTV_R_CAP}))"
+        " AS ltv_per_customer",
+    )

@@ -384,6 +384,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q283_cohen_kappa",
     "q284_weighted_jaccard",
     "q285_quadratic_response",
+    "q286_negbin_fit",
+    "q287_multiple_testing",
+    "q288_ltv_projection",
 )
 
 

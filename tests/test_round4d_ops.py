@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q285): each result recomputed by an independent pure-Python/numpy
+(q215-q288): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2395,3 +2395,111 @@ def test_q285_quadratic_matches_numpy(spark, sf_dir):
     assert math.isclose(row.b, c1, rel_tol=1e-6, abs_tol=1e-9)
     assert math.isclose(row.c, c2, rel_tol=1e-6, abs_tol=1e-12)
     assert math.isclose(row.vertex_permille, -c1 / (2 * c2), rel_tol=1e-5)
+
+
+def test_q286_negbin_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        counts[r.event_type][r.user_id] += 1
+    got = {r.event_type: r for r in QS["q286_negbin_fit"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for et, users in counts.items():
+        ks = list(users.values())
+        n = len(ks)
+        mu = sum(ks) / n
+        var = (n * sum(k * k for k in ks) - sum(ks) ** 2) / (n * (n - 1))
+        r = got[et]
+        assert r.n == n
+        assert math.isclose(r.mean_count, mu, rel_tol=1e-12)
+        assert math.isclose(r.var_count, var, rel_tol=1e-12)
+        assert math.isclose(r.dispersion_index, var / mu, rel_tol=1e-12)
+        if var > mu:
+            assert math.isclose(r.nb_r, mu * mu / (var - mu), rel_tol=1e-9)
+            assert math.isclose(r.nb_p, mu / var, rel_tol=1e-12)
+            # NB mean identity: r(1-p)/p == mu
+            assert math.isclose(r.nb_r * (1 - r.nb_p) / r.nb_p, mu,
+                                rel_tol=1e-9)
+        else:
+            assert r.nb_r is None and r.nb_p is None
+
+
+def test_q287_multiple_testing_matches_python(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.analytics import CONV_MIN
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    c = {r.c_custkey: r.c_nationkey
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    n = {r.n_nationkey: r.n_regionkey
+         for r in load_table(spark, sf_dir, "nation").collect()}
+    rg = {r.r_regionkey: r.r_name
+          for r in load_table(spark, sf_dir, "region").collect()}
+    pur = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            pur[r.user_id] += 1
+    by_region = defaultdict(lambda: [0, 0, 0, 0])
+    for u in users:
+        if u not in c:
+            continue
+        region = rg[n[c[u]]]
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        conv = 1 if pur.get(u, 0) >= CONV_MIN else 0
+        cell = by_region[region]
+        cell[arm] += 1
+        cell[2 + arm] += conv
+    got = {r.region: r for r in
+           QS["q287_multiple_testing"].fn(spark, sf_dir).collect()}
+    for region, (na, nb, ca, cb) in by_region.items():
+        if na == 0 or nb == 0 or ca + cb == 0 or ca + cb == na + nb:
+            assert region not in got
+            continue
+        p = (ca + cb) / (na + nb)
+        z = (ca / na - cb / nb) / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+        r = got[region]
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert math.isclose(r.z_stat, z, rel_tol=1e-9)
+        assert r.sig_raw == (1 if abs(z) > 1.959963984540054 else 0)
+        assert r.sig_bonferroni == (1 if abs(z) > 2.5758293035489004 else 0)
+        assert r.sig_bonferroni <= r.sig_raw  # stricter threshold
+
+
+def test_q288_ltv_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import _LTV_R_CAP
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    first = {}
+    for r in o:
+        mk = r.o_orderdate.year * 12 + r.o_orderdate.month
+        if r.o_custkey not in first or mk < first[r.o_custkey]:
+            first[r.o_custkey] = mk
+    agg = defaultdict(lambda: [0, 0, set()])  # m0c, m1c, cohort custs at age0
+    for r in o:
+        m0 = first[r.o_custkey]
+        mk = r.o_orderdate.year * 12 + r.o_orderdate.month
+        q = m0 // 3
+        cell = agg[q]
+        if mk - m0 == 0:
+            cell[0] += round(r.o_totalprice * 100)
+            cell[2].add(r.o_custkey)
+        elif mk - m0 == 1:
+            cell[1] += round(r.o_totalprice * 100)
+    got = {r.cohort_q: r for r in QS["q288_ltv_projection"].fn(spark, sf_dir).collect()}
+    expect = {q for q, cell in agg.items() if cell[0] > 0}
+    assert set(got) == expect
+    for q in expect:
+        m0c, m1c, custs = agg[q]
+        rr = min(m1c / m0c, _LTV_R_CAP)
+        ltv = (m0c / (100.0 * len(custs))) / (1 - rr)
+        r = got[q]
+        assert r.cohort_size == len(custs)
+        assert math.isclose(r.month0_revenue, m0c / 100.0, rel_tol=1e-12)
+        assert math.isclose(r.retention_r, rr, rel_tol=1e-12)
+        assert math.isclose(r.ltv_per_customer, ltv, rel_tol=1e-12)
+        assert r.ltv_per_customer > 0
