@@ -5362,3 +5362,83 @@ def q272_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("recognized_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q289 — double-fire detector: same user, same type, seconds apart
+# ---------------------------------------------------------------------------
+# The idempotency audit every event pipeline ships: a client retry or an
+# at-least-once producer fires the same logical action twice — same user,
+# same event type, seconds apart. The scalable shape is an EQUI-join on
+# the natural key (user, type) with the time window as a post-predicate —
+# candidates are key-collision bounded, never a time-range cross join
+# (q34's discipline). Pairs are oriented (earlier → later, tie-broken by
+# event id) so each suspected double-fire appears exactly once, with its
+# gap in integer seconds and the amount delta in cents (a true retry has
+# delta 0 or near it — the triage column).
+_DF_WINDOW_S = 300
+
+
+@register(
+    "q289_double_fire_detector",
+    tags=("quality", "idempotency", "join"),
+    oracle=f"""
+        WITH ev AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        pairs AS (
+          SELECT a.user_id, a.event_type,
+                 a.event_id AS first_event, b.event_id AS second_event,
+                 (b.t_us - a.t_us) // 1000000 AS gap_s,
+                 abs(b.cents - a.cents) AS delta_cents
+          FROM ev a JOIN ev b
+            ON a.user_id = b.user_id AND a.event_type = b.event_type
+           AND (a.t_us < b.t_us
+                OR (a.t_us = b.t_us AND a.event_id < b.event_id))
+          WHERE b.t_us - a.t_us <= {_DF_WINDOW_S} * 1000000
+        )
+        SELECT user_id, event_type, first_event, second_event,
+               CAST(gap_s AS BIGINT) AS gap_s,
+               CAST(delta_cents AS BIGINT) AS delta_cents
+        FROM pairs
+    """,
+)
+def q289_double_fire_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected double-fires: same user and event type within 5 minutes —
+    natural-key equi-join with a time post-predicate, amount delta as the
+    triage column (see block comment)."""
+    evt = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    a, b = evt.alias("a"), evt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (
+                (F.col("a.t_us") < F.col("b.t_us"))
+                | (
+                    (F.col("a.t_us") == F.col("b.t_us"))
+                    & (F.col("a.event_id") < F.col("b.event_id"))
+                )
+            ),
+        )
+        .where(
+            F.col("b.t_us") - F.col("a.t_us") <= _DF_WINDOW_S * 1000000
+        )
+        .selectExpr(
+            "a.user_id AS user_id",
+            "a.event_type AS event_type",
+            "a.event_id AS first_event",
+            "b.event_id AS second_event",
+            "CAST((b.t_us - a.t_us) div 1000000 AS BIGINT) AS gap_s",
+            "CAST(abs(b.cents - a.cents) AS BIGINT) AS delta_cents",
+        )
+    )

@@ -387,6 +387,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q286_negbin_fit",
     "q287_multiple_testing",
     "q288_ltv_projection",
+    "q289_double_fire_detector",
 )
 
 

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q288): each result recomputed by an independent pure-Python/numpy
+(q215-q289): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2503,3 +2503,38 @@ def test_q288_ltv_matches_python(spark, sf_dir):
         assert math.isclose(r.retention_r, rr, rel_tol=1e-12)
         assert math.isclose(r.ltv_per_customer, ltv, rel_tol=1e-12)
         assert r.ltv_per_customer > 0
+
+
+def test_q289_double_fire_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _DF_WINDOW_S
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    ).collect()
+    rows = [
+        (r.user_id, r.event_type, r.event_id, int(r.ts.timestamp() * 1e6),
+         round(r.value * 100))
+        for r in ev
+    ]
+    by_key = defaultdict(list)
+    for u, et, eid, t, c in rows:
+        by_key[(u, et)].append((t, eid, c))
+    expect = {}
+    for (u, et), items in by_key.items():
+        items.sort()
+        for i, (t1, e1, c1) in enumerate(items):
+            for t2, e2, c2 in items[i + 1:]:
+                if t2 - t1 > _DF_WINDOW_S * 1_000_000:
+                    break
+                if (t1, e1) < (t2, e2):
+                    expect[(u, et, e1, e2)] = (
+                        (t2 - t1) // 1_000_000, abs(c2 - c1),
+                    )
+    got = {
+        (r.user_id, r.event_type, r.first_event, r.second_event):
+        (r.gap_s, r.delta_cents)
+        for r in QS["q289_double_fire_detector"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for gap, _ in got.values():
+        assert 0 <= gap <= _DF_WINDOW_S
