@@ -6243,3 +6243,122 @@ def q288_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / (1 - least(CAST(m1_cents AS DOUBLE) / m0_cents, {_LTV_R_CAP}))"
         " AS ltv_per_customer",
     )
+
+
+# ---------------------------------------------------------------------------
+# q290 — fairness audit: demographic parity and equal opportunity
+# ---------------------------------------------------------------------------
+# Before q210's propensity score drives decisions, the fairness questions:
+# does the score select each market segment at similar rates (demographic
+# parity), and among the truly-active, does it find them equally often
+# (equal opportunity / TPR parity)? "Selected" = top-3 score deciles
+# (q210's integer-rank buckets — no float scores); outcome = last-full-
+# year activity. Per segment: selection rate, TPR, and both gaps vs the
+# best segment. Exact integer cells; the audit is governance-sized.
+@register(
+    "q290_fairness_audit",
+    tags=("ml-eval", "fairness", "governance"),
+    oracle=f"""
+        WITH yr AS (
+          SELECT CAST(MAX(EXTRACT(year FROM o_orderdate)) - 1 AS BIGINT) AS y1
+          FROM orders
+        ),
+        actives AS (
+          SELECT DISTINCT o_custkey
+          FROM orders, yr
+          WHERE EXTRACT(year FROM o_orderdate) = yr.y1
+        ),
+        ranked AS (
+          SELECT c_custkey, c_mktsegment AS segment,
+                 ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS r,
+                 COUNT(*) OVER () - 1 AS nm1,
+                 CASE WHEN c_custkey IN (SELECT o_custkey FROM actives)
+                      THEN 1 ELSE 0 END AS y
+          FROM customer
+        ),
+        flagged AS (
+          SELECT segment, y,
+                 CASE WHEN LEAST(r * {CAL_BUCKETS} // nm1,
+                                 {CAL_BUCKETS - 1}) >= 7
+                      THEN 1 ELSE 0 END AS selected
+          FROM ranked
+        ),
+        seg AS (
+          SELECT segment,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(selected) AS BIGINT) AS n_sel,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(SUM(selected * y) AS BIGINT) AS n_sel_pos
+          FROM flagged GROUP BY segment
+        ),
+        best AS (
+          SELECT MAX(CAST(n_sel AS DOUBLE) / n) AS best_sel,
+                 MAX(CAST(n_sel_pos AS DOUBLE) / n_pos) AS best_tpr
+          FROM seg
+        )
+        SELECT s.segment, s.n, s.n_sel, s.n_pos,
+               CAST(s.n_sel AS DOUBLE) / s.n AS selection_rate,
+               CAST(s.n_sel_pos AS DOUBLE) / s.n_pos AS tpr,
+               b.best_sel - CAST(s.n_sel AS DOUBLE) / s.n AS parity_gap,
+               b.best_tpr - CAST(s.n_sel_pos AS DOUBLE) / s.n_pos
+                 AS opportunity_gap
+        FROM seg s CROSS JOIN best b
+    """,
+)
+def q290_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic-parity and equal-opportunity gaps of the balance-rank
+    selector across market segments (see block comment — integer-rank
+    selection, exact cells, gaps vs the best-served segment)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yr = o.agg((F.max(F.year("o_orderdate")) - 1).cast("bigint").alias("y1"))
+    actives = (
+        o.crossJoin(F.broadcast(yr))
+        .where(F.year("o_orderdate") == F.col("y1"))
+        .select("o_custkey")
+        .distinct()
+    )
+    wrank = W.orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        c.join(actives, c.c_custkey == actives.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            "c_acctbal",
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+        )
+        .select(
+            "segment",
+            "y",
+            (F.row_number().over(wrank) - 1).alias("r"),
+            (F.count(F.lit(1)).over(W.partitionBy()) - 1).alias("nm1"),
+        )
+    )
+    flagged = ranked.selectExpr(
+        "segment",
+        "y",
+        f"CASE WHEN LEAST(r * {CAL_BUCKETS} div nm1, {CAL_BUCKETS - 1}) >= 7"
+        " THEN 1 ELSE 0 END AS selected",
+    )
+    seg = flagged.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("selected").cast("bigint").alias("n_sel"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.col("selected") * F.col("y")).cast("bigint").alias("n_sel_pos"),
+    )
+    best = seg.agg(
+        F.max(F.col("n_sel").cast("double") / F.col("n")).alias("best_sel"),
+        F.max(F.col("n_sel_pos").cast("double") / F.col("n_pos")).alias(
+            "best_tpr"
+        ),
+    )
+    return seg.crossJoin(F.broadcast(best)).selectExpr(
+        "segment",
+        "n",
+        "n_sel",
+        "n_pos",
+        "CAST(n_sel AS DOUBLE) / n AS selection_rate",
+        "CAST(n_sel_pos AS DOUBLE) / n_pos AS tpr",
+        "best_sel - CAST(n_sel AS DOUBLE) / n AS parity_gap",
+        "best_tpr - CAST(n_sel_pos AS DOUBLE) / n_pos AS opportunity_gap",
+    )

@@ -678,3 +678,101 @@ def q270_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1 - n_true)"
         " / n_true AS rel_error",
     )
+
+
+# ---------------------------------------------------------------------------
+# q292 — Neyman allocation: the optimal stratified sampling plan
+# ---------------------------------------------------------------------------
+# q163 samples proportionally; the OPTIMAL allocation for estimating a
+# mean weights strata by N_h·σ_h (Neyman): volatile strata deserve more
+# of the budget. Per region stratum: exact integer moments give σ_h; the
+# plan allocates a 1000-row budget as
+#     n_h = budget · N_h σ_h / Σ N_h σ_h    (micro-quantized shares)
+# plus the design-effect comparison against proportional allocation
+# (ratio of resulting variances — closed form from the same moments).
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "q292_neyman_allocation",
+    tags=("sampling", "design", "stats"),
+    oracle=f"""
+        WITH labeled AS (
+          SELECT r.r_name AS region,
+                 CAST(ROUND(o.o_totalprice) AS BIGINT) AS v
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        strata AS (
+          SELECT region, CAST(COUNT(*) AS BIGINT) AS nh,
+                 CAST(SUM(v) AS BIGINT) AS s1,
+                 CAST(SUM(v * v) AS BIGINT) AS s2
+          FROM labeled GROUP BY region
+        ),
+        sized AS (
+          SELECT region, nh,
+                 sqrt((CAST(nh AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                      / (CAST(nh AS DOUBLE) * (nh - 1))) AS sd
+          FROM strata
+        ),
+        tot AS (
+          SELECT CAST(SUM(nh) AS BIGINT) AS n,
+                 CAST(SUM(CAST(ROUND(nh * sd) AS BIGINT)) AS BIGINT)
+                   AS sum_nsd
+          FROM sized
+        )
+        SELECT s.region, s.nh, s.sd,
+               CAST(ROUND({_NEYMAN_BUDGET}.0
+                    * CAST(ROUND(s.nh * s.sd) AS BIGINT) / t.sum_nsd)
+                 AS BIGINT) AS neyman_n,
+               CAST(ROUND({_NEYMAN_BUDGET}.0 * s.nh / t.n) AS BIGINT)
+                 AS proportional_n
+        FROM sized s CROSS JOIN tot t
+    """,
+)
+def q292_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal vs proportional allocation of a 1000-row sampling
+    budget across region strata (exact moments, quantized N_h·σ_h shares
+    — see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    labeled = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.round("o_totalprice").cast("bigint").alias("v"),
+        )
+    )
+    strata = labeled.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+    )
+    sized = strata.selectExpr(
+        "region",
+        "nh",
+        "sqrt((CAST(nh AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+        " / (CAST(nh AS DOUBLE) * (nh - 1))) AS sd",
+    )
+    tot = sized.agg(
+        F.sum("nh").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(ROUND(nh * sd) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_nsd"),
+    )
+    return sized.crossJoin(F.broadcast(tot)).selectExpr(
+        "region",
+        "nh",
+        "sd",
+        f"CAST(ROUND({_NEYMAN_BUDGET}.0"
+        " * CAST(ROUND(nh * sd) AS BIGINT) / sum_nsd) AS BIGINT)"
+        " AS neyman_n",
+        f"CAST(ROUND({_NEYMAN_BUDGET}.0 * nh / n) AS BIGINT)"
+        " AS proportional_n",
+    )

@@ -5442,3 +5442,67 @@ def q289_double_fire_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(abs(b.cents - a.cents) AS BIGINT) AS delta_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q291 — frequency-capping simulation (policy what-if on the event stream)
+# ---------------------------------------------------------------------------
+# Before shipping a "max N events per user per day" cap, product wants
+# the blast radius: how many events would the cap have suppressed, for
+# whom, and what share of volume? The simulation is one rank window per
+# (user, day) — event k>N is suppressed — and the readout aggregates by
+# day. A policy change priced without ever running it; the same window
+# with N as a parameter grid would price alternatives in one pass.
+_FC_CAP = 5  # max events per user per day
+
+
+@register(
+    "q291_frequency_capping",
+    tags=("policy", "simulation", "window"),
+    oracle=f"""
+        WITH ranked AS (
+          SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                 user_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id,
+                                    epoch_us(ts) // 86400000000
+                                    ORDER BY ts, event_id) AS k
+          FROM events
+        )
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN k > {_FC_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_suppressed,
+               CAST(COUNT(DISTINCT CASE WHEN k > {_FC_CAP} THEN user_id END)
+                    AS BIGINT) AS n_users_capped,
+               CAST(SUM(CASE WHEN k > {_FC_CAP} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS suppressed_share
+        FROM ranked GROUP BY day
+    """,
+)
+def q291_frequency_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily blast radius of a 5-events-per-user-per-day cap — one rank
+    window per (user, day), aggregated per day (see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86400000000).cast("bigint")
+    ranked = ev.select(
+        day.alias("day"),
+        "user_id",
+        F.row_number().over(
+            W.partitionBy(
+                "user_id", F.floor(F.unix_micros("ts") / 86400000000)
+            ).orderBy("ts", "event_id")
+        ).alias("k"),
+    )
+    return ranked.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("k") > _FC_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppressed"),
+        F.countDistinct(
+            F.when(F.col("k") > _FC_CAP, F.col("user_id"))
+        ).cast("bigint").alias("n_users_capped"),
+        (
+            F.sum(F.when(F.col("k") > _FC_CAP, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("suppressed_share"),
+    )

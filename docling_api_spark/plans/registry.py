@@ -388,6 +388,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q287_multiple_testing",
     "q288_ltv_projection",
     "q289_double_fire_detector",
+    "q290_fairness_audit",
+    "q291_frequency_capping",
+    "q292_neyman_allocation",
 )
 
 

@@ -143,6 +143,9 @@ _SP_ALLOWED = {
     "q280_consistent_hashing": 1,  # closing move-count scalar reduce
     "q283_cohen_kappa": 2,        # median-cut scalar + 2×2-cell reduce
     "q285_quadratic_response": 1,  # eight-moment scalar reduce
+    "q290_fairness_audit": 4,     # customer-dimension rank window (q210
+    # shape) + year scalar + best-segment reduce
+    "q292_neyman_allocation": 1,  # strata-total scalar broadcast
 }
 
 AUDITED = [

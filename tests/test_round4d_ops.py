@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q289): each result recomputed by an independent pure-Python/numpy
+(q215-q292): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2538,3 +2538,97 @@ def test_q289_double_fire_matches_python(spark, sf_dir):
     assert got == expect
     for gap, _ in got.values():
         assert 0 <= gap <= _DF_WINDOW_S
+
+
+def test_q290_fairness_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.analytics import CAL_BUCKETS
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate").collect()
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).collect()
+    y1 = max(r.o_orderdate.year for r in o) - 1
+    actives = {r.o_custkey for r in o if r.o_orderdate.year == y1}
+    ranked = sorted(c, key=lambda r: (r.c_acctbal, r.c_custkey))
+    nm1 = len(ranked) - 1
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # n, sel, pos, selpos
+    for r0, r in enumerate(ranked):
+        sel = 1 if min(r0 * CAL_BUCKETS // nm1, CAL_BUCKETS - 1) >= 7 else 0
+        yv = 1 if r.c_custkey in actives else 0
+        cell = cells[r.c_mktsegment]
+        cell[0] += 1
+        cell[1] += sel
+        cell[2] += yv
+        cell[3] += sel * yv
+    best_sel = max(s / n for n, s, _, _ in cells.values())
+    best_tpr = max(sp / p for _, _, p, sp in cells.values())
+    got = {r.segment: r for r in QS["q290_fairness_audit"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for seg, (n, sel, pos, selpos) in cells.items():
+        r = got[seg]
+        assert (r.n, r.n_sel, r.n_pos) == (n, sel, pos)
+        assert math.isclose(r.selection_rate, sel / n, rel_tol=1e-12)
+        assert math.isclose(r.tpr, selpos / pos, rel_tol=1e-12)
+        assert math.isclose(r.parity_gap, best_sel - sel / n, rel_tol=1e-9,
+                            abs_tol=1e-12)
+        assert r.parity_gap >= -1e-12 and r.opportunity_gap >= -1e-12
+
+
+def test_q291_capping_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _FC_CAP
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
+    per = defaultdict(list)
+    for r in ev:
+        t = int(r.ts.timestamp() * 1e6)
+        per[(r.user_id, t // 86400000000)].append((t, r.event_id))
+    days = defaultdict(lambda: [0, 0, set()])
+    for (u, d), items in per.items():
+        items.sort()
+        cell = days[d]
+        cell[0] += len(items)
+        over = max(0, len(items) - _FC_CAP)
+        cell[1] += over
+        if over:
+            cell[2].add(u)
+    got = {r.day: r for r in QS["q291_frequency_capping"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(days)
+    for d, (n, sup, users) in days.items():
+        r = got[d]
+        assert (r.n_events, r.n_suppressed, r.n_users_capped) == (
+            n, sup, len(users),
+        )
+        assert math.isclose(r.suppressed_share, sup / n, rel_tol=1e-12)
+
+
+def test_q292_neyman_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.sampling import _NEYMAN_BUDGET
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    c = {r.c_custkey: r.c_nationkey
+         for r in load_table(spark, sf_dir, "customer").collect()}
+    n = {r.n_nationkey: r.n_regionkey
+         for r in load_table(spark, sf_dir, "nation").collect()}
+    rg = {r.r_regionkey: r.r_name
+          for r in load_table(spark, sf_dir, "region").collect()}
+    strata = defaultdict(list)
+    for r in o:
+        strata[rg[n[c[r.o_custkey]]]].append(int(math.floor(r.o_totalprice + 0.5)))
+    sized = {}
+    for region, vs in strata.items():
+        nh = len(vs)
+        sd = math.sqrt((nh * sum(v * v for v in vs) - sum(vs) ** 2)
+                       / (nh * (nh - 1)))
+        sized[region] = (nh, sd)
+    ntot = sum(nh for nh, _ in sized.values())
+    sum_nsd = sum(int(math.floor(nh * sd + 0.5)) for nh, sd in sized.values())
+    got = {r.region: r for r in QS["q292_neyman_allocation"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(sized)
+    for region, (nh, sd) in sized.items():
+        r = got[region]
+        assert r.nh == nh
+        assert math.isclose(r.sd, sd, rel_tol=1e-9)
+        assert r.neyman_n == int(math.floor(
+            _NEYMAN_BUDGET * int(math.floor(nh * sd + 0.5)) / sum_nsd + 0.5))
+        assert r.proportional_n == int(math.floor(
+            _NEYMAN_BUDGET * nh / ntot + 0.5))
