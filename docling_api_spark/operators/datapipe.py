@@ -1103,3 +1103,85 @@ def q273_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality_pm").cast("bigint").alias("threshold_permille"),
         (F.sum("tokens").cast("double") / F.min("t")).alias("budget_used"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q294 — redaction impact: what does PII scrubbing cost the corpus?
+# ---------------------------------------------------------------------------
+# Privacy reviews ask for the redaction rate; DATA reviews ask what the
+# scrub did to the training corpus. This audit reruns q67's redaction and
+# measures utility deltas per source: characters removed, token-count
+# delta, and the share of documents touched — the privacy/utility
+# trade-off table. Same injected-PII replay as q67 (both engines
+# reproduce the injection), pure map-side regexp + aggregate.
+@register(
+    "q294_redaction_impact",
+    tags=("text", "pii", "governance"),
+    oracle=f"""
+        WITH aug AS (
+          SELECT doc_id, source,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-0' || CAST(100 + doc_id % 900 AS VARCHAR)
+                   AS raw
+          FROM documents
+        ),
+        red AS (
+          SELECT source, raw,
+                 regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                                '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+          FROM aug
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN redacted <> raw THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_touched,
+               CAST(SUM(CAST(length(raw) AS BIGINT)
+                        - CAST(length(redacted) AS BIGINT)) AS BIGINT)
+                 AS chars_removed,
+               CAST(SUM(CAST(len(string_split(raw, ' ')) AS BIGINT)
+                        - CAST(len(string_split(redacted, ' ')) AS BIGINT))
+                    AS BIGINT) AS tokens_removed,
+               CAST(SUM(CASE WHEN redacted <> raw THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS touched_share
+        FROM red GROUP BY source
+    """,
+)
+def q294_redaction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source privacy/utility trade-off of q67's PII redaction: docs
+    touched, characters and tokens removed (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0"),
+            (100 + F.col("doc_id") % 900).cast("string"),
+        ).alias("raw"),
+    )
+    red = aug.select(
+        "source",
+        "raw",
+        F.regexp_replace(
+            F.regexp_replace("raw", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+    touched = F.when(F.col("redacted") != F.col("raw"), 1).otherwise(0)
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(touched).cast("bigint").alias("n_touched"),
+        F.sum(
+            F.length("raw").cast("bigint") - F.length("redacted").cast("bigint")
+        ).cast("bigint").alias("chars_removed"),
+        F.sum(
+            F.size(F.split("raw", " ")).cast("bigint")
+            - F.size(F.split("redacted", " ")).cast("bigint")
+        ).cast("bigint").alias("tokens_removed"),
+        (F.sum(touched).cast("double") / F.count(F.lit(1))).alias(
+            "touched_share"
+        ),
+    )

@@ -487,3 +487,166 @@ def q212_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (4.0 * F.col("m") * F.col("m"))
         ).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q293 — network resilience: what breaks when the hub is removed?
+# ---------------------------------------------------------------------------
+# The supply-chain / infrastructure stress test: run connected components
+# on the co-purchase backbone, delete the highest-degree node (the hub),
+# rerun, and compare the largest component — the size drop is the
+# fragility number. Reuses q45's production CC ladder (checkpointed
+# min-label propagation, convergence-guarded) twice on vocabulary-sized
+# edge lists; brands map to dense integer ids via one 25-row rank.
+# EXECUTING-registered (checkpoint ladders). The oracle replays both
+# closures with recursive CTEs (q208's pattern).
+@register(
+    "q293_hub_removal_impact",
+    tags=("graph", "resilience", "components"),
+    oracle="""
+        WITH RECURSIVE items AS (
+          SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+          SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS n
+          FROM items a JOIN items b
+            ON a.okey = b.okey AND a.brand < b.brand
+          GROUP BY 1, 2
+        ),
+        med AS (SELECT quantile_cont(n, 0.5) AS m FROM pairs),
+        edges AS (SELECT ba, bb FROM pairs, med WHERE n > m),
+        sym AS (
+          SELECT ba AS src, bb AS dst FROM edges
+          UNION ALL SELECT bb, ba FROM edges
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+        hub AS (
+          SELECT max_by(src, concat(lpad(CAST(d AS VARCHAR), 9, '0'),
+                                    '|', src)) AS h
+          FROM deg
+        ),
+        reach AS (
+          SELECT src AS node, src AS r FROM sym
+          UNION
+          SELECT e.dst AS node, reach.r AS r
+          FROM reach JOIN sym e ON e.src = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+        sym2 AS (
+          SELECT s.src, s.dst FROM sym s CROSS JOIN hub
+          WHERE s.src <> hub.h AND s.dst <> hub.h
+        ),
+        reach2 AS (
+          SELECT src AS node, src AS r FROM sym2
+          UNION
+          SELECT e.dst AS node, reach2.r AS r
+          FROM reach2 JOIN sym2 e ON e.src = reach2.node
+        ),
+        comp2 AS (SELECT node, MIN(r) AS c FROM reach2 GROUP BY node),
+        sizes AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM comp) AS n_nodes,
+                 (SELECT CAST(MAX(s) AS BIGINT) FROM
+                   (SELECT COUNT(*) AS s FROM comp GROUP BY c)) AS largest_before,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM comp2) AS n_nodes_after,
+                 (SELECT CAST(MAX(s) AS BIGINT) FROM
+                   (SELECT COUNT(*) AS s FROM comp2 GROUP BY c)) AS largest_after
+        )
+        SELECT hub.h AS hub, s.n_nodes, s.largest_before,
+               s.n_nodes_after, s.largest_after,
+               CAST(s.largest_before - s.largest_after AS BIGINT)
+                 AS largest_drop
+        FROM sizes s CROSS JOIN hub
+    """,
+)
+def q293_hub_removal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-component size before/after removing the highest-degree
+    brand from the backbone — two checkpointed CC runs (q45 ladder) on
+    vocabulary-sized edges (see block comment)."""
+    from docling_api_spark.operators.dedup import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    med = pairs.agg(F.expr("percentile(n, 0.5)").alias("m"))
+    edges_s = (
+        pairs.crossJoin(F.broadcast(med))
+        .where(F.col("n") > F.col("m"))
+        .select("ba", "bb")
+        .localCheckpoint(eager=True)
+    )
+    # dense integer ids for the CC ladder (25-row rank)
+    nodes = (
+        edges_s.select(F.col("ba").alias("brand"))
+        .unionAll(edges_s.select(F.col("bb").alias("brand")))
+        .distinct()
+        .select(
+            "brand", F.row_number().over(W.orderBy("brand")).alias("nid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    eid = (
+        edges_s.join(nodes.selectExpr("brand AS ba", "nid AS src"), "ba")
+        .join(nodes.selectExpr("brand AS bb", "nid AS dst"), "bb")
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+    sym = eid.unionAll(eid.selectExpr("dst AS src", "src AS dst"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    hub = (
+        deg.join(nodes.selectExpr("nid AS src", "brand"), "src")
+        .agg(
+            F.expr(
+                "max_by(src, concat(lpad(CAST(d AS STRING), 9, '0'),"
+                " '|', brand))"
+            ).alias("hub_id"),
+            F.expr(
+                "max_by(brand, concat(lpad(CAST(d AS STRING), 9, '0'),"
+                " '|', brand))"
+            ).alias("hub"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hub_id = hub.collect()[0].hub_id  # one scalar: drives the filtered rerun
+    comp1 = connected_components(eid)
+    before = comp1.groupBy("component").agg(F.count(F.lit(1)).alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ncomp"),
+        F.max("s").cast("bigint").alias("largest_before"),
+    )
+    n_nodes = comp1.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    eid2 = eid.where((F.col("src") != hub_id) & (F.col("dst") != hub_id))
+    comp2 = connected_components(eid2)
+    after = comp2.groupBy("component").agg(F.count(F.lit(1)).alias("s")).agg(
+        F.max("s").cast("bigint").alias("largest_after"),
+    )
+    n_nodes2 = comp2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes_after")
+    )
+    return (
+        F.broadcast(hub.select("hub"))
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(before.select("largest_before")))
+        .crossJoin(F.broadcast(n_nodes2))
+        .crossJoin(F.broadcast(after))
+        .selectExpr(
+            "hub",
+            "n_nodes",
+            "largest_before",
+            "n_nodes_after",
+            "largest_after",
+            "CAST(largest_before - largest_after AS BIGINT) AS largest_drop",
+        )
+    )

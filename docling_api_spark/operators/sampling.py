@@ -776,3 +776,122 @@ def q292_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(ROUND({_NEYMAN_BUDGET}.0 * nh / n) AS BIGINT)"
         " AS proportional_n",
     )
+
+
+# ---------------------------------------------------------------------------
+# q295 — MinHash audience similarity vs exact (sketch-accuracy audit)
+# ---------------------------------------------------------------------------
+# The q209-style estimate-vs-truth audit for SET sketches: estimate each
+# segment pair's user-set Jaccard from 32 deterministic MinHash values
+# (min of md5(perm:user) per permutation — the mergeable one-pass sketch
+# that replaces shipping whole membership lists between clusters), and
+# put the exact Jaccard (q229's set algebra) beside it with the absolute
+# error. At 100 TB each segment keeps 32 longs instead of |members| ids;
+# this audit is how you price that compression.
+_MH_PERMS = 32
+
+
+@register(
+    "q295_minhash_audience",
+    tags=("sketch", "minhash", "audit"),
+    oracle=f"""
+        WITH members AS (
+          SELECT DISTINCT event_type AS seg, user_id FROM events
+        ),
+        perms AS (SELECT unnest(range(0, {_MH_PERMS})) AS p),
+        hashes AS (
+          SELECT m.seg, pr.p,
+                 MIN(CAST(concat('0x', substring(md5(concat(
+                     CAST(pr.p AS VARCHAR), ':', CAST(m.user_id AS VARCHAR))),
+                     1, 8)) AS BIGINT)) AS mh
+          FROM members m CROSS JOIN perms pr
+          GROUP BY m.seg, pr.p
+        ),
+        est AS (
+          SELECT a.seg AS seg_a, b.seg AS seg_b,
+                 CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                      AS BIGINT) AS agree
+          FROM hashes a JOIN hashes b
+            ON a.p = b.p AND a.seg < b.seg
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM members GROUP BY seg
+        ),
+        exact AS (
+          SELECT a.seg AS seg_a, b.seg AS seg_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM members a JOIN members b
+            ON a.user_id = b.user_id AND a.seg < b.seg
+          GROUP BY 1, 2
+        )
+        SELECT e.seg_a, e.seg_b,
+               CAST(e.agree AS DOUBLE) / {_MH_PERMS} AS jaccard_est,
+               CAST(x.inter AS DOUBLE) / (sa.n + sb.n - x.inter)
+                 AS jaccard_exact,
+               abs(CAST(e.agree AS DOUBLE) / {_MH_PERMS}
+                   - CAST(x.inter AS DOUBLE) / (sa.n + sb.n - x.inter))
+                 AS abs_error
+        FROM est e
+        JOIN exact x ON e.seg_a = x.seg_a AND e.seg_b = x.seg_b
+        JOIN sizes sa ON e.seg_a = sa.seg
+        JOIN sizes sb ON e.seg_b = sb.seg
+    """,
+)
+def q295_minhash_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-permutation MinHash Jaccard estimate vs exact for every segment
+    pair, with the sketch's absolute error (see block comment — 32 longs
+    per segment replace the full membership list)."""
+    ev = load_table(spark, sf_dir, "events")
+    members = ev.select(F.col("event_type").alias("seg"), "user_id").distinct()
+    perms = spark.range(_MH_PERMS).select(F.col("id").alias("p"))
+    hashes = (
+        members.crossJoin(F.broadcast(perms))
+        .selectExpr(
+            "seg",
+            "p",
+            "CAST(conv(substring(md5(CAST(concat(CAST(p AS STRING), ':',"
+            " CAST(user_id AS STRING)) AS BINARY)), 1, 8), 16, 10)"
+            " AS BIGINT) AS h",
+        )
+        .groupBy("seg", "p")
+        .agg(F.min("h").alias("mh"))
+    )
+    ha, hb = hashes.alias("ha"), hashes.alias("hb")
+    est = (
+        ha.join(
+            hb,
+            (F.col("ha.p") == F.col("hb.p"))
+            & (F.col("ha.seg") < F.col("hb.seg")),
+        )
+        .groupBy(F.col("ha.seg").alias("seg_a"), F.col("hb.seg").alias("seg_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("ha.mh") == F.col("hb.mh"), 1).otherwise(0)
+            ).cast("bigint").alias("agree")
+        )
+    )
+    sizes = members.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ma, mb = members.alias("ma"), members.alias("mb")
+    exact = (
+        ma.join(
+            mb,
+            (F.col("ma.user_id") == F.col("mb.user_id"))
+            & (F.col("ma.seg") < F.col("mb.seg")),
+        )
+        .groupBy(F.col("ma.seg").alias("seg_a"), F.col("mb.seg").alias("seg_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        est.join(exact, ["seg_a", "seg_b"])
+        .join(F.broadcast(sizes.selectExpr("seg AS seg_a", "n AS na")), "seg_a")
+        .join(F.broadcast(sizes.selectExpr("seg AS seg_b", "n AS nb")), "seg_b")
+        .selectExpr(
+            "seg_a",
+            "seg_b",
+            f"CAST(agree AS DOUBLE) / {_MH_PERMS} AS jaccard_est",
+            "CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard_exact",
+            f"abs(CAST(agree AS DOUBLE) / {_MH_PERMS}"
+            " - CAST(inter AS DOUBLE) / (na + nb - inter)) AS abs_error",
+        )
+    )

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q292): each result recomputed by an independent pure-Python/numpy
+(q215-q295): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2632,3 +2632,115 @@ def test_q292_neyman_matches_python(spark, sf_dir):
             _NEYMAN_BUDGET * int(math.floor(nh * sd + 0.5)) / sum_nsd + 0.5))
         assert r.proportional_n == int(math.floor(
             _NEYMAN_BUDGET * nh / ntot + 0.5))
+
+
+def test_q293_hub_removal_matches_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    pt = {r.p_partkey: r.p_brand for r in load_table(spark, sf_dir, "part").collect()}
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(pt[r.l_partkey])
+    support = defaultdict(int)
+    for brs in by_order.values():
+        srt = sorted(brs)
+        for i, a in enumerate(srt):
+            for b in srt[i + 1:]:
+                support[(a, b)] += 1
+    med = float(np.median(list(support.values())))
+    edges = [e for e, s in support.items() if s > med]
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    hub = max(nbrs, key=lambda x: (len(nbrs[x]), x))
+
+    def components(adj, skip=None):
+        seen = set()
+        sizes = []
+        for start in adj:
+            if start in seen or start == skip:
+                continue
+            stack = [start]
+            seen.add(start)
+            size = 0
+            while stack:
+                node = stack.pop()
+                size += 1
+                for nx in adj[node]:
+                    if nx != skip and nx not in seen:
+                        seen.add(nx)
+                        stack.append(nx)
+            sizes.append(size)
+        return sizes
+
+    before = components(nbrs)
+    after = components(nbrs, skip=hub)
+    row = QS["q293_hub_removal_impact"].fn(spark, sf_dir).collect()[0]
+    assert row.hub == hub
+    assert row.n_nodes == len(nbrs)
+    assert row.largest_before == max(before)
+    assert row.n_nodes_after == len(nbrs) - 1 - sum(
+        1 for x in nbrs if x != hub and nbrs[x] <= {hub}
+    )
+    assert row.largest_after == max(after) if after else 0
+    assert row.largest_drop == row.largest_before - row.largest_after
+
+
+def test_q294_redaction_impact_matches_python(spark, sf_dir):
+    import re
+
+    from docling_api_spark.operators.datapipe import _EMAIL_RE, _PHONE_RE
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs:
+        raw = (f"{r.text} contact user{r.doc_id}@example.com"
+               f" or 555-0{100 + r.doc_id % 900}")
+        red = re.sub(_PHONE_RE, "[PHONE]", re.sub(_EMAIL_RE, "[EMAIL]", raw))
+        cell = agg[r.source]
+        cell[0] += 1
+        cell[1] += 1 if red != raw else 0
+        cell[2] += len(raw) - len(red)
+        cell[3] += len(raw.split(" ")) - len(red.split(" "))
+    got = {r.source: r for r in QS["q294_redaction_impact"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for src, (n, t, ch, tok) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.n_touched, r.chars_removed, r.tokens_removed) == (
+            n, t, ch, tok,
+        )
+        assert math.isclose(r.touched_share, t / n, rel_tol=1e-12)
+        assert r.n_touched == n  # injection guarantees every doc redacts
+
+
+def test_q295_minhash_audience_matches_python(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.sampling import _MH_PERMS
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    segs = defaultdict(set)
+    for r in ev:
+        segs[r.event_type].add(r.user_id)
+
+    def h(p, u):
+        return int(hashlib.md5(f"{p}:{u}".encode()).hexdigest()[:8], 16)
+
+    sigs = {
+        s: [min(h(p, u) for u in users) for p in range(_MH_PERMS)]
+        for s, users in segs.items()
+    }
+    names = sorted(segs)
+    got = {(r.seg_a, r.seg_b): r for r in
+           QS["q295_minhash_audience"].fn(spark, sf_dir).collect()}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+            exact = len(segs[a] & segs[b]) / len(segs[a] | segs[b])
+            r = got[(a, b)]
+            assert math.isclose(r.jaccard_est, agree / _MH_PERMS, rel_tol=1e-12)
+            assert math.isclose(r.jaccard_exact, exact, rel_tol=1e-12)
+            assert math.isclose(r.abs_error, abs(agree / _MH_PERMS - exact),
+                                rel_tol=1e-9, abs_tol=1e-12)
