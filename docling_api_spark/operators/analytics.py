@@ -6362,3 +6362,144 @@ def q290_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_sel - CAST(n_sel AS DOUBLE) / n AS parity_gap",
         "best_tpr - CAST(n_sel_pos AS DOUBLE) / n_pos AS opportunity_gap",
     )
+
+
+# ---------------------------------------------------------------------------
+# q297 — mean-excess function: how heavy is the revenue tail?
+# ---------------------------------------------------------------------------
+# Extreme-value triage without distribution fitting: the mean excess
+#     e(u) = E[X − u | X > u]
+# read at rising thresholds. Rising e(u) ⇒ heavy (Pareto-ish) tail —
+# capacity planning and fraud limits hang off this shape. Thresholds are
+# the exact p90/p95/p99 of order value (scalar broadcast); each excess
+# mean is a conditional exact-integer sum. The classic mean-excess-plot
+# points, as a 3-row relation.
+@register(
+    "q297_mean_excess",
+    tags=("stats", "evt", "tail"),
+    oracle="""
+        WITH v AS (
+          SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+        ),
+        th AS (
+          SELECT quantile_cont(c, 0.90) AS u90,
+                 quantile_cont(c, 0.95) AS u95,
+                 quantile_cont(c, 0.99) AS u99
+          FROM v
+        ),
+        pts AS (
+          SELECT 0.90 AS tau, u90 AS u FROM th
+          UNION ALL SELECT 0.95, u95 FROM th
+          UNION ALL SELECT 0.99, u99 FROM th
+        )
+        SELECT p.tau, p.u / 100.0 AS threshold,
+               CAST(COUNT(CASE WHEN v.c > p.u THEN 1 END) AS BIGINT)
+                 AS n_exceed,
+               CAST(SUM(CASE WHEN v.c > p.u
+                             THEN CAST(ROUND(v.c - p.u) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE)
+                 / (100.0 * COUNT(CASE WHEN v.c > p.u THEN 1 END))
+                 AS mean_excess
+        FROM v CROSS JOIN pts p
+        GROUP BY p.tau, p.u
+    """,
+)
+def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean excess of order value over its p90/p95/p99 thresholds — the
+    tail-heaviness diagnostic (see block comment — scalar thresholds,
+    conditional exact sums)."""
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+    th = v.agg(
+        F.expr("percentile(c, 0.90)").alias("u90"),
+        F.expr("percentile(c, 0.95)").alias("u95"),
+        F.expr("percentile(c, 0.99)").alias("u99"),
+    )
+    pts = th.selectExpr(
+        "stack(3, CAST(0.90 AS DOUBLE), u90, CAST(0.95 AS DOUBLE), u95,"
+        " CAST(0.99 AS DOUBLE), u99) AS (tau, u)"
+    )
+    return (
+        v.crossJoin(F.broadcast(pts))
+        .groupBy("tau", "u")
+        .agg(
+            F.count(F.when(F.col("c") > F.col("u"), 1))
+            .cast("bigint")
+            .alias("n_exceed"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("c") > F.col("u"),
+                        F.expr("CAST(ROUND(c - u) AS BIGINT)"),
+                    ).otherwise(0)
+                ).cast("double")
+                / (100.0 * F.count(F.when(F.col("c") > F.col("u"), 1)))
+            ).alias("mean_excess"),
+        )
+        .selectExpr("tau", "u / 100.0 AS threshold", "n_exceed", "mean_excess")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q298 — reciprocal best match: mutual top partners (entity linking core)
+# ---------------------------------------------------------------------------
+# The mutual-nearest-neighbor rule that anchors entity linking and
+# bioinformatics orthology alike: pair (customer, supplier) is a
+# reciprocal best match when each is the other's highest-volume partner.
+# Both argmaxes use the packed BIGINT key (q260 discipline: volume
+# dominates, smaller partner id wins ties); the reciprocal join is
+# key-equality on the two tiny argmax relations.
+@register(
+    "q298_reciprocal_best",
+    tags=("entity", "matching", "join"),
+    oracle="""
+        WITH vol AS (
+          SELECT o.o_custkey AS ck, l.l_suppkey AS sk,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2
+        ),
+        best_c AS (
+          SELECT ck, max_by(sk, v * 1000000 + (999999 - sk % 1000000)) AS best_sk,
+                 CAST(MAX(v) AS BIGINT) AS v_c
+          FROM vol GROUP BY ck
+        ),
+        best_s AS (
+          SELECT sk, max_by(ck, v * 1000000 + (999999 - ck % 1000000)) AS best_ck,
+                 CAST(MAX(v) AS BIGINT) AS v_s
+          FROM vol GROUP BY sk
+        )
+        SELECT c.ck AS custkey, c.best_sk AS suppkey, c.v_c AS n_lines
+        FROM best_c c JOIN best_s s
+          ON c.best_sk = s.sk AND s.best_ck = c.ck
+    """,
+)
+def q298_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-supplier pairs that are each other's top trading partner —
+    mutual argmax with packed-key tie-breaks (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    best_c = vol.groupBy("ck").agg(
+        F.expr("max_by(sk, v * 1000000 + (999999 - sk % 1000000))").alias(
+            "best_sk"
+        ),
+        F.max("v").cast("bigint").alias("v_c"),
+    )
+    best_s = vol.groupBy("sk").agg(
+        F.expr("max_by(ck, v * 1000000 + (999999 - ck % 1000000))").alias(
+            "best_ck"
+        ),
+        F.max("v").cast("bigint").alias("v_s"),
+    )
+    return (
+        best_c.join(
+            best_s,
+            (best_c.best_sk == best_s.sk) & (best_s.best_ck == best_c.ck),
+        )
+        .selectExpr("ck AS custkey", "best_sk AS suppkey", "v_c AS n_lines")
+    )

@@ -5506,3 +5506,104 @@ def q291_frequency_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("suppressed_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 — watermark advisor: out-of-orderness profile of the event stream
+# ---------------------------------------------------------------------------
+# Every watermark in the streaming module is a guess unless someone has
+# measured how late events actually arrive. Taking event_id as the
+# ingestion sequence, an event's lateness is
+#     running_max(event_time in arrival order) − its event_time.
+# The scale-correct prefix-max is BLOCKED (the q234/q223 discipline
+# applied to arrival order): a per-block window computes within-block
+# prefix maxima, block-level maxima roll up on the tiny block relation,
+# and the cross-block prefix joins back broadcast — the full stream never
+# passes through one task. Output: lateness percentiles + the suggested
+# watermark (p99 rounded up to the minute).
+_WM_BLOCK = 1000  # arrival-sequence block size
+
+
+@register(
+    "q296_watermark_advisor",
+    tags=("streaming", "watermark", "design"),
+    oracle=f"""
+        WITH arr AS (
+          SELECT event_id, event_id // {_WM_BLOCK} AS blk,
+                 epoch_us(ts) AS t_us
+          FROM events
+        ),
+        inblock AS (
+          SELECT event_id, blk, t_us,
+                 MAX(t_us) OVER (PARTITION BY blk ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS pmax_in
+          FROM arr
+        ),
+        blocks AS (
+          SELECT blk, MAX(t_us) AS bmax FROM arr GROUP BY blk
+        ),
+        prevmax AS (
+          SELECT blk,
+                 MAX(bmax) OVER (ORDER BY blk
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pmax_prev
+          FROM blocks
+        ),
+        lateness AS (
+          SELECT greatest(COALESCE(p.pmax_prev, i.pmax_in), i.pmax_in)
+                   - i.t_us AS late_us
+          FROM inblock i JOIN prevmax p ON i.blk = p.blk
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               quantile_cont(late_us, 0.5) / 1000000.0 AS p50_lateness_s,
+               quantile_cont(late_us, 0.95) / 1000000.0 AS p95_lateness_s,
+               quantile_cont(late_us, 0.99) / 1000000.0 AS p99_lateness_s,
+               CAST(CEIL(quantile_cont(late_us, 0.99) / 60000000.0) AS BIGINT)
+                 AS suggested_watermark_min
+        FROM lateness
+    """,
+)
+def q296_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event lateness (arrival order = event_id) via blocked prefix-max,
+    with percentile profile and the p99-derived watermark suggestion (see
+    block comment — the stream never funnels through one task)."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_id",
+        F.expr(f"event_id div {_WM_BLOCK}").alias("blk"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    win = W.partitionBy("blk").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    inblock = arr.withColumn("pmax_in", F.max("t_us").over(win))
+    blocks = arr.groupBy("blk").agg(F.max("t_us").alias("bmax"))
+    prevmax = blocks.select(
+        "blk",
+        F.max("bmax")
+        .over(W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1))
+        .alias("pmax_prev"),
+    )
+    lateness = inblock.join(F.broadcast(prevmax), "blk").select(
+        (
+            F.greatest(
+                F.coalesce(F.col("pmax_prev"), F.col("pmax_in")),
+                F.col("pmax_in"),
+            )
+            - F.col("t_us")
+        ).alias("late_us")
+    )
+    return lateness.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        (F.expr("percentile(late_us, 0.5)") / 1000000.0).alias("p50_lateness_s"),
+        (F.expr("percentile(late_us, 0.95)") / 1000000.0).alias("p95_lateness_s"),
+        (F.expr("percentile(late_us, 0.99)") / 1000000.0).alias("p99_lateness_s"),
+        F.expr(
+            "CAST(CEIL(percentile(late_us, 0.99) / 60000000.0) AS BIGINT)"
+        ).alias("suggested_watermark_min"),
+    )

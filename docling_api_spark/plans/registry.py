@@ -394,6 +394,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q293_hub_removal_impact",
     "q294_redaction_impact",
     "q295_minhash_audience",
+    "q296_watermark_advisor",
+    "q297_mean_excess",
+    "q298_reciprocal_best",
 )
 
 

@@ -146,6 +146,9 @@ _SP_ALLOWED = {
     "q290_fairness_audit": 4,     # customer-dimension rank window (q210
     # shape) + year scalar + best-segment reduce
     "q292_neyman_allocation": 1,  # strata-total scalar broadcast
+    "q296_watermark_advisor": 2,  # block-maxima prefix window (block
+    # relation is |stream|/1000) + percentile scalar reduce
+    "q297_mean_excess": 1,        # threshold-percentile scalar broadcast
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q295): each result recomputed by an independent pure-Python/numpy
+(q215-q298): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2744,3 +2744,65 @@ def test_q295_minhash_audience_matches_python(spark, sf_dir):
             assert math.isclose(r.jaccard_exact, exact, rel_tol=1e-12)
             assert math.isclose(r.abs_error, abs(agree / _MH_PERMS - exact),
                                 rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_q296_watermark_matches_python(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts").collect()
+    rows = sorted((r.event_id, int(r.ts.timestamp() * 1e6)) for r in ev)
+    run = -1
+    lates = []
+    for _, t in rows:
+        run = max(run, t)
+        lates.append(run - t)
+    row = QS["q296_watermark_advisor"].fn(spark, sf_dir).collect()[0]
+    assert row.n_events == len(lates)
+    assert row.n_late == sum(1 for x in lates if x > 0)
+    for got, tau in ((row.p50_lateness_s, 50), (row.p95_lateness_s, 95),
+                     (row.p99_lateness_s, 99)):
+        exp = float(np.percentile(lates, tau, method="linear")) / 1e6
+        assert math.isclose(got, exp, rel_tol=1e-9, abs_tol=1e-9)
+    assert row.suggested_watermark_min == math.ceil(
+        float(np.percentile(lates, 99, method="linear")) / 60e6
+    )
+
+
+def test_q297_mean_excess_matches_numpy(spark, sf_dir):
+    vals = [round(r.o_totalprice * 100) for r in
+            load_table(spark, sf_dir, "orders").select("o_totalprice").collect()]
+    got = {r.tau: r for r in QS["q297_mean_excess"].fn(spark, sf_dir).collect()}
+    assert set(got) == {0.90, 0.95, 0.99}
+    prev = None
+    for tau in (0.90, 0.95, 0.99):
+        u = float(np.percentile(vals, tau * 100, method="linear"))
+        exceed = [c for c in vals if c > u]
+        me = sum(int(math.floor(c - u + 0.5)) for c in exceed) / (100.0 * len(exceed))
+        r = got[tau]
+        assert math.isclose(r.threshold, u / 100.0, rel_tol=1e-12)
+        assert r.n_exceed == len(exceed)
+        assert math.isclose(r.mean_excess, me, rel_tol=1e-9)
+        prev = r.mean_excess
+
+
+def test_q298_reciprocal_best_matches_python(spark, sf_dir):
+    o = {r.o_orderkey: r.o_custkey
+         for r in load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    vol = defaultdict(int)
+    for r in li:
+        vol[(o[r.l_orderkey], r.l_suppkey)] += 1
+    best_c = {}
+    best_s = {}
+    for (ck, sk), v in vol.items():
+        key_c = (v, -(sk % 1000000))
+        if ck not in best_c or key_c > best_c[ck][0]:
+            best_c[ck] = (key_c, sk, v)
+        key_s = (v, -(ck % 1000000))
+        if sk not in best_s or key_s > best_s[sk][0]:
+            best_s[sk] = (key_s, ck, v)
+    expect = {
+        (ck, sk): v for ck, (_, sk, v) in best_c.items()
+        if best_s.get(sk, (None, None))[1] == ck
+    }
+    got = {(r.custkey, r.suppkey): r.n_lines
+           for r in QS["q298_reciprocal_best"].fn(spark, sf_dir).collect()}
+    assert got == expect
