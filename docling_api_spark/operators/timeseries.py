@@ -5607,3 +5607,88 @@ def q296_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CEIL(percentile(late_us, 0.99) / 60000000.0) AS BIGINT)"
         ).alias("suggested_watermark_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q299 — stationary distribution of the behavioral Markov chain
+# ---------------------------------------------------------------------------
+# The long-run answer the transition matrix implies: where does a user
+# spend their time as the chain mixes? π = πP, computed by 8 unrolled
+# power-iteration rounds from the uniform start (q225's integer-nano
+# ladder in yet another semiring role; 5 states mix in a handful of
+# rounds). Every round is a broadcast join + exact BIGINT products
+# renormalized by integer division — partition-invariant by
+# construction. Completes the Markov family: q85 matrix, q225
+# absorption, q269 Viterbi, q260 baseline, q299 stationary.
+_PI_ROUNDS = 8
+
+
+@register(
+    "q299_stationary_distribution",
+    tags=("timeseries", "markov", "iterative"),
+    oracle=f"""
+        WITH RECURSIVE trans AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS x,
+                 event_type AS y
+          FROM events
+        ),
+        counts AS (
+          SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+          FROM trans WHERE x IS NOT NULL GROUP BY x, y
+        ),
+        totals AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM counts GROUP BY x),
+        p AS (
+          SELECT c.x, c.y,
+                 CAST(ROUND({_ABS_N}.0 * c.cxy / t.cx) AS BIGINT) AS pn
+          FROM counts c JOIN totals t ON c.x = t.x
+        ),
+        states AS (SELECT x AS s FROM totals),
+        n_states AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+        pi AS (
+          SELECT 0 AS r, s, CAST({_ABS_N} // k AS BIGINT) AS v
+          FROM states CROSS JOIN n_states
+          UNION ALL
+          SELECT pi.r + 1, p.y AS s,
+                 CAST(SUM(pi.v * p.pn) // {_ABS_N} AS BIGINT) AS v
+          FROM pi JOIN p ON p.x = pi.s
+          WHERE pi.r < {_PI_ROUNDS}
+          GROUP BY pi.r + 1, p.y
+        )
+        SELECT s AS state, CAST(v AS DOUBLE) / {_ABS_N}.0 AS stationary_prob
+        FROM pi WHERE r = {_PI_ROUNDS}
+    """,
+)
+def q299_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """π = πP by 8 unrolled integer-nano power rounds from uniform (see
+    block comment — broadcast ladder on the 25-row transition matrix)."""
+    ev = load_table(spark, sf_dir, "events")
+    trans = ev.select(
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts"))
+        .alias("x"),
+        F.col("event_type").alias("y"),
+    ).where(F.col("x").isNotNull())
+    counts = trans.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    totals = counts.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    p = counts.join(F.broadcast(totals), "x").selectExpr(
+        "x", "y", f"CAST(ROUND({_ABS_N}.0 * cxy / cx) AS BIGINT) AS pn"
+    )
+    k = totals.agg(F.count(F.lit(1)).alias("k"))
+    pi = totals.crossJoin(F.broadcast(k)).selectExpr(
+        "x AS s", f"CAST({_ABS_N} div k AS BIGINT) AS v"
+    )
+    for _ in range(_PI_ROUNDS):
+        pi = (
+            p.join(F.broadcast(pi), p.x == pi.s)
+            .groupBy(F.col("y").alias("s"))
+            .agg(
+                F.expr(
+                    f"CAST(SUM(v * pn) div {_ABS_N} AS BIGINT)"
+                ).alias("v")
+            )
+        )
+    return pi.selectExpr(
+        "s AS state", f"CAST(v AS DOUBLE) / {_ABS_N}.0 AS stationary_prob"
+    )

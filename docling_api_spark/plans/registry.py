@@ -397,6 +397,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q296_watermark_advisor",
     "q297_mean_excess",
     "q298_reciprocal_best",
+    "q299_stationary_distribution",
 )
 
 

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q298): each result recomputed by an independent pure-Python/numpy
+(q215-q299): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2806,3 +2806,35 @@ def test_q298_reciprocal_best_matches_python(spark, sf_dir):
     got = {(r.custkey, r.suppkey): r.n_lines
            for r in QS["q298_reciprocal_best"].fn(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_q299_stationary_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _ABS_N, _PI_ROUNDS
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_type))
+    counts = defaultdict(int)
+    for rows in per_user.values():
+        rows.sort()
+        for (_, a), (_, b) in zip(rows, rows[1:]):
+            counts[(a, b)] += 1
+    totals = defaultdict(int)
+    for (a, _), c in counts.items():
+        totals[a] += c
+    pn = {xy: round(_ABS_N * c / totals[xy[0]]) for xy, c in counts.items()}
+    k = len(totals)
+    v = {s: _ABS_N // k for s in totals}
+    for _ in range(_PI_ROUNDS):
+        nv = defaultdict(int)
+        for (x, y), p in pn.items():
+            nv[y] += v.get(x, 0) * p
+        v = {s: val // _ABS_N for s, val in nv.items()}
+    got = {r.state: r.stationary_prob for r in
+           QS["q299_stationary_distribution"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(v)
+    for s, val in v.items():
+        assert math.isclose(got[s], val / _ABS_N, abs_tol=2e-9)
+    # a probability distribution (up to integer-division shrinkage)
+    assert 0.98 <= sum(got.values()) <= 1.0 + 1e-9
