@@ -149,6 +149,7 @@ _SP_ALLOWED = {
     "q296_watermark_advisor": 2,  # block-maxima prefix window (block
     # relation is |stream|/1000) + percentile scalar reduce
     "q297_mean_excess": 1,        # threshold-percentile scalar broadcast
+    "q299_stationary_distribution": 1,  # state-count scalar broadcast
 }
 
 AUDITED = [
