@@ -6388,9 +6388,11 @@ def q290_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM v
         ),
         pts AS (
-          SELECT 0.90 AS tau, u90 AS u FROM th
-          UNION ALL SELECT 0.95, u95 FROM th
-          UNION ALL SELECT 0.99, u99 FROM th
+          -- CAST: a bare 0.90 literal is DECIMAL(3,2) in DuckDB and would
+          -- surface as '0.90' vs Spark's DOUBLE '0.9' (literal-type trap)
+          SELECT CAST(0.90 AS DOUBLE) AS tau, u90 AS u FROM th
+          UNION ALL SELECT CAST(0.95 AS DOUBLE), u95 FROM th
+          UNION ALL SELECT CAST(0.99 AS DOUBLE), u99 FROM th
         )
         SELECT p.tau, p.u / 100.0 AS threshold,
                CAST(COUNT(CASE WHEN v.c > p.u THEN 1 END) AS BIGINT)
