@@ -1428,3 +1428,112 @@ def q274_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q300 — centroid silhouette: how separable are the embedding classes?
+# ---------------------------------------------------------------------------
+# The cluster-validation metric the clustering family (q194 Lloyd, q174
+# density, q274 prototypes) reports to: per vector, a = distance to its
+# own class centroid, b = distance to the nearest other centroid,
+# s = (b − a)/max(a, b). Mean s per class says which labels are coherent
+# in embedding space and which bleed — negative-share flags the bleeders.
+# Centroids reuse q274's exact per-dimension DECIMAL means; distances are
+# one zip_with pass against the broadcast centroid matrix; the nearest-
+# other argmin uses the packed string key (q269) and the mean is
+# nano-quantized (q231). Euclidean this time (silhouette's native
+# metric), all from identical IEEE trees.
+@register(
+    "q300_class_silhouette",
+    tags=("embedding", "clustering", "evaluation"),
+    oracle="""
+        WITH dims AS (
+          SELECT label, u.i AS dim, CAST(e.embedding[u.i] AS DOUBLE) AS x
+          FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+        ),
+        proto AS (
+          SELECT label, dim,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+          FROM dims GROUP BY label, dim
+        ),
+        pmat AS (
+          SELECT label AS cand, list(c ORDER BY dim) AS cs
+          FROM proto GROUP BY label
+        ),
+        dist AS (
+          SELECT e.vec_id, e.label, p.cand,
+                 sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - list_extract(p.cs, i))
+                          * (CAST(e.embedding[i] AS DOUBLE)
+                             - list_extract(p.cs, i))))) AS d
+          FROM embeddings e CROSS JOIN pmat p
+        ),
+        ab AS (
+          SELECT vec_id, label,
+                 MIN(CASE WHEN cand = label THEN d END) AS a,
+                 MIN(CASE WHEN cand <> label THEN d END) AS b
+          FROM dist GROUP BY vec_id, label
+        ),
+        s AS (
+          SELECT label,
+                 (b - a) / greatest(a, b) AS sil
+          FROM ab
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CAST(ROUND(1000000000.0 * sil) AS BIGINT)) AS DOUBLE)
+                 / (1000000000.0 * COUNT(*)) AS mean_silhouette,
+               CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) AS negative_share
+        FROM s GROUP BY label
+    """,
+)
+def q300_class_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per embedding class — exact-mean
+    prototypes, one broadcast distance pass, nano-quantized means (see
+    block comment)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    proto = dims.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    pmat = proto.groupBy(F.col("label").alias("cand")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("cs")
+    )
+    dist = emb.crossJoin(F.broadcast(pmat)).selectExpr(
+        "vec_id",
+        "label",
+        "cand",
+        "sqrt(aggregate(zip_with(embedding, cs,"
+        " (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x)) AS d",
+    )
+    ab = dist.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("cand") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cand") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    s = ab.selectExpr("label", "(b - a) / greatest(a, b) AS sil")
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (
+            F.sum(F.expr("CAST(ROUND(1000000000.0 * sil) AS BIGINT)")).cast(
+                "double"
+            )
+            / (1000000000.0 * F.count(F.lit(1)))
+        ).alias("mean_silhouette"),
+        (
+            F.sum(F.when(F.col("sil") < 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("negative_share"),
+    )

@@ -398,6 +398,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q297_mean_excess",
     "q298_reciprocal_best",
     "q299_stationary_distribution",
+    "q300_class_silhouette",
 )
 
 

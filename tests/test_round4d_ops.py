@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q299): each result recomputed by an independent pure-Python/numpy
+(q215-q300): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2838,3 +2838,43 @@ def test_q299_stationary_matches_python(spark, sf_dir):
         assert math.isclose(got[s], val / _ABS_N, abs_tol=2e-9)
     # a probability distribution (up to integer-division shrinkage)
     assert 0.98 <= sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_q300_silhouette_matches_numpy(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r.label].append(np.array(r.embedding, dtype=np.float64))
+    protos = {}
+    for lab, vs in by_label.items():
+        m = np.stack(vs)
+        protos[lab] = np.array([
+            sum(round(float(x), 12) for x in m[:, j]) / len(vs)
+            for j in range(m.shape[1])
+        ])
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        a = float(np.sqrt(((v - protos[r.label]) ** 2).sum()))
+        b = min(
+            float(np.sqrt(((v - c) ** 2).sum()))
+            for lab, c in protos.items() if lab != r.label
+        )
+        sil = (b - a) / max(a, b)
+        cell = agg[r.label]
+        cell[0] += 1
+        cell[1] += int(math.floor(1e9 * sil + 0.5)) if sil >= 0 else -int(
+            math.floor(-1e9 * sil + 0.5)
+        )
+        cell[2] += 1 if sil < 0 else 0
+    got = {r.label: r for r in QS["q300_class_silhouette"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for lab, (n, ssum, neg) in agg.items():
+        r = got[lab]
+        assert r.n_vectors == n
+        assert math.isclose(r.mean_silhouette, ssum / (1e9 * n),
+                            rel_tol=1e-6, abs_tol=1e-9)
+        assert math.isclose(r.negative_share, neg / n, rel_tol=1e-12)
+        assert -1.0 <= r.mean_silhouette <= 1.0
