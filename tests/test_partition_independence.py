@@ -38,6 +38,20 @@ PINNED = [
     "q191_shortest_path",
     "q194_kmeans_lloyd",
     "q208_entity_resolution",
+    # round-4d additions: the closed-form/ladder operators whose
+    # docstrings lean hardest on the exactness discipline
+    "q215_queue_depth",          # Lindley closed form (window frames)
+    "q216_pca2d",                # eigen arithmetic from moment reduce
+    "q220_raking_ipf",           # 3 IPF rounds, quantized margins
+    "q225_markov_absorption",    # integer-nano ladder
+    "q228_geometric_median",     # Weiszfeld rounds, quantized sums
+    "q242_binary_segmentation",  # quantized argmax + tie-break
+    "q261_kruskal_wallis",       # doubled-rank moments + tie factor
+    "q263_jackknife_ratio_variance",  # totals-minus-bucket identity
+    "q269_viterbi_path",         # max-product ladder, packed keys
+    "q296_watermark_advisor",    # blocked prefix-max lateness
+    "q299_stationary_distribution",  # power-iteration ladder
+    "q300_class_silhouette",     # broadcast-prototype distances
 ]
 
 
