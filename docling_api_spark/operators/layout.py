@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from docling_api_spark.plans.registry import register
 from docling_api_spark.tables import load_table
@@ -544,4 +545,130 @@ def q280_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "modulo_moved",
         "CAST(ring_moved AS DOUBLE) / n AS ring_moved_frac",
         "CAST(modulo_moved AS DOUBLE) / n AS modulo_moved_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302 — learned-index error audit (RMI layer-0 epsilon for orderkey)
+# ---------------------------------------------------------------------------
+# Learned indexes replace B-tree nodes with a model key → position; the
+# number that decides feasibility is ε, the max |predicted − actual|
+# (every lookup scans a 2ε window). This audit fits the layer-0 linear
+# model by closed-form OLS and reports ε plus the p99 error for the
+# orderkey column. Positions are computed scale-correctly with the q296
+# blocked-ranking pattern: within-block rank windows (partitioned) plus a
+# broadcast prefix count over the tiny block relation — no fact-sized
+# global sort. Moments are exact integers; errors round to whole
+# positions before the percentile.
+_LI_BLOCK = 100_000  # key-range block width
+
+
+@register(
+    "q302_learned_index_audit",
+    tags=("physical-design", "learned-index", "stats"),
+    oracle=f"""
+        WITH keys AS (
+          SELECT DISTINCT o_orderkey AS k FROM orders
+        ),
+        blocked AS (
+          SELECT k, k // {_LI_BLOCK} AS blk FROM keys
+        ),
+        inblock AS (
+          SELECT k, blk,
+                 ROW_NUMBER() OVER (PARTITION BY blk ORDER BY k) - 1 AS r_in
+          FROM blocked
+        ),
+        bsizes AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS n FROM blocked GROUP BY blk),
+        prefix AS (
+          SELECT blk,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY blk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS before
+          FROM bsizes
+        ),
+        pos AS (
+          SELECT i.k, p.before + i.r_in AS r
+          FROM inblock i JOIN prefix p ON i.blk = p.blk
+        ),
+        mom AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sx,
+                 CAST(SUM(r) AS BIGINT) AS sy,
+                 CAST(SUM(k * k) AS BIGINT) AS sxx,
+                 CAST(SUM(k * r) AS BIGINT) AS sxy
+          FROM pos
+        ),
+        fit AS (
+          SELECT n,
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+                 (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * sx) / n AS a
+          FROM mom
+        ),
+        err AS (
+          SELECT CAST(ROUND(abs(f.a + f.b * p.k - p.r)) AS BIGINT) AS e
+          FROM pos p CROSS JOIN fit f
+        )
+        SELECT (SELECT n FROM fit) AS n_keys,
+               (SELECT b FROM fit) AS slope,
+               CAST(MAX(e) AS BIGINT) AS epsilon_max,
+               quantile_cont(e, 0.99) AS epsilon_p99
+        FROM err
+    """,
+)
+def q302_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-0 learned-index fit for orderkey with max/p99 position error
+    (blocked ranking, closed-form OLS — see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_orderkey").alias("k")).distinct()
+    blocked = keys.select("k", F.expr(f"k div {_LI_BLOCK}").alias("blk"))
+    inblock = blocked.select(
+        "k",
+        "blk",
+        (
+            F.row_number().over(W.partitionBy("blk").orderBy("k")) - 1
+        ).alias("r_in"),
+    )
+    bsizes = blocked.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    prefix = bsizes.select(
+        "blk",
+        F.coalesce(
+            F.sum("n").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("before"),
+    )
+    pos = inblock.join(F.broadcast(prefix), "blk").select(
+        "k", (F.col("before") + F.col("r_in")).alias("r")
+    )
+    mom = pos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sx"),
+        F.sum("r").cast("bigint").alias("sy"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("sxx"),
+        F.sum(F.col("k") * F.col("r")).cast("bigint").alias("sxy"),
+    )
+    fit = mom.selectExpr(
+        "n",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b",
+        "(CAST(sy AS DOUBLE)"
+        " - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        "    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+        "   * sx) / n AS a",
+    )
+    err = pos.crossJoin(F.broadcast(fit)).selectExpr(
+        "n", "b", "CAST(ROUND(abs(a + b * k - r)) AS BIGINT) AS e"
+    )
+    return err.agg(
+        F.min("n").cast("bigint").alias("n_keys"),
+        F.min("b").alias("slope"),
+        F.max("e").cast("bigint").alias("epsilon_max"),
+        F.expr("percentile(e, 0.99)").alias("epsilon_p99"),
     )

@@ -2881,3 +2881,86 @@ def q284_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS weighted_jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q301 — vocabulary growth curve (Heaps-law readout, log-free)
+# ---------------------------------------------------------------------------
+# Tokenizer sizing's second input (q278 gives head coverage; this gives
+# GROWTH): how many distinct terms has the corpus seen after its first
+# 10³/10⁴/10⁵ running tokens? Token positions are assembled scale-
+# correctly: per-document token counts cumsum into document START offsets
+# on the doc-sized relation (window by doc_id), each term's global first
+# position = min(doc_start + in-doc index), and the curve counts first
+# positions under each literal threshold — one vocabulary-sized
+# aggregate, no global token sort.
+_VG_THRESH = (1000, 10000, 100000)
+
+
+@register(
+    "q301_vocab_growth",
+    tags=("text", "vocabulary", "growth"),
+    oracle=f"""
+        WITH doc_len AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id,
+                 CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start0
+          FROM doc_len
+        ),
+        firsts AS (
+          SELECT t.term, MIN(s.start0 + t.i - 1) AS first_pos
+          FROM (SELECT doc_id, u.i, tt[u.i] AS term
+                FROM (SELECT doc_id, string_split(text, ' ') AS tt
+                      FROM documents),
+                     UNNEST(range(1, len(tt) + 1)) AS u(i)) t
+          JOIN starts s ON t.doc_id = s.doc_id
+          GROUP BY t.term
+        )
+        SELECT k.k AS n_tokens_seen,
+               CAST(COUNT(CASE WHEN f.first_pos < k.k THEN 1 END) AS BIGINT)
+                 AS distinct_terms
+        FROM firsts f
+        CROSS JOIN (SELECT unnest(ARRAY[{", ".join(str(k) for k in _VG_THRESH)}]) AS k) k
+        GROUP BY k.k
+    """,
+)
+def q301_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct vocabulary after the first 10³/10⁴/10⁵ running tokens
+    (doc-offset cumsum + per-term first position — see block comment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_len = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    starts = doc_len.select(
+        "doc_id",
+        F.coalesce(
+            F.sum("n").over(
+                W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("start0"),
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "term")
+    )
+    firsts = (
+        toks.join(F.broadcast(starts), "doc_id")
+        .select("term", (F.col("start0") + F.col("i0")).alias("pos"))
+        .groupBy("term")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _VG_THRESH], "k bigint")
+    return (
+        firsts.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").alias("n_tokens_seen"))
+        .agg(
+            F.count(F.when(F.col("first_pos") < F.col("k"), 1))
+            .cast("bigint")
+            .alias("distinct_terms")
+        )
+    )

@@ -399,6 +399,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q298_reciprocal_best",
     "q299_stationary_distribution",
     "q300_class_silhouette",
+    "q301_vocab_growth",
+    "q302_learned_index_audit",
 )
 
 

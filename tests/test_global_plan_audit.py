@@ -150,6 +150,9 @@ _SP_ALLOWED = {
     # relation is |stream|/1000) + percentile scalar reduce
     "q297_mean_excess": 1,        # threshold-percentile scalar broadcast
     "q299_stationary_distribution": 1,  # state-count scalar broadcast
+    "q301_vocab_growth": 1,       # doc-sized start-offset prefix window
+    "q302_learned_index_audit": 4,  # block-prefix window (|keys|/1e5
+    # relation) + moment/fit/error scalar reduces
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q300): each result recomputed by an independent pure-Python/numpy
+(q215-q302): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2878,3 +2878,48 @@ def test_q300_silhouette_matches_numpy(spark, sf_dir):
                             rel_tol=1e-6, abs_tol=1e-9)
         assert math.isclose(r.negative_share, neg / n, rel_tol=1e-12)
         assert -1.0 <= r.mean_silhouette <= 1.0
+
+
+def test_q301_vocab_growth_matches_python(spark, sf_dir):
+    from docling_api_spark.operators.textstats import _VG_THRESH
+
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    firsts = {}
+    pos = 0
+    for r in docs:
+        for t in r.text.split(" "):
+            firsts.setdefault(t, pos)
+            pos += 1
+    got = {r.n_tokens_seen: r.distinct_terms for r in
+           QS["q301_vocab_growth"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(_VG_THRESH)
+    prev = 0
+    for k in sorted(_VG_THRESH):
+        exp = sum(1 for p in firsts.values() if p < k)
+        assert got[k] == exp
+        assert got[k] >= prev  # vocabulary growth is monotone
+        prev = got[k]
+
+
+def test_q302_learned_index_matches_numpy(spark, sf_dir):
+    keys = sorted({r.o_orderkey for r in
+                   load_table(spark, sf_dir, "orders").select("o_orderkey").collect()})
+    xs = np.array(keys, dtype=float)
+    ys = np.arange(len(keys), dtype=float)
+    b, a = np.polyfit(xs, ys, 1)
+    errs = [int(math.floor(abs(a + b * k - r) + 0.5))
+            for k, r in zip(keys, range(len(keys)))]
+    row = QS["q302_learned_index_audit"].fn(spark, sf_dir).collect()[0]
+    assert row.n_keys == len(keys)
+    assert math.isclose(row.slope, b, rel_tol=1e-6)
+    assert row.epsilon_max == max(errs)
+    assert math.isclose(
+        row.epsilon_p99,
+        float(np.percentile(errs, 99, method="linear")),
+        rel_tol=1e-9, abs_tol=1e-9,
+    )
+    # the lookup window 2ε must be far below a full scan
+    assert row.epsilon_max < len(keys) // 2
