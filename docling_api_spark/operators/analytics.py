@@ -6505,3 +6505,99 @@ def q298_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr("ck AS custkey", "best_sk AS suppkey", "v_c AS n_lines")
     )
+
+
+# ---------------------------------------------------------------------------
+# q305 — group-sequential interim looks (Pocock boundary)
+# ---------------------------------------------------------------------------
+# Peeking at an experiment three times at α=0.05 inflates false positives
+# past 11%; group-sequential designs fix the boundary per look. This
+# simulates the three planned looks (accrual = user_id mod 3 < k, a
+# deterministic stand-in for arrival order), computes q120's z at each,
+# and flags significance at the naive 1.96 AND at Pocock's K=3 critical
+# value 2.289 — both literal quantiles. The readout shows exactly which
+# looks a naive monitor would have (wrongly) stopped at.
+_POCOCK_K3 = "2.289"  # two-sided alpha=0.05, K=3 equal looks (Pocock 1977)
+
+
+@register(
+    "q305_interim_looks",
+    tags=("experiment", "sequential", "stats"),
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 {sql_hash_bucket('user_id', 2)} AS arm,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= {CONV_MIN}
+                      THEN 1 ELSE 0 END AS conv
+          FROM events GROUP BY user_id
+        ),
+        looks AS (SELECT unnest(range(1, 4)) AS look),
+        cells AS (
+          SELECT l.look,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                 CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+          FROM looks l JOIN u ON u.user_id % 3 < l.look
+          GROUP BY l.look
+        )
+        SELECT CAST(look AS BIGINT) AS look, n_a + n_b AS n_users,
+               (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+                 AS z_stat,
+               CASE WHEN abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                           * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                           * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)))
+                    > 1.959963984540054 THEN 1 ELSE 0 END AS sig_naive,
+               CASE WHEN abs((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                    / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                           * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                           * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)))
+                    > {_POCOCK_K3} THEN 1 ELSE 0 END AS sig_pocock
+        FROM cells
+    """,
+)
+def q305_interim_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z at three deterministic interim looks with naive vs Pocock
+    significance flags (literal boundaries — see block comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= CONV_MIN,
+            1,
+        ).otherwise(0).alias("conv")
+    ).select("user_id", hash_bucket("user_id", 2).alias("arm"), "conv")
+    looks = spark.range(1, 4).select(F.col("id").alias("look"))
+    cells = (
+        F.broadcast(looks)
+        .join(u, F.col("user_id") % 3 < F.col("look"))
+        .groupBy("look")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            .cast("bigint").alias("c_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("bigint").alias("c_b"),
+        )
+    )
+    zexpr = (
+        "(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+        "        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+        "        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
+    )
+    return cells.selectExpr(
+        "CAST(look AS BIGINT) AS look",
+        "n_a + n_b AS n_users",
+        f"{zexpr} AS z_stat",
+        f"CASE WHEN abs({zexpr}) > 1.959963984540054 THEN 1 ELSE 0 END"
+        " AS sig_naive",
+        f"CASE WHEN abs({zexpr}) > {_POCOCK_K3} THEN 1 ELSE 0 END"
+        " AS sig_pocock",
+    )

@@ -2964,3 +2964,142 @@ def q301_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("distinct_terms")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — content-defined chunking: storage-style dedup of the corpus
+# ---------------------------------------------------------------------------
+# Backup systems dedupe at CONTENT-DEFINED boundaries: a chunk ends where
+# a rolling hash hits a modulus condition, so an insertion only reshapes
+# its local chunk instead of shifting every fixed-size block (the Rabin/
+# gear trick). Here the q65 shingle hash defines boundaries (h % 64 == 0
+# after token p), chunks assemble by per-doc cumulative boundary count +
+# ordered concat (q224 discipline), and the corpus-level readout is the
+# storage math: distinct-chunk ratio and bytes after dedup. All md5-
+# derived — fully oracle-replayable.
+_CDC_MOD = 64
+
+
+@register(
+    "q303_cdc_chunking",
+    tags=("text", "dedup", "storage"),
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, u.i AS pos, tt[u.i] AS tok,
+                 CAST(len(tt) AS BIGINT) AS n
+          FROM (SELECT doc_id, string_split(text, ' ') AS tt FROM documents),
+               UNNEST(range(1, len(tt) + 1)) AS u(i)
+        ),
+        sh AS (
+          SELECT t.doc_id, t.pos,
+                 CASE WHEN CAST(concat('0x', substring(md5(
+                        concat_ws(' ', t.tok, t2.tok, t3.tok, t4.tok)),
+                        1, 15)) AS BIGINT) % {_CDC_MOD} = 0
+                      THEN 1 ELSE 0 END AS flag
+          FROM toks t
+          JOIN toks t2 ON t2.doc_id = t.doc_id AND t2.pos = t.pos + 1
+          JOIN toks t3 ON t3.doc_id = t.doc_id AND t3.pos = t.pos + 2
+          JOIN toks t4 ON t4.doc_id = t.doc_id AND t4.pos = t.pos + 3
+        ),
+        assigned AS (
+          SELECT t.doc_id, t.pos, t.tok,
+                 CAST(COALESCE(SUM(s.flag) OVER (PARTITION BY t.doc_id
+                       ORDER BY t.pos ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+          FROM toks t LEFT JOIN sh s
+            ON t.doc_id = s.doc_id AND t.pos = s.pos
+        ),
+        chunks AS (
+          SELECT doc_id, chunk_id,
+                 string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM assigned GROUP BY doc_id, chunk_id
+        ),
+        digests AS (
+          SELECT md5(chunk_text) AS digest,
+                 CAST(length(chunk_text) AS BIGINT) AS bytes,
+                 n_tokens
+          FROM chunks
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct,
+               CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*)
+                 AS distinct_ratio,
+               CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_chunk_tokens,
+               CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+               (SELECT CAST(SUM(b) AS BIGINT) FROM
+                  (SELECT MIN(bytes) AS b FROM digests GROUP BY digest))
+                 AS bytes_after_dedup
+        FROM digests
+    """,
+)
+def q303_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of the corpus with the storage-dedup
+    readout — rolling-hash boundaries, ordered chunk assembly, digest
+    dedup (see block comment)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(toks) >= 4 THEN transform(sequence(1, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2]))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("p0", "shingle"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(CAST(shingle AS BINARY)),"
+            f" 1, 15), 16, 10) AS BIGINT) % {_CDC_MOD} = 0"
+            " THEN 1 ELSE 0 END"
+        ).alias("flag"),
+    )
+    wcum = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    assigned = (
+        toks.join(sh, ["doc_id", "pos"], "left")
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.coalesce(
+                F.sum("flag").over(wcum), F.lit(0)
+            ).cast("bigint").alias("chunk_id"),
+        )
+    )
+    chunks = assigned.groupBy("doc_id", "chunk_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )
+    digests = chunks.select(
+        F.md5(F.col("chunk_text").cast("binary")).alias("digest"),
+        F.length("chunk_text").cast("bigint").alias("bytes"),
+        "n_tokens",
+    )
+    per_digest = digests.groupBy("digest").agg(F.min("bytes").alias("b"))
+    stats = digests.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("digest").cast("bigint").alias("n_distinct"),
+        (F.countDistinct("digest").cast("double") / F.count(F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chunk_tokens"
+        ),
+        F.sum("bytes").cast("bigint").alias("bytes_total"),
+    )
+    saved = per_digest.agg(F.sum("b").cast("bigint").alias("bytes_after_dedup"))
+    return stats.crossJoin(F.broadcast(saved))

@@ -5692,3 +5692,137 @@ def q299_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.selectExpr(
         "s AS state", f"CAST(v AS DOUBLE) / {_ABS_N}.0 AS stationary_prob"
     )
+
+
+# ---------------------------------------------------------------------------
+# q304 — dominant period: the ACF ladder and its argmax
+# ---------------------------------------------------------------------------
+# q188 measures lag-1 persistence; seasonality detection needs the whole
+# autocorrelation ladder and its peak. For lags 1..14 the dense daily
+# series self-joins at day+lag (exact integer moments per lag — q230's
+# machinery pointed at itself), and the dominant period is the argmax of
+# quantized ACF over lags ≥ 2 (lag 1 is trend persistence, not a
+# period), packed-key tie-broken toward the SHORTER lag. Emits the full
+# ladder with the dominant flag.
+_ACF_MAX_LAG = 14
+
+
+@register(
+    "q304_dominant_period",
+    tags=("timeseries", "acf", "seasonality"),
+    oracle=f"""
+        WITH bounds AS (
+          SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+                 date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                           MAX(CAST(o_orderdate AS DATE))) AS span
+          FROM orders
+        ),
+        days AS (SELECT unnest(range(0, span + 1)) AS day FROM bounds),
+        rev AS (
+          SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS day,
+                 CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+          FROM orders o CROSS JOIN bounds b GROUP BY 1
+        ),
+        series AS (
+          SELECT d.day, COALESCE(r.v, 0) AS v
+          FROM days d LEFT JOIN rev r ON d.day = r.day
+        ),
+        lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+        joined AS (
+          SELECT l.lag, a.v AS x, b.v AS y
+          FROM lags l
+          CROSS JOIN series a
+          JOIN series b ON b.day = a.day + l.lag
+        ),
+        mom AS (
+          SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM joined GROUP BY lag
+        ),
+        acf AS (
+          SELECT CAST(lag AS BIGINT) AS lag, n,
+                 (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                   AS r
+          FROM mom
+        ),
+        best AS (
+          SELECT MAX(CAST(ROUND(1000000000.0 * r) AS BIGINT) * 100
+                     + (99 - lag)) AS bkey
+          FROM acf WHERE lag >= 2
+        )
+        SELECT a.lag, a.n, a.r,
+               CASE WHEN a.lag >= 2
+                     AND CAST(ROUND(1000000000.0 * a.r) AS BIGINT) * 100
+                         + (99 - a.lag) = b.bkey
+                    THEN 1 ELSE 0 END AS is_dominant
+        FROM acf a CROSS JOIN best b
+    """,
+)
+def q304_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..14 over daily revenue with the dominant-period flag
+    (quantized argmax, shorter-lag tie-break — see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("span"),
+    )
+    days = bounds.select(F.explode(F.expr("sequence(0, span)")).alias("day"))
+    rev = (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("d0")).alias("day"),
+            F.round("o_totalprice").cast("bigint").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").cast("bigint").alias("v"))
+    )
+    series = days.join(rev, "day", "left").select(
+        "day", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    joined = (
+        F.broadcast(lags)
+        .crossJoin(series.selectExpr("day", "v AS x"))
+        .join(
+            series.selectExpr("day AS db", "v AS y"),
+            F.col("db") == F.col("day") + F.col("lag"),
+        )
+    )
+    mom = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    acf = mom.selectExpr(
+        "CAST(lag AS BIGINT) AS lag",
+        "n",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        "    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r",
+    )
+    best = acf.where(F.col("lag") >= 2).agg(
+        F.max(
+            F.expr(
+                "CAST(ROUND(1000000000.0 * r) AS BIGINT) * 100 + (99 - lag)"
+            )
+        ).alias("bkey")
+    )
+    return acf.crossJoin(F.broadcast(best)).selectExpr(
+        "lag",
+        "n",
+        "r",
+        "CASE WHEN lag >= 2"
+        " AND CAST(ROUND(1000000000.0 * r) AS BIGINT) * 100 + (99 - lag)"
+        " = bkey THEN 1 ELSE 0 END AS is_dominant",
+    )

@@ -401,6 +401,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q300_class_silhouette",
     "q301_vocab_growth",
     "q302_learned_index_audit",
+    "q303_cdc_chunking",
+    "q304_dominant_period",
+    "q305_interim_looks",
 )
 
 

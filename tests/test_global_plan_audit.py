@@ -153,6 +153,9 @@ _SP_ALLOWED = {
     "q301_vocab_growth": 1,       # doc-sized start-offset prefix window
     "q302_learned_index_audit": 4,  # block-prefix window (|keys|/1e5
     # relation) + moment/fit/error scalar reduces
+    "q303_cdc_chunking": 2,       # corpus stats + dedup-bytes scalars
+    "q304_dominant_period": 8,    # date-bounds scalar under both series
+    # aliases (lag self-join) + argmax scalar — all scalar/series-sized
 }
 
 AUDITED = [

@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q302): each result recomputed by an independent pure-Python/numpy
+(q215-q305): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -2923,3 +2923,104 @@ def test_q302_learned_index_matches_numpy(spark, sf_dir):
     )
     # the lookup window 2ε must be far below a full scan
     assert row.epsilon_max < len(keys) // 2
+
+
+def test_q303_cdc_matches_python(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.textstats import _CDC_MOD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n_chunks = 0
+    tok_total = 0
+    bytes_total = 0
+    digests = {}
+    for r in docs:
+        t = r.text.split(" ")
+        flags = [
+            1 if int(hashlib.md5(" ".join(t[i:i + 4]).encode()).hexdigest()[:15],
+                     16) % _CDC_MOD == 0 else 0
+            for i in range(len(t) - 3)
+        ]
+        chunks = defaultdict(list)
+        cum = 0
+        for j, tok in enumerate(t):
+            if j >= 1 and j - 1 < len(flags):
+                cum += flags[j - 1]
+            chunks[cum].append(tok)
+        for toks in chunks.values():
+            text = " ".join(toks)
+            d = hashlib.md5(text.encode()).hexdigest()
+            n_chunks += 1
+            tok_total += len(toks)
+            bytes_total += len(text)
+            digests.setdefault(d, len(text))
+    row = QS["q303_cdc_chunking"].fn(spark, sf_dir).collect()[0]
+    assert row.n_chunks == n_chunks
+    assert row.n_distinct == len(digests)
+    assert math.isclose(row.distinct_ratio, len(digests) / n_chunks,
+                        rel_tol=1e-12)
+    assert math.isclose(row.avg_chunk_tokens, tok_total / n_chunks,
+                        rel_tol=1e-12)
+    assert row.bytes_total == bytes_total
+    assert row.bytes_after_dedup == sum(digests.values())
+    assert row.bytes_after_dedup <= row.bytes_total
+
+
+def test_q304_dominant_period_matches_numpy(spark, sf_dir):
+    from docling_api_spark.operators.timeseries import _ACF_MAX_LAG
+
+    v = _daily_dollars(spark, sf_dir)
+    got = {r.lag: r for r in QS["q304_dominant_period"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, _ACF_MAX_LAG + 1))
+    best = None
+    for lag in range(1, _ACF_MAX_LAG + 1):
+        a = np.array(v[:-lag], dtype=float)
+        b = np.array(v[lag:], dtype=float)
+        r_np = float(np.corrcoef(a, b)[0, 1])
+        assert got[lag].n == len(a)
+        assert math.isclose(got[lag].r, r_np, rel_tol=1e-9)
+        if lag >= 2:
+            key = (round(1e9 * r_np), -lag)
+            if best is None or key > best[0]:
+                best = (key, lag)
+    for lag in got:
+        assert got[lag].is_dominant == (1 if lag == best[1] else 0)
+
+
+def test_q305_interim_looks_matches_python(spark, sf_dir):
+    import hashlib
+
+    from docling_api_spark.operators.analytics import CONV_MIN
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    pur = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            pur[r.user_id] += 1
+    got = {r.look: r for r in QS["q305_interim_looks"].fn(spark, sf_dir).collect()}
+    assert set(got) == {1, 2, 3}
+    for look in (1, 2, 3):
+        sel = [u for u in users if u % 3 < look]
+        na = nb = ca = cb = 0
+        for u in sel:
+            arm = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+            conv = 1 if pur.get(u, 0) >= CONV_MIN else 0
+            if arm == 0:
+                na += 1
+                ca += conv
+            else:
+                nb += 1
+                cb += conv
+        p = (ca + cb) / (na + nb)
+        z = (ca / na - cb / nb) / math.sqrt(
+            p * (1 - p) * (1 / na + 1 / nb)
+        )
+        r = got[look]
+        assert r.n_users == na + nb
+        assert math.isclose(r.z_stat, z, rel_tol=1e-9)
+        assert r.sig_naive == (1 if abs(z) > 1.959963984540054 else 0)
+        assert r.sig_pocock == (1 if abs(z) > 2.289 else 0)
+        assert r.sig_pocock <= r.sig_naive
