@@ -895,3 +895,67 @@ def q295_minhash_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(inter AS DOUBLE) / (na + nb - inter)) AS abs_error",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q306 — effective sample size of a weighted corpus (design effect)
+# ---------------------------------------------------------------------------
+# Every weighted mix (q93/q95 temperature sampling, q220 raking) pays a
+# variance tax: n weighted rows estimate like ESS = (Σw)²/Σw² unweighted
+# ones (Kish). This audit prices the q95-style sqrt-temperature weights
+# at the DOCUMENT level: per-doc weight = sqrt-share weight of its
+# source, ESS and the design effect n/ESS per the whole corpus plus the
+# per-source weight table. Weights quantized to micro-integers (ROUND —
+# half-away both engines), so Σw and Σw² are exact.
+@register(
+    "q306_effective_sample_size",
+    tags=("sampling", "design", "stats"),
+    oracle="""
+        WITH c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n,
+                 CAST(ROUND(1000000.0 * sqrt(CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)) AS BIGINT) AS wq
+          FROM c
+        ),
+        sums AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+                 CAST(SUM(n * wq) AS BIGINT) AS sw,
+                 CAST(SUM(n * wq * wq) AS BIGINT) AS sww
+          FROM w
+        )
+        SELECT n_docs,
+               (CAST(sw AS DOUBLE) * sw) / sww AS ess,
+               CAST(n_docs AS DOUBLE) * sww / (CAST(sw AS DOUBLE) * sw)
+                 AS design_effect
+        FROM sums
+    """,
+)
+def q306_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size and design effect of the sqrt-temperature
+    document weights (see block comment — micro-quantized weights, exact
+    sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = c.selectExpr(
+        "source",
+        "n",
+        "CAST(ROUND(1000000.0 * sqrt(CAST(n AS DOUBLE))"
+        " / CAST(n AS DOUBLE)) AS BIGINT) AS wq",
+    )
+    sums = w.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n") * F.col("wq")).cast("bigint").alias("sw"),
+        F.sum(F.col("n") * F.col("wq") * F.col("wq"))
+        .cast("bigint")
+        .alias("sww"),
+    )
+    return sums.selectExpr(
+        "n_docs",
+        "(CAST(sw AS DOUBLE) * sw) / sww AS ess",
+        "CAST(n_docs AS DOUBLE) * sww / (CAST(sw AS DOUBLE) * sw)"
+        " AS design_effect",
+    )

@@ -404,6 +404,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q303_cdc_chunking",
     "q304_dominant_period",
     "q305_interim_looks",
+    "q306_effective_sample_size",
 )
 
 

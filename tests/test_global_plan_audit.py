@@ -156,6 +156,7 @@ _SP_ALLOWED = {
     "q303_cdc_chunking": 2,       # corpus stats + dedup-bytes scalars
     "q304_dominant_period": 8,    # date-bounds scalar under both series
     # aliases (lag self-join) + argmax scalar — all scalar/series-sized
+    "q306_effective_sample_size": 1,  # closing three-sum scalar reduce
 }
 
 AUDITED = [

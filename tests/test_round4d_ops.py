@@ -1,5 +1,5 @@
 """Brute-force cross-checks for the round-4d operator classes
-(q215-q305): each result recomputed by an independent pure-Python/numpy
+(q215-q306): each result recomputed by an independent pure-Python/numpy
 path on the SAME rows must agree. The DuckDB oracle certifies engine
 agreement; these certify the math and the semantics (notably q215, where
 the Spark plan is the Lindley CLOSED FORM and the replay below is the
@@ -3024,3 +3024,24 @@ def test_q305_interim_looks_matches_python(spark, sf_dir):
         assert r.sig_naive == (1 if abs(z) > 1.959963984540054 else 0)
         assert r.sig_pocock == (1 if abs(z) > 2.289 else 0)
         assert r.sig_pocock <= r.sig_naive
+
+
+def test_q306_ess_matches_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("source").collect()
+    counts = defaultdict(int)
+    for r in docs:
+        counts[r.source] += 1
+    sw = sww = 0
+    for n in counts.values():
+        wq = int(math.floor(1e6 * math.sqrt(n) / n + 0.5))
+        sw += n * wq
+        sww += n * wq * wq
+    n_docs = sum(counts.values())
+    row = QS["q306_effective_sample_size"].fn(spark, sf_dir).collect()[0]
+    assert row.n_docs == n_docs
+    assert math.isclose(row.ess, sw * sw / sww, rel_tol=1e-12)
+    assert math.isclose(row.design_effect, n_docs * sww / (sw * sw),
+                        rel_tol=1e-12)
+    # Kish bound: 1 <= ESS <= n
+    assert 1.0 <= row.ess <= n_docs + 1e-9
+    assert row.design_effect >= 1.0 - 1e-12
