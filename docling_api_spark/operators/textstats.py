@@ -2982,6 +2982,7 @@ _CDC_MOD = 64
 
 @register(
     "q303_cdc_chunking",
+    bench=True,
     tags=("text", "dedup", "storage"),
     oracle=f"""
         WITH toks AS (

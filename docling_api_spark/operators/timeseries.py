@@ -5526,6 +5526,7 @@ _WM_BLOCK = 1000  # arrival-sequence block size
 
 @register(
     "q296_watermark_advisor",
+    bench=True,
     tags=("streaming", "watermark", "design"),
     oracle=f"""
         WITH arr AS (
