@@ -77,18 +77,72 @@ def register(
 # explicit order: the 50 queries that must land inside the correctness
 # window come first.
 #
-# Round-4 rotation (VERDICT r3 #1): the ONLY way the driver ever certifies
-# the 64 queries that have never been driver-graded is to cycle them
-# through the window. So this round the window holds 50 never-graded
-# oracle-checked queries; every query with an r1/r2/r3 hash-green grade on
-# record moves to overflow (grades stand; pytest + tools/driver_dryrun.py
-# keep sweeping the whole registry at sf0.01 and sf0.1). q80_media_features
-# leaves the window permanently (rows-only by design — it can never turn
-# green and was burning a slot). The round-5 window queue: the 13 deferred
-# class-cousins (q77/q99/q134/q135/q142..q150) plus every round-4 addition
-# (q151..q205) — ~100 oracle-checked never-graded queries for rounds 5-6.
+# Round-5 rotation (VERDICT r4 #1): certification is the binding
+# constraint — 174 of 307 queries have never been driver-graded, and the
+# only way they ever get a driver hash-grade is cycling them through the
+# 50-entry window. This round's window: the 13 deferred class-cousins
+# (q77/q99/q134/q135/q142..q150), the round-4 tail (q151..q159), then
+# q160..q189 in registry order, skipping the rows-only entries (q171
+# HLL binaries, q175 sequential debounce — no DuckDB oracle, they can
+# never hash-green and would burn slots). Every query graded green in
+# r1-r4 moves to overflow (grades stand; pytest + tools/driver_dryrun.py
+# keep sweeping the whole registry at sf0.01 and sf0.1). The surface is
+# FROZEN this round (VERDICT r4 #2): no new queries until the backlog
+# drains — round-6 window queue starts at q190_phrase_search.
 GRADED_FIRST: tuple[str, ...] = (
     # ---- driver window (50): never driver-graded, all oracle-checked ----
+    "q77_streaming_sliding",
+    "q99_corpus_report",
+    "q134_curation_pipeline",
+    "q135_sla_shipping_delay",
+    "q142_bounce_rate",
+    "q143_promo_share",
+    "q144_part_supplier_stats",
+    "q145_idle_rich_customers",
+    "q146_dup_provenance",
+    "q147_supplier_cold_start",
+    "q148_denorm_drift_audit",
+    "q149_activation_latency",
+    "q150_order_size_histogram",
+    "q151_stateful_counter",
+    "q152_pagerank",
+    "q153_benford_digit_audit",
+    "q154_source_quality_rollup",
+    "q155_ngram_containment",
+    "q156_expectation_suite",
+    "q157_ohlc_bars",
+    "q158_median_mad_outliers",
+    "q159_embedding_quantization",
+    "q160_weighted_median",
+    "q161_theil_sen_trend",
+    "q162_lift_table",
+    "q163_proportional_sample",
+    "q164_mannwhitney_u",
+    "q165_gini_revenue",
+    "q166_power_iteration",
+    "q167_salt_planner",
+    "q168_eventually_follows",
+    "q169_weighted_sample",
+    "q170_revenue_waterfall",
+    "q172_salted_join",
+    "q173_k_anonymity",
+    "q174_density_clusters",
+    "q176_feature_hashing",
+    "q177_target_encoding",
+    "q178_confusion_matrix",
+    "q179_quantile_normalize",
+    "q180_control_chart",
+    "q181_join_size_estimate",
+    "q182_cuped_adjustment",
+    "q183_streaming_topk",
+    "q184_survival_hazard",
+    "q185_triangle_census",
+    "q186_geo_grid_join",
+    "q187_ewma_smoothing",
+    "q188_lag1_autocorr",
+    "q189_bpe_merges",
+    # ---- overflow: beyond the driver's 50-entry window ----
+    # driver-graded green r4
     "q48_fuzzy_match_parts",
     "q49_rolling_zscore",
     "q55_embedding_drift",
@@ -139,31 +193,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q139_tfidf_cosine_pairs",
     "q140_composition_drift",
     "q141_covariance_matrix",
-    # ---- overflow: beyond the driver's 50-entry window ----
-    # never graded, deferred to the round-5 window (graded cousins cover
-    # their operator class meanwhile)
-    "q77_streaming_sliding",
-    "q99_corpus_report",
-    "q134_curation_pipeline",
-    "q135_sla_shipping_delay",
-    "q142_bounce_rate",
-    "q143_promo_share",
-    "q144_part_supplier_stats",
-    "q145_idle_rich_customers",
-    "q146_dup_provenance",
-    "q147_supplier_cold_start",
-    "q148_denorm_drift_audit",
-    "q149_activation_latency",
-    "q150_order_size_histogram",
-    "q151_stateful_counter",
-    "q152_pagerank",
-    "q153_benford_digit_audit",
-    "q154_source_quality_rollup",
-    "q155_ngram_containment",
-    "q156_expectation_suite",
-    "q157_ohlc_bars",
-    "q158_median_mad_outliers",
-    "q159_embedding_quantization",
     # driver-graded green r3
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
@@ -255,38 +284,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q72_conversion_pipeline",
     "q80_media_features",
     "q118_approx_equidepth",
-    # round-4 continuation additions (oracle-checked, never graded —
-    # queued for the round-5 window alongside q151-q159)
-    "q160_weighted_median",
-    "q161_theil_sen_trend",
-    "q162_lift_table",
-    "q163_proportional_sample",
-    "q164_mannwhitney_u",
-    "q165_gini_revenue",
-    "q166_power_iteration",
-    "q167_salt_planner",
-    "q168_eventually_follows",
-    "q169_weighted_sample",
-    "q170_revenue_waterfall",
     "q171_hll_rollup",  # rows-only: Datasketches binaries, tolerance-pinned
-    "q172_salted_join",
-    "q173_k_anonymity",
-    "q174_density_clusters",
     "q175_debounce",  # rows-only: sequential per-key semantics, brute-force pinned
-    "q176_feature_hashing",
-    "q177_target_encoding",
-    "q178_confusion_matrix",
-    "q179_quantile_normalize",
-    "q180_control_chart",
-    "q181_join_size_estimate",
-    "q182_cuped_adjustment",
-    "q183_streaming_topk",
-    "q184_survival_hazard",
-    "q185_triangle_census",
-    "q186_geo_grid_join",
-    "q187_ewma_smoothing",
-    "q188_lag1_autocorr",
-    "q189_bpe_merges",
+    # round-4 continuation additions (oracle-checked, never graded —
+    # round-6 window queue starts here)
     "q190_phrase_search",
     "q191_shortest_path",
     "q192_forecast_wape",
