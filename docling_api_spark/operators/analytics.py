@@ -6448,13 +6448,28 @@ def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The mutual-nearest-neighbor rule that anchors entity linking and
 # bioinformatics orthology alike: pair (customer, supplier) is a
 # reciprocal best match when each is the other's highest-volume partner.
-# Both argmaxes use the packed BIGINT key (q260 discipline: volume
-# dominates, smaller partner id wins ties); the reciprocal join is
+# Both argmaxes use a collision-free fixed-width string key (volume
+# dominates lexicographically, smaller partner id wins ties via the
+# complemented second field). The previous packed-BIGINT key
+# (v * 1e6 + (999999 - id % 1e6)) wrapped for ids >= 1e6 — at TPC-H
+# SF >= 7 custkey exceeds that, inverting the tie-break and letting
+# distinct partners collide (r4 ADVICE). The string key is exact for
+# any id < 1e13 and any volume < 1e19. The reciprocal join is
 # key-equality on the two tiny argmax relations.
+_Q298_KEY_SK = (
+    "lpad(cast(v as string), 19, '0') || "
+    "lpad(cast(10000000000000 - sk as string), 14, '0')"
+)
+_Q298_KEY_CK = (
+    "lpad(cast(v as string), 19, '0') || "
+    "lpad(cast(10000000000000 - ck as string), 14, '0')"
+)
+
+
 @register(
     "q298_reciprocal_best",
     tags=("entity", "matching", "join"),
-    oracle="""
+    oracle=f"""
         WITH vol AS (
           SELECT o.o_custkey AS ck, l.l_suppkey AS sk,
                  CAST(COUNT(*) AS BIGINT) AS v
@@ -6462,12 +6477,12 @@ def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY 1, 2
         ),
         best_c AS (
-          SELECT ck, max_by(sk, v * 1000000 + (999999 - sk % 1000000)) AS best_sk,
+          SELECT ck, max_by(sk, {_Q298_KEY_SK}) AS best_sk,
                  CAST(MAX(v) AS BIGINT) AS v_c
           FROM vol GROUP BY ck
         ),
         best_s AS (
-          SELECT sk, max_by(ck, v * 1000000 + (999999 - ck % 1000000)) AS best_ck,
+          SELECT sk, max_by(ck, {_Q298_KEY_CK}) AS best_ck,
                  CAST(MAX(v) AS BIGINT) AS v_s
           FROM vol GROUP BY sk
         )
@@ -6478,7 +6493,8 @@ def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q298_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-supplier pairs that are each other's top trading partner —
-    mutual argmax with packed-key tie-breaks (see block comment)."""
+    mutual argmax with collision-free string tie-break keys (see block
+    comment)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     vol = (
@@ -6487,15 +6503,11 @@ def q298_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
     )
     best_c = vol.groupBy("ck").agg(
-        F.expr("max_by(sk, v * 1000000 + (999999 - sk % 1000000))").alias(
-            "best_sk"
-        ),
+        F.expr(f"max_by(sk, {_Q298_KEY_SK})").alias("best_sk"),
         F.max("v").cast("bigint").alias("v_c"),
     )
     best_s = vol.groupBy("sk").agg(
-        F.expr("max_by(ck, v * 1000000 + (999999 - ck % 1000000))").alias(
-            "best_ck"
-        ),
+        F.expr(f"max_by(ck, {_Q298_KEY_CK})").alias("best_ck"),
         F.max("v").cast("bigint").alias("v_s"),
     )
     return (

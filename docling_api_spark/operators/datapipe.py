@@ -1024,8 +1024,13 @@ def q213_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # spent. Exact greedy needs a global sort of all documents; the
 # scale-correct form quantizes the quality ratio into integer ranks
 # (1000 buckets) and takes whole buckets in rank order — one hash agg to
-# bucket totals, one cumulative window over the 1000-row bucket relation,
-# and a threshold bucket that splits pro-rata. Quality is q62's lexical-
+# bucket totals, one cumulative window over the 1000-row bucket relation.
+# The threshold bucket (the first whose cumulative total crosses the
+# budget) is kept WHOLE, so tokens_kept may overshoot the 25% budget by
+# at most one bucket's mass — the budget_used column prices exactly that
+# overshoot. (A pro-rata split of the threshold bucket would need a
+# per-doc ordering inside the bucket; whole-bucket keep is the
+# deterministic, partition-independent choice.) Quality is q62's lexical-
 # diversity ratio in integer permille; everything to the final fraction
 # is exact.
 _BUDGET_FRACTION_PCT = 25  # keep ~25% of corpus tokens

@@ -392,7 +392,9 @@ _GRID = 1440  # one day at 1-minute resolution
         ),
         obs AS (
           SELECT user_id, epoch_us(ts) // 60000000 AS minute,
-                 arg_max(value, epoch_us(ts)) AS obs_value
+                 arg_max(value, lpad(cast(epoch_us(ts) as varchar), 19, '0')
+                                || lpad(cast(event_id as varchar), 19, '0'))
+                   AS obs_value
           FROM events
           WHERE user_id < 5 AND epoch_us(ts) // 60000000 BETWEEN {_M0} AND {_M0 + _GRID - 1}
           GROUP BY 1, 2
@@ -431,7 +433,16 @@ def q39_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.expr(f"t_us div 60000000 BETWEEN {_M0} AND {_M0 + _GRID - 1}")
         )
         .groupBy("user_id", F.expr("t_us div 60000000").alias("minute"))
-        .agg(F.max_by("value", "t_us").alias("obs_value"))
+        # (t_us, event_id) lexicographic tie-break: equal-µs events are
+        # possible after the ns->µs truncation in tables.py, and a bare
+        # max_by(value, t_us) would be peer-order dependent on both
+        # engines (same class as the r4 q215 advice)
+        .agg(
+            F.expr(
+                "max_by(value, lpad(cast(t_us as string), 19, '0')"
+                " || lpad(cast(event_id as string), 19, '0'))"
+            ).alias("obs_value")
+        )
     )
     w = (
         W.partitionBy("user_id")
@@ -3399,21 +3410,23 @@ QUEUE_PUSH = ("view", "click", "signup")  # work arrives
           FROM events
         ),
         r AS (
-          SELECT user_id, t_us,
+          SELECT user_id, t_us, event_id,
                  SUM(delta) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS run
           FROM d
         ),
         q AS (
-          SELECT user_id, t_us,
-                 run - LEAST(0, MIN(run) OVER (PARTITION BY user_id ORDER BY t_us
+          SELECT user_id, t_us, event_id,
+                 run - LEAST(0, MIN(run) OVER (PARTITION BY user_id ORDER BY t_us, event_id
                                                ROWS UNBOUNDED PRECEDING)) AS depth
           FROM r
         )
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(MAX(depth) AS BIGINT) AS max_depth,
-               CAST(max_by(depth, t_us) AS BIGINT) AS end_depth
+               CAST(max_by(depth, lpad(cast(t_us as string), 19, '0')
+                                  || lpad(cast(event_id as string), 19, '0'))
+                    AS BIGINT) AS end_depth
         FROM q GROUP BY user_id
     """,
 )
@@ -3443,18 +3456,21 @@ def q215_queue_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     r = d.withColumn("run", F.sum("delta").over(wseq))
-    wmin = (
-        W.partitionBy("user_id")
-        .orderBy("t_us")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    # same (t_us, event_id) order as wseq: with t_us ties (possible after
+    # the ns->us truncation in tables.py) an unqualified ORDER BY t_us
+    # would make depth peer-order dependent (r4 ADVICE)
     q = r.withColumn(
-        "depth", F.col("run") - F.least(F.lit(0), F.min("run").over(wmin))
+        "depth", F.col("run") - F.least(F.lit(0), F.min("run").over(wseq))
     )
+    # end_depth tie-break: lexicographic (t_us, event_id) string key —
+    # packed-bigint would overflow (t_us ~1.7e15 times event_id range)
     return q.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.max("depth").cast("bigint").alias("max_depth"),
-        F.expr("max_by(depth, t_us)").cast("bigint").alias("end_depth"),
+        F.expr(
+            "max_by(depth, lpad(cast(t_us as string), 19, '0')"
+            " || lpad(cast(event_id as string), 19, '0'))"
+        ).cast("bigint").alias("end_depth"),
     )
 
 
