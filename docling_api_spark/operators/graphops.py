@@ -533,7 +533,7 @@ def q212_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
         hub AS (
-          SELECT max_by(src, concat(lpad(CAST(d AS VARCHAR), 9, '0'),
+          SELECT max_by(src, concat(lpad(CAST(d AS VARCHAR), 19, '0'),
                                     '|', src)) AS h
           FROM deg
         ),
@@ -621,11 +621,11 @@ def q293_hub_removal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.join(nodes.selectExpr("nid AS src", "brand"), "src")
         .agg(
             F.expr(
-                "max_by(src, concat(lpad(CAST(d AS STRING), 9, '0'),"
+                "max_by(src, concat(lpad(CAST(d AS STRING), 19, '0'),"
                 " '|', brand))"
             ).alias("hub_id"),
             F.expr(
-                "max_by(brand, concat(lpad(CAST(d AS STRING), 9, '0'),"
+                "max_by(brand, concat(lpad(CAST(d AS STRING), 19, '0'),"
                 " '|', brand))"
             ).alias("hub"),
         )

@@ -3041,42 +3041,47 @@ def q303_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    toks = docs.select(
-        "doc_id", F.posexplode("toks").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    sh = docs.select(
+    # boundary flags are computed map-side as a per-doc ARRAY aligned with
+    # the token array (flag[p] = rolling-hash condition on the 4-gram
+    # starting at token p; the last 3 positions have no 4-gram -> 0), then
+    # zipped with the tokens and exploded ONCE. The r4 version exploded
+    # tokens and shingles separately and shuffle-joined them back on
+    # (doc_id, pos) — a full extra shuffle of the corpus-sized relation
+    # that this zip removes; the only remaining shuffle before the final
+    # agg is the cumsum window's partition by doc_id.
+    zipped = docs.select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                "CASE WHEN size(toks) >= 4 THEN transform(sequence(1, size(toks) - 3),"
-                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2]))"
-                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            F.arrays_zip(
+                F.col("toks"),
+                F.expr(
+                    "CASE WHEN size(toks) >= 4 THEN concat(transform(sequence(1, size(toks) - 3),"
+                    " i -> CASE WHEN CAST(conv(substring(md5(CAST("
+                    "concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2])"
+                    f" AS BINARY)), 1, 15), 16, 10) AS BIGINT) % {_CDC_MOD} = 0"
+                    " THEN 1 ELSE 0 END), array_repeat(0, 3))"
+                    " ELSE transform(toks, t -> 0) END"
+                ).alias("flags"),
             )
-        ).alias("p0", "shingle"),
+        ).alias("p0", "z"),
     ).select(
         "doc_id",
         (F.col("p0") + 1).alias("pos"),
-        F.expr(
-            "CASE WHEN CAST(conv(substring(md5(CAST(shingle AS BINARY)),"
-            f" 1, 15), 16, 10) AS BIGINT) % {_CDC_MOD} = 0"
-            " THEN 1 ELSE 0 END"
-        ).alias("flag"),
+        F.col("z.toks").alias("tok"),
+        F.col("z.flags").alias("flag"),
     )
     wcum = (
         W.partitionBy("doc_id").orderBy("pos").rowsBetween(
             W.unboundedPreceding, -1
         )
     )
-    assigned = (
-        toks.join(sh, ["doc_id", "pos"], "left")
-        .select(
-            "doc_id",
-            "pos",
-            "tok",
-            F.coalesce(
-                F.sum("flag").over(wcum), F.lit(0)
-            ).cast("bigint").alias("chunk_id"),
-        )
+    assigned = zipped.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(
+            F.sum("flag").over(wcum), F.lit(0)
+        ).cast("bigint").alias("chunk_id"),
     )
     chunks = assigned.groupBy("doc_id", "chunk_id").agg(
         F.expr(

@@ -8,32 +8,32 @@ from docling_api_spark.plans.registry import GRADED_FIRST, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-4 contract (VERDICT r3 #1): the window holds ONLY queries that have
-# never been driver-graded, so the driver certifies as much of the 150-query
-# surface as one round allows. Every previously-green query rests on its
-# r1/r2/r3 grade on record; 13 never-graded queries with graded class-cousins
-# are deferred to round 5 (q77/q99/q134/q135/q142..q150).
+# Round-5 contract (VERDICT r4 #1): the window holds ONLY queries that have
+# never been driver-graded — the 13 deferred class-cousins, the q151-q159
+# tail, and q160..q189 minus the two rows-only entries (q171/q175, which can
+# never hash-green). Every previously-green query rests on its r1-r4 grade
+# on record; the round-6 queue starts at q190_phrase_search.
 MUST_GRADE = {
-    "q48_fuzzy_match_parts", "q49_rolling_zscore", "q55_embedding_drift",
-    "q56_streaming_dedup", "q57_incremental_dedup", "q58_incremental_rollup",
-    "q59_zorder_layout",
-    "q73_sequence_packing", "q74_curriculum_buckets", "q75_span_dedup_fraction",
-    "q76_leakage_safe_split", "q78_vocab_coverage", "q79_embedding_outliers",
-    "q83_join_key_skew", "q84_state_intervals", "q85_event_transitions",
-    "q86_click_attribution", "q87_growth_accounting", "q88_collocations_pmi",
-    "q89_top_paths",
-    "q98_source_lang_purity", "q100_chunk_documents", "q101_ks_drift",
-    "q102_revenue_concentration", "q107_stream_static_join",
-    "q111_text_normalize", "q112_inverted_index", "q113_bigram_familiarity",
-    "q114_winsorized_agg", "q116_seasonal_anomaly", "q117_comovement_matrix",
-    "q119_cusum_changepoint",
-    "q121_rfm_segmentation", "q122_interarrival_histogram", "q123_market_basket",
-    "q124_chi_square", "q125_impute_group_mean", "q126_skyline",
-    "q127_group_regression", "q128_rolling_median", "q129_fk_audit",
-    "q130_ratio_to_parent", "q131_audience_overlap", "q132_grouped_mode",
-    "q136_sampling_error_audit", "q137_streaming_upsert",
-    "q138_scd2_point_in_time", "q139_tfidf_cosine_pairs",
-    "q140_composition_drift", "q141_covariance_matrix",
+    "q77_streaming_sliding", "q99_corpus_report", "q134_curation_pipeline",
+    "q135_sla_shipping_delay", "q142_bounce_rate", "q143_promo_share",
+    "q144_part_supplier_stats", "q145_idle_rich_customers",
+    "q146_dup_provenance", "q147_supplier_cold_start",
+    "q148_denorm_drift_audit", "q149_activation_latency",
+    "q150_order_size_histogram", "q151_stateful_counter", "q152_pagerank",
+    "q153_benford_digit_audit", "q154_source_quality_rollup",
+    "q155_ngram_containment", "q156_expectation_suite", "q157_ohlc_bars",
+    "q158_median_mad_outliers", "q159_embedding_quantization",
+    "q160_weighted_median", "q161_theil_sen_trend", "q162_lift_table",
+    "q163_proportional_sample", "q164_mannwhitney_u", "q165_gini_revenue",
+    "q166_power_iteration", "q167_salt_planner", "q168_eventually_follows",
+    "q169_weighted_sample", "q170_revenue_waterfall", "q172_salted_join",
+    "q173_k_anonymity", "q174_density_clusters", "q176_feature_hashing",
+    "q177_target_encoding", "q178_confusion_matrix",
+    "q179_quantile_normalize", "q180_control_chart",
+    "q181_join_size_estimate", "q182_cuped_adjustment",
+    "q183_streaming_topk", "q184_survival_hazard", "q185_triangle_census",
+    "q186_geo_grid_join", "q187_ewma_smoothing", "q188_lag1_autocorr",
+    "q189_bpe_merges",
 }
 
 
