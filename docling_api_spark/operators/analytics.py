@@ -4876,7 +4876,7 @@ def q259_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sequence", "evaluation", "baseline"),
     oracle="""
         WITH trans AS (
-          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS x,
+          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
                  event_type AS y
           FROM events
         ),
@@ -4903,7 +4903,7 @@ def q260_markov_baseline_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events")
     trans = ev.select(
         F.lag("event_type")
-        .over(W.partitionBy("user_id").orderBy("ts"))
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("x"),
         F.col("event_type").alias("y"),
     ).where(F.col("x").isNotNull())

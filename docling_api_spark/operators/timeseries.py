@@ -1584,7 +1584,7 @@ def q110_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(date_trunc('day', ts) AS DATE) AS day,
                  value,
                  LEAD(epoch_us(ts)) OVER (
-                   PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts
+                   PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id
                  ) - epoch_us(ts) AS dt_us
           FROM events
         )
@@ -1616,7 +1616,7 @@ def q115_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs-scaled sums overflow double-exact range on the way back out.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts")
+    w = W.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts", "event_id")
     d = ev.select(
         "user_id",
         F.date_trunc("day", "ts").cast("date").alias("day"),
@@ -2012,19 +2012,19 @@ def q137_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scd2", "interval", "join"),
     oracle="""
         WITH s AS (
-          SELECT user_id, epoch_us(ts) AS t, event_type
+          SELECT user_id, epoch_us(ts) AS t, event_id, event_type
           FROM events WHERE event_type <> 'purchase'
         ),
         r AS (
-          SELECT user_id, t, event_type,
+          SELECT user_id, t, event_id, event_type,
                  CASE WHEN LAG(event_type) OVER (
-                        PARTITION BY user_id ORDER BY t)
+                        PARTITION BY user_id ORDER BY t, event_id)
                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
           FROM s
         ),
         runs AS (
           SELECT *, SUM(brk) OVER (
-            PARTITION BY user_id ORDER BY t
+            PARTITION BY user_id ORDER BY t, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
           FROM r
         ),
@@ -2061,9 +2061,9 @@ def q138_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     s = ev.where(F.col("event_type") != "purchase").select(
-        "user_id", F.unix_micros("ts").alias("t"), "event_type"
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "event_type"
     )
-    wu = W.partitionBy("user_id").orderBy("t")
+    wu = W.partitionBy("user_id").orderBy("t", "event_id")
     r = s.withColumn(
         "brk",
         F.when(
@@ -3878,7 +3878,7 @@ def _absorb_round(prev: str) -> str:
     tags=("timeseries", "markov", "graph"),
     oracle=f"""
         WITH trans AS (
-          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS x,
+          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
                  event_type AS y
           FROM events
         ),
@@ -3918,7 +3918,7 @@ def q225_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     trans = ev.select(
         F.lag("event_type")
-        .over(W.partitionBy("user_id").orderBy("ts"))
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("x"),
         F.col("event_type").alias("y"),
     ).where(F.col("x").isNotNull())
@@ -4198,14 +4198,14 @@ def q234_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "pointprocess", "stats"),
     oracle="""
         WITH gaps0 AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  (epoch_us(ts) - LAG(epoch_us(ts)) OVER
-                   (PARTITION BY user_id ORDER BY ts)) // 1000000 AS g
+                   (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
           FROM events
         ),
         gaps AS (
           SELECT user_id, g,
-                 LEAD(g) OVER (PARTITION BY user_id ORDER BY ts) AS g_next
+                 LEAD(g) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g_next
           FROM gaps0
         ),
         mom AS (
@@ -4248,7 +4248,7 @@ def q239_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer interarrival moments (see block comment — one user_id
     shuffle, closing sqrt expressions)."""
     ev = load_table(spark, sf_dir, "events")
-    wu = W.partitionBy("user_id").orderBy("ts")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
     # integer SECONDS (floor div): µs² moments overflow BIGINT at month-
     # scale gaps; second-resolution keeps Σg² exact with 6 decades of room
     gcol = (
@@ -5182,7 +5182,7 @@ def _vit_round(prev_p: str, prev_path: str) -> tuple[str, str]:
     tags=("timeseries", "markov", "viterbi"),
     oracle=f"""
         WITH trans AS (
-          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS x,
+          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
                  event_type AS y
           FROM events
         ),
@@ -5230,7 +5230,7 @@ def q269_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     trans = ev.select(
         F.lag("event_type")
-        .over(W.partitionBy("user_id").orderBy("ts"))
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("x"),
         F.col("event_type").alias("y"),
     ).where(F.col("x").isNotNull())
@@ -5645,7 +5645,7 @@ _PI_ROUNDS = 8
     tags=("timeseries", "markov", "iterative"),
     oracle=f"""
         WITH RECURSIVE trans AS (
-          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS x,
+          SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
                  event_type AS y
           FROM events
         ),
@@ -5681,7 +5681,7 @@ def q299_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     trans = ev.select(
         F.lag("event_type")
-        .over(W.partitionBy("user_id").orderBy("ts"))
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("x"),
         F.col("event_type").alias("y"),
     ).where(F.col("x").isNotNull())

@@ -52,6 +52,11 @@ PINNED = [
     "q296_watermark_advisor",    # blocked prefix-max lateness
     "q299_stationary_distribution",  # power-iteration ladder
     "q300_class_silhouette",     # broadcast-prototype distances
+    # round-5 restructures: the chained-iteration pagerank (integer rank
+    # units, single-use ranks — must be bit-stable without the per-round
+    # cuts) and the zip-fused CDC chunker (map-side boundary flags)
+    "q152_pagerank",
+    "q303_cdc_chunking",
 ]
 
 
