@@ -3025,15 +3025,26 @@ def q226_emd_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    rh = vals.groupBy("region", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # ONE pass over the fact join reduces it to the (region, bucket) count
+    # table (regions × ~120 buckets ≈ 600 rows); the global histogram,
+    # region/global totals, grid bound, and region list are all
+    # re-aggregations of that tiny relation. The previous version derived
+    # each directly from `vals`, re-evaluating the orders⋈customer join
+    # six times per run. The checkpoint is LAZY: it materializes inside
+    # the query's own job the first time a consumer stage needs it (no
+    # separate synchronous job), then the other five consumers read the
+    # cached 600 rows — 1.6s -> ~1.0s median at sf0.1 vs the eager cut.
+    rh = (
+        vals.groupBy("region", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    gh = vals.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("gc"))
-    nr = vals.groupBy("region").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ng = vals.agg(F.count(F.lit(1)).cast("bigint").alias("gn"))
-    mb = vals.agg(F.max("bucket").alias("m"))
+    gh = rh.groupBy("bucket").agg(F.sum("c").cast("bigint").alias("gc"))
+    nr = rh.groupBy("region").agg(F.sum("c").cast("bigint").alias("n"))
+    ng = rh.agg(F.sum("c").cast("bigint").alias("gn"))
+    mb = rh.agg(F.max("bucket").alias("m"))
     grid = (
-        vals.select("region")
+        rh.select("region")
         .distinct()
         .crossJoin(
             F.broadcast(mb).select(F.explode(F.expr("sequence(0, m)")).alias("b"))
