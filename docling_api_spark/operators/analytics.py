@@ -287,10 +287,13 @@ def q123_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # lazy cut: the order count, brand marginals, and both pair-join sides
+    # consume this relation (audit: 5 fact scans/plan uncut)
     items = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = items.select(F.count_distinct("okey").alias("n_orders"))
     brand_cnt = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
@@ -1769,6 +1772,9 @@ def q185_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = items.alias("a")
     b = items.alias("b")
+    # lazy cut (q222 discipline): the median probe and all three edge
+    # references of the triangle chain derive from this brand-pair count
+    # table — uncut, each re-derives the fact self-join (12 scans/plan)
     pairs = (
         a.join(
             b,
@@ -1777,6 +1783,7 @@ def q185_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
     )
     med = pairs.agg(F.expr("percentile(n, 0.5)").alias("m"))
     edges = pairs.crossJoin(F.broadcast(med)).where(F.col("n") > F.col("m")).select(
@@ -2040,7 +2047,14 @@ def q199_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent-item cap (the q38 salting discipline) for items in
     millions of baskets."""
     li = load_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
+    # lazy cut: the basket relation feeds the item norms and BOTH sides of
+    # the co-occurrence self-join (audit: 6 fact scans/plan uncut) — the
+    # same shuffle-scale materialization bargain as the dedup shingle
+    # relation; at 100 TB this is the bucketed-by-order relation
+    basket = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint(eager=False)
+    )
     item_n = basket.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -2053,6 +2067,7 @@ def q199_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .where(F.col("c") >= CF_MIN_CO)
+        .localCheckpoint(eager=False)  # both symmetrization branches reuse
     )
     sym = co.select(
         F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "c"
@@ -2895,6 +2910,11 @@ def q222_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = items.alias("a"), items.alias("b")
+    # lazy cut: every relation below (median, edges, degrees, decorated
+    # moments, node count) derives from this brand-pair count table
+    # (≤ |brands|² rows), and each reference would otherwise re-derive the
+    # lineitem⋈part self-join — the plan audit measured 32 fact scans per
+    # run without the cut
     pairs = (
         a.join(
             b,
@@ -2905,6 +2925,7 @@ def q222_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
     )
     med = pairs.agg(F.expr("percentile(n, 0.5)").alias("m"))
     edges = pairs.crossJoin(F.broadcast(med)).where(F.col("n") > F.col("m"))
@@ -3312,7 +3333,7 @@ def q228_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents"),
-    )
+    ).localCheckpoint(eager=False)  # lazy cut: seed + 3 Weiszfeld rounds reuse
     c0 = pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (F.sum(F.col("f").cast("bigint")).cast("double") / F.count(F.lit(1))).alias("cx"),
@@ -5210,7 +5231,7 @@ def q263_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents"),
-    )
+    ).localCheckpoint(eager=False)  # lazy cut: totals + leave-one-out reuse
     tot = b.agg(
         F.sum("n").cast("bigint").alias("tn"),
         F.sum("cents").cast("bigint").alias("tc"),

@@ -264,10 +264,13 @@ def q206_gdpr_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
+    # lazy cut: the deletion list is broadcast into all four table audits
+    # — uncut, each audit re-derives it from a fresh events scan
     del_keys = (
         ev.where(F.col("user_id") % GDPR_MOD == 0)
         .select(F.col("user_id").alias("k"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     def audit(df: DataFrame, key: str, label: str) -> DataFrame:

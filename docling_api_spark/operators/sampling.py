@@ -370,7 +370,11 @@ def q163_proportional_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the rank windows grow, bounded per stratum.
     """
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_stratum"))
+    # lazy cut: the totals probe and the allocation grid both re-derive
+    # this |langs|-row relation (audit: 5 corpus scans/plan uncut)
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stratum")
+    ).localCheckpoint(eager=False)
     t = s.agg(
         F.sum("n_stratum").cast("bigint").alias("n_total"),
         F.expr(f"CAST(SUM(n_stratum) DIV {SAMPLE_PCT} AS BIGINT)").alias("target"),
@@ -843,7 +847,11 @@ def q295_minhash_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, with the sketch's absolute error (see block comment — 32 longs
     per segment replace the full membership list)."""
     ev = load_table(spark, sf_dir, "events")
-    members = ev.select(F.col("event_type").alias("seg"), "user_id").distinct()
+    # lazy cut: the sketch build, the sizes table, and both exact-overlap
+    # sides consume the membership relation (audit: 6 event scans/plan)
+    members = ev.select(
+        F.col("event_type").alias("seg"), "user_id"
+    ).distinct().localCheckpoint(eager=False)
     perms = spark.range(_MH_PERMS).select(F.col("id").alias("p"))
     hashes = (
         members.crossJoin(F.broadcast(perms))
@@ -856,6 +864,7 @@ def q295_minhash_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("seg", "p")
         .agg(F.min("h").alias("mh"))
+        .localCheckpoint(eager=False)  # both signature-join sides reuse
     )
     ha, hb = hashes.alias("ha"), hashes.alias("hb")
     est = (

@@ -787,12 +787,14 @@ def q166_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same integer algorithm plus monotone Rayleigh improvement.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # lazy cut: every iteration's map-side pass re-reads the quantized
+    # matrix (audit: 6 embedding scans/plan uncut)
     x = emb.select(
         F.expr(
             f"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * {_PI_SCALE})"
             " AS BIGINT))"
         ).alias("xq")
-    )
+    ).localCheckpoint(eager=False)
 
     def wsum(sdf):
         e = sdf.select("s", F.posexplode("xq").alias("pos", "e"))

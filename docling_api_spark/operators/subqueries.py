@@ -174,7 +174,9 @@ def q94_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.lit(0.0).alias("c_acctbal"),
     )
-    changes = updates.unionByName(inserts)
+    # lazy cut: the change set feeds both the broadcast anti-join probe and
+    # the final union (audit: 5 target scans/plan uncut)
+    changes = updates.unionByName(inserts).localCheckpoint(eager=False)
     untouched = customer.join(F.broadcast(changes), "c_custkey", "left_anti")
     return changes.withColumn("from_change", F.lit(True)).unionByName(
         untouched.withColumn("from_change", F.lit(False))

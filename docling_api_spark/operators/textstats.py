@@ -565,10 +565,14 @@ def q88_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("toks")
     )
+    # lazy cuts: the unigram table feeds totals + both PMI lookup sides,
+    # the bigram table feeds totals + the scored relation — uncut, each
+    # reference re-explodes the corpus (audit: 5 document scans/plan)
     uni = (
         toks.select(F.explode("toks").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     bigrams = toks.select(
         F.explode(
@@ -581,7 +585,9 @@ def q88_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    bi = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
     tot = bi.groupBy().agg(F.sum("n").alias("n_bi")).crossJoin(
         uni.groupBy().agg(F.sum("n").alias("n_uni"))
     )
@@ -2103,10 +2109,15 @@ def q217_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
-    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
-    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
-    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    # reduce-once (q226 discipline): ONE corpus pass to the (source, term)
+    # count table, lazily cut; term totals, source totals, and the corpus
+    # total are re-aggregations of it (audit: 5 corpus scans/plan uncut)
+    st = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st")
+    ).localCheckpoint(eager=False)
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = st.agg(F.sum("c_st").alias("n"))
     mass = (
         st.join(ct, "term")
         .join(F.broadcast(ns), "source")
@@ -2672,12 +2683,16 @@ def q276_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized mean absolute difference (see block comment)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    # lazy cuts: topw (30 rows) is referenced twice and grid (sources×30)
+    # four-ways downstream — uncut, the corpus explode re-derives per
+    # reference (16 document scans per plan in the audit)
     topw = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "w")
         .limit(_DELTA_TOPK)
         .select("w")
+        .localCheckpoint(eager=False)
     )
     ns = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     freq = (
@@ -2697,7 +2712,7 @@ def q276_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(ROUND(1000000000.0 * COALESCE(c, 0) / n) AS BIGINT)"
             ).alias("fq"),
         )
-    )
+    ).localCheckpoint(eager=False)
     wstats = grid.groupBy("w").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("fq").cast("bigint").alias("s1"),

@@ -1310,6 +1310,10 @@ def q105_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_v"))
+        # lazy cut (also t_c/t_p below): each step's one-row-per-user
+        # relation feeds both the next step and the final readout —
+        # uncut, the funnel re-derives the events scan 7x per plan
+        .localCheckpoint(eager=False)
     )
     c = (
         events.where(F.col("event_type") == "click")
@@ -1320,6 +1324,7 @@ def q105_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_c"))
+        .localCheckpoint(eager=False)
     )
     p = (
         events.where(F.col("event_type") == "purchase")
@@ -1330,6 +1335,7 @@ def q105_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_p"))
+        .localCheckpoint(eager=False)
     )
     step = (
         users.join(v, "user_id", "left")
@@ -1761,7 +1767,9 @@ def q117_comovement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    # lazy cut: bucket list, type list, and the grid left-join all consume
+    # hourly (audit: 6 event scans/plan uncut)
     buckets = hourly.select("bucket").distinct()
     types = hourly.select("event_type").distinct()
     grid = (
@@ -3564,6 +3572,9 @@ def q219_haar_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = (
         days.join(rev, "day", "left")
         .select("day", F.coalesce("cents", F.lit(0)).alias("cents"))
+        # lazy cut: the pyramid levels re-reference the series (audit: 6
+        # orders scans/plan uncut)
+        .localCheckpoint(eager=False)
     )
 
     def level_up(df: DataFrame, key: str, val: str) -> DataFrame:
@@ -3683,7 +3694,7 @@ def q223_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = days.join(rev, "day", "left").select(
         "day", "span", F.coalesce("cents", F.lit(0)).alias("cents")
-    )
+    ).localCheckpoint(eager=False)  # lazy cut: trend/seasonal/residual reuse
     ma = series.withColumn(
         "s7", F.sum("cents").over(W.orderBy("day").rowsBetween(-3, 3))
     )
@@ -3808,7 +3819,7 @@ def q224_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = days.join(rev, "day", "left").select(
         "day", F.coalesce("dollars", F.lit(0)).alias("dollars")
-    )
+    ).localCheckpoint(eager=False)  # lazy cut: weekly agg + corpus stats reuse
     weeks = series.groupBy(F.expr("day div 7").alias("week")).agg(
         F.sum("dollars").cast("bigint").alias("s"),
         F.count(F.lit(1)).alias("c"),
@@ -3922,9 +3933,12 @@ def q225_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.col("event_type").alias("y"),
     ).where(F.col("x").isNotNull())
+    # lazy cut: the 25-row transition matrix is re-joined every unrolled
+    # round; without it each round re-derives the full events scan + lag
+    # window (plan audit showed 6-18 event scans per run)
     counts = trans.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("cxy")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
     p = counts.join(F.broadcast(totals), "x").select(
         "x",
@@ -4037,9 +4051,11 @@ def q230_lagged_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy((F.col("habs") - F.col("h0")).alias("h"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         )
+        # lazy cut: each dense series feeds all 7 lag branches of the
+        # cross-correlation join (audit: 6 event scans/plan uncut)
         return hours.join(v, "h", "left").select(
             "h", F.coalesce("c", F.lit(0)).alias(out)
-        )
+        ).localCheckpoint(eager=False)
     sa_ = series(_XCORR_A, "x")
     sb_ = series(_XCORR_B, "y")
     lags = spark.range(-_XCORR_LAGS, _XCORR_LAGS + 1).select(
@@ -4154,7 +4170,7 @@ def q234_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.coalesce("err", F.lit(0)).alias("err"),
         F.coalesce("tot", F.lit(0)).alias("tot"),
-    )
+    ).localCheckpoint(eager=False)  # lazy cut: both burn windows reuse the grid
     w6 = W.orderBy("h").rowsBetween(-5, 0)
     windows = grid.select(
         "h",
@@ -4378,9 +4394,11 @@ def q242_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("v").cast("bigint").alias("v"))
     )
+    # lazy cut: totals and the prefix window both consume the ~2400-row
+    # series; uncut, each re-derives the orders scan (12 scans/plan)
     series = days.join(rev, "day", "left").select(
         "day", F.coalesce("v", F.lit(0)).alias("v")
-    )
+    ).localCheckpoint(eager=False)
     tot = series.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("s"),
@@ -4547,7 +4565,7 @@ def q244_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = days.join(rev, "day", "left").select(
         "day", "span", F.coalesce("v", F.lit(0)).alias("v")
-    )
+    ).localCheckpoint(eager=False)  # lazy cut: neighborhood windows reuse
     wd = W.orderBy("day")
     ctx = series.select(
         "day",
@@ -4790,7 +4808,7 @@ def q249_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = days.join(rev, "day", "left").select(
         "day", F.coalesce("y", F.lit(0)).alias("y")
-    )
+    ).localCheckpoint(eager=False)  # lazy cut: moment windows reuse
     w = W.orderBy("day").rowsBetween(-(_ROLL_REG_W - 1), 0)
     mom = series.select(
         "day",
@@ -5107,7 +5125,7 @@ def q266_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = days.join(rev, "day", "left").select(
         "day", F.coalesce("v", F.lit(0)).alias("v")
-    )
+    ).localCheckpoint(eager=False)  # lazy cut: threshold probe + alarm scan reuse
     th = series.agg(
         F.expr("percentile(v, 0.9)").alias("hi"),
         F.expr("percentile(v, 0.7)").alias("lo"),
@@ -5234,9 +5252,12 @@ def q269_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.col("event_type").alias("y"),
     ).where(F.col("x").isNotNull())
+    # lazy cut: the 25-row transition matrix is re-joined every unrolled
+    # round; without it each round re-derives the full events scan + lag
+    # window (plan audit showed 6-18 event scans per run)
     counts = trans.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("cxy")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
     p = counts.join(F.broadcast(totals), "x").selectExpr(
         "x", "y", f"CAST(ROUND({_ABS_N}.0 * cxy / cx) AS BIGINT) AS pn"
@@ -5685,9 +5706,12 @@ def q299_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.col("event_type").alias("y"),
     ).where(F.col("x").isNotNull())
+    # lazy cut: the 25-row transition matrix is re-joined every unrolled
+    # round; without it each round re-derives the full events scan + lag
+    # window (plan audit showed 6-18 event scans per run)
     counts = trans.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("cxy")
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
     p = counts.join(F.broadcast(totals), "x").selectExpr(
         "x", "y", f"CAST(ROUND({_ABS_N}.0 * cxy / cx) AS BIGINT) AS pn"
@@ -5801,9 +5825,12 @@ def q304_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("v").cast("bigint").alias("v"))
     )
+    # lazy cut: the ~2400-row daily series feeds both sides of the 14-lag
+    # self-join and the acf relation is consumed twice (argmax + readout) —
+    # without the cut the orders scan re-runs 12x per plan
     series = days.join(rev, "day", "left").select(
         "day", F.coalesce("v", F.lit(0)).alias("v")
-    )
+    ).localCheckpoint(eager=False)
     lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
     joined = (
         F.broadcast(lags)
