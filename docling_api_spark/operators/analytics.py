@@ -3422,13 +3422,15 @@ def q229_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = ev.select(
         F.col("event_type").alias("seg"), "user_id"
     ).distinct()
+    # lazy cut: sizes + both intersection sides reuse the bitmap relation
+    # (audit: 4 event scans/plan uncut)
     words = members.groupBy(
         "seg", F.expr("user_id div 63").alias("w")
     ).agg(
         F.expr(
             "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
         ).alias("mask")
-    )
+    ).localCheckpoint(eager=False)
     sizes = words.groupBy("seg").agg(
         F.expr("CAST(SUM(bit_count(mask)) AS BIGINT)").alias("n")
     )
