@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from docling_api_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from docling_api_spark.functions.numeric import DEC, davg, dsum, sql_davg, sql_dsum
 from docling_api_spark.plans.registry import register
 from docling_api_spark.tables import load_table
 
@@ -346,24 +346,26 @@ def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q29_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a semi join, then
-    the detail join + re-aggregation. The qualifying-keys side is tiny →
-    broadcast semi join, so lineitem shuffles once (for its own group-by)."""
+    """TPC-H Q18 shape: HAVING-filtered per-order aggregate joined to the
+    order/customer detail. The output's group key contains o_orderkey, so
+    the post-semi-join re-aggregation the textbook plan runs is the SAME
+    per-order sum the HAVING already computed — one lineitem pass with
+    the exact-decimal sum kept as total_qty replaces the r4 plan's second
+    scan + second group-by (the semi join disappears with it). At 100 TB
+    that halves the fact work; the qualifying-orders relation joining
+    orders is heavy-hitter-sized, and customer broadcasts."""
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
         .filter(F.col("q") > 150.0)
-        .select("l_orderkey")
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
     )
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "total_qty"))
         .select(
             "c_name",
             "c_custkey",
