@@ -101,6 +101,45 @@ def _bench_phase(spark, queries, sf_dir: str, runs: int, out: dict) -> None:
         out["queries_spread"][name] = round(samples[-1] - samples[0], 4)
 
 
+def _machine_probes(spark) -> dict:
+    """Fixed-work probes so round-over-round query deltas can be
+    normalized against machine-level throughput drift. Same-code runs an
+    hour apart have measured ±25% on every query on this host (neighbor
+    contention invisible inside the container); these two numbers say
+    whether a drift is the code or the box.
+
+    - probe_numpy_ms: 512³ float64 matmul, min of 3 — raw CPU/FPU+memory.
+    - probe_spark_ms: sum over a 50M-row range, min of 3 — the JVM
+      codegen/scheduler stack with zero I/O and zero shuffle.
+
+    The probe runs at bench start AND end (probe_spark_ms_end). The END
+    value is the cross-round comparator: even with a warm-up rep the
+    start value carries residual JIT tier-up (measured ~200ms start vs
+    ~110ms end in one run); the end value is fully warm.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((512, 512))
+    a @ a  # warm BLAS thread pool (first call costs ~25ms of one-time init)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ a
+        samples.append(time.perf_counter() - t0)
+    numpy_ms = round(1000 * min(samples), 2)
+    # warm codegen/JIT for the probe pipeline (cold first run measures
+    # compilation, not the machine: observed 411ms cold vs 115ms warm)
+    spark.range(50_000_000).selectExpr("sum(id * 2) AS s").collect()
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 2) AS s").collect()
+        samples.append(time.perf_counter() - t0)
+    return {"probe_numpy_ms": numpy_ms,
+            "probe_spark_ms": round(1000 * min(samples), 2)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -116,6 +155,7 @@ def main() -> None:
     rest = {n: q for n, q in bench_queries.items() if n not in carried}
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    probes = _machine_probes(spark)
     out: dict = {"queries": {}, "queries_median": {}, "queries_spread": {}}
     # phase 1: the frozen r3 subset under r3-equivalent JVM conditions
     _bench_phase(spark, carried, sf_dir, runs, out)
@@ -125,6 +165,10 @@ def main() -> None:
     )
     # phase 2: everything added to the headline set since round 3
     _bench_phase(spark, rest, sf_dir, runs, out)
+    # second probe: if the box slowed DURING the run, the end-probe shows
+    # it and per-query numbers late in the set are known-inflated
+    probes_end = _machine_probes(spark)
+    probes["probe_spark_ms_end"] = probes_end["probe_spark_ms"]
 
     total = round(sum(out["queries"].values()), 4)
     print(
@@ -141,6 +185,7 @@ def main() -> None:
                 "carried_n": len(carried),
                 "n_queries": len(out["queries"]),
                 "n_runs": runs,
+                **probes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "queries_median": out["queries_median"],
                 "queries": out["queries"],
