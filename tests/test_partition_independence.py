@@ -57,6 +57,17 @@ PINNED = [
     # cuts) and the zip-fused CDC chunker (map-side boundary flags)
     "q152_pagerank",
     "q303_cdc_chunking",
+    # round-5 hardening/lazy-cut cohort: tie-break keys and lazily
+    # checkpointed reused relations must not re-introduce any
+    # partitioning sensitivity
+    "q115_time_weighted_avg",
+    "q138_scd2_point_in_time",
+    "q239_burstiness",
+    "q222_degree_assortativity",
+    "q276_burrows_delta",
+    "q304_dominant_period",
+    "q166_power_iteration",
+    "q199_item_item_cf",
 ]
 
 
