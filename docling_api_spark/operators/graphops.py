@@ -461,17 +461,26 @@ def q212_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_nat", "s_nat")
     )
-    m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # reduce-once (q226 discipline): ONE pass over the labeled edges to the
+    # ≤|nations|² pair-count table, lazily cut; the edge total, degree
+    # sums, and internal-edge counts re-aggregate it (uncut, each of the
+    # four consumers re-derived the fact join — 4 scans of all 4 tables)
+    nc = (
+        lab.groupBy("c_nat", "s_nat")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    m = nc.agg(F.sum("cnt").cast("bigint").alias("m"))
     deg = (
-        lab.select(F.col("c_nat").alias("nat"))
-        .unionByName(lab.select(F.col("s_nat").alias("nat")))
+        nc.select(F.col("c_nat").alias("nat"), "cnt")
+        .unionByName(nc.select(F.col("s_nat").alias("nat"), "cnt"))
         .groupBy("nat")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .agg(F.sum("cnt").cast("bigint").alias("d"))
     )
     ein = (
-        lab.where(F.col("c_nat") == F.col("s_nat"))
+        nc.where(F.col("c_nat") == F.col("s_nat"))
         .groupBy(F.col("c_nat").alias("nat"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+        .agg(F.sum("cnt").cast("bigint").alias("e_in"))
     )
     comm = (
         deg.join(ein, "nat", "left")

@@ -2633,6 +2633,8 @@ def q180_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows partition by event type over calendar-sized partitions.
     """
     ev = load_table(spark, sf_dir, "events")
+    # lazy cut: the control limits and the runs-rule windows both consume
+    # the calendar-sized daily-mean relation (uncut: 4 fact scans/plan)
     d = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(
@@ -2640,7 +2642,7 @@ def q180_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("m")
-    )
+    ).localCheckpoint(eager=False)
     stats = d.groupBy("event_type").agg(
         (
             F.sum(F.col("m").cast("decimal(28,6)")).cast("double")
