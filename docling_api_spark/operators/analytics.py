@@ -162,6 +162,9 @@ def q121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_orders",
             "m_value",
         )
+        # lazy cut: the percentile probe and the scoring pass both
+        # consume the customer-level relation (4 fact scans/plan uncut)
+        .localCheckpoint(eager=False)
     )
     cuts = base.agg(
         F.expr("percentile(r_days, array(0.3333333333333333, 0.6666666666666666))").alias("rc"),
@@ -1285,6 +1288,9 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("pos"),
         )
+        # lazy cut: the decile-cut probe and the bucket assignment both
+        # consume the labeled customer relation (4 scans/plan uncut)
+        .localCheckpoint(eager=False)
     )
     cuts = pc.agg(
         F.expr(f"percentile(c_acctbal, array({_DECILE_FRACS}))").alias("qc")
@@ -1298,7 +1304,7 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = dec.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("pos").cast("bigint").alias("n_pos"),
-    )
+    ).localCheckpoint(eager=False)  # totals + readout reuse the 10-row table
     t = g.agg(
         F.sum("n_customers").cast("bigint").alias("tn"),
         F.sum("n_pos").cast("bigint").alias("tp"),
@@ -1911,6 +1917,9 @@ def q195_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y1",
             F.ntile(10).over(wy).cast("bigint").alias("decile"),
         )
+        # lazy cut: both sides of the year-over-year self-join consume the
+        # ranked relation (4 fact scans/plan uncut)
+        .localCheckpoint(eager=False)
     )
     a = ranked.where(F.col("y") == F.col("y1")).select(
         "o_custkey", F.col("decile").alias("decile_from"), "y"
@@ -6392,12 +6401,14 @@ def q290_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN LEAST(r * {CAL_BUCKETS} div nm1, {CAL_BUCKETS - 1}) >= 7"
         " THEN 1 ELSE 0 END AS selected",
     )
+    # lazy cut: the best-rate probe and the readout both consume the
+    # 5-row segment table (4 fact scans/plan uncut)
     seg = flagged.groupBy("segment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("selected").cast("bigint").alias("n_sel"),
         F.sum("y").cast("bigint").alias("n_pos"),
         F.sum(F.col("selected") * F.col("y")).cast("bigint").alias("n_sel_pos"),
-    )
+    ).localCheckpoint(eager=False)
     best = seg.agg(
         F.max(F.col("n_sel").cast("double") / F.col("n")).alias("best_sel"),
         F.max(F.col("n_sel_pos").cast("double") / F.col("n_pos")).alias(

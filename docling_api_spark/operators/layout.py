@@ -262,11 +262,14 @@ def q245_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     block comment; micro-quantized interpolation, integer bounds)."""
     o = load_table(spark, sf_dir, "orders")
     v = o.select(F.round("o_totalprice").cast("bigint").alias("d"))
+    # lazy cuts: the 1-row bounds feed the histogram build AND the
+    # estimate expressions; the 20-row histogram feeds the interval join —
+    # uncut, each reference re-scans the fact projection (4 scans/plan)
     bounds = v.agg(
         F.min("d").alias("lo_all"),
         (F.max("d") + 1).alias("hi_all"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     hist = (
         v.crossJoin(F.broadcast(bounds))
         .selectExpr(
@@ -275,6 +278,7 @@ def q245_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
     preds = spark.createDataFrame(list(_SEL_PREDS), "lo bigint, hi bigint")
     width = f"(CAST(hi_all - lo_all AS DOUBLE) / {_SEL_BUCKETS})"
@@ -646,9 +650,11 @@ def q302_learned_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("before"),
     )
+    # lazy cut: the regression moments and the residual scan both consume
+    # the rank relation (4 fact scans/plan uncut)
     pos = inblock.join(F.broadcast(prefix), "blk").select(
         "k", (F.col("before") + F.col("r_in")).alias("r")
-    )
+    ).localCheckpoint(eager=False)
     mom = pos.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("sx"),

@@ -2863,6 +2863,9 @@ def q184_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("churned"),
         )
+        # lazy cut: the population total and the per-duration event table
+        # both consume the customer-lifetime relation (4 scans/plan uncut)
+        .localCheckpoint(eager=False)
     )
     t = life.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     d = life.groupBy("dur").agg(
