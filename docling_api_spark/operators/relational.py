@@ -1009,6 +1009,7 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q118 — exact equi-depth histogram WITHOUT a global sort
 # ---------------------------------------------------------------------------
 _EQD_BUCKETS = 16
+_EQD_BLOCK = 1000  # value-range block width for the distributed exact ranks
 
 
 @register(
@@ -1036,20 +1037,117 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_EQD_BUCKETS} buckets.
 
     The textbook formulation — ntile() over a global ORDER BY — plans as a
-    single-partition WindowExec: the round-1 scale-killer class. Instead:
-    one distributed exact-percentile aggregate produces the 15 interior
-    cut points, which broadcast back as a 15-element array; bucket
-    assignment is a map-side `1 + count(cuts < x)` higher-order function
-    and the histogram is a plain hash aggregate. No global sort anywhere,
-    identical bucket boundaries (Spark percentile ≡ DuckDB quantile_cont).
-    At 100 TB the same plan holds with approx_percentile cut points.
+    single-partition WindowExec: the round-1 scale-killer class. And the
+    obvious fix — one exact `percentile(col, array(...))` aggregate —
+    buffers EVERY value in a single final aggregation buffer (fine at
+    sf0.1, the dominant cost in this query's 4.2s bench median, fatal at
+    100 TB). Instead the exact cut points come from a fully distributed
+    selection, the same blocked-ranking idiom as q302:
+
+      1. group by value → (x, c) distinct-value counts (one shuffle;
+         bounded by value cardinality, not row count);
+      2. within value-range blocks (width {_EQD_BLOCK}): running count
+         ordered by x → per-block rank; block totals + a prefix window
+         over the ~100-row block table → global `rank_lt` = #values < x.
+         The only SinglePartition exchanges carry the block table and the
+         15-row cut assembly — never the data;
+      3. the 15 target positions q·(n-1) join back with ONE broadcast
+         nested-loop over the distinct-value relation (15 × |values|
+         predicate evals) to pick the floor/ceil order statistics, and the
+         cut interpolates exactly as Spark's Percentile / DuckDB
+         quantile_cont do: (hi-pos)·v_lo + (pos-lo)·v_hi.
+
+    Bit-identical cut points to `percentile` (parity-pinned vs DuckDB at
+    both scales), but no value buffer anywhere: every relation after step
+    1 is value-cardinality- or block-count-sized. Bucket assignment is
+    unchanged: cuts broadcast as a 15-element array, map-side
+    `1 + count(cuts < x)`, plain hash aggregate.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    cuts = li.agg(
-        F.expr(
-            "percentile(l_extendedprice, array({}))".format(
-                ", ".join(str(i / _EQD_BUCKETS) for i in range(1, _EQD_BUCKETS))
+    # lazy cut: block sizing and the ranked chain both consume the
+    # distinct-value relation
+    counts = (
+        li.groupBy(F.col("l_extendedprice").alias("x"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    blocked = counts.select(
+        "x", "c", F.floor(F.col("x") / _EQD_BLOCK).cast("bigint").alias("blk")
+    )
+    inblock = blocked.select(
+        "x",
+        "c",
+        "blk",
+        (
+            F.sum("c").over(
+                W.partitionBy("blk")
+                .orderBy("x")
+                .rowsBetween(W.unboundedPreceding, 0)
             )
+            - F.col("c")
+        ).cast("bigint").alias("lt_in_blk"),
+    )
+    bsizes = blocked.groupBy("blk").agg(
+        F.sum("c").cast("bigint").alias("nb")
+    )
+    prefix = bsizes.select(
+        "blk",
+        F.coalesce(
+            F.sum("nb").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("before"),
+    )
+    ranked = inblock.join(F.broadcast(prefix), "blk").select(
+        "x", "c", (F.col("before") + F.col("lt_in_blk")).alias("rank_lt")
+    )
+    total = bsizes.agg(F.sum("nb").cast("bigint").alias("n"))
+    targets = (
+        spark.range(1, _EQD_BUCKETS)
+        .select(
+            F.col("id").cast("int").alias("i"),
+            (F.col("id") / F.lit(float(_EQD_BUCKETS))).alias("q"),
+        )
+        .join(F.broadcast(total))
+        .selectExpr(
+            "i",
+            "q * CAST(n - 1 AS DOUBLE) AS pos",
+            "CAST(FLOOR(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS lo",
+            "CAST(CEIL(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS hi",
+        )
+    )
+    # one BNLJ picks both order statistics: a ranked row covers positions
+    # [rank_lt, rank_lt + c), and hi <= lo + 1 so lo/hi hit <= 2 rows
+    hits = ranked.join(
+        F.broadcast(targets),
+        (F.col("rank_lt") <= F.col("hi"))
+        & (F.col("lo") < F.col("rank_lt") + F.col("c")),
+    )
+    interp = hits.groupBy("i", "pos", "lo", "hi").agg(
+        F.max(
+            F.when(
+                (F.col("rank_lt") <= F.col("lo"))
+                & (F.col("lo") < F.col("rank_lt") + F.col("c")),
+                F.col("x"),
+            )
+        ).alias("vlo"),
+        F.max(
+            F.when(
+                (F.col("rank_lt") <= F.col("hi"))
+                & (F.col("hi") < F.col("rank_lt") + F.col("c")),
+                F.col("x"),
+            )
+        ).alias("vhi"),
+    )
+    cuts = interp.selectExpr(
+        "i",
+        "CASE WHEN hi = lo THEN CAST(vlo AS DOUBLE)"
+        " ELSE (CAST(hi AS DOUBLE) - pos) * CAST(vlo AS DOUBLE)"
+        "      + (pos - CAST(lo AS DOUBLE)) * CAST(vhi AS DOUBLE) END AS cut",
+    ).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, cut))), s -> s.cut)"
         ).alias("c")
     )
     return (

@@ -35,7 +35,9 @@ _SP_ALLOWED = {
     "q95_temperature_mix": 1,
     "q106_heavy_hitters": 1,      # corpus token total
     "q108_bloom_semi_join": 1,    # one-row bloom map
-    "q118_equidepth_histogram": 1,  # 15-row cuts
+    "q118_equidepth_histogram": 3,  # block-prefix window (~100-row block
+    # table) + 15-row cut assembly + total scalar — never the data (the
+    # exact cuts are a distributed blocked-rank selection, q302 idiom)
     "q118_approx_equidepth": 1,     # 15-row sketch cuts
     "q120_ab_test_ztest": 1,      # 4-integer scalar reduce
     "q90_profile_orders": 1,

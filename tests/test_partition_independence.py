@@ -68,6 +68,10 @@ PINNED = [
     "q304_dominant_period",
     "q166_power_iteration",
     "q199_item_item_cf",
+    # round-5 distributed-exact selection: the blocked-rank percentile
+    # (integer ranks, exact doubles at the picked order statistics, one
+    # interpolation expression) must be bit-stable under any partitioning
+    "q118_equidepth_histogram",
 ]
 
 

@@ -251,10 +251,15 @@ def test_winsorized_agg_broadcasts_cuts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def test_equidepth_no_global_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q118_equidepth_histogram")
-    assert "Window" not in plan  # cuts via aggregate, not ntile-over-all
-    # exactly one SinglePartition exchange: the 15-row cuts aggregate.
-    # ntile-over-all would add a second one carrying the FULL relation.
-    assert plan.count("SinglePartition") == 1
+    # cuts via distributed blocked-rank selection, not ntile-over-all
+    assert "ntile" not in plan
+    # SinglePartition exchanges carry only the ~100-row block table, the
+    # one-row total, and the 15-row cut assembly — never the full
+    # relation (ntile-over-all, or plain `percentile`'s all-values
+    # aggregation buffer, would drag the data through one task).
+    assert plan.count("SinglePartition") <= 3
+    # the in-block running count is a blk-partitioned (distributed) window
+    assert "hashpartitioning(blk" in plan
 
 
 def test_equidepth_buckets_are_balanced(spark, sf_dir):
