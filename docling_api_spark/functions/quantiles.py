@@ -1,0 +1,136 @@
+"""Distributed exact quantiles — the scale-safe replacement for
+`percentile(col, array(...))`'s all-values aggregation buffer.
+
+Spark's exact `percentile` aggregate collects EVERY value (as an
+OpenHashMap of value→count) into each partial buffer, serializes the
+buffers through the shuffle, and merges them in ONE final task. At
+sf0.1 that is the dominant cost of a histogram query; at 100 TB it is
+an OOM. `approx_percentile` is the usual swap, but when the graded
+oracle (DuckDB `quantile_cont`) demands exactness, this module computes
+the same bit-identical result with bounded memory everywhere:
+
+  1. reduce to distinct-value counts (x, c) — one shuffle, sized by
+     value CARDINALITY, not row count;
+  2. blocked global ranking (the q302 learned-index idiom): a running
+     count within value-range blocks plus a prefix sum over the tiny
+     block table yields rank_lt(x) = #values < x with no global sort —
+     the only SinglePartition exchanges carry the block table and the
+     final |probs|-row assembly;
+  3. each target position p·(n-1) picks its floor/ceil order statistics
+     with ONE broadcast join against the distinct-value relation (a row
+     covers sorted positions [rank_lt, rank_lt+c)), and interpolates
+     with exactly the expression Spark's `Percentile` and DuckDB's
+     `quantile_cont` share: (hi-pos)·v_lo + (pos-lo)·v_hi, computed in
+     SQL doubles so every IEEE operation matches the builtin.
+
+Bit-identity to `percentile` is pinned by the q118 DuckDB parity tests
+(both scales) and its partition-independence pin. Any operator still
+paying the buffer (SCALING.md lists them under "the q118 oracle-parity
+tax") can swap to this without changing results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def distributed_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: Sequence[float],
+    block_width: float = 1000.0,
+) -> DataFrame:
+    """Exact linear-interpolated quantiles of ``df[col]`` at ``probs``.
+
+    Returns a ONE-row DataFrame with column ``c``: an array<double> of
+    the quantiles in ``probs`` order — the same shape (and bits) as
+    ``df.agg(F.expr("percentile(col, array(<probs>))").alias("c"))``,
+    without any task ever buffering more than a block of distinct
+    values. Nulls are excluded, matching the builtin.
+
+    ``block_width`` partitions the VALUE RANGE (not the rows): pick it
+    so (max-min)/block_width is 50-10000 blocks; correctness does not
+    depend on it.
+    """
+    spark = df.sparkSession
+    # lazy cut: block sizing and the ranked chain both consume the
+    # distinct-value relation
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("double").alias("x"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    blocked = counts.select(
+        "x", "c", F.floor(F.col("x") / F.lit(block_width)).cast("bigint").alias("blk")
+    )
+    inblock = blocked.select(
+        "x",
+        "c",
+        "blk",
+        (
+            F.sum("c").over(
+                W.partitionBy("blk").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("c")
+        ).cast("bigint").alias("lt_in_blk"),
+    )
+    bsizes = blocked.groupBy("blk").agg(F.sum("c").cast("bigint").alias("nb"))
+    prefix = bsizes.select(
+        "blk",
+        F.coalesce(
+            F.sum("nb").over(W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("before"),
+    )
+    ranked = inblock.join(F.broadcast(prefix), "blk").select(
+        "x", "c", (F.col("before") + F.col("lt_in_blk")).alias("rank_lt")
+    )
+    total = bsizes.agg(F.sum("nb").cast("bigint").alias("n"))
+    targets = (
+        spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(probs)], "i int, q double"
+        )
+        .join(F.broadcast(total))
+        .selectExpr(
+            "i",
+            "q * CAST(n - 1 AS DOUBLE) AS pos",
+            "CAST(FLOOR(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS lo",
+            "CAST(CEIL(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS hi",
+        )
+    )
+    # one broadcast join picks both order statistics: a ranked row covers
+    # positions [rank_lt, rank_lt + c), and hi <= lo + 1 so <= 2 rows hit
+    hits = ranked.join(
+        F.broadcast(targets),
+        (F.col("rank_lt") <= F.col("hi"))
+        & (F.col("lo") < F.col("rank_lt") + F.col("c")),
+    )
+    interp = hits.groupBy("i", "pos", "lo", "hi").agg(
+        F.max(
+            F.when(
+                (F.col("rank_lt") <= F.col("lo"))
+                & (F.col("lo") < F.col("rank_lt") + F.col("c")),
+                F.col("x"),
+            )
+        ).alias("vlo"),
+        F.max(
+            F.when(
+                (F.col("rank_lt") <= F.col("hi"))
+                & (F.col("hi") < F.col("rank_lt") + F.col("c")),
+                F.col("x"),
+            )
+        ).alias("vhi"),
+    )
+    return interp.selectExpr(
+        "i",
+        "CASE WHEN hi = lo THEN vlo"
+        " ELSE (CAST(hi AS DOUBLE) - pos) * vlo"
+        "      + (pos - CAST(lo AS DOUBLE)) * vhi END AS cut",
+    ).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, cut))), s -> s.cut)"
+        ).alias("c")
+    )

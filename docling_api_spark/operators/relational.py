@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from docling_api_spark.functions.numeric import DEC, davg, dsum, sql_davg, sql_dsum
+from docling_api_spark.functions.quantiles import distributed_quantiles
 from docling_api_spark.plans.registry import register
 from docling_api_spark.tables import load_table
 
@@ -1042,7 +1043,9 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffers EVERY value in a single final aggregation buffer (fine at
     sf0.1, the dominant cost in this query's 4.2s bench median, fatal at
     100 TB). Instead the exact cut points come from a fully distributed
-    selection, the same blocked-ranking idiom as q302:
+    selection (`functions/quantiles.py::distributed_quantiles`, reusable
+    for every operator still paying the buffer), the same blocked-ranking
+    idiom as q302:
 
       1. group by value → (x, c) distinct-value counts (one shuffle;
          bounded by value cardinality, not row count);
@@ -1064,91 +1067,11 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     `1 + count(cuts < x)`, plain hash aggregate.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # lazy cut: block sizing and the ranked chain both consume the
-    # distinct-value relation
-    counts = (
-        li.groupBy(F.col("l_extendedprice").alias("x"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    blocked = counts.select(
-        "x", "c", F.floor(F.col("x") / _EQD_BLOCK).cast("bigint").alias("blk")
-    )
-    inblock = blocked.select(
-        "x",
-        "c",
-        "blk",
-        (
-            F.sum("c").over(
-                W.partitionBy("blk")
-                .orderBy("x")
-                .rowsBetween(W.unboundedPreceding, 0)
-            )
-            - F.col("c")
-        ).cast("bigint").alias("lt_in_blk"),
-    )
-    bsizes = blocked.groupBy("blk").agg(
-        F.sum("c").cast("bigint").alias("nb")
-    )
-    prefix = bsizes.select(
-        "blk",
-        F.coalesce(
-            F.sum("nb").over(
-                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).cast("bigint").alias("before"),
-    )
-    ranked = inblock.join(F.broadcast(prefix), "blk").select(
-        "x", "c", (F.col("before") + F.col("lt_in_blk")).alias("rank_lt")
-    )
-    total = bsizes.agg(F.sum("nb").cast("bigint").alias("n"))
-    targets = (
-        spark.range(1, _EQD_BUCKETS)
-        .select(
-            F.col("id").cast("int").alias("i"),
-            (F.col("id") / F.lit(float(_EQD_BUCKETS))).alias("q"),
-        )
-        .join(F.broadcast(total))
-        .selectExpr(
-            "i",
-            "q * CAST(n - 1 AS DOUBLE) AS pos",
-            "CAST(FLOOR(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS lo",
-            "CAST(CEIL(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS hi",
-        )
-    )
-    # one BNLJ picks both order statistics: a ranked row covers positions
-    # [rank_lt, rank_lt + c), and hi <= lo + 1 so lo/hi hit <= 2 rows
-    hits = ranked.join(
-        F.broadcast(targets),
-        (F.col("rank_lt") <= F.col("hi"))
-        & (F.col("lo") < F.col("rank_lt") + F.col("c")),
-    )
-    interp = hits.groupBy("i", "pos", "lo", "hi").agg(
-        F.max(
-            F.when(
-                (F.col("rank_lt") <= F.col("lo"))
-                & (F.col("lo") < F.col("rank_lt") + F.col("c")),
-                F.col("x"),
-            )
-        ).alias("vlo"),
-        F.max(
-            F.when(
-                (F.col("rank_lt") <= F.col("hi"))
-                & (F.col("hi") < F.col("rank_lt") + F.col("c")),
-                F.col("x"),
-            )
-        ).alias("vhi"),
-    )
-    cuts = interp.selectExpr(
-        "i",
-        "CASE WHEN hi = lo THEN CAST(vlo AS DOUBLE)"
-        " ELSE (CAST(hi AS DOUBLE) - pos) * CAST(vlo AS DOUBLE)"
-        "      + (pos - CAST(lo AS DOUBLE)) * CAST(vhi AS DOUBLE) END AS cut",
-    ).agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(i, cut))), s -> s.cut)"
-        ).alias("c")
+    cuts = distributed_quantiles(
+        li,
+        "l_extendedprice",
+        [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)],
+        block_width=_EQD_BLOCK,
     )
     return (
         li.join(F.broadcast(cuts))

@@ -1,0 +1,47 @@
+"""`functions/quantiles.py::distributed_quantiles` bit-identity vs the
+builtin exact `percentile` aggregate — on a double fact column, an
+integer key column (exercising the up-front double cast), probs hitting
+integral positions (0.0, 1.0, and whatever 0.5 lands on), nulls, and a
+deliberately silly block width (correctness must not depend on it)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.quantiles import distributed_quantiles
+from docling_api_spark.tables import load_table
+
+PROBS = [0.0, 0.05, 0.25, 0.5, 0.62, 0.75, 0.95, 1.0]
+
+
+def _builtin(df, col):
+    return df.agg(
+        F.expr(
+            "percentile({}, array({}))".format(col, ", ".join(map(str, PROBS)))
+        ).alias("c")
+    ).collect()[0].c
+
+
+@pytest.mark.parametrize(
+    "table,col,block",
+    [
+        ("lineitem", "l_extendedprice", 1000.0),
+        ("orders", "o_custkey", 37.0),  # bigint in, awkward block width
+        ("part", "p_size", 3.0),  # tiny integer domain, heavy ties
+    ],
+)
+def test_bit_identical_to_builtin(spark, sf_dir, table, col, block):
+    df = load_table(spark, sf_dir, table)
+    got = distributed_quantiles(df, col, PROBS, block_width=block).collect()[0].c
+    want = _builtin(df.select(F.col(col).cast("double").alias(col)), col)
+    assert [repr(g) for g in got] == [repr(w) for w in want]
+
+
+def test_nulls_excluded_like_builtin(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (10.0,)], "v double"
+    )
+    got = distributed_quantiles(df, "v", PROBS, block_width=5.0).collect()[0].c
+    want = _builtin(df, "v")
+    assert [repr(g) for g in got] == [repr(w) for w in want]
