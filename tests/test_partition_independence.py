@@ -72,6 +72,9 @@ PINNED = [
     # (integer ranks, exact doubles at the picked order statistics, one
     # interpolation expression) must be bit-stable under any partitioning
     "q118_equidepth_histogram",
+    "q158_median_mad_outliers",
+    "q227_conformal_interval",
+    "q241_quantile_treatment_effect",
 ]
 
 

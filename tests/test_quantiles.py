@@ -45,3 +45,35 @@ def test_nulls_excluded_like_builtin(spark):
     got = distributed_quantiles(df, "v", PROBS, block_width=5.0).collect()[0].c
     want = _builtin(df, "v")
     assert [repr(g) for g in got] == [repr(w) for w in want]
+
+
+@pytest.mark.parametrize(
+    "table,grp,col,block",
+    [
+        ("events", "event_type", "value", 250.0),
+        ("orders", "o_orderstatus", "o_totalprice", 10000.0),
+        ("part", "p_brand", "p_size", 7.0),  # heavy ties per group
+    ],
+)
+def test_grouped_bit_identical_to_builtin(spark, sf_dir, table, grp, col, block):
+    from docling_api_spark.functions.quantiles import distributed_grouped_quantiles
+
+    df = load_table(spark, sf_dir, table)
+    got = {
+        tuple(r)[0]: [repr(v) for v in r.c]
+        for r in distributed_grouped_quantiles(
+            df, [grp], col, PROBS, block_width=block
+        ).collect()
+    }
+    want = {
+        tuple(r)[0]: [repr(v) for v in r.c]
+        for r in df.select(grp, F.col(col).cast("double").alias(col))
+        .groupBy(grp)
+        .agg(
+            F.expr(
+                "percentile({}, array({}))".format(col, ", ".join(map(str, PROBS)))
+            ).alias("c")
+        )
+        .collect()
+    }
+    assert got == want
