@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from docling_api_spark.functions.numeric import sql_dsum
-from docling_api_spark.functions.quantiles import distributed_grouped_quantiles
+from docling_api_spark.functions.quantiles import (
+    distributed_grouped_quantiles,
+    distributed_quantiles,
+)
 from docling_api_spark.operators.sampling import hash_bucket, sql_hash_bucket
 from docling_api_spark.plans.registry import register
 from docling_api_spark.tables import load_table
@@ -167,10 +170,22 @@ def q121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consume the customer-level relation (4 fact scans/plan uncut)
         .localCheckpoint(eager=False)
     )
-    cuts = base.agg(
-        F.expr("percentile(r_days, array(0.3333333333333333, 0.6666666666666666))").alias("rc"),
-        F.expr("percentile(f_orders, array(0.3333333333333333, 0.6666666666666666))").alias("fc"),
-        F.expr("percentile(m_value, array(0.3333333333333333, 0.6666666666666666))").alias("mc"),
+    # all six tercile cuts from ONE grouped blocked-rank selection (the
+    # three metrics stack into a (metric, v) relation and group by
+    # metric): bit-identical to the three builtin `percentile` calls,
+    # whose buffers each held the full customer dimension
+    mstack = base.selectExpr(
+        "stack(3, 'r', CAST(r_days AS DOUBLE),"
+        " 'f', CAST(f_orders AS DOUBLE),"
+        " 'm', m_value) AS (metric, v)"
+    )
+    tc = distributed_grouped_quantiles(
+        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width=1000.0
+    )
+    cuts = tc.agg(
+        F.max(F.when(F.col("metric") == "r", F.col("c"))).alias("rc"),
+        F.max(F.when(F.col("metric") == "f", F.col("c"))).alias("fc"),
+        F.max(F.when(F.col("metric") == "m", F.col("c"))).alias("mc"),
     )
     scored = base.join(F.broadcast(cuts)).select(
         (
@@ -6497,14 +6512,14 @@ def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional exact sums)."""
     o = load_table(spark, sf_dir, "orders")
     v = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
-    th = v.agg(
-        F.expr("percentile(c, 0.90)").alias("u90"),
-        F.expr("percentile(c, 0.95)").alias("u95"),
-        F.expr("percentile(c, 0.99)").alias("u99"),
+    # tail thresholds via the blocked-rank distributed selection: the
+    # builtin's buffer held every order's cents — bit-identical, bounded
+    th = distributed_quantiles(
+        v, "c", [0.9, 0.95, 0.99], block_width=1000000.0
     )
     pts = th.selectExpr(
-        "stack(3, CAST(0.90 AS DOUBLE), u90, CAST(0.95 AS DOUBLE), u95,"
-        " CAST(0.99 AS DOUBLE), u99) AS (tau, u)"
+        "stack(3, CAST(0.90 AS DOUBLE), c[0], CAST(0.95 AS DOUBLE), c[1],"
+        " CAST(0.99 AS DOUBLE), c[2]) AS (tau, u)"
     )
     return (
         v.crossJoin(F.broadcast(pts))

@@ -26,7 +26,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from docling_api_spark.functions.numeric import DEC, davg, dsum, sql_davg, sql_dsum
-from docling_api_spark.functions.quantiles import distributed_quantiles
+from docling_api_spark.functions.quantiles import (
+    distributed_grouped_quantiles,
+    distributed_quantiles,
+)
 from docling_api_spark.plans.registry import register
 from docling_api_spark.tables import load_table
 
@@ -832,12 +835,23 @@ def q23_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q24_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated median per group (Spark `percentile` ≡ DuckDB quantile_cont)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.min("value").alias("min_v"),
-        F.expr("percentile(value, 0.5)").alias("median_v"),
-        F.max("value").alias("max_v"),
+    """Exact interpolated median per group (≡ DuckDB quantile_cont).
+
+    Since round 5 the median comes from the blocked-rank distributed
+    selection (`functions/quantiles.py`) rather than the builtin
+    `percentile` aggregate, whose per-group buffer holds every value of
+    the group — with ~5 event types that is a fifth of the fact table
+    per buffer. Bit-identical results (helper unit tests + this oracle).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = distributed_grouped_quantiles(
+        ev, ["event_type"], "value", [0.5], block_width=25.0
+    ).select("event_type", F.col("c")[0].alias("median_v"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.min("value").alias("min_v"), F.max("value").alias("max_v"))
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", "min_v", "median_v", "max_v")
     )
 
 
@@ -987,9 +1001,15 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
         "p_brand", F.col("l_extendedprice").alias("x")
     )
-    cuts = pb.groupBy("p_brand").agg(
-        F.expr("percentile(x, 0.05)").alias("p05"),
-        F.expr("percentile(x, 0.95)").alias("p95"),
+    # per-brand cuts via the blocked-rank distributed selection: the
+    # builtin's per-brand buffer held every price of the brand (1/25th of
+    # the fact table each) — bit-identical, bounded memory
+    cuts = distributed_grouped_quantiles(
+        pb, ["p_brand"], "x", [0.05, 0.95], block_width=5000.0
+    ).select(
+        "p_brand",
+        F.col("c")[0].alias("p05"),
+        F.col("c")[1].alias("p95"),
     )
     clamped = pb.join(F.broadcast(cuts), "p_brand").select(
         "p_brand",

@@ -150,7 +150,9 @@ _SP_ALLOWED = {
     "q292_neyman_allocation": 1,  # strata-total scalar broadcast
     "q296_watermark_advisor": 2,  # block-maxima prefix window (block
     # relation is |stream|/1000) + percentile scalar reduce
-    "q297_mean_excess": 1,        # threshold-percentile scalar broadcast
+    "q297_mean_excess": 3,        # blocked-rank threshold selection: block
+    # table prefix window + 3-row cut assembly + tail-stat broadcast —
+    # never the per-order data (q118 idiom)
     "q299_stationary_distribution": 1,  # state-count scalar broadcast
     "q301_vocab_growth": 1,       # doc-sized start-offset prefix window
     "q302_learned_index_audit": 4,  # block-prefix window (|keys|/1e5
