@@ -1290,8 +1290,8 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     top decile down, and lift over the base rate — the tabular readout
     every targeting model is judged on.
 
-    Deciles come from ONE distributed percentile aggregate broadcast back
-    (q121's cut-point idiom — no ntile global sort); the per-decile
+    Deciles come from ONE blocked-rank distributed selection broadcast
+    back (q121's cut-point idiom — no ntile global sort); the per-decile
     relation is 10 rows, so the cumulative-gain window and the scalar
     totals join are driver-trivial while positives/counts stay exact
     bigints. Closing divisions are the only doubles.
@@ -1311,9 +1311,15 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consume the labeled customer relation (4 scans/plan uncut)
         .localCheckpoint(eager=False)
     )
-    cuts = pc.agg(
-        F.expr(f"percentile(c_acctbal, array({_DECILE_FRACS}))").alias("qc")
-    )
+    # decile cuts via the blocked-rank distributed selection: acctbal is
+    # a continuous value, so the builtin `percentile` buffer would hold
+    # ~every customer — bit-identical, bounded
+    cuts = distributed_quantiles(
+        pc.select("c_acctbal"),
+        "c_acctbal",
+        [float(p) for p in _DECILE_FRACS.split(", ")],
+        block_width=100.0,
+    ).select(F.col("c").alias("qc"))
     dec = pc.join(F.broadcast(cuts)).select(
         (F.lit(1) + F.size(F.expr("filter(qc, v -> c_acctbal > v)")))
         .cast("int")

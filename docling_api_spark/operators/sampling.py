@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from docling_api_spark.functions.numeric import sql_davg, sql_dsum, davg, dsum
+from docling_api_spark.functions.quantiles import distributed_quantiles
 from docling_api_spark.plans.registry import register
 from docling_api_spark.tables import load_table
 
@@ -274,24 +275,31 @@ def q102_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deliberately NOT a Lorenz-curve global sort: ranking every customer
     needs a single global order (unbounded single-partition window at
-    corpus scale), while thresholds come from an exact interpolated
-    percentile AGGREGATE (Spark `percentile` ≡ DuckDB quantile_cont,
-    q24's parity) and the shares from one conditional decimal-exact pass
-    over the customers-sized relation against a broadcast 1-row stats
-    table. Per-customer revenue is an exact DECIMAL sum cast to double,
-    so thresholds, counts, and shares all replay bit-exactly.
+    corpus scale), while thresholds come from the blocked-rank
+    distributed selection (`functions/quantiles.py` — per-customer
+    revenue is a continuous double, so the builtin `percentile` buffer
+    would hold ~every customer; bit-identical to DuckDB quantile_cont)
+    and the shares from one conditional decimal-exact pass over the
+    customers-sized relation against a broadcast 1-row stats table.
+    Per-customer revenue is an exact DECIMAL sum cast to double, so
+    thresholds, counts, and shares all replay bit-exactly.
     """
     dec = lambda c: F.col(c).cast("decimal(28,6)")
     cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+        # lazy cut: threshold selection, base stats, and the share pass
+        # all consume the customer-revenue relation
+        .localCheckpoint(eager=False)
     )
-    stats = cust.groupBy().agg(
+    base = cust.groupBy().agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.sum(dec("rev")).cast("double").alias("total"),
-        F.expr("percentile(rev, 0.90)").alias("t90"),
-        F.expr("percentile(rev, 0.99)").alias("t99"),
+    )
+    tq = distributed_quantiles(cust, "rev", [0.90, 0.99], block_width=50000.0)
+    stats = base.join(F.broadcast(tq)).selectExpr(
+        "n_cust", "total", "c[0] AS t90", "c[1] AS t99"
     )
     th = stats.selectExpr(
         "stack(2, 0.90D, t90, 0.99D, t99) AS (pct, threshold)", "n_cust", "total"

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from docling_api_spark.functions.numeric import dsum, sql_dsum
+from docling_api_spark.functions.quantiles import distributed_quantiles
 from docling_api_spark.plans.registry import register
 from docling_api_spark.tables import load_table
 
@@ -5638,17 +5639,28 @@ def q296_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("t_us")
         ).alias("late_us")
     )
-    return lateness.agg(
+    # lazy cut: the count pass and the lateness-quantile selection both
+    # consume the event-sized lateness relation
+    lateness = lateness.localCheckpoint(eager=False)
+    # lateness percentiles via the blocked-rank distributed selection:
+    # late_us is near-continuous (microseconds), so the builtin
+    # `percentile` buffer would hold ~every event — bit-identical, bounded
+    lq = distributed_quantiles(
+        lateness, "late_us", [0.5, 0.95, 0.99], block_width=60000000.0
+    )
+    counts = lateness.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_late"),
-        (F.expr("percentile(late_us, 0.5)") / 1000000.0).alias("p50_lateness_s"),
-        (F.expr("percentile(late_us, 0.95)") / 1000000.0).alias("p95_lateness_s"),
-        (F.expr("percentile(late_us, 0.99)") / 1000000.0).alias("p99_lateness_s"),
-        F.expr(
-            "CAST(CEIL(percentile(late_us, 0.99) / 60000000.0) AS BIGINT)"
-        ).alias("suggested_watermark_min"),
+    )
+    return counts.join(F.broadcast(lq)).selectExpr(
+        "n_events",
+        "n_late",
+        "c[0] / 1000000.0 AS p50_lateness_s",
+        "c[1] / 1000000.0 AS p95_lateness_s",
+        "c[2] / 1000000.0 AS p99_lateness_s",
+        "CAST(CEIL(c[2] / 60000000.0) AS BIGINT) AS suggested_watermark_min",
     )
 
 

@@ -47,7 +47,9 @@ _SP_ALLOWED = {
     "q87_growth_accounting": 1,
     "q88_collocations_pmi": 2,    # unigram + bigram totals
     "q99_corpus_report": 2,       # one-row report card
-    "q102_revenue_concentration": 1,
+    "q102_revenue_concentration": 4,  # blocked-rank threshold selection
+    # (block prefix + 2-row cut assembly) + 1-row base stats + stitch —
+    # never the customer data (q118 idiom)
     "q121_rfm_segmentation": 3,   # global max date + 2-cut × 3-metric agg
     "q123_market_basket": 1,      # order-count scalar
     "q124_chi_square": 2,         # global window + final one-row agg
@@ -148,8 +150,10 @@ _SP_ALLOWED = {
     "q290_fairness_audit": 4,     # customer-dimension rank window (q210
     # shape) + year scalar + best-segment reduce
     "q292_neyman_allocation": 1,  # strata-total scalar broadcast
-    "q296_watermark_advisor": 2,  # block-maxima prefix window (block
-    # relation is |stream|/1000) + percentile scalar reduce
+    "q296_watermark_advisor": 4,  # block-maxima prefix window (block
+    # relation is |stream|/1000) + blocked-rank lateness selection
+    # (block prefix + 3-row cut assembly) + count scalar — never the
+    # event data (q118 idiom)
     "q297_mean_excess": 3,        # blocked-rank threshold selection: block
     # table prefix window + 3-row cut assembly + tail-stat broadcast —
     # never the per-order data (q118 idiom)
