@@ -1,8 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"carried_total": ..., "carried_total_median": ..., "queries_median": {...},
-"queries": {...}, "queries_spread": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: a detailed record (full-precision per-query min/median/spread
+dicts) followed by a compact line — {"queries": {per-query medians, 2dp},
+"metric": ..., "value": total_sec, "unit": "sec", "carried_total": ...,
+"sf": ...} — sized to fit entirely inside the grading driver's 2000-char
+output-tail capture, so the LAST line always parses.
 
 Round-over-round comparability (r4 lesson): the headline set grew 27 -> 52
 queries in one shared JVM and every carried query drifted +10-40% from
@@ -15,9 +17,13 @@ fixes live here:
    same JVM conditions round 3 measured and regressions are attributable
    to code, not to whatever headliners were added since. The remaining
    headliners run as a second phase afterwards.
-2. Scalar totals and the medians dict print BEFORE the per-query dicts:
-   the driver records only the output tail, and BENCH_r04 lost its
-   medians to truncation when 52 queries x 3 dicts no longer fit.
+2. The driver records only the LAST 2000 characters of output and parses
+   a JSON line out of them (BENCH_r01-r04 inspection). r3/r4's single
+   detailed line outgrew the capture: its head — opening brace and
+   scalars — was cut, leaving "parsed": null. The compact final line
+   (~1.8KB measured) always fits, so the tail always contains one
+   complete parseable record; the detailed line before it preserves the
+   full-precision history for humans re-reading the run.
 
 Each query is warmed once (JVM JIT, parquet footers, Python worker pool),
 then timed SPARK_GRAFT_BENCH_RUNS (default 3) times via a noop-format
@@ -171,25 +177,37 @@ def main() -> None:
     probes["probe_spark_ms_end"] = probes_end["probe_spark_ms"]
 
     total = round(sum(out["queries"].values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    scalars = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "carried_total": carried_total,
+        "carried_total_median": carried_total_median,
+        "carried_n": len(carried),
+        "n_queries": len(out["queries"]),
+        "n_runs": runs,
+        **probes,
+        "sf": sf_val,
+    }
+    # detailed record (full precision, min/median/spread per query) —
+    # printed FIRST because the grading driver captures only the LAST
+    # 2000 characters of output (BENCH_r03/r04 lesson: the single
+    # detailed line outgrew the capture and its HEAD — opening brace and
+    # scalars — was cut, leaving nothing parseable)
+    print(json.dumps({**scalars, **out}))
+    # compact line LAST: per-query medians at 2 decimals + all scalars,
+    # measured ~1.8KB < the 2000-char tail, so the driver always sees one
+    # complete parseable JSON line with the required keys; scalars go at
+    # the END so they stay readable even if a future larger headline set
+    # cuts the line's head
     print(
         json.dumps(
             {
-                # scalars + medians first: the driver keeps only the output
-                # tail, so the per-query min/spread dicts are the ones that
-                # may truncate away, not these.
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "carried_total": carried_total,
-                "carried_total_median": carried_total_median,
-                "carried_n": len(carried),
-                "n_queries": len(out["queries"]),
-                "n_runs": runs,
-                **probes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries_median": out["queries_median"],
-                "queries": out["queries"],
-                "queries_spread": out["queries_spread"],
+                "queries": {
+                    n: round(v, 2) for n, v in out["queries_median"].items()
+                },
+                **scalars,
             }
         )
     )
