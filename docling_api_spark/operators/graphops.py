@@ -218,6 +218,14 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cs.unionByName(
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # NOTE (measured on this Spark): localCheckpoint does NOT preserve
+    # outputPartitioning — a checkpointed relation always comes back as a
+    # bare ExistingRDD, so pre-repartitioning the edge list buys nothing
+    # and each iteration's join must move it. The per-iteration joins are
+    # therefore hinted shuffle_hash (build side = the node-sized table):
+    # same exchanges as sort-merge, but the 2|E|-row edge relation is
+    # never SORTED — the right trade at any scale where a partition's
+    # node slice fits executor memory (it does: |V|/parts longs).
     nodes_deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -227,12 +235,12 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // (PR_DAMP_DEN * n)
 
     # ranks carry deg so the contribution `rank div deg` needs no edge-side
-    # degree column; deg is re-attached from the 16k-row checkpointed table
-    # (AQE broadcasts it) after each aggregation
+    # degree column; deg is re-attached from the checkpointed node table
+    # after each aggregation
     ranks = nodes_deg.select("node", F.lit(PR_SCALE // n).alias("rank"), "deg")
     for _ in range(PR_ITERS):
         agg = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(ranks.hint("shuffle_hash"), edges.src == ranks.node)
             .select("dst", F.expr("rank div deg").alias("contrib"))
             .groupBy("dst")
             .agg(
@@ -243,9 +251,9 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rank")
             )
         )
-        ranks = agg.join(nodes_deg, agg.dst == nodes_deg.node).select(
-            "node", "rank", "deg"
-        )
+        ranks = agg.join(
+            nodes_deg.hint("shuffle_hash"), agg.dst == nodes_deg.node
+        ).select("node", "rank", "deg")
     return ranks.select(
         F.when(
             F.col("node") % 2 == 0,
