@@ -92,13 +92,16 @@ def q103_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = frontier
     out = frontier.withColumn("min_hops", F.lit(0).cast("int"))
 
+    # checkpointed relations carry no stats (see q152's note), so AQE
+    # never broadcast-converts the frontier/visited sides; hint them
+    # shuffle_hash so the edge relation is never sorted per hop
     for hop in range(1, K_HOPS + 1):
-        via = edges.join(frontier, "p").select("s").distinct()
+        via = edges.join(frontier.hint("shuffle_hash"), "p").select("s").distinct()
         nxt = (
-            edges.join(via, "s")
+            edges.join(via.hint("shuffle_hash"), "s")
             .select("p")
             .distinct()
-            .join(visited, "p", "left_anti")
+            .join(visited.hint("shuffle_hash"), "p", "left_anti")
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(nxt.withColumn("min_hops", F.lit(hop).cast("int")))
