@@ -374,8 +374,12 @@ def q191_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # checkpointed dist carries no stats (q152's note): hint shuffle_hash
+    # so the relaxation never sorts the edge relation
     for _ in range(SP_ROUNDS):
-        relaxed = edges.join(dist, edges.src == dist.node).select(
+        relaxed = edges.join(
+            dist.hint("shuffle_hash"), edges.src == dist.node
+        ).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
