@@ -27,6 +27,23 @@ Bit-identity to `percentile` is pinned by the q118 DuckDB parity tests
 (both scales) and its partition-independence pin. Any operator still
 paying the buffer (SCALING.md lists them under "the q118 oracle-parity
 tax") can swap to this without changing results.
+
+Known divergences from the builtin (r5 advisor; all outside the domain
+of every current caller, documented so "drop-in" is honest):
+
+- **Empty / all-null input**: the builtin returns a NULL array;
+  :func:`distributed_quantiles` returns one row with an EMPTY array, and
+  :func:`distributed_grouped_quantiles` DROPS a group whose values are
+  all null — a caller that inner-joins the result back would lose that
+  group where the builtin keeps it with a null array. Left-join at the
+  call site (or coalesce) if all-null groups are possible.
+- **NaN**: the builtin sorts NaN greatest; here NaN is EXCLUDED by the
+  input filter (floor(NaN/width) would land NaN in block 0 and silently
+  corrupt every rank at or above it, so exclusion is the only bounded
+  behavior available to the blocked construction).
+- **Integers beyond 2^53**: values rank as doubles, so bigint keys that
+  collide at double precision collapse into one distinct value up
+  front, while the builtin keeps them distinct until interpolation.
 """
 
 from __future__ import annotations
@@ -56,12 +73,16 @@ def distributed_grouped_quantiles(
     (group × |probs|) target table stay broadcast-small.
 
     Group keys must be non-null (they thread through equi-joins); rows
-    with a null ``col`` value are excluded per group, like the builtin.
+    with a null ``col`` value are excluded per group, like the builtin
+    (NaN rows too — divergence, see the module docstring; a group whose
+    values are ALL null/NaN yields no output row).
     """
     spark = df.sparkSession
     g = list(group_cols)
     counts = (
-        df.where(F.col(col).isNotNull())
+        df.where(
+            F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+        )
         .groupBy(*g, F.col(col).cast("double").alias("x"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=False)
@@ -160,7 +181,8 @@ def distributed_quantiles(
     the quantiles in ``probs`` order — the same shape (and bits) as
     ``df.agg(F.expr("percentile(col, array(<probs>))").alias("c"))``,
     without any task ever buffering more than a block of distinct
-    values. Nulls are excluded, matching the builtin.
+    values. Nulls are excluded, matching the builtin; NaN is excluded
+    too (divergence — see the module docstring).
 
     ``block_width`` partitions the VALUE RANGE (not the rows): pick it
     so (max-min)/block_width is 50-10000 blocks; correctness does not
@@ -170,7 +192,9 @@ def distributed_quantiles(
     # lazy cut: block sizing and the ranked chain both consume the
     # distinct-value relation
     counts = (
-        df.where(F.col(col).isNotNull())
+        df.where(
+            F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+        )
         .groupBy(F.col(col).cast("double").alias("x"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=False)

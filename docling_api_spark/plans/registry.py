@@ -77,20 +77,71 @@ def register(
 # explicit order: the 50 queries that must land inside the correctness
 # window come first.
 #
-# Round-5 rotation (VERDICT r4 #1): certification is the binding
-# constraint — 174 of 307 queries have never been driver-graded, and the
-# only way they ever get a driver hash-grade is cycling them through the
-# 50-entry window. This round's window: the 13 deferred class-cousins
-# (q77/q99/q134/q135/q142..q150), the round-4 tail (q151..q159), then
-# q160..q189 in registry order, skipping the rows-only entries (q171
-# HLL binaries, q175 sequential debounce — no DuckDB oracle, they can
-# never hash-green and would burn slots). Every query graded green in
-# r1-r4 moves to overflow (grades stand; pytest + tools/driver_dryrun.py
-# keep sweeping the whole registry at sf0.01 and sf0.1). The surface is
-# FROZEN this round (VERDICT r4 #2): no new queries until the backlog
-# drains — round-6 window queue starts at q190_phrase_search.
+# Round-6 rotation (VERDICT r5 #1): certification remains the binding
+# constraint — 113 oracle-checked queries (+8 rows-only) still have no
+# driver grade. This round's window: the queue head q190..q239 in
+# registry order (exactly 50, all oracle-checked; q240_compression_ratio
+# is rows-only and sits just past the window, so nothing is skipped).
+# Every query graded green in r1-r5 moves to overflow (grades stand;
+# pytest + tools/driver_dryrun.py keep sweeping the whole registry at
+# sf0.01 and sf0.1). The surface stays FROZEN (VERDICT r5 #2): no new
+# queries until the backlog drains — round-7 window queue starts at
+# q241_quantile_treatment_effect (plus the 8 rows-only entries for a
+# rows-only driver record, per VERDICT r5 #5).
 GRADED_FIRST: tuple[str, ...] = (
     # ---- driver window (50): never driver-graded, all oracle-checked ----
+    "q190_phrase_search",
+    "q191_shortest_path",
+    "q192_forecast_wape",
+    "q193_rolling_distinct",
+    "q194_kmeans_lloyd",
+    "q195_decile_migration",
+    "q196_hybrid_rank_fusion",
+    "q197_bm25_scoring",
+    "q198_ancestor_rollup",
+    "q199_item_item_cf",
+    "q200_kwic_snippets",
+    "q201_allen_relations",
+    "q202_bpe_encode",
+    "q203_negative_sampling",
+    "q204_gram_matrix",
+    "q205_mahalanobis_outliers",
+    "q206_gdpr_cascade",
+    "q207_decayed_leaderboard",
+    "q208_entity_resolution",
+    "q209_ann_recall",
+    "q210_calibration_curve",
+    "q211_rake_keyphrases",
+    "q212_nation_modularity",
+    "q213_churn_features",
+    "q214_partition_advisor",
+    "q215_queue_depth",
+    "q216_pca2d",
+    "q217_hellinger_drift",
+    "q218_ndcg_ranking",
+    "q219_haar_downsample",
+    "q220_raking_ipf",
+    "q221_poisson_bootstrap",
+    "q222_degree_assortativity",
+    "q223_stl_decompose",
+    "q224_sax_symbols",
+    "q225_markov_absorption",
+    "q226_emd_regions",
+    "q227_conformal_interval",
+    "q228_geometric_median",
+    "q229_bitmap_intersect",
+    "q230_lagged_xcorr",
+    "q231_diff_in_diff",
+    "q232_stratified_att",
+    "q233_count_min_sketch",
+    "q234_slo_burn_alerts",
+    "q235_ngram_novelty",
+    "q236_kcore_peel",
+    "q237_rank_biased_overlap",
+    "q238_beta_binomial",
+    "q239_burstiness",
+    # ---- overflow: beyond the driver's 50-entry window ----
+    # driver-graded green r5
     "q77_streaming_sliding",
     "q99_corpus_report",
     "q134_curation_pipeline",
@@ -141,7 +192,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q187_ewma_smoothing",
     "q188_lag1_autocorr",
     "q189_bpe_merges",
-    # ---- overflow: beyond the driver's 50-entry window ----
     # driver-graded green r4
     "q48_fuzzy_match_parts",
     "q49_rolling_zscore",
@@ -286,59 +336,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q118_approx_equidepth",
     "q171_hll_rollup",  # rows-only: Datasketches binaries, tolerance-pinned
     "q175_debounce",  # rows-only: sequential per-key semantics, brute-force pinned
-    # round-4 continuation additions (oracle-checked, never graded —
-    # round-6 window queue starts here)
-    "q190_phrase_search",
-    "q191_shortest_path",
-    "q192_forecast_wape",
-    "q193_rolling_distinct",
-    "q194_kmeans_lloyd",
-    "q195_decile_migration",
-    "q196_hybrid_rank_fusion",
-    "q197_bm25_scoring",
-    "q198_ancestor_rollup",
-    "q199_item_item_cf",
-    "q200_kwic_snippets",
-    "q201_allen_relations",
-    "q202_bpe_encode",
-    "q203_negative_sampling",
-    "q204_gram_matrix",
-    "q205_mahalanobis_outliers",
-    "q206_gdpr_cascade",
-    "q207_decayed_leaderboard",
-    "q208_entity_resolution",
-    "q209_ann_recall",
-    "q210_calibration_curve",
-    "q211_rake_keyphrases",
-    "q212_nation_modularity",
-    "q213_churn_features",
-    "q214_partition_advisor",
-    # ---- round-4 fourth-session additions (overflow; round-5+ queue) ----
-    "q215_queue_depth",
-    "q216_pca2d",
-    "q217_hellinger_drift",
-    "q218_ndcg_ranking",
-    "q219_haar_downsample",
-    "q220_raking_ipf",
-    "q221_poisson_bootstrap",
-    "q222_degree_assortativity",
-    "q223_stl_decompose",
-    "q224_sax_symbols",
-    "q225_markov_absorption",
-    "q226_emd_regions",
-    "q227_conformal_interval",
-    "q228_geometric_median",
-    "q229_bitmap_intersect",
-    "q230_lagged_xcorr",
-    "q231_diff_in_diff",
-    "q232_stratified_att",
-    "q233_count_min_sketch",
-    "q234_slo_burn_alerts",
-    "q235_ngram_novelty",
-    "q236_kcore_peel",
-    "q237_rank_biased_overlap",
-    "q238_beta_binomial",
-    "q239_burstiness",
+    # oracle-checked, never driver-graded (round-7+ window queue starts
+    # here; q240 is rows-only — VERDICT r5 #5 schedules it and its seven
+    # rows-only peers for a rows-only driver record in round 7)
     "q240_compression_ratio",
     "q241_quantile_treatment_effect",
     "q242_binary_segmentation",
