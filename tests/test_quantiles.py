@@ -47,6 +47,47 @@ def test_nulls_excluded_like_builtin(spark):
     assert [repr(g) for g in got] == [repr(w) for w in want]
 
 
+def test_nan_excluded_with_documented_semantics(spark):
+    """NaN is excluded by the input guard (module-docstring divergence):
+    the result equals the builtin over the NaN-FILTERED input — and NOT
+    the raw builtin, which sorts NaN greatest. Regression pin for the r5
+    advisor finding that floor(NaN/width) landed NaN in block 0 and
+    silently corrupted every rank at or above it."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,), (float("nan"),), (None,), (10.0,)],
+        "v double",
+    )
+    got = distributed_quantiles(df, "v", PROBS, block_width=5.0).collect()[0].c
+    want = _builtin(df.where(~F.isnan("v")), "v")
+    assert [repr(g) for g in got] == [repr(w) for w in want]
+    assert not any(repr(g) == "nan" for g in got)
+
+
+def test_grouped_nan_and_all_null_groups(spark):
+    """Grouped variant: NaN rows are excluded per group; a group whose
+    values are ALL null/NaN yields no output row (documented divergence
+    from the builtin's null-array row)."""
+    from docling_api_spark.functions.quantiles import distributed_grouped_quantiles
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", nan), ("a", 3.0), ("b", nan), ("b", None), ("c", 5.0)],
+        "g string, v double",
+    )
+    rows = {
+        r.g: [repr(v) for v in r.c]
+        for r in distributed_grouped_quantiles(
+            df, ["g"], "v", PROBS, block_width=2.0
+        ).collect()
+    }
+    assert set(rows) == {"a", "c"}  # b (all null/NaN) dropped, as documented
+    want_a = _builtin(
+        df.where((F.col("g") == "a") & ~F.isnan("v")), "v"
+    )
+    assert rows["a"] == [repr(w) for w in want_a]
+    assert rows["c"] == [repr(5.0)] * len(PROBS)
+
+
 @pytest.mark.parametrize(
     "table,grp,col,block",
     [
