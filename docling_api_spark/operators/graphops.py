@@ -529,14 +529,14 @@ def q212_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q293 — network resilience: what breaks when the hub is removed?
 # ---------------------------------------------------------------------------
-# The supply-chain / infrastructure stress test: run connected components
-# on the co-purchase backbone, delete the highest-degree node (the hub),
-# rerun, and compare the largest component — the size drop is the
-# fragility number. Reuses q45's production CC ladder (checkpointed
-# min-label propagation, convergence-guarded) twice on vocabulary-sized
-# edge lists; brands map to dense integer ids via one 25-row rank.
-# EXECUTING-registered (checkpoint ladders). The oracle replays both
-# closures with recursive CTEs (q208's pattern).
+# The supply-chain / infrastructure stress test: compute connected
+# components of the co-purchase backbone, delete the highest-degree node
+# (the hub), recompute, and compare the largest component — the size drop
+# is the fragility number. The backbone derivation is distributed; the
+# graph itself is vocabulary-bounded (p_brand domain), so both
+# connectivity passes run driver-side on the collected edge list (see the
+# function docstring). EXECUTING-registered (the mid-build collect). The
+# oracle replays both closures with recursive CTEs (q208's pattern).
 @register(
     "q293_hub_removal_impact",
     tags=("graph", "resilience", "components"),

@@ -44,7 +44,8 @@ QUERIES: dict[str, Query] = {}
 EXECUTING_PREFIXES: tuple[str, ...] = (
     "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
     "q103", "q139", "q152", "q174", "q189", "q191", "q194", "q202",  # eager checkpoints / scalar-state collects
-    "q43", "q45", "q57", "q208", "q236", "q250", "q293",  # checkpointed dedup/peel/graph ladders
+    "q43", "q45", "q57", "q208", "q236", "q250",  # checkpointed dedup/peel/graph ladders
+    "q293",  # vocabulary-bounded edge collect (driver union-find)
     "q72", "q80", "q82",  # conversion / media UDF paths
 )
 
