@@ -165,6 +165,28 @@ def _machine_probes(spark) -> dict:
             "probe_spark_ms": round(1000 * min(samples), 2)}
 
 
+TAIL_CAPTURE_BUDGET = 1900  # < the driver's 2000-char output-tail capture
+
+
+def final_line(scalars: dict, medians: dict) -> str:
+    """The guaranteed-parseable last output line: per-query medians (2dp)
+    + scalars when that fits the driver's tail capture, else the bounded
+    scalars-only record. Factored out so the contract is unit-testable
+    (tests/test_bench_contract.py)."""
+    compact = json.dumps(
+        {"queries": {n: round(v, 2) for n, v in medians.items()}, **scalars}
+    )
+    return compact if len(compact) <= TAIL_CAPTURE_BUDGET else json.dumps(scalars)
+
+
+def probe_scaled(median_sum: float, probe_run_ms: float) -> float | None:
+    """median_sum normalized to the pinned r5 reference probe — the
+    cross-round comparable stat (see module docstring)."""
+    if not probe_run_ms:
+        return None
+    return round(median_sum * PROBE_REF_SPARK_MS / probe_run_ms, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -203,11 +225,8 @@ def main() -> None:
     # probe against a pinned reference (BENCH_r05's fully-warm end-probe),
     # so a cross-round delta survives only if it exceeds what the probes
     # attribute to the box: scaled = median_sum * (PROBE_REF_MS / probe_run).
-    probe_run = probes["probe_spark_ms_end"]
-    carried_median_scaled = (
-        round(carried_total_median * PROBE_REF_SPARK_MS / probe_run, 4)
-        if probe_run
-        else None
+    carried_median_scaled = probe_scaled(
+        carried_total_median, probes["probe_spark_ms_end"]
     )
     scalars = {
         "metric": "headline_queries_total_time",
@@ -236,16 +255,8 @@ def main() -> None:
     # a growing compact line would re-create the r3/r4 "parsed: null").
     # The preceding blank line keeps any truncated fragment of the
     # detailed record on its own line (r5 judge what's-wrong #3).
-    compact = json.dumps(
-        {
-            "queries": {
-                n: round(v, 2) for n, v in out["queries_median"].items()
-            },
-            **scalars,
-        }
-    )
     print()
-    print(compact if len(compact) <= 1900 else json.dumps(scalars))
+    print(final_line(scalars, out["queries_median"]))
     spark.stop()
 
 

@@ -1,0 +1,67 @@
+"""bench.py's driver-facing output contract, unit-tested without Spark:
+the LAST printed line must always be one complete JSON record that fits
+the grading driver's 2000-char output-tail capture (r3/r4 failure mode:
+the line outgrew the capture, its head was cut, and the driver recorded
+"parsed": null)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import PROBE_REF_SPARK_MS, TAIL_CAPTURE_BUDGET, final_line, probe_scaled
+
+SCALARS = {
+    "metric": "headline_queries_total_time",
+    "value": 39.44,
+    "unit": "sec",
+    "carried_total_median": 23.75,
+    "carried_median_probe_scaled": 21.75,
+    "probe_ref_ms": PROBE_REF_SPARK_MS,
+    "carried_total": 21.47,
+    "carried_n": 27,
+    "n_queries": 51,
+    "n_runs": 3,
+    "probe_numpy_ms": 2.0,
+    "probe_spark_ms": 207.79,
+    "probe_spark_ms_end": 106.77,
+    "sf": 0.1,
+}
+
+
+def _medians(n: int) -> dict[str, float]:
+    # ~21-char names ≈ the real registry's average (the real 51-query
+    # compact line measured 1838 chars against the 1900 budget)
+    return {f"q{i:03d}_realistic_name": i * 0.01 for i in range(n)}
+
+
+def test_fitting_headline_set_keeps_the_queries_dict():
+    line = final_line(SCALARS, _medians(45))
+    assert len(line) <= TAIL_CAPTURE_BUDGET
+    rec = json.loads(line)
+    assert "queries" in rec and len(rec["queries"]) == 45
+    assert rec["carried_total_median"] == SCALARS["carried_total_median"]
+
+
+def test_oversized_headline_set_degrades_to_bounded_scalars():
+    line = final_line(SCALARS, _medians(500))
+    assert len(line) <= TAIL_CAPTURE_BUDGET  # ALWAYS fits the tail capture
+    rec = json.loads(line)
+    assert "queries" not in rec  # degraded, but every scalar survives
+    assert rec["metric"] == "headline_queries_total_time"
+    assert rec["value"] == SCALARS["value"]
+
+
+def test_final_line_is_single_line_json():
+    for n in (0, 51, 500):
+        line = final_line(SCALARS, _medians(n))
+        assert "\n" not in line
+        json.loads(line)
+
+
+def test_probe_scaling_direction_and_identity():
+    # slower box (probe ms up) => scaled number goes DOWN (credit the box)
+    assert probe_scaled(24.0, PROBE_REF_SPARK_MS * 2) == 12.0
+    # reference box => identity
+    assert probe_scaled(24.0, PROBE_REF_SPARK_MS) == 24.0
+    # dead probe => no scaled stat rather than a crash
+    assert probe_scaled(24.0, 0.0) is None
