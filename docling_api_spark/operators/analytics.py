@@ -2851,8 +2851,16 @@ def q221_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u"),
     )
     weighted = expanded.selectExpr("rep", "cents", f"{_BOOT_W} AS w")
+    # The oracle's `WHERE w > 0` is kept SQL-side but deliberately dropped
+    # here: zero-weight rows contribute zero to both Σ w·cents and Σ w, so
+    # the sums are identical — while the Filter operator forced a second
+    # full md5/conv/CASE evaluation per (order, rep) row (whole-stage
+    # codegen shares subexpressions within an operator, not across the
+    # Filter/Aggregate boundary). Measured 8.0s → 3.8s at sf0.1,
+    # bit-identical boot_means. (The only divergence would be a replicate
+    # whose 150k draws are ALL zero — P ≈ e^-N, impossible at any SF.)
     reps = (
-        weighted.where(F.col("w") > 0)
+        weighted
         .groupBy("rep")
         .agg(
             (
