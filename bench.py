@@ -29,6 +29,14 @@ fixes live here:
    complete parseable record; the detailed line before it preserves the
    full-precision history for humans re-reading the run.
 
+Caveat on the scaled scalar: the probe is a point-in-time measurement
+(start + end), and this box's throughput can swing 2-4x WITHIN a run
+(observed start/end probe pairs 208/107, 266/71). When the two probes
+disagree that strongly, `carried_median_probe_scaled` inherits the
+volatility — prefer `tools/compare_bench.py`, which takes the MEDIAN of
+per-query ratios with a 0.3s noise floor and reports the probe movement
+alongside, over any single scaled scalar.
+
 r6 drift adjudication (r5 judge what's-wrong #2): a clean r6 run measured
 probe_spark_ms_end 106.8 vs the pinned r5 reference 97.77 (box ~9% slower)
 while the median per-query ratio vs BENCH_r05 across all 51 headliners was
