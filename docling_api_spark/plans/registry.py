@@ -78,19 +78,101 @@ def register(
 # explicit order: the 50 queries that must land inside the correctness
 # window come first.
 #
-# Round-6 rotation (VERDICT r5 #1): certification remains the binding
-# constraint — 113 oracle-checked queries (+8 rows-only) still have no
-# driver grade. This round's window: the queue head q190..q239 in
-# registry order (exactly 50, all oracle-checked; q240_compression_ratio
-# is rows-only and sits just past the window, so nothing is skipped).
-# Every query graded green in r1-r5 moves to overflow (grades stand;
-# pytest + tools/driver_dryrun.py keep sweeping the whole registry at
-# sf0.01 and sf0.1). The surface stays FROZEN (VERDICT r5 #2): no new
-# queries until the backlog drains — round-7 window queue starts at
-# q241_quantile_treatment_effect (plus the 8 rows-only entries for a
-# rows-only driver record, per VERDICT r5 #5).
+# Round-7 rotation (VERDICT r6 #1): the FINAL full slate. The 8 rows-only
+# queries (no DuckDB oracle by design) take window slots for their
+# rows-only driver record per VERDICT r5 #5 / r6 #1, followed by the first
+# 42 of the never-graded oracle-checked queue (q241..q285 in numeric
+# order, skipping the three rows-only among them). Every query graded
+# green in r1-r6 moves to overflow (grades stand; pytest +
+# tools/driver_dryrun.py keep sweeping the whole registry at sf0.01 and
+# sf0.1). The surface stays FROZEN at 307 (VERDICT r6 #2): after this
+# window exactly 21 oracle-checked queries (q286..q306) remain — they are
+# the round-8 queue and drain in one rotation.
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- driver window (50): never driver-graded, all oracle-checked ----
+    # ---- round-7 driver window (50) ----
+    # 8 rows-only by design (sketches / sequential semantics / UDF codecs;
+    # the driver records a rows-only grade — weaker, but a driver record):
+    "q43_minhash_lsh_xxh",
+    "q118_approx_equidepth",
+    "q171_hll_rollup",
+    "q175_debounce",
+    "q240_compression_ratio",
+    "q246_isotonic_calibration",
+    "q251_lcs_verify",
+    "q257_dtw_distance",
+    # 42 oracle-checked, never driver-graded (queue head):
+    "q241_quantile_treatment_effect",
+    "q242_binary_segmentation",
+    "q243_simpson_diversity",
+    "q244_peak_detection",
+    "q245_selectivity_audit",
+    "q247_text_tiling",
+    "q248_forecast_reconcile",
+    "q249_rolling_regression",
+    "q250_link_prediction",
+    "q252_expected_calibration_error",
+    "q253_spearman_rank_corr",
+    "q254_partial_correlation",
+    "q255_qini_uplift",
+    "q256_rolling_origin_backtest",
+    "q258_range_partition_planner",
+    "q259_arc_elasticity",
+    "q260_markov_baseline_accuracy",
+    "q261_kruskal_wallis",
+    "q262_power_analysis",
+    "q263_jackknife_ratio_variance",
+    "q264_source_vocab_overlap",
+    "q265_james_stein_shrinkage",
+    "q266_hysteresis_alerts",
+    "q267_l_diversity",
+    "q268_gini_stump",
+    "q269_viterbi_path",
+    "q270_capture_recapture",
+    "q271_truncation_recall",
+    "q272_revenue_proration",
+    "q273_token_budget_selection",
+    "q274_nearest_centroid",
+    "q275_factorial_experiment",
+    "q276_burrows_delta",
+    "q277_reserve_price_curve",
+    "q278_ngram_coverage",
+    "q279_regression_discontinuity",
+    "q280_consistent_hashing",
+    "q281_media_content_dedup",
+    "q282_media_stride_signature",
+    "q283_cohen_kappa",
+    "q284_weighted_jaccard",
+    "q285_quadratic_response",
+    # ---- overflow: beyond the driver's 50-entry window ----
+    # round-8 queue: oracle-checked, never driver-graded (last 21)
+    "q286_negbin_fit",
+    "q287_multiple_testing",
+    "q288_ltv_projection",
+    "q289_double_fire_detector",
+    "q290_fairness_audit",
+    "q291_frequency_capping",
+    "q292_neyman_allocation",
+    "q293_hub_removal_impact",
+    "q294_redaction_impact",
+    "q295_minhash_audience",
+    "q296_watermark_advisor",
+    "q297_mean_excess",
+    "q298_reciprocal_best",
+    "q299_stationary_distribution",
+    "q300_class_silhouette",
+    "q301_vocab_growth",
+    "q302_learned_index_audit",
+    "q303_cdc_chunking",
+    "q304_dominant_period",
+    "q305_interim_looks",
+    "q306_effective_sample_size",
+    # rows-only with a driver record already on file: q72 (r1),
+    # q80 (r3), and q23_approx_aggs (r1 — its record is no_oracle
+    # rows-only, NOT hash-green; misfiled under r1/r2 until r7)
+    "q72_conversion_pipeline",
+    "q80_media_features",
+    "q23_approx_aggs",
+    # driver-graded green r6
     "q190_phrase_search",
     "q191_shortest_path",
     "q192_forecast_wape",
@@ -141,7 +223,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q237_rank_biased_overlap",
     "q238_beta_binomial",
     "q239_burstiness",
-    # ---- overflow: beyond the driver's 50-entry window ----
     # driver-graded green r5
     "q77_streaming_sliding",
     "q99_corpus_report",
@@ -329,84 +410,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q93_weighted_mix",
     "q94_merge_upsert",
     "q96_histogram",
-    "q23_approx_aggs",
-    # rows-only by design (no DuckDB oracle possible)
-    "q43_minhash_lsh_xxh",
-    "q72_conversion_pipeline",
-    "q80_media_features",
-    "q118_approx_equidepth",
-    "q171_hll_rollup",  # rows-only: Datasketches binaries, tolerance-pinned
-    "q175_debounce",  # rows-only: sequential per-key semantics, brute-force pinned
-    # oracle-checked, never driver-graded (round-7+ window queue starts
-    # here; q240 is rows-only — VERDICT r5 #5 schedules it and its seven
-    # rows-only peers for a rows-only driver record in round 7)
-    "q240_compression_ratio",
-    "q241_quantile_treatment_effect",
-    "q242_binary_segmentation",
-    "q243_simpson_diversity",
-    "q244_peak_detection",
-    "q245_selectivity_audit",
-    "q246_isotonic_calibration",
-    "q247_text_tiling",
-    "q248_forecast_reconcile",
-    "q249_rolling_regression",
-    "q250_link_prediction",
-    "q251_lcs_verify",
-    "q252_expected_calibration_error",
-    "q253_spearman_rank_corr",
-    "q254_partial_correlation",
-    "q255_qini_uplift",
-    "q256_rolling_origin_backtest",
-    "q257_dtw_distance",
-    "q258_range_partition_planner",
-    "q259_arc_elasticity",
-    "q260_markov_baseline_accuracy",
-    "q261_kruskal_wallis",
-    "q262_power_analysis",
-    "q263_jackknife_ratio_variance",
-    "q264_source_vocab_overlap",
-    "q265_james_stein_shrinkage",
-    "q266_hysteresis_alerts",
-    "q267_l_diversity",
-    "q268_gini_stump",
-    "q269_viterbi_path",
-    "q270_capture_recapture",
-    "q271_truncation_recall",
-    "q272_revenue_proration",
-    "q273_token_budget_selection",
-    "q274_nearest_centroid",
-    "q275_factorial_experiment",
-    "q276_burrows_delta",
-    "q277_reserve_price_curve",
-    "q278_ngram_coverage",
-    "q279_regression_discontinuity",
-    "q280_consistent_hashing",
-    "q281_media_content_dedup",
-    "q282_media_stride_signature",
-    "q283_cohen_kappa",
-    "q284_weighted_jaccard",
-    "q285_quadratic_response",
-    "q286_negbin_fit",
-    "q287_multiple_testing",
-    "q288_ltv_projection",
-    "q289_double_fire_detector",
-    "q290_fairness_audit",
-    "q291_frequency_capping",
-    "q292_neyman_allocation",
-    "q293_hub_removal_impact",
-    "q294_redaction_impact",
-    "q295_minhash_audience",
-    "q296_watermark_advisor",
-    "q297_mean_excess",
-    "q298_reciprocal_best",
-    "q299_stationary_distribution",
-    "q300_class_silhouette",
-    "q301_vocab_growth",
-    "q302_learned_index_audit",
-    "q303_cdc_chunking",
-    "q304_dominant_period",
-    "q305_interim_looks",
-    "q306_effective_sample_size",
 )
 
 

@@ -8,12 +8,25 @@ from docling_api_spark.plans.registry import GRADED_FIRST, all_queries
 
 DRIVER_WINDOW = 50
 
-# Round-6 contract (VERDICT r5 #1): the window holds ONLY queries that have
-# never been driver-graded — the queue head q190..q239 in registry order
-# (exactly 50, all oracle-checked; the rows-only q240 sits just past the
-# window). Every previously-green query rests on its r1-r5 grade on record;
-# the round-7 queue starts at q241_quantile_treatment_effect.
-MUST_GRADE = {f"q{n}_" for n in range(190, 240)}
+# Round-7 contract (VERDICT r6 #1): the FINAL full slate. The window holds
+# the 8 rows-only queries (scheduled for a rows-only driver record per
+# VERDICT r5 #5) plus the first 42 of the never-graded oracle-checked queue
+# (q241..q285 numeric order, skipping the three rows-only among them).
+# Every previously-green query rests on its r1-r6 grade on record; the
+# round-8 queue is exactly q286..q306 (21 oracle-checked).
+ROWS_ONLY_WINDOW = {
+    "q43_minhash_lsh_xxh",
+    "q118_approx_equidepth",
+    "q171_hll_rollup",
+    "q175_debounce",
+    "q240_compression_ratio",
+    "q246_isotonic_calibration",
+    "q251_lcs_verify",
+    "q257_dtw_distance",
+}
+MUST_GRADE_PREFIXES = {
+    f"q{n}_" for n in range(241, 286) if n not in (246, 251, 257)
+}
 
 
 def _expand(prefixes: set[str], names: set[str]) -> set[str]:
@@ -32,16 +45,27 @@ def test_registry_iteration_follows_graded_first():
 
 def test_must_grade_queries_inside_driver_window():
     names = set(all_queries())
-    must = _expand(MUST_GRADE, names)
-    assert len(must) == DRIVER_WINDOW  # all 50 prefixes resolve to a query
+    must = _expand(MUST_GRADE_PREFIXES, names) | ROWS_ONLY_WINDOW
+    assert len(must) == DRIVER_WINDOW  # 8 rows-only + 42 oracle-checked
     window = set(list(all_queries())[:DRIVER_WINDOW])
-    assert must <= window
+    assert must == window
 
 
-def test_every_oracle_query_in_window_or_documented_overflow():
+def test_window_oracle_presence_matches_evidence_plan():
+    """Every windowed query is oracle-checked EXCEPT the 8 rows-only
+    entries scheduled for their rows-only driver record this round — no
+    other oracle-less query may burn a window slot."""
     qs = all_queries()
     window = list(qs)[:DRIVER_WINDOW]
-    # every windowed query has an oracle (rows-only queries live in overflow
-    # — they can never turn green, so a window slot would be wasted on them)
-    missing = [n for n in window if qs[n].oracle is None]
-    assert missing == []
+    rows_only = {n for n in window if qs[n].oracle is None}
+    assert rows_only == ROWS_ONLY_WINDOW
+
+
+def test_round8_queue_is_fully_oracle_checked():
+    """Positions 51..71 are the round-8 queue (q286..q306) — all oracle-
+    checked, so the final rotation drains the backlog completely."""
+    qs = all_queries()
+    queue = list(qs)[DRIVER_WINDOW : DRIVER_WINDOW + 21]
+    nums = sorted(int(n[1:].split("_")[0]) for n in queue)
+    assert nums == list(range(286, 307))
+    assert all(qs[n].oracle is not None for n in queue)
