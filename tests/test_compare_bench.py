@@ -1,0 +1,60 @@
+"""Unit tests for tools/compare_bench.py's probe-regime handling (r6
+advisor #1: silently mixing a fully-warm end/median probe with a
+JIT-inflated start probe injects a ~2x bogus machine factor) and the
+zero-old-time skip guard (r6 advisor #2)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "compare_bench",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "compare_bench.py"),
+)
+cb = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(cb)
+
+
+def test_probe_of_prefers_median_then_end_then_start():
+    rec = {
+        "probe_spark_ms": 200.0,
+        "probe_spark_ms_end": 100.0,
+        "probe_spark_ms_median": 98.0,
+    }
+    assert cb.probe_of(rec) == (98.0, "median")
+    del rec["probe_spark_ms_median"]
+    assert cb.probe_of(rec) == (100.0, "end")
+    del rec["probe_spark_ms_end"]
+    assert cb.probe_of(rec) == (200.0, "start")
+    assert cb.probe_of({}) == (None, "none")
+
+
+def test_machine_factor_refuses_start_vs_warm_mix():
+    old = {"probe_spark_ms": 200.0}  # r1-r4 regime: start only
+    new = {"probe_spark_ms": 190.0, "probe_spark_ms_end": 100.0}
+    factor, note = cb.machine_factor(old, new)
+    assert factor is None
+    assert "regimes differ" in note
+
+
+def test_machine_factor_allows_warm_regimes_with_note():
+    old = {"probe_spark_ms_end": 100.0}  # r5-r6 regime
+    new = {"probe_spark_ms_median": 110.0}  # r7+ regime
+    factor, note = cb.machine_factor(old, new)
+    assert factor == 1.1
+    assert "mixed warm regimes" in note
+
+
+def test_machine_factor_same_regime_no_note():
+    old = {"probe_spark_ms_end": 100.0}
+    new = {"probe_spark_ms_end": 113.0}
+    factor, note = cb.machine_factor(old, new)
+    assert factor == 1.13
+    assert "note" not in note
+
+
+def test_machine_factor_missing_probe():
+    factor, note = cb.machine_factor({}, {"probe_spark_ms_end": 100.0})
+    assert factor is None
+    assert "no probes" in note

@@ -56,9 +56,42 @@ def load(path: str) -> dict:
     return rec
 
 
-def probe_of(rec: dict) -> float | None:
-    # fully-warm end probe preferred (bench.py documents why)
-    return rec.get("probe_spark_ms_end") or rec.get("probe_spark_ms")
+def probe_of(rec: dict) -> tuple[float | None, str]:
+    """Best available fixed-work probe and its REGIME: 'median' (r7+:
+    median of ≥5 samples across the run), 'end' (r5-r6: fully-warm end
+    probe), 'start' (r1-r4: the only probe, carries ~2x JIT tier-up
+    inflation per bench.py's own measurements). The regimes are not
+    mutually comparable across that last boundary — mixing a warm end/
+    median probe with a start probe injects a bogus ~2x machine factor
+    that can mask real regressions as machine drift."""
+    for key, regime in (
+        ("probe_spark_ms_median", "median"),
+        ("probe_spark_ms_end", "end"),
+        ("probe_spark_ms", "start"),
+    ):
+        if rec.get(key):
+            return rec[key], regime
+    return None, "none"
+
+
+def machine_factor(old: dict, new: dict) -> tuple[float | None, str]:
+    """(probe ratio new/old, explanation). Refuses to scale — returning
+    None — when one record only has a 'start'-regime probe and the other
+    has a warm one (median/end): the regimes measure different JVM states
+    and their ratio is not a machine factor."""
+    (po, ro), (pn, rn) = probe_of(old), probe_of(new)
+    if not (po and pn):
+        return None, "no probes in one record; raw ratios only"
+    if ("start" in (ro, rn)) and ro != rn:
+        return None, (
+            f"probe regimes differ (old={ro}, new={rn}) — a start probe "
+            "carries JIT tier-up that warm probes do not; refusing probe "
+            "scaling rather than inject a bogus machine factor"
+        )
+    note = ""
+    if ro != rn:
+        note = f" [note: mixed warm regimes old={ro}, new={rn}]"
+    return pn / po, f"probe {po:.1f} -> {pn:.1f} ms ({ro}/{rn}){note}"
 
 
 def main() -> None:
@@ -69,17 +102,25 @@ def main() -> None:
     common = sorted(set(qo) & set(qn))
     if not common:
         raise SystemExit("no common queries between the two records")
-    po, pn = probe_of(old), probe_of(new)
-    machine = (pn / po) if (po and pn) else None
+    machine, machine_note = machine_factor(old, new)
 
     rows = []
+    skipped_zero = 0
     for n in common:
         if not qo[n]:
+            skipped_zero += 1
             continue
         raw = qn[n] / qo[n]
         scaled = raw / machine if machine else raw
         rows.append((scaled, raw, n))
     rows.sort(reverse=True)
+    if not rows:
+        raise SystemExit(
+            f"no comparable queries: {len(common)} common, "
+            f"{skipped_zero} skipped for zero old-times"
+        )
+    if skipped_zero:
+        print(f"({skipped_zero} common queries skipped: zero old-time)")
 
     print(f"{'query':36s} {'old':>7s} {'new':>7s} {'raw':>6s} {'scaled':>7s}")
     flagged = 0
@@ -96,12 +137,12 @@ def main() -> None:
     print()
     if machine:
         print(
-            f"machine (probe {po:.1f} -> {pn:.1f} ms): x{machine:.3f}; "
+            f"machine ({machine_note}): x{machine:.3f}; "
             f"median raw ratio x{med_raw:.3f}; median probe-scaled "
             f"x{med_scaled:.3f}"
         )
     else:
-        print(f"no probes in one record; median raw ratio x{med_raw:.3f}")
+        print(f"{machine_note}; median raw ratio x{med_raw:.3f}")
     print(
         f"{flagged} quer{'y' if flagged == 1 else 'ies'} regressed beyond "
         f"x{THRESHOLD} after probe scaling"
