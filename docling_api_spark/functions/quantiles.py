@@ -44,6 +44,14 @@ of every current caller, documented so "drop-in" is honest):
 - **Integers beyond 2^53**: values rank as doubles, so bigint keys that
   collide at double precision collapse into one distinct value up
   front, while the builtin keeps them distinct until interpolation.
+- **Values that fail the double cast** (r6 advisor): the NaN guard
+  filters on ``~isnan(cast(col AS double))``; a value whose cast yields
+  NULL (e.g. a non-numeric string in a string-typed column) makes the
+  predicate NULL and the row is DROPPED, whereas before the r6 NaN fix
+  such rows survived as one null distinct-value group. Invisible to
+  every current caller (all pass numeric columns, where a cast never
+  fails), but a string-typed caller must pre-cast and decide its own
+  unparseable-value policy.
 """
 
 from __future__ import annotations
