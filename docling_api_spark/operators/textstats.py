@@ -981,12 +981,18 @@ def q112_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     it forces Spark into a second aggregation level — partial agg keyed
     (token, doc_id), an extra (token, doc_id) shuffle, then a re-shuffle
     on token (measured 2.8x slower at sf0.1; at 100 TB the extra
-    full-corpus shuffle dominates). The posting list output is CAPPED —
+    full-corpus shuffle dominates). The posting list OUTPUT is capped —
     an uncapped posting column on a stopword key is a straight OOM at
     100 TB; real indexes shard long postings, so the query surface
-    exposes the head + exact counts. Emitted as a joined string (doc ids
-    are integers, ',' cannot collide) because the driver's canonicalizer
-    cannot hash array cells.
+    exposes the head + exact counts. Honesty note: the collect_set
+    BUFFER is still df(token)-sized while aggregating (true of every
+    formulation that returns an exact sorted head + exact n_docs; the
+    pre-change count_distinct plan carried the same set through one more
+    shuffle) — at web scale the remedy is dropping/sharding
+    stopword-grade tokens up front, exactly the DF-cap guard
+    `capped_shingles` applies on the dedup path. Emitted as a joined
+    string (doc ids are integers, ',' cannot collide) because the
+    driver's canonicalizer cannot hash array cells.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
