@@ -78,20 +78,82 @@ def register(
 # explicit order: the 50 queries that must land inside the correctness
 # window come first.
 #
-# Round-7 rotation (VERDICT r6 #1): the FINAL full slate. The 8 rows-only
-# queries (no DuckDB oracle by design) take window slots for their
-# rows-only driver record per VERDICT r5 #5 / r6 #1, followed by the first
-# 42 of the never-graded oracle-checked queue (q241..q285 in numeric
-# order, skipping the three rows-only among them). Every query graded
-# green in r1-r6 moves to overflow (grades stand; pytest +
-# tools/driver_dryrun.py keep sweeping the whole registry at sf0.01 and
-# sf0.1). The surface stays FROZEN at 307 (VERDICT r6 #2): after this
-# window exactly 21 oracle-checked queries (q286..q306) remain — they are
-# the round-8 queue and drain in one rotation.
+# Round-8 rotation (VERDICT r7 Next #1/#2): positions 1-21 are the final
+# never-driver-graded queries q286..q306 — after this window every one of
+# the 307 registered queries has a driver record. Positions 22-50 spend
+# the spare slots re-certifying STALE grades: queries whose implementing
+# closure (builder fn + transitive package helpers, derived by
+# tools/stale_grades.py against each grade round's verdict commit) changed
+# after the round that graded them. 57 grades are stale in total (32 of
+# them only via the shared tables.load_table naive-µs timestamp fix that
+# accompanied the round-3 testdata regeneration); the 29 chosen here are
+# the judge-named four (q112 rewritten r7; q221/q24/q118 modified after
+# their grades), all 21 whose own builder or compute helper changed after
+# an r3-r5 grade, and the 7 highest-risk loader-stale r1/r2 grades
+# (builder-fn-changed or timestamp-bearing). The remaining 28 loader-stale
+# r1/r2 grades are projection/join queries re-verified by every dryrun
+# sweep; they queue for any future spare slots. The surface stays FROZEN
+# at 307 (VERDICT r7 Next #3).
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-7 driver window (50) ----
-    # 8 rows-only by design (sketches / sequential semantics / UDF codecs;
-    # the driver records a rows-only grade — weaker, but a driver record):
+    # ---- round-8 driver window (50) ----
+    # final 21 never-driver-graded (oracle-checked; dryrun-MATCH r7+r8):
+    "q286_negbin_fit",
+    "q287_multiple_testing",
+    "q288_ltv_projection",
+    "q289_double_fire_detector",
+    "q290_fairness_audit",
+    "q291_frequency_capping",
+    "q292_neyman_allocation",
+    "q293_hub_removal_impact",
+    "q294_redaction_impact",
+    "q295_minhash_audience",
+    "q296_watermark_advisor",
+    "q297_mean_excess",
+    "q298_reciprocal_best",
+    "q299_stationary_distribution",
+    "q300_class_silhouette",
+    "q301_vocab_growth",
+    "q302_learned_index_audit",
+    "q303_cdc_chunking",
+    "q304_dominant_period",
+    "q305_interim_looks",
+    "q306_effective_sample_size",
+    # stale re-certs, judge-named (VERDICT r7 wrong #2):
+    "q112_inverted_index",
+    "q221_poisson_bootstrap",
+    "q24_percentiles_exact",
+    "q118_equidepth_histogram",
+    # stale re-certs: own builder / compute helper changed after r3-r5 grade:
+    "q152_pagerank",
+    "q158_median_mad_outliers",
+    "q162_lift_table",
+    "q102_revenue_concentration",
+    "q114_winsorized_agg",
+    "q117_comovement_matrix",
+    "q121_rfm_segmentation",
+    "q123_market_basket",
+    "q138_scd2_point_in_time",
+    "q88_collocations_pmi",
+    "q103_khop_reachability",
+    "q105_funnel_steps",
+    "q108_bloom_semi_join",
+    "q115_time_weighted_avg",
+    "q42_ngram_jaccard",
+    "q45_dedup_clusters",
+    "q71_upload_validation",
+    "q81_frame_sample",
+    "q29_large_orders",
+    "q94_merge_upsert",
+    "q27_array_agg",
+    # stale re-certs: loader-stale r1/r2, builder-changed or timestamp-bearing:
+    "q39_gap_fill_resample",
+    "q21_date_funcs",
+    "q31_sliding_window",
+    "q34_funnel_range_join",
+    # ---- overflow: beyond the driver's 50-entry window ----
+    # r7 window (all have current r7 records), prior greens (grades stand),
+    # and the 28 remaining loader-stale r1/r2 grades (dryrun-sweep-verified;
+    # queue for future spare slots). Relative order preserved from round 7.
     "q43_minhash_lsh_xxh",
     "q118_approx_equidepth",
     "q171_hll_rollup",
@@ -100,7 +162,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q246_isotonic_calibration",
     "q251_lcs_verify",
     "q257_dtw_distance",
-    # 42 oracle-checked, never driver-graded (queue head):
     "q241_quantile_treatment_effect",
     "q242_binary_segmentation",
     "q243_simpson_diversity",
@@ -143,36 +204,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q283_cohen_kappa",
     "q284_weighted_jaccard",
     "q285_quadratic_response",
-    # ---- overflow: beyond the driver's 50-entry window ----
-    # round-8 queue: oracle-checked, never driver-graded (last 21)
-    "q286_negbin_fit",
-    "q287_multiple_testing",
-    "q288_ltv_projection",
-    "q289_double_fire_detector",
-    "q290_fairness_audit",
-    "q291_frequency_capping",
-    "q292_neyman_allocation",
-    "q293_hub_removal_impact",
-    "q294_redaction_impact",
-    "q295_minhash_audience",
-    "q296_watermark_advisor",
-    "q297_mean_excess",
-    "q298_reciprocal_best",
-    "q299_stationary_distribution",
-    "q300_class_silhouette",
-    "q301_vocab_growth",
-    "q302_learned_index_audit",
-    "q303_cdc_chunking",
-    "q304_dominant_period",
-    "q305_interim_looks",
-    "q306_effective_sample_size",
-    # rows-only with a driver record already on file: q72 (r1),
-    # q80 (r3), and q23_approx_aggs (r1 — its record is no_oracle
-    # rows-only, NOT hash-green; misfiled under r1/r2 until r7)
     "q72_conversion_pipeline",
     "q80_media_features",
     "q23_approx_aggs",
-    # driver-graded green r6
     "q190_phrase_search",
     "q191_shortest_path",
     "q192_forecast_wape",
@@ -204,7 +238,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q218_ndcg_ranking",
     "q219_haar_downsample",
     "q220_raking_ipf",
-    "q221_poisson_bootstrap",
     "q222_degree_assortativity",
     "q223_stl_decompose",
     "q224_sax_symbols",
@@ -223,7 +256,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q237_rank_biased_overlap",
     "q238_beta_binomial",
     "q239_burstiness",
-    # driver-graded green r5
     "q77_streaming_sliding",
     "q99_corpus_report",
     "q134_curation_pipeline",
@@ -238,17 +270,14 @@ GRADED_FIRST: tuple[str, ...] = (
     "q149_activation_latency",
     "q150_order_size_histogram",
     "q151_stateful_counter",
-    "q152_pagerank",
     "q153_benford_digit_audit",
     "q154_source_quality_rollup",
     "q155_ngram_containment",
     "q156_expectation_suite",
     "q157_ohlc_bars",
-    "q158_median_mad_outliers",
     "q159_embedding_quantization",
     "q160_weighted_median",
     "q161_theil_sen_trend",
-    "q162_lift_table",
     "q163_proportional_sample",
     "q164_mannwhitney_u",
     "q165_gini_revenue",
@@ -274,7 +303,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q187_ewma_smoothing",
     "q188_lag1_autocorr",
     "q189_bpe_merges",
-    # driver-graded green r4
     "q48_fuzzy_match_parts",
     "q49_rolling_zscore",
     "q55_embedding_drift",
@@ -293,23 +321,16 @@ GRADED_FIRST: tuple[str, ...] = (
     "q85_event_transitions",
     "q86_click_attribution",
     "q87_growth_accounting",
-    "q88_collocations_pmi",
     "q89_top_paths",
     "q98_source_lang_purity",
     "q100_chunk_documents",
     "q101_ks_drift",
-    "q102_revenue_concentration",
     "q107_stream_static_join",
     "q111_text_normalize",
-    "q112_inverted_index",
     "q113_bigram_familiarity",
-    "q114_winsorized_agg",
     "q116_seasonal_anomaly",
-    "q117_comovement_matrix",
     "q119_cusum_changepoint",
-    "q121_rfm_segmentation",
     "q122_interarrival_histogram",
-    "q123_market_basket",
     "q124_chi_square",
     "q125_impute_group_mean",
     "q126_skyline",
@@ -321,11 +342,9 @@ GRADED_FIRST: tuple[str, ...] = (
     "q132_grouped_mode",
     "q136_sampling_error_audit",
     "q137_streaming_upsert",
-    "q138_scd2_point_in_time",
     "q139_tfidf_cosine_pairs",
     "q140_composition_drift",
     "q141_covariance_matrix",
-    # driver-graded green r3
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
     "q54_ann_ivf",
@@ -337,15 +356,10 @@ GRADED_FIRST: tuple[str, ...] = (
     "q69_contamination_check",
     "q95_temperature_mix",
     "q97_paragraph_dedup",
-    "q103_khop_reachability",
     "q104_snapshot_diff",
-    "q105_funnel_steps",
     "q106_heavy_hitters",
-    "q108_bloom_semi_join",
     "q109_stream_stream_join",
     "q110_interval_overlap_join",
-    "q115_time_weighted_avg",
-    "q118_equidepth_histogram",
     "q120_ab_test_ztest",
     "q30_tumbling_window",
     "q32_session_window",
@@ -364,30 +378,19 @@ GRADED_FIRST: tuple[str, ...] = (
     "q14_window_topk_per_group",
     "q18_set_ops",
     "q20_string_funcs",
-    "q24_percentiles_exact",
     "q40_dedup_exact",
-    "q42_ngram_jaccard",
     "q43_minhash_lsh",
     "q44_simhash",
-    "q45_dedup_clusters",
     "q50_cosine_topk",
     "q51_ann_lsh",
     "q70_format_classify",
-    "q71_upload_validation",
-    "q81_frame_sample",
     "q10_agg_distinct",
-    # driver-graded green r1/r2
     "q17_topk_global",
     "q19_pivot",
     "q26_conditional_agg",
-    "q31_sliding_window",
-    "q34_funnel_range_join",
-    "q39_gap_fill_resample",
     "q46_unpivot",
     "q52_knn_label_vote",
     "q65_doc_fingerprint",
-    "q27_array_agg",
-    "q21_date_funcs",
     "q22_math_json_funcs",
     "q61_token_stats",
     "q62_quality_score",
@@ -402,13 +405,11 @@ GRADED_FIRST: tuple[str, ...] = (
     "q09_correlated_exists",
     "q25_explode_wordcount",
     "q28_shipping_priority",
-    "q29_large_orders",
     "q41_dedup_per_group",
     "q53_embedding_neardup",
     "q91_hash_sample",
     "q92_stratified_sample",
     "q93_weighted_mix",
-    "q94_merge_upsert",
     "q96_histogram",
 )
 

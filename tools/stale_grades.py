@@ -1,0 +1,216 @@
+"""Derive the stale-grade set: queries whose implementing code changed
+AFTER the round that driver-graded them (VERDICT r7 "What's wrong" #2 /
+"Next round" #2).
+
+For each query in the registry, we take the LATEST driver grade round from
+CORRECTNESS_r01..r0N, then compare a *semantic fingerprint* of the query's
+implementation at HEAD against the same fingerprint at that round's
+boundary commit ("round N: verdict/..." — the driver graded code at or
+before that commit). The fingerprint is the source of the registered
+builder function PLUS the transitive closure of every package function /
+class it references (same-module helpers AND `from docling_api_spark.x
+import y` helpers), so a grade goes stale when a shared quantile engine or
+a same-file private helper changes, not just when the builder itself is
+edited. Docstring-only edits count as changes on purpose: erring stale
+costs one re-cert window slot; erring fresh leaves the driver's record
+describing code that no longer exists.
+
+    python tools/stale_grades.py            # table + summary
+    python tools/stale_grades.py --names    # just the stale names, one/line
+
+Closure resolution is AST-based and intentionally coarse: any identifier
+in a function body that names a module-level def/class in the same module
+is pulled in; `from package.mod import name` pulls `name`'s def from that
+module; `import package.mod [as alias]` followed by `alias.attr` pulls the
+WHOLE referenced module (coarse, conservative). External imports (pyspark,
+stdlib) are ignored.
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "docling_api_spark"
+
+
+def git(*args: str) -> str:
+    return subprocess.check_output(["git", "-C", REPO, *args], text=True)
+
+
+def boundary_commits() -> dict[int, str]:
+    """round -> the 'round N: verdict' commit (driver graded at/before it)."""
+    out = git("log", "--format=%H %s")
+    bounds: dict[int, str] = {}
+    for line in out.splitlines():
+        sha, _, subj = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subj)
+        if m:
+            bounds.setdefault(int(m.group(1)), sha)  # newest first; keep first
+    return bounds
+
+
+def grade_rounds() -> dict[str, int]:
+    """query -> latest round with ANY driver record (green or rows-only)."""
+    grades: dict[str, int] = {}
+    for path in sorted(os.listdir(REPO)):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(os.path.join(REPO, path)) as f:
+            rec = json.load(f)
+        for q in rec:
+            grades[q] = max(grades.get(q, 0), rnd)
+    return grades
+
+
+class ModuleIndex:
+    """Module-level defs + import map for one module's source."""
+
+    def __init__(self, source: str):
+        self.tree = ast.parse(source)
+        self.defs: dict[str, ast.AST] = {}
+        self.from_imports: dict[str, tuple[str, str]] = {}  # local -> (module, name)
+        self.mod_imports: dict[str, str] = {}  # alias -> module
+        for node in self.tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                self.defs[node.name] = node
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        self.defs[t.id] = node
+            elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
+                for a in node.names:
+                    self.from_imports[a.asname or a.name] = (node.module, a.name)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith(PKG):
+                        self.mod_imports[a.asname or a.name] = a.name
+
+
+class TreeSnapshot:
+    """Package source files at one commit, loaded lazily via `git show`."""
+
+    def __init__(self, rev: str):
+        self.rev = rev
+        self._src: dict[str, str | None] = {}
+        self._idx: dict[str, ModuleIndex | None] = {}
+
+    def source(self, relpath: str) -> str | None:
+        if relpath not in self._src:
+            try:
+                self._src[relpath] = git("show", f"{self.rev}:{relpath}")
+            except subprocess.CalledProcessError:
+                self._src[relpath] = None
+        return self._src[relpath]
+
+    def index(self, module: str) -> ModuleIndex | None:
+        if module not in self._idx:
+            rel = module.replace(".", "/") + ".py"
+            src = self.source(rel)
+            self._idx[module] = ModuleIndex(src) if src is not None else None
+        return self._idx[module]
+
+
+def closure(snap: TreeSnapshot, module: str, fname: str) -> dict | None:
+    """{(module, name): ast-dump} reachable from module.fname, or None if
+    the function doesn't exist at snap.rev."""
+    idx0 = snap.index(module)
+    if idx0 is None or fname not in idx0.defs:
+        return None
+    seen: dict[tuple[str, str], str] = {}
+    stack = [(module, fname)]
+    while stack:
+        mod, name = stack.pop()
+        if (mod, name) in seen:
+            continue
+        idx = snap.index(mod)
+        if idx is None:
+            continue
+        if name == "*":  # whole module (coarse `import x as y; y.f()` case)
+            seen[(mod, "*")] = ast.dump(idx.tree)
+            continue
+        node = idx.defs.get(name)
+        if node is None:
+            continue
+        seen[(mod, name)] = ast.dump(node)
+        idents = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+        # alias.attr -> whole aliased module
+        for n in ast.walk(node):
+            if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+                idents.add(n.value.id)
+        for ident in idents:
+            if ident == name and mod == module:
+                pass  # self-recursion fine; seen-guard handles it
+            if ident in idx.defs:
+                stack.append((mod, ident))
+            if ident in idx.from_imports:
+                smod, sname = idx.from_imports[ident]
+                stack.append((smod, sname))
+            if ident in idx.mod_imports:
+                stack.append((idx.mod_imports[ident], "*"))
+    return seen
+
+
+def changed_members(then: dict, now: dict) -> list[str]:
+    out = []
+    for key in sorted(set(then) | set(now)):
+        if then.get(key) != now.get(key):
+            out.append(f"{key[0].rsplit('.', 1)[-1]}.{key[1]}")
+    return out
+
+
+def main() -> None:
+    names_only = "--names" in sys.argv
+    sys.path.insert(0, REPO)
+    from docling_api_spark.plans import all_queries  # noqa: E402
+
+    queries = all_queries()
+
+    bounds = boundary_commits()
+    grades = grade_rounds()
+    head = TreeSnapshot("HEAD")
+    snaps = {r: TreeSnapshot(sha) for r, sha in bounds.items()}
+
+    stale: list[tuple[str, int, str]] = []
+    fresh = missing = 0
+    for qname, q in queries.items():
+        rnd = grades.get(qname)
+        if rnd is None or rnd not in snaps:
+            continue
+        module = q.fn.__module__
+        fname = q.fn.__name__
+        cl_now = closure(head, module, fname)
+        cl_then = closure(snaps[rnd], module, fname)
+        if cl_then is None:
+            stale.append((qname, rnd, "not-found-at-boundary"))
+            missing += 1
+        elif cl_now != cl_then:
+            diff = changed_members(cl_then, cl_now)
+            stale.append((qname, rnd, "changed: " + ", ".join(diff[:6])))
+        else:
+            fresh += 1
+
+    stale.sort(key=lambda t: (t[1], t[0]))
+    if names_only:
+        for qname, _, _ in stale:
+            print(qname)
+        return
+    print(f"{'query':40s} {'graded':>6s} reason")
+    for qname, rnd, why in stale:
+        print(f"{qname:40s} r{rnd:<5d} {why}")
+    print(
+        f"\n{len(stale)} stale / {fresh} fresh / "
+        f"{missing} missing-at-boundary, of {len(grades)} graded"
+    )
+
+
+if __name__ == "__main__":
+    main()
