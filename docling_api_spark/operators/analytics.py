@@ -3909,7 +3909,7 @@ def q236_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the backbone once (q45/q103 checkpoint discipline):
     # every peel round re-reads the edge list, and without the checkpoint
     # the fact-join + median subtree replays per round (50 scalar
-    # exchanges in the unrolled plan). Registered under EXECUTING_PREFIXES.
+    # exchanges in the unrolled plan). Registered under EXECUTING_QUERIES.
     edges = edges.localCheckpoint(eager=True)
 
     def degrees(e: DataFrame) -> DataFrame:

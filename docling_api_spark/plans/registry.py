@@ -36,18 +36,49 @@ class Query:
 
 QUERIES: dict[str, Query] = {}
 
-# Query-name prefixes whose fn() EXECUTES work when the plan is built
+# EXACT names of queries whose fn() EXECUTES work when the plan is built
 # (streaming drains, eager localCheckpoints, checkpointed dedup ladders,
 # heavyweight UDF paths). Planning-only tooling (tools/plan_report.py) and
 # the static plan audit (tests/test_global_plan_audit.py) must both skip
-# these — shared here so the two lists can't drift.
-EXECUTING_PREFIXES: tuple[str, ...] = (
-    "q36", "q37", "q56", "q77", "q107", "q109", "q137", "q151", "q183",  # streaming drains
-    "q103", "q139", "q152", "q174", "q189", "q191", "q194", "q202",  # eager checkpoints / scalar-state collects
-    "q43", "q45", "q57", "q208", "q236", "q250",  # checkpointed dedup/peel/graph ladders
-    "q293",  # vocabulary-bounded edge collect (driver union-find)
-    "q72", "q80", "q82",  # conversion / media UDF paths
-)
+# these — shared here so the two lists can't drift. Exact names, not
+# prefixes (VERDICT r7 Next #5): a prefix match like "q43" would silently
+# sweep a future q430 out of the plan audit; tests assert every listed
+# name exists in the registry.
+EXECUTING_QUERIES: frozenset[str] = frozenset((
+    # streaming drains
+    "q36_streaming_tumbling",
+    "q37_streaming_sessionize",
+    "q56_streaming_dedup",
+    "q77_streaming_sliding",
+    "q107_stream_static_join",
+    "q109_stream_stream_join",
+    "q137_streaming_upsert",
+    "q151_stateful_counter",
+    "q183_streaming_topk",
+    # eager checkpoints / scalar-state collects
+    "q103_khop_reachability",
+    "q139_tfidf_cosine_pairs",
+    "q152_pagerank",
+    "q174_density_clusters",
+    "q189_bpe_merges",
+    "q191_shortest_path",
+    "q194_kmeans_lloyd",
+    "q202_bpe_encode",
+    # checkpointed dedup/peel/graph ladders
+    "q43_minhash_lsh",
+    "q43_minhash_lsh_xxh",
+    "q45_dedup_clusters",
+    "q57_incremental_dedup",
+    "q208_entity_resolution",
+    "q236_kcore_peel",
+    "q250_link_prediction",
+    # vocabulary-bounded edge collect (driver union-find)
+    "q293_hub_removal_impact",
+    # conversion / media UDF paths
+    "q72_conversion_pipeline",
+    "q80_media_features",
+    "q82_media_resize",
+))
 
 
 def register(

@@ -27,7 +27,7 @@ QUERIES = all_queries()
 # queries whose fn() executes work (streaming drains, eager checkpoints,
 # heavyweight UDF paths) — planned-and-run in their own tests; the list
 # lives in the registry so tools/plan_report.py skips the same set
-from docling_api_spark.plans.registry import EXECUTING_PREFIXES as _EXECUTING
+from docling_api_spark.plans.registry import EXECUTING_QUERIES as _EXECUTING
 
 # legitimate SinglePartition exchanges: scalar aggregates / tiny stat
 # relations (cut points, global totals, per-check counts)
@@ -167,9 +167,14 @@ _SP_ALLOWED = {
     "q306_effective_sample_size": 1,  # closing three-sum scalar reduce
 }
 
-AUDITED = [
-    n for n in QUERIES if not any(n.startswith(p) for p in _EXECUTING)
-]
+AUDITED = [n for n in QUERIES if n not in _EXECUTING]
+
+
+def test_executing_skip_list_names_exist():
+    """Every skip-list entry must name a registered query EXACTLY —
+    a stale or mistyped name would silently audit nothing (and the old
+    prefix form could sweep future queries out of the audit)."""
+    assert _EXECUTING <= set(QUERIES), sorted(_EXECUTING - set(QUERIES))
 
 
 @pytest.mark.parametrize("name", AUDITED)

@@ -23,7 +23,7 @@ def main() -> None:
     prefixes = tuple(sys.argv[2:])
 
     from docling_api_spark.plans import all_queries
-    from docling_api_spark.plans.registry import EXECUTING_PREFIXES as SKIP_PREFIXES
+    from docling_api_spark.plans.registry import EXECUTING_QUERIES as SKIP_QUERIES
     from docling_api_spark.session import get_spark
 
     spark = get_spark(app_name="plan-report", master="local[8]", shuffle_partitions=8)
@@ -35,7 +35,7 @@ def main() -> None:
     for name, q in all_queries().items():
         if prefixes and not name.startswith(prefixes):
             continue
-        if any(name.startswith(p) for p in SKIP_PREFIXES):
+        if name in SKIP_QUERIES:
             continue
         try:
             df = q.fn(spark, sf_dir)
