@@ -135,9 +135,15 @@ def _bench_phase(
 
     `probe_cb`/`probe_every`: after every `probe_every` timed queries, run
     the fixed-work machine probe BETWEEN queries — outside every timed
-    section, so per-query numbers are procedure-identical to r1-r6 — to
-    sample machine throughput across the run (r6 judge: a single
-    point-in-time probe bakes in one machine state).
+    section, and always followed by the per-query GC nudge before the next
+    timed run — to sample machine throughput across the run (r6 judge: a
+    single point-in-time probe bakes in one machine state). Per-query
+    numbers are therefore procedure-CLOSE to r1-r6, not strictly
+    identical: the probe adds inter-query JVM work (a 50M-row codegen'd
+    job) whose codegen-cache/GC residue the following nudge bounds but
+    cannot fully erase (ADVICE r7). The r7/r8 same-regime pairs are the
+    comparable ones; cross-boundary deltas get raw ratios only
+    (tools/compare_bench.py refuses mixed-regime scaling).
     """
     for name, q in queries.items():
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -218,6 +224,18 @@ def probe_scaled(median_sum: float, probe_run_ms: float) -> float | None:
     return round(median_sum * PROBE_REF_SPARK_MS / probe_run_ms, 4)
 
 
+def ensure_min_probes(samples: list[float], probe_fn, min_n: int = 5) -> list[float]:
+    """Self-enforce the ≥`min_n`-sample probe contract (ADVICE r7): pad
+    with extra probe calls instead of silently publishing a median of 2-3
+    points when a phase shrinks. Padding happens at the END of the run, so
+    the extra samples are fully warm — and probe_stats drops only the
+    first (JIT-inflated) sample, so warm padding never skews the median.
+    Unit-tested in tests/test_bench_contract.py."""
+    while len(samples) < min_n:
+        samples.append(probe_fn())
+    return samples
+
+
 def probe_stats(samples: list[float]) -> dict:
     """Summarize the run's fixed-work probe samples: first/last keep their
     historical keys (start carries residual JIT tier-up; end is fully
@@ -274,6 +292,7 @@ def main() -> None:
     # end probe: fully warm, and if the box slowed DURING the run the
     # sample trail shows where
     probe_samples.append(_spark_probe(spark))
+    ensure_min_probes(probe_samples, lambda: _spark_probe(spark))
     probes = {"probe_numpy_ms": numpy_ms, **probe_stats(probe_samples)}
 
     total = round(sum(out["queries"].values()), 4)

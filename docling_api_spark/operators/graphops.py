@@ -646,6 +646,20 @@ def q293_hub_removal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel row arrives. The vocab count is one scan of the tiny part
     # dimension's brand column — noise next to the lineitem⋈part upstream.
     n_vocab = pt.select("p_brand").distinct().count()
+    # Absolute ceiling first (ADVICE r7): the quadratic bound below is
+    # derived from the live distinct count, so a retarget that makes the
+    # vocab source itself data-sized would grow the allowance in lockstep
+    # with the quantity it guards — the LIMITed collect would OOM the
+    # driver before the sentinel check fired. 1000 is ~40x the real brand
+    # vocabulary (≤25 at every SF) and caps the collect at ~1M edge rows.
+    _VOCAB_CEILING = 1000
+    if n_vocab > _VOCAB_CEILING:
+        raise RuntimeError(
+            f"q293: brand vocabulary ({n_vocab}) exceeds the absolute "
+            f"ceiling ({_VOCAB_CEILING}) — the graph column is no longer "
+            "vocabulary-sized; use the distributed connected_components "
+            "path instead"
+        )
     bound = n_vocab * n_vocab + 1
     rows = (
         pairs.crossJoin(F.broadcast(med))

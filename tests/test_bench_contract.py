@@ -11,6 +11,7 @@ import json
 from bench import (
     PROBE_REF_SPARK_MS,
     TAIL_CAPTURE_BUDGET,
+    ensure_min_probes,
     final_line,
     probe_scaled,
     probe_stats,
@@ -83,6 +84,22 @@ def test_probe_stats_single_sample_degenerate():
     s = probe_stats([100.0])
     assert s["probe_spark_ms_median"] == 100.0
     assert s["probe_spark_ms_spread"] == 0.0
+
+
+def test_ensure_min_probes_pads_short_runs():
+    """The ≥5-sample contract is self-enforcing (ADVICE r7): a shrunken
+    phase must trigger extra probe calls, a full run must trigger none."""
+    calls = []
+
+    def fake_probe():
+        calls.append(1)
+        return 100.0
+
+    samples = ensure_min_probes([120.0, 101.0, 99.0], fake_probe)
+    assert len(samples) == 5 and len(calls) == 2
+    full = [120.0, 101.0, 99.0, 98.0, 97.0, 96.0]
+    assert ensure_min_probes(list(full), fake_probe) == full
+    assert len(calls) == 2  # untouched
 
 
 def test_probe_scaling_direction_and_identity():

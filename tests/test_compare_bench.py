@@ -1,7 +1,9 @@
-"""Unit tests for tools/compare_bench.py's probe-regime handling (r6
-advisor #1: silently mixing a fully-warm end/median probe with a
-JIT-inflated start probe injects a ~2x bogus machine factor) and the
-zero-old-time skip guard (r6 advisor #2)."""
+"""Unit tests for tools/compare_bench.py's probe-regime handling. Round
+8 hardened both seams: ANY regime mix now refuses scaling (VERDICT r7
+Next #4 — end-vs-median alone flagged 10+ untouched queries across the
+r6/r7 boundary), and probe_of is type-strict so an explicit 0/null/
+string probe is reported broken instead of silently falling through to
+an older-regime key (ADVICE r7)."""
 
 from __future__ import annotations
 
@@ -38,12 +40,30 @@ def test_machine_factor_refuses_start_vs_warm_mix():
     assert "regimes differ" in note
 
 
-def test_machine_factor_allows_warm_regimes_with_note():
+def test_machine_factor_refuses_end_vs_median_mix():
     old = {"probe_spark_ms_end": 100.0}  # r5-r6 regime
     new = {"probe_spark_ms_median": 110.0}  # r7+ regime
     factor, note = cb.machine_factor(old, new)
-    assert factor == 1.1
-    assert "mixed warm regimes" in note
+    assert factor is None
+    assert "regimes differ" in note
+
+
+def test_probe_of_reports_invalid_values_instead_of_falling_through():
+    # explicit zero must NOT fall through to the end probe
+    rec = {"probe_spark_ms_median": 0, "probe_spark_ms_end": 100.0}
+    val, regime = cb.probe_of(rec)
+    assert val is None and "invalid median" in regime
+    # null and string likewise
+    assert cb.probe_of({"probe_spark_ms_median": None})[0] is None
+    assert cb.probe_of({"probe_spark_ms_median": "97.0"})[0] is None
+    # a bool is not a probe
+    assert cb.probe_of({"probe_spark_ms_median": True})[0] is None
+    # and machine_factor survives an invalid probe without formatting crash
+    factor, note = cb.machine_factor(
+        {"probe_spark_ms_median": "bad"}, {"probe_spark_ms_median": 100.0}
+    )
+    assert factor is None
+    assert "unusable probe" in note
 
 
 def test_machine_factor_same_regime_no_note():
@@ -57,4 +77,4 @@ def test_machine_factor_same_regime_no_note():
 def test_machine_factor_missing_probe():
     factor, note = cb.machine_factor({}, {"probe_spark_ms_end": 100.0})
     assert factor is None
-    assert "no probes" in note
+    assert "unusable probe" in note

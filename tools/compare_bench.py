@@ -69,29 +69,38 @@ def probe_of(rec: dict) -> tuple[float | None, str]:
         ("probe_spark_ms_end", "end"),
         ("probe_spark_ms", "start"),
     ):
-        if rec.get(key):
-            return rec[key], regime
+        val = rec.get(key)
+        # Type-strict on purpose: an explicit 0/null/string must be
+        # REPORTED as a broken probe for that regime, not silently fall
+        # through to an older-regime key (ADVICE r7).
+        if key in rec and isinstance(val, (int, float)) and not isinstance(val, bool):
+            if val > 0:
+                return float(val), regime
+            return None, f"invalid {regime} probe ({val!r})"
+        if key in rec:
+            return None, f"invalid {regime} probe ({val!r})"
     return None, "none"
 
 
 def machine_factor(old: dict, new: dict) -> tuple[float | None, str]:
     """(probe ratio new/old, explanation). Refuses to scale — returning
-    None — when one record only has a 'start'-regime probe and the other
-    has a warm one (median/end): the regimes measure different JVM states
-    and their ratio is not a machine factor."""
+    None — whenever the two records' probe regimes DIFFER. Start-vs-warm
+    mixes JIT tier-up into the ratio; end-vs-median mixes a single
+    fully-warm sample with a median of samples taken across the run (the
+    r6-vs-r7 comparison showed that difference alone flagging 10+
+    untouched queries, VERDICT r7 wrong #3). Only same-regime probes
+    measure the same JVM state, so only those yield a machine factor
+    (VERDICT r7 Next #4: refuse, don't warn)."""
     (po, ro), (pn, rn) = probe_of(old), probe_of(new)
     if not (po and pn):
-        return None, "no probes in one record; raw ratios only"
-    if ("start" in (ro, rn)) and ro != rn:
-        return None, (
-            f"probe regimes differ (old={ro}, new={rn}) — a start probe "
-            "carries JIT tier-up that warm probes do not; refusing probe "
-            "scaling rather than inject a bogus machine factor"
-        )
-    note = ""
+        return None, f"unusable probe (old={ro}, new={rn}); raw ratios only"
     if ro != rn:
-        note = f" [note: mixed warm regimes old={ro}, new={rn}]"
-    return pn / po, f"probe {po:.1f} -> {pn:.1f} ms ({ro}/{rn}){note}"
+        return None, (
+            f"probe regimes differ (old={ro}, new={rn}) — regimes measure "
+            "different JVM states; refusing probe scaling rather than "
+            "inject a bogus machine factor (raw ratios only)"
+        )
+    return pn / po, f"probe {po:.1f} -> {pn:.1f} ms ({ro}/{rn})"
 
 
 def main() -> None:
