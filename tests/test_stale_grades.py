@@ -1,0 +1,120 @@
+"""Unit tests for tools/stale_grades.py's closure fingerprinting — the
+derivation behind the round-8 re-cert window (VERDICT r7 Next #2). The
+tool must catch a grade gone stale through a HELPER change (same-module
+private fn, cross-module `from package import` helper) and must NOT
+flag a query whose closure is byte-identical."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "stale_grades",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "stale_grades.py"),
+)
+sg = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(sg)
+
+PKG = sg.PKG  # docling_api_spark
+
+OPS_MOD = f"{PKG}.operators.fake"
+HELPER_MOD = f"{PKG}.functions.fakehelper"
+
+OPS_SRC_V1 = f"""
+from {HELPER_MOD} import shared_cut
+
+def _local_helper(df):
+    return df + 1
+
+def query_a(spark, sf):
+    return _local_helper(shared_cut(spark, sf))
+
+def query_b(spark, sf):
+    return 42
+"""
+
+HELPER_SRC_V1 = """
+def shared_cut(spark, sf):
+    return spark
+"""
+
+
+class FakeSnapshot:
+    """stale_grades.TreeSnapshot stand-in over in-memory sources."""
+
+    def __init__(self, sources: dict[str, str]):
+        self.sources = sources
+        self._idx: dict[str, object] = {}
+
+    def index(self, module: str):
+        if module not in self._idx:
+            src = self.sources.get(module)
+            self._idx[module] = sg.ModuleIndex(src) if src is not None else None
+        return self._idx[module]
+
+
+def _snap(ops_src: str = OPS_SRC_V1, helper_src: str = HELPER_SRC_V1) -> FakeSnapshot:
+    return FakeSnapshot({OPS_MOD: ops_src, HELPER_MOD: helper_src})
+
+
+def test_identical_sources_fingerprint_equal():
+    a = sg.closure(_snap(), OPS_MOD, "query_a")
+    b = sg.closure(_snap(), OPS_MOD, "query_a")
+    assert a == b
+    assert (OPS_MOD, "query_a") in a
+    assert (OPS_MOD, "_local_helper") in a  # same-module helper pulled in
+    assert (HELPER_MOD, "shared_cut") in a  # cross-module helper pulled in
+
+
+def test_builder_change_detected():
+    changed = OPS_SRC_V1.replace("return 42", "return 43")
+    a = sg.closure(_snap(), OPS_MOD, "query_b")
+    b = sg.closure(_snap(ops_src=changed), OPS_MOD, "query_b")
+    assert a != b
+    assert sg.changed_members(a, b) == ["fake.query_b"]
+
+
+def test_same_module_helper_change_detected():
+    changed = OPS_SRC_V1.replace("df + 1", "df + 2")
+    a = sg.closure(_snap(), OPS_MOD, "query_a")
+    b = sg.closure(_snap(ops_src=changed), OPS_MOD, "query_a")
+    assert a != b
+    assert "fake._local_helper" in sg.changed_members(a, b)
+
+
+def test_cross_module_helper_change_detected():
+    changed_helper = HELPER_SRC_V1.replace("return spark", "return sf")
+    a = sg.closure(_snap(), OPS_MOD, "query_a")
+    b = sg.closure(_snap(helper_src=changed_helper), OPS_MOD, "query_a")
+    assert a != b
+    assert "fakehelper.shared_cut" in sg.changed_members(a, b)
+
+
+def test_unrelated_change_not_flagged():
+    # editing query_b must not stale query_a (helper closure is per-query)
+    changed = OPS_SRC_V1.replace("return 42", "return 43")
+    a = sg.closure(_snap(), OPS_MOD, "query_a")
+    b = sg.closure(_snap(ops_src=changed), OPS_MOD, "query_a")
+    assert a == b
+
+
+def test_missing_function_returns_none():
+    assert sg.closure(_snap(), OPS_MOD, "nonexistent") is None
+    assert sg.closure(FakeSnapshot({}), OPS_MOD, "query_a") is None
+
+
+def test_module_alias_import_pulls_whole_module():
+    ops = f"""
+import {HELPER_MOD} as h
+
+def query_c(spark, sf):
+    return h.shared_cut(spark, sf)
+"""
+    a = sg.closure(_snap(ops_src=ops), OPS_MOD, "query_c")
+    assert (HELPER_MOD, "*") in a  # coarse whole-module dependency
+    changed_helper = HELPER_SRC_V1 + "\nEXTRA = 1\n"
+    b = sg.closure(
+        FakeSnapshot({OPS_MOD: ops, HELPER_MOD: changed_helper}), OPS_MOD, "query_c"
+    )
+    assert a != b
