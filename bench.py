@@ -42,7 +42,13 @@ reader can judge how trustworthy the scaling is. `probe_spark_ms` /
 sample) for cross-round records that predate the median.
 `tools/compare_bench.py`'s median-of-per-query-ratios remains the
 robust cross-round instrument; the scaled scalar here is the headline
-approximation of the same adjudication.
+approximation of the same adjudication. Since r8 a second fixed-work
+probe (`_spark_shuffle_probe`) samples the SHUFFLE path at the same
+points: r8's clean runs showed whole-set raw ratios moving ×1.15–×1.25
+with the zero-shuffle codegen probe flat, i.e. a drift mode the scaling
+denominator cannot see. The shuffle probe is diagnostic only (detailed
+record; compare_bench prints its ratio beside the verdict, never scales
+by it).
 
 r6 drift adjudication (r5 judge what's-wrong #2): a clean r6 run measured
 probe_spark_ms_end 106.8 vs the pinned r5 reference 97.77 (box ~9% slower)
@@ -201,6 +207,37 @@ def _spark_probe(spark) -> float:
     return round(1000 * min(samples), 2)
 
 
+def _spark_shuffle_probe(spark) -> float:
+    """Fixed-work SHUFFLE probe: 2M rows hash-aggregated through 50k
+    keys then reduced, min of 3 (ms) — exercises exchange write/read,
+    spill buffers, and the disk path that the zero-shuffle `_spark_probe`
+    cannot see. Motivated by the r8 observation that whole-set raw
+    ratios can move ×1.15–×1.25 across a run while the codegen probe
+    stays flat: that drift mode lives in the shuffle/disk path, so a
+    flagged regression with a flat codegen probe and a RISING shuffle
+    probe is machine, not code. DIAGNOSTIC ONLY: never a scaling
+    denominator (compare_bench scales by the codegen probe or not at
+    all), and its keys stay in the detailed record — the compact line
+    has ~50 chars of tail-capture headroom and losing the queries dict
+    to an overflow would cost far more than the diagnostic is worth.
+    """
+    plan = lambda: (  # noqa: E731
+        spark.range(2_000_000)
+        .selectExpr("id % 50000 AS k", "id")
+        .groupBy("k")
+        .agg({"id": "sum"})
+        .selectExpr("sum(`sum(id)`) AS s")
+        .collect()
+    )
+    plan()  # warm rep: codegen + exchange setup, not the machine
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        plan()
+        samples.append(time.perf_counter() - t0)
+    return round(1000 * min(samples), 2)
+
+
 TAIL_CAPTURE_BUDGET = 1900  # < the driver's 2000-char output-tail capture
 
 
@@ -236,7 +273,7 @@ def ensure_min_probes(samples: list[float], probe_fn, min_n: int = 5) -> list[fl
     return samples
 
 
-def probe_stats(samples: list[float]) -> dict:
+def probe_stats(samples: list[float], prefix: str = "probe_spark") -> dict:
     """Summarize the run's fixed-work probe samples: first/last keep their
     historical keys (start carries residual JIT tier-up; end is fully
     warm), median is the normalization denominator, spread (max-min) says
@@ -245,14 +282,17 @@ def probe_stats(samples: list[float]) -> dict:
     computed over the WARM samples (all but the first): the start sample's
     ~2x JIT inflation is a known constant of the procedure, not machine
     movement, and including it would peg the spread at ~100ms every run.
-    Unit-tested in tests/test_bench_contract.py."""
+    `prefix` names the instrument ("probe_spark" = the codegen probe and
+    the scaling denominator; "probe_shuffle" = the diagnostic shuffle
+    probe, detailed-record only). Unit-tested in
+    tests/test_bench_contract.py."""
     warm = samples[1:] if len(samples) > 1 else samples
     return {
-        "probe_spark_ms": samples[0],
-        "probe_spark_ms_end": samples[-1],
-        "probe_spark_ms_median": round(statistics.median(warm), 2),
-        "probe_spark_ms_spread": round(max(warm) - min(warm), 2),
-        "probe_spark_n": len(samples),
+        f"{prefix}_ms": samples[0],
+        f"{prefix}_ms_end": samples[-1],
+        f"{prefix}_ms_median": round(statistics.median(warm), 2),
+        f"{prefix}_ms_spread": round(max(warm) - min(warm), 2),
+        f"{prefix}_n": len(samples),
     }
 
 
@@ -272,9 +312,14 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     probe_samples: list[float] = []
+    shuffle_samples: list[float] = []
     numpy_ms = _numpy_probe()
     probe_samples.append(_spark_probe(spark))  # start (JIT tier-up residue)
-    probe_cb = lambda: probe_samples.append(_spark_probe(spark))  # noqa: E731
+    shuffle_samples.append(_spark_shuffle_probe(spark))
+
+    def probe_cb() -> None:
+        probe_samples.append(_spark_probe(spark))
+        shuffle_samples.append(_spark_shuffle_probe(spark))
     # interleave so the run yields ≥5 samples total: start + ~2 inside each
     # phase + end (r6 judge what's-wrong #2: median over the run, not one
     # point-in-time pair)
@@ -292,8 +337,11 @@ def main() -> None:
     # end probe: fully warm, and if the box slowed DURING the run the
     # sample trail shows where
     probe_samples.append(_spark_probe(spark))
+    shuffle_samples.append(_spark_shuffle_probe(spark))
     ensure_min_probes(probe_samples, lambda: _spark_probe(spark))
+    ensure_min_probes(shuffle_samples, lambda: _spark_shuffle_probe(spark))
     probes = {"probe_numpy_ms": numpy_ms, **probe_stats(probe_samples)}
+    shuffle_probes = probe_stats(shuffle_samples, prefix="probe_shuffle")
 
     total = round(sum(out["queries"].values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -325,7 +373,11 @@ def main() -> None:
     # ~+75 chars, so the compact line carries ONLY the median+spread (the
     # normalization instrument) and the start/end/raw-sample keys stay in
     # the detailed record — net ~0 growth, the queries dict survives.
-    detailed_extras = {"probe_spark_samples_ms": probe_samples}
+    detailed_extras = {
+        "probe_spark_samples_ms": probe_samples,
+        "probe_shuffle_samples_ms": shuffle_samples,
+        **shuffle_probes,
+    }
     compact_scalars = {
         k: v
         for k, v in scalars.items()

@@ -86,6 +86,18 @@ def test_probe_stats_single_sample_degenerate():
     assert s["probe_spark_ms_spread"] == 0.0
 
 
+def test_probe_stats_prefix_names_the_instrument():
+    s = probe_stats([210.0, 104.0, 96.0], prefix="probe_shuffle")
+    assert set(s) == {
+        "probe_shuffle_ms",
+        "probe_shuffle_ms_end",
+        "probe_shuffle_ms_median",
+        "probe_shuffle_ms_spread",
+        "probe_shuffle_n",
+    }
+    assert s["probe_shuffle_ms_median"] == 100.0  # warm samples only
+
+
 def test_ensure_min_probes_pads_short_runs():
     """The ≥5-sample contract is self-enforcing (ADVICE r7): a shrunken
     phase must trigger extra probe calls, a full run must trigger none."""

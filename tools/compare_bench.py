@@ -41,6 +41,7 @@ def load(path: str) -> dict:
     except json.JSONDecodeError:
         pass
     rec = None
+    shuffle_median = None
     for line in text.splitlines():
         line = line.strip()
         if not line.startswith("{"):
@@ -51,8 +52,15 @@ def load(path: str) -> dict:
             continue
         if isinstance(cand, dict) and "queries" in cand:
             rec = cand
+            # the shuffle probe lives only in the DETAILED record (the
+            # compact line has no tail-capture headroom for it); carry it
+            # forward so the diagnostic survives picking the compact line
+            if "probe_shuffle_ms_median" in cand:
+                shuffle_median = cand["probe_shuffle_ms_median"]
     if rec is None:
         raise SystemExit(f"{path}: no parseable bench record found")
+    if shuffle_median is not None and "probe_shuffle_ms_median" not in rec:
+        rec["probe_shuffle_ms_median"] = shuffle_median
     return rec
 
 
@@ -144,6 +152,19 @@ def main() -> None:
     med_raw = statistics.median(r[1] for r in rows)
     med_scaled = statistics.median(r[0] for r in rows)
     print()
+    # Diagnostic only (never a scaling denominator): the shuffle probe
+    # (detailed bench records, r8+) sees the exchange/disk path the
+    # codegen probe cannot — whole-set drift with a flat codegen probe
+    # and a rising shuffle probe is the machine's shuffle path, not code.
+    so, sn = old.get("probe_shuffle_ms_median"), new.get("probe_shuffle_ms_median")
+    if (
+        isinstance(so, (int, float)) and not isinstance(so, bool) and so > 0
+        and isinstance(sn, (int, float)) and not isinstance(sn, bool) and sn > 0
+    ):
+        print(
+            f"shuffle-path probe (diagnostic): {so:.1f} -> {sn:.1f} ms "
+            f"(x{sn / so:.3f})"
+        )
     if machine:
         print(
             f"machine ({machine_note}): x{machine:.3f}; "
