@@ -182,6 +182,7 @@ def distributed_quantiles(
     col: str,
     probs: Sequence[float],
     block_width: float = 1000.0,
+    pre_reduce: bool = True,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles of ``df[col]`` at ``probs``.
 
@@ -195,18 +196,46 @@ def distributed_quantiles(
     ``block_width`` partitions the VALUE RANGE (not the rows): pick it
     so (max-min)/block_width is 50-10000 blocks; correctness does not
     depend on it.
+
+    ``pre_reduce`` prices the FIRST shuffle against the column's
+    duplication (r8; bit-identical either way, pinned by tests):
+
+    - ``True`` (default): reduce to distinct-value counts (x, c) first —
+      the blocked-ranking window then sees CARDINALITY-many rows. The
+      right call when values repeat (event types, integer scores,
+      bucketed amounts): at 100 TB a low-cardinality column collapses
+      to a tiny relation before any window runs.
+    - ``False``: rank RAW rows (c = 1) straight into the value-range
+      blocks — ONE shuffle (on blk) instead of two (groupBy x, then
+      blk), no checkpoint materialization. The right call when values
+      are near-unique (prices, revenues, microsecond latencies), where
+      the groupBy would shuffle the full data to "reduce" it by ~3%:
+      measured on q118's 97%-unique prices at sf0.1, cuts went
+      1.6-2.8s -> a tight 1.1s. Per-task memory is still block-bounded;
+      only the window INPUT is row-sized rather than cardinality-sized.
     """
     spark = df.sparkSession
-    # lazy cut: block sizing and the ranked chain both consume the
-    # distinct-value relation
-    counts = (
-        df.where(
-            F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
-        )
-        .groupBy(F.col(col).cast("double").alias("x"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+    clean = df.where(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
+    if pre_reduce:
+        # lazy cut: block sizing and the ranked chain both consume the
+        # distinct-value relation
+        counts = (
+            clean.groupBy(F.col(col).cast("double").alias("x"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        # raw rows, c = 1: every downstream step is unchanged — a row
+        # covers the single sorted position [rank_lt, rank_lt + 1). No
+        # checkpoint: the relation is a pure projected scan, and both
+        # consumers re-scanning parquet beats materializing row-count-
+        # sized data through local disk.
+        counts = clean.select(
+            F.col(col).cast("double").alias("x"),
+            F.lit(1).cast("bigint").alias("c"),
+        )
     blocked = counts.select(
         "x", "c", F.floor(F.col("x") / F.lit(block_width)).cast("bigint").alias("blk")
     )

@@ -1314,11 +1314,14 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decile cuts via the blocked-rank distributed selection: acctbal is
     # a continuous value, so the builtin `percentile` buffer would hold
     # ~every customer — bit-identical, bounded
+    # pre_reduce=False: account balances are near-continuous — rank raw
+    # rows, one shuffle instead of a no-op distinct-count reduce (r8)
     cuts = distributed_quantiles(
         pc.select("c_acctbal"),
         "c_acctbal",
         [float(p) for p in _DECILE_FRACS.split(", ")],
         block_width=100.0,
+        pre_reduce=False,
     ).select(F.col("c").alias("qc"))
     dec = pc.join(F.broadcast(cuts)).select(
         (F.lit(1) + F.size(F.expr("filter(qc, v -> c_acctbal > v)")))
@@ -6528,8 +6531,10 @@ def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
     # tail thresholds via the blocked-rank distributed selection: the
     # builtin's buffer held every order's cents — bit-identical, bounded
+    # pre_reduce=False: order totals in cents are near-unique — rank raw
+    # rows, one shuffle instead of a no-op distinct-count reduce (r8)
     th = distributed_quantiles(
-        v, "c", [0.9, 0.95, 0.99], block_width=1000000.0
+        v, "c", [0.9, 0.95, 0.99], block_width=1000000.0, pre_reduce=False
     )
     pts = th.selectExpr(
         "stack(3, CAST(0.90 AS DOUBLE), c[0], CAST(0.95 AS DOUBLE), c[1],"

@@ -1067,31 +1067,40 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every operator still paying the buffer), the same blocked-ranking
     idiom as q302:
 
-      1. group by value → (x, c) distinct-value counts (one shuffle;
-         bounded by value cardinality, not row count);
+      1. rank RAW rows straight into value-range blocks
+         (``pre_reduce=False``, r8): prices are ~97% unique, so the
+         former distinct-count groupBy shuffled the whole table to
+         reduce it by 3% — now the ONLY data shuffle is the block
+         partitioning (duplicate-heavy callers keep the cardinality
+         reduce via the default ``pre_reduce=True``);
       2. within value-range blocks (width {_EQD_BLOCK}): running count
          ordered by x → per-block rank; block totals + a prefix window
-         over the ~100-row block table → global `rank_lt` = #values < x.
+         over the ~100-row block table → global `rank_lt` = #rows < x.
          The only SinglePartition exchanges carry the block table and the
          15-row cut assembly — never the data;
       3. the 15 target positions q·(n-1) join back with ONE broadcast
-         nested-loop over the distinct-value relation (15 × |values|
-         predicate evals) to pick the floor/ceil order statistics, and the
+         nested-loop over the ranked relation (15 × |rows| predicate
+         evals) to pick the floor/ceil order statistics, and the
          cut interpolates exactly as Spark's Percentile / DuckDB
          quantile_cont do: (hi-pos)·v_lo + (pos-lo)·v_hi.
 
     Bit-identical cut points to `percentile` (parity-pinned vs DuckDB at
-    both scales), but no value buffer anywhere: every relation after step
-    1 is value-cardinality- or block-count-sized. Bucket assignment is
-    unchanged: cuts broadcast as a 15-element array, map-side
-    `1 + count(cuts < x)`, plain hash aggregate.
+    both scales), but no value buffer anywhere: per-task memory is
+    block-bounded throughout. Bucket assignment is unchanged: cuts
+    broadcast as a 15-element array, map-side `1 + count(cuts < x)`,
+    plain hash aggregate.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # pre_reduce=False: prices are ~97% unique (583k distinct of 600k at
+    # sf0.1), so the distinct-count groupBy would shuffle the whole table
+    # to reduce it by 3% — raw-row ranking shuffles ONCE (r8: 1.6-2.8s
+    # cuts -> tight 1.1s, bit-identical)
     cuts = distributed_quantiles(
         li,
         "l_extendedprice",
         [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)],
         block_width=_EQD_BLOCK,
+        pre_reduce=False,
     )
     return (
         li.join(F.broadcast(cuts))

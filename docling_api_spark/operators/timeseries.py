@@ -5645,8 +5645,14 @@ def q296_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lateness percentiles via the blocked-rank distributed selection:
     # late_us is near-continuous (microseconds), so the builtin
     # `percentile` buffer would hold ~every event — bit-identical, bounded
+    # pre_reduce=False: microsecond lateness is near-continuous — rank raw
+    # rows, one shuffle instead of a no-op distinct-count reduce (r8)
     lq = distributed_quantiles(
-        lateness, "late_us", [0.5, 0.95, 0.99], block_width=60000000.0
+        lateness,
+        "late_us",
+        [0.5, 0.95, 0.99],
+        block_width=60000000.0,
+        pre_reduce=False,
     )
     counts = lateness.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),

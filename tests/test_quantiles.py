@@ -38,6 +38,36 @@ def test_bit_identical_to_builtin(spark, sf_dir, table, col, block):
     assert [repr(g) for g in got] == [repr(w) for w in want]
 
 
+@pytest.mark.parametrize(
+    "table,col,block",
+    [
+        ("lineitem", "l_extendedprice", 1000.0),  # near-unique: the target case
+        ("part", "p_size", 3.0),  # heavy ties: positions among equal values
+    ],
+)
+def test_raw_row_ranking_bit_identical(spark, sf_dir, table, col, block):
+    """pre_reduce=False (rank raw rows, one shuffle) must produce the
+    same bits as the default distinct-count path AND the builtin —
+    including under heavy ties, where position assignment among equal
+    values is arbitrary but every such position holds the same value."""
+    df = load_table(spark, sf_dir, table)
+    raw = distributed_quantiles(
+        df, col, PROBS, block_width=block, pre_reduce=False
+    ).collect()[0].c
+    want = _builtin(df.select(F.col(col).cast("double").alias(col)), col)
+    assert [repr(g) for g in raw] == [repr(w) for w in want]
+
+
+def test_raw_row_ranking_excludes_nulls_and_nans(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (float("nan"),), (3.0,)], "v double"
+    )
+    got = distributed_quantiles(
+        df, "v", [0.0, 0.5, 1.0], block_width=10.0, pre_reduce=False
+    ).collect()[0].c
+    assert got == [1.0, 2.0, 3.0]
+
+
 def test_nulls_excluded_like_builtin(spark):
     df = spark.createDataFrame(
         [(1.0,), (None,), (2.0,), (None,), (10.0,)], "v double"
