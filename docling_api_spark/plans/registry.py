@@ -119,9 +119,11 @@ def register(
 # them only via the shared tables.load_table naive-µs timestamp fix that
 # accompanied the round-3 testdata regeneration); the 29 chosen here are
 # the judge-named four (q112 rewritten r7; q221/q24/q118 modified after
-# their grades), all 21 whose own builder or compute helper changed after
-# an r3-r5 grade, and the 7 highest-risk loader-stale r1/r2 grades
-# (builder-fn-changed or timestamp-bearing). The remaining 28 loader-stale
+# their grades), the 18 REMAINING queries whose own builder or compute
+# helper changed after an r3-r5 grade (q112/q24/q118 belong to that set
+# too but are already counted in the judge-named four), and the 7
+# highest-risk loader-stale r1/r2 grades (builder-fn-changed: q29/q94/
+# q27/q39; timestamp-bearing: q21/q31/q34). 4+18+7 = 29. The other 28
 # r1/r2 grades are projection/join queries re-verified by every dryrun
 # sweep; they queue for any future spare slots. The surface stays FROZEN
 # at 307 (VERDICT r7 Next #3).
@@ -154,7 +156,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q221_poisson_bootstrap",
     "q24_percentiles_exact",
     "q118_equidepth_histogram",
-    # stale re-certs: own builder / compute helper changed after r3-r5 grade:
+    # stale re-certs: own builder / compute helper changed after r3-r5
+    # grade (18 — the other three of that set, q112/q24/q118, are above):
     "q152_pagerank",
     "q158_median_mad_outliers",
     "q162_lift_table",
@@ -173,10 +176,11 @@ GRADED_FIRST: tuple[str, ...] = (
     "q45_dedup_clusters",
     "q71_upload_validation",
     "q81_frame_sample",
+    # stale re-certs: loader-stale r1/r2 — builder-fn-changed (q29/q94/
+    # q27/q39) or timestamp-bearing (q21/q31/q34):
     "q29_large_orders",
     "q94_merge_upsert",
     "q27_array_agg",
-    # stale re-certs: loader-stale r1/r2, builder-changed or timestamp-bearing:
     "q39_gap_fill_resample",
     "q21_date_funcs",
     "q31_sliding_window",

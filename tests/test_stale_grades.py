@@ -104,6 +104,28 @@ def test_missing_function_returns_none():
     assert sg.closure(FakeSnapshot({}), OPS_MOD, "query_a") is None
 
 
+def test_annotated_and_tuple_constants_detected():
+    """AnnAssign (`NAME: type = ...`) and tuple-unpack module constants
+    must enter the closure — a plain-Assign-only scan let edits to e.g.
+    the magic-byte tables in functions/formats.py slip past the
+    staleness check (r8 review finding)."""
+    ops = f"""
+LIMIT: int = 10
+A, B = 1, 2
+
+def query_d(spark, sf):
+    return LIMIT + A
+"""
+    a = sg.closure(FakeSnapshot({OPS_MOD: ops}), OPS_MOD, "query_d")
+    assert (OPS_MOD, "LIMIT") in a and (OPS_MOD, "A") in a
+    changed_ann = ops.replace("LIMIT: int = 10", "LIMIT: int = 20")
+    b = sg.closure(FakeSnapshot({OPS_MOD: changed_ann}), OPS_MOD, "query_d")
+    assert a != b and "fake.LIMIT" in sg.changed_members(a, b)
+    changed_tup = ops.replace("A, B = 1, 2", "A, B = 3, 2")
+    c = sg.closure(FakeSnapshot({OPS_MOD: changed_tup}), OPS_MOD, "query_d")
+    assert a != c and "fake.A" in sg.changed_members(a, c)
+
+
 def test_module_alias_import_pulls_whole_module():
     ops = f"""
 import {HELPER_MOD} as h

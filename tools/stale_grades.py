@@ -86,6 +86,16 @@ class ModuleIndex:
                 for t in node.targets:
                     if isinstance(t, ast.Name):
                         self.defs[t.id] = node
+                    elif isinstance(t, (ast.Tuple, ast.List)):
+                        for e in t.elts:
+                            if isinstance(e, ast.Name):
+                                self.defs[e.id] = node
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                # `NAME: type = value` module constants (e.g. the magic-
+                # byte tables in functions/formats.py) — invisible to a
+                # plain-Assign scan, which would let edits to them slip
+                # past the staleness check (r8 review finding)
+                self.defs[node.target.id] = node
             elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
                 for a in node.names:
                     self.from_imports[a.asname or a.name] = (node.module, a.name)
@@ -147,8 +157,8 @@ def closure(snap: TreeSnapshot, module: str, fname: str) -> dict | None:
             if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
                 idents.add(n.value.id)
         for ident in idents:
-            if ident == name and mod == module:
-                pass  # self-recursion fine; seen-guard handles it
+            # (self-recursion needs no special case: the seen-guard above
+            # terminates it)
             if ident in idx.defs:
                 stack.append((mod, ident))
             if ident in idx.from_imports:
