@@ -67,6 +67,7 @@ def distributed_grouped_quantiles(
     col: str,
     probs: Sequence[float],
     block_width: float = 1000.0,
+    pre_reduce: bool = True,
 ) -> DataFrame:
     """Per-group exact quantiles: one row per group with array<double>
     ``c`` — the distributed replacement for
@@ -80,6 +81,19 @@ def distributed_grouped_quantiles(
     of one buffer. The (group × block) size table and the
     (group × |probs|) target table stay broadcast-small.
 
+    ``pre_reduce`` applies the same distinct-count lens as the ungrouped
+    helper (r9; bit-identical either way, pinned by tests), judged on
+    the PER-GROUP distinct ratio:
+
+    - ``True`` (default): reduce to per-group distinct-value counts
+      (g, x, c) first — right when values repeat within a group (event
+      types over integer scores, bucketed amounts).
+    - ``False``: rank raw rows (c = 1) straight into (group, block)
+      windows — one shuffle instead of two, no checkpoint
+      materialization. Right when a group's values are near-unique
+      (per-brand prices, per-user spend), where the groupBy shuffles the
+      full data for a few-percent reduction.
+
     Group keys must be non-null (they thread through equi-joins); rows
     with a null ``col`` value are excluded per group, like the builtin
     (NaN rows too — divergence, see the module docstring; a group whose
@@ -87,14 +101,26 @@ def distributed_grouped_quantiles(
     """
     spark = df.sparkSession
     g = list(group_cols)
-    counts = (
-        df.where(
-            F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
-        )
-        .groupBy(*g, F.col(col).cast("double").alias("x"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint(eager=False)
+    clean = df.where(
+        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
+    if pre_reduce:
+        counts = (
+            clean.groupBy(*g, F.col(col).cast("double").alias("x"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        # raw rows, c = 1: every downstream step is unchanged — a row
+        # covers the single sorted position [rank_lt, rank_lt + 1) of
+        # its group. No checkpoint: the relation is a pure projected
+        # scan, and the consumers re-scanning parquet beats
+        # materializing row-count-sized data through local disk.
+        counts = clean.select(
+            *g,
+            F.col(col).cast("double").alias("x"),
+            F.lit(1).cast("bigint").alias("c"),
+        )
     blocked = counts.select(
         *g, "x", "c",
         F.floor(F.col("x") / F.lit(block_width)).cast("bigint").alias("blk"),

@@ -179,8 +179,14 @@ def q121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'f', CAST(f_orders AS DOUBLE),"
         " 'm', m_value) AS (metric, v)"
     )
+    # pre_reduce=False (r9): the stack mixes near-unique m_value with
+    # heavy-tie r/f metrics, but the input is a checkpointed
+    # customer-level relation — re-scanning it beats a distinct-count
+    # shuffle + second materialization (1.44s vs 1.95s at sf0.1,
+    # best-of-3)
     tc = distributed_grouped_quantiles(
-        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width=1000.0
+        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width=1000.0,
+        pre_reduce=False,
     )
     cuts = tc.agg(
         F.max(F.when(F.col("metric") == "r", F.col("c"))).alias("rc"),
@@ -1001,8 +1007,12 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer held a fifth of the table, the judge-flagged 100 TB soft spot.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # pre_reduce=False on both passes (r9): values are ~49% distinct per
+    # type and the MAD input below is an explicit checkpoint, so raw-row
+    # ranking (one shuffle per pass) measured 2.27s vs 2.84s end-to-end
+    # at sf0.1 (best-of-3 over all four per-call combinations)
     med = distributed_grouped_quantiles(
-        ev, ["event_type"], "value", [0.5], block_width=25.0
+        ev, ["event_type"], "value", [0.5], block_width=25.0, pre_reduce=False
     ).select("event_type", F.col("c")[0].alias("med"))
     # lazy cut: the MAD aggregation and the outlier count both consume the
     # deviation relation; uncut, each re-derives the fact scan + median
@@ -1015,7 +1025,7 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     ).localCheckpoint(eager=False)
     mad = distributed_grouped_quantiles(
-        dev, ["event_type"], "adev", [0.5], block_width=25.0
+        dev, ["event_type"], "adev", [0.5], block_width=25.0, pre_reduce=False
     ).select("event_type", F.col("c")[0].alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -3298,9 +3308,12 @@ def q227_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-priority 0.9 residual quantile via the blocked-rank selection
     # (bit-identical to `percentile`); the builtin's per-group buffer held
     # every calibration residual of a priority — order-count-sized at
-    # 100 TB with only 5 groups
+    # 100 TB with only 5 groups. pre_reduce=False (r9): cent-scale
+    # residuals are near-unique per priority and `resid` is already a
+    # checkpoint, so raw-row ranking measured 1.77s vs 2.13s at sf0.1
     qh = distributed_grouped_quantiles(
-        resid, ["priority"], "r", [0.9], block_width=100000.0
+        resid, ["priority"], "r", [0.9], block_width=100000.0,
+        pre_reduce=False,
     ).select("priority", (F.col("c")[0] / 100.0).alias("qhat_dollars"))
     return (
         resid.groupBy("priority", "k", "beta", "alpha")
@@ -4178,13 +4191,20 @@ def q241_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
                 F.round(F.col("value") * 100).cast("bigint"),
             ).otherwise(F.lit(0))
         ).cast("bigint").alias("y")
-    ).select(hash_bucket("user_id", 2).alias("arm"), "y")
+    ).select(hash_bucket("user_id", 2).alias("arm"), "y").localCheckpoint(
+        eager=False
+    )  # user-count-sized; the raw-row ranking below scans it twice
     # ONE grouped blocked-rank selection computes all three taus for both
     # arms (bit-identical to `percentile`); the builtin's CASE-filtered
     # buffers each held an arm's entire per-user spend distribution —
-    # user-count-sized at 100 TB with two groups
+    # user-count-sized at 100 TB with two groups. pre_reduce=False (r9):
+    # per-user spend is ~99% distinct per arm, so the distinct-count
+    # pre-reduce re-shuffled user-count-sized data for no reduction; the
+    # checkpoint above caps the double scan at one materialization
+    # (1.08s vs 1.16s at sf0.1)
     qa = distributed_grouped_quantiles(
-        u, ["arm"], "y", [0.1, 0.5, 0.9], block_width=10000.0
+        u, ["arm"], "y", [0.1, 0.5, 0.9], block_width=10000.0,
+        pre_reduce=False,
     ).localCheckpoint(eager=False)  # 2-row relation, read once per arm
     wide = (
         qa.where(F.col("arm") == 1)

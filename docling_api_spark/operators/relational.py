@@ -844,8 +844,13 @@ def q24_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per buffer. Bit-identical results (helper unit tests + this oracle).
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # pre_reduce=False (r9): event values are ~49% distinct per type, so
+    # the distinct-count groupBy shuffled the table to halve it before a
+    # second shuffle into blocks; ranking raw rows straight off the
+    # parquet scan is one shuffle and measured faster (1.65s vs 1.95s
+    # end-to-end at sf0.1, best-of-3)
     med = distributed_grouped_quantiles(
-        ev, ["event_type"], "value", [0.5], block_width=25.0
+        ev, ["event_type"], "value", [0.5], block_width=25.0, pre_reduce=False
     ).select("event_type", F.col("c")[0].alias("median_v"))
     return (
         ev.groupBy("event_type")
@@ -1003,9 +1008,13 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-brand cuts via the blocked-rank distributed selection: the
     # builtin's per-brand buffer held every price of the brand (1/25th of
-    # the fact table each) — bit-identical, bounded memory
+    # the fact table each) — bit-identical, bounded memory.
+    # pre_reduce=False (r9): prices are ~97% distinct per brand (the q118
+    # lens), so the distinct-count pre-reduce was a full-table shuffle
+    # for a 3% reduction; raw-row ranking measured 2.39s vs 3.04s
+    # end-to-end at sf0.1 (best-of-3)
     cuts = distributed_grouped_quantiles(
-        pb, ["p_brand"], "x", [0.05, 0.95], block_width=5000.0
+        pb, ["p_brand"], "x", [0.05, 0.95], block_width=5000.0, pre_reduce=False
     ).select(
         "p_brand",
         F.col("c")[0].alias("p05"),

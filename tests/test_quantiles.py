@@ -93,10 +93,12 @@ def test_nan_excluded_with_documented_semantics(spark):
     assert not any(repr(g) == "nan" for g in got)
 
 
-def test_grouped_nan_and_all_null_groups(spark):
+@pytest.mark.parametrize("pre_reduce", [True, False])
+def test_grouped_nan_and_all_null_groups(spark, pre_reduce):
     """Grouped variant: NaN rows are excluded per group; a group whose
     values are ALL null/NaN yields no output row (documented divergence
-    from the builtin's null-array row)."""
+    from the builtin's null-array row). Same semantics on both shuffle
+    strategies."""
     from docling_api_spark.functions.quantiles import distributed_grouped_quantiles
 
     nan = float("nan")
@@ -107,7 +109,7 @@ def test_grouped_nan_and_all_null_groups(spark):
     rows = {
         r.g: [repr(v) for v in r.c]
         for r in distributed_grouped_quantiles(
-            df, ["g"], "v", PROBS, block_width=2.0
+            df, ["g"], "v", PROBS, block_width=2.0, pre_reduce=pre_reduce
         ).collect()
     }
     assert set(rows) == {"a", "c"}  # b (all null/NaN) dropped, as documented
@@ -119,21 +121,30 @@ def test_grouped_nan_and_all_null_groups(spark):
 
 
 @pytest.mark.parametrize(
-    "table,grp,col,block",
+    "table,grp,col,block,pre_reduce",
     [
-        ("events", "event_type", "value", 250.0),
-        ("orders", "o_orderstatus", "o_totalprice", 10000.0),
-        ("part", "p_brand", "p_size", 7.0),  # heavy ties per group
+        ("events", "event_type", "value", 250.0, True),
+        ("orders", "o_orderstatus", "o_totalprice", 10000.0, True),
+        ("part", "p_brand", "p_size", 7.0, True),  # heavy ties per group
+        # raw-row ranking (r9): near-unique per group — the target case
+        ("orders", "o_orderstatus", "o_totalprice", 10000.0, False),
+        # raw-row ranking under heavy per-group ties: position assignment
+        # among equal values is arbitrary but every position holds the
+        # same value, so the interpolation must still match bit-for-bit
+        ("part", "p_brand", "p_size", 7.0, False),
+        ("events", "event_type", "value", 250.0, False),
     ],
 )
-def test_grouped_bit_identical_to_builtin(spark, sf_dir, table, grp, col, block):
+def test_grouped_bit_identical_to_builtin(
+    spark, sf_dir, table, grp, col, block, pre_reduce
+):
     from docling_api_spark.functions.quantiles import distributed_grouped_quantiles
 
     df = load_table(spark, sf_dir, table)
     got = {
         tuple(r)[0]: [repr(v) for v in r.c]
         for r in distributed_grouped_quantiles(
-            df, [grp], col, PROBS, block_width=block
+            df, [grp], col, PROBS, block_width=block, pre_reduce=pre_reduce
         ).collect()
     }
     want = {
