@@ -109,27 +109,82 @@ def register(
 # explicit order: the 50 queries that must land inside the correctness
 # window come first.
 #
-# Round-8 rotation (VERDICT r7 Next #1/#2): positions 1-21 are the final
-# never-driver-graded queries q286..q306 — after this window every one of
-# the 307 registered queries has a driver record. Positions 22-50 spend
-# the spare slots re-certifying STALE grades: queries whose implementing
-# closure (builder fn + transitive package helpers, derived by
-# tools/stale_grades.py against each grade round's verdict commit) changed
-# after the round that graded them. 57 grades are stale in total (32 of
-# them only via the shared tables.load_table naive-µs timestamp fix that
-# accompanied the round-3 testdata regeneration); the 29 chosen here are
-# the judge-named four (q112 rewritten r7; q221/q24/q118 modified after
-# their grades), the 18 REMAINING queries whose own builder or compute
-# helper changed after an r3-r5 grade (q112/q24/q118 belong to that set
-# too but are already counted in the judge-named four), and the 7
-# highest-risk loader-stale r1/r2 grades (builder-fn-changed: q29/q94/
-# q27/q39; timestamp-bearing: q21/q31/q34). 4+18+7 = 29. The other 28
-# r1/r2 grades are projection/join queries re-verified by every dryrun
-# sweep; they queue for any future spare slots. The surface stays FROZEN
-# at 307 (VERDICT r7 Next #3).
+# Since round 9 the window is COMPOSED MECHANICALLY by the steady-state
+# policy in tools/compose_window.py (VERDICT r8 Next #7): never-graded
+# queries first, then stale grades (tools/stale_grades.py — the
+# implementing closure changed after the round that graded them) oldest
+# grade first, then remaining slots by grade age. Rotate with
+#
+#     python tools/compose_window.py --update
+#
+# which rewrites the tuple below and the constant beside it; the policy
+# test (tests/test_registry_order.py) recomputes the composition and
+# fails if this file drifts from it. The round-9 window drains the final
+# 29-entry stale queue (28 loader-stale r1/r2 grades + q72, whose
+# formats/converter closure drifted substantively since its r1 rows-only
+# record — the ADVICE r8 call-out; it re-certs rows-only by design) plus
+# the 6 callers of the grouped quantile helper flipped to raw-row ranking
+# this round, and spends the 15 spare slots on the oldest (r3) grades.
+# The surface stays FROZEN at 307 (VERDICT r8 Next #4).
+
+# The round this window was composed FOR: only CORRECTNESS records from
+# rounds BELOW this feed the policy, so the composition stays
+# reproducible after this round's own record lands. Maintained by
+# tools/compose_window.py --update.
+WINDOW_COMPOSED_FOR_ROUND: int = 9
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-8 driver window (50) ----
-    # final 21 never-driver-graded (oracle-checked; dryrun-MATCH r7+r8):
+    # ---- round-9 driver window (50), policy-composed ----
+    "q02_filter_project",
+    "q08_scalar_subquery",
+    "q09_correlated_exists",
+    "q23_approx_aggs",
+    "q25_explode_wordcount",
+    "q28_shipping_priority",
+    "q41_dedup_per_group",
+    "q53_embedding_neardup",
+    "q72_conversion_pipeline",
+    "q91_hash_sample",
+    "q92_stratified_sample",
+    "q93_weighted_mix",
+    "q96_histogram",
+    "q05_semi_join",
+    "q06_anti_join",
+    "q10_agg_distinct",
+    "q12_cube",
+    "q13_grouping_sets",
+    "q15_window_lag_lead",
+    "q16_window_frames",
+    "q17_topk_global",
+    "q19_pivot",
+    "q22_math_json_funcs",
+    "q26_conditional_agg",
+    "q46_unpivot",
+    "q52_knn_label_vote",
+    "q61_token_stats",
+    "q62_quality_score",
+    "q65_doc_fingerprint",
+    "q227_conformal_interval",
+    "q241_quantile_treatment_effect",
+    "q114_winsorized_agg",
+    "q121_rfm_segmentation",
+    "q158_median_mad_outliers",
+    "q24_percentiles_exact",
+    "q01_pricing_summary",
+    "q03_broadcast_dim_join",
+    "q04_multiway_join_revenue",
+    "q07_outer_join",
+    "q104_snapshot_diff",
+    "q106_heavy_hitters",
+    "q109_stream_stream_join",
+    "q110_interval_overlap_join",
+    "q11_rollup",
+    "q120_ab_test_ztest",
+    "q14_window_topk_per_group",
+    "q18_set_ops",
+    "q20_string_funcs",
+    "q30_tumbling_window",
+    "q32_session_window",
+    # ---- tail: prior relative order preserved ----
     "q286_negbin_fit",
     "q287_multiple_testing",
     "q288_ltv_projection",
@@ -151,20 +206,13 @@ GRADED_FIRST: tuple[str, ...] = (
     "q304_dominant_period",
     "q305_interim_looks",
     "q306_effective_sample_size",
-    # stale re-certs, judge-named (VERDICT r7 wrong #2):
     "q112_inverted_index",
     "q221_poisson_bootstrap",
-    "q24_percentiles_exact",
     "q118_equidepth_histogram",
-    # stale re-certs: own builder / compute helper changed after r3-r5
-    # grade (18 — the other three of that set, q112/q24/q118, are above):
     "q152_pagerank",
-    "q158_median_mad_outliers",
     "q162_lift_table",
     "q102_revenue_concentration",
-    "q114_winsorized_agg",
     "q117_comovement_matrix",
-    "q121_rfm_segmentation",
     "q123_market_basket",
     "q138_scd2_point_in_time",
     "q88_collocations_pmi",
@@ -176,8 +224,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q45_dedup_clusters",
     "q71_upload_validation",
     "q81_frame_sample",
-    # stale re-certs: loader-stale r1/r2 — builder-fn-changed (q29/q94/
-    # q27/q39) or timestamp-bearing (q21/q31/q34):
     "q29_large_orders",
     "q94_merge_upsert",
     "q27_array_agg",
@@ -185,10 +231,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q21_date_funcs",
     "q31_sliding_window",
     "q34_funnel_range_join",
-    # ---- overflow: beyond the driver's 50-entry window ----
-    # r7 window (all have current r7 records), prior greens (grades stand),
-    # and the 28 remaining loader-stale r1/r2 grades (dryrun-sweep-verified;
-    # queue for future spare slots). Relative order preserved from round 7.
     "q43_minhash_lsh_xxh",
     "q118_approx_equidepth",
     "q171_hll_rollup",
@@ -197,7 +239,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q246_isotonic_calibration",
     "q251_lcs_verify",
     "q257_dtw_distance",
-    "q241_quantile_treatment_effect",
     "q242_binary_segmentation",
     "q243_simpson_diversity",
     "q244_peak_detection",
@@ -239,9 +280,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q283_cohen_kappa",
     "q284_weighted_jaccard",
     "q285_quadratic_response",
-    "q72_conversion_pipeline",
     "q80_media_features",
-    "q23_approx_aggs",
     "q190_phrase_search",
     "q191_shortest_path",
     "q192_forecast_wape",
@@ -278,7 +317,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q224_sax_symbols",
     "q225_markov_absorption",
     "q226_emd_regions",
-    "q227_conformal_interval",
     "q228_geometric_median",
     "q229_bitmap_intersect",
     "q230_lagged_xcorr",
@@ -391,13 +429,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q69_contamination_check",
     "q95_temperature_mix",
     "q97_paragraph_dedup",
-    "q104_snapshot_diff",
-    "q106_heavy_hitters",
-    "q109_stream_stream_join",
-    "q110_interval_overlap_join",
-    "q120_ab_test_ztest",
-    "q30_tumbling_window",
-    "q32_session_window",
     "q33_asof_join",
     "q35_bucketed_range_join",
     "q38_salted_skew_agg",
@@ -405,47 +436,12 @@ GRADED_FIRST: tuple[str, ...] = (
     "q60_lang_breakdown",
     "q63_tfidf_top_terms",
     "q90_profile_orders",
-    "q01_pricing_summary",
-    "q03_broadcast_dim_join",
-    "q04_multiway_join_revenue",
-    "q07_outer_join",
-    "q11_rollup",
-    "q14_window_topk_per_group",
-    "q18_set_ops",
-    "q20_string_funcs",
     "q40_dedup_exact",
     "q43_minhash_lsh",
     "q44_simhash",
     "q50_cosine_topk",
     "q51_ann_lsh",
     "q70_format_classify",
-    "q10_agg_distinct",
-    "q17_topk_global",
-    "q19_pivot",
-    "q26_conditional_agg",
-    "q46_unpivot",
-    "q52_knn_label_vote",
-    "q65_doc_fingerprint",
-    "q22_math_json_funcs",
-    "q61_token_stats",
-    "q62_quality_score",
-    "q05_semi_join",
-    "q06_anti_join",
-    "q12_cube",
-    "q13_grouping_sets",
-    "q15_window_lag_lead",
-    "q16_window_frames",
-    "q02_filter_project",
-    "q08_scalar_subquery",
-    "q09_correlated_exists",
-    "q25_explode_wordcount",
-    "q28_shipping_priority",
-    "q41_dedup_per_group",
-    "q53_embedding_neardup",
-    "q91_hash_sample",
-    "q92_stratified_sample",
-    "q93_weighted_mix",
-    "q96_histogram",
 )
 
 

@@ -1,60 +1,50 @@
 """The driver grades only the first 50 registry entries — pin the ordering
 contract so a refactor can't silently push a must-grade query out of the
-correctness window (round-1 failure mode: 19 queries ungraded)."""
+correctness window (round-1 failure mode: 19 queries ungraded).
+
+Since round 9 the window is policy-composed (VERDICT r8 Next #7): instead
+of a hand list, these tests RECOMPUTE tools/compose_window.py's
+composition — never-graded first, then stale grades oldest-first, then
+grade age — and assert GRADED_FIRST leads with exactly that. Rotation is
+mechanical: `python tools/compose_window.py --update` (after bumping the
+round, which test_window_composed_for_current_round trips on each new
+CORRECTNESS record). If an operator edit mid-round makes a grade stale,
+test_window_follows_policy fails until the same command is re-run — by
+design: the window must always reflect staleness at HEAD.
+"""
 
 from __future__ import annotations
 
-from docling_api_spark.plans.registry import GRADED_FIRST, all_queries
+import glob
+import json
+import os
+import re
+import sys
+
+from docling_api_spark.plans.registry import (
+    GRADED_FIRST,
+    WINDOW_COMPOSED_FOR_ROUND,
+    all_queries,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 DRIVER_WINDOW = 50
 
-# Round-8 contract (VERDICT r7 Next #1/#2): positions 1-21 are the final
-# never-driver-graded queries q286..q306 (all oracle-checked); positions
-# 22-50 re-certify the 29 highest-priority STALE grades — queries whose
-# implementing closure changed after the round that graded them, derived
-# by tools/stale_grades.py (judge-named four + all 21 substantive r3-r5
-# stales + 7 highest-risk loader-stale r1/r2 grades). Every windowed query
-# has a DuckDB oracle, so round 8 produces 50 hash-comparable records and
-# leaves every one of the 307 registered queries with a driver record.
-FINAL_QUEUE_PREFIXES = {f"q{n}_" for n in range(286, 307)}
-STALE_RECERTS = {
-    # judge-named (VERDICT r7 wrong #2)
-    "q112_inverted_index",
-    "q221_poisson_bootstrap",
-    "q24_percentiles_exact",
-    "q118_equidepth_histogram",
-    # own builder / compute helper changed after an r3-r5 grade
-    "q152_pagerank",
-    "q158_median_mad_outliers",
-    "q162_lift_table",
-    "q102_revenue_concentration",
-    "q114_winsorized_agg",
-    "q117_comovement_matrix",
-    "q121_rfm_segmentation",
-    "q123_market_basket",
-    "q138_scd2_point_in_time",
-    "q88_collocations_pmi",
-    "q103_khop_reachability",
-    "q105_funnel_steps",
-    "q108_bloom_semi_join",
-    "q115_time_weighted_avg",
-    "q42_ngram_jaccard",
-    "q45_dedup_clusters",
-    "q71_upload_validation",
-    "q81_frame_sample",
-    # loader-stale r1/r2, builder-changed or timestamp-bearing
-    "q29_large_orders",
-    "q94_merge_upsert",
-    "q27_array_agg",
-    "q39_gap_fill_resample",
-    "q21_date_funcs",
-    "q31_sliding_window",
-    "q34_funnel_range_join",
-}
 
-
-def _expand(prefixes: set[str], names: set[str]) -> set[str]:
-    return {n for n in names if any(n.startswith(p) for p in prefixes)}
+def _correctness_rounds() -> dict[int, set[str]]:
+    """round -> graded query names, via glob (no hardcoded round range or
+    zero-padding: ADVICE r8 — a range(1, 8) loop silently excluded r08+
+    and broke at round 10)."""
+    out: dict[int, set[str]] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        with open(path) as f:
+            out[int(m.group(1))] = set(json.load(f))
+    return out
 
 
 def test_graded_first_covers_registry_exactly():
@@ -67,44 +57,46 @@ def test_registry_iteration_follows_graded_first():
     assert list(all_queries()) == list(GRADED_FIRST)
 
 
-def test_must_grade_queries_inside_driver_window():
-    names = set(all_queries())
-    must = _expand(FINAL_QUEUE_PREFIXES, names) | STALE_RECERTS
-    assert len(must) == DRIVER_WINDOW  # 21 final queue + 29 stale re-certs
-    window = set(list(all_queries())[:DRIVER_WINDOW])
-    assert must == window
+def test_window_follows_policy():
+    """GRADED_FIRST[:50] must equal the policy composition for
+    WINDOW_COMPOSED_FOR_ROUND, recomputed here from the correctness
+    records and git history. Shells out to git for the closure
+    fingerprints (~seconds). Fails after any edit that stales a graded
+    query — rerun `python tools/compose_window.py --update`."""
+    from compose_window import WINDOW, compose
+
+    assert WINDOW == DRIVER_WINDOW
+    want = compose(WINDOW_COMPOSED_FOR_ROUND)
+    assert list(GRADED_FIRST[:DRIVER_WINDOW]) == want
 
 
-def test_final_queue_leads_the_window():
-    """Positions 1-21 are exactly q286..q306 — the last never-driver-graded
-    queries drain first even if a future edit reshuffles the re-certs."""
-    head = list(all_queries())[:21]
-    nums = sorted(int(n[1:].split("_")[0]) for n in head)
-    assert nums == list(range(286, 307))
+def test_window_composed_for_current_round():
+    """Tripwire, fires exactly once per round: when a new CORRECTNESS
+    record lands, the window was composed for a round that is now past —
+    bump via `python tools/compose_window.py --update` (it derives the
+    new round from the record files)."""
+    rounds = _correctness_rounds()
+    latest = max(rounds) if rounds else 0
+    assert WINDOW_COMPOSED_FOR_ROUND == latest + 1, (
+        f"window composed for round {WINDOW_COMPOSED_FOR_ROUND} but "
+        f"CORRECTNESS_r{latest:02d} exists — run "
+        "`python tools/compose_window.py --update` to rotate"
+    )
 
 
-def test_window_is_fully_oracle_checked():
-    """Every round-8 windowed query has a DuckDB oracle — the 8 rows-only
-    queries got their rows-only driver record in round 7 and must not burn
-    a hash-comparable slot this round."""
-    qs = all_queries()
-    window = list(qs)[:DRIVER_WINDOW]
-    assert all(qs[n].oracle is not None for n in window)
-
-
-def test_stale_recerts_have_prior_driver_grades():
-    """The re-cert slots are RE-certification: each name must already hold
-    a driver record from an earlier round (it went stale, it was never
-    missing). Guards against typos smuggling a never-graded query into a
-    slot accounted to the stale plan."""
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def test_windowed_recerts_have_prior_driver_grades():
+    """Every windowed query must either be never-graded (policy tier 1)
+    or already hold a driver record from a round BELOW the composed
+    round (tiers 2-3 are RE-certification) — guards against a typo
+    smuggling an unknown name into the window."""
     graded: set[str] = set()
-    for n in range(1, 8):
-        path = os.path.join(repo, f"CORRECTNESS_r0{n}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                graded |= set(json.load(f))
-    assert STALE_RECERTS <= graded
+    for rnd, names in _correctness_rounds().items():
+        if rnd < WINDOW_COMPOSED_FOR_ROUND:
+            graded |= names
+    names = set(all_queries())
+    window = set(GRADED_FIRST[:DRIVER_WINDOW])
+    assert window <= names
+    # at steady state (round 9+: every query has a record) the window is
+    # pure re-certification
+    if names <= graded:
+        assert window <= graded

@@ -56,14 +56,20 @@ def boundary_commits() -> dict[int, str]:
     return bounds
 
 
-def grade_rounds() -> dict[str, int]:
-    """query -> latest round with ANY driver record (green or rows-only)."""
+def grade_rounds(as_of_round: int | None = None) -> dict[str, int]:
+    """query -> latest round with ANY driver record (green or rows-only).
+
+    ``as_of_round`` caps the scan at CORRECTNESS files from rounds <
+    as_of_round, so a window composed FOR round N stays reproducible
+    after the round-N record lands (tools/compose_window.py pins this)."""
     grades: dict[str, int] = {}
     for path in sorted(os.listdir(REPO)):
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if as_of_round is not None and rnd >= as_of_round:
+            continue
         with open(os.path.join(REPO, path)) as f:
             rec = json.load(f)
         for q in rec:
@@ -177,15 +183,19 @@ def changed_members(then: dict, now: dict) -> list[str]:
     return out
 
 
-def main() -> None:
-    names_only = "--names" in sys.argv
+def compute_stale(
+    as_of_round: int | None = None,
+) -> tuple[list[tuple[str, int, str]], int, int, dict[str, int]]:
+    """(stale [(name, grade_round, reason)] sorted by (round, name),
+    fresh count, missing count, grade-round map) at HEAD — reusable by
+    tools/compose_window.py and the window-policy test."""
     sys.path.insert(0, REPO)
     from docling_api_spark.plans import all_queries  # noqa: E402
 
     queries = all_queries()
 
     bounds = boundary_commits()
-    grades = grade_rounds()
+    grades = grade_rounds(as_of_round)
     head = TreeSnapshot("HEAD")
     snaps = {r: TreeSnapshot(sha) for r, sha in bounds.items()}
 
@@ -209,6 +219,12 @@ def main() -> None:
             fresh += 1
 
     stale.sort(key=lambda t: (t[1], t[0]))
+    return stale, fresh, missing, grades
+
+
+def main() -> None:
+    names_only = "--names" in sys.argv
+    stale, fresh, missing, grades = compute_stale()
     if names_only:
         for qname, _, _ in stale:
             print(qname)
