@@ -78,3 +78,93 @@ def test_machine_factor_missing_probe():
     factor, note = cb.machine_factor({}, {"probe_spark_ms_end": 100.0})
     assert factor is None
     assert "unusable probe" in note
+
+
+# ---- burst-aware noise floor (VERDICT r8 Next #6) ----
+
+
+def test_burst_allowance_uses_worst_instrument():
+    rec = {
+        "probe_spark_ms_median": 100.0,
+        "probe_spark_ms_spread": 10.0,   # 0.10
+        "probe_shuffle_ms_median": 300.0,
+        "probe_shuffle_ms_spread": 240.0,  # 0.80 — the r8 burst profile
+    }
+    burst, src = cb.burst_allowance(rec)
+    assert burst == 0.8
+    assert "shuffle" in src
+
+
+def test_burst_allowance_caps_and_handles_missing():
+    assert cb.burst_allowance({})[0] == 0.0
+    rec = {"probe_spark_ms_median": 50.0, "probe_spark_ms_spread": 500.0}
+    assert cb.burst_allowance(rec)[0] == cb.BURST_CAP
+    # non-numeric spread must not crash or count
+    assert cb.burst_allowance({"probe_spark_ms_median": 100.0,
+                               "probe_spark_ms_spread": "big"})[0] == 0.0
+
+
+def test_effective_threshold_widens_for_either_record():
+    quiet = {"probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 5.0}
+    bursty = {"probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 50.0}
+    eff, src = cb.effective_threshold(quiet, bursty)
+    assert eff == cb.THRESHOLD * 1.5
+    assert "new run" in src
+    eff2, src2 = cb.effective_threshold(bursty, quiet)
+    assert eff2 == eff and "old run" in src2
+    eff3, _ = cb.effective_threshold(quiet, quiet)
+    assert eff3 == cb.THRESHOLD * 1.05
+
+
+def test_burst_profile_run_produces_no_false_flags(capsys, monkeypatch, tmp_path):
+    """End-to-end: a ×1.4 drift on an untouched file inside a run whose
+    shuffle probe shows the r8 burst profile (spread 0.8x median) must
+    NOT print a regression verdict; the same drift between two quiet
+    runs must."""
+    import json as _json
+
+    def run(old, new):
+        po, pn = tmp_path / "old.json", tmp_path / "new.json"
+        po.write_text(_json.dumps({"parsed": old}))
+        pn.write_text(_json.dumps({"parsed": new}))
+        monkeypatch.setattr(cb.sys, "argv", ["compare_bench", str(po), str(pn)])
+        code = 0
+        try:
+            cb.main()
+        except SystemExit as e:
+            code = e.code
+        return code, capsys.readouterr().out
+
+    quiet_probes = {"probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 5.0}
+    old = {"queries": {"q63_tfidf_top_terms": 1.0}, **quiet_probes}
+    burst_new = {
+        "queries": {"q63_tfidf_top_terms": 1.4},
+        "probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 8.0,
+        "probe_shuffle_ms_median": 300.0, "probe_shuffle_ms_spread": 240.0,
+    }
+    code, out = run(old, burst_new)
+    assert code == 0 and "REGRESSED" not in out
+    assert "burst-aware floor" in out
+
+    quiet_new = {"queries": {"q63_tfidf_top_terms": 1.4}, **quiet_probes}
+    code, out = run(old, quiet_new)
+    assert code == 1 and "REGRESSED" in out
+
+
+def test_stat_regime_detection_and_note(capsys, monkeypatch, tmp_path):
+    assert cb.stat_regime({"queries_stat": "min"}) == "min"
+    assert cb.stat_regime({"queries_median": {}}) == "min (detailed)"
+    assert cb.stat_regime({}) == "median (r5-r8 compact)"
+
+    import json as _json
+
+    po, pn = tmp_path / "o.json", tmp_path / "n.json"
+    po.write_text(_json.dumps({"parsed": {"queries": {"qx": 1.0}}}))
+    pn.write_text(_json.dumps({"parsed": {"queries": {"qx": 1.0},
+                                          "queries_stat": "min"}}))
+    monkeypatch.setattr(cb.sys, "argv", ["compare_bench", str(po), str(pn)])
+    try:
+        cb.main()
+    except SystemExit:
+        pass
+    assert "stat regimes differ" in capsys.readouterr().out
