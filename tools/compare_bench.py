@@ -210,10 +210,15 @@ def main() -> None:
         )
     ro_stat, rn_stat = stat_regime(old), stat_regime(new)
     if ro_stat != rn_stat:
+        caveat = (
+            " — min-vs-median ratios under-count regressions and "
+            "over-count improvements; treat 'improved' rows as unproven"
+            if ("median" in ro_stat) != ("median" in rn_stat)
+            else ""  # e.g. detailed-min vs compact-min: same statistic
+        )
         print(
-            f"(per-query stat regimes differ: old={ro_stat}, new={rn_stat} "
-            "— min-vs-median ratios under-count regressions and over-count "
-            "improvements; treat 'improved' rows as unproven)"
+            f"(per-query stat regimes differ: old={ro_stat}, "
+            f"new={rn_stat}{caveat})"
         )
 
     print(f"{'query':36s} {'old':>7s} {'new':>7s} {'raw':>6s} {'scaled':>7s}")
