@@ -104,3 +104,35 @@ def test_windowed_recerts_have_prior_driver_grades():
     # pure re-certification
     if names <= graded:
         assert window <= graded
+
+
+def test_rewrite_registry_source_round_trip():
+    """The --update rewrite must anchor on the real registry source: the
+    rewritten module still defines the full GRADED_FIRST set (window
+    first) and the bumped constant, and a missing anchor raises instead
+    of silently no-opping the rotation."""
+    import ast
+
+    import pytest
+    from compose_window import rewrite_registry_source
+
+    path = os.path.join(
+        REPO, "docling_api_spark", "plans", "registry.py"
+    )
+    src = open(path).read()
+    window = list(GRADED_FIRST[:DRIVER_WINDOW])[::-1]  # any order works
+    tail = [n for n in GRADED_FIRST if n not in set(window)]
+    out = rewrite_registry_source(src, window, tail, 99)
+    assert "WINDOW_COMPOSED_FOR_ROUND: int = 99" in out
+    # parse the rewritten module and extract the tuple literal
+    tree = ast.parse(out)
+    tup = next(
+        ast.literal_eval(node.value)
+        for node in tree.body
+        if isinstance(node, ast.AnnAssign)  # GRADED_FIRST: tuple[...] = (...)
+        and getattr(node.target, "id", "") == "GRADED_FIRST"
+    )
+    assert list(tup[:DRIVER_WINDOW]) == window
+    assert set(tup) == set(GRADED_FIRST)
+    with pytest.raises(ValueError):
+        rewrite_registry_source("no anchors here", window, tail, 99)

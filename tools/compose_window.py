@@ -90,25 +90,25 @@ def default_round() -> int:
     return (max(rounds) if rounds else 0) + 1
 
 
-def update_registry(window: list[str], for_round: int) -> None:
-    from docling_api_spark.plans import all_queries
-
-    with open(REGISTRY) as f:
-        src = f.read()
-
+def rewrite_registry_source(
+    src: str, window: list[str], tail: list[str], for_round: int
+) -> str:
+    """Pure rewrite of registry.py source: replace the GRADED_FIRST tuple
+    literal (window first, then tail) and the WINDOW_COMPOSED_FOR_ROUND
+    constant. Raises ValueError if either anchor is missing — unit-tested
+    so a future registry reformat can't silently no-op the rotation."""
     src, n = re.subn(
         r"WINDOW_COMPOSED_FOR_ROUND: int = \d+",
         f"WINDOW_COMPOSED_FOR_ROUND: int = {for_round}",
         src,
     )
     if n != 1:
-        raise SystemExit("WINDOW_COMPOSED_FOR_ROUND constant not found")
+        raise ValueError("WINDOW_COMPOSED_FOR_ROUND constant not found")
 
-    prior = [n for n in all_queries() if n not in set(window)]
     body = [f"    # ---- round-{for_round} driver window ({WINDOW}), policy-composed ----"]
-    body += [f'    "{n}",' for n in window]
+    body += [f'    "{name}",' for name in window]
     body.append("    # ---- tail: prior relative order preserved ----")
-    body += [f'    "{n}",' for n in prior]
+    body += [f'    "{name}",' for name in tail]
     block = "GRADED_FIRST: tuple[str, ...] = (\n" + "\n".join(body) + "\n)"
     src, n = re.subn(
         r"GRADED_FIRST: tuple\[str, \.\.\.\] = \(\n.*?\n\)",
@@ -117,7 +117,17 @@ def update_registry(window: list[str], for_round: int) -> None:
         flags=re.DOTALL,
     )
     if n != 1:
-        raise SystemExit("GRADED_FIRST tuple not found")
+        raise ValueError("GRADED_FIRST tuple not found")
+    return src
+
+
+def update_registry(window: list[str], for_round: int) -> None:
+    from docling_api_spark.plans import all_queries
+
+    with open(REGISTRY) as f:
+        src = f.read()
+    prior = [n for n in all_queries() if n not in set(window)]
+    src = rewrite_registry_source(src, window, prior, for_round)
     with open(REGISTRY, "w") as f:
         f.write(src)
     print(f"registry.py updated: round {for_round}, window {len(window)}, "
