@@ -415,14 +415,17 @@ def main() -> None:
     # diagnostic — ADVICE r8) are paid for by moving every DERIVABLE or
     # CONSTANT scalar to the detailed record: probe_numpy_ms,
     # probe_ref_ms (pinned above), carried_n (len CARRIED_R3),
-    # n_queries (len of the queries dict), carried_median_probe_scaled
+    # n_queries (len of the queries dict), n_runs (procedure context,
+    # default 3), carried_median_probe_scaled
     # (= carried_total_median * PROBE_REF_SPARK_MS /
-    # probe_spark_ms_median — all three on the line or pinned in source),
-    # and the shuffle spread (the spark spread on the line carries the
-    # burst-widening signal; compare_bench carries the shuffle spread
-    # forward from the detailed line when it has one). Measured ~1830
-    # with the real 51-query set; final_line degrades to scalars-only
-    # rather than ever overflowing the tail capture.
+    # probe_spark_ms_median — all three on the line or pinned in source).
+    # The shuffle probe's median AND spread both ride the line: r8's
+    # burst mode left the codegen probe flat while the shuffle spread
+    # carried the whole signal, and driver-written BENCH_r0N.json records
+    # keep ONLY this line — dropping the spread would disable
+    # compare_bench's burst floor for exactly the record pairs it was
+    # built for. Measured ~1860 with the real 51-query set; final_line
+    # degrades to scalars-only rather than ever overflowing the capture.
     detailed_extras = {
         "probe_spark_samples_ms": probe_samples,
         "probe_shuffle_samples_ms": shuffle_samples,
@@ -435,7 +438,7 @@ def main() -> None:
         if k not in (
             "probe_spark_ms", "probe_spark_ms_end", "probe_spark_n",
             "probe_numpy_ms", "probe_ref_ms", "carried_n", "n_queries",
-            "carried_median_probe_scaled", "probe_shuffle_ms_spread",
+            "n_runs", "carried_median_probe_scaled",
         )
     }
     # detailed record (full precision, min/median/spread per query) —
@@ -444,7 +447,7 @@ def main() -> None:
     # detailed line outgrew the capture and its HEAD — opening brace and
     # scalars — was cut, leaving nothing parseable)
     print(json.dumps({**scalars, **detailed_extras, **out}))
-    # Final line: per-query medians at 2 decimals + all scalars IF that
+    # Final line: per-query best-of-N mins at 2 decimals + scalars IF that
     # fits the driver's 2000-char tail capture; otherwise scalars only
     # (bounded ~450B), so the tail's last line is ALWAYS one complete
     # parseable record no matter how the headline set grows (r5 advisor:

@@ -173,20 +173,24 @@ def q121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all six tercile cuts from ONE grouped blocked-rank selection (the
     # three metrics stack into a (metric, v) relation and group by
     # metric): bit-identical to the three builtin `percentile` calls,
-    # whose buffers each held the full customer dimension
+    # whose buffers each held the full customer dimension.
+    # pre_reduce stays TRUE here (r9): f_orders is a small-int domain, so
+    # raw-row ranking would land EVERY customer's 'f' row in one
+    # (metric, blk=0) window partition — the single-task
+    # customer-dimension sort this query exists to avoid at scale. The
+    # cardinality pre-reduce collapses r/f to ~thousands of distinct rows
+    # at ANY scale and spreads near-unique m over its value-range blocks.
+    # Measured same-session at sf0.1 (best-of-3, stable box): pre-reduce
+    # 1.71s vs raw 1.60s vs a split r/f-grouped + m-ungrouped-raw
+    # structure 2.61s — the 0.1s raw edge is noise-level and not worth
+    # the skew, the split pays a second full pipeline.
     mstack = base.selectExpr(
         "stack(3, 'r', CAST(r_days AS DOUBLE),"
         " 'f', CAST(f_orders AS DOUBLE),"
         " 'm', m_value) AS (metric, v)"
     )
-    # pre_reduce=False (r9): the stack mixes near-unique m_value with
-    # heavy-tie r/f metrics, but the input is a checkpointed
-    # customer-level relation — re-scanning it beats a distinct-count
-    # shuffle + second materialization (1.44s vs 1.95s at sf0.1,
-    # best-of-3)
     tc = distributed_grouped_quantiles(
-        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width=1000.0,
-        pre_reduce=False,
+        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width=1000.0
     )
     cuts = tc.agg(
         F.max(F.when(F.col("metric") == "r", F.col("c"))).alias("rc"),

@@ -122,10 +122,14 @@ def register(
 # fails if this file drifts from it. The round-9 window drains the final
 # 29-entry stale queue (28 loader-stale r1/r2 grades + q72, whose
 # formats/converter closure drifted substantively since its r1 rows-only
-# record — the ADVICE r8 call-out; it re-certs rows-only by design) plus
-# the 6 callers of the grouped quantile helper flipped to raw-row ranking
-# this round, and spends the 15 spare slots on the oldest (r3) grades.
-# The surface stays FROZEN at 307 (VERDICT r8 Next #4).
+# record — the ADVICE r8 call-out) plus the 6 callers of the grouped
+# quantile helper flipped to raw-row ranking this round, and spends the
+# 15 spare slots on the oldest (r3) grades, all oracle-checked (the
+# filler tier prefers hash-comparable slots). Two windowed queries
+# re-cert rows-only BY DESIGN — q72 (conversion pipeline, no SQL oracle)
+# and q23 (approx sketches) — because tiers 1-2 re-certify stale grades
+# unconditionally, whatever the strength of their check. The surface
+# stays FROZEN at 307 (VERDICT r8 Next #4).
 
 # The round this window was composed FOR: only CORRECTNESS records from
 # rounds BELOW this feed the policy, so the composition stays

@@ -19,11 +19,12 @@ from bench import (
 
 # the COMPACT-line scalar set — every derivable or constant key
 # (probe start/end/raw samples, probe_numpy_ms, probe_ref_ms, carried_n,
-# n_queries, carried_median_probe_scaled, the shuffle spread) lives in
-# the detailed record only; tail-capture budget math in bench.main. r9
-# regime: queries carries best-of-N mins (queries_stat marks it), the
-# min-sum carried stats lead, and the shuffle probe's median rides along
-# so driver-written records keep the burst diagnostic (ADVICE r8).
+# n_queries, carried_median_probe_scaled) lives in the detailed record
+# only; tail-capture budget math in bench.main. r9 regime: queries
+# carries best-of-N mins (queries_stat marks it), the min-sum carried
+# stats lead, and the shuffle probe's median AND spread ride along —
+# driver records keep only this line, and the spread is the burst signal
+# compare_bench's widened floor runs on (ADVICE r8 / VERDICT r8 Next #6).
 SCALARS = {
     "metric": "headline_queries_total_time",
     "value": 39.44,
@@ -32,10 +33,10 @@ SCALARS = {
     "carried_total": 21.47,
     "carried_min_probe_scaled": 19.66,
     "carried_total_median": 23.75,
-    "n_runs": 3,
     "probe_spark_ms_median": 106.77,
     "probe_spark_ms_spread": 24.3,
     "probe_shuffle_ms_median": 301.4,
+    "probe_shuffle_ms_spread": 188.2,
     "sf": 0.1,
 }
 

@@ -17,8 +17,9 @@ untouched files; see bench.py's r6 adjudication note).
 
 T is BURST-AWARE (VERDICT r8 Next #6): the base THRESHOLD of 1.25 widens
 by the worse of the two records' observed intra-run probe spread
-(spread/median over the codegen AND shuffle instruments, capped at
-+100%). r8's lesson: this box's interference arrives in multi-minute
+(spread/median over the codegen AND shuffle instruments), counting only
+the EXCESS over a 20% dead-band (ordinary scheduler noise, already
+priced into the base threshold) and capped at +100%. r8's lesson: this box's interference arrives in multi-minute
 bursts that probe MEDIANS cannot see but spreads quantify — a record
 with a 0.5x spread can carry ×1.3-×1.5 phantom per-query drift on
 untouched files, and adjudicating that by essay every round is weaker
@@ -37,7 +38,14 @@ import sys
 
 THRESHOLD = 1.25
 ABS_FLOOR = 0.3  # seconds — the measured per-query noise floor at n=3
-BURST_CAP = 1.0  # max threshold widening from probe spread (2x THRESHOLD)
+# Burst widening operates on the EXCESS spread only: probe spreads up to
+# 20% of the median are ordinary scheduler noise on this host (clean-run
+# spark spreads 5-34ms on ~97ms medians) and are already priced into the
+# base 1.25 threshold — a quiet pair keeps the tight floor exactly.
+# Above the dead-band, the threshold widens by the excess (capped), so
+# the r8 burst profile (shuffle spread ~0.8x median) yields ~x2.0.
+BURST_DEADBAND = 0.2
+BURST_CAP = 1.0  # max widening from probe spread (2x THRESHOLD)
 
 
 def _num(v) -> bool:
@@ -60,14 +68,16 @@ def burst_allowance(rec: dict) -> tuple[float, str]:
             frac = spr / med
             if frac > worst:
                 worst, src = frac, f"{label} probe spread {spr:.0f}/{med:.0f}ms"
-    return min(worst, BURST_CAP), src
+    return min(max(0.0, worst - BURST_DEADBAND), BURST_CAP), src
 
 
 def effective_threshold(old: dict, new: dict) -> tuple[float, str]:
     """Per-comparison flag threshold: THRESHOLD widened by the worse of
-    the two records' observed intra-run burst allowances. A pair of
-    quiet runs keeps the tight 1.25; a bursty run must show a
-    proportionally larger ratio before a regression verdict prints."""
+    the two records' observed intra-run burst allowances (excess over
+    the BURST_DEADBAND). A pair of quiet runs — spreads within 20% of
+    the probe median — keeps the tight 1.25 exactly; a bursty run must
+    show a proportionally larger ratio before a regression verdict
+    prints."""
     bo, so = burst_allowance(old)
     bn, sn = burst_allowance(new)
     burst, src = (bo, f"old run: {so}") if bo >= bn else (bn, f"new run: {sn}")
@@ -210,12 +220,24 @@ def main() -> None:
         )
     ro_stat, rn_stat = stat_regime(old), stat_regime(new)
     if ro_stat != rn_stat:
-        caveat = (
-            " — min-vs-median ratios under-count regressions and "
-            "over-count improvements; treat 'improved' rows as unproven"
-            if ("median" in ro_stat) != ("median" in rn_stat)
-            else ""  # e.g. detailed-min vs compact-min: same statistic
-        )
+        old_med, new_med = "median" in ro_stat, "median" in rn_stat
+        if old_med and not new_med:
+            # min/median ratios bias LOW: real regressions can hide,
+            # 'improved' rows may be the statistic, not the code
+            caveat = (
+                " — min-vs-median ratios under-count regressions and "
+                "over-count improvements; treat 'improved' rows as unproven"
+            )
+        elif new_med and not old_med:
+            # median/min ratios bias HIGH: 'REGRESSED' rows may be the
+            # statistic, not the code
+            caveat = (
+                " — median-vs-min ratios over-count regressions and "
+                "under-count improvements; treat 'REGRESSED' rows as "
+                "unproven"
+            )
+        else:
+            caveat = ""  # e.g. detailed-min vs compact-min: same statistic
         print(
             f"(per-query stat regimes differ: old={ro_stat}, "
             f"new={rn_stat}{caveat})"

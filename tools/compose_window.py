@@ -18,7 +18,12 @@ Policy, in priority order (ties broken by name so the output is stable):
    re-certify code the driver has not seen.
 3. **Grade age**: remaining slots go to fresh queries with the OLDEST
    driver grade, so long-standing records keep rotating forward and
-   every grade eventually re-earns itself.
+   every grade eventually re-earns itself. Oracle-checked queries rank
+   ahead of oracle-less ones within this tier: a spare slot should buy a
+   hash-comparable record, not another rows-only count. (Tiers 1-2 take
+   rows-only queries unconditionally — a new or stale query must be
+   re-certified whatever the strength of its check; the round-9 window
+   carries q72 and q23 rows-only for exactly that reason.)
 
 The window is composed FOR a round N: only CORRECTNESS records from
 rounds < N feed the policy, and staleness is judged at HEAD against each
@@ -56,7 +61,8 @@ def compose(as_of_round: int | None = None) -> list[str]:
     from docling_api_spark.plans import all_queries
 
     stale, _fresh, _missing, grades = compute_stale(as_of_round)
-    queries = list(all_queries())
+    registry = all_queries()
+    queries = list(registry)
 
     window: list[str] = [n for n in queries if n not in grades][:WINDOW]
     taken = set(window)
@@ -70,7 +76,7 @@ def compose(as_of_round: int | None = None) -> list[str]:
         stale_names = {s[0] for s in stale}
         fresh_by_age = sorted(
             (n for n in queries if n in grades and n not in stale_names),
-            key=lambda n: (grades[n], n),
+            key=lambda n: (registry[n].oracle is None, grades[n], n),
         )
         for name in fresh_by_age:
             if len(window) >= WINDOW:
