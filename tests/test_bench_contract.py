@@ -74,6 +74,20 @@ def test_real_headline_set_fits_budget_with_queries_dict():
     assert len(json.loads(line)["queries"]) == len(names)
 
 
+def test_carried_set_fully_registered():
+    """Every CARRIED_R3 name must exist in the registry: bench.main
+    filters with `if n in registry`, so a renamed or dropped query would
+    silently shrink the frozen carried set and break the cross-round
+    comparability of carried_total / carried_total_median."""
+    from bench import CARRIED_R3
+    from docling_api_spark.plans import all_queries
+
+    reg = all_queries()
+    missing = [n for n in CARRIED_R3 if n not in reg]
+    assert not missing, f"carried queries missing from registry: {missing}"
+    assert len(set(CARRIED_R3)) == len(CARRIED_R3) == 27
+
+
 def test_oversized_headline_set_degrades_to_bounded_scalars():
     line = final_line(SCALARS, _medians(500))
     assert len(line) <= TAIL_CAPTURE_BUDGET  # ALWAYS fits the tail capture
