@@ -168,6 +168,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q62_quality_score",
     "q65_doc_fingerprint",
     "q227_conformal_interval",
+    "q175_debounce",
     "q241_quantile_treatment_effect",
     "q114_winsorized_agg",
     "q121_rfm_segmentation",
@@ -187,8 +188,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q18_set_ops",
     "q20_string_funcs",
     "q30_tumbling_window",
-    "q32_session_window",
     # ---- tail: prior relative order preserved ----
+    "q32_session_window",
     "q286_negbin_fit",
     "q287_multiple_testing",
     "q288_ltv_projection",
@@ -238,7 +239,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q43_minhash_lsh_xxh",
     "q118_approx_equidepth",
     "q171_hll_rollup",
-    "q175_debounce",
     "q240_compression_ratio",
     "q246_isotonic_calibration",
     "q251_lcs_verify",
