@@ -18,6 +18,11 @@ describing code that no longer exists.
     python tools/stale_grades.py            # table + summary
     python tools/stale_grades.py --names    # just the stale names, one/line
 
+NOTE: "HEAD" means git HEAD, not the working tree — an uncommitted edit
+is invisible to the staleness check (and therefore to the window policy
+in tools/compose_window.py) until committed. Commit the operator change
+first, then rotate.
+
 Closure resolution is AST-based and intentionally coarse: any identifier
 in a function body that names a module-level def/class in the same module
 is pulled in; `from package.mod import name` pulls `name`'s def from that
