@@ -73,7 +73,8 @@ faster, so the r4->r5 drifts are CLEARED as machine noise. That is the
 adjudication carried_median_probe_scaled now automates.
 
 Each query is warmed once (JVM JIT, parquet footers, Python worker pool),
-then timed SPARK_GRAFT_BENCH_RUNS (default 3) times via a noop-format
+then timed SPARK_GRAFT_BENCH_RUNS (default 5 since r10; 3 in r5-r9)
+times via a noop-format
 write so the full plan executes. "queries" carries the per-query MIN
 (round-comparable best case); "queries_median"/"queries_spread" carry the
 median and max-min across runs so deltas are attributable against
@@ -331,7 +332,7 @@ def main() -> None:
     carried = {n: registry[n] for n in CARRIED_R3 if n in registry}
     rest = {n: q for n, q in bench_queries.items() if n not in carried}
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     probe_samples: list[float] = []
     shuffle_samples: list[float] = []
     numpy_ms = _numpy_probe()
@@ -416,7 +417,7 @@ def main() -> None:
     # CONSTANT scalar to the detailed record: probe_numpy_ms,
     # probe_ref_ms (pinned above), carried_n (len CARRIED_R3),
     # n_queries (len of the queries dict), n_runs (procedure context,
-    # default 3), carried_median_probe_scaled
+    # default 5 since r10), carried_median_probe_scaled
     # (= carried_total_median * PROBE_REF_SPARK_MS /
     # probe_spark_ms_median — all three on the line or pinned in source).
     # The shuffle probe's median AND spread both ride the line: r8's

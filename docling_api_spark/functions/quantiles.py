@@ -60,6 +60,105 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+# --- adaptive pre_reduce (r10) ---------------------------------------------
+# ``pre_reduce="auto"`` replaces the r8/r9 hand-measured booleans with a
+# data-driven branch: a bounded sample of the cleaned input is probed for
+# its distinct-value ratio, and the strategy that the r8/r9 sf0.1 A/B
+# measurements picked falls out of the ratio instead of a compile-time
+# constant — the 100 TB-correct version (VERDICT r9 Next #2): a column
+# whose domain saturates at scale (event values, small-int counts) flips
+# to the cardinality pre-reduce exactly when the data says so, not when a
+# local stopwatch did.
+#
+# Decision rule: pre-reduce iff distinct_ratio < AUTO_DISTINCT_RATIO.
+# GROUPED inputs judge the MIN per-group ratio, not the global one — the
+# raw-path scale-killer is ONE low-cardinality group funneling its whole
+# row set into a single (group, blk) window partition (q121's small-int
+# f_orders metric stacked beside near-unique money: global ratio ~0.34,
+# but the 'f' group's ~1e-4 is what matters). Groups with fewer than
+# AUTO_MIN_GROUP_SAMPLE probe rows are too noisy to judge individually
+# and fall back into a pooled sum(d)/sum(n) ratio.
+#
+# Threshold 0.30: the pre-reduce buys a window input ≥3.3× smaller for
+# the price of an extra full-data shuffle; the r9 measurements bracket it
+# — raw won at ratio 0.49 (q24/q158 event values) and ~0.97-0.99
+# (q114/q227/q241 prices/cents), pre-reduce won at ~1e-4 (q121) — and
+# the probe's limit()-sample bias only ever INFLATES the ratio (a small
+# sample sees fewer repeats), i.e. errs toward raw, which is safe: the
+# skew-funnel cases it must catch sit orders of magnitude below 0.30.
+#
+# The probe is ONE bounded job (limit(AUTO_PROBE_ROWS) -> one aggregate;
+# at 100 TB CollectLimit reads a handful of input splits). It runs
+# EAGERLY at plan-build time, so decisions are memoized in _auto_memo:
+# callers pass a stable ``probe_key`` (query name + sf_dir) because
+# semanticHash is NOT stable across rebuilds when a lazy localCheckpoint
+# sits upstream (each checkpoint instance hashes fresh — measured);
+# keyless callers fall back to semanticHash where it IS stable. First
+# build pays the probe (in bench, the warm sweep); every rebuild —
+# bench's timed runs — is a dict hit.
+AUTO_DISTINCT_RATIO = 0.30
+AUTO_PROBE_ROWS = 100_000
+AUTO_MIN_GROUP_SAMPLE = 100
+
+# probe_key -> (pre_reduce decision, measured distinct ratio); the ratio
+# rides along for tests and postmortems (tools/plan_report.py can dump it)
+_auto_memo: dict[object, tuple[bool, float]] = {}
+
+
+def decide_pre_reduce(
+    clean: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    probe_key: object = None,
+) -> bool:
+    """Resolve ``pre_reduce="auto"``: probe a bounded sample of ``clean``
+    for its distinct-value ratio (min per-group ratio when grouped — see
+    the block comment above) and return True iff the cardinality
+    pre-reduce pays. Memoized by ``probe_key`` (or semanticHash when the
+    caller has no stable key and the plan has no lazy checkpoint)."""
+    g = list(group_cols)
+    if probe_key is not None and probe_key in _auto_memo:
+        return _auto_memo[probe_key][0]
+    probe_in = clean.select(
+        *g, F.col(col).cast("double").alias("x")
+    ).limit(AUTO_PROBE_ROWS)
+    if probe_key is None:
+        try:
+            probe_key = ("semantic", probe_in.semanticHash())
+        except Exception:  # pragma: no cover - dev-API fallback
+            probe_key = None
+        if probe_key is not None and probe_key in _auto_memo:
+            return _auto_memo[probe_key][0]
+    if g:
+        rows = (
+            probe_in.groupBy(*g)
+            .agg(
+                F.approx_count_distinct("x").alias("d"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )  # bounded: <= AUTO_PROBE_ROWS groups, 2 ints each
+        judged = [
+            min(1.0, r["d"] / r["n"])
+            for r in rows
+            if r["n"] >= AUTO_MIN_GROUP_SAMPLE
+        ]
+        if judged:
+            ratio = min(judged)
+        else:  # every group under-sampled: pool them
+            nd, nn = sum(r["d"] for r in rows), sum(r["n"] for r in rows)
+            ratio = min(1.0, nd / nn) if nn else 0.0
+    else:
+        row = probe_in.agg(
+            F.approx_count_distinct("x").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        ratio = min(1.0, row["d"] / row["n"]) if row["n"] else 0.0
+    decision = ratio < AUTO_DISTINCT_RATIO
+    if probe_key is not None:
+        _auto_memo[probe_key] = (decision, ratio)
+    return decision
+
 
 def distributed_grouped_quantiles(
     df: DataFrame,
@@ -67,7 +166,8 @@ def distributed_grouped_quantiles(
     col: str,
     probs: Sequence[float],
     block_width: float = 1000.0,
-    pre_reduce: bool = True,
+    pre_reduce: bool | str = True,
+    probe_key: object = None,
 ) -> DataFrame:
     """Per-group exact quantiles: one row per group with array<double>
     ``c`` — the distributed replacement for
@@ -85,6 +185,10 @@ def distributed_grouped_quantiles(
     helper (r9; bit-identical either way, pinned by tests), judged on
     the PER-GROUP distinct ratio:
 
+    - ``"auto"`` (r10): probe the data and decide — min per-group
+      distinct ratio vs :data:`AUTO_DISTINCT_RATIO` (see
+      :func:`decide_pre_reduce`); pass ``probe_key`` so the eager probe
+      runs once per process, not once per plan build.
     - ``True`` (default): reduce to per-group distinct-value counts
       (g, x, c) first — right when values repeat within a group (event
       types over integer scores, bucketed amounts).
@@ -104,6 +208,8 @@ def distributed_grouped_quantiles(
     clean = df.where(
         F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
+    if pre_reduce == "auto":
+        pre_reduce = decide_pre_reduce(clean, g, col, probe_key)
     if pre_reduce:
         counts = (
             clean.groupBy(*g, F.col(col).cast("double").alias("x"))
@@ -208,7 +314,8 @@ def distributed_quantiles(
     col: str,
     probs: Sequence[float],
     block_width: float = 1000.0,
-    pre_reduce: bool = True,
+    pre_reduce: bool | str = True,
+    probe_key: object = None,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles of ``df[col]`` at ``probs``.
 
@@ -226,6 +333,10 @@ def distributed_quantiles(
     ``pre_reduce`` prices the FIRST shuffle against the column's
     duplication (r8; bit-identical either way, pinned by tests):
 
+    - ``"auto"`` (r10): probe the data and decide — distinct ratio of a
+      bounded sample vs :data:`AUTO_DISTINCT_RATIO` (see
+      :func:`decide_pre_reduce`); pass ``probe_key`` so the eager probe
+      runs once per process, not once per plan build.
     - ``True`` (default): reduce to distinct-value counts (x, c) first —
       the blocked-ranking window then sees CARDINALITY-many rows. The
       right call when values repeat (event types, integer scores,
@@ -244,6 +355,8 @@ def distributed_quantiles(
     clean = df.where(
         F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
+    if pre_reduce == "auto":
+        pre_reduce = decide_pre_reduce(clean, [], col, probe_key)
     if pre_reduce:
         # lazy cut: block sizing and the ranked chain both consume the
         # distinct-value relation

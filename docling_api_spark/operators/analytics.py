@@ -174,23 +174,28 @@ def q121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three metrics stack into a (metric, v) relation and group by
     # metric): bit-identical to the three builtin `percentile` calls,
     # whose buffers each held the full customer dimension.
-    # pre_reduce stays TRUE here (r9): f_orders is a small-int domain, so
-    # raw-row ranking would land EVERY customer's 'f' row in one
-    # (metric, blk=0) window partition — the single-task
-    # customer-dimension sort this query exists to avoid at scale. The
-    # cardinality pre-reduce collapses r/f to ~thousands of distinct rows
-    # at ANY scale and spreads near-unique m over its value-range blocks.
-    # Measured same-session at sf0.1 (best-of-3, stable box): pre-reduce
-    # 1.71s vs raw 1.60s vs a split r/f-grouped + m-ungrouped-raw
-    # structure 2.61s — the 0.1s raw edge is noise-level and not worth
-    # the skew, the split pays a second full pipeline.
+    # pre_reduce="auto" resolves to TRUE here (r10 probe; r9 measured):
+    # f_orders is a small-int domain — the probe's MIN per-group
+    # distinct ratio sees the 'f' metric at ~0.002 (sf0.1), far under
+    # the 0.30 threshold, because raw-row ranking would land EVERY
+    # customer's 'f' row in one (metric, blk=0) window partition — the
+    # single-task customer-dimension sort this query exists to avoid at
+    # scale. The cardinality pre-reduce collapses r/f to ~thousands of
+    # distinct rows at ANY scale and spreads near-unique m over its
+    # value-range blocks. Measured same-session at sf0.1 (best-of-3,
+    # stable box): pre-reduce 1.71s vs raw 1.60s vs a split r/f-grouped
+    # + m-ungrouped-raw structure 2.61s — the 0.1s raw edge is
+    # noise-level and not worth the skew, the split pays a second full
+    # pipeline. This is the caller the probe's min-per-group (not
+    # global) statistic exists for: the global ratio is ~0.34.
     mstack = base.selectExpr(
         "stack(3, 'r', CAST(r_days AS DOUBLE),"
         " 'f', CAST(f_orders AS DOUBLE),"
         " 'm', m_value) AS (metric, v)"
     )
     tc = distributed_grouped_quantiles(
-        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width=1000.0
+        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width=1000.0,
+        pre_reduce="auto", probe_key=f"q121:{sf_dir}",
     )
     cuts = tc.agg(
         F.max(F.when(F.col("metric") == "r", F.col("c"))).alias("rc"),
@@ -1011,12 +1016,14 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer held a fifth of the table, the judge-flagged 100 TB soft spot.
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    # pre_reduce=False on both passes (r9): values are ~49% distinct per
-    # type and the MAD input below is an explicit checkpoint, so raw-row
-    # ranking (one shuffle per pass) measured 2.27s vs 2.84s end-to-end
-    # at sf0.1 (best-of-3 over all four per-call combinations)
+    # pre_reduce="auto" on both passes (r10): the probe reproduces the
+    # r9 A/B call — values are ~46% distinct per type at sf0.1 and the
+    # MAD input below is an explicit checkpoint, so raw-row ranking (one
+    # shuffle per pass) measured 2.27s vs 2.84s end-to-end at sf0.1
+    # (best-of-3 over all four per-call combinations)
     med = distributed_grouped_quantiles(
-        ev, ["event_type"], "value", [0.5], block_width=25.0, pre_reduce=False
+        ev, ["event_type"], "value", [0.5], block_width=25.0,
+        pre_reduce="auto", probe_key=f"q158a:{sf_dir}",
     ).select("event_type", F.col("c")[0].alias("med"))
     # lazy cut: the MAD aggregation and the outlier count both consume the
     # deviation relation; uncut, each re-derives the fact scan + median
@@ -1029,7 +1036,8 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     ).localCheckpoint(eager=False)
     mad = distributed_grouped_quantiles(
-        dev, ["event_type"], "adev", [0.5], block_width=25.0, pre_reduce=False
+        dev, ["event_type"], "adev", [0.5], block_width=25.0,
+        pre_reduce="auto", probe_key=f"q158b:{sf_dir}",
     ).select("event_type", F.col("c")[0].alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -1328,14 +1336,16 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decile cuts via the blocked-rank distributed selection: acctbal is
     # a continuous value, so the builtin `percentile` buffer would hold
     # ~every customer — bit-identical, bounded
-    # pre_reduce=False: account balances are near-continuous — rank raw
-    # rows, one shuffle instead of a no-op distinct-count reduce (r8)
+    # pre_reduce="auto" (r10, probe reproduces r8): account balances are
+    # near-continuous — rank raw rows, one shuffle instead of a no-op
+    # distinct-count reduce
     cuts = distributed_quantiles(
         pc.select("c_acctbal"),
         "c_acctbal",
         [float(p) for p in _DECILE_FRACS.split(", ")],
         block_width=100.0,
-        pre_reduce=False,
+        pre_reduce="auto",
+        probe_key=f"q162:{sf_dir}",
     ).select(F.col("c").alias("qc"))
     dec = pc.join(F.broadcast(cuts)).select(
         (F.lit(1) + F.size(F.expr("filter(qc, v -> c_acctbal > v)")))
@@ -3312,12 +3322,13 @@ def q227_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-priority 0.9 residual quantile via the blocked-rank selection
     # (bit-identical to `percentile`); the builtin's per-group buffer held
     # every calibration residual of a priority — order-count-sized at
-    # 100 TB with only 5 groups. pre_reduce=False (r9): cent-scale
-    # residuals are near-unique per priority and `resid` is already a
-    # checkpoint, so raw-row ranking measured 1.77s vs 2.13s at sf0.1
+    # 100 TB with only 5 groups. pre_reduce="auto" (r10): the probe
+    # reproduces the r9 call — cent-scale residuals are near-unique per
+    # priority and `resid` is already a checkpoint, so raw-row ranking
+    # measured 1.77s vs 2.13s at sf0.1
     qh = distributed_grouped_quantiles(
         resid, ["priority"], "r", [0.9], block_width=100000.0,
-        pre_reduce=False,
+        pre_reduce="auto", probe_key=f"q227:{sf_dir}",
     ).select("priority", (F.col("c")[0] / 100.0).alias("qhat_dollars"))
     return (
         resid.groupBy("priority", "k", "beta", "alpha")
@@ -4201,14 +4212,14 @@ def q241_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
     # ONE grouped blocked-rank selection computes all three taus for both
     # arms (bit-identical to `percentile`); the builtin's CASE-filtered
     # buffers each held an arm's entire per-user spend distribution —
-    # user-count-sized at 100 TB with two groups. pre_reduce=False (r9):
-    # per-user spend is ~99% distinct per arm, so the distinct-count
-    # pre-reduce re-shuffled user-count-sized data for no reduction; the
-    # checkpoint above caps the double scan at one materialization
-    # (1.08s vs 1.16s at sf0.1)
+    # user-count-sized at 100 TB with two groups. pre_reduce="auto"
+    # (r10): the probe reproduces the r9 call — per-user spend is ~99%
+    # distinct per arm, so the distinct-count pre-reduce re-shuffled
+    # user-count-sized data for no reduction; the checkpoint above caps
+    # the double scan at one materialization (1.08s vs 1.16s at sf0.1)
     qa = distributed_grouped_quantiles(
         u, ["arm"], "y", [0.1, 0.5, 0.9], block_width=10000.0,
-        pre_reduce=False,
+        pre_reduce="auto", probe_key=f"q241:{sf_dir}",
     ).localCheckpoint(eager=False)  # 2-row relation, read once per arm
     wide = (
         qa.where(F.col("arm") == 1)
@@ -6555,10 +6566,12 @@ def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
     # tail thresholds via the blocked-rank distributed selection: the
     # builtin's buffer held every order's cents — bit-identical, bounded
-    # pre_reduce=False: order totals in cents are near-unique — rank raw
-    # rows, one shuffle instead of a no-op distinct-count reduce (r8)
+    # pre_reduce="auto" (r10, probe reproduces r8): order totals in
+    # cents are near-unique — rank raw rows, one shuffle instead of a
+    # no-op distinct-count reduce
     th = distributed_quantiles(
-        v, "c", [0.9, 0.95, 0.99], block_width=1000000.0, pre_reduce=False
+        v, "c", [0.9, 0.95, 0.99], block_width=1000000.0,
+        pre_reduce="auto", probe_key=f"q297:{sf_dir}",
     )
     pts = th.selectExpr(
         "stack(3, CAST(0.90 AS DOUBLE), c[0], CAST(0.95 AS DOUBLE), c[1],"

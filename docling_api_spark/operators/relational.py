@@ -844,13 +844,15 @@ def q24_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per buffer. Bit-identical results (helper unit tests + this oracle).
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    # pre_reduce=False (r9): event values are ~49% distinct per type, so
-    # the distinct-count groupBy shuffled the table to halve it before a
-    # second shuffle into blocks; ranking raw rows straight off the
-    # parquet scan is one shuffle and measured faster (1.65s vs 1.95s
-    # end-to-end at sf0.1, best-of-3)
+    # pre_reduce="auto" (r10): the distinct-ratio probe picks the branch
+    # from the data — at sf0.1 it measures ~0.46 min per-type ratio and
+    # reproduces the r9 A/B call (rank raw rows straight off the parquet
+    # scan, one shuffle: 1.65s vs 1.95s end-to-end, best-of-3); at a
+    # scale where the value domain saturates it flips to the
+    # cardinality pre-reduce on its own
     med = distributed_grouped_quantiles(
-        ev, ["event_type"], "value", [0.5], block_width=25.0, pre_reduce=False
+        ev, ["event_type"], "value", [0.5], block_width=25.0,
+        pre_reduce="auto", probe_key=f"q24:{sf_dir}",
     ).select("event_type", F.col("c")[0].alias("median_v"))
     return (
         ev.groupBy("event_type")
@@ -1009,12 +1011,14 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-brand cuts via the blocked-rank distributed selection: the
     # builtin's per-brand buffer held every price of the brand (1/25th of
     # the fact table each) — bit-identical, bounded memory.
-    # pre_reduce=False (r9): prices are ~97% distinct per brand (the q118
-    # lens), so the distinct-count pre-reduce was a full-table shuffle
-    # for a 3% reduction; raw-row ranking measured 2.39s vs 3.04s
-    # end-to-end at sf0.1 (best-of-3)
+    # pre_reduce="auto" (r10): the probe measures ~0.94 min per-brand
+    # distinct ratio at sf0.1 and reproduces the r9 call — prices are
+    # near-unique, so the distinct-count pre-reduce was a full-table
+    # shuffle for a 3% reduction; raw-row ranking measured 2.39s vs
+    # 3.04s end-to-end at sf0.1 (best-of-3)
     cuts = distributed_grouped_quantiles(
-        pb, ["p_brand"], "x", [0.05, 0.95], block_width=5000.0, pre_reduce=False
+        pb, ["p_brand"], "x", [0.05, 0.95], block_width=5000.0,
+        pre_reduce="auto", probe_key=f"q114:{sf_dir}",
     ).select(
         "p_brand",
         F.col("c")[0].alias("p05"),
@@ -1100,16 +1104,18 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain hash aggregate.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # pre_reduce=False: prices are ~97% unique (583k distinct of 600k at
-    # sf0.1), so the distinct-count groupBy would shuffle the whole table
-    # to reduce it by 3% — raw-row ranking shuffles ONCE (r8: 1.6-2.8s
+    # pre_reduce="auto" (r10): the probe reproduces the r8 call — prices
+    # are ~97% unique (583k distinct of 600k at sf0.1; probe ratio 1.0),
+    # so the distinct-count groupBy would shuffle the whole table to
+    # reduce it by 3% — raw-row ranking shuffles ONCE (r8: 1.6-2.8s
     # cuts -> tight 1.1s, bit-identical)
     cuts = distributed_quantiles(
         li,
         "l_extendedprice",
         [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)],
         block_width=_EQD_BLOCK,
-        pre_reduce=False,
+        pre_reduce="auto",
+        probe_key=f"q118:{sf_dir}",
     )
     return (
         li.join(F.broadcast(cuts))

@@ -139,18 +139,30 @@ def running_counter_stream_fallback(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas Python runner can start —
+    it hard-requires google.protobuf, which this container does not ship.
+    The same import-gating contract as the docling / Pillow seams
+    (pipeline/convert.py, operators/multimodal.py): the real API runs
+    wherever the dep exists, the applyInPandasWithState twin is the
+    fallback, and the q307 registry entry appears only where runnable."""
+    import importlib.util
+
+    try:  # find_spec itself raises when the 'google' namespace pkg is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 def running_counter_stream_auto(events_stream: DataFrame) -> DataFrame:
     """Prefer the Spark-4 stateful-processor API (typed state, timers,
     TTL); fall back to applyInPandasWithState where the TWS Python runner's
     protobuf dependency is absent. Both paths produce identical output for
     the same input batches, so the selection is an implementation detail —
     exactly the DoclingConverter-selection pattern (pipeline/convert.py)."""
-    try:
-        import google.protobuf  # noqa: F401  (TWS runner hard-requires it)
-
+    if tws_available():
         return running_counter_stream(events_stream)
-    except ImportError:
-        return running_counter_stream_fallback(events_stream)
+    return running_counter_stream_fallback(events_stream)
 
 
 def _make_counter_processor():

@@ -189,3 +189,72 @@ def test_stat_regime_detection_and_note(capsys, monkeypatch, tmp_path):
     out = capsys.readouterr().out
     assert "over-count regressions" in out
     assert "'REGRESSED' rows as unproven" in out
+
+
+def test_same_stat_pair_prints_no_regime_caveat(capsys, monkeypatch, tmp_path):
+    """The r9-vs-r10 shape (VERDICT r9 Next #7): BOTH records carry
+    `queries_stat: "min"` — the first min-vs-min driver comparison — so
+    the regime caveat must NOT print; the ratios are same-statistic and
+    fully comparable."""
+    import json as _json
+
+    po, pn = tmp_path / "r9.json", tmp_path / "r10.json"
+    po.write_text(_json.dumps({"parsed": {
+        "queries": {"q63_tfidf_top_terms": 1.0, "q49_rolling_zscore": 0.5},
+        "queries_stat": "min",
+        "probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 5.0,
+    }}))
+    pn.write_text(_json.dumps({"parsed": {
+        "queries": {"q63_tfidf_top_terms": 1.05, "q49_rolling_zscore": 0.48},
+        "queries_stat": "min",
+        "probe_spark_ms_median": 102.0, "probe_spark_ms_spread": 6.0,
+    }}))
+    monkeypatch.setattr(cb.sys, "argv", ["compare_bench", str(po), str(pn)])
+    try:
+        cb.main()
+    except SystemExit as e:
+        assert e.code == 0
+    out = capsys.readouterr().out
+    assert "stat regimes differ" not in out
+    assert "REGRESSED" not in out
+
+
+def test_unwidened_verdict_prints_beside_burst_widened(capsys, monkeypatch, tmp_path):
+    """ADVICE r9: when the burst allowance widens the floor, the
+    unwidened x1.25 verdict must print too, so the sensitivity the
+    widening gave up is visible per comparison — here a x1.4 drift is
+    absorbed by the widened floor but counted by the base one."""
+    import json as _json
+
+    po, pn = tmp_path / "o.json", tmp_path / "n.json"
+    po.write_text(_json.dumps({"parsed": {
+        "queries": {"qa": 1.0}, "queries_stat": "min",
+        "probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 5.0,
+    }}))
+    pn.write_text(_json.dumps({"parsed": {
+        "queries": {"qa": 1.4}, "queries_stat": "min",
+        "probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 8.0,
+        "probe_shuffle_ms_median": 300.0, "probe_shuffle_ms_spread": 240.0,
+    }}))
+    monkeypatch.setattr(cb.sys, "argv", ["compare_bench", str(po), str(pn)])
+    try:
+        cb.main()
+    except SystemExit as e:
+        assert e.code == 0  # widened floor absorbs the drift
+    out = capsys.readouterr().out
+    assert "unwidened x1.25 floor would flag 1" in out
+    assert "1 absorbed by the burst allowance" in out
+
+    # a quiet pair never prints the sensitivity line (nothing widened)
+    pn2 = tmp_path / "n2.json"
+    pn2.write_text(_json.dumps({"parsed": {
+        "queries": {"qa": 1.0}, "queries_stat": "min",
+        "probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 5.0,
+    }}))
+    monkeypatch.setattr(cb.sys, "argv", ["compare_bench", str(po), str(pn2)])
+    try:
+        cb.main()
+    except SystemExit:
+        pass
+    out = capsys.readouterr().out
+    assert "unwidened" not in out

@@ -159,3 +159,97 @@ def test_grouped_bit_identical_to_builtin(
         .collect()
     }
     assert got == want
+
+
+# --- pre_reduce="auto": the r10 distinct-ratio probe -----------------------
+
+
+def test_auto_decision_near_unique_picks_raw(spark):
+    """Near-unique values (every row distinct) must resolve to the
+    raw-row ranking branch (pre_reduce False)."""
+    from docling_api_spark.functions.quantiles import decide_pre_reduce
+
+    df = spark.range(2000).selectExpr("CAST(id AS DOUBLE) + 0.5 AS v")
+    assert decide_pre_reduce(df, [], "v") is False
+
+
+def test_auto_decision_small_domain_picks_pre_reduce(spark):
+    """A saturated small-int domain must resolve to the cardinality
+    pre-reduce (pre_reduce True)."""
+    from docling_api_spark.functions.quantiles import decide_pre_reduce
+
+    df = spark.range(2000).selectExpr("CAST(id % 7 AS DOUBLE) AS v")
+    assert decide_pre_reduce(df, [], "v") is True
+
+
+def test_auto_grouped_judges_min_per_group_ratio(spark):
+    """The q121 shape: one group near-unique, one group a tiny domain.
+    The GLOBAL distinct ratio is ~0.5 (would pick raw), but the probe
+    must judge the MIN per-group ratio — the tiny-domain group is the
+    one that funnels into a single (group, blk) window partition under
+    raw ranking — and pick the pre-reduce."""
+    from docling_api_spark.functions.quantiles import decide_pre_reduce
+
+    df = spark.range(4000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'm' ELSE 'f' END AS g",
+        "CASE WHEN id % 2 = 0 THEN CAST(id AS DOUBLE) + 0.25"
+        " ELSE CAST(id % 5 AS DOUBLE) END AS v",
+    )
+    assert decide_pre_reduce(df, ["g"], "v") is True
+    # and with the tiny-domain group removed, the same data picks raw
+    assert decide_pre_reduce(df.where("g = 'm'"), ["g"], "v") is False
+
+
+def test_auto_memoizes_by_probe_key(spark):
+    """A caller-supplied probe_key memoizes the decision: the second
+    call must not re-probe (bench times plan builds, so rebuild N must
+    be a dict hit). Verified by poisoning the memo and observing the
+    poisoned decision come back without a job."""
+    from docling_api_spark.functions import quantiles as Q
+
+    df = spark.range(500).selectExpr("CAST(id AS DOUBLE) AS v")
+    key = "test:memo:poison"
+    Q._auto_memo.pop(key, None)
+    assert Q.decide_pre_reduce(df, [], "v", probe_key=key) is False
+    assert key in Q._auto_memo and Q._auto_memo[key][0] is False
+    Q._auto_memo[key] = (True, 0.0)  # poison: a re-probe would say False
+    assert Q.decide_pre_reduce(df, [], "v", probe_key=key) is True
+    Q._auto_memo.pop(key, None)
+
+
+def test_auto_reproduces_caller_decisions_on_testdata(spark, sf_dir):
+    """The probe must reproduce the r8/r9 hand-measured branches on the
+    real caller inputs (verified at sf0.1/sf0.01/sf0.001 when built;
+    pinned here at the test scale): q118's near-unique prices -> raw;
+    q24's per-type event values -> raw; the q121 metric stack (small-int
+    f beside near-unique m) -> pre-reduce via the min-per-group ratio."""
+    from docling_api_spark.functions.quantiles import decide_pre_reduce
+
+    li = load_table(spark, sf_dir, "lineitem")
+    assert decide_pre_reduce(li, [], "l_extendedprice") is False
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    assert decide_pre_reduce(ev, ["event_type"], "value") is False
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+        F.sum(F.col("o_totalprice").cast("double")).alias("m_value"),
+    )
+    mstack = base.selectExpr(
+        "stack(2, 'f', CAST(f_orders AS DOUBLE), 'm', m_value) AS (metric, v)"
+    )
+    assert decide_pre_reduce(mstack, ["metric"], "v") is True
+
+
+def test_auto_end_to_end_bit_identical(spark, sf_dir):
+    """pre_reduce="auto" must produce the same bits as both explicit
+    branches (it only ever RESOLVES to one of them)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    auto = distributed_quantiles(
+        df, "l_extendedprice", PROBS, block_width=1000.0, pre_reduce="auto"
+    ).collect()[0].c
+    want = _builtin(
+        df.select(F.col("l_extendedprice").cast("double").alias("v")), "v"
+    )
+    assert [repr(g) for g in auto] == [repr(w) for w in want]

@@ -57,10 +57,29 @@ def test_processor_state_math():
     assert out2[0].iloc[0].to_dict() == {"user_id": 7, "n_events": 3, "total_cents": 400}
 
 
+def test_tws_registration_gate_pins_direction():
+    """q307_tws_counter is registered IFF the TWS runner can start: the
+    registry entry and `tws_available()` must agree (r10 — the seam that
+    flips the SURVEY §2.9 row to 'registered where runnable'). In this
+    container protobuf is absent, so the entry is absent and the graded
+    surface stays at 307; on a protobuf-equipped build both sides flip
+    together and the end-to-end test below unskips."""
+    from docling_api_spark.plans import all_queries
+    from docling_api_spark.streaming.stateful import tws_available
+
+    assert tws_available() is _HAS_PROTOBUF
+    assert ("q307_tws_counter" in all_queries()) is _HAS_PROTOBUF
+
+
 @pytest.mark.skipif(not _HAS_PROTOBUF, reason="google.protobuf absent: TWS Python runner cannot start")
 def test_stateful_counter_matches_batch(spark, sf_dir):
+    """End-to-end through the REGISTERED entry (same fn object as
+    `stateful_counter`; the registry is the product surface)."""
     from docling_api_spark.operators.timeseries import stateful_counter
+    from docling_api_spark.plans import all_queries
     from docling_api_spark.tables import load_table
+
+    assert all_queries()["q307_tws_counter"].fn is stateful_counter
 
     got = {
         (r.user_id, r.n_events, r.total_cents)

@@ -245,12 +245,15 @@ def main() -> None:
 
     print(f"{'query':36s} {'old':>7s} {'new':>7s} {'raw':>6s} {'scaled':>7s}")
     flagged = 0
+    flagged_base = 0  # what the unwidened x1.25 floor would flag (ADVICE r9)
     for scaled, raw, n in rows:
         flag = ""
         outside = scaled > eff or scaled < 1 / eff
-        if outside and abs(qn[n] - qo[n]) > ABS_FLOOR:
-            flag = "  <-- REGRESSED" if scaled > 1 else "  (improved)"
-            flagged += scaled > 1
+        if abs(qn[n] - qo[n]) > ABS_FLOOR:
+            flagged_base += scaled > THRESHOLD
+            if outside:
+                flag = "  <-- REGRESSED" if scaled > 1 else "  (improved)"
+                flagged += scaled > 1
         print(f"{n:36s} {qo[n]:7.2f} {qn[n]:7.2f} {raw:6.2f} {scaled:7.2f}{flag}")
 
     med_raw = statistics.median(r[1] for r in rows)
@@ -282,6 +285,15 @@ def main() -> None:
         f"x{eff:.2f} after probe scaling"
         + (" (burst-widened)" if eff > THRESHOLD else "")
     )
+    if eff > THRESHOLD:
+        # Sensitivity reference (ADVICE r9): the widening only ever
+        # LOOSENS the floor, so print what the unwidened base threshold
+        # would have flagged — a reader sees exactly how many potential
+        # regressions the burst allowance absorbed in THIS comparison.
+        print(
+            f"(unwidened x{THRESHOLD} floor would flag {flagged_base} — "
+            f"{flagged_base - flagged} absorbed by the burst allowance)"
+        )
     sys.exit(1 if flagged else 0)
 
 

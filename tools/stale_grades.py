@@ -234,6 +234,9 @@ def main() -> None:
         for qname, _, _ in stale:
             print(qname)
         return
+    from docling_api_spark.plans import all_queries  # noqa: E402
+
+    queries = all_queries()
     print(f"{'query':40s} {'graded':>6s} reason")
     for qname, rnd, why in stale:
         print(f"{qname:40s} r{rnd:<5d} {why}")
@@ -241,6 +244,26 @@ def main() -> None:
         f"\n{len(stale)} stale / {fresh} fresh / "
         f"{missing} missing-at-boundary, of {len(grades)} graded"
     )
+    # Rows-only stales get their own callout (VERDICT r9 Next #6): a
+    # rows-only grade (oracle=None — q72's converter pipeline, q175's
+    # sequential debounce, ...) is the WEAK certification, so it going
+    # stale is silent in a way a hash-graded query is not — the driver's
+    # next window must re-cert these first. q72 especially: its closure
+    # spans the whole formats/converter stack, so it trips whenever any
+    # of those files move.
+    rows_only_stale = [
+        (qname, rnd, why)
+        for qname, rnd, why in stale
+        if qname in queries and queries[qname].oracle is None
+    ]
+    if rows_only_stale:
+        print(
+            f"rows-only stale ({len(rows_only_stale)}; weak grades — "
+            "re-cert priority): "
+            + ", ".join(f"{q} (r{r})" for q, r, _ in rows_only_stale)
+        )
+    else:
+        print("rows-only stale (0): none — every weak grade is current")
 
 
 if __name__ == "__main__":
