@@ -135,9 +135,60 @@ def register(
 # rounds BELOW this feed the policy, so the composition stays
 # reproducible after this round's own record lands. Maintained by
 # tools/compose_window.py --update.
-WINDOW_COMPOSED_FOR_ROUND: int = 9
+WINDOW_COMPOSED_FOR_ROUND: int = 10
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-9 driver window (50), policy-composed ----
+    # ---- round-10 driver window (50), policy-composed ----
+    "q102_revenue_concentration",
+    "q118_equidepth_histogram",
+    "q162_lift_table",
+    "q296_watermark_advisor",
+    "q297_mean_excess",
+    "q114_winsorized_agg",
+    "q121_rfm_segmentation",
+    "q158_median_mad_outliers",
+    "q175_debounce",
+    "q227_conformal_interval",
+    "q241_quantile_treatment_effect",
+    "q24_percentiles_exact",
+    "q32_session_window",
+    "q33_asof_join",
+    "q35_bucketed_range_join",
+    "q36_streaming_tumbling",
+    "q37_streaming_sessionize",
+    "q38_salted_skew_agg",
+    "q40_dedup_exact",
+    "q43_minhash_lsh",
+    "q44_simhash",
+    "q47_retention_cohorts",
+    "q50_cosine_topk",
+    "q51_ann_lsh",
+    "q54_ann_ivf",
+    "q60_lang_breakdown",
+    "q63_tfidf_top_terms",
+    "q64_lang_id",
+    "q66_regex_token_count",
+    "q67_pii_redaction",
+    "q68_repetition_filter",
+    "q69_contamination_check",
+    "q70_format_classify",
+    "q82_media_resize",
+    "q90_profile_orders",
+    "q95_temperature_mix",
+    "q97_paragraph_dedup",
+    "q100_chunk_documents",
+    "q101_ks_drift",
+    "q107_stream_static_join",
+    "q111_text_normalize",
+    "q113_bigram_familiarity",
+    "q116_seasonal_anomaly",
+    "q119_cusum_changepoint",
+    "q122_interarrival_histogram",
+    "q124_chi_square",
+    "q125_impute_group_mean",
+    "q126_skyline",
+    "q127_group_regression",
+    "q128_rolling_median",
+    # ---- tail: prior relative order preserved ----
     "q02_filter_project",
     "q08_scalar_subquery",
     "q09_correlated_exists",
@@ -167,13 +218,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q61_token_stats",
     "q62_quality_score",
     "q65_doc_fingerprint",
-    "q227_conformal_interval",
-    "q175_debounce",
-    "q241_quantile_treatment_effect",
-    "q114_winsorized_agg",
-    "q121_rfm_segmentation",
-    "q158_median_mad_outliers",
-    "q24_percentiles_exact",
     "q01_pricing_summary",
     "q03_broadcast_dim_join",
     "q04_multiway_join_revenue",
@@ -188,8 +232,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q18_set_ops",
     "q20_string_funcs",
     "q30_tumbling_window",
-    # ---- tail: prior relative order preserved ----
-    "q32_session_window",
     "q286_negbin_fit",
     "q287_multiple_testing",
     "q288_ltv_projection",
@@ -200,8 +242,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q293_hub_removal_impact",
     "q294_redaction_impact",
     "q295_minhash_audience",
-    "q296_watermark_advisor",
-    "q297_mean_excess",
     "q298_reciprocal_best",
     "q299_stationary_distribution",
     "q300_class_silhouette",
@@ -213,10 +253,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q306_effective_sample_size",
     "q112_inverted_index",
     "q221_poisson_bootstrap",
-    "q118_equidepth_histogram",
     "q152_pagerank",
-    "q162_lift_table",
-    "q102_revenue_concentration",
     "q117_comovement_matrix",
     "q123_market_basket",
     "q138_scd2_point_in_time",
@@ -400,19 +437,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q87_growth_accounting",
     "q89_top_paths",
     "q98_source_lang_purity",
-    "q100_chunk_documents",
-    "q101_ks_drift",
-    "q107_stream_static_join",
-    "q111_text_normalize",
-    "q113_bigram_familiarity",
-    "q116_seasonal_anomaly",
-    "q119_cusum_changepoint",
-    "q122_interarrival_histogram",
-    "q124_chi_square",
-    "q125_impute_group_mean",
-    "q126_skyline",
-    "q127_group_regression",
-    "q128_rolling_median",
     "q129_fk_audit",
     "q130_ratio_to_parent",
     "q131_audience_overlap",
@@ -422,30 +446,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q139_tfidf_cosine_pairs",
     "q140_composition_drift",
     "q141_covariance_matrix",
-    "q36_streaming_tumbling",
-    "q37_streaming_sessionize",
-    "q54_ann_ivf",
-    "q64_lang_id",
-    "q66_regex_token_count",
-    "q82_media_resize",
-    "q67_pii_redaction",
-    "q68_repetition_filter",
-    "q69_contamination_check",
-    "q95_temperature_mix",
-    "q97_paragraph_dedup",
-    "q33_asof_join",
-    "q35_bucketed_range_join",
-    "q38_salted_skew_agg",
-    "q47_retention_cohorts",
-    "q60_lang_breakdown",
-    "q63_tfidf_top_terms",
-    "q90_profile_orders",
-    "q40_dedup_exact",
-    "q43_minhash_lsh",
-    "q44_simhash",
-    "q50_cosine_topk",
-    "q51_ann_lsh",
-    "q70_format_classify",
 )
 
 
