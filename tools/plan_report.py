@@ -53,6 +53,23 @@ def main() -> None:
         )
         print(f"{name:34} " + " ".join(f"{v:>6}" for v in row))
 
+    # pre_reduce="auto" decisions made while building the plans above
+    # (r10): the probe memo records (decision, measured distinct ratio)
+    # per (query, sf_dir) key — the postmortem view of which branch the
+    # data picked and how close to the 0.30 threshold it sat.
+    from docling_api_spark.functions.quantiles import (
+        AUTO_DISTINCT_RATIO,
+        _auto_memo,
+    )
+
+    if _auto_memo:
+        print(f"\npre_reduce='auto' decisions (threshold {AUTO_DISTINCT_RATIO}):")
+        for key, (decision, ratio) in sorted(
+            _auto_memo.items(), key=lambda kv: str(kv[0])
+        ):
+            branch = "pre-reduce" if decision else "raw-row"
+            print(f"  {str(key):44} ratio {ratio:6.4f} -> {branch}")
+
 
 if __name__ == "__main__":
     main()
