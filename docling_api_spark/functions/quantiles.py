@@ -100,9 +100,128 @@ AUTO_DISTINCT_RATIO = 0.30
 AUTO_PROBE_ROWS = 100_000
 AUTO_MIN_GROUP_SAMPLE = 100
 
-# probe_key -> (pre_reduce decision, measured distinct ratio); the ratio
-# rides along for tests and postmortems (tools/plan_report.py can dump it)
-_auto_memo: dict[object, tuple[bool, float]] = {}
+# Adaptive block_width (r10, same probe job): ``block_width="auto"``
+# derives the width from the probe sample's value range —
+# (hi - lo) / target_blocks, where target_blocks scales with the
+# CONFIGURED parallelism (AUTO_BLOCKS_PER_PARTITION x
+# spark.sql.shuffle.partitions, floored at AUTO_TARGET_BLOCKS_MIN and
+# capped at AUTO_TARGET_BLOCKS_CAP). Rationale, measured at sf0.1 on
+# q118's prices: 3 blocks 1.82s, 21 blocks 1.17s, ~1000 blocks 0.93s —
+# the per-block sort is the dominant cost and shrinks as blocks
+# outnumber cores; past ~32x parallelism the curve flattens. The cap
+# bounds the block-prefix relation (broadcast + one tiny
+# SinglePartition window): at the cap it is <=65536 rows ungrouped,
+# x|groups| grouped — still trivially broadcastable for the
+# low-cardinality group keys the grouped helper targets. The probe's
+# limit-sample range UNDERestimates the true range; values beyond it
+# just land in blocks past the target count (block ids are unbounded
+# floor(x/width)), costing nothing but a longer prefix table.
+# Correctness never depends on the width (pinned by the silly-width
+# unit tests); "auto" only moves the parallelism/size trade.
+AUTO_BLOCKS_PER_PARTITION = 32
+AUTO_TARGET_BLOCKS_MIN = 1024
+AUTO_TARGET_BLOCKS_CAP = 65536
+AUTO_MIN_BLOCKS_PER_GROUP = 16
+
+
+class ProbeStats:
+    """One probe job's findings: the pre_reduce decision, the distinct
+    ratio it came from (min per-group when grouped), the sample's value
+    range (None when the sample was empty), and the sampled group count
+    (1 ungrouped). Tuple-compatible ([0] == pre_reduce, [1] == ratio)
+    for memo poking in tests and tools/plan_report.py's dump."""
+
+    __slots__ = ("pre_reduce", "ratio", "lo", "hi", "groups")
+
+    def __init__(self, pre_reduce: bool, ratio: float, lo=None, hi=None,
+                 groups: int = 1):
+        self.pre_reduce = pre_reduce
+        self.ratio = ratio
+        self.lo = lo
+        self.hi = hi
+        self.groups = groups
+
+    def __getitem__(self, i: int):
+        return (self.pre_reduce, self.ratio, self.lo, self.hi, self.groups)[i]
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return (
+            f"ProbeStats(pre_reduce={self.pre_reduce}, ratio={self.ratio:.4f},"
+            f" lo={self.lo}, hi={self.hi}, groups={self.groups})"
+        )
+
+
+# probe_key -> ProbeStats; rides along for tests and postmortems
+# (tools/plan_report.py dumps it after building plans)
+_auto_memo: dict[object, ProbeStats] = {}
+
+
+def _probe(
+    clean: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    probe_key: object = None,
+) -> ProbeStats:
+    """ONE bounded probe job over ``clean``: per-group (or global)
+    approx-distinct + count for the pre_reduce ratio, plus global
+    min/max for the adaptive block width. Memoized by ``probe_key`` (or
+    semanticHash when the caller has no stable key and the plan has no
+    lazy checkpoint — semanticHash is NOT stable across rebuilds when a
+    lazy localCheckpoint sits upstream, measured)."""
+    g = list(group_cols)
+    if probe_key is not None and probe_key in _auto_memo:
+        return _auto_memo[probe_key]
+    probe_in = clean.select(
+        *g, F.col(col).cast("double").alias("x")
+    ).limit(AUTO_PROBE_ROWS)
+    if probe_key is None:
+        try:
+            probe_key = ("semantic", probe_in.semanticHash())
+        except Exception:  # pragma: no cover - dev-API fallback
+            probe_key = None
+        if probe_key is not None and probe_key in _auto_memo:
+            return _auto_memo[probe_key]
+    if g:
+        rows = (
+            probe_in.groupBy(*g)
+            .agg(
+                F.approx_count_distinct("x").alias("d"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("x").alias("lo"),
+                F.max("x").alias("hi"),
+            )
+            .collect()
+        )  # bounded: <= AUTO_PROBE_ROWS groups, 4 scalars each
+        judged = [
+            min(1.0, r["d"] / r["n"])
+            for r in rows
+            if r["n"] >= AUTO_MIN_GROUP_SAMPLE
+        ]
+        if judged:
+            ratio = min(judged)
+        elif rows:  # every group under-sampled: pool them
+            nd, nn = sum(r["d"] for r in rows), sum(r["n"] for r in rows)
+            ratio = min(1.0, nd / nn) if nn else 0.0
+        else:
+            ratio = 0.0
+        los = [r["lo"] for r in rows if r["lo"] is not None]
+        his = [r["hi"] for r in rows if r["hi"] is not None]
+        lo, hi = (min(los), max(his)) if los and his else (None, None)
+        groups = max(1, len(rows))
+    else:
+        row = probe_in.agg(
+            F.approx_count_distinct("x").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        ).first()
+        ratio = min(1.0, row["d"] / row["n"]) if row["n"] else 0.0
+        lo, hi = row["lo"], row["hi"]
+        groups = 1
+    stats = ProbeStats(ratio < AUTO_DISTINCT_RATIO, ratio, lo, hi, groups)
+    if probe_key is not None:
+        _auto_memo[probe_key] = stats
+    return stats
 
 
 def decide_pre_reduce(
@@ -116,48 +235,36 @@ def decide_pre_reduce(
     the block comment above) and return True iff the cardinality
     pre-reduce pays. Memoized by ``probe_key`` (or semanticHash when the
     caller has no stable key and the plan has no lazy checkpoint)."""
-    g = list(group_cols)
-    if probe_key is not None and probe_key in _auto_memo:
-        return _auto_memo[probe_key][0]
-    probe_in = clean.select(
-        *g, F.col(col).cast("double").alias("x")
-    ).limit(AUTO_PROBE_ROWS)
-    if probe_key is None:
-        try:
-            probe_key = ("semantic", probe_in.semanticHash())
-        except Exception:  # pragma: no cover - dev-API fallback
-            probe_key = None
-        if probe_key is not None and probe_key in _auto_memo:
-            return _auto_memo[probe_key][0]
-    if g:
-        rows = (
-            probe_in.groupBy(*g)
-            .agg(
-                F.approx_count_distinct("x").alias("d"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )  # bounded: <= AUTO_PROBE_ROWS groups, 2 ints each
-        judged = [
-            min(1.0, r["d"] / r["n"])
-            for r in rows
-            if r["n"] >= AUTO_MIN_GROUP_SAMPLE
-        ]
-        if judged:
-            ratio = min(judged)
-        else:  # every group under-sampled: pool them
-            nd, nn = sum(r["d"] for r in rows), sum(r["n"] for r in rows)
-            ratio = min(1.0, nd / nn) if nn else 0.0
-    else:
-        row = probe_in.agg(
-            F.approx_count_distinct("x").alias("d"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        ratio = min(1.0, row["d"] / row["n"]) if row["n"] else 0.0
-    decision = ratio < AUTO_DISTINCT_RATIO
-    if probe_key is not None:
-        _auto_memo[probe_key] = (decision, ratio)
-    return decision
+    return _probe(clean, group_cols, col, probe_key)[0]
+
+
+def _auto_block_width(stats: ProbeStats, spark) -> float:
+    """Resolve ``block_width="auto"`` from the probe's value range: the
+    width that yields ~AUTO_BLOCKS_PER_PARTITION (group × block) CELLS
+    per configured shuffle partition (see the block comment above).
+    Cells, not blocks: the window's sort parallelism unit is the
+    (group, blk) partition, so a grouped input already multiplies the
+    target by its group count — the per-group block count divides by it
+    (floored at AUTO_MIN_BLOCKS_PER_GROUP so a many-group input never
+    degenerates to one block per group). Measured at sf0.1: ungrouped
+    prices want ~1000 blocks (0.93s vs 1.17s at ~21), but 5-type
+    grouped event values want ~200 per group (width 25 ≈ the hand-tuned
+    constant; 1024 per group measured ~10% slower — window-partition
+    overhead past the parallelism point). Degenerate range (empty /
+    single-valued sample) falls back to 1.0 — one occupied block, which
+    is also what the data is."""
+    if stats.lo is None or stats.hi is None or not stats.hi > stats.lo:
+        return 1.0
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        shuffle = 128
+    target_cells = min(
+        AUTO_TARGET_BLOCKS_CAP,
+        max(AUTO_TARGET_BLOCKS_MIN, AUTO_BLOCKS_PER_PARTITION * shuffle),
+    )
+    blocks = max(AUTO_MIN_BLOCKS_PER_GROUP, target_cells // max(1, stats.groups))
+    return (stats.hi - stats.lo) / blocks
 
 
 def distributed_grouped_quantiles(
@@ -165,7 +272,7 @@ def distributed_grouped_quantiles(
     group_cols: Sequence[str],
     col: str,
     probs: Sequence[float],
-    block_width: float = 1000.0,
+    block_width: float | str = 1000.0,
     pre_reduce: bool | str = True,
     probe_key: object = None,
 ) -> DataFrame:
@@ -180,6 +287,11 @@ def distributed_grouped_quantiles(
     a group's ranking work is spread over its value-range blocks instead
     of one buffer. The (group × block) size table and the
     (group × |probs|) target table stay broadcast-small.
+
+    ``block_width="auto"`` (r10) derives the width from the probe
+    sample's GLOBAL value range via :func:`_auto_block_width` (same
+    probe job as ``pre_reduce="auto"``; a group's block count scales
+    with its share of the global range).
 
     ``pre_reduce`` applies the same distinct-count lens as the ungrouped
     helper (r9; bit-identical either way, pinned by tests), judged on
@@ -208,8 +320,12 @@ def distributed_grouped_quantiles(
     clean = df.where(
         F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
-    if pre_reduce == "auto":
-        pre_reduce = decide_pre_reduce(clean, g, col, probe_key)
+    if pre_reduce == "auto" or block_width == "auto":
+        stats = _probe(clean, g, col, probe_key)
+        if pre_reduce == "auto":
+            pre_reduce = stats.pre_reduce
+        if block_width == "auto":
+            block_width = _auto_block_width(stats, spark)
     if pre_reduce:
         counts = (
             clean.groupBy(*g, F.col(col).cast("double").alias("x"))
@@ -313,7 +429,7 @@ def distributed_quantiles(
     df: DataFrame,
     col: str,
     probs: Sequence[float],
-    block_width: float = 1000.0,
+    block_width: float | str = 1000.0,
     pre_reduce: bool | str = True,
     probe_key: object = None,
 ) -> DataFrame:
@@ -328,7 +444,10 @@ def distributed_quantiles(
 
     ``block_width`` partitions the VALUE RANGE (not the rows): pick it
     so (max-min)/block_width is 50-10000 blocks; correctness does not
-    depend on it.
+    depend on it. ``"auto"`` (r10) derives it from the probe sample's
+    range via :func:`_auto_block_width` — ~AUTO_BLOCKS_PER_PARTITION
+    blocks per configured shuffle partition, the measured sweet spot
+    (same probe job as ``pre_reduce="auto"``, so pass ``probe_key``).
 
     ``pre_reduce`` prices the FIRST shuffle against the column's
     duplication (r8; bit-identical either way, pinned by tests):
@@ -355,8 +474,12 @@ def distributed_quantiles(
     clean = df.where(
         F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
-    if pre_reduce == "auto":
-        pre_reduce = decide_pre_reduce(clean, [], col, probe_key)
+    if pre_reduce == "auto" or block_width == "auto":
+        stats = _probe(clean, [], col, probe_key)
+        if pre_reduce == "auto":
+            pre_reduce = stats.pre_reduce
+        if block_width == "auto":
+            block_width = _auto_block_width(stats, spark)
     if pre_reduce:
         # lazy cut: block sizing and the ranked chain both consume the
         # distinct-value relation

@@ -194,7 +194,7 @@ def q121_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'm', m_value) AS (metric, v)"
     )
     tc = distributed_grouped_quantiles(
-        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width=1000.0,
+        mstack, ["metric"], "v", [1 / 3, 2 / 3], block_width="auto",
         pre_reduce="auto", probe_key=f"q121:{sf_dir}",
     )
     cuts = tc.agg(
@@ -1022,7 +1022,7 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle per pass) measured 2.27s vs 2.84s end-to-end at sf0.1
     # (best-of-3 over all four per-call combinations)
     med = distributed_grouped_quantiles(
-        ev, ["event_type"], "value", [0.5], block_width=25.0,
+        ev, ["event_type"], "value", [0.5], block_width="auto",
         pre_reduce="auto", probe_key=f"q158a:{sf_dir}",
     ).select("event_type", F.col("c")[0].alias("med"))
     # lazy cut: the MAD aggregation and the outlier count both consume the
@@ -1036,7 +1036,7 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     ).localCheckpoint(eager=False)
     mad = distributed_grouped_quantiles(
-        dev, ["event_type"], "adev", [0.5], block_width=25.0,
+        dev, ["event_type"], "adev", [0.5], block_width="auto",
         pre_reduce="auto", probe_key=f"q158b:{sf_dir}",
     ).select("event_type", F.col("c")[0].alias("mad"))
     return (
@@ -1343,7 +1343,7 @@ def q162_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.select("c_acctbal"),
         "c_acctbal",
         [float(p) for p in _DECILE_FRACS.split(", ")],
-        block_width=100.0,
+        block_width="auto",
         pre_reduce="auto",
         probe_key=f"q162:{sf_dir}",
     ).select(F.col("c").alias("qc"))
@@ -3327,7 +3327,7 @@ def q227_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # priority and `resid` is already a checkpoint, so raw-row ranking
     # measured 1.77s vs 2.13s at sf0.1
     qh = distributed_grouped_quantiles(
-        resid, ["priority"], "r", [0.9], block_width=100000.0,
+        resid, ["priority"], "r", [0.9], block_width="auto",
         pre_reduce="auto", probe_key=f"q227:{sf_dir}",
     ).select("priority", (F.col("c")[0] / 100.0).alias("qhat_dollars"))
     return (
@@ -4218,7 +4218,7 @@ def q241_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
     # user-count-sized data for no reduction; the checkpoint above caps
     # the double scan at one materialization (1.08s vs 1.16s at sf0.1)
     qa = distributed_grouped_quantiles(
-        u, ["arm"], "y", [0.1, 0.5, 0.9], block_width=10000.0,
+        u, ["arm"], "y", [0.1, 0.5, 0.9], block_width="auto",
         pre_reduce="auto", probe_key=f"q241:{sf_dir}",
     ).localCheckpoint(eager=False)  # 2-row relation, read once per arm
     wide = (
@@ -6570,7 +6570,7 @@ def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents are near-unique — rank raw rows, one shuffle instead of a
     # no-op distinct-count reduce
     th = distributed_quantiles(
-        v, "c", [0.9, 0.95, 0.99], block_width=1000000.0,
+        v, "c", [0.9, 0.95, 0.99], block_width="auto",
         pre_reduce="auto", probe_key=f"q297:{sf_dir}",
     )
     pts = th.selectExpr(

@@ -851,7 +851,7 @@ def q24_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale where the value domain saturates it flips to the
     # cardinality pre-reduce on its own
     med = distributed_grouped_quantiles(
-        ev, ["event_type"], "value", [0.5], block_width=25.0,
+        ev, ["event_type"], "value", [0.5], block_width="auto",
         pre_reduce="auto", probe_key=f"q24:{sf_dir}",
     ).select("event_type", F.col("c")[0].alias("median_v"))
     return (
@@ -1017,7 +1017,7 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle for a 3% reduction; raw-row ranking measured 2.39s vs
     # 3.04s end-to-end at sf0.1 (best-of-3)
     cuts = distributed_grouped_quantiles(
-        pb, ["p_brand"], "x", [0.05, 0.95], block_width=5000.0,
+        pb, ["p_brand"], "x", [0.05, 0.95], block_width="auto",
         pre_reduce="auto", probe_key=f"q114:{sf_dir}",
     ).select(
         "p_brand",
@@ -1043,7 +1043,6 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q118 — exact equi-depth histogram WITHOUT a global sort
 # ---------------------------------------------------------------------------
 _EQD_BUCKETS = 16
-_EQD_BLOCK = 1000  # value-range block width for the distributed exact ranks
 
 
 @register(
@@ -1086,9 +1085,11 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
          reduce it by 3% — now the ONLY data shuffle is the block
          partitioning (duplicate-heavy callers keep the cardinality
          reduce via the default ``pre_reduce=True``);
-      2. within value-range blocks (width {_EQD_BLOCK}): running count
-         ordered by x → per-block rank; block totals + a prefix window
-         over the ~100-row block table → global `rank_lt` = #rows < x.
+      2. within value-range blocks (width "auto", r10: the probe's
+         sampled price range over ~32 blocks per configured shuffle
+         partition — sized by the cluster, not a hand constant): running
+         count ordered by x → per-block rank; block totals + a prefix
+         window over the block table → global `rank_lt` = #rows < x.
          The only SinglePartition exchanges carry the block table and the
          15-row cut assembly — never the data;
       3. the 15 target positions q·(n-1) join back with ONE broadcast
@@ -1113,7 +1114,7 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         "l_extendedprice",
         [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)],
-        block_width=_EQD_BLOCK,
+        block_width="auto",
         pre_reduce="auto",
         probe_key=f"q118:{sf_dir}",
     )

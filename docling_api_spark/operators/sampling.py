@@ -301,7 +301,7 @@ def q102_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-unique doubles — rank raw rows, one shuffle instead of a
     # no-op distinct-count reduce
     tq = distributed_quantiles(
-        cust, "rev", [0.90, 0.99], block_width=50000.0,
+        cust, "rev", [0.90, 0.99], block_width="auto",
         pre_reduce="auto", probe_key=f"q102:{sf_dir}",
     )
     stats = base.join(F.broadcast(tq)).selectExpr(

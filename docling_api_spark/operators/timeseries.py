@@ -5692,7 +5692,7 @@ def q296_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         lateness,
         "late_us",
         [0.5, 0.95, 0.99],
-        block_width=60000000.0,
+        block_width="auto",
         pre_reduce="auto",
         probe_key=f"q296:{sf_dir}",
     )

@@ -212,7 +212,8 @@ def test_auto_memoizes_by_probe_key(spark):
     Q._auto_memo.pop(key, None)
     assert Q.decide_pre_reduce(df, [], "v", probe_key=key) is False
     assert key in Q._auto_memo and Q._auto_memo[key][0] is False
-    Q._auto_memo[key] = (True, 0.0)  # poison: a re-probe would say False
+    # poison: a re-probe would say False
+    Q._auto_memo[key] = Q.ProbeStats(True, 0.0)
     assert Q.decide_pre_reduce(df, [], "v", probe_key=key) is True
     Q._auto_memo.pop(key, None)
 
@@ -253,3 +254,68 @@ def test_auto_end_to_end_bit_identical(spark, sf_dir):
         df.select(F.col("l_extendedprice").cast("double").alias("v")), "v"
     )
     assert [repr(g) for g in auto] == [repr(w) for w in want]
+
+
+def test_auto_block_width_scales_with_parallelism_and_groups(spark):
+    """block_width="auto": width = range / blocks where blocks targets
+    ~AUTO_BLOCKS_PER_PARTITION (group x block) cells per configured
+    shuffle partition, divided by the sampled group count (floored)."""
+    from docling_api_spark.functions import quantiles as Q
+
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cells = min(
+        Q.AUTO_TARGET_BLOCKS_CAP,
+        max(Q.AUTO_TARGET_BLOCKS_MIN, Q.AUTO_BLOCKS_PER_PARTITION * shuffle),
+    )
+    # ungrouped: all cells are blocks
+    st = Q.ProbeStats(False, 1.0, lo=0.0, hi=1000.0, groups=1)
+    assert Q._auto_block_width(st, spark) == 1000.0 / cells
+    # grouped: blocks divide by the group count
+    st5 = Q.ProbeStats(False, 1.0, lo=0.0, hi=1000.0, groups=5)
+    assert Q._auto_block_width(st5, spark) == 1000.0 / (cells // 5)
+    # many groups: the per-group floor holds
+    stbig = Q.ProbeStats(False, 1.0, lo=0.0, hi=1000.0, groups=10**9)
+    assert Q._auto_block_width(stbig, spark) == 1000.0 / Q.AUTO_MIN_BLOCKS_PER_GROUP
+    # degenerate ranges fall back to width 1.0
+    assert Q._auto_block_width(Q.ProbeStats(False, 0.0), spark) == 1.0
+    assert Q._auto_block_width(
+        Q.ProbeStats(False, 0.0, lo=7.0, hi=7.0), spark
+    ) == 1.0
+
+
+def test_auto_block_width_end_to_end_bit_identical(spark, sf_dir):
+    """block_width="auto" only moves the parallelism/size trade — the
+    cuts must still match the builtin bit-for-bit (both helpers)."""
+    from docling_api_spark.functions.quantiles import (
+        distributed_grouped_quantiles,
+    )
+
+    df = load_table(spark, sf_dir, "lineitem")
+    auto = distributed_quantiles(
+        df, "l_extendedprice", PROBS, block_width="auto", pre_reduce="auto"
+    ).collect()[0].c
+    want = _builtin(
+        df.select(F.col("l_extendedprice").cast("double").alias("v")), "v"
+    )
+    assert [repr(g) for g in auto] == [repr(w) for w in want]
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        tuple(r)[0]: [repr(v) for v in r.c]
+        for r in distributed_grouped_quantiles(
+            ev, ["event_type"], "value", PROBS,
+            block_width="auto", pre_reduce="auto",
+        ).collect()
+    }
+    want_g = {
+        tuple(r)[0]: [repr(v) for v in r.c]
+        for r in ev.select("event_type", F.col("value").cast("double").alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(v, array({}))".format(", ".join(map(str, PROBS)))
+            ).alias("c")
+        )
+        .collect()
+    }
+    assert got == want_g

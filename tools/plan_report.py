@@ -64,11 +64,14 @@ def main() -> None:
 
     if _auto_memo:
         print(f"\npre_reduce='auto' decisions (threshold {AUTO_DISTINCT_RATIO}):")
-        for key, (decision, ratio) in sorted(
-            _auto_memo.items(), key=lambda kv: str(kv[0])
-        ):
-            branch = "pre-reduce" if decision else "raw-row"
-            print(f"  {str(key):44} ratio {ratio:6.4f} -> {branch}")
+        for key, st in sorted(_auto_memo.items(), key=lambda kv: str(kv[0])):
+            branch = "pre-reduce" if st.pre_reduce else "raw-row"
+            rng = (
+                f" range [{st.lo:g}, {st.hi:g}]"
+                if st.lo is not None and st.hi is not None
+                else ""
+            )
+            print(f"  {str(key):44} ratio {st.ratio:6.4f} -> {branch}{rng}")
 
 
 if __name__ == "__main__":
