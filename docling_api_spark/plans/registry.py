@@ -138,6 +138,7 @@ def register(
 WINDOW_COMPOSED_FOR_ROUND: int = 10
 GRADED_FIRST: tuple[str, ...] = (
     # ---- round-10 driver window (50), policy-composed ----
+    "q151_stateful_counter",
     "q102_revenue_concentration",
     "q118_equidepth_histogram",
     "q162_lift_table",
@@ -187,8 +188,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q125_impute_group_mean",
     "q126_skyline",
     "q127_group_regression",
-    "q128_rolling_median",
     # ---- tail: prior relative order preserved ----
+    "q128_rolling_median",
     "q02_filter_project",
     "q08_scalar_subquery",
     "q09_correlated_exists",
@@ -383,7 +384,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q148_denorm_drift_audit",
     "q149_activation_latency",
     "q150_order_size_histogram",
-    "q151_stateful_counter",
     "q153_benford_digit_audit",
     "q154_source_quality_rollup",
     "q155_ngram_containment",

@@ -167,6 +167,22 @@ def closure(snap: TreeSnapshot, module: str, fname: str) -> dict | None:
         for n in ast.walk(node):
             if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
                 idents.add(n.value.id)
+        # FUNCTION-LEVEL imports (r10): `from package.mod import y` inside
+        # a def body never reaches ModuleIndex (it scans module-level
+        # statements only), so a query builder that defers its package
+        # imports — the lazy-import idiom every streaming query uses —
+        # had its imported helpers INVISIBLE to the staleness check
+        # (found when q151's closure missed this round's
+        # streaming/stateful.py edit). Walk the node's own import
+        # statements and chase package targets directly.
+        for n in ast.walk(node):
+            if isinstance(n, ast.ImportFrom) and n.module and n.module.startswith(PKG):
+                for a in n.names:
+                    stack.append((n.module, a.name))
+            elif isinstance(n, ast.Import):
+                for a in n.names:
+                    if a.name.startswith(PKG):
+                        stack.append((a.name, "*"))
         for ident in idents:
             # (self-recursion needs no special case: the seen-guard above
             # terminates it)
