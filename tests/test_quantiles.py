@@ -319,3 +319,17 @@ def test_auto_block_width_end_to_end_bit_identical(spark, sf_dir):
         .collect()
     }
     assert got == want_g
+
+
+def test_auto_flips_branches_as_the_domain_saturates(spark):
+    """The 100 TB behavior the adaptive branch exists for: the SAME
+    bounded-domain column (1000 distinct values) is near-unique at small
+    volume — raw-row ranking — and saturated at large volume — the probe
+    flips to the cardinality pre-reduce with no code or constant change.
+    A hand-measured boolean can only ever encode one of these."""
+    from docling_api_spark.functions.quantiles import decide_pre_reduce
+
+    small = spark.range(1500).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    big = spark.range(60_000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    assert decide_pre_reduce(small, [], "v") is False  # ratio ~0.67
+    assert decide_pre_reduce(big, [], "v") is True  # ratio ~0.017
