@@ -81,6 +81,21 @@ EXECUTING_QUERIES: frozenset[str] = frozenset((
 ))
 
 
+def _conditional_executing() -> frozenset[str]:
+    """Streaming drains that exist only on some builds: q307 registers
+    iff the transformWithState runner's protobuf dependency is
+    importable (operators/timeseries.py::_maybe_register_tws), so it
+    joins the skip list on exactly those builds — the plan-audit subset
+    assertion (every EXECUTING name must be registered) holds on both
+    sides of the gate."""
+    from docling_api_spark.streaming.stateful import tws_available
+
+    return frozenset(("q307_tws_counter",)) if tws_available() else frozenset()
+
+
+EXECUTING_QUERIES |= _conditional_executing()
+
+
 def register(
     name: str,
     oracle: str | None = None,
