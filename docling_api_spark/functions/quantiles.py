@@ -218,6 +218,25 @@ def _probe(
         ratio = min(1.0, row["d"] / row["n"]) if row["n"] else 0.0
         lo, hi = row["lo"], row["hi"]
         groups = 1
+    if lo is not None and lo == hi:
+        # Second-chance range probe: a FLAT first sample (q296's lateness
+        # is 0 for every in-order event, so the first 100k rows are all
+        # zeros) leaves the width sizing blind — and a degenerate width
+        # on zero-dominated-but-spread data would make the block table
+        # as large as the distinct-value relation at scale. Scan PAST
+        # the constant (bounded: CollectLimit reads incrementally until
+        # RANGE rows differ from lo; a truly constant column pays one
+        # projected scan and yields a single block, which is also what
+        # the data is).
+        row2 = (
+            clean.select(F.col(col).cast("double").alias("x"))
+            .where(F.col("x") != lo)
+            .limit(AUTO_PROBE_ROWS)
+            .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+            .first()
+        )
+        if row2["lo"] is not None:
+            lo, hi = min(lo, row2["lo"]), max(hi, row2["hi"])
     stats = ProbeStats(ratio < AUTO_DISTINCT_RATIO, ratio, lo, hi, groups)
     if probe_key is not None:
         _auto_memo[probe_key] = stats

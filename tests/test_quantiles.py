@@ -333,3 +333,68 @@ def test_auto_flips_branches_as_the_domain_saturates(spark):
     big = spark.range(60_000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
     assert decide_pre_reduce(small, [], "v") is False  # ratio ~0.67
     assert decide_pre_reduce(big, [], "v") is True  # ratio ~0.017
+
+
+def test_probe_decisions_pinned_for_every_auto_caller(spark):
+    """Build every quantile-caller query at the driver's correctness
+    scale (sf0.01) and pin the branch each probe picked — the guard that
+    a future edit to the probe (threshold, sampling, grouping statistic)
+    cannot silently flip a measured decision. Build-only: plans are
+    constructed (probes fire eagerly), never executed."""
+    from docling_api_spark.functions import quantiles as Q
+    from docling_api_spark.plans import all_queries
+
+    sf01 = "/root/testdata/sf0.01"
+    qs = all_queries()
+    names = [
+        "q24_percentiles_exact", "q114_winsorized_agg",
+        "q118_equidepth_histogram", "q121_rfm_segmentation",
+        "q158_median_mad_outliers", "q227_conformal_interval",
+        "q241_quantile_treatment_effect", "q102_revenue_concentration",
+        "q162_lift_table", "q296_watermark_advisor", "q297_mean_excess",
+    ]
+    for k in [k for k in Q._auto_memo if str(k).endswith(sf01)]:
+        Q._auto_memo.pop(k)
+    for n in names:
+        qs[n].fn(spark, sf01)  # building resolves the probes
+    decisions = {
+        str(k).split(":")[0]: st.pre_reduce
+        for k, st in Q._auto_memo.items()
+        if str(k).endswith(sf01)
+    }
+    assert decisions == {
+        # q121's small-int f metric and q296's lateness are the
+        # pre-reduces. q296 is the probe out-judging the r8 hand
+        # constant: "microsecond lateness is near-continuous" was the
+        # semantic expectation, but the synthetic events arrive in
+        # order, so late_us is ONE distinct value (0) — the cardinality
+        # pre-reduce collapses the whole column to a single row before
+        # any window. Every other caller is near-unique (raw-row
+        # ranking) at this scale.
+        "q24": False, "q114": False, "q118": False, "q121": True,
+        "q158a": False, "q158b": False, "q227": False, "q241": False,
+        "q102": False, "q162": False, "q296": True, "q297": False,
+    }
+
+
+def test_flat_sample_triggers_second_chance_range_probe(spark):
+    """A first sample that is all one value (q296's in-order lateness:
+    100k leading zeros) must not leave the width blind: the second-chance
+    probe scans past the constant and sizes the width from the real
+    spread; a TRULY constant column keeps the degenerate 1.0 width —
+    one occupied block, which is also what the data is."""
+    from docling_api_spark.functions import quantiles as Q
+
+    # zero-dominated head, spread tail (monotonic id keeps the zeros first)
+    df = spark.range(200_000).selectExpr(
+        "CASE WHEN id < 150000 THEN 0.0"
+        " ELSE CAST((id - 150000) * 2048 AS DOUBLE) END AS v"
+    ).coalesce(1)
+    st = Q._probe(df, [], "v")
+    assert st.lo == 0.0 and st.hi == (200_000 - 150_000 - 1) * 2048.0
+    assert Q._auto_block_width(st, spark) > 1.0
+
+    flat = spark.range(5000).selectExpr("7.5 AS v")
+    st2 = Q._probe(flat, [], "v")
+    assert st2.lo == st2.hi == 7.5
+    assert Q._auto_block_width(st2, spark) == 1.0
