@@ -83,9 +83,23 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 # the price of an extra full-data shuffle; the r9 measurements bracket it
 # — raw won at ratio 0.49 (q24/q158 event values) and ~0.97-0.99
 # (q114/q227/q241 prices/cents), pre-reduce won at ~1e-4 (q121) — and
-# the probe's limit()-sample bias only ever INFLATES the ratio (a small
-# sample sees fewer repeats), i.e. errs toward raw, which is safe: the
-# skew-funnel cases it must catch sit orders of magnitude below 0.30.
+# the probe's limit()-sample bias WITHIN a sampled group only ever
+# INFLATES the ratio (a small sample sees fewer repeats), i.e. errs
+# toward raw, which is safe: the skew-funnel cases it must catch sit
+# orders of magnitude below 0.30.
+#
+# Clustered-layout caveat (r10 review): the limit() sample is a PREFIX,
+# so on storage clustered/partitioned BY THE GROUP KEY it can read only
+# one group's splits and miss a later low-cardinality group entirely —
+# and a missed group biases toward raw, the unsafe direction for the
+# funnel (the consequence is bounded: one (group, blk) window partition
+# holding that group's rows sorts single-task with spill — slow, never
+# wrong or OOM). No bounded prefix probe can see a group that is not in
+# the prefix; callers whose input is group-clustered should pass an
+# explicit boolean (the hand escape hatch is still the API). None of
+# the in-repo callers are group-clustered: every grouped probe input is
+# either a raw fact scan (row order uncorrelated with the group key) or
+# a stacked/aggregated relation whose layout this module builds itself.
 #
 # The probe is ONE bounded job (limit(AUTO_PROBE_ROWS) -> one aggregate;
 # at 100 TB CollectLimit reads a handful of input splits). It runs
@@ -197,13 +211,19 @@ def _probe(
             for r in rows
             if r["n"] >= AUTO_MIN_GROUP_SAMPLE
         ]
-        if judged:
-            ratio = min(judged)
-        elif rows:  # every group under-sampled: pool them
-            nd, nn = sum(r["d"] for r in rows), sum(r["n"] for r in rows)
-            ratio = min(1.0, nd / nn) if nn else 0.0
-        else:
-            ratio = 0.0
+        # under-sampled groups are POOLED into one ratio rather than
+        # silently dropped (r10 review): a group with 99 sample rows but
+        # a tiny domain is exactly the skew-funnel shape the min exists
+        # to catch — weak evidence still beats no evidence. A group with
+        # ZERO sample rows (group-clustered storage where limit() reads
+        # one group's splits) is invisible to any bounded prefix probe;
+        # see the block comment's clustered-layout caveat.
+        small = [r for r in rows if r["n"] < AUTO_MIN_GROUP_SAMPLE]
+        if small:
+            nd, nn = sum(r["d"] for r in small), sum(r["n"] for r in small)
+            if nn:
+                judged.append(min(1.0, nd / nn))
+        ratio = min(judged) if judged else 0.0
         los = [r["lo"] for r in rows if r["lo"] is not None]
         his = [r["hi"] for r in rows if r["hi"] is not None]
         lo, hi = (min(los), max(his)) if los and his else (None, None)

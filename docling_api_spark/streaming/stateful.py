@@ -145,12 +145,18 @@ def tws_available() -> bool:
     The same import-gating contract as the docling / Pillow seams
     (pipeline/convert.py, operators/multimodal.py): the real API runs
     wherever the dep exists, the applyInPandasWithState twin is the
-    fallback, and the q307 registry entry appears only where runnable."""
-    import importlib.util
+    fallback, and the q307 registry entry appears only where runnable.
 
-    try:  # find_spec itself raises when the 'google' namespace pkg is absent
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
+    A REAL import, not find_spec: a present-but-broken install (partial
+    wheel, missing C extension) has a spec but fails to execute — the
+    gate must select the fallback there, not register an op that dies at
+    its first micro-batch. The broad except is deliberate for the same
+    reason (C-extension import failures are not always ImportError)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except Exception:
         return False
 
 

@@ -48,13 +48,27 @@ def _correctness_rounds() -> dict[int, set[str]]:
 
 
 def test_graded_first_covers_registry_exactly():
-    names = set(all_queries())
+    """Exact coverage MODULO the conditional entries (r10): q307
+    registers only where protobuf exists, and a static tuple cannot
+    track an environment-dependent surface — on such builds it must
+    still be absent from GRADED_FIRST and sit at the iteration tail."""
+    from docling_api_spark.plans.registry import CONDITIONAL_QUERIES
+
+    names = set(all_queries()) - CONDITIONAL_QUERIES
     assert set(GRADED_FIRST) == names
     assert len(GRADED_FIRST) == len(names)  # no duplicates
+    assert not CONDITIONAL_QUERIES & set(GRADED_FIRST)
 
 
 def test_registry_iteration_follows_graded_first():
-    assert list(all_queries()) == list(GRADED_FIRST)
+    from docling_api_spark.plans.registry import CONDITIONAL_QUERIES
+
+    it = list(all_queries())
+    assert [n for n in it if n not in CONDITIONAL_QUERIES] == list(GRADED_FIRST)
+    # conditional entries (when present) must trail the whole tuple,
+    # never displace a window slot
+    for name in CONDITIONAL_QUERIES & set(it):
+        assert it.index(name) >= len(GRADED_FIRST)
 
 
 def test_window_follows_policy():

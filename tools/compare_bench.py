@@ -36,7 +36,7 @@ import json
 import statistics
 import sys
 
-THRESHOLD = 1.25
+THRESHOLD = 1.25  # base per-query flag floor (probe-scaled ratio)
 ABS_FLOOR = 0.3  # seconds — the measured per-query noise floor at n=3
 # Burst widening operates on the EXCESS spread only: probe spreads up to
 # 20% of the median are ordinary scheduler noise on this host (clean-run

@@ -59,10 +59,14 @@ def compose(as_of_round: int | None = None) -> list[str]:
     """The 50 window names per the policy, for a window composed FOR
     ``as_of_round`` (grades from rounds < as_of_round)."""
     from docling_api_spark.plans import all_queries
+    from docling_api_spark.plans.registry import CONDITIONAL_QUERIES
 
     stale, _fresh, _missing, grades = compute_stale(as_of_round)
     registry = all_queries()
-    queries = list(registry)
+    # conditional entries (q307: registered iff protobuf exists) never
+    # enter the window — the grading driver's container lacks the dep,
+    # so composing one in would grade a query that does not exist there
+    queries = [n for n in registry if n not in CONDITIONAL_QUERIES]
 
     window: list[str] = [n for n in queries if n not in grades][:WINDOW]
     taken = set(window)
@@ -113,7 +117,11 @@ def rewrite_registry_source(
 
     body = [f"    # ---- round-{for_round} driver window ({WINDOW}), policy-composed ----"]
     body += [f'    "{name}",' for name in window]
-    body.append("    # ---- tail: prior relative order preserved ----")
+    # "prior tuple order": relative order of the PREVIOUS full tuple —
+    # a query rotated OUT of the window therefore lands at the tail's
+    # head (its prior position was inside the window), which is what a
+    # same-round re-rotation shows (r10: q128 displaced by q151)
+    body.append("    # ---- tail: prior tuple order (ex-window members lead) ----")
     body += [f'    "{name}",' for name in tail]
     block = "GRADED_FIRST: tuple[str, ...] = (\n" + "\n".join(body) + "\n)"
     src, n = re.subn(
@@ -130,9 +138,12 @@ def rewrite_registry_source(
 def update_registry(window: list[str], for_round: int) -> None:
     from docling_api_spark.plans import all_queries
 
+    from docling_api_spark.plans.registry import CONDITIONAL_QUERIES
+
     with open(REGISTRY) as f:
         src = f.read()
-    prior = [n for n in all_queries() if n not in set(window)]
+    skip = set(window) | CONDITIONAL_QUERIES
+    prior = [n for n in all_queries() if n not in skip]
     src = rewrite_registry_source(src, window, prior, for_round)
     with open(REGISTRY, "w") as f:
         f.write(src)
