@@ -2529,9 +2529,43 @@ DEBOUNCE_S = 1800  # min seconds between KEPT events per user
 @register(
     "q175_debounce",
     tags=("eventtime", "stateful", "pandas"),
-    oracle=None,  # inherently sequential per key (each decision depends on
-    # the previous KEPT row, not the previous row) — no window/SQL form;
-    # brute-force pinned in tests/test_round4b_ops.py
+    # Hash-graded since r10 (rows-only r4-r9): the sequential
+    # previous-KEPT-row dependency has no window form, but a RECURSIVE
+    # CTE replays it exactly — the anchor keeps each user's first event
+    # (rn = 1 in (ts, event_id) order), each step keeps the next event
+    # whose gap from the last KEPT one clears DEBOUNCE_S (NOT EXISTS
+    # picks the lowest qualifying rn; rn order is time order, so that is
+    # the scan the mapInPandas pass makes). Recursion depth = max kept
+    # events per user (~64 at sf0.01, 1.3s in DuckDB); bit-equality with
+    # the Spark operator verified at sf0.001 AND sf0.01 at build time,
+    # brute-force pin stays in tests/test_round4b_ops.py.
+    oracle=f"""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) // 1000 AS ts_us, value,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS rn
+          FROM events
+        ),
+        kept AS (
+          SELECT user_id, event_id, event_type, ts_us, value, rn
+          FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.event_type, e.ts_us, e.value,
+                 e.rn
+          FROM kept k
+          JOIN ev e ON e.user_id = k.user_id AND e.rn > k.rn
+                   AND e.ts_us - k.ts_us >= {DEBOUNCE_S * 1_000_000}
+          WHERE NOT EXISTS (
+            SELECT 1 FROM ev e2
+            WHERE e2.user_id = k.user_id AND e2.rn > k.rn
+              AND e2.ts_us - k.ts_us >= {DEBOUNCE_S * 1_000_000}
+              AND e2.rn < e.rn
+          )
+        )
+        SELECT user_id, event_id, event_type, ts_us, value FROM kept
+    """,
 )
 def q175_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debounce/throttle per user: keep an event only if it is at least
@@ -2541,7 +2575,9 @@ def q175_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the one operator family where a window genuinely cannot
     express the semantics: the reference point is the previous *kept*
     row, a sequential dependency (q32's gap-sessionize compares against
-    the previous row regardless of keep status). Through round 8 it ran
+    the previous row regardless of keep status) — hash-graded since r10
+    via a recursive-CTE oracle replay (see the register block), after
+    five rounds as rows-only. Through round 8 it ran
     as per-user `applyInPandas`; that pays the Arrow/Python round-trip
     PER GROUP — 1.5k calls at sf0.1, billions of tiny calls at user
     scale. Since r9 it is ONE `mapInPandas` over user-co-located
