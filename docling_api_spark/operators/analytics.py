@@ -4284,9 +4284,65 @@ def _pava_batch(pdf):
 @register(
     "q246_isotonic_calibration",
     tags=("ml", "calibration", "udf"),
-    # no SQL oracle: PAVA is a sequential pooling scan — rows-only at the
-    # driver; an independent sklearn-free python PAVA replay pins every
-    # fitted value in tests/test_round4d_ops.py
+    # Hash-graded since r10 (rows-only r4-r9): PAVA's sequential pooling
+    # has a non-iterative characterization — the isotonic minimax
+    # theorem, fitted(i) = max_{l<=i} min_{r>=i} pooledRate(l..r) with
+    # pooledRate = Σk/Σn over the band range (the n-weighted fit PAVA
+    # computes) — so the oracle replays it as prefix sums + a bounded
+    # (l, i, r) enumeration (≤10 bands per priority). The selected value
+    # is the same integer-ratio-as-double the Spark PAVA emits, so
+    # equality is exact; ties between equal-rate blocks are fitted-value
+    # invariant. The sklearn-free python PAVA replay pin stays in
+    # tests/test_round4d_ops.py.
+    oracle=f"""
+        WITH late AS (
+          SELECT o.o_orderkey, o.o_orderpriority AS priority,
+                 CAST(ROUND(o.o_totalprice) AS BIGINT) AS d,
+                 MAX(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                          CAST(l.l_shipdate AS DATE))
+                               > {_LATE_DAYS}
+                          THEN 1 ELSE 0 END) AS late
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_orderkey, o.o_orderpriority, o.o_totalprice
+        ),
+        bounds AS (SELECT MIN(d) AS lo, MAX(d) + 1 AS hi FROM late),
+        bands AS (
+          SELECT priority,
+                 CAST(({_ISO_BANDS} * (lt.d - b.lo)) // (b.hi - b.lo)
+                      AS BIGINT) AS band,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(late) AS BIGINT) AS k
+          FROM late lt CROSS JOIN bounds b
+          GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT priority, band, n, k,
+                 SUM(n) OVER w AS cn, SUM(k) OVER w AS ck,
+                 ROW_NUMBER() OVER w AS i
+          FROM bands
+          WINDOW w AS (PARTITION BY priority ORDER BY band
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        inner_min AS (
+          SELECT i.priority, i.i, l.i AS li,
+                 MIN( CAST(r.ck - (l.ck - l.k) AS DOUBLE)
+                      / (r.cn - (l.cn - l.n)) ) AS mn
+          FROM idx i
+          JOIN idx l ON l.priority = i.priority AND l.i <= i.i
+          JOIN idx r ON r.priority = i.priority AND r.i >= i.i
+          GROUP BY 1, 2, 3
+        )
+        SELECT b.priority, b.band, b.n, b.k,
+               CAST(b.k AS DOUBLE) / b.n AS raw_rate,
+               f.iso_rate
+        FROM bands b
+        JOIN (
+          SELECT im.priority, im.i, MAX(im.mn) AS iso_rate
+          FROM inner_min im GROUP BY 1, 2
+        ) f ON f.priority = b.priority
+        JOIN idx ix ON ix.priority = b.priority AND ix.band = b.band
+                   AND ix.i = f.i
+    """,
 )
 def q246_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monotone (PAVA) calibration of P(late shipment) against order price

@@ -5074,9 +5074,15 @@ def _dtw_batch(batches):
 @register(
     "q257_dtw_distance",
     tags=("timeseries", "dtw", "udf"),
-    # no SQL oracle: DTW is an O(T²) DP — rows-only at the driver; every
-    # distance is pinned against an independent python DP in
-    # tests/test_round4d_ops.py
+    # no SQL oracle — and unlike q251 (integer LCS cells) or q246 (the
+    # isotonic minimax closed form), none is POSSIBLE bit-exactly: the
+    # DP cells are DOUBLES built by a sequential d + min(...) chain, and
+    # any SQL replay (the prefix-min row closed form, or a reassociated
+    # minimax) changes the addition tree, so low bits diverge; the
+    # z-normalization additionally uses numpy pairwise summation for
+    # mean/std, which no SQL SUM reproduces. Rows-only at the driver;
+    # every distance is pinned against an independent python DP in
+    # tests/test_round4d_ops.py.
 )
 def q257_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance for every nation pair over z-normalized monthly revenue
