@@ -179,6 +179,7 @@ WINDOW_COMPOSED_FOR_ROUND: int = 10
 GRADED_FIRST: tuple[str, ...] = (
     # ---- round-10 driver window (50), policy-composed ----
     "q151_stateful_counter",
+    "q246_isotonic_calibration",
     "q251_lcs_verify",
     "q102_revenue_concentration",
     "q118_equidepth_histogram",
@@ -227,8 +228,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q122_interarrival_histogram",
     "q124_chi_square",
     "q125_impute_group_mean",
-    "q126_skyline",
     # ---- tail: prior tuple order (ex-window members lead) ----
+    "q126_skyline",
     "q127_group_regression",
     "q128_rolling_median",
     "q02_filter_project",
@@ -319,7 +320,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q118_approx_equidepth",
     "q171_hll_rollup",
     "q240_compression_ratio",
-    "q246_isotonic_calibration",
     "q257_dtw_distance",
     "q242_binary_segmentation",
     "q243_simpson_diversity",
