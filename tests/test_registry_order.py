@@ -150,3 +150,34 @@ def test_rewrite_registry_source_round_trip():
     assert set(tup) == set(GRADED_FIRST)
     with pytest.raises(ValueError):
         rewrite_registry_source("no anchors here", window, tail, 99)
+
+
+def test_window_policy_excludes_conditional_queries():
+    """On a protobuf-equipped build q307 registers, and the policy must
+    NOT compose it into the window (the grading driver's container
+    lacks the dep — a windowed q307 would grade a query that does not
+    exist there). Simulated here by injecting the conditional entry
+    into the live registry, since this container cannot register it for
+    real; the full protobuf-build simulation (stub google.protobuf →
+    registry-order suite green) was run at build time."""
+    from docling_api_spark.plans.registry import (
+        CONDITIONAL_QUERIES,
+        QUERIES,
+        Query,
+    )
+    from compose_window import compose
+
+    name = "q307_tws_counter"
+    assert name in CONDITIONAL_QUERIES
+    injected = name not in QUERIES
+    if injected:
+        QUERIES[name] = Query(name=name, fn=lambda spark, sf: None)
+    try:
+        window = compose(WINDOW_COMPOSED_FOR_ROUND)
+        assert not set(window) & CONDITIONAL_QUERIES
+        # never-graded tier would otherwise grab it: prove the exclusion
+        # is doing the work, not an accident of grade history
+        assert name not in window
+    finally:
+        if injected:
+            QUERIES.pop(name, None)
