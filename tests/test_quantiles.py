@@ -398,3 +398,64 @@ def test_flat_sample_triggers_second_chance_range_probe(spark):
     st2 = Q._probe(flat, [], "v")
     assert st2.lo == st2.hi == 7.5
     assert Q._auto_block_width(st2, spark) == 1.0
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_randomized_shapes_bit_identical(spark, seed):
+    """Seeded adversarial shapes the table-backed tests don't cover:
+    negative values (floor(x/width) must round toward -inf), mixtures of
+    heavy ties and near-unique tails, values straddling block
+    boundaries, and magnitudes far from the block width — all three
+    pre_reduce modes must match the builtin bit-for-bit."""
+    import random
+
+    rng = random.Random(seed)
+    vals = (
+        [float(rng.randint(-5, 5)) for _ in range(600)]  # tie-heavy, negative
+        + [rng.uniform(-1e6, 1e6) for _ in range(600)]  # near-unique, wide
+        + [float(k) * 25.0 for k in range(-20, 20)]  # exactly on boundaries
+        + [rng.uniform(-1e-3, 1e-3) for _ in range(100)]  # tiny magnitudes
+    )
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    probs = sorted(rng.uniform(0.0, 1.0) for _ in range(5)) + [0.0, 1.0]
+    want = _builtin_probs(df, "v", probs)
+    for mode in (True, False, "auto"):
+        got = distributed_quantiles(
+            df, "v", probs, block_width=25.0, pre_reduce=mode
+        ).collect()[0].c
+        assert [repr(g) for g in got] == [repr(w) for w in want], mode
+    # grouped: interleave a tie-heavy and a near-unique group
+    gdf = spark.createDataFrame(
+        [("ties", float(rng.randint(-3, 3))) for _ in range(500)]
+        + [("uniq", rng.uniform(-1e5, 1e5)) for _ in range(500)],
+        "g string, v double",
+    )
+    from docling_api_spark.functions.quantiles import (
+        distributed_grouped_quantiles,
+    )
+
+    want_g = {
+        r.g: [repr(v) for v in r.c]
+        for r in gdf.groupBy("g").agg(
+            F.expr(
+                "percentile(v, array({}))".format(", ".join(map(str, probs)))
+            ).alias("c")
+        ).collect()
+    }
+    for mode in (True, False, "auto"):
+        got_g = {
+            r.g: [repr(v) for v in r.c]
+            for r in distributed_grouped_quantiles(
+                gdf, ["g"], "v", probs, block_width="auto", pre_reduce=mode
+            ).collect()
+        }
+        assert got_g == want_g, mode
+
+
+def _builtin_probs(df, col, probs):
+    return df.agg(
+        F.expr(
+            "percentile({}, array({}))".format(col, ", ".join(map(str, probs)))
+        ).alias("c")
+    ).collect()[0].c
