@@ -181,10 +181,19 @@ def _probe(
     min/max for the adaptive block width. Memoized by ``probe_key`` (or
     semanticHash when the caller has no stable key and the plan has no
     lazy checkpoint — semanticHash is NOT stable across rebuilds when a
-    lazy localCheckpoint sits upstream, measured)."""
+    lazy localCheckpoint sits upstream, measured).
+
+    The memo entry is keyed by ``(probe_key, col, group_cols)``, not the
+    caller-supplied key alone (r10 advisor): a probe_key reused across
+    call sites — or copy-pasted between two quantile calls in one query
+    — must never hand one column's ProbeStats to another column's
+    decision. The semanticHash fallback already encodes (col, g) via the
+    projected plan, so only the explicit-key path needs the fold."""
     g = list(group_cols)
-    if probe_key is not None and probe_key in _auto_memo:
-        return _auto_memo[probe_key]
+    if probe_key is not None:
+        probe_key = (probe_key, col, tuple(g))
+        if probe_key in _auto_memo:
+            return _auto_memo[probe_key]
     probe_in = clean.select(
         *g, F.col(col).cast("double").alias("x")
     ).limit(AUTO_PROBE_ROWS)
@@ -353,6 +362,15 @@ def distributed_grouped_quantiles(
     with a null ``col`` value are excluded per group, like the builtin
     (NaN rows too — divergence, see the module docstring; a group whose
     values are ALL null/NaN yields no output row).
+
+    .. warning:: ``pre_reduce="auto"``'s probe samples a limit() PREFIX
+       of the input. If ``df``'s storage is clustered/partitioned BY THE
+       GROUP KEY, a group absent from the prefix is invisible to the
+       probe, and the decision biases to raw ranking — the slow (never
+       wrong: one spilling single-task sort per missed low-cardinality
+       group) direction. Callers with group-clustered input should pass
+       an explicit ``pre_reduce`` boolean instead of ``"auto"``. Pinned
+       by ``test_clustered_layout_probe_caveat`` in tests/test_quantiles.py.
     """
     spark = df.sparkSession
     g = list(group_cols)
@@ -508,6 +526,15 @@ def distributed_quantiles(
       measured on q118's 97%-unique prices at sf0.1, cuts went
       1.6-2.8s -> a tight 1.1s. Per-task memory is still block-bounded;
       only the window INPUT is row-sized rather than cardinality-sized.
+
+    .. warning:: ``pre_reduce="auto"``'s probe samples a limit() PREFIX
+       of the input: on storage sorted/clustered by value it sees only
+       the head of the distribution. Ungrouped, the consequence is a
+       possibly-misjudged distinct ratio and an under-estimated range
+       (both perf-only: wrong-branch is slower, never wrong; a short
+       range just yields more blocks past the target count). Callers
+       whose layout correlates with the probed column should pass an
+       explicit ``pre_reduce`` boolean.
     """
     spark = df.sparkSession
     clean = df.where(

@@ -2539,6 +2539,12 @@ DEBOUNCE_S = 1800  # min seconds between KEPT events per user
     # events per user (~64 at sf0.01, 1.3s in DuckDB); bit-equality with
     # the Spark operator verified at sf0.001 AND sf0.01 at build time,
     # brute-force pin stays in tests/test_round4b_ops.py.
+    # Scale check (r10 advisor worried the NOT EXISTS step is
+    # O(kept x rows-per-user^2) worst case): measured r11, DuckDB
+    # decorrelates it — sf0.01 1.1s -> sf0.1 3.3s, sublinear in data;
+    # the suggested correlated-MIN rewrite (e.rn = (SELECT MIN(e2.rn)
+    # ...)) was A/B'd bit-equal at both scales and slightly SLOWER
+    # (1.25s / 3.5s), so the NOT EXISTS form stays.
     oracle=f"""
         WITH RECURSIVE ev AS (
           SELECT user_id, event_id, event_type,

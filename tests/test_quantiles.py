@@ -209,13 +209,44 @@ def test_auto_memoizes_by_probe_key(spark):
 
     df = spark.range(500).selectExpr("CAST(id AS DOUBLE) AS v")
     key = "test:memo:poison"
-    Q._auto_memo.pop(key, None)
+    # the memo folds (col, group_cols) into the caller's key (r10
+    # advisor): a reused probe_key must never cross-contaminate columns
+    memo_key = (key, "v", ())
+    Q._auto_memo.pop(memo_key, None)
     assert Q.decide_pre_reduce(df, [], "v", probe_key=key) is False
-    assert key in Q._auto_memo and Q._auto_memo[key][0] is False
+    assert memo_key in Q._auto_memo and Q._auto_memo[memo_key][0] is False
     # poison: a re-probe would say False
-    Q._auto_memo[key] = Q.ProbeStats(True, 0.0)
+    Q._auto_memo[memo_key] = Q.ProbeStats(True, 0.0)
     assert Q.decide_pre_reduce(df, [], "v", probe_key=key) is True
-    Q._auto_memo.pop(key, None)
+    Q._auto_memo.pop(memo_key, None)
+
+
+def test_memo_key_collision_does_not_cross_columns(spark):
+    """The r10 advisor's collision scenario, pinned: two call sites that
+    (wrongly) share one probe_key string but probe DIFFERENT columns
+    must get independent decisions — the near-unique column stays raw
+    even after the tiny-domain column memoized under the same key."""
+    from docling_api_spark.functions import quantiles as Q
+
+    df = spark.range(2000).selectExpr(
+        "CAST(id AS DOUBLE) AS unique_v",
+        "CAST(id % 3 AS DOUBLE) AS tiny_v",
+    )
+    key = "test:memo:shared-key"
+    for c in ("unique_v", "tiny_v"):
+        Q._auto_memo.pop((key, c, ()), None)
+    assert Q.decide_pre_reduce(df, [], "tiny_v", probe_key=key) is True
+    # same caller key, different column: must re-probe, not reuse
+    assert Q.decide_pre_reduce(df, [], "unique_v", probe_key=key) is False
+    # and grouped-vs-ungrouped under one key stay independent too
+    g = spark.range(2000).selectExpr(
+        "CAST(id % 2 AS STRING) AS g", "CAST(id AS DOUBLE) AS unique_v"
+    )
+    assert Q.decide_pre_reduce(g, ["g"], "unique_v", probe_key=key) is False
+    assert (key, "unique_v", ("g",)) in Q._auto_memo
+    for c in ("unique_v", "tiny_v"):
+        Q._auto_memo.pop((key, c, ()), None)
+    Q._auto_memo.pop((key, "unique_v", ("g",)), None)
 
 
 def test_auto_reproduces_caller_decisions_on_testdata(spark, sf_dir):
@@ -353,14 +384,19 @@ def test_probe_decisions_pinned_for_every_auto_caller(spark):
         "q241_quantile_treatment_effect", "q102_revenue_concentration",
         "q162_lift_table", "q296_watermark_advisor", "q297_mean_excess",
     ]
-    for k in [k for k in Q._auto_memo if str(k).endswith(sf01)]:
+    # memo keys are (caller_key, col, group_cols) since the r10-advisor
+    # fold; the caller key is the "qNNN:sf_dir" string
+    def caller_key(k):
+        return k[0] if isinstance(k, tuple) and isinstance(k[0], str) else ""
+
+    for k in [k for k in Q._auto_memo if caller_key(k).endswith(sf01)]:
         Q._auto_memo.pop(k)
     for n in names:
         qs[n].fn(spark, sf01)  # building resolves the probes
     decisions = {
-        str(k).split(":")[0]: st.pre_reduce
+        caller_key(k).split(":")[0]: st.pre_reduce
         for k, st in Q._auto_memo.items()
-        if str(k).endswith(sf01)
+        if caller_key(k).endswith(sf01)
     }
     assert decisions == {
         # q121's small-int f metric and q296's lateness are the
@@ -459,3 +495,59 @@ def _builtin_probs(df, col, probs):
             "percentile({}, array({}))".format(col, ", ".join(map(str, probs)))
         ).alias("c")
     ).collect()[0].c
+
+
+def test_clustered_layout_probe_caveat(spark, tmp_path):
+    """Adversarial pin for the probe's documented blind spot (r10
+    verdict Next #6): on parquet CLUSTERED BY THE GROUP KEY, the
+    limit() prefix sample reads only the first group's splits, so a
+    late low-cardinality group is invisible — the probe misses the
+    skew funnel and picks the raw branch (pre_reduce False). The
+    documented consequence is bounded: slower (one single-task sorted
+    window partition for the missed group), NEVER wrong — the grouped
+    result must still be bit-identical to the builtin. This test turns
+    the module block comment's honest caveat into a pinned contract."""
+    from docling_api_spark.functions import quantiles as Q
+    from docling_api_spark.functions.quantiles import (
+        distributed_grouped_quantiles,
+    )
+
+    # group 'a': > AUTO_PROBE_ROWS rows of near-unique values, written
+    # FIRST; group 'z': a tiny 3-value domain (the q121-style funnel),
+    # entirely after the prefix. One output file keeps row order.
+    n_a = Q.AUTO_PROBE_ROWS + 20_000
+    df = spark.range(n_a + 30_000).selectExpr(
+        f"CASE WHEN id < {n_a} THEN 'a' ELSE 'z' END AS g",
+        f"CASE WHEN id < {n_a} THEN CAST(id AS DOUBLE) + 0.25"
+        " ELSE CAST(id % 3 AS DOUBLE) END AS v",
+    )
+    path = str(tmp_path / "clustered")
+    df.repartition(1).sortWithinPartitions("g").write.parquet(path)
+    back = spark.read.parquet(path)
+
+    # 1) the blind spot happens: the prefix probe saw ONE group and
+    #    chose raw — even though group 'z' alone (ratio 1e-4) would
+    #    demand the pre-reduce.
+    stats = Q._probe(back, ["g"], "v")
+    assert stats.groups == 1, "prefix unexpectedly reached group 'z'"
+    assert stats.pre_reduce is False
+    # ground truth at full scan: the funnel group IS pre-reduce-worthy
+    assert Q.decide_pre_reduce(back.where("g = 'z'"), ["g"], "v") is True
+
+    # 2) the consequence is bounded: the raw branch is slow-never-wrong
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    want = {
+        r.g: [repr(v) for v in r.c]
+        for r in back.groupBy("g").agg(
+            F.expr(
+                "percentile(v, array({}))".format(", ".join(map(str, probs)))
+            ).alias("c")
+        ).collect()
+    }
+    got = {
+        r.g: [repr(v) for v in r.c]
+        for r in distributed_grouped_quantiles(
+            back, ["g"], "v", probs, block_width="auto", pre_reduce="auto"
+        ).collect()
+    }
+    assert got == want

@@ -140,3 +140,57 @@ def query_c(spark, sf):
         FakeSnapshot({OPS_MOD: ops, HELPER_MOD: changed_helper}), OPS_MOD, "query_c"
     )
     assert a != b
+
+
+def test_from_package_import_submodule_chases_module():
+    """r10 advisor: `from pkg import submodule` pushes (pkg, 'submodule'),
+    which the pre-fix closure dropped because 'submodule' is not a def in
+    pkg/__init__.py — leaving the submodule's contents invisible. The fix
+    redirects to the whole submodule, both for module-level and
+    function-level (lazy) imports."""
+    pkg_mod = f"{PKG}.functions"
+    ops_module_level = f"""
+from {PKG}.functions import fakehelper
+
+def query_e(spark, sf):
+    return fakehelper.shared_cut(spark, sf)
+"""
+    ops_fn_level = f"""
+def query_e(spark, sf):
+    from {PKG}.functions import fakehelper
+    return fakehelper.shared_cut(spark, sf)
+"""
+    for ops in (ops_module_level, ops_fn_level):
+        snap = FakeSnapshot(
+            {OPS_MOD: ops, pkg_mod: "", HELPER_MOD: HELPER_SRC_V1}
+        )
+        a = sg.closure(snap, OPS_MOD, "query_e")
+        assert (HELPER_MOD, "*") in a, ops
+        changed = FakeSnapshot(
+            {OPS_MOD: ops, pkg_mod: "",
+             HELPER_MOD: HELPER_SRC_V1 + "\nEXTRA = 2\n"}
+        )
+        b = sg.closure(changed, OPS_MOD, "query_e")
+        assert a != b
+
+
+def test_reexport_def_shadows_submodule():
+    """If pkg/__init__.py genuinely defines the imported name, the def
+    wins (re-export case) — the submodule redirect must not misfire."""
+    pkg_mod = f"{PKG}.functions"
+    pkg_src = """
+def fakehelper(x):
+    return x
+"""
+    ops = f"""
+from {PKG}.functions import fakehelper
+
+def query_f(spark, sf):
+    return fakehelper(sf)
+"""
+    snap = FakeSnapshot(
+        {OPS_MOD: ops, pkg_mod: pkg_src, HELPER_MOD: HELPER_SRC_V1}
+    )
+    a = sg.closure(snap, OPS_MOD, "query_f")
+    assert (pkg_mod, "fakehelper") in a
+    assert (HELPER_MOD, "*") not in a

@@ -136,6 +136,11 @@ class TreeSnapshot:
         if module not in self._idx:
             rel = module.replace(".", "/") + ".py"
             src = self.source(rel)
+            if src is None:
+                # packages: docling_api_spark.functions ->
+                # docling_api_spark/functions/__init__.py (r10 advisor —
+                # without this, a whole-package reference hashed nothing)
+                src = self.source(module.replace(".", "/") + "/__init__.py")
             self._idx[module] = ModuleIndex(src) if src is not None else None
         return self._idx[module]
 
@@ -153,6 +158,18 @@ def closure(snap: TreeSnapshot, module: str, fname: str) -> dict | None:
         if (mod, name) in seen:
             continue
         idx = snap.index(mod)
+        # `from pkg import submodule` (r10 advisor): the imported name is
+        # a MODULE, not a def in pkg/__init__.py — chasing (pkg, name)
+        # would silently drop it. Redirect to the whole submodule. The
+        # def wins if pkg/__init__.py really does define the name (a
+        # re-export shadows its source module only when both exist).
+        if (
+            name != "*"
+            and (idx is None or name not in idx.defs)
+            and snap.index(f"{mod}.{name}") is not None
+        ):
+            stack.append((f"{mod}.{name}", "*"))
+            continue
         if idx is None:
             continue
         if name == "*":  # whole module (coarse `import x as y; y.f()` case)
