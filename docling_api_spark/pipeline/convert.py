@@ -11,8 +11,10 @@ image_resolution_scale) -> dict` plugs in (the reference's
 `DocumentConversionBase` ABC, `service.py:24-31`). Two implementations:
 
 - `LightweightConverter` — dependency-free: real conversion for md/asciidoc/
-  csv/html/image; pdf/docx/pptx produce an error row unless docling is
-  installed. This keeps correctness runs hermetic.
+  csv/html/image, and (r11) stdlib text extraction for born-digital
+  pdf/docx/pptx via `pipeline/textextract.py`; scanned/image-only layout
+  formats still produce an error row naming the docling OCR backend.
+  This keeps correctness runs hermetic.
 - `DoclingConverter` — wraps IBM docling when importable (import-gated;
   heavy models, per-executor singleton is essential).
 
@@ -90,7 +92,35 @@ class LightweightConverter:
                 "images": images,
                 "error": None,
             }
-        # pdf/docx/pptx need a layout-analysis backend
+        # pdf/docx/pptx: stdlib text extraction (r11, VERDICT r10 Next
+        # #7) — real markdown for born-digital documents without the
+        # docling wheel; scanned/image-only files still route to the
+        # error column naming the OCR-capable backend.
+        if fmt in ("pdf", "docx", "pptx"):
+            from docling_api_spark.pipeline.textextract import (
+                docx_to_markdown,
+                pdf_to_markdown,
+                pptx_to_markdown,
+            )
+
+            extract = {
+                "pdf": pdf_to_markdown,
+                "docx": docx_to_markdown,
+                "pptx": pptx_to_markdown,
+            }[fmt]
+            try:
+                markdown = extract(content)
+            except Exception as exc:
+                return _error_result(
+                    _stem(filename), f"{fmt} text extraction failed: {exc}"
+                )
+            if markdown.strip():
+                return _ok(filename, markdown)
+            return _error_result(
+                _stem(filename),
+                f"No extractable text layer in '{fmt}' document "
+                "(scanned/image-only input needs the docling OCR backend)",
+            )
         return _error_result(
             _stem(filename),
             f"No converter backend available for format '{fmt}' "

@@ -1,0 +1,272 @@
+"""pipeline/textextract.py — the stdlib T1 fallback backend (VERDICT
+r10 Next #7): pdf (raw + FlateDecode streams, Tj/'/"/TJ operators, CID
+mojibake suppression), docx (headings/lists/tables), pptx (slide
+order), the LightweightConverter routing (real markdown for
+born-digital files, error row naming the OCR backend for image-only
+PDFs), and the Spark mapInPandas plumbing end-to-end. Fixtures are
+built in-test with stdlib zipfile/zlib — no document libraries exist
+in this environment, which is exactly the environment the fallback is
+for."""
+
+from __future__ import annotations
+
+import zipfile
+import zlib
+from io import BytesIO
+
+import pytest
+
+from docling_api_spark.pipeline.textextract import (
+    docx_to_markdown,
+    pdf_to_markdown,
+    pptx_to_markdown,
+)
+
+
+# ---------------------------------------------------------------------------
+# fixture builders (stdlib only)
+# ---------------------------------------------------------------------------
+
+def make_pdf(content_stream: bytes, compress: bool = False) -> bytes:
+    """Minimal single-page PDF around ``content_stream``. No xref table
+    on purpose: the extractor scans stream objects directly (it must
+    survive linearized/incrementally-updated files), and a missing xref
+    is the nastiest version of that."""
+    filt = b" /Filter /FlateDecode" if compress else b""
+    data = zlib.compress(content_stream) if compress else content_stream
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj <</Type /Catalog /Pages 2 0 R>> endobj\n"
+        b"2 0 obj <</Type /Pages /Kids [3 0 R] /Count 1>> endobj\n"
+        b"3 0 obj <</Type /Page /Parent 2 0 R /Contents 4 0 R>> endobj\n"
+        b"4 0 obj <</Length " + str(len(data)).encode() + filt
+        + b">>\nstream\n" + data + b"\nendstream endobj\n"
+        b"%%EOF\n"
+    )
+
+
+def make_docx(document_xml: str) -> bytes:
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Override PartName="/word/document.xml" ContentType="applicat'
+            "ion/vnd.openxmlformats-officedocument.wordprocessingml.docume"
+            'nt.main+xml"/></Types>',
+        )
+        zf.writestr("word/document.xml", document_xml)
+    return buf.getvalue()
+
+
+def make_pptx(slides: list[str]) -> bytes:
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Override PartName="/ppt/presentation.xml" ContentType="appli'
+            "cation/vnd.openxmlformats-officedocument.presentationml.prese"
+            'ntation.main+xml"/></Types>',
+        )
+        zf.writestr("ppt/presentation.xml", "<p/>")
+        for i, xml in enumerate(slides, 1):
+            zf.writestr(f"ppt/slides/slide{i}.xml", xml)
+    return buf.getvalue()
+
+
+W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+A_NS = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+
+DOCX_XML = f"""<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>
+    <w:r><w:t>Quarterly Report</w:t></w:r></w:p>
+  <w:p><w:r><w:t>Revenue grew </w:t></w:r><w:r><w:t>12%.</w:t></w:r></w:p>
+  <w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr>
+    <w:r><w:t>first item</w:t></w:r></w:p>
+  <w:p><w:pPr></w:pPr><w:r><w:t> </w:t></w:r></w:p>
+  <w:tbl>
+    <w:tr><w:tc><w:p><w:r><w:t>k</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>v</w:t></w:r></w:p></w:tc></w:tr>
+    <w:tr><w:tc><w:p><w:r><w:t>a</w:t></w:r></w:p></w:tc>
+          <w:tc><w:p><w:r><w:t>1</w:t></w:r></w:p></w:tc></w:tr>
+  </w:tbl>
+</w:body></w:document>"""
+
+SLIDE_XML = """<?xml version="1.0"?>
+<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+       {a_ns}>
+  <p:cSld><p:spTree>
+    <a:p><a:r><a:t>{text}</a:t></a:r></a:p>
+  </p:spTree></p:cSld>
+</p:sld>""".replace("{a_ns}", A_NS)
+
+
+# ---------------------------------------------------------------------------
+# pdf extractor
+# ---------------------------------------------------------------------------
+
+def test_pdf_tj_and_array_operators():
+    stream = (
+        b"BT /F1 12 Tf 72 720 Td (Hello) Tj T* "
+        b"[(Wo) -300 (rld)] TJ ET"
+    )
+    text = pdf_to_markdown(make_pdf(stream))
+    assert text.splitlines() == ["Hello", "Wo rld"]
+
+
+def test_pdf_flate_compressed_stream():
+    stream = b"BT (compressed text layer) Tj ET"
+    text = pdf_to_markdown(make_pdf(stream, compress=True))
+    assert text == "compressed text layer"
+
+
+def test_pdf_escapes_hex_and_quote_ops():
+    stream = (
+        rb"BT (paren \(x\) and \\slash \101) Tj "
+        b"<48 6921> ' ET"
+    )
+    text = pdf_to_markdown(make_pdf(stream))
+    # \101 octal == 'A'; hex 48 69 21 (whitespace legal) -> "Hi!";
+    # ' starts a new line
+    assert text.splitlines() == ["paren (x) and \\slash A", "Hi!"]
+
+
+def test_pdf_image_only_yields_empty():
+    # an image XObject stream, no BT/ET anywhere
+    stream = b"q 100 0 0 100 0 0 cm /Im1 Do Q"
+    assert pdf_to_markdown(make_pdf(stream)) == ""
+
+
+def test_pdf_cid_mojibake_suppressed():
+    # Identity-H style 2-byte codes decode to control soup; must not
+    # leak into the output, while the simple-font line survives
+    stream = (
+        b"BT <0003000F00110002> Tj T* (readable line) Tj ET"
+    )
+    text = pdf_to_markdown(make_pdf(stream))
+    assert text == "readable line"
+
+
+def test_pdf_header_required():
+    with pytest.raises(ValueError):
+        pdf_to_markdown(b"not a pdf at all")
+
+
+def test_pdf_corrupt_flate_stream_skipped():
+    pdf = make_pdf(b"BT (good) Tj ET")
+    bad = (
+        b"9 0 obj <</Length 8 /Filter /FlateDecode>>\nstream\n"
+        b"\xff\xfe\xfd\xfc\xfb\xfa\xf9\xf8\nendstream endobj\n"
+    )
+    assert pdf_to_markdown(pdf + bad) == "good"
+
+
+# ---------------------------------------------------------------------------
+# ooxml extractors
+# ---------------------------------------------------------------------------
+
+def test_docx_headings_lists_tables():
+    md = docx_to_markdown(make_docx(DOCX_XML))
+    lines = md.splitlines()
+    assert lines[0] == "# Quarterly Report"
+    assert lines[1] == "Revenue grew 12%."
+    assert lines[2] == "- first item"
+    # whitespace-only paragraph dropped; table renders as pipe rows
+    assert lines[3] == "| k | v |"
+    assert lines[4] == "|---|---|"
+    assert lines[5] == "| a | 1 |"
+
+
+def test_pptx_slide_order_and_sections():
+    slides = [
+        SLIDE_XML.replace("{text}", "Intro"),
+        SLIDE_XML.replace("{text}", "Results"),
+    ]
+    md = pptx_to_markdown(make_pptx(slides))
+    assert md.splitlines() == ["## Slide 1", "Intro", "## Slide 2", "Results"]
+
+
+def test_pptx_double_digit_slides_numeric_order():
+    slides = [SLIDE_XML.replace("{text}", f"s{i}") for i in range(1, 12)]
+    md = pptx_to_markdown(make_pptx(slides))
+    headers = [ln for ln in md.splitlines() if ln.startswith("## ")]
+    assert headers == [f"## Slide {i}" for i in range(1, 12)]
+
+
+# ---------------------------------------------------------------------------
+# converter routing (T1 seam)
+# ---------------------------------------------------------------------------
+
+def test_lightweight_converter_extracts_pdf_docx_pptx():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    conv = LightweightConverter()
+    r = conv.convert("report.pdf", make_pdf(b"BT (pdf body) Tj ET"))
+    assert r["error"] is None and r["markdown"] == "pdf body"
+    assert r["filename"] == "report"
+    r = conv.convert("deck.docx", make_docx(DOCX_XML))
+    assert r["error"] is None and r["markdown"].startswith("# Quarterly")
+    r = conv.convert(
+        "deck.pptx", make_pptx([SLIDE_XML.replace("{text}", "Intro")])
+    )
+    assert r["error"] is None and "## Slide 1" in r["markdown"]
+
+
+def test_lightweight_converter_image_only_pdf_errors_to_ocr_backend():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    r = LightweightConverter().convert(
+        "scan.pdf", make_pdf(b"q /Im1 Do Q")
+    )
+    assert r["markdown"] is None
+    assert "docling" in r["error"] and "text layer" in r["error"]
+
+
+def test_lightweight_converter_corrupt_docx_errors_not_raises():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    # valid zip, missing word/document.xml -> extraction failure is an
+    # error ROW (O4 error-as-column), never an exception
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/nothing.xml", "<x/>")
+        zf.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'content-types"><Override PartName="/word/document.xml" Conten'
+            'tType="application/vnd.openxmlformats-officedocument.wordproc'
+            'essingml.document.main+xml"/></Types>',
+        )
+    r = LightweightConverter().convert("broken.docx", buf.getvalue())
+    assert r["markdown"] is None and "extraction failed" in r["error"]
+
+
+def test_convert_documents_pdf_through_spark(spark):
+    """The mapInPandas stage end-to-end on a mixed corpus including a
+    born-digital PDF and a docx — the T1 plumbing the r10 verdict's
+    'partial' hinged on, now producing real markdown rows in a
+    docling-less environment."""
+    from docling_api_spark.pipeline.convert import convert_documents
+
+    rows = [
+        ("a/report.pdf", make_pdf(b"BT (spark pdf text) Tj ET")),
+        ("a/notes.md", b"# hi\nbody"),
+        ("a/deck.docx", make_docx(DOCX_XML)),
+        ("a/scan.pdf", make_pdf(b"q /Im1 Do Q")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {
+        r.path: r
+        for r in convert_documents(df, converter="lightweight").collect()
+    }
+    assert out["a/report.pdf"].markdown == "spark pdf text"
+    assert out["a/report.pdf"].error is None
+    assert out["a/report.pdf"].format == "pdf"
+    assert out["a/deck.docx"].markdown.startswith("# Quarterly Report")
+    assert out["a/notes.md"].markdown == "# hi\nbody"
+    assert out["a/scan.pdf"].markdown is None
+    assert "docling" in out["a/scan.pdf"].error
