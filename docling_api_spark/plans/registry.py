@@ -175,24 +175,65 @@ def register(
 # rounds BELOW this feed the policy, so the composition stays
 # reproducible after this round's own record lands. Maintained by
 # tools/compose_window.py --update.
-WINDOW_COMPOSED_FOR_ROUND: int = 10
+WINDOW_COMPOSED_FOR_ROUND: int = 11
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-10 driver window (50), policy-composed ----
-    "q151_stateful_counter",
-    "q246_isotonic_calibration",
-    "q251_lcs_verify",
+    # ---- round-11 driver window (50), policy-composed ----
+    "q72_conversion_pipeline",
     "q102_revenue_concentration",
-    "q118_equidepth_histogram",
-    "q162_lift_table",
-    "q296_watermark_advisor",
-    "q297_mean_excess",
     "q114_winsorized_agg",
+    "q118_equidepth_histogram",
     "q121_rfm_segmentation",
     "q158_median_mad_outliers",
-    "q175_debounce",
+    "q162_lift_table",
     "q227_conformal_interval",
     "q241_quantile_treatment_effect",
     "q24_percentiles_exact",
+    "q296_watermark_advisor",
+    "q297_mean_excess",
+    "q80_media_features",
+    "q126_skyline",
+    "q127_group_regression",
+    "q128_rolling_median",
+    "q129_fk_audit",
+    "q130_ratio_to_parent",
+    "q131_audience_overlap",
+    "q132_grouped_mode",
+    "q136_sampling_error_audit",
+    "q137_streaming_upsert",
+    "q139_tfidf_cosine_pairs",
+    "q140_composition_drift",
+    "q141_covariance_matrix",
+    "q48_fuzzy_match_parts",
+    "q49_rolling_zscore",
+    "q55_embedding_drift",
+    "q56_streaming_dedup",
+    "q57_incremental_dedup",
+    "q58_incremental_rollup",
+    "q59_zorder_layout",
+    "q73_sequence_packing",
+    "q74_curriculum_buckets",
+    "q75_span_dedup_fraction",
+    "q76_leakage_safe_split",
+    "q78_vocab_coverage",
+    "q79_embedding_outliers",
+    "q83_join_key_skew",
+    "q84_state_intervals",
+    "q85_event_transitions",
+    "q86_click_attribution",
+    "q87_growth_accounting",
+    "q89_top_paths",
+    "q98_source_lang_purity",
+    "q134_curation_pipeline",
+    "q135_sla_shipping_delay",
+    "q142_bounce_rate",
+    "q143_promo_share",
+    "q144_part_supplier_stats",
+    # ---- tail: prior tuple order (ex-window members lead) ----
+    "q145_idle_rich_customers",
+    "q151_stateful_counter",
+    "q246_isotonic_calibration",
+    "q251_lcs_verify",
+    "q175_debounce",
     "q32_session_window",
     "q33_asof_join",
     "q35_bucketed_range_join",
@@ -228,10 +269,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q122_interarrival_histogram",
     "q124_chi_square",
     "q125_impute_group_mean",
-    # ---- tail: prior tuple order (ex-window members lead) ----
-    "q126_skyline",
-    "q127_group_regression",
-    "q128_rolling_median",
     "q02_filter_project",
     "q08_scalar_subquery",
     "q09_correlated_exists",
@@ -240,7 +277,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q28_shipping_priority",
     "q41_dedup_per_group",
     "q53_embedding_neardup",
-    "q72_conversion_pipeline",
     "q91_hash_sample",
     "q92_stratified_sample",
     "q93_weighted_mix",
@@ -362,7 +398,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q283_cohen_kappa",
     "q284_weighted_jaccard",
     "q285_quadratic_response",
-    "q80_media_features",
     "q190_phrase_search",
     "q191_shortest_path",
     "q192_forecast_wape",
@@ -413,12 +448,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q239_burstiness",
     "q77_streaming_sliding",
     "q99_corpus_report",
-    "q134_curation_pipeline",
-    "q135_sla_shipping_delay",
-    "q142_bounce_rate",
-    "q143_promo_share",
-    "q144_part_supplier_stats",
-    "q145_idle_rich_customers",
     "q146_dup_provenance",
     "q147_supplier_cold_start",
     "q148_denorm_drift_audit",
@@ -457,35 +486,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q187_ewma_smoothing",
     "q188_lag1_autocorr",
     "q189_bpe_merges",
-    "q48_fuzzy_match_parts",
-    "q49_rolling_zscore",
-    "q55_embedding_drift",
-    "q56_streaming_dedup",
-    "q57_incremental_dedup",
-    "q58_incremental_rollup",
-    "q59_zorder_layout",
-    "q73_sequence_packing",
-    "q74_curriculum_buckets",
-    "q75_span_dedup_fraction",
-    "q76_leakage_safe_split",
-    "q78_vocab_coverage",
-    "q79_embedding_outliers",
-    "q83_join_key_skew",
-    "q84_state_intervals",
-    "q85_event_transitions",
-    "q86_click_attribution",
-    "q87_growth_accounting",
-    "q89_top_paths",
-    "q98_source_lang_purity",
-    "q129_fk_audit",
-    "q130_ratio_to_parent",
-    "q131_audience_overlap",
-    "q132_grouped_mode",
-    "q136_sampling_error_audit",
-    "q137_streaming_upsert",
-    "q139_tfidf_cosine_pairs",
-    "q140_composition_drift",
-    "q141_covariance_matrix",
 )
 
 

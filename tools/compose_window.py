@@ -24,6 +24,12 @@ Policy, in priority order (ties broken by name so the output is stable):
    rows-only queries unconditionally — a new or stale query must be
    re-certified whatever the strength of its check; the round-9 window
    carries q72 and q23 rows-only for exactly that reason.)
+   **Rows-only re-cert slot** (r10 verdict Next #5): strict
+   oracle-first ranking meant an unchanged rows-only grade NEVER
+   rotated back in (q80's record sat at round 3 for seven rounds), so
+   ONE slot per round goes to the single OLDEST rows-only grade before
+   the oracle-checked age order fills the rest — a ceiling on
+   weak-grade age at the cost of one hash slot in fifty.
 
 The window is composed FOR a round N: only CORRECTNESS records from
 rounds < N feed the policy, and staleness is judged at HEAD against each
@@ -78,8 +84,19 @@ def compose(as_of_round: int | None = None) -> list[str]:
             taken.add(name)
     if len(window) < WINDOW:
         stale_names = {s[0] for s in stale}
+        fresh = [n for n in queries if n in grades and n not in stale_names]
+        # one re-cert slot for the single OLDEST rows-only grade (r10
+        # verdict Next #5) — without it the oracle-first ranking below
+        # starves unchanged rows-only grades forever
+        rows_only_by_age = sorted(
+            (n for n in fresh if registry[n].oracle is None and n not in taken),
+            key=lambda n: (grades[n], n),
+        )
+        if rows_only_by_age:
+            window.append(rows_only_by_age[0])
+            taken.add(rows_only_by_age[0])
         fresh_by_age = sorted(
-            (n for n in queries if n in grades and n not in stale_names),
+            fresh,
             key=lambda n: (registry[n].oracle is None, grades[n], n),
         )
         for name in fresh_by_age:
@@ -88,7 +105,7 @@ def compose(as_of_round: int | None = None) -> list[str]:
             if name not in taken:
                 window.append(name)
                 taken.add(name)
-    return window
+    return window[:WINDOW]
 
 
 def default_round() -> int:
