@@ -181,3 +181,39 @@ def test_window_policy_excludes_conditional_queries():
     finally:
         if injected:
             QUERIES.pop(name, None)
+
+
+def test_window_carries_rows_only_recert_slot():
+    """r10 verdict Next #5: the age tier must interleave the single
+    OLDEST rows-only grade once per round (strict oracle-first ranking
+    had starved unchanged rows-only entries forever — q80 sat at its
+    round-3 grade for seven rounds). Whenever the age tier runs at all
+    (i.e. tiers 1-2 did not fill the window), the composed window must
+    contain at least one rows-only query that is NOT there via the
+    never-graded or stale tiers."""
+    from compose_window import compose
+    from stale_grades import compute_stale
+
+    window = list(GRADED_FIRST[:DRIVER_WINDOW])
+    stale, _f, _m, grades = compute_stale(WINDOW_COMPOSED_FOR_ROUND)
+    stale_names = {s[0] for s in stale}
+    registry = all_queries()
+    tier12 = {n for n in window if n not in grades or n in stale_names}
+    if len(tier12) >= DRIVER_WINDOW:
+        return  # tiers 1-2 filled the window; the slot never engages
+    recerts = [
+        n for n in window
+        if n not in tier12 and registry[n].oracle is None
+    ]
+    assert recerts, (
+        "age tier ran but no rows-only re-cert slot in the window — "
+        "compose_window's r11 slot regressed"
+    )
+    # and it is the OLDEST rows-only grade among eligible ones
+    eligible = [
+        n for n in registry
+        if n in grades and n not in stale_names
+        and registry[n].oracle is None
+    ]
+    oldest = min(eligible, key=lambda n: (grades[n], n))
+    assert oldest in window
