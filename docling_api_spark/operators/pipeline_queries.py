@@ -27,12 +27,14 @@ _HTML_SUFFIX = "</p></body></html>"
 def _synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, path, content) cycling the format taxonomy.
 
-    doc_id % 7: 0 .md · 1 .csv · 2 .html · 3 .adoc · 4 .txt (unsupported) ·
+    doc_id % 8: 0 .md · 1 .csv · 2 .html · 3 .adoc · 4 .txt (unsupported) ·
     5 .bin with HTML content (content-sniffed) · 6 extensionless README
-    (unsupported).
+    (unsupported) · 7 .pdf with the text in a hex-string content stream
+    (r11 — exercises the stdlib T1 pdf backend inside the driver-graded
+    pipeline query; built with pure column expressions, no Python).
     """
     docs = load_table(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 7
+    m = F.col("doc_id") % 8
     path = (
         F.when(m == 0, F.concat(F.lit("doc"), "doc_id", F.lit(".md")))
         .when(m == 1, F.concat(F.lit("doc"), "doc_id", F.lit(".csv")))
@@ -40,11 +42,23 @@ def _synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 3, F.concat(F.lit("doc"), "doc_id", F.lit(".adoc")))
         .when(m == 4, F.concat(F.lit("doc"), "doc_id", F.lit(".txt")))
         .when(m == 5, F.concat(F.lit("doc"), "doc_id", F.lit(".bin")))
+        .when(m == 7, F.concat(F.lit("doc"), "doc_id", F.lit(".pdf")))
         .otherwise(F.concat(F.lit("README"), "doc_id"))
     )
-    text = F.when(
-        m.isin(2, 5), F.concat(F.lit(_HTML_PREFIX), "text", F.lit(_HTML_SUFFIX))
-    ).otherwise(F.col("text"))
+    # minimal valid-enough PDF: one FlateDecode-free content stream whose
+    # hex string carries the document text (hex digits are ASCII, so the
+    # whole file is a UTF-8-encodable string until the final encode())
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n1 0 obj <</Type /Page /Contents 2 0 R>> endobj\n"
+              "2 0 obj <</Length 0>>\nstream\nBT <"),
+        F.hex(F.encode("text", "utf-8")),
+        F.lit("> Tj ET\nendstream endobj\n%%EOF\n"),
+    )
+    text = (
+        F.when(m.isin(2, 5), F.concat(F.lit(_HTML_PREFIX), "text", F.lit(_HTML_SUFFIX)))
+        .when(m == 7, pdf)
+        .otherwise(F.col("text"))
+    )
     return docs.select(
         "doc_id",
         path.alias("path"),
@@ -62,13 +76,14 @@ def _synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
           doc_id,
-          CASE CAST(doc_id % 7 AS INTEGER)
+          CASE CAST(doc_id % 8 AS INTEGER)
             WHEN 0 THEN 'md'
             WHEN 1 THEN 'csv'
             WHEN 2 THEN 'html'
             WHEN 3 THEN 'asciidoc'
             WHEN 4 THEN NULL          -- .txt: text/plain is unsupported
             WHEN 5 THEN 'html'        -- extension unknown, content-sniffed
+            WHEN 7 THEN 'pdf'         -- %PDF- magic + .pdf extension
             ELSE NULL                 -- extensionless README
           END AS format
         FROM documents
