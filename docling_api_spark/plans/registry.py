@@ -190,6 +190,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q24_percentiles_exact",
     "q296_watermark_advisor",
     "q297_mean_excess",
+    "q70_format_classify",
     "q80_media_features",
     "q126_skyline",
     "q127_group_regression",
@@ -227,8 +228,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q135_sla_shipping_delay",
     "q142_bounce_rate",
     "q143_promo_share",
-    "q144_part_supplier_stats",
     # ---- tail: prior tuple order (ex-window members lead) ----
+    "q144_part_supplier_stats",
     "q145_idle_rich_customers",
     "q151_stateful_counter",
     "q246_isotonic_calibration",
@@ -254,7 +255,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q67_pii_redaction",
     "q68_repetition_filter",
     "q69_contamination_check",
-    "q70_format_classify",
     "q82_media_resize",
     "q90_profile_orders",
     "q95_temperature_mix",
