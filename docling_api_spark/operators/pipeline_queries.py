@@ -141,14 +141,65 @@ def q71_upload_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q72 — full conversion pipeline (classify → validate → convert); rows-only
+# q72 — full conversion pipeline (classify → validate → convert)
 # ---------------------------------------------------------------------------
-@register("q72_conversion_pipeline", tags=("pipeline", "convert"), bench=True)
+# Hash-graded since r11 (rows-only r1-r10): the corpus is synthesized
+# from column expressions over `documents`, and every converter output is
+# a CLOSED FORM of (doc_id, n_chars) because the generated text is plain
+# single-spaced [a-z ]+ (verified: no commas/quotes/newlines/double
+# spaces/non-ASCII at sf0.001-0.1, length(text) == n_chars, min 44 — the
+# csv parse is one row/one field, the html tag-strip returns the text
+# unchanged, the pdf hex content stream round-trips it). Per k = doc_id%8:
+#   markdown: k∈{0,3} passthrough → n_chars; k∈{2,5} tag-strip → n_chars;
+#   k=7 pdf hex replay → n_chars; k=1 csv one-cell pipe table
+#   "| text |\n|---|" → n_chars+10; k∈{4,6} unsupported → NULL + the
+#   converter's error string (full filename, convert.py:72) and ok=false.
+# A regression anywhere in classify → validate → convert (a changed
+# markdown rendering, a dropped error row, a filename-stem bug) now
+# breaks the value hash instead of only the row count.
+@register(
+    "q72_conversion_pipeline",
+    tags=("pipeline", "convert"),
+    bench=True,
+    oracle="""
+        WITH m AS (
+          SELECT doc_id, n_chars, CAST(doc_id % 8 AS INTEGER) AS k
+          FROM documents
+        )
+        SELECT
+          CASE WHEN k = 6 THEN 'README' || CAST(doc_id AS VARCHAR)
+               ELSE 'doc' || CAST(doc_id AS VARCHAR) ||
+                 CASE k WHEN 0 THEN '.md' WHEN 1 THEN '.csv'
+                        WHEN 2 THEN '.html' WHEN 3 THEN '.adoc'
+                        WHEN 4 THEN '.txt' WHEN 5 THEN '.bin'
+                        ELSE '.pdf' END
+          END AS path,
+          CASE k WHEN 0 THEN 'md' WHEN 1 THEN 'csv' WHEN 2 THEN 'html'
+                 WHEN 3 THEN 'asciidoc' WHEN 5 THEN 'html'
+                 WHEN 7 THEN 'pdf' ELSE NULL END AS format,
+          CASE WHEN k = 4 THEN 'doc' || CAST(doc_id AS VARCHAR) || '.txt'
+               WHEN k = 6 THEN 'README' || CAST(doc_id AS VARCHAR)
+               ELSE 'doc' || CAST(doc_id AS VARCHAR) END AS filename,
+          CASE WHEN k IN (4, 6) THEN NULL
+               WHEN k = 1 THEN n_chars + 10
+               ELSE n_chars END AS markdown_len,
+          CAST(0 AS INTEGER) AS n_images,
+          CASE WHEN k = 4 THEN 'Unsupported file format: doc'
+                               || CAST(doc_id AS VARCHAR) || '.txt'
+               WHEN k = 6 THEN 'Unsupported file format: README'
+                               || CAST(doc_id AS VARCHAR)
+               ELSE NULL END AS error,
+          k NOT IN (4, 6) AS ok
+        FROM m
+    """,
+)
 def q72_conversion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end document pipeline on the synthesized corpus: classification,
     size validation (error routing), and the mapInPandas conversion stage
-    with the dependency-free converter. Rows-only: markdown output has no
-    SQL analog; tests/test_pipeline.py pins its semantics on fixtures."""
+    with the dependency-free converter. The oracle (see block comment)
+    replays the intended outcome of every stage as a closed form of
+    (doc_id, n_chars); tests/test_pipeline.py pins converter semantics on
+    fixtures."""
     corpus = _synth_corpus(spark, sf_dir)
     validated = with_size_validation(
         corpus,

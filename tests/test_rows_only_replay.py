@@ -1,8 +1,9 @@
-"""Independent replay pins for the rows-only queries that previously had
-no sf-parameterized check (q23 sketches, q43 xxhash twin, q72 conversion,
-q80 media stub). The other seven rows-only entries (q118_approx, q171,
-q175, q240, q246, q251, q257) already have sf_dir-parameterized replay
-tests in test_round4_ops / test_round4b_ops / test_round4d_ops.
+"""Independent replay pins for queries that previously had no
+sf-parameterized check (q23 sketches, q43 xxhash twin, q72 conversion —
+hash-graded since r11 but the bit-stability pin stays, q80 media stub).
+The other rows-only entries (q118_approx, q171, q240, q257) already
+have sf_dir-parameterized replay tests in test_round4_ops /
+test_round4b_ops / test_round4d_ops.
 
 Run the whole rows-only family at the driver's bench scale with:
 
