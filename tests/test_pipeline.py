@@ -97,3 +97,26 @@ def test_option_isolation_across_calls():
     assert a == again
     assert b["markdown"] == "beta"
     assert a["markdown"] == "alpha"
+
+
+def test_q72_oracle_corpus_assumptions(oracle_con, sf_dir):
+    # The r11 q72 oracle is a closed form of (doc_id, n_chars) that is
+    # valid ONLY while the documents text is plain single-spaced [a-z ]
+    # words: then the csv parse is one row/one field, the html tag-strip
+    # returns the text unchanged, and the pdf hex stream round-trips it.
+    # Pin those properties so regenerated testdata that violates them
+    # fails HERE (naming the oracle to fix) instead of as a bare driver
+    # hash mismatch.
+    bad, = oracle_con.sql(
+        f"""
+        SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE text IS NULL
+           OR NOT regexp_full_match(text, '[a-z]+( [a-z]+)*')
+           OR length(text) != n_chars
+        """
+    ).fetchall()[0]
+    assert bad == 0, (
+        "documents.text violates the q72 oracle's closed-form assumptions "
+        "(plain single-spaced [a-z ] words, length == n_chars) — update "
+        "the q72_conversion_pipeline oracle in operators/pipeline_queries.py"
+    )
