@@ -254,3 +254,65 @@ def test_skyline_prune_logic_matches_bruteforce(pts):
     # verify step on candidates alone reproduces the true front (multiset)
     front_from_cand = [a for a in cand if not dominated(a, cand)]
     assert sorted(front_from_cand) == sorted(true_front)
+
+
+# ---------------------------------------------------------------------------
+# textextract (r11 stdlib T1 backend): pdf extraction totality + round-trip
+# ---------------------------------------------------------------------------
+_PDF_TEXT = st.text(
+    alphabet=st.sampled_from(list("abcdefghijklmnopqrstuvwxyz ().,\\-")),
+    max_size=120,
+)
+
+
+@given(body=st.binary(max_size=4096))
+@settings(max_examples=300, deadline=None)
+def test_pdf_extraction_is_total_behind_the_header(body):
+    """Contract (pipeline/textextract.py): with a %PDF- header the
+    extractor must return a str for ANY byte soup — zlib failures are
+    skipped, hex/literal decoding is total — because one poison document
+    in a mapInPandas batch must become an error/empty row, not a dead
+    task."""
+    from docling_api_spark.pipeline.textextract import pdf_to_markdown
+
+    out = pdf_to_markdown(b"%PDF-1.4\n" + body)
+    assert isinstance(out, str)
+
+
+def _pdf_with_literal(text: str) -> bytes:
+    esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    return (
+        "%PDF-1.4\n<</Length 0>>\nstream\nBT ("
+        + esc
+        + ") Tj ET\nendstream\n%%EOF"
+    ).encode("latin-1")
+
+
+def _pdf_with_hex(text: str) -> bytes:
+    return (
+        "%PDF-1.4\n<</Length 0>>\nstream\nBT <"
+        + text.encode("latin-1").hex()
+        + "> Tj ET\nendstream\n%%EOF"
+    ).encode("ascii")
+
+
+@given(text=_PDF_TEXT)
+@settings(max_examples=200, deadline=None)
+def test_pdf_literal_string_roundtrip(text):
+    """Any printable text shown via an escaped literal-string Tj comes
+    back exactly (modulo the flush strip) — parens and backslashes
+    included, the escape rules the synthetic corpus never exercises."""
+    from docling_api_spark.pipeline.textextract import pdf_to_markdown
+
+    assert pdf_to_markdown(_pdf_with_literal(text)) == text.strip()
+
+
+@given(text=_PDF_TEXT)
+@settings(max_examples=200, deadline=None)
+def test_pdf_hex_string_roundtrip(text):
+    """Hex-string Tj round-trip — the exact shape the q72 corpus pdf
+    member synthesizes (operators/pipeline_queries.py), so a tokenizer
+    regression fails here before it fails the driver's q72 hash."""
+    from docling_api_spark.pipeline.textextract import pdf_to_markdown
+
+    assert pdf_to_markdown(_pdf_with_hex(text)) == text.strip()
