@@ -137,14 +137,9 @@ def _error_result(filename: str, error: str) -> dict:
 
 
 def _csv_to_markdown(text: str) -> str:
-    rows = list(csv.reader(io.StringIO(text)))
-    if not rows:
-        return ""
-    width = max(len(r) for r in rows)
-    rows = [r + [""] * (width - len(r)) for r in rows]
-    lines = ["| " + " | ".join(rows[0]) + " |", "|" + "---|" * width]
-    lines += ["| " + " | ".join(r) + " |" for r in rows[1:]]
-    return "\n".join(lines)
+    from docling_api_spark.pipeline.textextract import rows_to_pipe_table
+
+    return "\n".join(rows_to_pipe_table(list(csv.reader(io.StringIO(text)))))
 
 
 def _html_to_markdown(content: bytes) -> str:

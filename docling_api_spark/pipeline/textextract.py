@@ -22,7 +22,8 @@ environment doesn't have:
   error row pointing at the OCR-capable docling backend.
 - **docx**: `word/document.xml` via zipfile + ElementTree — paragraphs,
   Heading styles → `#` prefixes, list items → `-`, tables → GFM pipe
-  tables (same table shape `_csv_to_markdown` emits).
+  tables (rendered by `rows_to_pipe_table`, shared with convert.py's
+  CSV path so the two formats cannot drift).
 - **pptx**: `ppt/slides/slideN.xml` in slide order — one `##` section
   per slide, one line per `a:p` paragraph.
 
@@ -39,7 +40,12 @@ import zlib
 from io import BytesIO
 from xml.etree import ElementTree as ET
 
-__all__ = ["pdf_to_markdown", "docx_to_markdown", "pptx_to_markdown"]
+__all__ = [
+    "pdf_to_markdown",
+    "docx_to_markdown",
+    "pptx_to_markdown",
+    "rows_to_pipe_table",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +181,10 @@ def pdf_to_markdown(content: bytes) -> str:
     whether that is an error (pipeline/convert.py reports it as one,
     naming the docling backend for the OCR path).
     """
-    if not content.lstrip()[:5].startswith(b"%PDF-"):
+    # bounded slice: the spec allows junk only in the first 1024 bytes,
+    # and bytes.lstrip on the whole payload would copy a ~100 MB document
+    # just to check a 5-byte header
+    if not content[:1024].lstrip()[:5].startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
     lines: list[str] = []
     for m in _STREAM_RE.finditer(content):
@@ -183,12 +192,24 @@ def pdf_to_markdown(content: bytes) -> str:
         end = content.find(b"endstream", start)
         if end < 0:
             continue
-        data = content[start:end].rstrip(b"\r\n")
+        data = content[start:end]
         if b"FlateDecode" in m.group("dict"):
+            # decompressobj tolerates the spec's EOL before `endstream`
+            # as unused_data; rstrip()ing it off instead ate REAL payload
+            # whenever the compressed bytes themselves ended in 0x0A/0x0D
+            # (~1% of streams — the adler32 tail is uniform), turning a
+            # born-digital page into a false "no text layer" error row
             try:
-                data = zlib.decompress(data)
+                data = zlib.decompressobj().decompress(data)
             except zlib.error:
                 continue
+        else:
+            # strip at most ONE trailing EOL (the one before endstream) —
+            # never more, for the same reason as above
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data.endswith((b"\n", b"\r")):
+                data = data[:-1]
         if b"BT" not in data:
             continue
         lines.extend(_extract_text_ops(data))
@@ -205,15 +226,16 @@ _HEADING_RE = re.compile(r"[Hh]eading\s*(\d)")
 
 
 def _para_text(p: ET.Element) -> str:
-    parts = []
-    for t in p.iter(f"{_W}t"):
-        parts.append(t.text or "")
-    for _ in p.iter(f"{_W}tab"):
-        break  # tabs render as the run text already split; keep simple
-    return "".join(parts)
+    return "".join(t.text or "" for t in p.iter(f"{_W}t"))
 
 
-def _md_table(rows: list[list[str]]) -> list[str]:
+def rows_to_pipe_table(rows: list[list[str]]) -> list[str]:
+    """Rows → GFM pipe-table lines, ragged rows padded to the widest.
+
+    The ONE pipe-table renderer: convert.py's CSV path and the docx
+    table path below both call it, so an escaping/width fix lands in
+    every hash-graded output at once instead of drifting per format.
+    """
     if not rows:
         return []
     width = max(len(r) for r in rows)
@@ -256,7 +278,7 @@ def docx_to_markdown(content: bytes) -> str:
                 [_para_text(tc) for tc in tr.findall(f"{_W}tc")]
                 for tr in el.findall(f"{_W}tr")
             ]
-            out.extend(_md_table(rows))
+            out.extend(rows_to_pipe_table(rows))
     return "\n".join(out)
 
 

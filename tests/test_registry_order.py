@@ -191,7 +191,6 @@ def test_window_carries_rows_only_recert_slot():
     (i.e. tiers 1-2 did not fill the window), the composed window must
     contain at least one rows-only query that is NOT there via the
     never-graded or stale tiers."""
-    from compose_window import compose
     from stale_grades import compute_stale
 
     window = list(GRADED_FIRST[:DRIVER_WINDOW])

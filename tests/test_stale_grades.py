@@ -194,3 +194,30 @@ def query_f(spark, sf):
     a = sg.closure(snap, OPS_MOD, "query_f")
     assert (pkg_mod, "fakehelper") in a
     assert (HELPER_MOD, "*") not in a
+
+
+def test_reexport_without_submodule_chased_via_from_imports():
+    """r11 review finding: `from pkg import name` where pkg/__init__.py
+    RE-EXPORTS name (`from pkg.sub import name`) and no pkg/name.py
+    exists — the submodule redirect can't fire and the pre-fix closure
+    dropped the name entirely, so edits to the real source module never
+    staled the grade. The fix chases pkg/__init__'s from_imports."""
+    pkg_mod = f"{PKG}.functions"
+    pkg_src = f"from {HELPER_MOD} import shared_cut\n"
+    ops = f"""
+from {PKG}.functions import shared_cut
+
+def query_g(spark, sf):
+    return shared_cut(spark, sf)
+"""
+    snap = FakeSnapshot(
+        {OPS_MOD: ops, pkg_mod: pkg_src, HELPER_MOD: HELPER_SRC_V1}
+    )
+    a = sg.closure(snap, OPS_MOD, "query_g")
+    assert (HELPER_MOD, "shared_cut") in a
+    changed = FakeSnapshot(
+        {OPS_MOD: ops, pkg_mod: pkg_src,
+         HELPER_MOD: HELPER_SRC_V1.replace("return spark", "return sf")}
+    )
+    b = sg.closure(changed, OPS_MOD, "query_g")
+    assert a != b

@@ -270,3 +270,27 @@ def test_convert_documents_pdf_through_spark(spark):
     assert out["a/notes.md"].markdown == "# hi\nbody"
     assert out["a/scan.pdf"].markdown is None
     assert "docling" in out["a/scan.pdf"].error
+
+
+def test_pdf_flate_stream_whose_compressed_bytes_end_in_eol():
+    """r11 review finding (reproduced by execution): the old
+    rstrip(b"\\r\\n") stripped trailing bytes OF THE DEFLATE PAYLOAD
+    whenever the compressed stream happened to end in 0x0A/0x0D (~1% of
+    streams — the adler32 tail is uniform), so decompression failed and
+    a born-digital page became a false 'no text layer' error. The search
+    below is deterministic: 'line 199' is the first payload of this
+    shape whose zlib.compress ends with an EOL byte."""
+    for i in range(500):
+        stream = b"BT (line %d) Tj ET" % i
+        if zlib.compress(stream).endswith((b"\n", b"\r")):
+            break
+    else:  # pragma: no cover - zlib output change would be loud anyway
+        pytest.skip("no payload with EOL-tailed compressed form found")
+    assert pdf_to_markdown(make_pdf(stream, compress=True)) == f"line {i}"
+
+
+def test_pdf_uncompressed_stream_keeps_payload_trailing_newlines():
+    # only the single spec EOL before endstream may be stripped; a text
+    # operator block legitimately ending in newlines must survive
+    pdf = make_pdf(b"BT (kept) Tj ET\n\n")
+    assert pdf_to_markdown(pdf) == "kept"

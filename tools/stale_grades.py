@@ -177,6 +177,12 @@ def closure(snap: TreeSnapshot, module: str, fname: str) -> dict | None:
             continue
         node = idx.defs.get(name)
         if node is None:
+            # RE-EXPORTED name (r11 advisor follow-up): pkg/__init__.py
+            # binds it via `from pkg.sub import name` without a matching
+            # pkg/name.py submodule, so the redirect above never fired —
+            # chase the recorded import source instead of dropping it.
+            if name in idx.from_imports:
+                stack.append(idx.from_imports[name])
             continue
         seen[(mod, name)] = ast.dump(node)
         idents = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
