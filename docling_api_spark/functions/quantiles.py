@@ -52,6 +52,12 @@ of every current caller, documented so "drop-in" is honest):
   every current caller (all pass numeric columns, where a cast never
   fails), but a string-typed caller must pre-cast and decide its own
   unparseable-value policy.
+- **Reserved column names** (r11 review): the plan's internal aliases
+  (x, c, blk, lt_in_blk, nb, before, rank_lt, n, i, q, pos, lo, hi,
+  vlo, vhi, cut) collide with GROUP columns of the same name — the
+  builtin has no such restriction. The grouped builder raises a clear
+  ValueError up front instead of an ambiguous-reference
+  AnalysisException mid-plan; the output column is always named ``c``.
 """
 
 from __future__ import annotations
@@ -113,6 +119,13 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 AUTO_DISTINCT_RATIO = 0.30
 AUTO_PROBE_ROWS = 100_000
 AUTO_MIN_GROUP_SAMPLE = 100
+
+# internal plan aliases — group columns may not reuse these (module
+# docstring "Reserved column names"; guarded in the grouped builder)
+_INTERNAL_COLS = frozenset(
+    {"x", "c", "blk", "lt_in_blk", "nb", "before", "rank_lt",
+     "n", "i", "q", "pos", "lo", "hi", "vlo", "vhi", "cut"}
+)
 
 # Adaptive block_width (r10, same probe job): ``block_width="auto"``
 # derives the width from the probe sample's value range —
@@ -374,6 +387,13 @@ def distributed_grouped_quantiles(
     """
     spark = df.sparkSession
     g = list(group_cols)
+    bad = _INTERNAL_COLS.intersection(g)
+    if bad:
+        raise ValueError(
+            f"distributed_grouped_quantiles: group column(s) {sorted(bad)} "
+            "collide with the plan's internal aliases — rename them before "
+            f"calling (reserved: {sorted(_INTERNAL_COLS)})"
+        )
     clean = df.where(
         F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
     )
@@ -445,10 +465,18 @@ def distributed_grouped_quantiles(
             "CAST(CEIL(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS hi",
         )
     )
-    hits = ranked.join(F.broadcast(targets), g).where(
-        (F.col("rank_lt") <= F.col("hi"))
-        & (F.col("lo") < F.col("rank_lt") + F.col("c"))
+    # a ranked row covers positions [rank_lt, rank_lt + c), and
+    # hi <= lo + 1, so <= 2 rows hit per (group, prob)
+    _covers = (F.col("rank_lt") <= F.col("hi")) & (
+        F.col("lo") < F.col("rank_lt") + F.col("c")
     )
+    if g:
+        hits = ranked.join(F.broadcast(targets), g).where(_covers)
+    else:
+        # join(on=[]) is a PySpark error; ungrouped, the coverage
+        # predicate IS the join condition (BroadcastNestedLoopJoin over
+        # the |probs|-row target table — the r5-r10 ungrouped plan)
+        hits = ranked.join(F.broadcast(targets), _covers)
     interp = hits.groupBy(*g, "i", "pos", "lo", "hi").agg(
         F.max(
             F.when(
@@ -535,103 +563,21 @@ def distributed_quantiles(
        range just yields more blocks past the target count). Callers
        whose layout correlates with the probed column should pass an
        explicit ``pre_reduce`` boolean.
+
+    Since r11 this is a thin delegation to
+    :func:`distributed_grouped_quantiles` with ``group_cols=[]`` — the
+    ungrouped plan IS the grouped plan with empty window partitioning
+    and the coverage predicate as the join condition (verified
+    bit-identical across every pre_reduce × block_width regime before
+    the collapse). The r6-r10 history of applying every fix twice —
+    NaN filter, pre_reduce branches, auto probe — ends here.
     """
-    spark = df.sparkSession
-    clean = df.where(
-        F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
-    )
-    if pre_reduce == "auto" or block_width == "auto":
-        stats = _probe(clean, [], col, probe_key)
-        if pre_reduce == "auto":
-            pre_reduce = stats.pre_reduce
-        if block_width == "auto":
-            block_width = _auto_block_width(stats, spark)
-    if pre_reduce:
-        # lazy cut: block sizing and the ranked chain both consume the
-        # distinct-value relation
-        counts = (
-            clean.groupBy(F.col(col).cast("double").alias("x"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .localCheckpoint(eager=False)
-        )
-    else:
-        # raw rows, c = 1: every downstream step is unchanged — a row
-        # covers the single sorted position [rank_lt, rank_lt + 1). No
-        # checkpoint: the relation is a pure projected scan, and both
-        # consumers re-scanning parquet beats materializing row-count-
-        # sized data through local disk.
-        counts = clean.select(
-            F.col(col).cast("double").alias("x"),
-            F.lit(1).cast("bigint").alias("c"),
-        )
-    blocked = counts.select(
-        "x", "c", F.floor(F.col("x") / F.lit(block_width)).cast("bigint").alias("blk")
-    )
-    inblock = blocked.select(
-        "x",
-        "c",
-        "blk",
-        (
-            F.sum("c").over(
-                W.partitionBy("blk").orderBy("x").rowsBetween(W.unboundedPreceding, 0)
-            )
-            - F.col("c")
-        ).cast("bigint").alias("lt_in_blk"),
-    )
-    bsizes = blocked.groupBy("blk").agg(F.sum("c").cast("bigint").alias("nb"))
-    prefix = bsizes.select(
-        "blk",
-        F.coalesce(
-            F.sum("nb").over(W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
-        ).cast("bigint").alias("before"),
-    )
-    ranked = inblock.join(F.broadcast(prefix), "blk").select(
-        "x", "c", (F.col("before") + F.col("lt_in_blk")).alias("rank_lt")
-    )
-    total = bsizes.agg(F.sum("nb").cast("bigint").alias("n"))
-    targets = (
-        spark.createDataFrame(
-            [(i, float(p)) for i, p in enumerate(probs)], "i int, q double"
-        )
-        .join(F.broadcast(total))
-        .selectExpr(
-            "i",
-            "q * CAST(n - 1 AS DOUBLE) AS pos",
-            "CAST(FLOOR(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS lo",
-            "CAST(CEIL(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) AS hi",
-        )
-    )
-    # one broadcast join picks both order statistics: a ranked row covers
-    # positions [rank_lt, rank_lt + c), and hi <= lo + 1 so <= 2 rows hit
-    hits = ranked.join(
-        F.broadcast(targets),
-        (F.col("rank_lt") <= F.col("hi"))
-        & (F.col("lo") < F.col("rank_lt") + F.col("c")),
-    )
-    interp = hits.groupBy("i", "pos", "lo", "hi").agg(
-        F.max(
-            F.when(
-                (F.col("rank_lt") <= F.col("lo"))
-                & (F.col("lo") < F.col("rank_lt") + F.col("c")),
-                F.col("x"),
-            )
-        ).alias("vlo"),
-        F.max(
-            F.when(
-                (F.col("rank_lt") <= F.col("hi"))
-                & (F.col("hi") < F.col("rank_lt") + F.col("c")),
-                F.col("x"),
-            )
-        ).alias("vhi"),
-    )
-    return interp.selectExpr(
-        "i",
-        "CASE WHEN hi = lo THEN vlo"
-        " ELSE (CAST(hi AS DOUBLE) - pos) * vlo"
-        "      + (pos - CAST(lo AS DOUBLE)) * vhi END AS cut",
-    ).agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(i, cut))), s -> s.cut)"
-        ).alias("c")
+    return distributed_grouped_quantiles(
+        df,
+        [],
+        col,
+        probs,
+        block_width=block_width,
+        pre_reduce=pre_reduce,
+        probe_key=probe_key,
     )

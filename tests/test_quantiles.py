@@ -551,3 +551,48 @@ def test_clustered_layout_probe_caveat(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_ungrouped_is_the_grouped_plan_with_no_groups(spark):
+    """r11 review: the ungrouped builder duplicated ~70 lines of the
+    grouped plan and every fix had to land twice (NaN filter r6,
+    pre_reduce r8/r9, auto probe r10). It now DELEGATES with
+    group_cols=[]; pin bit-identity across both pre_reduce branches and
+    a silly block width so the collapse can never silently fork."""
+    import random
+
+    from docling_api_spark.functions.quantiles import (
+        distributed_grouped_quantiles,
+        distributed_quantiles,
+    )
+
+    random.seed(11)
+    df = spark.createDataFrame(
+        [(random.randint(0, 40) / 7.0,) for _ in range(4000)], "v double"
+    )
+    probs = [0.0, 0.3, 0.5, 0.77, 1.0]
+    for pre_reduce in (True, False):
+        for bw in (0.9, 1000.0):
+            a = distributed_quantiles(
+                df, "v", probs, block_width=bw, pre_reduce=pre_reduce
+            ).collect()
+            b = distributed_grouped_quantiles(
+                df, [], "v", probs, block_width=bw, pre_reduce=pre_reduce
+            ).collect()
+            assert len(a) == len(b) == 1
+            assert list(a[0]["c"]) == list(b[0]["c"]), (pre_reduce, bw)
+
+
+def test_reserved_group_column_names_raise_clearly(spark):
+    """r11 review: a group column named after an internal plan alias
+    used to die mid-plan with an ambiguous-reference AnalysisException;
+    the builder must refuse up front with the reserved list."""
+    import pytest
+
+    from docling_api_spark.functions.quantiles import (
+        distributed_grouped_quantiles,
+    )
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "c string, v double")
+    with pytest.raises(ValueError, match="reserved"):
+        distributed_grouped_quantiles(df, ["c"], "v", [0.5])

@@ -216,3 +216,19 @@ def test_window_carries_rows_only_recert_slot():
     ]
     oldest = min(eligible, key=lambda n: (grades[n], n))
     assert oldest in window
+
+
+def test_register_tolerates_whitespace_only_docstring():
+    """r11 review: a truthy-but-blank __doc__ made splitlines()[0] raise
+    IndexError inside the decorator, failing the whole module import."""
+    from docling_api_spark.plans.registry import QUERIES, register
+
+    @register("q_blank_doc_probe")
+    def q_blank(spark, sf_dir):
+        """   """
+        return None
+
+    try:
+        assert QUERIES["q_blank_doc_probe"].description == ""
+    finally:
+        del QUERIES["q_blank_doc_probe"]

@@ -50,7 +50,12 @@ class FakeSnapshot:
     def index(self, module: str):
         if module not in self._idx:
             src = self.sources.get(module)
-            self._idx[module] = sg.ModuleIndex(src) if src is not None else None
+            # package heuristic mirroring TreeSnapshot: a module is a
+            # package when another source nests under it
+            is_pkg = any(k.startswith(module + ".") for k in self.sources)
+            self._idx[module] = (
+                sg.ModuleIndex(src, module, is_pkg) if src is not None else None
+            )
         return self._idx[module]
 
 
@@ -221,3 +226,55 @@ def query_g(spark, sf):
     )
     b = sg.closure(changed, OPS_MOD, "query_g")
     assert a != b
+
+
+def test_unaliased_dotted_import_chases_module():
+    """r11 review (reproduced): `import pkg.a.b` without an alias binds
+    only the ROOT identifier, but mod_imports was keyed by the full
+    dotted path — code referencing pkg.a.b.fn never matched, so the
+    module silently left the closure and its edits never staled the
+    grade."""
+    ops = f"""
+import {HELPER_MOD}
+
+def query_h(spark, sf):
+    return {HELPER_MOD}.shared_cut(spark, sf)
+"""
+    snap = FakeSnapshot({OPS_MOD: ops, HELPER_MOD: HELPER_SRC_V1})
+    a = sg.closure(snap, OPS_MOD, "query_h")
+    assert (HELPER_MOD, "*") in a
+    changed = FakeSnapshot(
+        {OPS_MOD: ops, HELPER_MOD: HELPER_SRC_V1 + "\nEXTRA = 3\n"}
+    )
+    assert a != sg.closure(changed, OPS_MOD, "query_h")
+
+
+def test_relative_imports_resolved():
+    """r11 review: `from .sibling import helper` (module-level and
+    function-level lazy form) failed the startswith(PKG) filter and the
+    helper stayed invisible to the staleness check."""
+    sibling_mod = f"{PKG}.operators.fakesibling"
+    sibling_src = """
+def rel_helper(spark, sf):
+    return spark
+"""
+    ops_module_level = """
+from .fakesibling import rel_helper
+
+def query_i(spark, sf):
+    return rel_helper(spark, sf)
+"""
+    ops_fn_level = """
+def query_i(spark, sf):
+    from .fakesibling import rel_helper
+    return rel_helper(spark, sf)
+"""
+    for ops in (ops_module_level, ops_fn_level):
+        snap = FakeSnapshot({OPS_MOD: ops, sibling_mod: sibling_src})
+        a = sg.closure(snap, OPS_MOD, "query_i")
+        assert (sibling_mod, "rel_helper") in a, ops
+        changed = FakeSnapshot(
+            {OPS_MOD: ops,
+             sibling_mod: sibling_src.replace("return spark", "return sf")}
+        )
+        assert a != sg.closure(changed, OPS_MOD, "query_i"), ops

@@ -76,10 +76,14 @@ def compose(as_of_round: int | None = None) -> list[str]:
 
     window: list[str] = [n for n in queries if n not in grades][:WINDOW]
     taken = set(window)
+    eligible = set(queries)  # excludes conditionals in EVERY tier (r11
+    # review: tier 2 iterated the raw stale list, so a conditional query
+    # that ever acquired a grade could be composed into a window the
+    # grading container cannot execute)
     for name, _rnd, _why in stale:  # already (grade round, name)-sorted
         if len(window) >= WINDOW:
             break
-        if name not in taken:
+        if name in eligible and name not in taken:
             window.append(name)
             taken.add(name)
     if len(window) < WINDOW:
@@ -172,7 +176,12 @@ def main() -> None:
     args = sys.argv[1:]
     for_round = default_round()
     if "--round" in args:
-        for_round = int(args[args.index("--round") + 1])
+        pos = args.index("--round") + 1
+        if pos >= len(args) or not args[pos].isdigit():
+            sys.exit("usage: compose_window.py [--update] [--round N]  "
+                     "(--round needs an integer; this tool rewrites "
+                     "registry.py in place)")
+        for_round = int(args[pos])
     window = compose(for_round)
     if "--update" in args:
         update_registry(window, for_round)

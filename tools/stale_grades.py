@@ -55,7 +55,7 @@ def boundary_commits() -> dict[int, str]:
     bounds: dict[int, str] = {}
     for line in out.splitlines():
         sha, _, subj = line.partition(" ")
-        m = re.match(r"round (\d+): verdict", subj)
+        m = re.match(r"round (\d+): verdict", subj, re.IGNORECASE)
         if m:
             bounds.setdefault(int(m.group(1)), sha)  # newest first; keep first
     return bounds
@@ -82,14 +82,35 @@ def grade_rounds(as_of_round: int | None = None) -> dict[str, int]:
     return grades
 
 
+def resolve_from_import(module: str, is_pkg: bool, node: ast.ImportFrom) -> str | None:
+    """Absolute module targeted by an ImportFrom, resolving RELATIVE
+    levels (r11 review: `from .mod import helper` never matched the
+    startswith(PKG) filter, leaving relatively-imported helpers invisible
+    to the staleness closure). Returns None when the level walks out of
+    the package or nothing remains."""
+    if not node.level:
+        return node.module
+    parts = module.split(".")
+    if not is_pkg:
+        parts = parts[:-1]  # containing package of a plain module
+    if node.level - 1 > len(parts) - 1 and node.level > len(parts):
+        return None
+    parts = parts[: len(parts) - (node.level - 1)]
+    if not parts:
+        return None
+    return ".".join(parts + ([node.module] if node.module else []))
+
+
 class ModuleIndex:
     """Module-level defs + import map for one module's source."""
 
-    def __init__(self, source: str):
+    def __init__(self, source: str, module: str = "", is_pkg: bool = False):
         self.tree = ast.parse(source)
+        self.module = module
+        self.is_pkg = is_pkg
         self.defs: dict[str, ast.AST] = {}
         self.from_imports: dict[str, tuple[str, str]] = {}  # local -> (module, name)
-        self.mod_imports: dict[str, str] = {}  # alias -> module
+        self.mod_imports: dict[str, set[str]] = {}  # bound ident -> modules
         for node in self.tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 self.defs[node.name] = node
@@ -107,13 +128,21 @@ class ModuleIndex:
                 # plain-Assign scan, which would let edits to them slip
                 # past the staleness check (r8 review finding)
                 self.defs[node.target.id] = node
-            elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(PKG):
-                for a in node.names:
-                    self.from_imports[a.asname or a.name] = (node.module, a.name)
+            elif isinstance(node, ast.ImportFrom):
+                target = resolve_from_import(module, is_pkg, node)
+                if target and target.startswith(PKG):
+                    for a in node.names:
+                        self.from_imports[a.asname or a.name] = (target, a.name)
             elif isinstance(node, ast.Import):
                 for a in node.names:
                     if a.name.startswith(PKG):
-                        self.mod_imports[a.asname or a.name] = a.name
+                        # an UNALIASED dotted import (`import pkg.a.b`)
+                        # binds only the ROOT identifier in scope, so key
+                        # by what code actually references (r11 review:
+                        # keying by the full dotted path never matched any
+                        # ident and the module silently left the closure)
+                        bound = a.asname or a.name.split(".")[0]
+                        self.mod_imports.setdefault(bound, set()).add(a.name)
 
 
 class TreeSnapshot:
@@ -136,12 +165,16 @@ class TreeSnapshot:
         if module not in self._idx:
             rel = module.replace(".", "/") + ".py"
             src = self.source(rel)
+            is_pkg = False
             if src is None:
                 # packages: docling_api_spark.functions ->
                 # docling_api_spark/functions/__init__.py (r10 advisor —
                 # without this, a whole-package reference hashed nothing)
                 src = self.source(module.replace(".", "/") + "/__init__.py")
-            self._idx[module] = ModuleIndex(src) if src is not None else None
+                is_pkg = src is not None
+            self._idx[module] = (
+                ModuleIndex(src, module, is_pkg) if src is not None else None
+            )
         return self._idx[module]
 
 
@@ -199,9 +232,11 @@ def closure(snap: TreeSnapshot, module: str, fname: str) -> dict | None:
         # streaming/stateful.py edit). Walk the node's own import
         # statements and chase package targets directly.
         for n in ast.walk(node):
-            if isinstance(n, ast.ImportFrom) and n.module and n.module.startswith(PKG):
-                for a in n.names:
-                    stack.append((n.module, a.name))
+            if isinstance(n, ast.ImportFrom):
+                target = resolve_from_import(mod, idx.is_pkg, n)
+                if target and target.startswith(PKG):
+                    for a in n.names:
+                        stack.append((target, a.name))
             elif isinstance(n, ast.Import):
                 for a in n.names:
                     if a.name.startswith(PKG):
@@ -214,8 +249,8 @@ def closure(snap: TreeSnapshot, module: str, fname: str) -> dict | None:
             if ident in idx.from_imports:
                 smod, sname = idx.from_imports[ident]
                 stack.append((smod, sname))
-            if ident in idx.mod_imports:
-                stack.append((idx.mod_imports[ident], "*"))
+            for imported_mod in idx.mod_imports.get(ident, ()):
+                stack.append((imported_mod, "*"))
     return seen
 
 
@@ -247,7 +282,16 @@ def compute_stale(
     fresh = missing = 0
     for qname, q in queries.items():
         rnd = grades.get(qname)
-        if rnd is None or rnd not in snaps:
+        if rnd is None:
+            continue
+        if rnd not in snaps:
+            # a graded round with no recognized 'round N: verdict' commit
+            # must be VISIBLE, not silently exempt (r11 review: a commit-
+            # subject deviation would otherwise freeze ~50 grades as
+            # implicitly fresh forever) — surface it as stale so the
+            # window policy re-certifies and a human sees the reason
+            stale.append((qname, rnd, "no-boundary-commit-for-round"))
+            missing += 1
             continue
         module = q.fn.__module__
         fname = q.fn.__name__
