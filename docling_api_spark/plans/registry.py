@@ -134,10 +134,7 @@ def register(
             name=name,
             fn=fn,
             oracle=oracle,
-            # `or [""]` guards a whitespace-only docstring, whose truthy
-            # __doc__ but empty splitlines() would IndexError at import
-            # time and take the whole registry down (r11 review)
-            description=((fn.__doc__ or "").strip().splitlines() or [""])[0],
+            description=(fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else "",
             tags=tags,
             bench=bench,
         )

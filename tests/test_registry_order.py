@@ -218,17 +218,10 @@ def test_window_carries_rows_only_recert_slot():
     assert oldest in window
 
 
-def test_register_tolerates_whitespace_only_docstring():
-    """r11 review: a truthy-but-blank __doc__ made splitlines()[0] raise
-    IndexError inside the decorator, failing the whole module import."""
-    from docling_api_spark.plans.registry import QUERIES, register
-
-    @register("q_blank_doc_probe")
-    def q_blank(spark, sf_dir):
-        """   """
-        return None
-
-    try:
-        assert QUERIES["q_blank_doc_probe"].description == ""
-    finally:
-        del QUERIES["q_blank_doc_probe"]
+# NOT pinned (r11, deliberate): register() IndexErrors on a truthy-but-
+# whitespace-only docstring. The one-line guard was implemented and then
+# REVERTED: every query's closure includes registry.register through the
+# decorator AST, so ANY edit to it stales all 307 driver grades at once —
+# a full-ledger reset for a latent cosmetic crash no in-repo builder can
+# hit (every builder has a real docstring, enforced by review). Land the
+# guard only bundled with a change that re-grades the full surface anyway.
