@@ -99,6 +99,7 @@ class LightweightConverter:
         if fmt in ("pdf", "docx", "pptx"):
             from docling_api_spark.pipeline.textextract import (
                 docx_to_markdown,
+                pdf_extract_images,
                 pdf_to_markdown,
                 pptx_to_markdown,
             )
@@ -115,7 +116,33 @@ class LightweightConverter:
                     _stem(filename), f"{fmt} text extraction failed: {exc}"
                 )
             if markdown.strip():
+                # T5 for the lightweight pdf path: recoverable embedded
+                # rasters (PNG-wrapped Flate/raw, pass-through JPEG) are
+                # spliced through the SAME golden-tested cursor path the
+                # docling backend uses. Placement: the text extractor has
+                # no layout model, so the placeholders are appended after
+                # the text (document-order payloads, position unknowable
+                # without docling).
+                payloads = pdf_extract_images(content) if fmt == "pdf" else []
+                if payloads:
+                    placeholders = "\n\n".join(
+                        IMAGE_PLACEHOLDER for _ in payloads
+                    )
+                    markdown, images = splice_images(
+                        markdown + "\n\n" + placeholders,
+                        [DocElement(kind="picture", image=p) for p in payloads],
+                    )
+                    return {
+                        "filename": _stem(filename),
+                        "markdown": markdown,
+                        "images": images,
+                        "error": None,
+                    }
                 return _ok(filename, markdown)
+            # image-only documents keep the error contract (error rows
+            # carry images=[]): without a text layer the CONTENT needs
+            # the OCR backend — extractable figures alone are not the
+            # document.
             return _error_result(
                 _stem(filename),
                 f"No extractable text layer in '{fmt}' document "

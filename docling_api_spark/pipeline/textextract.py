@@ -42,6 +42,7 @@ from xml.etree import ElementTree as ET
 
 __all__ = [
     "pdf_to_markdown",
+    "pdf_extract_images",
     "docx_to_markdown",
     "pptx_to_markdown",
     "rows_to_pipe_table",
@@ -214,6 +215,136 @@ def pdf_to_markdown(content: bytes) -> str:
             continue
         lines.extend(_extract_text_ops(data))
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# pdf embedded images (T5 for the lightweight backend)
+# ---------------------------------------------------------------------------
+#
+# The reference extracts per-element images from converted documents and
+# splices their names into the markdown (`service.py:72-131`); with docling
+# absent, the lightweight pdf path produced images=[] through r11a. Image
+# XObject streams are recoverable with the stdlib, the same way the text
+# layer is:
+#
+# - `/DCTDecode` streams ARE a complete JPEG file — pass the payload
+#   through untouched (the same decode-is-stubbed pass-through the `image`
+#   format branch uses; no imaging libs exist in this environment).
+# - `/FlateDecode` (or unfiltered) 8-bit /DeviceRGB//DeviceGray rasters
+#   inflate to raw scanline samples, and PNG's container is itself just
+#   zlib + CRC framing — so `_png_encode` wraps them into a REAL PNG.
+#   PDF's PNG predictors (/Predictor >= 10) mean the inflated bytes are
+#   already PNG filter-byte-prefixed rows, which is exactly what IDAT
+#   compresses; unpredicted data gets a 0x00 (None) filter byte per row.
+#
+# Everything else (CMYK, indexed palettes, <8-bit depths, JBIG2/JPX/CCITT,
+# TIFF predictor 2, SMasks) is SKIPPED, not mis-rendered: the function is
+# total and best-effort by design — a malformed or exotic image object
+# never fails the document, it just isn't extracted (mirrors the corrupt-
+# flate skip in `pdf_to_markdown`).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(
+    width: int, height: int, channels: int, raw: bytes, *, prefiltered: bool
+) -> bytes:
+    """Raw 8-bit Gray (1ch) / RGB (3ch) scanlines → a valid PNG file.
+
+    ``prefiltered`` means ``raw`` already carries one PNG filter byte per
+    row (the PDF /Predictor>=10 layout); otherwise each row gets filter 0.
+    """
+    import struct
+
+    color_type = {1: 0, 3: 2}[channels]
+    if prefiltered:
+        scanlines = raw
+    else:
+        stride = width * channels
+        scanlines = b"".join(
+            b"\x00" + raw[y * stride : (y + 1) * stride] for y in range(height)
+        )
+    ihdr = struct.pack(">2I5B", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _dict_int(d: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", d)
+    return int(m.group(1)) if m else None
+
+
+def pdf_extract_images(content: bytes) -> list[bytes]:
+    """Embedded image payloads of a PDF, in byte order: PNG bytes for
+    Flate/raw Gray+RGB rasters, the untouched JPEG file for /DCTDecode
+    streams. Total: anomalous streams are skipped, never raised."""
+    out: list[bytes] = []
+    for m in _STREAM_RE.finditer(content):
+        d = m.group("dict")
+        if not re.search(rb"/Subtype\s*/Image\b", d):
+            continue
+        start = m.end()
+        end = content.find(b"endstream", start)
+        if end < 0:
+            continue
+        data = content[start:end]
+        flate_at = d.find(b"/FlateDecode")
+        dct_at = d.find(b"/DCTDecode")
+        if flate_at >= 0 and (dct_at < 0 or flate_at < dct_at):
+            try:
+                data = zlib.decompressobj().decompress(data)
+            except zlib.error:
+                continue
+        else:
+            # unfiltered raster / DCT payload: shed at most the ONE spec
+            # EOL before endstream (decompressobj absorbs it as
+            # unused_data on the flate path)
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            elif data.endswith((b"\n", b"\r")):
+                data = data[:-1]
+        if dct_at >= 0:
+            if data[:2] == b"\xff\xd8":  # JPEG SOI — sanity, not trust
+                out.append(data)
+            continue
+        if re.search(rb"/(JPXDecode|JBIG2Decode|CCITTFaxDecode)\b", d):
+            continue
+        width, height = _dict_int(d, b"Width"), _dict_int(d, b"Height")
+        bpc = _dict_int(d, b"BitsPerComponent")
+        if not width or not height or bpc != 8:
+            continue
+        if re.search(rb"/ColorSpace\s*/DeviceRGB\b", d):
+            channels = 3
+        elif re.search(rb"/ColorSpace\s*/DeviceGray\b", d):
+            channels = 1
+        else:
+            continue
+        predictor = _dict_int(d, b"Predictor")
+        if predictor is not None and 2 <= predictor < 10:
+            continue  # TIFF predictor: would need per-pixel undiffing
+        prefiltered = predictor is not None and predictor >= 10
+        expected = height * (width * channels + (1 if prefiltered else 0))
+        if len(data) != expected:
+            continue
+        out.append(
+            _png_encode(width, height, channels, data, prefiltered=prefiltered)
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

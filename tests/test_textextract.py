@@ -294,3 +294,204 @@ def test_pdf_uncompressed_stream_keeps_payload_trailing_newlines():
     # operator block legitimately ending in newlines must survive
     pdf = make_pdf(b"BT (kept) Tj ET\n\n")
     assert pdf_to_markdown(pdf) == "kept"
+
+
+# ---------------------------------------------------------------------------
+# pdf embedded images (T5 for the lightweight backend)
+# ---------------------------------------------------------------------------
+
+TEXT_OBJ = (
+    b"4 0 obj <</Length 19>>\nstream\nBT (fig text) Tj ET\nendstream endobj"
+)
+# stand-in for a /DCTDecode payload: starts with the JPEG SOI marker the
+# extractor sanity-checks; content is otherwise opaque (pass-through)
+JPEG_BYTES = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00opaque-jpeg-payload\xff\xd9"
+
+
+def make_image_obj(
+    data: bytes,
+    *,
+    width: int,
+    height: int,
+    colorspace: bytes = b"/DeviceRGB",
+    bpc: int = 8,
+    filt: bytes = b"/FlateDecode",
+    extra: bytes = b"",
+) -> bytes:
+    head = (
+        b"5 0 obj <</Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace %s /BitsPerComponent %d" % (width, height, colorspace, bpc)
+    )
+    if filt:
+        head += b" /Filter " + filt
+    head += extra + b" /Length %d>>" % len(data)
+    return head + b"\nstream\n" + data + b"\nendstream endobj"
+
+
+def make_pdf_objs(objs: list[bytes]) -> bytes:
+    return b"%PDF-1.4\n" + b"\n".join(objs) + b"\n%%EOF\n"
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Minimal PNG reader for round-trip verification: checks signature
+    and chunk CRCs, inflates IDAT, strips the per-row filter-0 bytes."""
+    import struct
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat = 8, b""
+    w = h = ct = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ct = struct.unpack(">2I2B", payload[:10])
+            assert depth == 8 and payload[10:13] == b"\x00\x00\x00"
+        elif tag == b"IDAT":
+            idat += payload
+    channels = {0: 1, 2: 3}[ct]
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    rows = []
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        assert row[0] == 0  # filter None
+        rows.append(row[1:])
+    return w, h, channels, b"".join(rows)
+
+
+def test_pdf_image_flate_rgb_wrapped_as_real_png():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    pixels = bytes(range(2 * 2 * 3))  # 2x2 RGB
+    pdf = make_pdf_objs(
+        [TEXT_OBJ, make_image_obj(zlib.compress(pixels), width=2, height=2)]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 3, pixels)
+
+
+def test_pdf_image_png_predictor_rows_pass_straight_through():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # /Predictor 15: inflated bytes are PNG filter-prefixed rows already
+    pixels = bytes([10, 20, 30, 40, 50, 60])  # 3x2 gray
+    prefiltered = b"\x00" + pixels[:3] + b"\x00" + pixels[3:]
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(prefiltered),
+                width=3,
+                height=2,
+                colorspace=b"/DeviceGray",
+                extra=b" /DecodeParms <</Predictor 15 /Colors 1 /Columns 3>>",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (3, 2, 1, pixels)
+
+
+def test_pdf_image_unfiltered_raster_and_dct_passthrough_in_order():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    gray = bytes([7, 8, 9, 10])
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                gray, width=2, height=2, colorspace=b"/DeviceGray", filt=b""
+            ),
+            make_image_obj(
+                JPEG_BYTES, width=2, height=2, filt=b"/DCTDecode"
+            ).replace(b"5 0 obj", b"6 0 obj"),
+        ]
+    )
+    png, jpg = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 1, gray)
+    assert jpg == JPEG_BYTES  # untouched JPEG file, in document order
+
+
+def test_pdf_image_exotic_or_broken_objects_skipped_not_raised():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    objs = [
+        # CMYK colorspace: unsupported, skipped
+        make_image_obj(
+            zlib.compress(b"\x00" * 16), width=2, height=2,
+            colorspace=b"/DeviceCMYK",
+        ),
+        # 1-bit depth: skipped
+        make_image_obj(
+            zlib.compress(b"\x00"), width=2, height=2,
+            colorspace=b"/DeviceGray", bpc=1,
+        ),
+        # corrupt deflate payload: skipped
+        make_image_obj(b"not-deflate", width=2, height=2),
+        # length mismatch (truncated raster): skipped
+        make_image_obj(zlib.compress(b"\x01\x02"), width=2, height=2),
+        # CCITT fax: skipped
+        make_image_obj(b"\x00\x01", width=2, height=2, filt=b"/CCITTFaxDecode"),
+        # DCT without a JPEG SOI: skipped
+        make_image_obj(b"ZZZZ", width=2, height=2, filt=b"/DCTDecode"),
+    ]
+    assert pdf_extract_images(make_pdf_objs(objs)) == []
+
+
+def test_converter_pdf_images_spliced_into_markdown():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    pixels = bytes(range(12))
+    pdf = make_pdf_objs(
+        [
+            TEXT_OBJ,
+            make_image_obj(zlib.compress(pixels), width=2, height=2),
+            make_image_obj(
+                JPEG_BYTES, width=2, height=2, filt=b"/DCTDecode"
+            ).replace(b"5 0 obj", b"6 0 obj"),
+        ]
+    )
+    r = LightweightConverter().convert("figs.pdf", pdf)
+    assert r["error"] is None
+    # text first, then one spliced name per image, document order
+    assert r["markdown"] == "fig text\n\npicture-1.png\n\npicture-2.png"
+    assert [(i["type"], i["filename"]) for i in r["images"]] == [
+        ("picture", "picture-1.png"),
+        ("picture", "picture-2.png"),
+    ]
+    assert decode_png(r["images"][0]["image"]) == (2, 2, 3, pixels)
+    assert r["images"][1]["image"] == JPEG_BYTES
+
+
+def test_converter_image_only_pdf_keeps_error_contract():
+    # extractable figures without a text layer are NOT the document:
+    # the row still errors toward the OCR backend, images stay []
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    pdf = make_pdf_objs(
+        [make_image_obj(zlib.compress(bytes(12)), width=2, height=2)]
+    )
+    r = LightweightConverter().convert("scan.pdf", pdf)
+    assert r["markdown"] is None and r["images"] == []
+    assert "docling" in r["error"]
+
+
+def test_convert_documents_pdf_images_through_spark(spark):
+    """The images column (array<struct>) carries PNG payloads through
+    Arrow and the mapInPandas stage — the T5 plumbing end-to-end."""
+    from docling_api_spark.pipeline.convert import convert_documents
+
+    pixels = bytes(range(12))
+    pdf = make_pdf_objs(
+        [TEXT_OBJ, make_image_obj(zlib.compress(pixels), width=2, height=2)]
+    )
+    df = spark.createDataFrame(
+        [("a/figs.pdf", pdf)], "path string, content binary"
+    )
+    (row,) = convert_documents(df, converter="lightweight").collect()
+    assert row.markdown == "fig text\n\npicture-1.png"
+    ((img_type, img_name, img_bytes),) = row.images
+    assert (img_type, img_name) == ("picture", "picture-1.png")
+    assert decode_png(bytes(img_bytes)) == (2, 2, 3, pixels)
