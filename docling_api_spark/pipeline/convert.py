@@ -98,51 +98,54 @@ class LightweightConverter:
         # error column naming the OCR-capable backend.
         if fmt in ("pdf", "docx", "pptx"):
             from docling_api_spark.pipeline.textextract import (
-                docx_to_markdown,
+                docx_extract,
                 pdf_extract_images,
                 pdf_to_markdown,
-                pptx_to_markdown,
+                pptx_extract,
             )
 
-            extract = {
-                "pdf": pdf_to_markdown,
-                "docx": docx_to_markdown,
-                "pptx": pptx_to_markdown,
-            }[fmt]
+            # T5 for the lightweight path: embedded images are recovered
+            # (pdf: PNG-wrapped Flate/raw rasters + pass-through JPEG;
+            # ooxml: the media-part files, placeholders at their true
+            # document positions) and spliced through the SAME
+            # golden-tested cursor path the docling backend uses. The pdf
+            # text layer carries no layout model, so ITS placeholders are
+            # appended after the text in document order.
             try:
-                markdown = extract(content)
+                if fmt == "pdf":
+                    markdown = pdf_to_markdown(content)
+                    payloads: list = (
+                        list(pdf_extract_images(content))
+                        if markdown.strip()
+                        else []
+                    )
+                    if payloads:
+                        markdown += "\n\n" + "\n\n".join(
+                            IMAGE_PLACEHOLDER for _ in payloads
+                        )
+                else:
+                    extract = docx_extract if fmt == "docx" else pptx_extract
+                    markdown, payloads = extract(
+                        content, image_placeholder=IMAGE_PLACEHOLDER
+                    )
             except Exception as exc:
                 return _error_result(
                     _stem(filename), f"{fmt} text extraction failed: {exc}"
                 )
             if markdown.strip():
-                # T5 for the lightweight pdf path: recoverable embedded
-                # rasters (PNG-wrapped Flate/raw, pass-through JPEG) are
-                # spliced through the SAME golden-tested cursor path the
-                # docling backend uses. Placement: the text extractor has
-                # no layout model, so the placeholders are appended after
-                # the text (document-order payloads, position unknowable
-                # without docling).
-                payloads = pdf_extract_images(content) if fmt == "pdf" else []
-                if payloads:
-                    placeholders = "\n\n".join(
-                        IMAGE_PLACEHOLDER for _ in payloads
-                    )
-                    markdown, images = splice_images(
-                        markdown + "\n\n" + placeholders,
-                        [DocElement(kind="picture", image=p) for p in payloads],
-                    )
-                    return {
-                        "filename": _stem(filename),
-                        "markdown": markdown,
-                        "images": images,
-                        "error": None,
-                    }
-                return _ok(filename, markdown)
-            # image-only documents keep the error contract (error rows
-            # carry images=[]): without a text layer the CONTENT needs
-            # the OCR backend — extractable figures alone are not the
-            # document.
+                markdown, images = splice_images(
+                    markdown,
+                    [DocElement(kind="picture", image=p) for p in payloads],
+                )
+                return {
+                    "filename": _stem(filename),
+                    "markdown": markdown,
+                    "images": images,
+                    "error": None,
+                }
+            # documents with no text layer AND no recoverable pictures
+            # keep the error contract (error rows carry images=[]): the
+            # CONTENT needs the OCR-capable backend.
             return _error_result(
                 _stem(filename),
                 f"No extractable text layer in '{fmt}' document "

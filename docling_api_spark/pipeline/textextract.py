@@ -23,9 +23,13 @@ environment doesn't have:
 - **docx**: `word/document.xml` via zipfile + ElementTree — paragraphs,
   Heading styles → `#` prefixes, list items → `-`, tables → GFM pipe
   tables (rendered by `rows_to_pipe_table`, shared with convert.py's
-  CSV path so the two formats cannot drift).
+  CSV path so the two formats cannot drift). Embedded pictures
+  (`a:blip` → relationship → `word/media/*`) surface as placeholder
+  lines at their true document positions plus the media-part bytes
+  (`docx_extract`).
 - **pptx**: `ppt/slides/slideN.xml` in slide order — one `##` section
-  per slide, one line per `a:p` paragraph.
+  per slide, one line per `a:p` paragraph; slide pictures resolve the
+  same way via each slide's rels (`pptx_extract`).
 
 Scale note: these run inside the conversion `mapInPandas` stage
 (pipeline/convert.py), so per-document cost is the only axis — each
@@ -44,7 +48,9 @@ __all__ = [
     "pdf_to_markdown",
     "pdf_extract_images",
     "docx_to_markdown",
+    "docx_extract",
     "pptx_to_markdown",
+    "pptx_extract",
     "rows_to_pipe_table",
 ]
 
@@ -353,7 +359,60 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_R_EMBED = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}embed"
+)
+_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
 _HEADING_RE = re.compile(r"[Hh]eading\s*(\d)")
+
+
+def _ooxml_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
+    """rId → zip-member path for ``part``'s relationships (absent → {}).
+
+    Targets are resolved against the part's directory (`media/image1.png`
+    under `word/`, `../media/image1.png` under `ppt/slides/`); a leading
+    `/` means package-absolute.
+    """
+    import posixpath
+
+    base, _, name = part.rpartition("/")
+    rels_path = f"{base}/_rels/{name}.rels" if base else f"_rels/{name}.rels"
+    try:
+        root = ET.fromstring(zf.read(rels_path))
+    except KeyError:
+        return {}
+    out: dict[str, str] = {}
+    for rel in root.iter(_REL):
+        rid, target = rel.get("Id"), rel.get("Target")
+        if not rid or not target or rel.get("TargetMode") == "External":
+            continue
+        if target.startswith("/"):
+            out[rid] = target.lstrip("/")
+        else:
+            out[rid] = posixpath.normpath(f"{base}/{target}" if base else target)
+    return out
+
+
+def _blip_payloads(
+    el: ET.Element, rels: dict[str, str], zf: zipfile.ZipFile
+) -> list[bytes | None]:
+    """Embedded-picture payloads referenced under ``el``, document order.
+
+    One entry per `a:blip` — the original media file bytes (PNG/JPEG/…,
+    pass-through like the pdf DCT path), or None when the relationship or
+    media part is missing (the splice contract's element-without-an-image
+    case: the placeholder stays, nothing is emitted)."""
+    out: list[bytes | None] = []
+    for blip in el.iter(f"{_A}blip"):
+        target = rels.get(blip.get(_R_EMBED, ""))
+        if target is None:
+            out.append(None)
+            continue
+        try:
+            out.append(zf.read(target))
+        except KeyError:
+            out.append(None)
+    return out
 
 
 def _para_text(p: ET.Element) -> str:
@@ -376,49 +435,79 @@ def rows_to_pipe_table(rows: list[list[str]]) -> list[str]:
     return out
 
 
-def docx_to_markdown(content: bytes) -> str:
-    """word/document.xml → markdown: Heading styles to ``#`` prefixes,
-    numbered/bulleted paragraphs to ``-`` items, tables to pipe tables."""
+def docx_extract(
+    content: bytes, image_placeholder: str | None = None
+) -> tuple[str, list[bytes | None]]:
+    """word/document.xml → (markdown, embedded-image payloads).
+
+    Markdown: Heading styles to ``#`` prefixes, numbered/bulleted
+    paragraphs to ``-`` items, tables to pipe tables. With
+    ``image_placeholder`` set, each body-paragraph `a:blip` picture adds
+    a placeholder line AT ITS DOCUMENT POSITION (after its paragraph's
+    text) and its media-part bytes to the payload list — docx, unlike
+    the pdf text layer, carries enough structure for true placement.
+    Pictures inside table cells are out of scope (not emitted)."""
     with zipfile.ZipFile(BytesIO(content)) as zf:
         root = ET.fromstring(zf.read("word/document.xml"))
-    body = root.find(f"{_W}body")
-    if body is None:
-        return ""
-    out: list[str] = []
-    for el in body:
-        tag = el.tag
-        if tag == f"{_W}p":
-            text = _para_text(el)
-            if not text.strip():
-                continue
-            ppr = el.find(f"{_W}pPr")
-            prefix = ""
-            if ppr is not None:
-                style = ppr.find(f"{_W}pStyle")
-                if style is not None:
-                    m = _HEADING_RE.search(
-                        style.get(f"{_W}val", "") or ""
-                    )
-                    if m:
-                        prefix = "#" * max(1, min(6, int(m.group(1)))) + " "
-                if not prefix and ppr.find(f"{_W}numPr") is not None:
-                    prefix = "- "
-            out.append(prefix + text)
-        elif tag == f"{_W}tbl":
-            rows = [
-                [_para_text(tc) for tc in tr.findall(f"{_W}tc")]
-                for tr in el.findall(f"{_W}tr")
-            ]
-            out.extend(rows_to_pipe_table(rows))
-    return "\n".join(out)
+        rels = (
+            _ooxml_rels(zf, "word/document.xml")
+            if image_placeholder is not None
+            else {}
+        )
+        body = root.find(f"{_W}body")
+        if body is None:
+            return "", []
+        out: list[str] = []
+        payloads: list[bytes | None] = []
+        for el in body:
+            tag = el.tag
+            if tag == f"{_W}p":
+                text = _para_text(el)
+                if text.strip():
+                    ppr = el.find(f"{_W}pPr")
+                    prefix = ""
+                    if ppr is not None:
+                        style = ppr.find(f"{_W}pStyle")
+                        if style is not None:
+                            m = _HEADING_RE.search(
+                                style.get(f"{_W}val", "") or ""
+                            )
+                            if m:
+                                prefix = (
+                                    "#" * max(1, min(6, int(m.group(1)))) + " "
+                                )
+                        if not prefix and ppr.find(f"{_W}numPr") is not None:
+                            prefix = "- "
+                    out.append(prefix + text)
+                if image_placeholder is not None:
+                    found = _blip_payloads(el, rels, zf)
+                    out.extend(image_placeholder for _ in found)
+                    payloads.extend(found)
+            elif tag == f"{_W}tbl":
+                rows = [
+                    [_para_text(tc) for tc in tr.findall(f"{_W}tc")]
+                    for tr in el.findall(f"{_W}tr")
+                ]
+                out.extend(rows_to_pipe_table(rows))
+        return "\n".join(out), payloads
+
+
+def docx_to_markdown(content: bytes) -> str:
+    """word/document.xml → markdown (text/tables only; see docx_extract)."""
+    return docx_extract(content)[0]
 
 
 _SLIDE_RE = re.compile(r"ppt/slides/slide(\d+)\.xml$")
 
 
-def pptx_to_markdown(content: bytes) -> str:
-    """ppt/slides/slideN.xml in slide order → one ``##`` section per
-    slide, one line per a:p paragraph."""
+def pptx_extract(
+    content: bytes, image_placeholder: str | None = None
+) -> tuple[str, list[bytes | None]]:
+    """ppt/slides/slideN.xml in slide order → (markdown, payloads): one
+    ``##`` section per slide, one line per a:p paragraph. With
+    ``image_placeholder`` set, each slide picture (`a:blip`) adds a
+    placeholder line at its in-slide position and its ppt/media bytes to
+    the payload list (rels resolved per slide)."""
     with zipfile.ZipFile(BytesIO(content)) as zf:
         slides = sorted(
             (int(m.group(1)), n)
@@ -426,11 +515,28 @@ def pptx_to_markdown(content: bytes) -> str:
             if (m := _SLIDE_RE.match(n))
         )
         out: list[str] = []
+        payloads: list[bytes | None] = []
         for num, name in slides:
             root = ET.fromstring(zf.read(name))
+            rels = (
+                _ooxml_rels(zf, name) if image_placeholder is not None else {}
+            )
             out.append(f"## Slide {num}")
-            for p in root.iter(f"{_A}p"):
-                text = "".join(t.text or "" for t in p.iter(f"{_A}t"))
-                if text.strip():
-                    out.append(text)
-    return "\n".join(out)
+            # single document-order walk: a:p text lines and a:blip
+            # pictures interleave exactly as they appear in the slide XML
+            # (blips never nest inside a:p, so the walk visits each once)
+            for el in root.iter():
+                if el.tag == f"{_A}p":
+                    text = "".join(t.text or "" for t in el.iter(f"{_A}t"))
+                    if text.strip():
+                        out.append(text)
+                elif el.tag == f"{_A}blip" and image_placeholder is not None:
+                    found = _blip_payloads(el, rels, zf)
+                    out.extend(image_placeholder for _ in found)
+                    payloads.extend(found)
+    return "\n".join(out), payloads
+
+
+def pptx_to_markdown(content: bytes) -> str:
+    """ppt slides → markdown (text only; see pptx_extract)."""
+    return pptx_extract(content)[0]

@@ -478,6 +478,149 @@ def test_converter_image_only_pdf_keeps_error_contract():
     assert "docling" in r["error"]
 
 
+# ---------------------------------------------------------------------------
+# ooxml embedded images (true in-document placement)
+# ---------------------------------------------------------------------------
+
+RELS_NS = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+R_NS = (
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+    'relationships"'
+)
+PNG_A = b"\x89PNG\r\n\x1a\nfake-png-a"
+PNG_B = b"\x89PNG\r\n\x1a\nfake-png-b"
+
+
+def make_docx_with_media(
+    document_xml: str, rels_xml: str, media: dict[str, bytes]
+) -> bytes:
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", document_xml)
+        zf.writestr("word/_rels/document.xml.rels", rels_xml)
+        for name, payload in media.items():
+            zf.writestr(name, payload)
+    return buf.getvalue()
+
+
+DOCX_IMG_XML = f"""<?xml version="1.0"?>
+<w:document {W_NS} {A_NS} {R_NS}><w:body>
+  <w:p><w:r><w:t>before</w:t></w:r>
+    <w:r><w:drawing><a:blip r:embed="rId7"/></w:drawing></w:r></w:p>
+  <w:p><w:r><w:t>between</w:t></w:r></w:p>
+  <w:p><w:r><w:drawing><a:blip r:embed="rId8"/></w:drawing></w:r></w:p>
+  <w:p><w:r><w:t>after</w:t></w:r></w:p>
+</w:body></w:document>"""
+
+DOCX_IMG_RELS = f"""<?xml version="1.0"?>
+<Relationships {RELS_NS}>
+  <Relationship Id="rId7" Type="x/image" Target="media/image1.png"/>
+  <Relationship Id="rId8" Type="x/image" Target="/word/media/image2.png"/>
+</Relationships>"""
+
+
+def test_docx_images_spliced_at_document_positions():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    docx = make_docx_with_media(
+        DOCX_IMG_XML,
+        DOCX_IMG_RELS,
+        {"word/media/image1.png": PNG_A, "word/media/image2.png": PNG_B},
+    )
+    r = LightweightConverter().convert("figs.docx", docx)
+    assert r["error"] is None
+    # pictures land where the document places them, not appended at the end
+    assert r["markdown"] == (
+        "before\npicture-1.png\nbetween\npicture-2.png\nafter"
+    )
+    assert [i["image"] for i in r["images"]] == [PNG_A, PNG_B]
+
+
+def test_docx_missing_media_leaves_placeholder_no_payload():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+    from docling_api_spark.pipeline.textextract import docx_extract
+
+    # rId8's media part is absent: the element has no image, so per the
+    # golden cursor semantics its placeholder SURVIVES in the markdown
+    # and nothing is emitted for it
+    docx = make_docx_with_media(
+        DOCX_IMG_XML, DOCX_IMG_RELS, {"word/media/image1.png": PNG_A}
+    )
+    md, payloads = docx_extract(docx, image_placeholder="<!-- image -->")
+    assert payloads == [PNG_A, None]
+    r = LightweightConverter().convert("figs.docx", docx)
+    assert r["markdown"] == (
+        "before\npicture-1.png\nbetween\n<!-- image -->\nafter"
+    )
+    assert [i["filename"] for i in r["images"]] == ["picture-1.png"]
+
+
+def test_docx_to_markdown_unchanged_without_placeholder_opt_in():
+    # the text-only entry point never emits placeholder lines even when
+    # the document embeds pictures
+    docx = make_docx_with_media(
+        DOCX_IMG_XML,
+        DOCX_IMG_RELS,
+        {"word/media/image1.png": PNG_A, "word/media/image2.png": PNG_B},
+    )
+    assert docx_to_markdown(docx) == "before\nbetween\nafter"
+
+
+def make_pptx_with_media(slides: list[tuple[str, str | None]]) -> bytes:
+    """slides: (slide_xml, rels_xml-or-None) pairs; media parts fixed."""
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", "<p/>")
+        zf.writestr("ppt/media/image1.png", PNG_A)
+        for i, (xml, rels) in enumerate(slides, 1):
+            zf.writestr(f"ppt/slides/slide{i}.xml", xml)
+            if rels is not None:
+                zf.writestr(f"ppt/slides/_rels/slide{i}.xml.rels", rels)
+    return buf.getvalue()
+
+
+PPTX_IMG_SLIDE = f"""<?xml version="1.0"?>
+<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+       {A_NS} {R_NS}>
+  <p:cSld><p:spTree>
+    <p:sp><p:txBody><a:p><a:r><a:t>title line</a:t></a:r></a:p></p:txBody></p:sp>
+    <p:pic><p:blipFill><a:blip r:embed="rId2"/></p:blipFill></p:pic>
+    <p:sp><p:txBody><a:p><a:r><a:t>caption line</a:t></a:r></a:p></p:txBody></p:sp>
+  </p:spTree></p:cSld>
+</p:sld>"""
+
+PPTX_IMG_RELS = f"""<?xml version="1.0"?>
+<Relationships {RELS_NS}>
+  <Relationship Id="rId2" Type="x/image" Target="../media/image1.png"/>
+</Relationships>"""
+
+
+def test_pptx_slide_image_between_text_lines():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    pptx = make_pptx_with_media(
+        [
+            (PPTX_IMG_SLIDE, PPTX_IMG_RELS),
+            (SLIDE_XML.replace("{text}", "plain slide"), None),
+        ]
+    )
+    r = LightweightConverter().convert("deck.pptx", pptx)
+    assert r["error"] is None
+    assert r["markdown"] == (
+        "## Slide 1\ntitle line\npicture-1.png\ncaption line\n"
+        "## Slide 2\nplain slide"
+    )
+    (img,) = r["images"]
+    assert (img["type"], img["filename"], img["image"]) == (
+        "picture", "picture-1.png", PNG_A,
+    )
+
+
+def test_pptx_to_markdown_unchanged_without_placeholder_opt_in():
+    pptx = make_pptx_with_media([(PPTX_IMG_SLIDE, PPTX_IMG_RELS)])
+    assert pptx_to_markdown(pptx) == "## Slide 1\ntitle line\ncaption line"
+
+
 def test_convert_documents_pdf_images_through_spark(spark):
     """The images column (array<struct>) carries PNG payloads through
     Arrow and the mapInPandas stage — the T5 plumbing end-to-end."""
