@@ -316,3 +316,112 @@ def test_pdf_hex_string_roundtrip(text):
     from docling_api_spark.pipeline.textextract import pdf_to_markdown
 
     assert pdf_to_markdown(_pdf_with_hex(text)) == text.strip()
+
+
+# ---------------------------------------------------------------------------
+# textextract (r11b): embedded-image extraction totality + PNG round-trip
+# ---------------------------------------------------------------------------
+@given(body=st.binary(max_size=4096))
+@settings(max_examples=300, deadline=None)
+def test_pdf_image_extraction_is_total(body):
+    """pdf_extract_images must return a list of bytes for ANY byte soup —
+    anomalous stream objects are skipped, never raised (same totality
+    contract as the text extractor: a poison document in a mapInPandas
+    batch becomes an empty/error row, not a dead task)."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    out = pdf_extract_images(b"%PDF-1.4\n" + body)
+    assert isinstance(out, list) and all(isinstance(b, bytes) for b in out)
+
+
+@st.composite
+def _raster(draw):
+    width = draw(st.integers(min_value=1, max_value=6))
+    height = draw(st.integers(min_value=1, max_value=6))
+    channels = draw(st.sampled_from([1, 3]))
+    pixels = draw(
+        st.binary(
+            min_size=width * height * channels,
+            max_size=width * height * channels,
+        )
+    )
+    return width, height, channels, pixels
+
+
+@given(r=_raster())
+@settings(max_examples=150, deadline=None)
+def test_pdf_flate_raster_png_roundtrip(r):
+    """Any 8-bit Gray/RGB raster embedded as a FlateDecode image XObject
+    comes back as a PNG whose decoded scanlines equal the input pixels —
+    the stdlib PNG encoder is verified per-chunk (CRCs) by the decoder in
+    tests/test_textextract.py."""
+    import zlib
+
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+    from tests.test_textextract import decode_png, make_image_obj, make_pdf_objs
+
+    width, height, channels, pixels = r
+    cs = b"/DeviceGray" if channels == 1 else b"/DeviceRGB"
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(pixels), width=width, height=height, colorspace=cs
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (width, height, channels, pixels)
+
+
+@given(
+    payloads=st.lists(st.binary(min_size=1, max_size=64), max_size=5),
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc xyz")), min_size=1, max_size=20)
+        .filter(str.strip),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_docx_media_splice_roundtrip(payloads, texts):
+    """Arbitrary media payloads referenced from arbitrary body paragraphs
+    come back byte-identical, in document order, with one spliced
+    picture-N.png name per payload at the paragraph's position."""
+    import zipfile
+    from io import BytesIO
+
+    paras, rels = [], []
+    for i, t in enumerate(texts):
+        paras.append(f"<w:p><w:r><w:t>{t}</w:t></w:r></w:p>")
+    for j in range(len(payloads)):
+        paras.append(
+            f'<w:p><w:r><w:drawing><a:blip r:embed="rId{j}"/></w:drawing>'
+            "</w:r></w:p>"
+        )
+        rels.append(f'<Relationship Id="rId{j}" Type="x" Target="media/m{j}"/>')
+    doc = (
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main" xmlns:a="http://schemas.openxml'
+        'formats.org/drawingml/2006/main" xmlns:r="http://schemas.openxml'
+        'formats.org/officeDocument/2006/relationships"><w:body>'
+        + "".join(paras)
+        + "</w:body></w:document>"
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+        zf.writestr(
+            "word/_rels/document.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">' + "".join(rels) + "</Relationships>",
+        )
+        for j, p in enumerate(payloads):
+            zf.writestr(f"word/media/m{j}", p)
+    r = LightweightConverter().convert("d.docx", buf.getvalue())
+    assert r["error"] is None
+    assert [i["image"] for i in r["images"]] == payloads
+    lines = r["markdown"].splitlines()
+    assert lines[: len(texts)] == texts
+    assert lines[len(texts) :] == [
+        f"picture-{j + 1}.png" for j in range(len(payloads))
+    ]
