@@ -36,10 +36,18 @@ class DocElement:
 
 
 def splice_images(
-    markdown: str, elements: list[DocElement]
+    markdown: str,
+    elements: list[DocElement],
+    placeholder: str = IMAGE_PLACEHOLDER,
 ) -> tuple[str, list[dict]]:
     """Return (spliced_markdown, images) where images are dicts of
-    {type, filename, image} in document order."""
+    {type, filename, image} in document order.
+
+    ``placeholder`` is the picture-reference string to search for —
+    IMAGE_PLACEHOLDER by default (the reference's golden semantics);
+    callers whose DOCUMENT TEXT could itself contain that literal pass a
+    private sentinel instead so in-text occurrences cannot hijack the
+    cursor (pipeline/convert.py's ooxml path)."""
     images: list[dict] = []
     counters = {"table": 0, "picture": 0}
     cursor = 0
@@ -48,7 +56,7 @@ def splice_images(
         if el.kind == "table":
             reference = el.table_markdown or ""
         else:
-            reference = IMAGE_PLACEHOLDER
+            reference = placeholder
         ref_index = markdown.find(reference, cursor) if reference else -1
 
         if el.image is None:

@@ -86,12 +86,7 @@ class LightweightConverter:
             markdown, images = splice_images(
                 IMAGE_PLACEHOLDER, [DocElement(kind="picture", image=content)]
             )
-            return {
-                "filename": _stem(filename),
-                "markdown": markdown,
-                "images": images,
-                "error": None,
-            }
+            return _ok(filename, markdown, images)
         # pdf/docx/pptx: stdlib text extraction (r11, VERDICT r10 Next
         # #7) — real markdown for born-digital documents without the
         # docling wheel; scanned/image-only files still route to the
@@ -108,41 +103,49 @@ class LightweightConverter:
             # (pdf: PNG-wrapped Flate/raw rasters + pass-through JPEG;
             # ooxml: the media-part files, placeholders at their true
             # document positions) and spliced through the SAME
-            # golden-tested cursor path the docling backend uses. The pdf
-            # text layer carries no layout model, so ITS placeholders are
-            # appended after the text in document order.
+            # golden-tested cursor path the docling backend uses.
+            #
+            # The splice scans for a NUL-framed sentinel, not the public
+            # placeholder: XML 1.0 text nodes cannot contain NUL, so a
+            # paragraph whose TEXT is the literal "<!-- image -->" can
+            # never hijack a picture's reference. The pdf text layer is
+            # never scanned at all (its placeholders splice as a separate
+            # tail — no layout model means append-after-text anyway).
+            sentinel = "\x00<image>\x00"
             try:
                 if fmt == "pdf":
-                    markdown = pdf_to_markdown(content)
-                    payloads: list = (
-                        list(pdf_extract_images(content))
-                        if markdown.strip()
-                        else []
+                    text = pdf_to_markdown(content)
+                    payloads = (
+                        pdf_extract_images(content) if text.strip() else []
                     )
-                    if payloads:
-                        markdown += "\n\n" + "\n\n".join(
-                            IMAGE_PLACEHOLDER for _ in payloads
-                        )
+                    tail, images = splice_images(
+                        "\n\n".join(sentinel for _ in payloads),
+                        [DocElement(kind="picture", image=p) for p in payloads],
+                        placeholder=sentinel,
+                    )
+                    markdown = text + ("\n\n" + tail if tail else "")
+                    has_content = bool(text.strip())
                 else:
                     extract = docx_extract if fmt == "docx" else pptx_extract
-                    markdown, payloads = extract(
-                        content, image_placeholder=IMAGE_PLACEHOLDER
+                    md, payloads = extract(content, image_placeholder=sentinel)
+                    markdown, images = splice_images(
+                        md,
+                        [DocElement(kind="picture", image=p) for p in payloads],
+                        placeholder=sentinel,
                     )
+                    # pictures the package cannot resolve keep their
+                    # placeholder (golden element-without-an-image
+                    # semantics) — surfaced as the PUBLIC placeholder
+                    has_content = bool(
+                        md.replace(sentinel, "").strip()
+                    ) or bool(images)
+                    markdown = markdown.replace(sentinel, IMAGE_PLACEHOLDER)
             except Exception as exc:
                 return _error_result(
                     _stem(filename), f"{fmt} text extraction failed: {exc}"
                 )
-            if markdown.strip():
-                markdown, images = splice_images(
-                    markdown,
-                    [DocElement(kind="picture", image=p) for p in payloads],
-                )
-                return {
-                    "filename": _stem(filename),
-                    "markdown": markdown,
-                    "images": images,
-                    "error": None,
-                }
+            if has_content:
+                return _ok(filename, markdown, images)
             # documents with no text layer AND no recoverable pictures
             # keep the error contract (error rows carry images=[]): the
             # CONTENT needs the OCR-capable backend.
@@ -158,8 +161,13 @@ class LightweightConverter:
         )
 
 
-def _ok(filename: str, markdown: str) -> dict:
-    return {"filename": _stem(filename), "markdown": markdown, "images": [], "error": None}
+def _ok(filename: str, markdown: str, images: list | None = None) -> dict:
+    return {
+        "filename": _stem(filename),
+        "markdown": markdown,
+        "images": images or [],
+        "error": None,
+    }
 
 
 def _error_result(filename: str, error: str) -> dict:

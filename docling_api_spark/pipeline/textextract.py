@@ -195,6 +195,11 @@ def pdf_to_markdown(content: bytes) -> str:
         raise ValueError("not a PDF: missing %PDF- header")
     lines: list[str] = []
     for m in _STREAM_RE.finditer(content):
+        # image XObjects are raster data, never text operators — skipping
+        # them here means image bytes (usually the bulk of the file) are
+        # inflated once by pdf_extract_images, not twice per document
+        if re.search(rb"/Subtype\s*/Image\b", m.group("dict")):
+            continue
         start = m.end()
         end = content.find(b"endstream", start)
         if end < 0:
@@ -291,8 +296,19 @@ def _png_encode(
 
 
 def _dict_int(d: bytes, key: bytes) -> int | None:
-    m = re.search(rb"/" + key + rb"\s+(\d+)", d)
+    # the (?!\s+\d+\s+R) lookahead rejects indirect references: in
+    # `/Width 16 0 R` the 16 is an OBJECT NUMBER, not the width — parsing
+    # it as the value could pass the length gate with wrong dimensions
+    m = re.search(rb"/" + key + rb"\s+(\d+)(?!\s+\d+\s+R)", d)
     return int(m.group(1)) if m else None
+
+
+def _smask_object_numbers(content: bytes) -> set[int]:
+    """Object numbers referenced as /SMask targets — those streams are
+    alpha channels OF another image, not document pictures."""
+    return {
+        int(g) for g in re.findall(rb"/SMask\s+(\d+)\s+\d+\s+R", content)
+    }
 
 
 def pdf_extract_images(content: bytes) -> list[bytes]:
@@ -300,10 +316,28 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
     Flate/raw Gray+RGB rasters, the untouched JPEG file for /DCTDecode
     streams. Total: anomalous streams are skipped, never raised."""
     out: list[bytes] = []
+    masked = _smask_object_numbers(content)
+    obj_headers = (
+        [
+            (m.start(), int(m.group(1)))
+            for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", content)
+        ]
+        if masked
+        else []
+    )
     for m in _STREAM_RE.finditer(content):
         d = m.group("dict")
         if not re.search(rb"/Subtype\s*/Image\b", d):
             continue
+        if masked:
+            # the nearest preceding `N 0 obj` header is this stream's
+            # object number; soft masks are skipped, not emitted as
+            # standalone gray pictures
+            import bisect
+
+            idx = bisect.bisect_left(obj_headers, (m.start(), -1)) - 1
+            if idx >= 0 and obj_headers[idx][1] in masked:
+                continue
         start = m.end()
         end = content.find(b"endstream", start)
         if end < 0:
@@ -344,6 +378,16 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
         if predictor is not None and 2 <= predictor < 10:
             continue  # TIFF predictor: would need per-pixel undiffing
         prefiltered = predictor is not None and predictor >= 10
+        if prefiltered:
+            # the filter-byte rows only re-wrap as PNG if the predictor
+            # ran with PNG's exact bpp geometry: /Colors must equal the
+            # colorspace's channel count and /Columns the width (their
+            # PDF defaults are 1) — otherwise Sub/Average/Paeth would
+            # unfilter with the wrong stride, silently corrupting pixels
+            if (_dict_int(d, b"Colors") or 1) != channels:
+                continue
+            if (_dict_int(d, b"Columns") or 1) != width:
+                continue
         expected = height * (width * channels + (1 if prefiltered else 0))
         if len(data) != expected:
             continue
@@ -359,6 +403,7 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
 
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 _R_EMBED = (
     "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}embed"
 )
@@ -394,16 +439,16 @@ def _ooxml_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
 
 
 def _blip_payloads(
-    el: ET.Element, rels: dict[str, str], zf: zipfile.ZipFile
+    blips: list[ET.Element], rels: dict[str, str], zf: zipfile.ZipFile
 ) -> list[bytes | None]:
-    """Embedded-picture payloads referenced under ``el``, document order.
+    """Embedded-picture payloads for ``blips``, in the given order.
 
     One entry per `a:blip` — the original media file bytes (PNG/JPEG/…,
     pass-through like the pdf DCT path), or None when the relationship or
     media part is missing (the splice contract's element-without-an-image
     case: the placeholder stays, nothing is emitted)."""
     out: list[bytes | None] = []
-    for blip in el.iter(f"{_A}blip"):
+    for blip in blips:
         target = rels.get(blip.get(_R_EMBED, ""))
         if target is None:
             out.append(None)
@@ -480,7 +525,15 @@ def docx_extract(
                             prefix = "- "
                     out.append(prefix + text)
                 if image_placeholder is not None:
-                    found = _blip_payloads(el, rels, zf)
+                    # pictures only: blips under w:drawing (inline/anchored
+                    # DrawingML) — never fills, bullets, or other stray
+                    # blip-bearing properties
+                    blips = [
+                        b
+                        for dr in el.iter(f"{_W}drawing")
+                        for b in dr.iter(f"{_A}blip")
+                    ]
+                    found = _blip_payloads(blips, rels, zf)
                     out.extend(image_placeholder for _ in found)
                     payloads.extend(found)
             elif tag == f"{_W}tbl":
@@ -522,16 +575,24 @@ def pptx_extract(
                 _ooxml_rels(zf, name) if image_placeholder is not None else {}
             )
             out.append(f"## Slide {num}")
-            # single document-order walk: a:p text lines and a:blip
-            # pictures interleave exactly as they appear in the slide XML
-            # (blips never nest inside a:p, so the walk visits each once)
+            # single document-order walk: a:p text lines and p:pic
+            # pictures interleave exactly as they appear in the slide
+            # XML. Only blips under a picture's p:blipFill count — a:p
+            # can nest blips too (a:buBlip picture bullets), and shape/
+            # background fills carry them as well; none of those are
+            # document pictures.
             for el in root.iter():
                 if el.tag == f"{_A}p":
                     text = "".join(t.text or "" for t in el.iter(f"{_A}t"))
                     if text.strip():
                         out.append(text)
-                elif el.tag == f"{_A}blip" and image_placeholder is not None:
-                    found = _blip_payloads(el, rels, zf)
+                elif el.tag == f"{_P}pic" and image_placeholder is not None:
+                    blips = [
+                        b
+                        for fill in el.findall(f"{_P}blipFill")
+                        for b in fill.iter(f"{_A}blip")
+                    ]
+                    found = _blip_payloads(blips, rels, zf)
                     out.extend(image_placeholder for _ in found)
                     payloads.extend(found)
     return "\n".join(out), payloads

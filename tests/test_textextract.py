@@ -638,3 +638,145 @@ def test_convert_documents_pdf_images_through_spark(spark):
     ((img_type, img_name, img_bytes),) = row.images
     assert (img_type, img_name) == ("picture", "picture-1.png")
     assert decode_png(bytes(img_bytes)) == (2, 2, 3, pixels)
+
+
+# ---------------------------------------------------------------------------
+# review regressions (r11b adversarial pass)
+# ---------------------------------------------------------------------------
+
+def test_pdf_image_predictor_geometry_mismatch_skipped():
+    """A /Predictor>=10 stream whose /Colors//Columns disagree with the
+    image's colorspace/width would unfilter with the wrong stride —
+    structurally valid PNG, silently corrupt pixels. Must be skipped."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    rows = b"\x00" + bytes(6) + b"\x00" + bytes(6)  # 2 rows, 6 samples each
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(rows), width=2, height=2,  # RGB bpp=3 ...
+                extra=b" /DecodeParms <</Predictor 15 /Colors 1 /Columns 6>>",
+            )  # ... but predictor ran at bpp=1: lengths match, geometry lies
+        ]
+    )
+    assert pdf_extract_images(pdf) == []
+
+
+def test_pdf_smask_stream_not_extracted_as_picture():
+    """The alpha-mask companion of a transparent image is /Subtype /Image
+    too, but it is a channel OF another picture, not a document picture."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    rgb = bytes(range(12))
+    mask = bytes([0, 64, 128, 255])
+    img = make_image_obj(
+        zlib.compress(rgb), width=2, height=2,
+        extra=b" /SMask 7 0 R",
+    )
+    smask = make_image_obj(
+        zlib.compress(mask), width=2, height=2, colorspace=b"/DeviceGray"
+    ).replace(b"5 0 obj", b"7 0 obj")
+    (png,) = pdf_extract_images(make_pdf_objs([img, smask]))
+    assert decode_png(png) == (2, 2, 3, rgb)
+
+
+def test_pdf_indirect_dimension_reference_skipped():
+    """`/Width 16 0 R` is an indirect reference — 16 is an object number,
+    not a width; parsing it as the value could emit wrong-dimension PNGs."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    obj = make_image_obj(zlib.compress(bytes(48)), width=2, height=2)
+    obj = obj.replace(b"/Width 2", b"/Width 16 0 R").replace(
+        b"/Height 2", b"/Height 4 0 R"
+    )
+    assert pdf_extract_images(make_pdf_objs([obj])) == []
+
+
+def test_pdf_text_containing_literal_placeholder_not_hijacked():
+    """A text layer that SAYS '<!-- image -->' must keep saying it: the
+    picture name splices into the appended tail, never into the text."""
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    stream = b"BT (see <!-- image --> marker) Tj ET"
+    n = len(stream)
+    text_obj = (
+        b"4 0 obj <</Length %d>>\nstream\n" % n + stream + b"\nendstream endobj"
+    )
+    pdf = make_pdf_objs(
+        [text_obj, make_image_obj(zlib.compress(bytes(12)), width=2, height=2)]
+    )
+    r = LightweightConverter().convert("t.pdf", pdf)
+    assert r["markdown"] == "see <!-- image --> marker\n\npicture-1.png"
+    assert [i["filename"] for i in r["images"]] == ["picture-1.png"]
+
+
+def test_docx_text_containing_literal_placeholder_not_hijacked():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    xml = f"""<?xml version="1.0"?>
+    <w:document {W_NS} {A_NS} {R_NS}><w:body>
+      <w:p><w:r><w:t>literal &lt;!-- image --&gt; in text</w:t></w:r></w:p>
+      <w:p><w:r><w:t>here:</w:t></w:r>
+        <w:r><w:drawing><a:blip r:embed="rId7"/></w:drawing></w:r></w:p>
+    </w:body></w:document>"""
+    docx = make_docx_with_media(
+        xml, DOCX_IMG_RELS, {"word/media/image1.png": PNG_A}
+    )
+    r = LightweightConverter().convert("t.docx", docx)
+    assert r["markdown"] == (
+        "literal <!-- image --> in text\nhere:\npicture-1.png"
+    )
+
+
+def test_docx_all_media_missing_is_error_not_placeholder_markdown():
+    """An image-only docx whose media parts are absent has no text AND no
+    recoverable pictures — it must take the error row, not succeed with
+    a bare placeholder as its whole markdown."""
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    xml = f"""<?xml version="1.0"?>
+    <w:document {W_NS} {A_NS} {R_NS}><w:body>
+      <w:p><w:r><w:drawing><a:blip r:embed="rId7"/></w:drawing></w:r></w:p>
+    </w:body></w:document>"""
+    docx = make_docx_with_media(xml, DOCX_IMG_RELS, {})
+    r = LightweightConverter().convert("t.docx", docx)
+    assert r["markdown"] is None and r["images"] == []
+    assert "docling" in r["error"]
+
+
+def test_docx_image_only_with_real_media_succeeds():
+    # ... but when the pictures ARE recoverable, they are the content
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    xml = f"""<?xml version="1.0"?>
+    <w:document {W_NS} {A_NS} {R_NS}><w:body>
+      <w:p><w:r><w:drawing><a:blip r:embed="rId7"/></w:drawing></w:r></w:p>
+    </w:body></w:document>"""
+    docx = make_docx_with_media(
+        xml, DOCX_IMG_RELS, {"word/media/image1.png": PNG_A}
+    )
+    r = LightweightConverter().convert("t.docx", docx)
+    assert r["error"] is None and r["markdown"] == "picture-1.png"
+    assert [i["image"] for i in r["images"]] == [PNG_A]
+
+
+def test_pptx_bullet_and_fill_blips_not_pictures():
+    """a:buBlip picture bullets and shape-fill blips nest outside p:pic —
+    they are glyphs/decoration, not document pictures."""
+    from docling_api_spark.pipeline.textextract import pptx_extract
+
+    slide = f"""<?xml version="1.0"?>
+    <p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+           {A_NS} {R_NS}>
+      <p:cSld><p:spTree>
+        <p:sp><p:spPr><a:blipFill><a:blip r:embed="rId2"/></a:blipFill></p:spPr>
+          <p:txBody>
+            <a:p><a:pPr><a:buBlip><a:blip r:embed="rId2"/></a:buBlip></a:pPr>
+              <a:r><a:t>bulleted line</a:t></a:r></a:p>
+          </p:txBody></p:sp>
+      </p:spTree></p:cSld>
+    </p:sld>"""
+    pptx = make_pptx_with_media([(slide, PPTX_IMG_RELS)])
+    md, payloads = pptx_extract(pptx, image_placeholder="<!-- image -->")
+    assert payloads == []
+    assert md == "## Slide 1\nbulleted line"
