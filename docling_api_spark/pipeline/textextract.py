@@ -15,9 +15,11 @@ environment doesn't have:
   on linearized, incrementally-updated, and mildly damaged files),
   inflate `/FlateDecode` streams with zlib, and replay the text-showing
   operators (Tj ' " TJ) inside BT/ET blocks. Strings decode as
-  PDFDocEncoding≈Latin-1; composite-font (Identity-H CID) text has no
-  code→Unicode map without the font program, so chunks that decode to
-  mostly non-printables are dropped rather than emitted as mojibake.
+  PDFDocEncoding≈Latin-1; composite-font (Identity-H CID) text is
+  recovered through the document's embedded ToUnicode CMaps
+  (bfchar/bfrange parsing, every-code-must-map matching — no font
+  tracking needed); chunks that still decode to mostly non-printables
+  are dropped rather than emitted as mojibake.
   Scanned/image-only PDFs yield "" — the converter reports that as an
   error row pointing at the OCR-capable docling backend.
 - **docx**: `word/document.xml` via zipfile + ElementTree — paragraphs,
@@ -125,7 +127,102 @@ def _mostly_printable(s: str) -> bool:
     return good / len(s) >= 0.8
 
 
-def _extract_text_ops(content: bytes) -> list[str]:
+# ToUnicode CMaps (PDF 9.10.3): composite-font (Identity-H CID) text is
+# unreadable under the Latin-1 fallback, but born-digital PDFs embed a
+# ToUnicode CMap stream mapping the codes to Unicode precisely so text
+# extractors can recover it. Parsed without font tracking: every CMap in
+# the file is collected, and a chunk that FAILS the printability filter is
+# re-tried against each map (all codes must map) before being dropped —
+# so previously-suppressed text becomes real text and nothing that decoded
+# before decodes differently now.
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+)
+_MAX_CMAP_ENTRIES = 65536  # a full 2-byte codespace; caps hostile ranges
+
+
+def _utf16_hex(hexs: bytes) -> str:
+    h = hexs.decode("ascii")
+    if len(h) % 2:  # odd digit count (malformed, or an overflowed
+        h = "0" + h  # bfrange increment spilling into a new digit)
+    b = bytes.fromhex(h)
+    if len(b) % 2:  # defensive: odd-length destination
+        b = b"\x00" + b
+    return b.decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(data: bytes) -> dict[bytes, str]:
+    """bfchar/bfrange sections of a ToUnicode CMap → code-bytes → text."""
+    out: dict[bytes, str] = {}
+    for sec in _BFCHAR_RE.findall(data):
+        for src, dst in _HEXPAIR_RE.findall(sec):
+            if len(out) >= _MAX_CMAP_ENTRIES:
+                return out
+            if len(src) % 2:  # source codes must be whole bytes
+                continue
+            out[bytes.fromhex(src.decode("ascii"))] = _utf16_hex(dst)
+    for sec in _BFRANGE_RE.findall(data):
+        for m in _RANGE_RE.finditer(sec):
+            lo, hi = m.group(1), m.group(2)
+            if len(lo) != len(hi) or len(lo) % 2:
+                continue
+            width = len(lo) // 2
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i < lo_i:
+                continue
+            if m.group(4) is not None:  # array form: one dst per code
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(4))
+                for k, d in enumerate(dsts):
+                    if lo_i + k > hi_i or len(out) >= _MAX_CMAP_ENTRIES:
+                        break
+                    out[(lo_i + k).to_bytes(width, "big")] = _utf16_hex(d)
+            else:  # base form: dst increments with the code
+                base = int(m.group(3), 16)
+                dst_digits = len(m.group(3))
+                if dst_digits % 2:
+                    dst_digits += 1
+                for k in range(hi_i - lo_i + 1):
+                    if len(out) >= _MAX_CMAP_ENTRIES:
+                        return out
+                    out[(lo_i + k).to_bytes(width, "big")] = _utf16_hex(
+                        format(base + k, f"0{dst_digits}x").encode("ascii")
+                    )
+    return out
+
+
+def _decode_with_cmaps(raw: bytes, cmaps: list[dict[bytes, str]]) -> str | None:
+    """raw string bytes → text via the first CMap that maps EVERY code
+    (2-byte codes first — the Identity-H layout — then 1-byte)."""
+    for cm in cmaps:
+        for width in (2, 1):
+            if not raw or len(raw) % width:
+                continue
+            codes = [raw[i : i + width] for i in range(0, len(raw), width)]
+            if all(c in cm for c in codes):
+                return "".join(cm[c] for c in codes)
+    return None
+
+
+def _show_text(s: str, cmaps: list[dict[bytes, str]]) -> str | None:
+    """A shown string → emitted text, or None to suppress: printable
+    chunks pass as-is; unprintable ones get one CMap rescue attempt."""
+    if _mostly_printable(s):
+        return s
+    if cmaps:
+        t = _decode_with_cmaps(s.encode("latin-1"), cmaps)
+        if t is not None and _mostly_printable(t):
+            return t
+    return None
+
+
+def _extract_text_ops(
+    content: bytes, cmaps: list[dict[bytes, str]] | None = None
+) -> list[str]:
+    cmaps = cmaps or []
     lines: list[str] = []
     cur: list[str] = []
 
@@ -144,14 +241,16 @@ def _extract_text_ops(content: bytes) -> list[str]:
                 s = _decode_pdf_string(m.group("lit")[1:-1])
                 if m.group("litop") in (b"'", b'"'):
                     flush()
-                if _mostly_printable(s):
-                    cur.append(s)
+                shown = _show_text(s, cmaps)
+                if shown is not None:
+                    cur.append(shown)
             elif m.group("hex") is not None:
                 s = _decode_hex_string(m.group("hex")[1:-1])
                 if m.group("hexop") in (b"'", b'"'):
                     flush()
-                if _mostly_printable(s):
-                    cur.append(s)
+                shown = _show_text(s, cmaps)
+                if shown is not None:
+                    cur.append(shown)
             else:  # TJ array: concatenate its strings; big negative
                 # kerns approximate a space
                 parts: list[str] = []
@@ -162,13 +261,13 @@ def _extract_text_ops(content: bytes) -> list[str]:
                 ):
                     tok = sm.group()
                     if tok.startswith(b"("):
-                        s = _decode_pdf_string(tok[1:-1])
-                        if _mostly_printable(s):
-                            parts.append(s)
+                        shown = _show_text(_decode_pdf_string(tok[1:-1]), cmaps)
+                        if shown is not None:
+                            parts.append(shown)
                     elif tok.startswith(b"<"):
-                        s = _decode_hex_string(tok[1:-1])
-                        if _mostly_printable(s):
-                            parts.append(s)
+                        shown = _show_text(_decode_hex_string(tok[1:-1]), cmaps)
+                        if shown is not None:
+                            parts.append(shown)
                     else:
                         try:
                             if float(tok) < -150:
@@ -193,7 +292,11 @@ def pdf_to_markdown(content: bytes) -> str:
     # just to check a 5-byte header
     if not content[:1024].lstrip()[:5].startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
-    lines: list[str] = []
+    # two phases because ToUnicode CMap streams may follow the content
+    # streams whose codes they decode: collect text candidates + CMaps
+    # first, then replay the text operators with every CMap in hand
+    texts: list[bytes] = []
+    cmaps: list[dict[bytes, str]] = []
     for m in _STREAM_RE.finditer(content):
         # image XObjects are raster data, never text operators — skipping
         # them here means image bytes (usually the bulk of the file) are
@@ -222,9 +325,17 @@ def pdf_to_markdown(content: bytes) -> str:
                 data = data[:-2]
             elif data.endswith((b"\n", b"\r")):
                 data = data[:-1]
+        if b"beginbfchar" in data or b"beginbfrange" in data:
+            cm = _parse_tounicode(data)
+            if cm:
+                cmaps.append(cm)
+            continue
         if b"BT" not in data:
             continue
-        lines.extend(_extract_text_ops(data))
+        texts.append(data)
+    lines: list[str] = []
+    for data in texts:
+        lines.extend(_extract_text_ops(data, cmaps))
     return "\n".join(lines)
 
 

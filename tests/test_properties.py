@@ -425,3 +425,29 @@ def test_docx_media_splice_roundtrip(payloads, texts):
     assert lines[len(texts) :] == [
         f"picture-{j + 1}.png" for j in range(len(payloads))
     ]
+
+
+@given(body=st.binary(max_size=1024))
+@settings(max_examples=300, deadline=None)
+def test_tounicode_cmap_parse_is_total(body):
+    """A hostile or corrupt ToUnicode CMap stream must parse to SOME dict
+    (possibly empty) — never raise, never blow the entry cap — because it
+    is fed by the same untrusted byte stream as every other pdf object."""
+    from docling_api_spark.pipeline.textextract import (
+        _MAX_CMAP_ENTRIES,
+        _parse_tounicode,
+        pdf_to_markdown,
+    )
+
+    wrapped = (
+        b"beginbfchar" + body + b"endbfchar\n"
+        b"beginbfrange" + body + b"endbfrange"
+    )
+    out = _parse_tounicode(wrapped)
+    assert isinstance(out, dict) and len(out) <= _MAX_CMAP_ENTRIES
+    # and through the full extractor: a pdf whose stream carries cmap
+    # markers plus byte soup still returns a str
+    pdf = (
+        b"%PDF-1.4\n<</Length 0>>\nstream\n" + wrapped + b"\nendstream\n%%EOF"
+    )
+    assert isinstance(pdf_to_markdown(pdf), str)

@@ -780,3 +780,132 @@ def test_pptx_bullet_and_fill_blips_not_pictures():
     md, payloads = pptx_extract(pptx, image_placeholder="<!-- image -->")
     assert payloads == []
     assert md == "## Slide 1\nbulleted line"
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps: composite-font (Identity-H CID) text recovery
+# ---------------------------------------------------------------------------
+
+def make_cmap_obj(cmap_body: bytes, compress: bool = False) -> bytes:
+    filt = b" /Filter /FlateDecode" if compress else b""
+    data = zlib.compress(cmap_body) if compress else cmap_body
+    return (
+        b"8 0 obj <</Length %d%s>>\nstream\n" % (len(data), filt)
+        + data
+        + b"\nendstream endobj"
+    )
+
+
+CMAP_BFCHAR = b"""/CIDInit /ProcSet findresource begin
+begincmap
+3 beginbfchar
+<0003> <0048>
+<000F> <0069>
+<0011> <0021>
+endbfchar
+endcmap
+end
+"""
+
+
+def test_pdf_cid_text_recovered_via_tounicode_bfchar():
+    """The exact chunk test_pdf_cid_mojibake_suppressed drops becomes
+    real text once the document carries a ToUnicode CMap for it."""
+    stream = b"BT <0003000F0011> Tj T* (readable line) Tj ET"
+    n = len(stream)
+    text_obj = (
+        b"4 0 obj <</Length %d>>\nstream\n" % n + stream + b"\nendstream endobj"
+    )
+    pdf = make_pdf_objs([text_obj, make_cmap_obj(CMAP_BFCHAR)])
+    assert pdf_to_markdown(pdf).splitlines() == ["Hi!", "readable line"]
+
+
+def test_pdf_cid_recovery_with_flate_compressed_cmap_after_content():
+    # the CMap stream may follow the content stream that needs it, and
+    # be Flate-compressed like any other stream
+    stream = b"BT <00030003> Tj ET"
+    text_obj = (
+        b"4 0 obj <</Length %d>>\nstream\n" % len(stream)
+        + stream
+        + b"\nendstream endobj"
+    )
+    pdf = make_pdf_objs([text_obj, make_cmap_obj(CMAP_BFCHAR, compress=True)])
+    assert pdf_to_markdown(pdf) == "HH"
+
+
+def test_pdf_cid_bfrange_base_and_array_forms():
+    cmap = b"""begincmap
+2 beginbfrange
+<0010> <0012> <0041>
+<0020> <0021> [<0058> <0059>]
+endbfrange
+endcmap
+"""
+    stream = b"BT <001000110012> Tj T* <00200021> Tj ET"
+    text_obj = (
+        b"4 0 obj <</Length %d>>\nstream\n" % len(stream)
+        + stream
+        + b"\nendstream endobj"
+    )
+    pdf = make_pdf_objs([text_obj, make_cmap_obj(cmap)])
+    assert pdf_to_markdown(pdf).splitlines() == ["ABC", "XY"]
+
+
+def test_pdf_cid_multichar_destination_ligature():
+    # a bfchar destination may be several UTF-16 code units (fi ligature
+    # expanded to 'f','i')
+    cmap = b"begincmap\n1 beginbfchar\n<0005> <00660069>\nendbfchar\nendcmap\n"
+    stream = b"BT <0005> Tj ET"
+    text_obj = (
+        b"4 0 obj <</Length %d>>\nstream\n" % len(stream)
+        + stream
+        + b"\nendstream endobj"
+    )
+    pdf = make_pdf_objs([text_obj, make_cmap_obj(cmap)])
+    assert pdf_to_markdown(pdf) == "fi"
+
+
+def test_pdf_cid_unmapped_code_still_suppressed():
+    # a chunk with any code missing from every CMap stays dropped — the
+    # every-code-must-map rule prevents half-mojibake output
+    stream = b"BT <0003FFFE> Tj T* (kept) Tj ET"
+    text_obj = (
+        b"4 0 obj <</Length %d>>\nstream\n" % len(stream)
+        + stream
+        + b"\nendstream endobj"
+    )
+    pdf = make_pdf_objs([text_obj, make_cmap_obj(CMAP_BFCHAR)])
+    assert pdf_to_markdown(pdf) == "kept"
+
+
+def test_pdf_cid_tj_array_items_recovered():
+    stream = b"BT [<0003> -300 <000F>] TJ ET"
+    text_obj = (
+        b"4 0 obj <</Length %d>>\nstream\n" % len(stream)
+        + stream
+        + b"\nendstream endobj"
+    )
+    pdf = make_pdf_objs([text_obj, make_cmap_obj(CMAP_BFCHAR)])
+    assert pdf_to_markdown(pdf) == "H i"
+
+
+def test_pdf_cmap_stream_is_not_a_text_stream():
+    # a CMap body containing the letters "BT" must not be replayed as a
+    # content stream
+    cmap = b"begincmap %% BT comment\n1 beginbfchar\n<0003> <0041>\nendbfchar\nendcmap\n"
+    pdf = make_pdf_objs([make_cmap_obj(cmap)])
+    assert pdf_to_markdown(pdf) == ""
+
+
+def test_pdf_hostile_bfrange_capped():
+    # a full-codespace range must not blow memory; parsing stays bounded
+    # and the mapped prefix still decodes
+    cmap = b"begincmap\n1 beginbfrange\n<0000> <FFFF> <0041>\nendbfrange\nendcmap\n"
+    stream = b"BT <00000001> Tj ET"
+    text_obj = (
+        b"4 0 obj <</Length %d>>\nstream\n" % len(stream)
+        + stream
+        + b"\nendstream endobj"
+    )
+    pdf = make_pdf_objs([text_obj, make_cmap_obj(cmap)])
+    assert pdf_to_markdown(pdf) == "AB"
