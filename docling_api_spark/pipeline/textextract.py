@@ -572,7 +572,20 @@ def _blip_payloads(
 
 
 def _para_text(p: ET.Element) -> str:
-    return "".join(t.text or "" for t in p.iter(f"{_W}t"))
+    """Visible text of a paragraph (or cell): w:t runs plus single-space
+    stand-ins for RUN-level w:tab and w:br/w:cr — dropping those outright
+    glues adjacent words together ("JanFeb" for a tab-separated header
+    line), and a space is safe in every emission context (pipe cells
+    included). Scoped to w:r children because w:tab under w:pPr/w:tabs is
+    a tab-STOP definition, not content."""
+    parts: list[str] = []
+    for r in p.iter(f"{_W}r"):
+        for el in r.iter():
+            if el.tag == f"{_W}t":
+                parts.append(el.text or "")
+            elif el.tag in (f"{_W}tab", f"{_W}br", f"{_W}cr"):
+                parts.append(" ")
+    return "".join(parts)
 
 
 def rows_to_pipe_table(rows: list[list[str]]) -> list[str]:
@@ -686,14 +699,34 @@ def pptx_extract(
                 _ooxml_rels(zf, name) if image_placeholder is not None else {}
             )
             out.append(f"## Slide {num}")
-            # single document-order walk: a:p text lines and p:pic
-            # pictures interleave exactly as they appear in the slide
-            # XML. Only blips under a picture's p:blipFill count — a:p
-            # can nest blips too (a:buBlip picture bullets), and shape/
-            # background fills carry them as well; none of those are
-            # document pictures.
+            # single document-order walk: a:p text lines, a:tbl tables,
+            # and p:pic pictures interleave exactly as they appear in the
+            # slide XML (parents precede children, so a table claims its
+            # cell paragraphs before the walk reaches them). Only blips
+            # under a picture's p:blipFill count — a:p can nest blips too
+            # (a:buBlip picture bullets), and shape/background fills
+            # carry them as well; none of those are document pictures.
+            in_table: set[int] = set()
             for el in root.iter():
-                if el.tag == f"{_A}p":
+                if el.tag == f"{_A}tbl":
+                    rows = [
+                        [
+                            " ".join(
+                                t
+                                for p in tc.iter(f"{_A}p")
+                                if (
+                                    t := "".join(
+                                        x.text or "" for x in p.iter(f"{_A}t")
+                                    ).strip()
+                                )
+                            )
+                            for tc in tr.findall(f"{_A}tc")
+                        ]
+                        for tr in el.findall(f"{_A}tr")
+                    ]
+                    out.extend(rows_to_pipe_table(rows))
+                    in_table.update(id(p) for p in el.iter(f"{_A}p"))
+                elif el.tag == f"{_A}p" and id(el) not in in_table:
                     text = "".join(t.text or "" for t in el.iter(f"{_A}t"))
                     if text.strip():
                         out.append(text)

@@ -909,3 +909,47 @@ def test_pdf_hostile_bfrange_capped():
     )
     pdf = make_pdf_objs([text_obj, make_cmap_obj(cmap)])
     assert pdf_to_markdown(pdf) == "AB"
+
+
+# ---------------------------------------------------------------------------
+# ooxml fidelity: pptx tables, docx tab/break runs
+# ---------------------------------------------------------------------------
+
+def test_pptx_table_renders_as_pipe_table_not_loose_lines():
+    slide = f"""<?xml version="1.0"?>
+    <p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+           {A_NS}>
+      <p:cSld><p:spTree>
+        <p:sp><p:txBody><a:p><a:r><a:t>above</a:t></a:r></a:p></p:txBody></p:sp>
+        <p:graphicFrame><a:graphic><a:graphicData><a:tbl>
+          <a:tr><a:tc><a:txBody><a:p><a:r><a:t>k</a:t></a:r></a:p></a:txBody></a:tc>
+                <a:tc><a:txBody><a:p><a:r><a:t>v</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+          <a:tr><a:tc><a:txBody><a:p><a:r><a:t>a</a:t></a:r></a:p>
+                      <a:p><a:r><a:t>a2</a:t></a:r></a:p></a:txBody></a:tc>
+                <a:tc><a:txBody><a:p><a:r><a:t>1</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        </a:tbl></a:graphicData></a:graphic></p:graphicFrame>
+        <p:sp><p:txBody><a:p><a:r><a:t>below</a:t></a:r></a:p></p:txBody></p:sp>
+      </p:spTree></p:cSld>
+    </p:sld>"""
+    md = pptx_to_markdown(make_pptx([slide]))
+    # cell paragraphs fold into pipe cells (multi-paragraph cell joined
+    # with a space) and are NOT re-emitted as loose lines
+    assert md.splitlines() == [
+        "## Slide 1",
+        "above",
+        "| k | v |",
+        "|---|---|",
+        "| a a2 | 1 |",
+        "below",
+    ]
+
+
+def test_docx_tab_and_break_runs_become_spaces():
+    xml = f"""<?xml version="1.0"?>
+    <w:document {W_NS}><w:body>
+      <w:p><w:pPr><w:tabs><w:tab w:val="left" w:pos="720"/></w:tabs></w:pPr>
+        <w:r><w:t>Jan</w:t><w:tab/><w:t>Feb</w:t><w:br/><w:t>Mar</w:t></w:r></w:p>
+    </w:body></w:document>"""
+    # run-level tab/br separate words; the w:pPr tab-STOP definition does
+    # not inject a leading space
+    assert docx_to_markdown(make_docx(xml)) == "Jan Feb Mar"
