@@ -279,6 +279,70 @@ def _extract_text_ops(
     return lines
 
 
+_FILTER_RE = re.compile(rb"/(\w+Decode)\b")
+
+
+def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
+    """Run a stream's payload through its /Filter chain, in order.
+
+    Supported: FlateDecode (zlib), ASCIIHexDecode, ASCII85Decode (both
+    stdlib — chains like [/ASCII85Decode /FlateDecode] are common in
+    text-tool-generated PDFs), and a TERMINAL DCTDecode (the payload IS
+    a JPEG file at that point). Returns (payload, "raw"|"dct"), or None
+    when any filter is unsupported (LZW/CCITT/JBIG2/JPX/RunLength/Crypt)
+    or its input is corrupt — callers skip the stream either way.
+    """
+    filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
+    if not filters:
+        # unfiltered: shed at most the ONE spec EOL before endstream
+        # (hex/a85 ignore whitespace and decompressobj absorbs it as
+        # unused_data, so only this branch needs the strip)
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith((b"\n", b"\r")):
+            data = data[:-1]
+        return data, "raw"
+    for i, f in enumerate(filters):
+        if f == "DCTDecode":
+            if i != len(filters) - 1:
+                return None  # DCT mid-chain: not a thing we can decode
+            if i == 0:  # raw JPEG payload: shed the spec EOL
+                if data.endswith(b"\r\n"):
+                    data = data[:-2]
+                elif data.endswith((b"\n", b"\r")):
+                    data = data[:-1]
+            return data, "dct"
+        if f == "FlateDecode":
+            try:
+                data = zlib.decompressobj().decompress(data)
+            except zlib.error:
+                return None
+        elif f == "ASCIIHexDecode":
+            h = re.sub(rb"\s", b"", data).split(b">")[0]
+            if len(h) % 2:
+                h += b"0"
+            try:
+                data = bytes.fromhex(h.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+        elif f == "ASCII85Decode":
+            import base64
+
+            b = re.sub(rb"\s", b"", data)
+            if b.startswith(b"<~"):
+                b = b[2:]
+            end = b.find(b"~>")
+            if end >= 0:
+                b = b[:end]
+            try:
+                data = base64.a85decode(b)
+            except ValueError:
+                return None
+        else:
+            return None
+    return data, "raw"
+
+
 def pdf_to_markdown(content: bytes) -> str:
     """Best-effort text layer of a PDF as markdown-ish plain text.
 
@@ -307,24 +371,16 @@ def pdf_to_markdown(content: bytes) -> str:
         end = content.find(b"endstream", start)
         if end < 0:
             continue
-        data = content[start:end]
-        if b"FlateDecode" in m.group("dict"):
-            # decompressobj tolerates the spec's EOL before `endstream`
-            # as unused_data; rstrip()ing it off instead ate REAL payload
-            # whenever the compressed bytes themselves ended in 0x0A/0x0D
-            # (~1% of streams — the adler32 tail is uniform), turning a
-            # born-digital page into a false "no text layer" error row
-            try:
-                data = zlib.decompressobj().decompress(data)
-            except zlib.error:
-                continue
-        else:
-            # strip at most ONE trailing EOL (the one before endstream) —
-            # never more, for the same reason as above
-            if data.endswith(b"\r\n"):
-                data = data[:-2]
-            elif data.endswith((b"\n", b"\r")):
-                data = data[:-1]
+        # the spec's EOL before `endstream` is handled inside
+        # _decode_stream: decompressobj absorbs it as unused_data on the
+        # flate path (rstrip()ing instead ate REAL payload whenever the
+        # compressed bytes themselves ended in 0x0A/0x0D — ~1% of
+        # streams, the adler32 tail is uniform), hex/a85 ignore
+        # whitespace, and the unfiltered branch strips at most ONE EOL
+        res = _decode_stream(m.group("dict"), content[start:end])
+        if res is None or res[1] != "raw":
+            continue
+        data = res[0]
         if b"beginbfchar" in data or b"beginbfrange" in data:
             cm = _parse_tounicode(data)
             if cm:
@@ -453,27 +509,15 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
         end = content.find(b"endstream", start)
         if end < 0:
             continue
-        data = content[start:end]
-        flate_at = d.find(b"/FlateDecode")
-        dct_at = d.find(b"/DCTDecode")
-        if flate_at >= 0 and (dct_at < 0 or flate_at < dct_at):
-            try:
-                data = zlib.decompressobj().decompress(data)
-            except zlib.error:
-                continue
-        else:
-            # unfiltered raster / DCT payload: shed at most the ONE spec
-            # EOL before endstream (decompressobj absorbs it as
-            # unused_data on the flate path)
-            if data.endswith(b"\r\n"):
-                data = data[:-2]
-            elif data.endswith((b"\n", b"\r")):
-                data = data[:-1]
-        if dct_at >= 0:
+        # unsupported encodings (LZW/CCITT/JBIG2/JPX/…) and corrupt
+        # payloads come back None — skipped, never mis-rendered
+        res = _decode_stream(d, content[start:end])
+        if res is None:
+            continue
+        data, kind = res
+        if kind == "dct":
             if data[:2] == b"\xff\xd8":  # JPEG SOI — sanity, not trust
                 out.append(data)
-            continue
-        if re.search(rb"/(JPXDecode|JBIG2Decode|CCITTFaxDecode)\b", d):
             continue
         width, height = _dict_int(d, b"Width"), _dict_int(d, b"Height")
         bpc = _dict_int(d, b"BitsPerComponent")

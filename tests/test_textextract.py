@@ -953,3 +953,62 @@ def test_docx_tab_and_break_runs_become_spaces():
     # run-level tab/br separate words; the w:pPr tab-STOP definition does
     # not inject a leading space
     assert docx_to_markdown(make_docx(xml)) == "Jan Feb Mar"
+
+
+# ---------------------------------------------------------------------------
+# filter chains (ASCIIHex / ASCII85 / Flate compositions)
+# ---------------------------------------------------------------------------
+
+def test_pdf_text_ascii85_then_flate_chain():
+    import base64
+
+    stream = b"BT (chained text) Tj ET"
+    data = base64.a85encode(zlib.compress(stream)) + b"~>"
+    obj = (
+        b"4 0 obj <</Length " + str(len(data)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode]>>\nstream\n"
+        + data + b"\nendstream endobj"
+    )
+    assert pdf_to_markdown(make_pdf_objs([obj])) == "chained text"
+
+
+def test_pdf_text_asciihex_stream():
+    stream = b"BT (hex encoded) Tj ET"
+    data = stream.hex().encode("ascii") + b">"
+    obj = (
+        b"4 0 obj <</Length " + str(len(data)).encode()
+        + b" /Filter /ASCIIHexDecode>>\nstream\n"
+        + data + b"\nendstream endobj"
+    )
+    assert pdf_to_markdown(make_pdf_objs([obj])) == "hex encoded"
+
+
+def test_pdf_image_ascii85_flate_raster_chain():
+    import base64
+
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    pixels = bytes(range(12))
+    data = base64.a85encode(zlib.compress(pixels)) + b"~>"
+    obj = (
+        b"5 0 obj <</Subtype /Image /Width 2 /Height 2 /ColorSpace "
+        b"/DeviceRGB /BitsPerComponent 8 "
+        b"/Filter [/ASCII85Decode /FlateDecode] /Length %d>>\nstream\n"
+        % len(data)
+        + data
+        + b"\nendstream endobj"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([obj]))
+    assert decode_png(png) == (2, 2, 3, pixels)
+
+
+def test_pdf_unsupported_filter_stream_skipped_entirely():
+    # LZW text stream: not decodable with the stdlib; its raw bytes must
+    # not be scanned for BT either
+    data = b"garbage BT (never this) Tj ET garbage"
+    obj = (
+        b"4 0 obj <</Length " + str(len(data)).encode()
+        + b" /Filter /LZWDecode>>\nstream\n"
+        + data + b"\nendstream endobj"
+    )
+    assert pdf_to_markdown(make_pdf_objs([obj])) == ""
