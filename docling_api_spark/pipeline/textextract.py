@@ -282,15 +282,85 @@ def _extract_text_ops(
 _FILTER_RE = re.compile(rb"/(\w+Decode)\b")
 
 
+def _runlength_decode(data: bytes) -> bytes | None:
+    """PDF RunLengthDecode (PackBits): length byte L → L+1 literals
+    (L<128), 257-L repeats of the next byte (L>128), EOD at L==128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            chunk = data[i + 1 : i + 2 + length]
+            if len(chunk) != length + 1:
+                return None
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                return None
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)  # spec wants EOD, but a missing one is recoverable
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF LZWDecode: 9→12-bit variable-width codes, 256=clear-table,
+    257=EOD, code width grows one code EARLY by default (/EarlyChange 1).
+    Returns None on any inconsistent code — desynced streams are skipped,
+    never emitted as garbage."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (bitbuf >> nbits) & ((1 << width) - 1)
+            if code == 256:
+                table.clear()
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            out += entry
+            prev = entry
+            # the decoder's table is one add BEHIND the encoder's at read
+            # time (the encoder adds w+c before emitting the next code,
+            # the decoder only learns that entry from the next code), so
+            # its width bump fires one entry earlier than the encoder's
+            # next_code+early >= 2^width — hence the +1
+            if next_code + early + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # tolerate a missing EOD marker
+
+
 def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
     """Run a stream's payload through its /Filter chain, in order.
 
-    Supported: FlateDecode (zlib), ASCIIHexDecode, ASCII85Decode (both
-    stdlib — chains like [/ASCII85Decode /FlateDecode] are common in
-    text-tool-generated PDFs), and a TERMINAL DCTDecode (the payload IS
-    a JPEG file at that point). Returns (payload, "raw"|"dct"), or None
-    when any filter is unsupported (LZW/CCITT/JBIG2/JPX/RunLength/Crypt)
-    or its input is corrupt — callers skip the stream either way.
+    Supported: FlateDecode (zlib), ASCIIHexDecode, ASCII85Decode,
+    RunLengthDecode, LZWDecode (all stdlib/pure-Python — chains like
+    [/ASCII85Decode /FlateDecode] are common in text-tool-generated
+    PDFs, LZW in pre-Flate-era ones), and a TERMINAL DCTDecode (the
+    payload IS a JPEG file at that point). Returns (payload,
+    "raw"|"dct"), or None when any filter is unsupported
+    (CCITT/JBIG2/JPX/Crypt) or its input is corrupt — callers skip the
+    stream either way.
     """
     filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
     if not filters:
@@ -338,6 +408,19 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
                 data = base64.a85decode(b)
             except ValueError:
                 return None
+        elif f == "RunLengthDecode":
+            decoded = _runlength_decode(data)
+            if decoded is None:
+                return None
+            data = decoded
+        elif f == "LZWDecode":
+            # /EarlyChange 0 is the only DecodeParms knob that changes
+            # the bitstream; 1 is the spec default
+            early = 0 if re.search(rb"/EarlyChange\s+0\b", d) else 1
+            decoded = _lzw_decode(data, early)
+            if decoded is None:
+                return None
+            data = decoded
         else:
             return None
     return data, "raw"

@@ -1012,3 +1012,97 @@ def test_pdf_unsupported_filter_stream_skipped_entirely():
         + data + b"\nendstream endobj"
     )
     assert pdf_to_markdown(make_pdf_objs([obj])) == ""
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Reference LZW encoder for round-trip tests (PDF/TIFF variant:
+    9-12 bit codes, 256=clear, 257=EOD, early width change)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        if next_code + early >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_pdf_text_lzw_stream_roundtrip():
+    stream = b"BT (lzw era text) Tj ET"
+    data = lzw_encode(stream)
+    obj = (
+        b"4 0 obj <</Length " + str(len(data)).encode()
+        + b" /Filter /LZWDecode>>\nstream\n"
+        + data + b"\nendstream endobj"
+    )
+    assert pdf_to_markdown(make_pdf_objs([obj])) == "lzw era text"
+
+
+def test_lzw_decoder_long_input_crosses_width_boundaries():
+    from docling_api_spark.pipeline.textextract import _lzw_decode
+
+    # enough distinct digrams to push the table past the 9->10->11 bit
+    # boundaries, for both EarlyChange settings
+    payload = bytes((i * 7 + (i >> 3)) & 0xFF for i in range(8192))
+    for early in (1, 0):
+        assert _lzw_decode(lzw_encode(payload, early), early) == payload
+
+
+def test_lzw_decoder_desync_returns_none_not_garbage():
+    from docling_api_spark.pipeline.textextract import _lzw_decode
+
+    # a code far beyond the table with no prior context must abort
+    bad = bytes([0xFF, 0xFF, 0xFF, 0xFF])
+    assert _lzw_decode(bad) is None
+
+
+def test_pdf_text_runlength_stream():
+    from docling_api_spark.pipeline.textextract import _runlength_decode
+
+    stream = b"BT (rle) Tj ET"
+    # encode: all-literal runs of <=128 bytes + EOD
+    data = bytes([len(stream) - 1]) + stream + b"\x80"
+    assert _runlength_decode(data) == stream
+    # repeat run: 257-254=3 copies of 'x'
+    assert _runlength_decode(b"\xfex\x80") == b"xxx"
+    obj = (
+        b"4 0 obj <</Length " + str(len(data)).encode()
+        + b" /Filter /RunLengthDecode>>\nstream\n"
+        + data + b"\nendstream endobj"
+    )
+    assert pdf_to_markdown(make_pdf_objs([obj])) == "rle"
+
+
+def test_lzw_spec_worked_example_vector():
+    """TIFF 6.0 §13's worked LZW example (input 7,7,7,8,8,7,7,6,6 →
+    codes 256,7,258,8,8,258,6,6,257), hardcoded as a 9-bit bitstream so
+    a future width-alignment refactor cannot silently shift decoding."""
+    from docling_api_spark.pipeline.textextract import _lzw_decode
+
+    assert _lzw_decode(bytes.fromhex("8001e0408044080c068080")) == bytes(
+        [7, 7, 7, 8, 8, 7, 7, 6, 6]
+    )
