@@ -676,6 +676,25 @@ def _ooxml_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
     return out
 
 
+def _ooxml_external_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
+    """rId → raw external target (URLs) for ``part`` — the TargetMode=
+    "External" entries `_ooxml_rels` deliberately excludes from
+    zip-member resolution."""
+    base, _, name = part.rpartition("/")
+    rels_path = f"{base}/_rels/{name}.rels" if base else f"_rels/{name}.rels"
+    try:
+        root = ET.fromstring(zf.read(rels_path))
+    except KeyError:
+        return {}
+    return {
+        rid: target
+        for rel in root.iter(_REL)
+        if rel.get("TargetMode") == "External"
+        and (rid := rel.get("Id"))
+        and (target := rel.get("Target"))
+    }
+
+
 def _blip_payloads(
     blips: list[ET.Element], rels: dict[str, str], zf: zipfile.ZipFile
 ) -> list[bytes | None]:
@@ -698,21 +717,70 @@ def _blip_payloads(
     return out
 
 
-def _para_text(p: ET.Element) -> str:
-    """Visible text of a paragraph (or cell): w:t runs plus single-space
-    stand-ins for RUN-level w:tab and w:br/w:cr — dropping those outright
-    glues adjacent words together ("JanFeb" for a tab-separated header
-    line), and a space is safe in every emission context (pipe cells
-    included). Scoped to w:r children because w:tab under w:pPr/w:tabs is
-    a tab-STOP definition, not content."""
+_R_ID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+
+
+def _run_text(r: ET.Element) -> str:
+    """Visible text of ONE run: w:t plus single-space stand-ins for
+    w:tab and w:br/w:cr — dropping those outright glues adjacent words
+    together ("JanFeb" for a tab-separated header line), and a space is
+    safe in every emission context (pipe cells included)."""
     parts: list[str] = []
-    for r in p.iter(f"{_W}r"):
-        for el in r.iter():
-            if el.tag == f"{_W}t":
-                parts.append(el.text or "")
-            elif el.tag in (f"{_W}tab", f"{_W}br", f"{_W}cr"):
-                parts.append(" ")
+    for el in r.iter():
+        if el.tag == f"{_W}t":
+            parts.append(el.text or "")
+        elif el.tag in (f"{_W}tab", f"{_W}br", f"{_W}cr"):
+            parts.append(" ")
     return "".join(parts)
+
+
+def _para_text(p: ET.Element, links: dict[str, str] | None = None) -> str:
+    """Visible text of a paragraph (or table cell): runs in flow order,
+    recursing through container wrappers (w:hyperlink, w:smartTag, w:sdt,
+    w:ins, a cell's nested w:p …) but never into w:pPr — its w:tab
+    children are tab-STOP definitions, not content. With ``links`` (rId →
+    external URL), hyperlink runs render as markdown ``[text](url)``."""
+    parts: list[str] = []
+    for child in p:
+        tag = child.tag
+        if tag == f"{_W}pPr":
+            continue
+        if tag == f"{_W}r":
+            parts.append(_run_text(child))
+        elif tag == f"{_W}hyperlink":
+            inner = _para_text(child, links)
+            url = links.get(child.get(_R_ID, "")) if links else None
+            parts.append(f"[{inner}]({url})" if url and inner.strip() else inner)
+        else:
+            parts.append(_para_text(child, links))
+    return "".join(parts)
+
+
+def _docx_numfmts(zf: zipfile.ZipFile) -> dict[tuple[str, str], str]:
+    """(numId, ilvl) → numFmt value from word/numbering.xml (absent → {}):
+    the indirection is numPr → numId → abstractNumId → per-level format."""
+    try:
+        root = ET.fromstring(zf.read("word/numbering.xml"))
+    except KeyError:
+        return {}
+    abstract: dict[str, dict[str, str]] = {}
+    for an in root.iter(f"{_W}abstractNum"):
+        levels: dict[str, str] = {}
+        for lvl in an.findall(f"{_W}lvl"):
+            fmt = lvl.find(f"{_W}numFmt")
+            ilvl = lvl.get(f"{_W}ilvl")
+            if fmt is not None and ilvl is not None:
+                levels[ilvl] = fmt.get(f"{_W}val") or ""
+        abstract[an.get(f"{_W}abstractNumId") or ""] = levels
+    out: dict[tuple[str, str], str] = {}
+    for num in root.iter(f"{_W}num"):
+        nid = num.get(f"{_W}numId")
+        aref = num.find(f"{_W}abstractNumId")
+        if nid is None or aref is None:
+            continue
+        for ilvl, fmt in abstract.get(aref.get(f"{_W}val") or "", {}).items():
+            out[(nid, ilvl)] = fmt
+    return out
 
 
 def rows_to_pipe_table(rows: list[list[str]]) -> list[str]:
@@ -736,13 +804,15 @@ def docx_extract(
 ) -> tuple[str, list[bytes | None]]:
     """word/document.xml → (markdown, embedded-image payloads).
 
-    Markdown: Heading styles to ``#`` prefixes, numbered/bulleted
-    paragraphs to ``-`` items, tables to pipe tables. With
-    ``image_placeholder`` set, each body-paragraph `a:blip` picture adds
-    a placeholder line AT ITS DOCUMENT POSITION (after its paragraph's
-    text) and its media-part bytes to the payload list — docx, unlike
-    the pdf text layer, carries enough structure for true placement.
-    Pictures inside table cells are out of scope (not emitted)."""
+    Markdown: Heading styles to ``#`` prefixes; list paragraphs to ``-``
+    or ``1.`` items per their numbering.xml numFmt, indented two spaces
+    per w:ilvl; hyperlinks to ``[text](url)``; tables to pipe tables.
+    With ``image_placeholder`` set, each body-paragraph `a:blip` picture
+    adds a placeholder line AT ITS DOCUMENT POSITION (after its
+    paragraph's text) and its media-part bytes to the payload list —
+    docx, unlike the pdf text layer, carries enough structure for true
+    placement. Pictures inside table cells are out of scope (not
+    emitted)."""
     with zipfile.ZipFile(BytesIO(content)) as zf:
         root = ET.fromstring(zf.read("word/document.xml"))
         rels = (
@@ -750,6 +820,8 @@ def docx_extract(
             if image_placeholder is not None
             else {}
         )
+        links = _ooxml_external_rels(zf, "word/document.xml")
+        numfmts = _docx_numfmts(zf)
         body = root.find(f"{_W}body")
         if body is None:
             return "", []
@@ -758,7 +830,7 @@ def docx_extract(
         for el in body:
             tag = el.tag
             if tag == f"{_W}p":
-                text = _para_text(el)
+                text = _para_text(el, links)
                 if text.strip():
                     ppr = el.find(f"{_W}pPr")
                     prefix = ""
@@ -772,8 +844,9 @@ def docx_extract(
                                 prefix = (
                                     "#" * max(1, min(6, int(m.group(1)))) + " "
                                 )
-                        if not prefix and ppr.find(f"{_W}numPr") is not None:
-                            prefix = "- "
+                        numpr = ppr.find(f"{_W}numPr")
+                        if not prefix and numpr is not None:
+                            prefix = _list_prefix(numpr, numfmts)
                     out.append(prefix + text)
                 if image_placeholder is not None:
                     # pictures only: blips under w:drawing (inline/anchored
@@ -789,11 +862,31 @@ def docx_extract(
                     payloads.extend(found)
             elif tag == f"{_W}tbl":
                 rows = [
-                    [_para_text(tc) for tc in tr.findall(f"{_W}tc")]
+                    [_para_text(tc, links) for tc in tr.findall(f"{_W}tc")]
                     for tr in el.findall(f"{_W}tr")
                 ]
                 out.extend(rows_to_pipe_table(rows))
         return "\n".join(out), payloads
+
+
+def _list_prefix(
+    numpr: ET.Element, numfmts: dict[tuple[str, str], str]
+) -> str:
+    """List-item marker for a w:numPr: "1. " for numbered formats, "- "
+    for bullets or when numbering.xml is absent (markdown renderers
+    renumber ordered items, so a constant "1." is faithful), indented
+    two spaces per w:ilvl level."""
+    nid_el = numpr.find(f"{_W}numId")
+    ilvl_el = numpr.find(f"{_W}ilvl")
+    nid = nid_el.get(f"{_W}val") if nid_el is not None else None
+    ilvl = (ilvl_el.get(f"{_W}val") if ilvl_el is not None else None) or "0"
+    fmt = numfmts.get((nid, ilvl)) if nid is not None else None
+    marker = "- " if fmt in (None, "bullet", "none") else "1. "
+    try:
+        depth = max(0, min(8, int(ilvl)))
+    except ValueError:
+        depth = 0
+    return "  " * depth + marker
 
 
 def docx_to_markdown(content: bytes) -> str:

@@ -1106,3 +1106,67 @@ def test_lzw_spec_worked_example_vector():
     assert _lzw_decode(bytes.fromhex("8001e0408044080c068080")) == bytes(
         [7, 7, 7, 8, 8, 7, 7, 6, 6]
     )
+
+
+# ---------------------------------------------------------------------------
+# docx hyperlinks and numbering fidelity
+# ---------------------------------------------------------------------------
+
+def test_docx_hyperlink_renders_as_markdown_link():
+    xml = f"""<?xml version="1.0"?>
+    <w:document {W_NS} {R_NS}><w:body>
+      <w:p><w:r><w:t>see </w:t></w:r>
+        <w:hyperlink r:id="rId9"><w:r><w:t>the docs</w:t></w:r></w:hyperlink>
+        <w:r><w:t> here</w:t></w:r></w:p>
+      <w:p><w:hyperlink w:anchor="sec1"><w:r><w:t>internal</w:t></w:r></w:hyperlink></w:p>
+    </w:body></w:document>"""
+    rels = f"""<?xml version="1.0"?>
+    <Relationships {RELS_NS}>
+      <Relationship Id="rId9" Type="x/hyperlink"
+        Target="https://example.com/docs" TargetMode="External"/>
+    </Relationships>"""
+    docx = make_docx_with_media(xml, rels, {})
+    md = docx_to_markdown(docx)
+    # external link becomes [text](url); an internal anchor (no external
+    # rel) stays plain text
+    assert md.splitlines() == [
+        "see [the docs](https://example.com/docs) here",
+        "internal",
+    ]
+
+
+def test_docx_numbered_vs_bullet_lists_via_numbering_xml():
+    numbering = f"""<?xml version="1.0"?>
+    <w:numbering {W_NS}>
+      <w:abstractNum w:abstractNumId="0">
+        <w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl>
+        <w:lvl w:ilvl="1"><w:numFmt w:val="bullet"/></w:lvl>
+      </w:abstractNum>
+      <w:num w:numId="5"><w:abstractNumId w:val="0"/></w:num>
+    </w:numbering>"""
+    xml = f"""<?xml version="1.0"?>
+    <w:document {W_NS}><w:body>
+      <w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="5"/></w:numPr></w:pPr>
+        <w:r><w:t>first</w:t></w:r></w:p>
+      <w:p><w:pPr><w:numPr><w:ilvl w:val="1"/><w:numId w:val="5"/></w:numPr></w:pPr>
+        <w:r><w:t>nested bullet</w:t></w:r></w:p>
+      <w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="5"/></w:numPr></w:pPr>
+        <w:r><w:t>second</w:t></w:r></w:p>
+    </w:body></w:document>"""
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", xml)
+        zf.writestr("word/numbering.xml", numbering)
+    md = docx_to_markdown(buf.getvalue())
+    assert md.splitlines() == [
+        "1. first",
+        "  - nested bullet",
+        "1. second",
+    ]
+
+
+def test_docx_numpr_without_numbering_xml_keeps_dash_fallback():
+    # DOCX_XML's list item has numPr but the package ships no
+    # numbering.xml — the long-standing "- " rendering must not change
+    md = docx_to_markdown(make_docx(DOCX_XML))
+    assert "- first item" in md.splitlines()
