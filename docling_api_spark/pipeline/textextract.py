@@ -282,6 +282,17 @@ def _extract_text_ops(
 _FILTER_RE = re.compile(rb"/(\w+Decode)\b")
 
 
+def _strip_one_eol(data: bytes) -> bytes:
+    """Shed at most the ONE spec EOL before `endstream` — never more
+    (stripping further ate real payload whenever the encoded bytes
+    themselves ended in 0x0A/0x0D)."""
+    if data.endswith(b"\r\n"):
+        return data[:-2]
+    if data.endswith((b"\n", b"\r")):
+        return data[:-1]
+    return data
+
+
 def _runlength_decode(data: bytes) -> bytes | None:
     """PDF RunLengthDecode (PackBits): length byte L → L+1 literals
     (L<128), 257-L repeats of the next byte (L>128), EOD at L==128."""
@@ -364,23 +375,17 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
     """
     filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
     if not filters:
-        # unfiltered: shed at most the ONE spec EOL before endstream
-        # (hex/a85 ignore whitespace and decompressobj absorbs it as
-        # unused_data, so only this branch needs the strip)
-        if data.endswith(b"\r\n"):
-            data = data[:-2]
-        elif data.endswith((b"\n", b"\r")):
-            data = data[:-1]
-        return data, "raw"
+        return _strip_one_eol(data), "raw"
+    if filters[0] in ("RunLengthDecode", "LZWDecode", "DCTDecode"):
+        # these read the payload bit/byte-exactly, so the spec EOL before
+        # `endstream` must come off first (hex/a85 ignore whitespace and
+        # decompressobj absorbs it as unused_data; an EOL fed to RLE
+        # reads as a bogus run length, to LZW as spurious trailing codes)
+        data = _strip_one_eol(data)
     for i, f in enumerate(filters):
         if f == "DCTDecode":
             if i != len(filters) - 1:
                 return None  # DCT mid-chain: not a thing we can decode
-            if i == 0:  # raw JPEG payload: shed the spec EOL
-                if data.endswith(b"\r\n"):
-                    data = data[:-2]
-                elif data.endswith((b"\n", b"\r")):
-                    data = data[:-1]
             return data, "dct"
         if f == "FlateDecode":
             try:
@@ -468,7 +473,10 @@ def pdf_to_markdown(content: bytes) -> str:
             cm = _parse_tounicode(data)
             if cm:
                 cmaps.append(cm)
-            continue
+            # NO `continue`: a content stream whose visible TEXT mentions
+            # bfchar syntax (a spec excerpt, font-tooling docs) must keep
+            # its text layer — the BT check below decides independently,
+            # and a real CMap stream has no BT block to extract anyway
         if b"BT" not in data:
             continue
         texts.append(data)
@@ -649,13 +657,14 @@ _REL = "{http://schemas.openxmlformats.org/package/2006/relationships}Relationsh
 _HEADING_RE = re.compile(r"[Hh]eading\s*(\d)")
 
 
-def _ooxml_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
-    """rId → zip-member path for ``part``'s relationships (absent → {}).
-
-    Targets are resolved against the part's directory (`media/image1.png`
-    under `word/`, `../media/image1.png` under `ppt/slides/`); a leading
-    `/` means package-absolute.
-    """
+def _ooxml_rels_all(
+    zf: zipfile.ZipFile, part: str
+) -> tuple[dict[str, str], dict[str, str]]:
+    """One parse of ``part``'s .rels → (internal, external) maps:
+    internal rIds resolve to zip-member paths (relative targets against
+    the part's directory — `media/image1.png` under `word/`,
+    `../media/image1.png` under `ppt/slides/` — leading `/` means
+    package-absolute); external rIds keep their raw target (URLs)."""
     import posixpath
 
     base, _, name = part.rpartition("/")
@@ -663,36 +672,27 @@ def _ooxml_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
     try:
         root = ET.fromstring(zf.read(rels_path))
     except KeyError:
-        return {}
-    out: dict[str, str] = {}
+        return {}, {}
+    internal: dict[str, str] = {}
+    external: dict[str, str] = {}
     for rel in root.iter(_REL):
         rid, target = rel.get("Id"), rel.get("Target")
-        if not rid or not target or rel.get("TargetMode") == "External":
+        if not rid or not target:
             continue
-        if target.startswith("/"):
-            out[rid] = target.lstrip("/")
+        if rel.get("TargetMode") == "External":
+            external[rid] = target
+        elif target.startswith("/"):
+            internal[rid] = target.lstrip("/")
         else:
-            out[rid] = posixpath.normpath(f"{base}/{target}" if base else target)
-    return out
+            internal[rid] = posixpath.normpath(
+                f"{base}/{target}" if base else target
+            )
+    return internal, external
 
 
-def _ooxml_external_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
-    """rId → raw external target (URLs) for ``part`` — the TargetMode=
-    "External" entries `_ooxml_rels` deliberately excludes from
-    zip-member resolution."""
-    base, _, name = part.rpartition("/")
-    rels_path = f"{base}/_rels/{name}.rels" if base else f"_rels/{name}.rels"
-    try:
-        root = ET.fromstring(zf.read(rels_path))
-    except KeyError:
-        return {}
-    return {
-        rid: target
-        for rel in root.iter(_REL)
-        if rel.get("TargetMode") == "External"
-        and (rid := rel.get("Id"))
-        and (target := rel.get("Target"))
-    }
+def _ooxml_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
+    """rId → zip-member path for ``part`` (see `_ooxml_rels_all`)."""
+    return _ooxml_rels_all(zf, part)[0]
 
 
 def _blip_payloads(
@@ -750,7 +750,19 @@ def _para_text(p: ET.Element, links: dict[str, str] | None = None) -> str:
         elif tag == f"{_W}hyperlink":
             inner = _para_text(child, links)
             url = links.get(child.get(_R_ID, "")) if links else None
-            parts.append(f"[{inner}]({url})" if url and inner.strip() else inner)
+            if url and inner.strip():
+                # keep the markdown well-formed: ']' in link text and
+                # '()'/space in the destination would terminate the
+                # link early (Wikipedia-style ...Foo_(bar) URLs)
+                text = inner.replace("]", "\\]")
+                safe_url = (
+                    url.replace("(", "%28")
+                    .replace(")", "%29")
+                    .replace(" ", "%20")
+                )
+                parts.append(f"[{text}]({safe_url})")
+            else:
+                parts.append(inner)
         else:
             parts.append(_para_text(child, links))
     return "".join(parts)
@@ -815,12 +827,7 @@ def docx_extract(
     emitted)."""
     with zipfile.ZipFile(BytesIO(content)) as zf:
         root = ET.fromstring(zf.read("word/document.xml"))
-        rels = (
-            _ooxml_rels(zf, "word/document.xml")
-            if image_placeholder is not None
-            else {}
-        )
-        links = _ooxml_external_rels(zf, "word/document.xml")
+        rels, links = _ooxml_rels_all(zf, "word/document.xml")
         numfmts = _docx_numfmts(zf)
         body = root.find(f"{_W}body")
         if body is None:
@@ -875,7 +882,10 @@ def _list_prefix(
     """List-item marker for a w:numPr: "1. " for numbered formats, "- "
     for bullets or when numbering.xml is absent (markdown renderers
     renumber ordered items, so a constant "1." is faithful), indented
-    two spaces per w:ilvl level."""
+    THREE spaces per w:ilvl level — CommonMark nests a child only when
+    it reaches the parent's content column, which is 3 for a "1. "
+    parent (2 spaces would start a sibling list instead), and 3 is
+    still ≤ the parent-content+3 lazy-continuation bound for "- "."""
     nid_el = numpr.find(f"{_W}numId")
     ilvl_el = numpr.find(f"{_W}ilvl")
     nid = nid_el.get(f"{_W}val") if nid_el is not None else None
@@ -886,7 +896,7 @@ def _list_prefix(
         depth = max(0, min(8, int(ilvl)))
     except ValueError:
         depth = 0
-    return "  " * depth + marker
+    return "   " * depth + marker
 
 
 def docx_to_markdown(content: bytes) -> str:

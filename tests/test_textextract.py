@@ -1158,9 +1158,12 @@ def test_docx_numbered_vs_bullet_lists_via_numbering_xml():
         zf.writestr("word/document.xml", xml)
         zf.writestr("word/numbering.xml", numbering)
     md = docx_to_markdown(buf.getvalue())
+    # 3-space nesting: CommonMark only nests a child that reaches the
+    # parent's content column (3 for a "1. " parent — 2 spaces would
+    # start a sibling list and orphan the items)
     assert md.splitlines() == [
         "1. first",
-        "  - nested bullet",
+        "   - nested bullet",
         "1. second",
     ]
 
@@ -1170,3 +1173,60 @@ def test_docx_numpr_without_numbering_xml_keeps_dash_fallback():
     # numbering.xml — the long-standing "- " rendering must not change
     md = docx_to_markdown(make_docx(DOCX_XML))
     assert "- first item" in md.splitlines()
+
+
+# ---------------------------------------------------------------------------
+# second review pass regressions
+# ---------------------------------------------------------------------------
+
+def test_pdf_text_mentioning_bfchar_syntax_keeps_its_text_layer():
+    """A content stream whose VISIBLE TEXT contains 'beginbfchar' (a spec
+    excerpt, font-tooling docs) must not be misclassified as a CMap and
+    lose its text."""
+    stream = (
+        b"BT (the beginbfchar operator starts a block) Tj T* "
+        b"(second line) Tj ET"
+    )
+    assert pdf_to_markdown(make_pdf(stream)).splitlines() == [
+        "the beginbfchar operator starts a block",
+        "second line",
+    ]
+
+
+def test_pdf_rle_and_lzw_streams_survive_the_spec_eol():
+    """The EOL the writer puts before `endstream` must not reach the
+    bit/byte-exact decoders: as an RLE length byte it rejects the whole
+    stream; as LZW bits it appends spurious codes."""
+    body = b"BT (rle1) Tj ET"
+    rle = bytes([len(body) - 1]) + body  # one literal run, NO EOD marker
+    obj_rle = (
+        b"4 0 obj <</Length " + str(len(rle)).encode()
+        + b" /Filter /RunLengthDecode>>\nstream\n"
+        + rle + b"\nendstream endobj"
+    )
+    assert pdf_to_markdown(make_pdf_objs([obj_rle])) == "rle1"
+    lzw = lzw_encode(b"BT (lzw1) Tj ET")
+    # strip the EOD code's byte(s) is fiddly; instead assert the normal
+    # EOD-terminated stream still round-trips WITH the spec EOL present
+    obj_lzw = (
+        b"4 0 obj <</Length " + str(len(lzw)).encode()
+        + b" /Filter /LZWDecode>>\nstream\n"
+        + lzw + b"\nendstream endobj"
+    )
+    assert pdf_to_markdown(make_pdf_objs([obj_lzw])) == "lzw1"
+
+
+def test_docx_hyperlink_with_parens_in_url_and_bracket_in_text():
+    xml = f"""<?xml version="1.0"?>
+    <w:document {W_NS} {R_NS}><w:body>
+      <w:p><w:hyperlink r:id="rId9"><w:r><w:t>Foo [bar]</w:t></w:r></w:hyperlink></w:p>
+    </w:body></w:document>"""
+    rels = f"""<?xml version="1.0"?>
+    <Relationships {RELS_NS}>
+      <Relationship Id="rId9" Type="x/hyperlink"
+        Target="https://en.wikipedia.org/wiki/Foo_(bar)" TargetMode="External"/>
+    </Relationships>"""
+    md = docx_to_markdown(make_docx_with_media(xml, rels, {}))
+    assert md == (
+        "[Foo [bar\\]](https://en.wikipedia.org/wiki/Foo_%28bar%29)"
+    )
