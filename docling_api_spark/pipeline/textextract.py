@@ -720,6 +720,17 @@ def _blip_payloads(
 _R_ID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
 
 
+def _md_link(text: str, url: str | None) -> str:
+    """``[text](url)``, or the bare text when there is no URL (internal
+    anchors) or no visible text. Keeps the markdown well-formed: ']' in
+    link text and '()'/space in the destination would terminate the link
+    early (Wikipedia-style ...Foo_(bar) URLs)."""
+    if not url or not text.strip():
+        return text
+    safe_url = url.replace("(", "%28").replace(")", "%29").replace(" ", "%20")
+    return f"[{text.replace(']', chr(92) + ']')}]({safe_url})"
+
+
 def _run_text(r: ET.Element) -> str:
     """Visible text of ONE run: w:t plus single-space stand-ins for
     w:tab and w:br/w:cr — dropping those outright glues adjacent words
@@ -750,19 +761,7 @@ def _para_text(p: ET.Element, links: dict[str, str] | None = None) -> str:
         elif tag == f"{_W}hyperlink":
             inner = _para_text(child, links)
             url = links.get(child.get(_R_ID, "")) if links else None
-            if url and inner.strip():
-                # keep the markdown well-formed: ']' in link text and
-                # '()'/space in the destination would terminate the
-                # link early (Wikipedia-style ...Foo_(bar) URLs)
-                text = inner.replace("]", "\\]")
-                safe_url = (
-                    url.replace("(", "%28")
-                    .replace(")", "%29")
-                    .replace(" ", "%20")
-                )
-                parts.append(f"[{text}]({safe_url})")
-            else:
-                parts.append(inner)
+            parts.append(_md_link(inner, url))
         else:
             parts.append(_para_text(child, links))
     return "".join(parts)
@@ -907,11 +906,32 @@ def docx_to_markdown(content: bytes) -> str:
 _SLIDE_RE = re.compile(r"ppt/slides/slide(\d+)\.xml$")
 
 
+def _pptx_para_text(p: ET.Element, links: dict[str, str]) -> str:
+    """One a:p paragraph's visible text, run by run (a:r and a:fld both
+    carry a:t), with a:rPr/a:hlinkClick runs rendered as markdown
+    links."""
+    parts: list[str] = []
+    for child in p:
+        if child.tag not in (f"{_A}r", f"{_A}fld"):
+            continue
+        text = "".join(t.text or "" for t in child.iter(f"{_A}t"))
+        if not text:
+            continue
+        url = None
+        if links:
+            h = child.find(f"{_A}rPr/{_A}hlinkClick")
+            if h is not None:
+                url = links.get(h.get(_R_ID, ""))
+        parts.append(_md_link(text, url))
+    return "".join(parts)
+
+
 def pptx_extract(
     content: bytes, image_placeholder: str | None = None
 ) -> tuple[str, list[bytes | None]]:
     """ppt/slides/slideN.xml in slide order → (markdown, payloads): one
-    ``##`` section per slide, one line per a:p paragraph. With
+    ``##`` section per slide, one line per a:p paragraph, run-level
+    hyperlinks (a:hlinkClick) as ``[text](url)``. With
     ``image_placeholder`` set, each slide picture (`a:blip`) adds a
     placeholder line at its in-slide position and its ppt/media bytes to
     the payload list (rels resolved per slide)."""
@@ -925,9 +945,7 @@ def pptx_extract(
         payloads: list[bytes | None] = []
         for num, name in slides:
             root = ET.fromstring(zf.read(name))
-            rels = (
-                _ooxml_rels(zf, name) if image_placeholder is not None else {}
-            )
+            rels, links = _ooxml_rels_all(zf, name)
             out.append(f"## Slide {num}")
             # single document-order walk: a:p text lines, a:tbl tables,
             # and p:pic pictures interleave exactly as they appear in the
@@ -957,7 +975,7 @@ def pptx_extract(
                     out.extend(rows_to_pipe_table(rows))
                     in_table.update(id(p) for p in el.iter(f"{_A}p"))
                 elif el.tag == f"{_A}p" and id(el) not in in_table:
-                    text = "".join(t.text or "" for t in el.iter(f"{_A}t"))
+                    text = _pptx_para_text(el, links)
                     if text.strip():
                         out.append(text)
                 elif el.tag == f"{_P}pic" and image_placeholder is not None:

@@ -1230,3 +1230,27 @@ def test_docx_hyperlink_with_parens_in_url_and_bracket_in_text():
     assert md == (
         "[Foo [bar\\]](https://en.wikipedia.org/wiki/Foo_%28bar%29)"
     )
+
+
+def test_pptx_run_hyperlink_renders_as_markdown_link():
+    slide = f"""<?xml version="1.0"?>
+    <p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+           {A_NS} {R_NS}>
+      <p:cSld><p:spTree>
+        <p:sp><p:txBody>
+          <a:p><a:r><a:t>visit </a:t></a:r>
+            <a:r><a:rPr><a:hlinkClick r:id="rId3"/></a:rPr>
+              <a:t>our site</a:t></a:r></a:p>
+        </p:txBody></p:sp>
+      </p:spTree></p:cSld>
+    </p:sld>"""
+    rels = f"""<?xml version="1.0"?>
+    <Relationships {RELS_NS}>
+      <Relationship Id="rId3" Type="x/hyperlink"
+        Target="https://example.com" TargetMode="External"/>
+    </Relationships>"""
+    md = pptx_to_markdown(make_pptx_with_media([(slide, rels)]))
+    assert md.splitlines() == [
+        "## Slide 1",
+        "visit [our site](https://example.com)",
+    ]
