@@ -70,8 +70,22 @@ class LightweightConverter:
         fmt = classify_format(content, filename)
         if fmt is None:
             return _error_result(filename, f"Unsupported file format: {filename}")
-        if fmt in ("md", "asciidoc"):
+        if fmt == "md":
             return _ok(filename, content.decode("utf-8", errors="replace"))
+        if fmt == "asciidoc":
+            from docling_api_spark.pipeline.textextract import (
+                asciidoc_to_markdown,
+            )
+
+            # structural translation (headings/lists/blocks); plain-text
+            # lines pass through byte-identical — the q72 oracle's
+            # markdown_len == n_chars closed form for .adoc depends on it
+            return _ok(
+                filename,
+                asciidoc_to_markdown(
+                    content.decode("utf-8", errors="replace")
+                ),
+            )
         if fmt == "csv":
             utf8, err = transcode_csv_utf8(content)
             if err is not None:

@@ -53,6 +53,7 @@ __all__ = [
     "docx_extract",
     "pptx_to_markdown",
     "pptx_extract",
+    "asciidoc_to_markdown",
     "rows_to_pipe_table",
 ]
 
@@ -644,6 +645,66 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
 
 
 # ---------------------------------------------------------------------------
+# asciidoc (structural)
+# ---------------------------------------------------------------------------
+
+_ADOC_HEADING_RE = re.compile(r"^(={1,6})\s+(.*)$")
+_ADOC_ULIST_RE = re.compile(r"^(\*{1,5})\s+(.*)$")
+_ADOC_OLIST_RE = re.compile(r"^(\.{1,5})\s+(.*)$")
+_ADOC_SOURCE_RE = re.compile(r"^\[source(?:\s*,\s*([\w+-]+))?[^\]]*\]\s*$")
+
+
+def asciidoc_to_markdown(text: str) -> str:
+    """STRUCTURAL asciidoc → markdown: ``=`` headings to ``#``, ``*``/
+    ``.`` list items to ``-``/``1.`` (3-space nesting per extra marker),
+    ``----``/``....`` literal blocks to fenced code (a preceding
+    ``[source,lang]`` attribute supplies the fence language), ``//``
+    comment lines dropped. Inline formatting and everything else passes
+    through VERBATIM — a plain-text line comes out byte-identical (the
+    q72 corpus oracle's closed form depends on that)."""
+    out: list[str] = []
+    in_block = False
+    pending_lang: str | None = None
+    for line in text.splitlines():
+        if in_block:
+            if line.rstrip() in ("----", "...."):
+                out.append("```")
+                in_block = False
+            else:
+                out.append(line)
+            continue
+        stripped = line.rstrip()
+        m = _ADOC_SOURCE_RE.match(stripped)
+        if m:
+            pending_lang = m.group(1) or ""
+            continue
+        if stripped in ("----", "...."):
+            out.append("```" + (pending_lang or ""))
+            pending_lang = None
+            in_block = True
+            continue
+        pending_lang = None
+        if stripped.startswith("//"):
+            continue
+        m = _ADOC_HEADING_RE.match(line)
+        if m:
+            out.append("#" * len(m.group(1)) + " " + m.group(2))
+            continue
+        m = _ADOC_ULIST_RE.match(line)
+        if m:
+            out.append("   " * (len(m.group(1)) - 1) + "- " + m.group(2))
+            continue
+        m = _ADOC_OLIST_RE.match(line)
+        if m:
+            out.append("   " * (len(m.group(1)) - 1) + "1. " + m.group(2))
+            continue
+        out.append(line)
+    if in_block:  # unterminated block: close the fence rather than leak
+        out.append("```")
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
 # ooxml (docx / pptx)
 # ---------------------------------------------------------------------------
 
@@ -822,8 +883,9 @@ def docx_extract(
     adds a placeholder line AT ITS DOCUMENT POSITION (after its
     paragraph's text) and its media-part bytes to the payload list —
     docx, unlike the pdf text layer, carries enough structure for true
-    placement. Pictures inside table cells are out of scope (not
-    emitted)."""
+    placement. Pictures inside table cells surface immediately AFTER
+    their table (a pipe cell cannot hold a block-level placeholder
+    line)."""
     with zipfile.ZipFile(BytesIO(content)) as zf:
         root = ET.fromstring(zf.read("word/document.xml"))
         rels, links = _ooxml_rels_all(zf, "word/document.xml")
@@ -843,13 +905,14 @@ def docx_extract(
                     if ppr is not None:
                         style = ppr.find(f"{_W}pStyle")
                         if style is not None:
-                            m = _HEADING_RE.search(
-                                style.get(f"{_W}val", "") or ""
-                            )
+                            sval = style.get(f"{_W}val", "") or ""
+                            m = _HEADING_RE.search(sval)
                             if m:
                                 prefix = (
                                     "#" * max(1, min(6, int(m.group(1)))) + " "
                                 )
+                            elif sval.lower() == "title":
+                                prefix = "# "  # document title = h1
                         numpr = ppr.find(f"{_W}numPr")
                         if not prefix and numpr is not None:
                             prefix = _list_prefix(numpr, numfmts)
@@ -872,6 +935,15 @@ def docx_extract(
                     for tr in el.findall(f"{_W}tr")
                 ]
                 out.extend(rows_to_pipe_table(rows))
+                if image_placeholder is not None:
+                    blips = [
+                        b
+                        for dr in el.iter(f"{_W}drawing")
+                        for b in dr.iter(f"{_A}blip")
+                    ]
+                    found = _blip_payloads(blips, rels, zf)
+                    out.extend(image_placeholder for _ in found)
+                    payloads.extend(found)
         return "\n".join(out), payloads
 
 

@@ -1254,3 +1254,100 @@ def test_pptx_run_hyperlink_renders_as_markdown_link():
         "## Slide 1",
         "visit [our site](https://example.com)",
     ]
+
+
+def test_docx_table_cell_image_surfaces_after_table():
+    xml = f"""<?xml version="1.0"?>
+    <w:document {W_NS} {A_NS} {R_NS}><w:body>
+      <w:p><w:pPr><w:pStyle w:val="Title"/></w:pPr>
+        <w:r><w:t>Doc Title</w:t></w:r></w:p>
+      <w:tbl>
+        <w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r>
+          <w:r><w:drawing><a:blip r:embed="rId7"/></w:drawing></w:r></w:p></w:tc></w:tr>
+      </w:tbl>
+      <w:p><w:r><w:t>after</w:t></w:r></w:p>
+    </w:body></w:document>"""
+    docx = make_docx_with_media(
+        xml, DOCX_IMG_RELS, {"word/media/image1.png": PNG_A}
+    )
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    r = LightweightConverter().convert("t.docx", docx)
+    # Title style maps to h1; the cell picture cannot live inside a pipe
+    # cell, so its name follows the table
+    assert r["markdown"] == (
+        "# Doc Title\n| cell |\n|---|\npicture-1.png\nafter"
+    )
+    assert [i["image"] for i in r["images"]] == [PNG_A]
+
+
+# ---------------------------------------------------------------------------
+# asciidoc structural conversion
+# ---------------------------------------------------------------------------
+
+def test_asciidoc_headings_lists_blocks():
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    adoc = "\n".join(
+        [
+            "= Document Title",
+            "",
+            "== Section",
+            "plain prose stays put.",
+            "// a comment line disappears",
+            "* item one",
+            "** nested",
+            ". first",
+            ".. sub",
+            "[source,python]",
+            "----",
+            "x = 1  # verbatim, even * bullets",
+            "----",
+            "....",
+            "literal block",
+            "....",
+        ]
+    )
+    assert asciidoc_to_markdown(adoc).splitlines() == [
+        "# Document Title",
+        "",
+        "## Section",
+        "plain prose stays put.",
+        "- item one",
+        "   - nested",
+        "1. first",
+        "   1. sub",
+        "```python",
+        "x = 1  # verbatim, even * bullets",
+        "```",
+        "```",
+        "literal block",
+        "```",
+    ]
+
+
+def test_asciidoc_plain_text_passes_through_byte_identical():
+    # the q72 corpus .adoc members are plain [a-z ]+ lines; the oracle's
+    # markdown_len == n_chars closed form requires identity here
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    text = "plain lowercase words only with single spaces"
+    assert asciidoc_to_markdown(text) == text
+
+
+def test_asciidoc_unterminated_block_fence_closed():
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    assert asciidoc_to_markdown("----\ncode").splitlines() == [
+        "```", "code", "```",
+    ]
+
+
+def test_converter_adoc_routes_through_structural_conversion():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    r = LightweightConverter().convert(
+        "notes.adoc", b"= Title\n\n* point"
+    )
+    assert r["error"] is None
+    assert r["markdown"] == "# Title\n\n- point"
