@@ -658,22 +658,33 @@ def asciidoc_to_markdown(text: str) -> str:
     """STRUCTURAL asciidoc → markdown: ``=`` headings to ``#``, ``*``/
     ``.`` list items to ``-``/``1.`` (3-space nesting per extra marker),
     ``----``/``....`` literal blocks to fenced code (a preceding
-    ``[source,lang]`` attribute supplies the fence language), ``//``
-    comment lines dropped. Inline formatting and everything else passes
-    through VERBATIM — a plain-text line comes out byte-identical (the
-    q72 corpus oracle's closed form depends on that)."""
+    ``[source,lang]`` attribute supplies the fence language; a block
+    closes only on ITS opening delimiter), ``//`` comment lines and
+    ``////`` comment blocks dropped. Inline formatting and everything
+    else passes through VERBATIM — a DOCUMENT with no structural lines
+    comes out byte-identical, trailing newline and CRLF endings
+    included (the q72 corpus oracle's closed form depends on that; the
+    split is on bare \\n so \\r stays attached to pass-through lines)."""
     out: list[str] = []
-    in_block = False
+    in_block: str | None = None  # the delimiter that opened the block
+    in_comment = False
     pending_lang: str | None = None
-    for line in text.splitlines():
-        if in_block:
-            if line.rstrip() in ("----", "...."):
+    for line in text.split("\n"):
+        stripped = line.rstrip()
+        if in_comment:
+            if stripped == "////":
+                in_comment = False
+            continue
+        if in_block is not None:
+            if stripped == in_block:
                 out.append("```")
-                in_block = False
+                in_block = None
             else:
                 out.append(line)
             continue
-        stripped = line.rstrip()
+        if stripped == "////":
+            in_comment = True
+            continue
         m = _ADOC_SOURCE_RE.match(stripped)
         if m:
             pending_lang = m.group(1) or ""
@@ -681,7 +692,7 @@ def asciidoc_to_markdown(text: str) -> str:
         if stripped in ("----", "...."):
             out.append("```" + (pending_lang or ""))
             pending_lang = None
-            in_block = True
+            in_block = stripped
             continue
         pending_lang = None
         if stripped.startswith("//"):
@@ -699,7 +710,7 @@ def asciidoc_to_markdown(text: str) -> str:
             out.append("   " * (len(m.group(1)) - 1) + "1. " + m.group(2))
             continue
         out.append(line)
-    if in_block:  # unterminated block: close the fence rather than leak
+    if in_block is not None:  # unterminated block: close the fence
         out.append("```")
     return "\n".join(out)
 
@@ -756,6 +767,20 @@ def _ooxml_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
     return _ooxml_rels_all(zf, part)[0]
 
 
+def _docx_drawing_payloads(
+    el: ET.Element, rels: dict[str, str], zf: zipfile.ZipFile
+) -> list[bytes | None]:
+    """Picture payloads under ``el``, pictures only: blips under
+    w:drawing (inline/anchored DrawingML) — never fills, bullets, or
+    other stray blip-bearing properties. The ONE place this filter rule
+    lives (body paragraphs and table branches both call it)."""
+    return _blip_payloads(
+        [b for dr in el.iter(f"{_W}drawing") for b in dr.iter(f"{_A}blip")],
+        rels,
+        zf,
+    )
+
+
 def _blip_payloads(
     blips: list[ET.Element], rels: dict[str, str], zf: zipfile.ZipFile
 ) -> list[bytes | None]:
@@ -789,7 +814,13 @@ def _md_link(text: str, url: str | None) -> str:
     if not url or not text.strip():
         return text
     safe_url = url.replace("(", "%28").replace(")", "%29").replace(" ", "%20")
-    return f"[{text.replace(']', chr(92) + ']')}]({safe_url})"
+    # backslash first (so added escapes are not re-escaped), then BOTH
+    # brackets — an inner '[' re-anchors CommonMark's link-text match,
+    # and a trailing bare '\' would swallow the closing ']'
+    safe_text = (
+        text.replace("\\", "\\\\").replace("[", "\\[").replace("]", "\\]")
+    )
+    return f"[{safe_text}]({safe_url})"
 
 
 def _run_text(r: ET.Element) -> str:
@@ -918,15 +949,7 @@ def docx_extract(
                             prefix = _list_prefix(numpr, numfmts)
                     out.append(prefix + text)
                 if image_placeholder is not None:
-                    # pictures only: blips under w:drawing (inline/anchored
-                    # DrawingML) — never fills, bullets, or other stray
-                    # blip-bearing properties
-                    blips = [
-                        b
-                        for dr in el.iter(f"{_W}drawing")
-                        for b in dr.iter(f"{_A}blip")
-                    ]
-                    found = _blip_payloads(blips, rels, zf)
+                    found = _docx_drawing_payloads(el, rels, zf)
                     out.extend(image_placeholder for _ in found)
                     payloads.extend(found)
             elif tag == f"{_W}tbl":
@@ -936,12 +959,7 @@ def docx_extract(
                 ]
                 out.extend(rows_to_pipe_table(rows))
                 if image_placeholder is not None:
-                    blips = [
-                        b
-                        for dr in el.iter(f"{_W}drawing")
-                        for b in dr.iter(f"{_A}blip")
-                    ]
-                    found = _blip_payloads(blips, rels, zf)
+                    found = _docx_drawing_payloads(el, rels, zf)
                     out.extend(image_placeholder for _ in found)
                     payloads.extend(found)
         return "\n".join(out), payloads
@@ -1029,16 +1047,16 @@ def pptx_extract(
             in_table: set[int] = set()
             for el in root.iter():
                 if el.tag == f"{_A}tbl":
+                    # cells render through the same run-level path as
+                    # body paragraphs, so hyperlinks keep their URLs
+                    # inside tables too; multi-paragraph cells join
+                    # with a space
                     rows = [
                         [
                             " ".join(
                                 t
                                 for p in tc.iter(f"{_A}p")
-                                if (
-                                    t := "".join(
-                                        x.text or "" for x in p.iter(f"{_A}t")
-                                    ).strip()
-                                )
+                                if (t := _pptx_para_text(p, links).strip())
                             )
                             for tc in tr.findall(f"{_A}tc")
                         ]

@@ -1227,8 +1227,10 @@ def test_docx_hyperlink_with_parens_in_url_and_bracket_in_text():
         Target="https://en.wikipedia.org/wiki/Foo_(bar)" TargetMode="External"/>
     </Relationships>"""
     md = docx_to_markdown(make_docx_with_media(xml, rels, {}))
+    # '[' must escape too: an inner '[' re-anchors CommonMark's
+    # link-text match and would leak '[Foo ' as literal text
     assert md == (
-        "[Foo [bar\\]](https://en.wikipedia.org/wiki/Foo_%28bar%29)"
+        "[Foo \\[bar\\]](https://en.wikipedia.org/wiki/Foo_%28bar%29)"
     )
 
 
@@ -1351,3 +1353,65 @@ def test_converter_adoc_routes_through_structural_conversion():
     )
     assert r["error"] is None
     assert r["markdown"] == "# Title\n\n- point"
+
+
+# ---------------------------------------------------------------------------
+# third review pass regressions
+# ---------------------------------------------------------------------------
+
+def test_asciidoc_comment_block_content_dropped():
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    adoc = "////\nhidden comment\n* secret bullet\n////\nvisible"
+    assert asciidoc_to_markdown(adoc) == "visible"
+
+
+def test_asciidoc_block_closes_only_on_its_own_delimiter():
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    adoc = "----\ncode line\n....\n* still code\n----"
+    assert asciidoc_to_markdown(adoc).splitlines() == [
+        "```", "code line", "....", "* still code", "```",
+    ]
+
+
+def test_asciidoc_preserves_trailing_newline_and_crlf():
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    # document-level byte identity for plain text: trailing newline and
+    # CRLF endings survive (the q72 closed form's contract)
+    assert asciidoc_to_markdown("plain line\n") == "plain line\n"
+    assert asciidoc_to_markdown("a\r\nb\r\n") == "a\r\nb\r\n"
+
+
+def test_md_link_escapes_backslash_and_open_bracket():
+    from docling_api_spark.pipeline.textextract import _md_link
+
+    assert _md_link("ends with \\", "https://e.com") == (
+        "[ends with \\\\](https://e.com)"
+    )
+    assert _md_link("Foo [bar", "https://e.com") == (
+        "[Foo \\[bar](https://e.com)"
+    )
+
+
+def test_pptx_table_cell_hyperlink_keeps_url():
+    slide = f"""<?xml version="1.0"?>
+    <p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"
+           {A_NS} {R_NS}>
+      <p:cSld><p:spTree>
+        <p:graphicFrame><a:graphic><a:graphicData><a:tbl>
+          <a:tr><a:tc><a:txBody>
+            <a:p><a:r><a:rPr><a:hlinkClick r:id="rId3"/></a:rPr>
+              <a:t>linked cell</a:t></a:r></a:p>
+          </a:txBody></a:tc></a:tr>
+        </a:tbl></a:graphicData></a:graphic></p:graphicFrame>
+      </p:spTree></p:cSld>
+    </p:sld>"""
+    rels = f"""<?xml version="1.0"?>
+    <Relationships {RELS_NS}>
+      <Relationship Id="rId3" Type="x/hyperlink"
+        Target="https://example.com" TargetMode="External"/>
+    </Relationships>"""
+    md = pptx_to_markdown(make_pptx_with_media([(slide, rels)]))
+    assert "| [linked cell](https://example.com) |" in md.splitlines()
