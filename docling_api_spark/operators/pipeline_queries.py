@@ -150,7 +150,10 @@ def q71_upload_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # spaces/non-ASCII at sf0.001-0.1, length(text) == n_chars, min 44 — the
 # csv parse is one row/one field, the html tag-strip returns the text
 # unchanged, the pdf hex content stream round-trips it). Per k = doc_id%8:
-#   markdown: k∈{0,3} passthrough → n_chars; k∈{2,5} tag-strip → n_chars;
+#   markdown: k=0 passthrough → n_chars; k=3 asciidoc structural
+#   conversion, whose pass-through path is BYTE-identical for documents
+#   with no structural lines (pinned incl. trailing-newline/CRLF cases in
+#   tests/test_textextract.py) → n_chars; k∈{2,5} tag-strip → n_chars;
 #   k=7 pdf hex replay → n_chars; k=1 csv one-cell pipe table
 #   "| text |\n|---|" → n_chars+10; k∈{4,6} unsupported → NULL + the
 #   converter's error string (full filename, convert.py:72) and ok=false.
