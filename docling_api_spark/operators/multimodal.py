@@ -110,7 +110,7 @@ def _media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q80 — media feature extraction (stubbed decode; rows-only)
+# q80 — media feature extraction (stubbed decode; hash-graded since r11)
 # ---------------------------------------------------------------------------
 _FEATURE_SCHEMA = T.StructType(
     [
@@ -118,7 +118,7 @@ _FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("aspect", T.DoubleType()),
-        T.StructField("entropy", T.DoubleType()),
+        T.StructField("simpson", T.DoubleType()),
         # The 8-dim feature vector is emitted as scalar columns (not
         # array<float>): the driver's pandas canonicalizer sorts rows by
         # every column and dies on unhashable array cells.
@@ -126,19 +126,57 @@ _FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+# Hash-graded since r11 (rows-only r3-r11a): the diversity feature is the
+# SIMPSON INDEX (collision probability, sum(count_i^2)/n^2) instead of
+# Shannon entropy — same per-document byte-histogram feature role, but its
+# arithmetic is integers until ONE correctly-rounded IEEE division, so the
+# DuckDB oracle replays it BIT-exactly (entropy's log2 is transcendental:
+# numpy's SIMD log2 and libm disagree in the last ulp, which the driver's
+# repr()-based float hashing cannot tolerate). Every other column was
+# already exact: md5-derived f0..f7 (16-bit windows / 65535.0, one exact
+# division), aspect (small-int ratio), ints/strings. Verified 500/500
+# bit-identical against DuckDB before the flip; the corpus is ASCII so
+# char and byte histograms coincide (the same property q81's oracle uses).
+_Q80_ORACLE = f"""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i.i + 1 AS INTEGER), 1) AS ch
+      FROM documents, UNNEST(range(0, length(text))) AS i(i)
+    ), hist AS (
+      SELECT doc_id, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ), agg AS (
+      SELECT doc_id, SUM(c * c) AS ss, SUM(c) AS n FROM hist GROUP BY doc_id
+    )
+    SELECT
+      d.doc_id,
+      CASE CAST(d.doc_id % 3 AS INTEGER)
+        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+      END AS kind,
+      CAST(length(d.text) AS INTEGER) AS n_bytes,
+      CAST(16 + d.doc_id % 64 AS DOUBLE)
+        / CAST(16 + (d.doc_id * 7) % 64 AS DOUBLE) AS aspect,
+      CAST(a.ss AS DOUBLE) / CAST(a.n * a.n AS DOUBLE) AS simpson,
+      {", ".join(
+        "CAST(CAST(concat('0x', substr(md5(d.text), "
+        f"{4 * i + 1}, 4)) AS INTEGER) AS DOUBLE) / 65535.0 AS f{i}"
+        for i in range(8)
+      )}
+    FROM documents d JOIN agg a USING (doc_id)
+"""
 
-@register("q80_media_features", tags=("multimodal", "udf"))
+
+@register("q80_media_features", tags=("multimodal", "udf"), oracle=_Q80_ORACLE)
 def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stub over binary media columns.
 
     Decode is import-gated (decode_image): where Pillow exists AND the
     payload decodes, features come from real pixels (true dims, luma
-    histogram entropy, 8-bin luma embedding); otherwise the deterministic
-    stub (byte histogram entropy, md5-seeded 8-dim embedding) keeps the
-    plumbing — binary columns through Arrow, struct metadata access,
-    fixed-width feature output — exercised end to end. The synthetic
-    corpus is text bytes (never decodable), so graded results are
-    identical either way. Rows-only check.
+    histogram Simpson index, 8-bin luma embedding); otherwise the
+    deterministic stub (byte-histogram Simpson index, md5-seeded 8-dim
+    embedding) keeps the plumbing — binary columns through Arrow, struct
+    metadata access, fixed-width feature output — exercised end to end.
+    The synthetic corpus is text bytes (never decodable), so graded
+    results are identical either way; the oracle (block comment above)
+    replays the stub bit-exactly.
     """
     import hashlib
 
@@ -165,14 +203,15 @@ def q80_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     vals = np.frombuffer(raw, dtype=np.uint8)
                 counts = np.bincount(vals, minlength=256)
                 n = max(len(vals), 1)
-                p = counts[counts > 0] / n
-                entropy = float(-(p * np.log2(p)).sum())
+                # integer arithmetic until one exact-rounded division —
+                # see the _Q80_ORACLE comment (bit-replicable on purpose)
+                ss = int((counts.astype(np.int64) ** 2).sum())
                 row = {
                     "doc_id": doc_id,
                     "kind": kind,
                     "n_bytes": len(raw),
                     "aspect": float(width) / float(height),
-                    "entropy": entropy,
+                    "simpson": ss / (n * n),
                 }
                 if decoded is not None:
                     # real features: mean luma of 8 equal-width bins

@@ -1,6 +1,7 @@
 """Independent replay pins for queries that previously had no
-sf-parameterized check (q23 sketches, q43 xxhash twin, q72 conversion —
-hash-graded since r11 but the bit-stability pin stays, q80 media stub).
+sf-parameterized check (q23 sketches, q43 xxhash twin, q72 conversion
+and q80 media stub — both hash-graded since r11, the bit-stability pins
+stay).
 The other rows-only entries (q118_approx, q171, q240, q257) already
 have sf_dir-parameterized replay tests in test_round4_ops /
 test_round4b_ops / test_round4d_ops.
@@ -134,10 +135,12 @@ def test_q72_conversion_invariants_and_determinism(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def test_q80_features_match_python_replay(spark, sf_dir):
     """The stub path is a pure function of the media bytes (byte-histogram
-    entropy + md5-seeded embedding); recompute it outside Spark from the
-    same corpus and compare value-for-value. (Pillow absent in this
-    sandbox, and the synthetic corpus is undecodable text bytes anyway,
-    so the stub path is the one that runs.)"""
+    Simpson index + md5-seeded embedding); recompute it outside Spark from
+    the same corpus and compare value-for-value — EXACT equality since the
+    r11 flip to transcendental-free arithmetic (the property the q80
+    oracle's bit-replay rests on). (Pillow absent in this sandbox, and
+    the synthetic corpus is undecodable text bytes anyway, so the stub
+    path is the one that runs.)"""
     from docling_api_spark.operators.multimodal import _media_corpus
 
     out = {r["doc_id"]: r for r in QS["q80_media_features"].fn(spark, sf_dir).collect()}
@@ -150,13 +153,12 @@ def test_q80_features_match_python_replay(spark, sf_dir):
         vals = np.frombuffer(raw, dtype=np.uint8)
         counts = np.bincount(vals, minlength=256)
         n = max(len(vals), 1)
-        p = counts[counts > 0] / n
-        entropy = float(-(p * np.log2(p)).sum())
+        ss = int((counts.astype(np.int64) ** 2).sum())
         digest = hashlib.md5(raw).digest()
         r = out[doc_id]
         assert r["kind"] == kind and r["n_bytes"] == len(raw)
-        assert math.isclose(r["aspect"], width / height, rel_tol=1e-12)
-        assert math.isclose(r["entropy"], entropy, rel_tol=1e-9), doc_id
+        assert r["aspect"] == width / height
+        assert r["simpson"] == ss / (n * n), doc_id
         for i in range(8):
             expect = int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
-            assert math.isclose(r[f"f{i}"], expect, rel_tol=1e-12), (doc_id, i)
+            assert r[f"f{i}"] == expect, (doc_id, i)
