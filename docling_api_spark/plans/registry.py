@@ -178,6 +178,7 @@ def register(
 WINDOW_COMPOSED_FOR_ROUND: int = 11
 GRADED_FIRST: tuple[str, ...] = (
     # ---- round-11 driver window (50), policy-composed ----
+    "q80_media_features",
     "q72_conversion_pipeline",
     "q102_revenue_concentration",
     "q114_winsorized_agg",
@@ -191,7 +192,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q296_watermark_advisor",
     "q297_mean_excess",
     "q70_format_classify",
-    "q80_media_features",
+    "q118_approx_equidepth",
     "q126_skyline",
     "q127_group_regression",
     "q128_rolling_median",
@@ -227,8 +228,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q134_curation_pipeline",
     "q135_sla_shipping_delay",
     "q142_bounce_rate",
-    "q143_promo_share",
     # ---- tail: prior tuple order (ex-window members lead) ----
+    "q143_promo_share",
     "q144_part_supplier_stats",
     "q145_idle_rich_customers",
     "q151_stateful_counter",
@@ -353,7 +354,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q31_sliding_window",
     "q34_funnel_range_join",
     "q43_minhash_lsh_xxh",
-    "q118_approx_equidepth",
     "q171_hll_rollup",
     "q240_compression_ratio",
     "q257_dtw_distance",
