@@ -5049,46 +5049,126 @@ def q256_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordered-assembly discipline), pairs come from a self-join on nation
 # name (a < b — 300 pairs, vocabulary-sized), and the DP runs per pair in
 # mapInPandas over ~80-point z-normalized arrays.
-def _dtw_batch(batches):
-    import numpy as np
+def _dtw_znorm(vs: list) -> list:
+    """Exact-order z-normalization (hash-graded since r11): the integer
+    series' sums are computed in exact int arithmetic, so mean and
+    variance reach IEEE doubles through single correctly-rounded
+    operations — float(S)/float(n), float(n·SS − S²)/float(n²), sqrt —
+    that a SQL oracle replays bit-for-bit (numpy's pairwise-summed
+    mean/std could not be). Same statistic, replayable rounding."""
+    import math
 
+    ints = [int(x) for x in vs]
+    n = len(ints)
+    s = sum(ints)
+    ss = sum(x * x for x in ints)
+    mean = float(s) / float(n)
+    std = math.sqrt(float(n * ss - s * s) / float(n * n)) or 1.0
+    return [(float(x) - mean) / std for x in ints]
+
+
+def _dtw_batch(batches):
     def dtw(a, b):
         na, nb = len(a), len(b)
-        prev = np.full(nb + 1, np.inf)
-        prev[0] = 0.0
+        inf = float("inf")
+        prev = [0.0] + [inf] * nb
         for i in range(1, na + 1):
-            cur = np.full(nb + 1, np.inf)
+            cur = [inf] * (nb + 1)
             for j in range(1, nb + 1):
                 d = abs(a[i - 1] - b[j - 1])
                 cur[j] = d + min(prev[j], cur[j - 1], prev[j - 1])
             prev = cur
-        return float(prev[nb])
+        return prev[nb]
 
     for pdf in batches:
         out = pdf[["nation_a", "nation_b"]].copy()
-        dists = []
-        for sa, sb in zip(pdf["series_a"], pdf["series_b"]):
-            a = np.asarray(sa, dtype=float)
-            b = np.asarray(sb, dtype=float)
-            a = (a - a.mean()) / (a.std() or 1.0)
-            b = (b - b.mean()) / (b.std() or 1.0)
-            dists.append(dtw(a, b))
-        out["dtw"] = dists
+        out["dtw"] = [
+            dtw(_dtw_znorm(sa), _dtw_znorm(sb))
+            for sa, sb in zip(pdf["series_a"], pdf["series_b"])
+        ]
         yield out
+
+
+# Hash-graded since r11 (rows-only r4-r11a). The old adjudication ("no
+# bit-exact oracle is POSSIBLE") confused reassociation with replay: each
+# DP cell is a pure function of its three neighbors — d + min(...) has NO
+# addition tree to reassociate — so an oracle that computes the cells in
+# ANY order with the same per-cell operands reproduces every double
+# exactly. The recursive CTE below replays the cells row-major through a
+# rolling (nb+2)-cell buffer: B[1]=(i-1,j-1), B[2]=(i-1,j),
+# B[nb+2]=(i,j-1); boundary columns are the 'infinity' steps. The one
+# REAL blocker was numpy's pairwise-summed mean/std in the
+# z-normalization — fixed by _dtw_znorm's exact-int redesign (single
+# correctly-rounded divisions + IEEE sqrt), after which a 300/300
+# repr()-identical pre-flight held at sf0.01. `pairs AS MATERIALIZED` is
+# load-bearing: without it DuckDB re-evaluates the monthly aggregation
+# every one of the ~7300 recursion steps (161s → 17s measured). The
+# oracle's cost is sf-INDEPENDENT on the DP axis (series length = the
+# fixed month range, pairs = nations²).
+_Q257_ORACLE = """
+WITH RECURSIVE pairs AS MATERIALIZED (
+  WITH monthly AS (
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(o.o_orderdate AS DATE)) * 12
+                + month(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS mk,
+           SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS v
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+  ), series AS (
+    SELECT nation, list(v ORDER BY mk) AS vs FROM monthly GROUP BY nation
+  ), stats AS (
+    SELECT nation, len(vs) AS n,
+           list_aggregate(vs, 'sum') AS s,
+           list_aggregate(list_transform(vs, x -> CAST(x AS HUGEINT) * x),
+                          'sum') AS ss
+    FROM series
+  ), zed AS (
+    SELECT s0.nation,
+           list_transform(s0.vs, x -> (CAST(x AS DOUBLE) - m.mean) / m.std)
+             AS z
+    FROM series s0 JOIN (
+      SELECT nation,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CASE WHEN sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                            / CAST(n * n AS DOUBLE)) = 0.0 THEN 1.0
+                  ELSE sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                            / CAST(n * n AS DOUBLE)) END AS std
+      FROM stats
+    ) m USING (nation)
+  )
+  SELECT row_number() OVER (ORDER BY a.nation, b.nation) AS pid,
+         a.nation AS nation_a, b.nation AS nation_b,
+         a.z AS aa, b.z AS bb, len(a.z) AS na, len(b.z) AS nb
+  FROM zed a JOIN zed b ON a.nation < b.nation
+), dp AS (
+  SELECT pid, 0 AS t,
+         list_concat([CAST(0.0 AS DOUBLE)],
+                     list_transform(range(nb + 1),
+                                    x -> CAST('infinity' AS DOUBLE))) AS buf
+  FROM pairs
+  UNION ALL
+  SELECT dp.pid, dp.t + 1,
+    CASE WHEN (dp.t + p.nb + 2) % (p.nb + 1) = 0
+      THEN list_append(dp.buf[2:], CAST('infinity' AS DOUBLE))
+      ELSE list_append(dp.buf[2:],
+        abs(p.aa[CAST((dp.t + p.nb + 2) // (p.nb + 1) AS INTEGER)]
+            - p.bb[CAST((dp.t + p.nb + 2) % (p.nb + 1) AS INTEGER)])
+        + least(dp.buf[1], dp.buf[2], dp.buf[p.nb + 2])) END
+  FROM dp JOIN pairs p USING (pid)
+  WHERE dp.t < p.na * (p.nb + 1) - 1
+)
+SELECT p.nation_a, p.nation_b, d.buf[p.nb + 2] AS dtw
+FROM dp d JOIN pairs p USING (pid)
+WHERE d.t = p.na * (p.nb + 1) - 1
+"""
 
 
 @register(
     "q257_dtw_distance",
     tags=("timeseries", "dtw", "udf"),
-    # no SQL oracle — and unlike q251 (integer LCS cells) or q246 (the
-    # isotonic minimax closed form), none is POSSIBLE bit-exactly: the
-    # DP cells are DOUBLES built by a sequential d + min(...) chain, and
-    # any SQL replay (the prefix-min row closed form, or a reassociated
-    # minimax) changes the addition tree, so low bits diverge; the
-    # z-normalization additionally uses numpy pairwise summation for
-    # mean/std, which no SQL SUM reproduces. Rows-only at the driver;
-    # every distance is pinned against an independent python DP in
-    # tests/test_round4d_ops.py.
+    oracle=_Q257_ORACLE,
 )
 def q257_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW distance for every nation pair over z-normalized monthly revenue

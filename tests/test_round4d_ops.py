@@ -1450,24 +1450,29 @@ def test_q257_dtw_matches_python_dp(spark, sf_dir):
         mk = r.o_orderdate.year * 12 + r.o_orderdate.month
         monthly[n[c[r.o_custkey]]][mk] += int(math.floor(r.o_totalprice + 0.5))
     series = {
-        nat: np.array([v for _, v in sorted(d.items())], dtype=float)
-        for nat, d in monthly.items()
+        nat: [v for _, v in sorted(d.items())] for nat, d in monthly.items()
     }
 
-    def znorm(a):
-        return (a - a.mean()) / (a.std() or 1.0)
+    def znorm(ints):
+        # the r11 exact-order redesign: int sums, single correctly-rounded
+        # divisions, IEEE sqrt — EXACT equality expected, not isclose
+        n, s = len(ints), sum(ints)
+        ss = sum(x * x for x in ints)
+        mean = float(s) / float(n)
+        std = math.sqrt(float(n * ss - s * s) / float(n * n)) or 1.0
+        return [(float(x) - mean) / std for x in ints]
 
     def dtw(a, b):
         na, nb = len(a), len(b)
-        prev = np.full(nb + 1, np.inf)
-        prev[0] = 0.0
+        inf = float("inf")
+        prev = [0.0] + [inf] * nb
         for i in range(1, na + 1):
-            cur = np.full(nb + 1, np.inf)
+            cur = [inf] * (nb + 1)
             for j in range(1, nb + 1):
                 d = abs(a[i - 1] - b[j - 1])
                 cur[j] = d + min(prev[j], cur[j - 1], prev[j - 1])
             prev = cur
-        return float(prev[nb])
+        return prev[nb]
 
     got = {
         (r.nation_a, r.nation_b): r.dtw
@@ -1477,12 +1482,13 @@ def test_q257_dtw_matches_python_dp(spark, sf_dir):
     expect_keys = {(a, b) for i, a in enumerate(names) for b in names[i + 1:]}
     assert set(got) == expect_keys
     for (a, b) in sorted(expect_keys)[:40]:
-        exp = dtw(znorm(series[a]), znorm(series[b]))
-        assert math.isclose(got[(a, b)], exp, rel_tol=1e-9)
-        # DTW never exceeds the straight (unwarped) alignment cost
         za, zb = znorm(series[a]), znorm(series[b])
+        assert got[(a, b)] == dtw(za, zb), (a, b)
+        # DTW never exceeds the straight (unwarped) alignment cost
         if len(za) == len(zb):
-            assert got[(a, b)] <= float(np.abs(za - zb).sum()) + 1e-9
+            assert got[(a, b)] <= sum(
+                abs(x - y) for x, y in zip(za, zb)
+            ) + 1e-9
 
 
 def test_q258_range_planner_matches_numpy(spark, sf_dir):
