@@ -179,6 +179,7 @@ WINDOW_COMPOSED_FOR_ROUND: int = 11
 GRADED_FIRST: tuple[str, ...] = (
     # ---- round-11 driver window (50), policy-composed ----
     "q80_media_features",
+    "q257_dtw_distance",
     "q72_conversion_pipeline",
     "q102_revenue_concentration",
     "q114_winsorized_agg",
@@ -227,8 +228,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q98_source_lang_purity",
     "q134_curation_pipeline",
     "q135_sla_shipping_delay",
-    "q142_bounce_rate",
     # ---- tail: prior tuple order (ex-window members lead) ----
+    "q142_bounce_rate",
     "q143_promo_share",
     "q144_part_supplier_stats",
     "q145_idle_rich_customers",
@@ -356,7 +357,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q43_minhash_lsh_xxh",
     "q171_hll_rollup",
     "q240_compression_ratio",
-    "q257_dtw_distance",
     "q242_binary_segmentation",
     "q243_simpson_diversity",
     "q244_peak_detection",
