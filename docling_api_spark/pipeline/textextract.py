@@ -651,7 +651,10 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
 _ADOC_HEADING_RE = re.compile(r"^(={1,6})\s+(.*)$")
 _ADOC_ULIST_RE = re.compile(r"^(\*{1,5})\s+(.*)$")
 _ADOC_OLIST_RE = re.compile(r"^(\.{1,5})\s+(.*)$")
-_ADOC_SOURCE_RE = re.compile(r"^\[source(?:\s*,\s*([\w+-]+))?[^\]]*\]\s*$")
+# the attribute form only: `[source]` or `[source,lang...]` — NOT any
+# bracketed line that merely starts with "source" ("[sources]",
+# "[source code example]" are prose and must pass through verbatim)
+_ADOC_SOURCE_RE = re.compile(r"^\[source(?:\s*,\s*([\w+-]+)[^\]]*)?\]\s*$")
 
 
 def asciidoc_to_markdown(text: str) -> str:
@@ -694,9 +697,12 @@ def asciidoc_to_markdown(text: str) -> str:
             pending_lang = None
             in_block = stripped
             continue
-        pending_lang = None
         if stripped.startswith("//"):
+            # a line comment between [source,lang] and its ---- block
+            # does not detach the attribute, so it must not reset
+            # pending_lang
             continue
+        pending_lang = None
         m = _ADOC_HEADING_RE.match(line)
         if m:
             out.append("#" * len(m.group(1)) + " " + m.group(2))
@@ -908,7 +914,7 @@ def docx_extract(
     """word/document.xml → (markdown, embedded-image payloads).
 
     Markdown: Heading styles to ``#`` prefixes; list paragraphs to ``-``
-    or ``1.`` items per their numbering.xml numFmt, indented two spaces
+    or ``1.`` items per their numbering.xml numFmt, indented three spaces
     per w:ilvl; hyperlinks to ``[text](url)``; tables to pipe tables.
     With ``image_placeholder`` set, each body-paragraph `a:blip` picture
     adds a placeholder line AT ITS DOCUMENT POSITION (after its

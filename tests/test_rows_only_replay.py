@@ -1,10 +1,10 @@
 """Independent replay pins for queries that previously had no
-sf-parameterized check (q23 sketches, q43 xxhash twin, q72 conversion
-and q80 media stub — both hash-graded since r11, the bit-stability pins
-stay).
-The other rows-only entries (q118_approx, q171, q240, q257) already
-have sf_dir-parameterized replay tests in test_round4_ops /
-test_round4b_ops / test_round4d_ops.
+sf-parameterized check (q23 sketches, q43 xxhash twin, and the r11
+hash-graded flips q72 conversion + q80 media stub — the bit-stability
+pins stay).
+The remaining rows-only entries (q118_approx, q171, q240) and the
+r11-flipped q257 already have sf_dir-parameterized replay tests in
+test_round4_ops / test_round4b_ops / test_round4d_ops.
 
 Run the whole rows-only family at the driver's bench scale with:
 

@@ -1415,3 +1415,29 @@ def test_pptx_table_cell_hyperlink_keeps_url():
     </Relationships>"""
     md = pptx_to_markdown(make_pptx_with_media([(slide, rels)]))
     assert "| [linked cell](https://example.com) |" in md.splitlines()
+
+
+def test_asciidoc_prose_brackets_starting_with_source_pass_through():
+    """'[sources]' and '[source code example]' are prose, not the
+    [source,lang] attribute form — they must pass through verbatim
+    (the q72 closed form depends on pass-through byte identity)."""
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    assert asciidoc_to_markdown("[sources]\ntext") == "[sources]\ntext"
+    assert asciidoc_to_markdown("[source code example]") == (
+        "[source code example]"
+    )
+    # the real attribute forms still fence
+    assert asciidoc_to_markdown("[source]\n----\nx\n----").splitlines() == [
+        "```", "x", "```",
+    ]
+    assert asciidoc_to_markdown(
+        "[source, python, linenums]\n----\nx\n----"
+    ).splitlines() == ["```python", "x", "```"]
+
+
+def test_asciidoc_comment_between_source_attr_and_block_keeps_lang():
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    adoc = "[source,js]\n// note\n----\nx\n----"
+    assert asciidoc_to_markdown(adoc).splitlines() == ["```js", "x", "```"]
