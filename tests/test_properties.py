@@ -451,3 +451,28 @@ def test_tounicode_cmap_parse_is_total(body):
         b"%PDF-1.4\n<</Length 0>>\nstream\n" + wrapped + b"\nendstream\n%%EOF"
     )
     assert isinstance(pdf_to_markdown(pdf), str)
+
+
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abcdefghij xyz,.!?")), max_size=40
+        ).filter(
+            # exclude the structural forms asciidoc_to_markdown converts;
+            # everything else must be pass-through
+            lambda ln: not ln.lstrip().startswith(("=", "*", ".", "//", "["))
+            and ln.rstrip() not in ("----", "....", "////")
+        ),
+        max_size=12,
+    ),
+    trailing=st.sampled_from(["", "\n"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_asciidoc_passthrough_documents_are_byte_identical(lines, trailing):
+    """A document with NO structural lines converts to itself, byte for
+    byte, trailing newline included — the identity the q72 conversion
+    oracle's closed form (markdown_len == n_chars for .adoc) rests on."""
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    text = "\n".join(lines) + trailing
+    assert asciidoc_to_markdown(text) == text
