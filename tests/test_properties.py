@@ -476,3 +476,45 @@ def test_asciidoc_passthrough_documents_are_byte_identical(lines, trailing):
 
     text = "\n".join(lines) + trailing
     assert asciidoc_to_markdown(text) == text
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.sampled_from([
+                "word/document.xml", "word/_rels/document.xml.rels",
+                "word/numbering.xml", "word/media/image1.png",
+                "ppt/slides/slide1.xml", "ppt/slides/_rels/slide1.xml.rels",
+                "ppt/media/image1.png", "junk.bin",
+            ]),
+            st.one_of(
+                st.binary(max_size=200),
+                st.text(max_size=200).map(str.encode),
+                st.sampled_from([
+                    b"<w:document/>", b"<bad<xml", b"",
+                    b'<Relationships xmlns="x"><Relationship/></Relationships>',
+                ]),
+            ),
+        ),
+        max_size=4,
+        unique_by=lambda kv: kv[0],
+    ),
+    ext=st.sampled_from([".docx", ".pptx"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_converter_total_on_arbitrary_valid_zips(members, ext):
+    """VALID zip containers with arbitrary/corrupt ooxml members must
+    uphold the error-as-column contract through every new path (rels
+    resolution, numbering, media, XML parse): a result row, never a
+    raise — random-bytes fuzz almost never forms a valid zip, so this
+    targets the layer behind the zip magic."""
+    import zipfile
+    from io import BytesIO
+
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, payload in members:
+            zf.writestr(name, payload)
+    result = LightweightConverter().convert("fuzz" + ext, buf.getvalue())
+    assert set(result) == {"filename", "markdown", "images", "error"}
+    assert (result["error"] is None) == (result["markdown"] is not None)
