@@ -175,9 +175,60 @@ def register(
 # rounds BELOW this feed the policy, so the composition stays
 # reproducible after this round's own record lands. Maintained by
 # tools/compose_window.py --update.
-WINDOW_COMPOSED_FOR_ROUND: int = 11
+WINDOW_COMPOSED_FOR_ROUND: int = 12
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-11 driver window (50), policy-composed ----
+    # ---- round-12 driver window (50), policy-composed ----
+    "q171_hll_rollup",
+    "q142_bounce_rate",
+    "q143_promo_share",
+    "q144_part_supplier_stats",
+    "q145_idle_rich_customers",
+    "q146_dup_provenance",
+    "q147_supplier_cold_start",
+    "q148_denorm_drift_audit",
+    "q149_activation_latency",
+    "q150_order_size_histogram",
+    "q153_benford_digit_audit",
+    "q154_source_quality_rollup",
+    "q155_ngram_containment",
+    "q156_expectation_suite",
+    "q157_ohlc_bars",
+    "q159_embedding_quantization",
+    "q160_weighted_median",
+    "q161_theil_sen_trend",
+    "q163_proportional_sample",
+    "q164_mannwhitney_u",
+    "q165_gini_revenue",
+    "q166_power_iteration",
+    "q167_salt_planner",
+    "q168_eventually_follows",
+    "q169_weighted_sample",
+    "q170_revenue_waterfall",
+    "q172_salted_join",
+    "q173_k_anonymity",
+    "q174_density_clusters",
+    "q176_feature_hashing",
+    "q177_target_encoding",
+    "q178_confusion_matrix",
+    "q179_quantile_normalize",
+    "q180_control_chart",
+    "q181_join_size_estimate",
+    "q182_cuped_adjustment",
+    "q183_streaming_topk",
+    "q184_survival_hazard",
+    "q185_triangle_census",
+    "q186_geo_grid_join",
+    "q187_ewma_smoothing",
+    "q188_lag1_autocorr",
+    "q189_bpe_merges",
+    "q77_streaming_sliding",
+    "q99_corpus_report",
+    "q190_phrase_search",
+    "q191_shortest_path",
+    "q192_forecast_wape",
+    "q193_rolling_distinct",
+    "q194_kmeans_lloyd",
+    # ---- tail: prior tuple order (ex-window members lead) ----
     "q80_media_features",
     "q257_dtw_distance",
     "q72_conversion_pipeline",
@@ -228,11 +279,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q98_source_lang_purity",
     "q134_curation_pipeline",
     "q135_sla_shipping_delay",
-    # ---- tail: prior tuple order (ex-window members lead) ----
-    "q142_bounce_rate",
-    "q143_promo_share",
-    "q144_part_supplier_stats",
-    "q145_idle_rich_customers",
     "q151_stateful_counter",
     "q246_isotonic_calibration",
     "q251_lcs_verify",
@@ -355,7 +401,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q31_sliding_window",
     "q34_funnel_range_join",
     "q43_minhash_lsh_xxh",
-    "q171_hll_rollup",
     "q240_compression_ratio",
     "q242_binary_segmentation",
     "q243_simpson_diversity",
@@ -398,11 +443,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q283_cohen_kappa",
     "q284_weighted_jaccard",
     "q285_quadratic_response",
-    "q190_phrase_search",
-    "q191_shortest_path",
-    "q192_forecast_wape",
-    "q193_rolling_distinct",
-    "q194_kmeans_lloyd",
     "q195_decile_migration",
     "q196_hybrid_rank_fusion",
     "q197_bm25_scoring",
@@ -446,46 +486,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q237_rank_biased_overlap",
     "q238_beta_binomial",
     "q239_burstiness",
-    "q77_streaming_sliding",
-    "q99_corpus_report",
-    "q146_dup_provenance",
-    "q147_supplier_cold_start",
-    "q148_denorm_drift_audit",
-    "q149_activation_latency",
-    "q150_order_size_histogram",
-    "q153_benford_digit_audit",
-    "q154_source_quality_rollup",
-    "q155_ngram_containment",
-    "q156_expectation_suite",
-    "q157_ohlc_bars",
-    "q159_embedding_quantization",
-    "q160_weighted_median",
-    "q161_theil_sen_trend",
-    "q163_proportional_sample",
-    "q164_mannwhitney_u",
-    "q165_gini_revenue",
-    "q166_power_iteration",
-    "q167_salt_planner",
-    "q168_eventually_follows",
-    "q169_weighted_sample",
-    "q170_revenue_waterfall",
-    "q172_salted_join",
-    "q173_k_anonymity",
-    "q174_density_clusters",
-    "q176_feature_hashing",
-    "q177_target_encoding",
-    "q178_confusion_matrix",
-    "q179_quantile_normalize",
-    "q180_control_chart",
-    "q181_join_size_estimate",
-    "q182_cuped_adjustment",
-    "q183_streaming_topk",
-    "q184_survival_hazard",
-    "q185_triangle_census",
-    "q186_geo_grid_join",
-    "q187_ewma_smoothing",
-    "q188_lag1_autocorr",
-    "q189_bpe_merges",
 )
 
 
