@@ -154,14 +154,20 @@ _Q80_ORACLE = f"""
       CAST(length(d.text) AS INTEGER) AS n_bytes,
       CAST(16 + d.doc_id % 64 AS DOUBLE)
         / CAST(16 + (d.doc_id * 7) % 64 AS DOUBLE) AS aspect,
-      CAST(a.ss AS DOUBLE) / CAST(a.n * a.n AS DOUBLE) AS simpson,
+      CAST(COALESCE(a.ss, 0) AS DOUBLE)
+        / CAST(COALESCE(a.n * a.n, 1) AS DOUBLE) AS simpson,
       {", ".join(
         "CAST(CAST(concat('0x', substr(md5(d.text), "
         f"{4 * i + 1}, 4)) AS INTEGER) AS DOUBLE) / 65535.0 AS f{i}"
         for i in range(8)
       )}
-    FROM documents d JOIN agg a USING (doc_id)
+    FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+# LEFT JOIN + COALESCE (ADVICE r12): an empty-text document has no char
+# rows, so the inner join silently dropped it while the Spark stub still
+# emits a row with simpson = 0 (n = max(len, 1)). Safe on today's corpus
+# (min length 44) but a corpus change would have turned the grade into a
+# row-count mismatch; the LEFT JOIN replays the stub's 0/1 exactly.
 
 
 @register("q80_media_features", tags=("multimodal", "udf"), oracle=_Q80_ORACLE)

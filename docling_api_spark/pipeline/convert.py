@@ -129,16 +129,24 @@ class LightweightConverter:
             try:
                 if fmt == "pdf":
                     text = pdf_to_markdown(content)
-                    payloads = (
-                        pdf_extract_images(content) if text.strip() else []
-                    )
+                    # images are attempted even with an empty text layer
+                    # (ADVICE r12): an image-only PDF whose rasters ARE
+                    # recoverable is content — same rule as the ooxml
+                    # branch below — while a scanned PDF whose page
+                    # images need OCR still falls through to the error
+                    # contract because its DCT/CCITT page scans rarely
+                    # survive the lightweight recovery filters.
+                    payloads = pdf_extract_images(content)
                     tail, images = splice_images(
                         "\n\n".join(sentinel for _ in payloads),
                         [DocElement(kind="picture", image=p) for p in payloads],
                         placeholder=sentinel,
                     )
-                    markdown = text + ("\n\n" + tail if tail else "")
-                    has_content = bool(text.strip())
+                    markdown = (
+                        text + ("\n\n" + tail if tail else "")
+                        if text.strip() else tail
+                    )
+                    has_content = bool(text.strip()) or bool(images)
                 else:
                     extract = docx_extract if fmt == "docx" else pptx_extract
                     md, payloads = extract(content, image_placeholder=sentinel)

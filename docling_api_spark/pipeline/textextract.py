@@ -352,12 +352,14 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
                 next_code += 1
             out += entry
             prev = entry
-            # the decoder's table is one add BEHIND the encoder's at read
-            # time (the encoder adds w+c before emitting the next code,
-            # the decoder only learns that entry from the next code), so
-            # its width bump fires one entry earlier than the encoder's
-            # next_code+early >= 2^width — hence the +1
-            if next_code + early + 1 >= (1 << width) and width < 12:
+            # canonical convention (xpdf Stream.cc, pdf.js, pdfminer,
+            # TIFF 6.0's 511/1023/2047 rule): the DECODER bumps when
+            # next_code + early reaches 2^width — at 511 for
+            # EarlyChange=1 — because the encoder, whose table is one
+            # entry AHEAD at emit time, switched width for the code the
+            # decoder is about to read only once ITS next free code
+            # (next_code+1 here) + early exceeded the current width
+            if next_code + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)  # tolerate a missing EOD marker
 
@@ -557,8 +559,11 @@ def _png_encode(
 def _dict_int(d: bytes, key: bytes) -> int | None:
     # the (?!\s+\d+\s+R) lookahead rejects indirect references: in
     # `/Width 16 0 R` the 16 is an OBJECT NUMBER, not the width — parsing
-    # it as the value could pass the length gate with wrong dimensions
-    m = re.search(rb"/" + key + rb"\s+(\d+)(?!\s+\d+\s+R)", d)
+    # it as the value could pass the length gate with wrong dimensions.
+    # The \b anchors the number's end so the engine cannot backtrack into
+    # a shorter digit prefix to defeat the lookahead (`/Width 16 0 R`
+    # would otherwise match (\d+)='1' with lookahead seeing '6 0 R')
+    m = re.search(rb"/" + key + rb"\s+(\d+)\b(?!\s+\d+\s+R)", d)
     return int(m.group(1)) if m else None
 
 

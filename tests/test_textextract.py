@@ -465,17 +465,9 @@ def test_converter_pdf_images_spliced_into_markdown():
     assert r["images"][1]["image"] == JPEG_BYTES
 
 
-def test_converter_image_only_pdf_keeps_error_contract():
-    # extractable figures without a text layer are NOT the document:
-    # the row still errors toward the OCR backend, images stay []
-    from docling_api_spark.pipeline.convert import LightweightConverter
-
-    pdf = make_pdf_objs(
-        [make_image_obj(zlib.compress(bytes(12)), width=2, height=2)]
-    )
-    r = LightweightConverter().convert("scan.pdf", pdf)
-    assert r["markdown"] is None and r["images"] == []
-    assert "docling" in r["error"]
+# (the r11 test pinning error-for-image-only-PDF was superseded by
+# test_pdf_image_only_with_recoverable_rasters_is_content — ADVICE r12
+# aligned the pdf branch with the ooxml pictures-are-content rule)
 
 
 # ---------------------------------------------------------------------------
@@ -690,6 +682,41 @@ def test_pdf_indirect_dimension_reference_skipped():
         b"/Height 2", b"/Height 4 0 R"
     )
     assert pdf_extract_images(make_pdf_objs([obj])) == []
+
+
+def test_dict_int_rejects_indirect_reference_without_backtracking():
+    """The negative lookahead alone is defeatable: for `/Width 16 0 R`
+    the engine backtracks to (\\d+)='1' whose lookahead sees '6 0 R'
+    (not \\s+\\d+\\s+R) and returns 1 — a coincidental payload length
+    would then emit a PNG with wrong dimensions. The \\b end-anchor
+    forbids matching a shorter digit prefix (ADVICE r12)."""
+    from docling_api_spark.pipeline.textextract import _dict_int
+
+    assert _dict_int(b"<</Width 16 0 R>>", b"Width") is None
+    assert _dict_int(b"<</Width 16>>", b"Width") == 16
+    # direct value followed by an unrelated indirect reference still parses
+    assert _dict_int(b"<</Width 16 /SMask 5 0 R>>", b"Width") == 16
+
+
+def test_pdf_image_only_with_recoverable_rasters_is_content():
+    """An image-only PDF whose rasters ARE recoverable converts to an ok
+    row carrying the pictures — same rule as the ooxml branch (ADVICE
+    r12: previously images were only attempted when the text layer was
+    non-empty, contradicting the adjacent comment). A PDF with neither
+    text nor recoverable pictures still takes the OCR error path."""
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    pdf = make_pdf_objs(
+        [make_image_obj(zlib.compress(bytes(12)), width=2, height=2)]
+    )
+    r = LightweightConverter().convert("scans.pdf", pdf)
+    assert r["error"] is None
+    assert r["markdown"] == "picture-1.png"
+    assert [i["filename"] for i in r["images"]] == ["picture-1.png"]
+
+    empty = make_pdf_objs([])
+    r2 = LightweightConverter().convert("blank.pdf", empty)
+    assert r2["error"] is not None and "OCR" in r2["error"]
 
 
 def test_pdf_text_containing_literal_placeholder_not_hijacked():
@@ -1040,7 +1067,13 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
         emit(table[w])
         table[w + c] = next_code
         next_code += 1
-        if next_code + early >= (1 << width) and width < 12:
+        # encoder's next_code leads the decoder's by exactly one entry at
+        # every code boundary (the decoder learns each entry one code
+        # later), so its bump threshold is one HIGHER than the decoder's
+        # canonical next_code + early >= 2^width (verified by simulation:
+        # thresholds of 2^width or 2^width-1 desync past the 9->10 bit
+        # boundary)
+        if next_code + early >= (1 << width) + 1 and width < 12:
             width += 1
         w = c
     if w:
@@ -1078,6 +1111,38 @@ def test_lzw_decoder_desync_returns_none_not_garbage():
     # a code far beyond the table with no prior context must abort
     bad = bytes([0xFF, 0xFF, 0xFF, 0xFF])
     assert _lzw_decode(bad) is None
+
+
+def test_lzw_decoder_canonical_boundary_fixture():
+    """Hardcoded canonical-convention LZW stream (decoder bumps at
+    next_code + early == 2^width, the xpdf/pdf.js/pdfminer/TIFF-6.0
+    rule) whose table crosses the 9->10-bit boundary (>253 adds).
+    Pinned as literal bytes so a future refactor that shifts BOTH the
+    test encoder and the decoder by the same off-by-one cannot hide
+    (ADVICE r12: the r11 round-trip tests passed only because encoder
+    and decoder mirrored the same shifted rule)."""
+    from docling_api_spark.pipeline.textextract import _lzw_decode
+
+    payload = bytes((i * 11 + (i >> 4)) & 0xFF for i in range(600))
+    enc = bytes.fromhex(
+        "800001616108b06e4226960c66e3ca111e9a52ac578c769375d0f37f0242"
+        "81f150d4804b2b188da7841a3932a457ae98ad06db99e2fc0384c3c291a0"
+        "fc9455301acec814625d44ad5c3119eda72bc1f606088704e321e920a65e"
+        "349d5008b4b28558b761335b0e3773e4080f0d098623c23948ba68399f91"
+        "2944faa96ac065b5dc4ed7c00c1c19120bc74452816ccc713e221269e54a"
+        "d17eca6ab81d6f6008302e22168e4884f2d194e07b4324538a7592f590d3"
+        "6f3a9eb028241a110a8643936a6894522d188d4723c4c2bc8a4926944aa5"
+        "92e7e82265349b4e2753c9f2b97342a251a914aa6538be6aa9552ad58ad5"
+        "72bc100dd8ac966b45aad96e60b32e574bb5e2f57cbf1c8fb82c261b118a"
+        "c6638462ec96532d98cd6733cd46fe8b4882a0e84a163c90a48356d6a2a8"
+        "ba328d8541b082da36c92a4e94a566d9ce7937adfa6a9ba729d9184c146e"
+        "3390a2a8ea4a961e8922a39ee8aaaabab2ad9dc7d00aec3b4b2aceb4ad64"
+        "f9565b3c2f1aeabbaf2bd8a02e0cef53d8c2b0ec4b160081a0c3e6fab2ac"
+        "bb32cd9645f192fe3fc81c00d38c6378f502c0e89c12d8028100570742091"
+        "c24dc98a689b90bc3299c36e10ec4111b10444a1c48e584e1987d14c56a9"
+        "c5aea1b0721df19468b1c6cee9124a9411dc7a71202"
+    )
+    assert _lzw_decode(enc, 1) == payload
 
 
 def test_pdf_text_runlength_stream():
