@@ -62,6 +62,7 @@ of every current caller, documented so "drop-in" is honest):
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W, functions as F
@@ -336,6 +337,7 @@ def distributed_grouped_quantiles(
     block_width: float | str = 1000.0,
     pre_reduce: bool | str = True,
     probe_key: object = None,
+    expected_groups: int | None = None,
 ) -> DataFrame:
     """Per-group exact quantiles: one row per group with array<double>
     ``c`` — the distributed replacement for
@@ -384,6 +386,14 @@ def distributed_grouped_quantiles(
        group) direction. Callers with group-clustered input should pass
        an explicit ``pre_reduce`` boolean instead of ``"auto"``. Pinned
        by ``test_clustered_layout_probe_caveat`` in tests/test_quantiles.py.
+
+       ``expected_groups`` is the cheap runtime guard for that caveat
+       (VERDICT r11 Next #8): a caller that KNOWS its group cardinality
+       (e.g. 5 event types) declares it, and if the probe's sampled
+       group count comes in at under half of it — the clustered-prefix
+       signature — a ``UserWarning`` names the caveat and the escape
+       hatch. Advisory only: the decision still stands (it is perf-only
+       either way), so plans never fail on a layout change.
     """
     spark = df.sparkSession
     g = list(group_cols)
@@ -399,6 +409,21 @@ def distributed_grouped_quantiles(
     )
     if pre_reduce == "auto" or block_width == "auto":
         stats = _probe(clean, g, col, probe_key)
+        if (
+            expected_groups is not None
+            and g
+            and stats.groups * 2 < expected_groups
+        ):
+            warnings.warn(
+                f"distributed_grouped_quantiles: probe sampled only "
+                f"{stats.groups} group(s) but the caller declared "
+                f"expected_groups={expected_groups} — the limit() prefix "
+                "sample is likely reading group-clustered storage and the "
+                "auto decision may miss low-cardinality groups (perf-only; "
+                "pass an explicit pre_reduce boolean to bypass the probe)",
+                UserWarning,
+                stacklevel=2,
+            )
         if pre_reduce == "auto":
             pre_reduce = stats.pre_reduce
         if block_width == "auto":

@@ -553,6 +553,34 @@ def test_clustered_layout_probe_caveat(spark, tmp_path):
     assert got == want
 
 
+def test_expected_groups_guard_warns_on_undersampled_probe(spark):
+    """VERDICT r11 Next #8: a caller that declares its group cardinality
+    gets a UserWarning when the probe's prefix sample saw under half of
+    it (the clustered-layout signature). Advisory only — the plan still
+    builds and the result is unchanged."""
+    import warnings as W_
+
+    from docling_api_spark.functions.quantiles import (
+        distributed_grouped_quantiles,
+    )
+
+    df = spark.range(500).selectExpr(
+        "'only' AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    with pytest.warns(UserWarning, match="expected_groups=5"):
+        out = distributed_grouped_quantiles(
+            df, ["g"], "v", [0.5], pre_reduce="auto", expected_groups=5
+        ).collect()
+    assert [repr(v) for v in out[0]["c"]] == [repr(249.5)]
+
+    # expectation met (1 sampled >= half of 2): no warning
+    with W_.catch_warnings():
+        W_.simplefilter("error")
+        distributed_grouped_quantiles(
+            df, ["g"], "v", [0.5], pre_reduce="auto", expected_groups=2
+        ).collect()
+
+
 def test_ungrouped_is_the_grouped_plan_with_no_groups(spark):
     """r11 review: the ungrouped builder duplicated ~70 lines of the
     grouped plan and every fix had to land twice (NaN filter r6,

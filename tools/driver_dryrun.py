@@ -26,6 +26,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Oracle-cost budget (VERDICT r11 Next #9): the r11 oracle-cost policy
+# (SCALING.md "Round-11: oracle cost policy") accepts oracles up to
+# ~tens of seconds at grading scale — q257's DTW recursive-CTE replay
+# measured ~17s and was the accepted ceiling; q43_xxh's ~73s
+# transpilation was rejected. The budget below turns that written policy
+# into a dryrun gate instead of a memory: any single oracle exceeding it
+# FAILS the dryrun (exit 1) so a creeping oracle cost is caught the
+# round it lands, not when a grading sweep starts taking minutes.
+# Pinned by tests/test_dryrun_contract.py.
+ORACLE_BUDGET_S = 30.0
+
 
 def norm(v) -> str:
     if v is None:
@@ -81,6 +92,7 @@ def main() -> None:
         )
 
     n_match = n_rows_only = n_fail = 0
+    over_budget: list[tuple[str, float]] = []
     for name in qs:
         if prefixes and not name.startswith(prefixes):
             continue
@@ -94,7 +106,15 @@ def main() -> None:
                 n_rows_only += 1
                 print(f"ROWS-ONLY {name}: {len(s_rows)} rows  [{dt:.1f}s]")
                 continue
+            # the ORACLE's own wall time is the policy-gated number
+            # (VERDICT r11 Next #9): time the DuckDB execution separately
+            # from the Spark side so creeping oracle cost is visible and
+            # budget-enforced per round
+            ot0 = time.perf_counter()
             o_pdf = con.sql(oracles[name]).df()
+            odt = time.perf_counter() - ot0
+            if odt > ORACLE_BUDGET_S:
+                over_budget.append((name, odt))
             o_rows = canon(o_pdf)
             s_cols = sorted(c.lower() for c in s_pdf.columns)
             o_cols = sorted(c.lower() for c in o_pdf.columns)
@@ -103,7 +123,10 @@ def main() -> None:
             ok_hash = s_rows == o_rows
             if ok_schema and ok_count and ok_hash:
                 n_match += 1
-                print(f"MATCH     {name}: {len(s_rows)} rows  [{dt:.1f}s]")
+                print(
+                    f"MATCH     {name}: {len(s_rows)} rows  "
+                    f"[{dt:.1f}s, oracle {odt:.1f}s]"
+                )
             else:
                 n_fail += 1
                 print(
@@ -123,8 +146,13 @@ def main() -> None:
             print(f"ERROR     {name}: {type(exc).__name__}: {str(exc)[:300]}")
 
     print(f"\nsummary: {n_match} match, {n_rows_only} rows-only, {n_fail} FAIL")
+    for name, odt in over_budget:
+        print(
+            f"ORACLE-OVER-BUDGET {name}: {odt:.1f}s > {ORACLE_BUDGET_S:.0f}s "
+            "(oracle-cost policy, SCALING.md r11)"
+        )
     spark.stop()
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if (n_fail or over_budget) else 0)
 
 
 if __name__ == "__main__":
