@@ -19,24 +19,27 @@ from bench import (
 
 # the COMPACT-line scalar set — every derivable or constant key
 # (probe start/end/raw samples, probe_numpy_ms, probe_ref_ms, carried_n,
-# n_queries, carried_median_probe_scaled) lives in the detailed record
-# only; tail-capture budget math in bench.main. r9 regime: queries
-# carries best-of-N mins (queries_stat marks it), the min-sum carried
-# stats lead, and the shuffle probe's median AND spread ride along —
-# driver records keep only this line, and the spread is the burst signal
-# compare_bench's widened floor runs on (ADVICE r8 / VERDICT r8 Next #6).
+# n_queries, carried_median_probe_scaled and — since r12 —
+# carried_min_probe_scaled) lives in the detailed record only;
+# tail-capture budget math in bench.main. r9 regime: queries carries
+# best-of-N mins (queries_stat marks it), the min-sum carried stats
+# lead, and the shuffle AND window probes' median+spread ride along —
+# driver records keep only this line, and the spreads are the burst
+# signal compare_bench's widened floor runs on (ADVICE r8 / VERDICT r8
+# Next #6 / VERDICT r11 Next #2).
 SCALARS = {
     "metric": "headline_queries_total_time",
     "value": 39.44,
     "unit": "sec",
     "queries_stat": "min",
     "carried_total": 21.47,
-    "carried_min_probe_scaled": 19.66,
     "carried_total_median": 23.75,
     "probe_spark_ms_median": 106.77,
     "probe_spark_ms_spread": 24.3,
     "probe_shuffle_ms_median": 301.4,
     "probe_shuffle_ms_spread": 188.2,
+    "probe_window_ms_median": 612.4,
+    "probe_window_ms_spread": 488.2,
     "sf": 0.1,
 }
 
@@ -67,7 +70,6 @@ def test_real_headline_set_fits_budget_with_queries_dict():
     names = sorted({n for n, q in reg.items() if q.bench} | set(CARRIED_R3))
     # pessimistic widths: 4-sig-fig scalars, 2dp per-query values
     scalars = {**SCALARS, "value": 123.4567, "carried_total": 99.8765,
-               "carried_min_probe_scaled": 88.7654,
                "carried_total_median": 77.6543}
     line = final_line(scalars, {n: 99.99 for n in names})
     assert len(line) <= TAIL_CAPTURE_BUDGET

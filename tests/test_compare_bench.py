@@ -95,6 +95,24 @@ def test_burst_allowance_uses_worst_instrument():
     assert "shuffle" in src
 
 
+def test_burst_allowance_sees_the_window_instrument():
+    # VERDICT r11 Next #2: the window-over-shuffle probe (r12) is a
+    # first-class burst instrument — a run whose codegen and shuffle
+    # probes are flat but whose window probe moved 0.9x its median must
+    # widen the floor by the window spread's excess
+    rec = {
+        "probe_spark_ms_median": 100.0,
+        "probe_spark_ms_spread": 10.0,
+        "probe_shuffle_ms_median": 300.0,
+        "probe_shuffle_ms_spread": 30.0,
+        "probe_window_ms_median": 600.0,
+        "probe_window_ms_spread": 540.0,  # 0.90
+    }
+    burst, src = cb.burst_allowance(rec)
+    assert burst == max(0.0, 540.0 / 600.0 - cb.BURST_DEADBAND)
+    assert "window" in src
+
+
 def test_burst_allowance_caps_and_handles_missing():
     assert cb.burst_allowance({})[0] == 0.0
     rec = {"probe_spark_ms_median": 50.0, "probe_spark_ms_spread": 500.0}

@@ -17,7 +17,8 @@ untouched files; see bench.py's r6 adjudication note).
 
 T is BURST-AWARE (VERDICT r8 Next #6): the base THRESHOLD of 1.25 widens
 by the worse of the two records' observed intra-run probe spread
-(spread/median over the codegen AND shuffle instruments), counting only
+(spread/median over the codegen, shuffle AND — since r12 — window
+instruments), counting only
 the EXCESS over a 20% dead-band (ordinary scheduler noise, already
 priced into the base threshold) and capped at +100%. r8's lesson: this box's interference arrives in multi-minute
 bursts that probe MEDIANS cannot see but spreads quantify — a record
@@ -62,7 +63,11 @@ def burst_allowance(rec: dict) -> tuple[float, str]:
     inside such a burst can be slower by roughly that fraction with zero
     code change, so the per-query flag threshold widens by it."""
     worst, src = 0.0, "no probe spread data"
-    for prefix, label in (("probe_spark", "codegen"), ("probe_shuffle", "shuffle")):
+    for prefix, label in (
+        ("probe_spark", "codegen"),
+        ("probe_shuffle", "shuffle"),
+        ("probe_window", "window"),
+    ):
         med, spr = rec.get(f"{prefix}_ms_median"), rec.get(f"{prefix}_ms_spread")
         if _num(med) and _num(spr) and med > 0 and spr >= 0:
             frac = spr / med
@@ -116,7 +121,10 @@ def load(path: str) -> dict:
     # pre-r9 output live only in the DETAILED record; carry them forward
     # so the diagnostic and the burst floor survive picking the compact
     # line out of raw bench output
-    CARRY = ("probe_shuffle_ms_median", "probe_shuffle_ms_spread")
+    CARRY = (
+        "probe_shuffle_ms_median", "probe_shuffle_ms_spread",
+        "probe_window_ms_median", "probe_window_ms_spread",
+    )
     for line in text.splitlines():
         line = line.strip()
         if not line.startswith("{"):
@@ -263,15 +271,20 @@ def main() -> None:
     # (detailed bench records, r8+) sees the exchange/disk path the
     # codegen probe cannot — whole-set drift with a flat codegen probe
     # and a rising shuffle probe is the machine's shuffle path, not code.
-    so, sn = old.get("probe_shuffle_ms_median"), new.get("probe_shuffle_ms_median")
-    if (
-        isinstance(so, (int, float)) and not isinstance(so, bool) and so > 0
-        and isinstance(sn, (int, float)) and not isinstance(sn, bool) and sn > 0
+    for prefix, label in (
+        ("probe_shuffle", "shuffle-path"),
+        ("probe_window", "window-path"),
     ):
-        print(
-            f"shuffle-path probe (diagnostic): {so:.1f} -> {sn:.1f} ms "
-            f"(x{sn / so:.3f})"
-        )
+        so = old.get(f"{prefix}_ms_median")
+        sn = new.get(f"{prefix}_ms_median")
+        if (
+            isinstance(so, (int, float)) and not isinstance(so, bool) and so > 0
+            and isinstance(sn, (int, float)) and not isinstance(sn, bool) and sn > 0
+        ):
+            print(
+                f"{label} probe (diagnostic): {so:.1f} -> {sn:.1f} ms "
+                f"(x{sn / so:.3f})"
+            )
     if machine:
         print(
             f"machine ({machine_note}): x{machine:.3f}; "
