@@ -220,6 +220,34 @@ def _show_text(s: str, cmaps: list[dict[bytes, str]]) -> str | None:
     return None
 
 
+def _tj_text(arr: bytes, cmaps: list[dict[bytes, str]]) -> str:
+    """A TJ array's shown text: concatenate its string elements; big
+    negative kerns approximate a space (shared by the legacy line
+    extractor and the positioned span extractor so the two paths can
+    never drift on string decoding)."""
+    parts: list[str] = []
+    for sm in re.finditer(
+        rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|-?\d+(?:\.\d+)?",
+        arr,
+    ):
+        tok = sm.group()
+        if tok.startswith(b"("):
+            shown = _show_text(_decode_pdf_string(tok[1:-1]), cmaps)
+            if shown is not None:
+                parts.append(shown)
+        elif tok.startswith(b"<"):
+            shown = _show_text(_decode_hex_string(tok[1:-1]), cmaps)
+            if shown is not None:
+                parts.append(shown)
+        else:
+            try:
+                if float(tok) < -150:
+                    parts.append(" ")
+            except ValueError:
+                pass
+    return "".join(parts)
+
+
 def _extract_text_ops(
     content: bytes, cmaps: list[dict[bytes, str]] | None = None
 ) -> list[str]:
@@ -252,32 +280,215 @@ def _extract_text_ops(
                 shown = _show_text(s, cmaps)
                 if shown is not None:
                     cur.append(shown)
-            else:  # TJ array: concatenate its strings; big negative
-                # kerns approximate a space
-                parts: list[str] = []
-                arr = m.group("arr")[1:-1]
-                for sm in re.finditer(
-                    rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|-?\d+(?:\.\d+)?",
-                    arr,
-                ):
-                    tok = sm.group()
-                    if tok.startswith(b"("):
-                        shown = _show_text(_decode_pdf_string(tok[1:-1]), cmaps)
-                        if shown is not None:
-                            parts.append(shown)
-                    elif tok.startswith(b"<"):
-                        shown = _show_text(_decode_hex_string(tok[1:-1]), cmaps)
-                        if shown is not None:
-                            parts.append(shown)
-                    else:
-                        try:
-                            if float(tok) < -150:
-                                parts.append(" ")
-                        except ValueError:
-                            pass
-                cur.append("".join(parts))
+            else:  # TJ array
+                cur.append(_tj_text(m.group("arr")[1:-1], cmaps))
         flush()
     return lines
+
+
+# ---------------------------------------------------------------------------
+# pdf table extraction (lightweight positional clusterer, r12)
+# ---------------------------------------------------------------------------
+#
+# The reference's `extract_tables` pipeline option (service.py:133-158)
+# turns on docling's table-structure model and its markdown export
+# renders recovered tables as pipe tables. The docling-less equivalent
+# here is a conservative TEXT-POSITION clusterer over the content
+# stream's own coordinates (VERDICT r11 Next #7):
+#
+#   1. replay the text-positioning operators (Td/TD/Tm/TL/T*) with an
+#      operand stack to give every shown string its line origin (x, y);
+#      any BT block that positions text through a ROTATED/SKEWED matrix
+#      (b or c != 0 in Tm) disqualifies the whole stream — positions in
+#      rotated text space cannot be row/column-clustered honestly;
+#   2. cluster spans into visual rows by y (±_ROW_Y_TOL pt), sorted
+#      top-to-bottom (PDF y grows upward), cells left-to-right;
+#   3. a table is a run of >= _MIN_TABLE_ROWS consecutive rows that all
+#      have the SAME number (>= 2) of cells at the SAME x positions
+#      (±_COL_X_TOL pt) — the alignment discipline real table generators
+#      emit and running prose essentially never does;
+#   4. detected runs render through `rows_to_pipe_table` — the ONE pipe
+#      renderer the csv and docx paths already share.
+#
+# Conservatism contract: a stream with NO detected table keeps the
+# legacy flush-per-Td extraction byte-for-byte (the q72 corpus oracle's
+# closed form depends on that), and any parsing doubt (no spans, rotated
+# matrix) falls back the same way. Multi-line cells, spanning cells, and
+# borderless column detection stay with the docling backend — this
+# clusterer only claims the aligned-grid case.
+
+_ROW_Y_TOL = 2.0  # pt: spans within this y-distance share a visual row
+_COL_X_TOL = 3.0  # pt: cells within this x-distance share a column
+_MIN_TABLE_ROWS = 3  # header + >= 2 data rows; 2 aligned rows is too
+# weak a signal to distinguish a table from a short two-column layout
+
+_POS_TOKEN_RE = re.compile(
+    rb"""
+      (?P<lit>\((?:[^()\\]|\\.|\([^()]*\))*\))\s*(?P<litop>Tj|'|")
+    | (?P<hex><[0-9A-Fa-f\s]*>)\s*(?P<hexop>Tj|'|")
+    | (?P<arr>\[(?:[^][\\]|\\.)*\])\s*TJ
+    | (?P<num>-?(?:\d+\.?\d*|\.\d+))
+    | (?P<op>T\*|TD|Td|TL|Tm)
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _extract_positioned_spans(
+    content: bytes, cmaps: list[dict[bytes, str]] | None = None
+) -> list[tuple[float, float, str]] | None:
+    """Shown text with its text-space line origin: [(y, x, text), ...]
+    in emission order, or None when any BT block uses a rotated/skewed
+    text matrix (the conservative table-clusterer bail). Consecutive
+    show ops with no repositioning between them extend the previous
+    span (one cell painted in several strokes)."""
+    cmaps = cmaps or []
+    spans: list[tuple[float, float, str]] = []
+    for block in _BT_RE.findall(content):
+        x = y = 0.0  # current line origin, text space
+        tl = 0.0  # leading (for T* and the '/" show forms)
+        stack: list[float] = []
+        moved = True
+        for m in _POS_TOKEN_RE.finditer(block):
+            if m.group("num") is not None:
+                stack.append(float(m.group("num")))
+                if len(stack) > 6:  # Tm takes 6 operands, the most
+                    del stack[0]
+                continue
+            op = m.group("op")
+            if op is not None:
+                if op in (b"Td", b"TD"):
+                    if len(stack) >= 2:
+                        tx, ty = stack[-2], stack[-1]
+                        x += tx
+                        y += ty
+                        if op == b"TD":
+                            tl = -ty
+                        moved = True
+                elif op == b"TL":
+                    if stack:
+                        tl = stack[-1]
+                elif op == b"Tm":
+                    if len(stack) >= 6:
+                        a, b, c, d, e, f = stack[-6:]
+                        if abs(b) > 1e-6 or abs(c) > 1e-6:
+                            return None  # rotated/skewed text space
+                        x, y = e, f
+                        moved = True
+                else:  # T*
+                    y -= tl
+                    moved = True
+                stack.clear()
+                continue
+            if m.group("lit") is not None:
+                if m.group("litop") in (b"'", b'"'):
+                    y -= tl
+                    moved = True
+                shown = _show_text(_decode_pdf_string(m.group("lit")[1:-1]), cmaps)
+            elif m.group("hex") is not None:
+                if m.group("hexop") in (b"'", b'"'):
+                    y -= tl
+                    moved = True
+                shown = _show_text(_decode_hex_string(m.group("hex")[1:-1]), cmaps)
+            else:
+                shown = _tj_text(m.group("arr")[1:-1], cmaps)
+            stack.clear()
+            if shown:
+                if moved or not spans:
+                    spans.append((y, x, shown))
+                else:
+                    py, px, pt = spans[-1]
+                    spans[-1] = (py, px, pt + shown)
+                moved = False
+    return spans
+
+
+def _cluster_rows(
+    spans: list[tuple[float, float, str]],
+) -> list[tuple[float, list[tuple[float, str]]]]:
+    """Spans → visual rows: [(y, [(x, text) left-to-right]), ...] sorted
+    top-to-bottom. First-match y clustering at ±_ROW_Y_TOL — table
+    baselines are exact in practice; the tolerance only absorbs
+    float formatting."""
+    rows: list[list] = []
+    for y, x, text in spans:
+        for row in rows:
+            if abs(row[0] - y) <= _ROW_Y_TOL:
+                row[1].append((x, text))
+                break
+        else:
+            rows.append([y, [(x, text)]])
+    rows.sort(key=lambda r: -r[0])
+    for row in rows:
+        row[1].sort(key=lambda s: s[0])
+    return [(y, cells) for y, cells in rows]
+
+
+def _table_runs(
+    rows: list[tuple[float, list[tuple[float, str]]]],
+) -> list[tuple[int, int]]:
+    """Maximal runs of >= _MIN_TABLE_ROWS consecutive rows sharing a
+    >= 2-column x signature (±_COL_X_TOL per column), as inclusive
+    (start, end) row indices."""
+    runs: list[tuple[int, int]] = []
+    i = 0
+    while i < len(rows):
+        cells = rows[i][1]
+        if len(cells) < 2:
+            i += 1
+            continue
+        xs = [c[0] for c in cells]
+        j = i + 1
+        while j < len(rows):
+            nxt = rows[j][1]
+            if len(nxt) != len(xs) or any(
+                abs(nxt[k][0] - xs[k]) > _COL_X_TOL for k in range(len(xs))
+            ):
+                break
+            j += 1
+        if j - i >= _MIN_TABLE_ROWS:
+            runs.append((i, j - 1))
+            i = j
+        else:
+            i += 1
+    return runs
+
+
+def _render_stream_with_tables(
+    data: bytes, cmaps: list[dict[bytes, str]]
+) -> list[str] | None:
+    """Positional rendering of ONE text stream — pipe tables for
+    detected grid runs, space-joined rows otherwise — or None when no
+    table is detected (or positions are unusable), in which case the
+    caller keeps the legacy extraction byte-for-byte."""
+    spans = _extract_positioned_spans(data, cmaps)
+    if not spans:
+        return None
+    rows = _cluster_rows(spans)
+    runs = _table_runs(rows)
+    if not runs:
+        return None
+    starts = {start: end for start, end in runs}
+    out: list[str] = []
+    i = 0
+    while i < len(rows):
+        if i in starts:
+            end = starts[i]
+            out.extend(
+                rows_to_pipe_table(
+                    [
+                        [t.strip() for _, t in rows[k][1]]
+                        for k in range(i, end + 1)
+                    ]
+                )
+            )
+            i = end + 1
+        else:
+            line = " ".join(t for _, t in rows[i][1]).strip()
+            if line:
+                out.append(line)
+            i += 1
+    return out
 
 
 _FILTER_RE = re.compile(rb"/(\w+Decode)\b")
@@ -485,7 +696,16 @@ def pdf_to_markdown(content: bytes) -> str:
         texts.append(data)
     lines: list[str] = []
     for data in texts:
-        lines.extend(_extract_text_ops(data, cmaps))
+        # table-aware positional render first (r12, VERDICT r11 Next
+        # #7); a stream with no detected aligned grid — or unusable
+        # positions — keeps the legacy flush-per-Td extraction
+        # byte-for-byte (the q72 corpus oracle's closed form and every
+        # golden conversion depend on that)
+        rendered = _render_stream_with_tables(data, cmaps)
+        if rendered is not None:
+            lines.extend(rendered)
+        else:
+            lines.extend(_extract_text_ops(data, cmaps))
     return "\n".join(lines)
 
 
