@@ -20,8 +20,14 @@ environment doesn't have:
   (bfchar/bfrange parsing, every-code-must-map matching — no font
   tracking needed); chunks that still decode to mostly non-printables
   are dropped rather than emitted as mojibake.
+  Aligned text grids render as GFM pipe tables via a conservative
+  positional clusterer over the content stream's own Td/Tm coordinates
+  (r12 — the reference's `extract_tables` option, service.py:133-158;
+  see the "pdf table extraction" section below), leaving OCR as the
+  only docling-gated conversion capability.
   Scanned/image-only PDFs yield "" — the converter reports that as an
-  error row pointing at the OCR-capable docling backend.
+  error row pointing at the OCR-capable docling backend (unless their
+  rasters are recoverable as pictures, which count as content).
 - **docx**: `word/document.xml` via zipfile + ElementTree — paragraphs,
   Heading styles → `#` prefixes, list items → `-`, tables → GFM pipe
   tables (rendered by `rows_to_pipe_table`, shared with convert.py's
