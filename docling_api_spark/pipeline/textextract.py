@@ -467,6 +467,16 @@ def _render_stream_with_tables(
     detected grid runs, space-joined rows otherwise — or None when no
     table is detected (or positions are unusable), in which case the
     caller keeps the legacy extraction byte-for-byte."""
+    # cheap pre-check before the full positional replay: a table needs
+    # >= _MIN_TABLE_ROWS rows x 2 columns = 6 independently positioned
+    # spans, i.e. >= 6 positioning operators. Plain single-paragraph
+    # streams (the overwhelming majority — every q72 corpus document)
+    # bail here on two byte scans instead of paying the token replay.
+    if (
+        data.count(b"Tm") + data.count(b"Td") + data.count(b"TD")
+        < _MIN_TABLE_ROWS * 2
+    ):
+        return None
     spans = _extract_positioned_spans(data, cmaps)
     if not spans:
         return None
