@@ -33,5 +33,7 @@ def test_oracle_budget_brackets_the_written_policy():
 
 def test_oracle_budget_is_the_policy_constant():
     # the policy says "~tens of seconds"; a silent bump past a minute
-    # would let a grading sweep grow minutes-per-round again
-    assert driver_dryrun.ORACLE_BUDGET_S == 30.0
+    # would let a grading sweep grow minutes-per-round again. 40 = the
+    # 17s accepted ceiling x the measured worst box-noise factor (~1.4
+    # inflated q257 to 24.2s in the r12 dryrun) with headroom.
+    assert driver_dryrun.ORACLE_BUDGET_S == 40.0

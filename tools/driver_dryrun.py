@@ -34,8 +34,11 @@ sys.path.insert(0, REPO)
 # into a dryrun gate instead of a memory: any single oracle exceeding it
 # FAILS the dryrun (exit 1) so a creeping oracle cost is caught the
 # round it lands, not when a grading sweep starts taking minutes.
-# Pinned by tests/test_dryrun_contract.py.
-ORACLE_BUDGET_S = 30.0
+# 40s = the accepted 17s ceiling x the worst box-noise factor measured
+# on this host (~x1.4 inflated q257 to 24.2s in the r12 dryrun) with
+# headroom, still well under the rejected 73s data point. Pinned by
+# tests/test_dryrun_contract.py.
+ORACLE_BUDGET_S = 40.0
 
 
 def norm(v) -> str:
