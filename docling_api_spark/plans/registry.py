@@ -178,6 +178,19 @@ def register(
 WINDOW_COMPOSED_FOR_ROUND: int = 12
 GRADED_FIRST: tuple[str, ...] = (
     # ---- round-12 driver window (50), policy-composed ----
+    "q102_revenue_concentration",
+    "q114_winsorized_agg",
+    "q118_equidepth_histogram",
+    "q121_rfm_segmentation",
+    "q158_median_mad_outliers",
+    "q162_lift_table",
+    "q227_conformal_interval",
+    "q241_quantile_treatment_effect",
+    "q24_percentiles_exact",
+    "q296_watermark_advisor",
+    "q297_mean_excess",
+    "q72_conversion_pipeline",
+    "q80_media_features",
     "q171_hll_rollup",
     "q142_bounce_rate",
     "q143_promo_share",
@@ -215,6 +228,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q181_join_size_estimate",
     "q182_cuped_adjustment",
     "q183_streaming_topk",
+    # ---- tail: prior tuple order (ex-window members lead) ----
     "q184_survival_hazard",
     "q185_triangle_census",
     "q186_geo_grid_join",
@@ -228,21 +242,7 @@ GRADED_FIRST: tuple[str, ...] = (
     "q192_forecast_wape",
     "q193_rolling_distinct",
     "q194_kmeans_lloyd",
-    # ---- tail: prior tuple order (ex-window members lead) ----
-    "q80_media_features",
     "q257_dtw_distance",
-    "q72_conversion_pipeline",
-    "q102_revenue_concentration",
-    "q114_winsorized_agg",
-    "q118_equidepth_histogram",
-    "q121_rfm_segmentation",
-    "q158_median_mad_outliers",
-    "q162_lift_table",
-    "q227_conformal_interval",
-    "q241_quantile_treatment_effect",
-    "q24_percentiles_exact",
-    "q296_watermark_advisor",
-    "q297_mean_excess",
     "q70_format_classify",
     "q118_approx_equidepth",
     "q126_skyline",
