@@ -1255,6 +1255,57 @@ def test_pdf_ragged_rows_break_the_run():
     )
 
 
+def test_pdf_random_grid_roundtrip_property():
+    """Property: any r x c grid (r >= 3, c >= 2) of alphanumeric cells
+    laid out at exact column x-positions round-trips through the
+    clusterer as exactly that grid — cells in order, no row lost."""
+    import random
+
+    rng = random.Random(12)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for trial in range(25):
+        r = rng.randint(3, 6)
+        c = rng.randint(2, 5)
+        grid = [
+            [
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                for _ in range(c)
+            ]
+            for _ in range(r)
+        ]
+        xs = [72 + 110 * k for k in range(c)]
+        stream = b"".join(
+            b"BT 1 0 0 1 %d %d Tm (%s) Tj ET\n"
+            % (xs[k], 720 - 18 * i, cell.encode())
+            for i, row in enumerate(grid)
+            for k, cell in enumerate(row)
+        )
+        from docling_api_spark.pipeline.textextract import rows_to_pipe_table
+
+        assert pdf_to_markdown(make_pdf(stream)) == "\n".join(
+            rows_to_pipe_table(grid)
+        ), f"trial {trial}: grid {r}x{c} did not round-trip"
+
+
+def test_pdf_prose_at_random_positions_never_tables():
+    """Property: single-span lines (one cell per y) never produce a
+    pipe table regardless of positioning style — the clusterer requires
+    >= 2 aligned columns."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(25):
+        n = rng.randint(1, 12)
+        stream = b"".join(
+            b"BT 1 0 0 1 %d %d Tm (line%d) Tj ET\n"
+            % (rng.randint(30, 90), 720 - 15 * i, i)
+            for i in range(n)
+        )
+        out = pdf_to_markdown(make_pdf(stream))
+        assert "|" not in out
+        assert out.splitlines() == [f"line{i}" for i in range(n)]
+
+
 def test_pdf_table_through_converter_counts_as_content():
     from docling_api_spark.pipeline.convert import LightweightConverter
 
