@@ -1306,6 +1306,38 @@ def test_pdf_prose_at_random_positions_never_tables():
         assert out.splitlines() == [f"line{i}" for i in range(n)]
 
 
+def test_positioned_spans_quote_ops_and_stale_operands():
+    """Edge cases of the positioning replay: ' and \" advance the line
+    by the leading BEFORE showing; operands of untracked operators (Tf,
+    Tc) must not corrupt the next Td (PDF operand syntax is postfix, so
+    the real operands always sit last on the stack)."""
+    from docling_api_spark.pipeline.textextract import (
+        _extract_positioned_spans,
+    )
+
+    stream = (
+        b"BT /F1 9 Tf 0.5 Tc 14 TL 1 0 0 1 72 700 Tm (a) Tj "
+        b"(b) ' 2 3 (c) \" ET"
+    )
+    spans = _extract_positioned_spans(stream)
+    # (a) at 700; ' drops one leading -> (b) at 686; " drops another -> 672
+    assert [(round(y), round(x), t) for y, x, t in spans] == [
+        (700, 72, "a"), (686, 72, "b"), (672, 72, "c")
+    ]
+
+
+def test_positioned_spans_unmoved_shows_merge_into_one_cell():
+    from docling_api_spark.pipeline.textextract import (
+        _extract_positioned_spans,
+    )
+
+    stream = b"BT 1 0 0 1 72 700 Tm (he) Tj (llo) Tj 100 0 Td (x) Tj ET"
+    spans = _extract_positioned_spans(stream)
+    assert [(round(y), round(x), t) for y, x, t in spans] == [
+        (700, 72, "hello"), (700, 172, "x")
+    ]
+
+
 def test_pdf_table_through_converter_counts_as_content():
     from docling_api_spark.pipeline.convert import LightweightConverter
 
