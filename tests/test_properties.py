@@ -279,6 +279,44 @@ def test_pdf_extraction_is_total_behind_the_header(body):
     assert isinstance(out, str)
 
 
+# grammar-directed fuzz for the r12 positional table pass: random
+# interleavings of positioning operators, show ops, junk names and
+# numbers — guaranteed to clear the cheap Tm/Td pre-check and run the
+# span replay + clusterer, unlike uniform byte soup
+_POS_TOKENS = st.lists(
+    st.sampled_from([
+        b"1 0 0 1 72 700 Tm ", b"0 1 -1 0 10 10 Tm ", b"12 -14 Td ",
+        b"0 -14 TD ", b"14 TL ", b"T* ", b"(cell) Tj ", b"(a) ' ",
+        b"1 2 (b) \" ", b"[(x) -200 (y)] TJ ", b"/F1 9 Tf ", b"0.5 Tc ",
+        b"72 Tz ", b"<414243> Tj ", b"( ) Tj ", b"99999999 0 Td ",
+        b"-0.001 0.001 Td ", b"BT ", b"ET ", b"garbage ", b"\x00\xff ",
+    ]),
+    min_size=8, max_size=60,
+)
+
+
+@given(toks=_POS_TOKENS)
+@settings(max_examples=300, deadline=None)
+def test_positional_table_pass_is_total(toks):
+    """The r12 positional replay + row/column clusterer must be total
+    over adversarial operator streams (unbalanced BT/ET, rotated
+    matrices, huge/tiny translations, stale operands, NULs): one poison
+    stream must yield a str via fallback, never a dead task."""
+    from docling_api_spark.pipeline.textextract import (
+        _extract_positioned_spans,
+        pdf_to_markdown,
+    )
+
+    stream = b"BT " + b"".join(toks) + b" ET"
+    spans = _extract_positioned_spans(stream)
+    assert spans is None or isinstance(spans, list)
+    pdf = (
+        b"%PDF-1.4\n4 0 obj <</Length " + str(len(stream)).encode()
+        + b">>\nstream\n" + stream + b"\nendstream endobj\n%%EOF\n"
+    )
+    assert isinstance(pdf_to_markdown(pdf), str)
+
+
 def _pdf_with_literal(text: str) -> bytes:
     esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     return (
