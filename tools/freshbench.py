@@ -13,10 +13,17 @@ per-session codegen probe so box drift is visible per measurement.
     python tools/freshbench.py q296_watermark_advisor q157_ohlc_bars
     python tools/freshbench.py --one q01_pricing_summary   # child mode
 
-Interpretation contract (written BEFORE the first r12 run): the
-fresh-session carried min-sum is a RESIDUE-FREE floor for the same
-code + box. Comparing same-HEAD, same-window shared-JVM and fresh
-records:
+Interpretation contract (written BEFORE the first r12 run; caveat
+appended AFTER it): the fresh-session carried min-sum is a
+RESIDUE-FREE measurement for the same code + box — but NOT a floor:
+the first r12 run (FRESHBENCH_r12.json) measured the fresh carried
+min-sum at 29.63s vs 20.18s shared-JVM on the same day, because at
+sub-second query scale the deep-warm shared session's JIT/broadcast
+warmup HELPS far more than its residue hurts. Fresh numbers therefore
+compare ONLY against other fresh numbers (per-session probes
+qualifying both sides); fresh-vs-shared gaps mix warmup and residue
+and adjudicate nothing by themselves. Comparing same-HEAD,
+same-window shared-JVM and fresh records:
 
 - shared >> fresh (beyond what the probes attribute to box movement
   between the runs): the shared-JVM drift is SESSION RESIDUE — the
