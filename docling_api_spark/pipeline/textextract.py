@@ -327,6 +327,13 @@ _ROW_Y_TOL = 2.0  # pt: spans within this y-distance share a visual row
 _COL_X_TOL = 3.0  # pt: cells within this x-distance share a column
 _MIN_TABLE_ROWS = 3  # header + >= 2 data rows; 2 aligned rows is too
 # weak a signal to distinguish a table from a short two-column layout
+# Span budget: _cluster_rows is O(spans x distinct rows) — fine for any
+# real page (a dense table page is ~2-3k spans) but quadratic on an
+# adversarial single stream with 10^5+ individually positioned spans,
+# which would hang the conversion task rather than error it. Past the
+# cap the stream falls back to the legacy linear extraction (r12
+# self-review finding).
+_MAX_TABLE_SPANS = 20_000
 
 _POS_TOKEN_RE = re.compile(
     rb"""
@@ -478,7 +485,7 @@ def _render_stream_with_tables(
     ):
         return None
     spans = _extract_positioned_spans(data, cmaps)
-    if not spans:
+    if not spans or len(spans) > _MAX_TABLE_SPANS:
         return None
     rows = _cluster_rows(spans)
     runs = _table_runs(rows)

@@ -1338,6 +1338,24 @@ def test_positioned_spans_unmoved_shows_merge_into_one_cell():
     ]
 
 
+def test_pdf_span_budget_falls_back_to_linear_extraction():
+    """An adversarial stream with more positioned spans than
+    _MAX_TABLE_SPANS must fall back to the legacy linear extraction
+    (the clusterer is O(spans x rows) — r12 self-review) instead of
+    hanging the conversion task. Output still extracts, just without
+    table detection."""
+    from docling_api_spark.pipeline import textextract as tx
+
+    n = tx._MAX_TABLE_SPANS + 10
+    stream = b"".join(
+        b"BT 1 0 0 1 %d %d Tm (s%d) Tj ET\n" % (72 + (i % 7), i, i)
+        for i in range(n)
+    )
+    out = tx.pdf_to_markdown(make_pdf(stream))
+    assert "|" not in out
+    assert out.count("\n") == n - 1  # every span survives as a line
+
+
 def test_pdf_table_through_converter_counts_as_content():
     from docling_api_spark.pipeline.convert import LightweightConverter
 
