@@ -903,6 +903,53 @@ _ADOC_OLIST_RE = re.compile(r"^(\.{1,5})\s+(.*)$")
 # bracketed line that merely starts with "source" ("[sources]",
 # "[source code example]" are prose and must pass through verbatim)
 _ADOC_SOURCE_RE = re.compile(r"^\[source(?:\s*,\s*([\w+-]+)[^\]]*)?\]\s*$")
+# table block attribute: `[cols="1,2"]`, `[cols="3*",options="header"]` —
+# consumed ONLY when the next structural line opens a `|===` table,
+# otherwise emitted verbatim (it is prose outside a table context)
+_ADOC_COLS_RE = re.compile(r"^\[[^\]]*cols\s*=\s*\"([^\"]*)\"[^\]]*\]\s*$")
+# unescaped cell separator: a `|` not preceded by a backslash
+_ADOC_CELL_SPLIT_RE = re.compile(r"(?<!\\)\|")
+
+
+def _adoc_cols_count(spec: str) -> int:
+    """Column count of a `cols="..."` attribute value: comma-separated
+    specs, each optionally `N*`-multiplied (`"3*"` = 3 equal columns,
+    `"1,2a,3*4"` = 1 + 1 + 3 = 5)."""
+    n = 0
+    for part in spec.split(","):
+        m = re.match(r"\s*(\d+)\*", part)
+        n += int(m.group(1)) if m else 1
+    return max(1, n)
+
+
+def _adoc_table_to_pipe(lines: list[str], cols: int | None) -> list[str]:
+    """`|===` table body → pipe-table lines via the shared renderer.
+
+    Cells are every `|`-prefixed segment in order (AsciiDoc's model);
+    `\\|` escapes a literal pipe. Width = the first cell line's cell
+    count when it holds a full row (>1 cells — the idiomatic header
+    line), else the `cols` attribute, else 1. The flat cell list then
+    chunks into rows of that width (the one-cell-per-line style falls
+    out naturally). A non-cell line continues the previous cell
+    (multi-line cell content), joined with a space."""
+    cells: list[str] = []
+    width = cols
+    for raw in lines:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("|"):
+            parts = _ADOC_CELL_SPLIT_RE.split(line)[1:]
+            if width is None and len(parts) > 1:
+                width = len(parts)
+            cells.extend(p.strip().replace("\\|", "|") for p in parts)
+        elif cells:
+            cells[-1] = (cells[-1] + " " + line).strip()
+    if not cells:
+        return []
+    width = width or 1
+    rows = [cells[i : i + width] for i in range(0, len(cells), width)]
+    return rows_to_pipe_table(rows)
 
 
 def asciidoc_to_markdown(text: str) -> str:
@@ -910,16 +957,23 @@ def asciidoc_to_markdown(text: str) -> str:
     ``.`` list items to ``-``/``1.`` (3-space nesting per extra marker),
     ``----``/``....`` literal blocks to fenced code (a preceding
     ``[source,lang]`` attribute supplies the fence language; a block
-    closes only on ITS opening delimiter), ``//`` comment lines and
-    ``////`` comment blocks dropped. Inline formatting and everything
-    else passes through VERBATIM — a DOCUMENT with no structural lines
-    comes out byte-identical, trailing newline and CRLF endings
-    included (the q72 corpus oracle's closed form depends on that; the
-    split is on bare \\n so \\r stays attached to pass-through lines)."""
+    closes only on ITS opening delimiter), ``|===`` table blocks to GFM
+    pipe tables via the shared renderer (r12; a preceding ``[cols=...]``
+    attribute supplies the width for one-cell-per-line bodies and is
+    consumed only when a table actually follows), ``//`` comment lines
+    and ``////`` comment blocks dropped. Inline formatting and
+    everything else passes through VERBATIM — a DOCUMENT with no
+    structural lines comes out byte-identical, trailing newline and
+    CRLF endings included (the q72 corpus oracle's closed form depends
+    on that; the split is on bare \\n so \\r stays attached to
+    pass-through lines)."""
     out: list[str] = []
     in_block: str | None = None  # the delimiter that opened the block
     in_comment = False
     pending_lang: str | None = None
+    pending_cols: tuple[str, int] | None = None  # (raw attr line, count)
+    table_lines: list[str] | None = None  # inside a |=== block
+    table_cols: int | None = None
     for line in text.split("\n"):
         stripped = line.rstrip()
         if in_comment:
@@ -933,12 +987,25 @@ def asciidoc_to_markdown(text: str) -> str:
             else:
                 out.append(line)
             continue
+        if table_lines is not None:
+            if stripped == "|===":
+                out.extend(_adoc_table_to_pipe(table_lines, table_cols))
+                table_lines = None
+            else:
+                table_lines.append(line)
+            continue
         if stripped == "////":
             in_comment = True
             continue
         m = _ADOC_SOURCE_RE.match(stripped)
         if m:
             pending_lang = m.group(1) or ""
+            continue
+        if stripped == "|===":
+            table_lines, table_cols = [], (
+                pending_cols[1] if pending_cols else None
+            )
+            pending_cols = None
             continue
         if stripped in ("----", "...."):
             out.append("```" + (pending_lang or ""))
@@ -949,6 +1016,16 @@ def asciidoc_to_markdown(text: str) -> str:
             # a line comment between [source,lang] and its ---- block
             # does not detach the attribute, so it must not reset
             # pending_lang
+            continue
+        if pending_cols is not None:
+            # the held [cols=...] line was NOT followed by a table
+            # opener: it is prose — emit it verbatim before this line
+            out.append(pending_cols[0])
+            pending_cols = None
+        m = _ADOC_COLS_RE.match(stripped)
+        if m:
+            # hold: consumed only if the next structural line is |===
+            pending_cols = (line, _adoc_cols_count(m.group(1)))
             continue
         pending_lang = None
         m = _ADOC_HEADING_RE.match(line)
@@ -964,6 +1041,10 @@ def asciidoc_to_markdown(text: str) -> str:
             out.append("   " * (len(m.group(1)) - 1) + "1. " + m.group(2))
             continue
         out.append(line)
+    if pending_cols is not None:  # trailing held attr: it was prose
+        out.append(pending_cols[0])
+    if table_lines is not None:  # unterminated table: render what we have
+        out.extend(_adoc_table_to_pipe(table_lines, table_cols))
     if in_block is not None:  # unterminated block: close the fence
         out.append("```")
     return "\n".join(out)

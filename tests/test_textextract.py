@@ -1620,6 +1620,49 @@ def test_asciidoc_headings_lists_blocks():
     ]
 
 
+def test_asciidoc_table_block_renders_pipe_table():
+    """`|===` tables (header-line style and one-cell-per-line style,
+    multi-line cells, escaped pipes) render through the shared pipe
+    renderer — the reference's docling asciidoc backend parses these;
+    pass-through verbatim was the r12 gap."""
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    adoc = (
+        "before\n"
+        "|===\n"
+        "|name |count\n"
+        "\n"
+        "|alpha\n"
+        "|7\n"
+        "\n"
+        "|pipe \\| cell\n"
+        "|still\n"
+        "continues\n"
+        "|===\n"
+        "after"
+    )
+    assert asciidoc_to_markdown(adoc).splitlines() == [
+        "before",
+        "| name | count |",
+        "|---|---|",
+        "| alpha | 7 |",
+        "| pipe | cell | still continues |",
+        "after",
+    ]
+
+
+def test_asciidoc_cols_attribute_sets_width_and_is_prose_otherwise():
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    adoc = '[cols="3*"]\n|===\n|a\n|b\n|c\n|d\n|e\n|f\n|===\n'
+    assert asciidoc_to_markdown(adoc) == (
+        "| a | b | c |\n|---|---|---|\n| d | e | f |\n"
+    )
+    # a [cols=...] line NOT followed by a table is prose: verbatim
+    prose = 'see [cols="1,2"] for syntax\n[cols="1,2"]\nnot a table'
+    assert asciidoc_to_markdown(prose) == prose
+
+
 def test_asciidoc_plain_text_passes_through_byte_identical():
     # the q72 corpus .adoc members are plain [a-z ]+ lines; the oracle's
     # markdown_len == n_chars closed form requires identity here
