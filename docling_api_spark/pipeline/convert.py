@@ -41,8 +41,6 @@ from docling_api_spark.pipeline.schemas import CONVERSION_OUTPUT_SCHEMA
 
 DEFAULT_IMAGE_RESOLUTION_SCALE = 4
 
-_TAG_RE = re.compile(r"<[^>]+>")
-_WS_RE = re.compile(r"[ \t]+")
 
 
 def _stem(filename: str) -> str:
@@ -203,12 +201,13 @@ def _csv_to_markdown(text: str) -> str:
 
 
 def _html_to_markdown(content: bytes) -> str:
-    text = content.decode("utf-8", errors="replace")
-    text = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", "", text)
-    text = re.sub(r"<!--.*?-->", "", text, flags=re.DOTALL)
-    text = _TAG_RE.sub(" ", text)
-    lines = [_WS_RE.sub(" ", ln).strip() for ln in text.splitlines()]
-    return "\n".join(ln for ln in lines if ln)
+    # structural conversion since r12 (headings/lists/tables/links —
+    # what the reference gets from docling's html backend); delegates to
+    # textextract so the pipe renderer is the shared one. For the q72
+    # corpus shape <p>text</p> the output equals the r1-r11 tag-strip's.
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    return html_to_markdown(content)
 
 
 def extract_document_images(document) -> tuple[str, list[dict]]:

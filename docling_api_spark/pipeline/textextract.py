@@ -49,10 +49,12 @@ from __future__ import annotations
 import re
 import zipfile
 import zlib
+from html.parser import HTMLParser
 from io import BytesIO
 from xml.etree import ElementTree as ET
 
 __all__ = [
+    "html_to_markdown",
     "pdf_to_markdown",
     "pdf_extract_images",
     "docx_to_markdown",
@@ -890,6 +892,193 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             _png_encode(width, height, channels, data, prefiltered=prefiltered)
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# html (structural)
+# ---------------------------------------------------------------------------
+
+_WS_COLLAPSE_RE = re.compile(r"\s+")
+
+
+class _HTMLToMarkdown(HTMLParser):
+    """Structural html → markdown walker (r12): h1-h6 to ``#`` prefixes,
+    p/div/br paragraph boundaries, ul/ol/li to ``-``/``1.`` items
+    (3-space nesting), a[href] to ``[text](url)``, table/tr/td|th
+    through the shared ``rows_to_pipe_table`` renderer (nested tables
+    flatten into their outer cell), pre to fenced code, script/style
+    and comments dropped, entity refs decoded (convert_charrefs).
+    Everything inline-unknown passes through as text with whitespace
+    collapsed — the q72 corpus shape ``<p>text</p>`` comes out as
+    exactly ``text``. HTMLParser is tolerant by design, so malformed
+    markup degrades to text instead of raising (the mapInPandas
+    error-as-column contract needs totality)."""
+
+    _HEADINGS = {f"h{i}": i for i in range(1, 7)}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[str] = []
+        self.buf: list[str] = []
+        self.heading = 0
+        self.lists: list[list] = []  # [tag, counter] per open list
+        self.item_prefix = ""
+        self.tables: list[dict] = []  # stack: {rows, row, cell}
+        self.pre = False
+        self.pre_buf: list[str] = []
+        self.skip = 0  # script/style depth
+        self.hrefs: list[str] = []
+
+    # -- text assembly -----------------------------------------------------
+    def _flush(self) -> None:
+        text = _WS_COLLAPSE_RE.sub(" ", "".join(self.buf)).strip()
+        self.buf.clear()
+        if not text:
+            return
+        if self.heading:
+            self.out.append("#" * self.heading + " " + text)
+        elif self.item_prefix:
+            self.out.append(self.item_prefix + text)
+            self.item_prefix = ""
+        else:
+            self.out.append(text)
+
+    def _cell_flush(self) -> None:
+        t = self.tables[-1]
+        if t["cell"] is not None:
+            t["row"].append(
+                _WS_COLLAPSE_RE.sub(" ", "".join(self.buf)).strip()
+            )
+            self.buf.clear()
+            t["cell"] = None
+
+    # -- parser hooks --------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self.skip += 1
+            return
+        if self.skip:
+            return
+        if tag == "pre":
+            self._flush()
+            self.pre = True
+            self.pre_buf = []
+            return
+        if self.pre:
+            return
+        if tag in self._HEADINGS:
+            self._flush()
+            self.heading = self._HEADINGS[tag]
+        elif tag in ("p", "div", "section", "article", "blockquote"):
+            self._flush()
+        elif tag == "br":
+            self._flush()
+        elif tag in ("ul", "ol"):
+            self._flush()
+            self.lists.append([tag, 0])
+        elif tag == "li":
+            self._flush()
+            depth = max(0, len(self.lists) - 1)
+            if self.lists and self.lists[-1][0] == "ol":
+                self.lists[-1][1] += 1
+                self.item_prefix = "   " * depth + "1. "
+            else:
+                self.item_prefix = "   " * depth + "- "
+        elif tag == "table":
+            self._flush()
+            self.tables.append({"rows": [], "row": None, "cell": None})
+        elif tag == "tr" and self.tables:
+            self._cell_flush()
+            self.tables[-1]["row"] = []
+        elif tag in ("td", "th") and self.tables:
+            self._cell_flush()
+            self.tables[-1]["cell"] = tag
+        elif tag == "a":
+            href = dict(attrs).get("href")
+            self.hrefs.append(href or "")
+            if href:
+                self.buf.append("[")
+        elif tag == "img":
+            alt = dict(attrs).get("alt")
+            if alt:
+                self.buf.append(alt)
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self.skip = max(0, self.skip - 1)
+            return
+        if self.skip:
+            return
+        if tag == "pre":
+            if self.pre:
+                self.pre = False
+                self.out.append("```")
+                raw = "".join(self.pre_buf).strip("\n")
+                if raw:
+                    self.out.extend(raw.split("\n"))
+                self.out.append("```")
+            return
+        if self.pre:
+            return
+        if tag in self._HEADINGS:
+            self._flush()
+            self.heading = 0
+        elif tag in ("p", "div", "section", "article", "blockquote", "li"):
+            self._flush()
+            if tag == "li":
+                self.item_prefix = ""
+        elif tag in ("ul", "ol"):
+            self._flush()
+            if self.lists:
+                self.lists.pop()
+        elif tag in ("td", "th") and self.tables:
+            self._cell_flush()
+        elif tag == "tr" and self.tables:
+            self._cell_flush()
+            t = self.tables[-1]
+            if t["row"] is not None:
+                t["rows"].append(t["row"])
+                t["row"] = None
+        elif tag == "table" and self.tables:
+            self._cell_flush()
+            t = self.tables.pop()
+            if t["row"] is not None:
+                t["rows"].append(t["row"])
+            rows = [r for r in t["rows"] if r]
+            if rows:
+                if self.tables:
+                    # nested table: flatten into the outer cell's text
+                    self.buf.append(
+                        " ".join(" ".join(r) for r in rows)
+                    )
+                else:
+                    self.out.extend(rows_to_pipe_table(rows))
+        elif tag == "a":
+            href = self.hrefs.pop() if self.hrefs else ""
+            if href:
+                self.buf.append(f"]({href})")
+
+    def handle_data(self, data):
+        if self.skip:
+            return
+        if self.pre:
+            self.pre_buf.append(data)
+        else:
+            self.buf.append(data)
+
+    def result(self) -> str:
+        self._flush()
+        return "\n".join(ln for ln in self.out if ln)
+
+
+def html_to_markdown(content: bytes) -> str:
+    """Structural html → markdown (see :class:`_HTMLToMarkdown`); the
+    reference gets this from docling's html backend (headings, lists,
+    tables, links); through r11 the lightweight path only tag-stripped."""
+    parser = _HTMLToMarkdown()
+    parser.feed(content.decode("utf-8", errors="replace"))
+    parser.close()
+    return parser.result()
 
 
 # ---------------------------------------------------------------------------

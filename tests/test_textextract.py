@@ -1620,6 +1620,85 @@ def test_asciidoc_headings_lists_blocks():
     ]
 
 
+# ---------------------------------------------------------------------------
+# html structural conversion (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_html_structural_golden():
+    """Headings, lists, tables (shared renderer), links, pre blocks,
+    img alt, script/style/comment stripping — the structure docling's
+    html backend produces, stdlib-only."""
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    html = (
+        b"<!doctype html><html><head><style>p{}</style>"
+        b"<script>var x=1;</script></head><body>"
+        b"<h1>Title</h1><p>Intro &amp; more.</p>"
+        b"<ul><li>one</li><li>two<ol><li>sub</li></ol></li></ul>"
+        b"<table><tr><th>k</th><th>v</th></tr>"
+        b"<tr><td>a</td><td>1</td></tr></table>"
+        b"<p>see <a href='http://x'>the link</a>.</p>"
+        b"<pre>code line\n  indented</pre>"
+        b"<p><img src='i.png' alt='a figure'> tail</p>"
+        b"<!-- comment --></body></html>"
+    )
+    assert html_to_markdown(html).splitlines() == [
+        "# Title",
+        "Intro & more.",
+        "- one",
+        "- two",
+        "   1. sub",
+        "| k | v |",
+        "|---|---|",
+        "| a | 1 |",
+        "see [the link](http://x).",
+        "```",
+        "code line",
+        "  indented",
+        "```",
+        "a figure tail",
+    ]
+
+
+def test_html_corpus_shape_unchanged():
+    # the q72 corpus closed form: <p>text</p> comes out as exactly text
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    assert html_to_markdown(
+        b"<!doctype html><html><body><p>plain corpus text</p></body></html>"
+    ) == "plain corpus text"
+
+
+def test_html_nested_table_flattens_into_outer_cell():
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    html = (
+        b"<table><tr><td>outer</td><td>"
+        b"<table><tr><td>in1</td><td>in2</td></tr></table>"
+        b"</td></tr><tr><td>x</td><td>y</td></tr></table>"
+    )
+    assert html_to_markdown(html).splitlines() == [
+        "| outer | in1 in2 |",
+        "|---|---|",
+        "| x | y |",
+    ]
+
+
+def test_html_malformed_is_total():
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    for junk in (
+        b"<table><tr><td>unclosed",
+        b"</td></tr></table>stray closers",
+        b"<a href='x'>never closed",
+        b"<<<>>><p>&bogus; &#xZZ;</p>",
+        b"\xff\xfe binary soup <h1>h",
+    ):
+        out = html_to_markdown(junk)
+        assert isinstance(out, str)
+
+
 def test_asciidoc_table_block_renders_pipe_table():
     """`|===` tables (header-line style and one-cell-per-line style,
     multi-line cells, escaped pipes) render through the shared pipe
