@@ -931,6 +931,12 @@ class _HTMLToMarkdown(HTMLParser):
 
     # -- text assembly -----------------------------------------------------
     def _flush(self) -> None:
+        if self.tables and self.tables[-1]["cell"] is not None:
+            # inside an open cell: block boundaries (<p>, <br>, nested
+            # block tags) collapse into the cell's text — flushing here
+            # would LEAK the cell's partial text out of the table
+            self.buf.append(" ")
+            return
         text = _WS_COLLAPSE_RE.sub(" ", "".join(self.buf)).strip()
         self.buf.clear()
         if not text:

@@ -1685,6 +1685,23 @@ def test_html_nested_table_flattens_into_outer_cell():
     ]
 
 
+def test_html_block_tags_inside_cells_stay_in_the_cell():
+    """r12 self-review: <p>/<br>/heading tags INSIDE a td must collapse
+    into the cell's text, not flush it out of the table."""
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    html = (
+        b"<table><tr><td><p>first</p><p>second</p></td>"
+        b"<td>a<br>b</td></tr>"
+        b"<tr><td>x</td><td>y</td></tr></table>"
+    )
+    assert html_to_markdown(html).splitlines() == [
+        "| first second | a b |",
+        "|---|---|",
+        "| x | y |",
+    ]
+
+
 def test_html_malformed_is_total():
     from docling_api_spark.pipeline.textextract import html_to_markdown
 
