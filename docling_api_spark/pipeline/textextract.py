@@ -952,9 +952,13 @@ class _HTMLToMarkdown(HTMLParser):
     def _cell_flush(self) -> None:
         t = self.tables[-1]
         if t["cell"] is not None:
+            if t["row"] is None:  # td without tr (malformed): make a row
+                t["row"] = []
             t["row"].append(
                 _WS_COLLAPSE_RE.sub(" ", "".join(self.buf)).strip()
             )
+            t["row"].extend([""] * t.get("pad", 0))
+            t["pad"] = 0
             self.buf.clear()
             t["cell"] = None
 
@@ -998,7 +1002,14 @@ class _HTMLToMarkdown(HTMLParser):
             self.tables[-1]["row"] = []
         elif tag in ("td", "th") and self.tables:
             self._cell_flush()
-            self.tables[-1]["cell"] = tag
+            t = self.tables[-1]
+            t["cell"] = tag
+            # colspan pads with empty cells AFTER this one so later
+            # rows' columns stay aligned (r12)
+            try:
+                t["pad"] = max(0, int(dict(attrs).get("colspan", "1")) - 1)
+            except ValueError:
+                t["pad"] = 0
         elif tag == "a":
             href = dict(attrs).get("href")
             self.hrefs.append(href or "")
@@ -1483,10 +1494,24 @@ def docx_extract(
                     out.extend(image_placeholder for _ in found)
                     payloads.extend(found)
             elif tag == f"{_W}tbl":
-                rows = [
-                    [_para_text(tc, links) for tc in tr.findall(f"{_W}tc")]
-                    for tr in el.findall(f"{_W}tr")
-                ]
+                # gridSpan (horizontally merged cells) pads with empty
+                # cells so later rows' columns stay aligned in the pipe
+                # table (r12; vMerge continuation cells are already
+                # empty paragraphs, which render as empty cells)
+                rows = []
+                for tr in el.findall(f"{_W}tr"):
+                    row: list[str] = []
+                    for tc in tr.findall(f"{_W}tc"):
+                        row.append(_para_text(tc, links))
+                        span = tc.find(f"{_W}tcPr/{_W}gridSpan")
+                        if span is not None:
+                            try:
+                                row.extend(
+                                    [""] * (int(span.get(f"{_W}val", "1")) - 1)
+                                )
+                            except ValueError:
+                                pass
+                    rows.append(row)
                 out.extend(rows_to_pipe_table(rows))
                 if image_placeholder is not None:
                     found = _docx_drawing_payloads(el, rels, zf)

@@ -1711,9 +1711,50 @@ def test_html_malformed_is_total():
         b"<a href='x'>never closed",
         b"<<<>>><p>&bogus; &#xZZ;</p>",
         b"\xff\xfe binary soup <h1>h",
+        b"<table><td>cell without tr</td></table>",
+        b"<table><tr><td colspan='zzz'>bad span</td></tr>"
+        b"<tr><td>x</td></tr></table>",
     ):
         out = html_to_markdown(junk)
         assert isinstance(out, str)
+
+
+def test_html_colspan_pads_columns():
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    html = (
+        b"<table><tr><th colspan=2>merged</th><th>c</th></tr>"
+        b"<tr><td>1</td><td>2</td><td>3</td></tr></table>"
+    )
+    assert html_to_markdown(html).splitlines() == [
+        "| merged |  | c |",
+        "|---|---|---|",
+        "| 1 | 2 | 3 |",
+    ]
+
+
+def test_docx_gridspan_pads_columns():
+    """Horizontally merged docx cells (w:gridSpan) pad so later rows'
+    columns stay aligned — docling renders the same shape."""
+    from docling_api_spark.pipeline.textextract import docx_to_markdown
+
+    doc = (
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body><w:tbl>'
+        "<w:tr><w:tc><w:tcPr><w:gridSpan w:val='2'/></w:tcPr>"
+        "<w:p><w:r><w:t>merged</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>c</w:t></w:r></w:p></w:tc></w:tr>"
+        "<w:tr><w:tc><w:p><w:r><w:t>1</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>2</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>3</w:t></w:r></w:p></w:tc></w:tr>"
+        "</w:tbl></w:body></w:document>"
+    )
+    payload = make_docx(doc)
+    assert docx_to_markdown(payload).splitlines() == [
+        "| merged |  | c |",
+        "|---|---|---|",
+        "| 1 | 2 | 3 |",
+    ]
 
 
 def test_asciidoc_table_block_renders_pipe_table():
