@@ -1057,19 +1057,7 @@ class _HTMLToMarkdown(HTMLParser):
                 t["rows"].append(t["row"])
                 t["row"] = None
         elif tag == "table" and self.tables:
-            self._cell_flush()
-            t = self.tables.pop()
-            if t["row"] is not None:
-                t["rows"].append(t["row"])
-            rows = [r for r in t["rows"] if r]
-            if rows:
-                if self.tables:
-                    # nested table: flatten into the outer cell's text
-                    self.buf.append(
-                        " ".join(" ".join(r) for r in rows)
-                    )
-                else:
-                    self.out.extend(rows_to_pipe_table(rows))
+            self._close_table()
         elif tag == "a":
             href = self.hrefs.pop() if self.hrefs else ""
             if href:
@@ -1083,7 +1071,22 @@ class _HTMLToMarkdown(HTMLParser):
         else:
             self.buf.append(data)
 
+    def _close_table(self) -> None:
+        self._cell_flush()
+        t = self.tables.pop()
+        if t["row"] is not None:
+            t["rows"].append(t["row"])
+        rows = [r for r in t["rows"] if r]
+        if rows:
+            if self.tables:
+                # nested table: flatten into the outer cell's text
+                self.buf.append(" ".join(" ".join(r) for r in rows))
+            else:
+                self.out.extend(rows_to_pipe_table(rows))
+
     def result(self) -> str:
+        while self.tables:  # unterminated <table>: render what we have
+            self._close_table()
         self._flush()
         return "\n".join(ln for ln in self.out if ln)
 

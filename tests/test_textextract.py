@@ -1719,6 +1719,15 @@ def test_html_malformed_is_total():
         assert isinstance(out, str)
 
 
+def test_html_unterminated_table_still_renders_rows():
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    out = html_to_markdown(
+        b"<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d"
+    )
+    assert out.splitlines() == ["| a | b |", "|---|---|", "| c | d |"]
+
+
 def test_html_colspan_pads_columns():
     from docling_api_spark.pipeline.textextract import html_to_markdown
 
