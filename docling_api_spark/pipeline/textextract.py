@@ -1131,6 +1131,14 @@ def _adoc_cols_count(spec: str) -> int:
     return max(1, n)
 
 
+def _adoc_csv_table_to_pipe(lines: list[str]) -> list[str]:
+    """`,===` CSV-table body → pipe-table lines (rows are csv records)."""
+    import csv as _csv
+
+    rows = [[c.strip() for c in r] for r in _csv.reader(lines) if r]
+    return rows_to_pipe_table(rows) if rows else []
+
+
 def _adoc_table_to_pipe(lines: list[str], cols: int | None) -> list[str]:
     """`|===` table body → pipe-table lines via the shared renderer.
 
@@ -1181,7 +1189,8 @@ def asciidoc_to_markdown(text: str) -> str:
     in_comment = False
     pending_lang: str | None = None
     pending_cols: tuple[str, int] | None = None  # (raw attr line, count)
-    table_lines: list[str] | None = None  # inside a |=== block
+    table_lines: list[str] | None = None  # inside a |=== / ,=== block
+    table_close = "|==="  # the delimiter that opened the table block
     table_cols: int | None = None
     for line in text.split("\n"):
         stripped = line.rstrip()
@@ -1197,8 +1206,12 @@ def asciidoc_to_markdown(text: str) -> str:
                 out.append(line)
             continue
         if table_lines is not None:
-            if stripped == "|===":
-                out.extend(_adoc_table_to_pipe(table_lines, table_cols))
+            if stripped == table_close:
+                out.extend(
+                    _adoc_table_to_pipe(table_lines, table_cols)
+                    if table_close == "|==="
+                    else _adoc_csv_table_to_pipe(table_lines)
+                )
                 table_lines = None
             else:
                 table_lines.append(line)
@@ -1210,10 +1223,9 @@ def asciidoc_to_markdown(text: str) -> str:
         if m:
             pending_lang = m.group(1) or ""
             continue
-        if stripped == "|===":
-            table_lines, table_cols = [], (
-                pending_cols[1] if pending_cols else None
-            )
+        if stripped in ("|===", ",==="):
+            table_lines, table_close = [], stripped
+            table_cols = pending_cols[1] if pending_cols else None
             pending_cols = None
             continue
         if stripped in ("----", "...."):
@@ -1253,7 +1265,11 @@ def asciidoc_to_markdown(text: str) -> str:
     if pending_cols is not None:  # trailing held attr: it was prose
         out.append(pending_cols[0])
     if table_lines is not None:  # unterminated table: render what we have
-        out.extend(_adoc_table_to_pipe(table_lines, table_cols))
+        out.extend(
+            _adoc_table_to_pipe(table_lines, table_cols)
+            if table_close == "|==="
+            else _adoc_csv_table_to_pipe(table_lines)
+        )
     if in_block is not None:  # unterminated block: close the fence
         out.append("```")
     return "\n".join(out)

@@ -1797,6 +1797,20 @@ def test_asciidoc_table_block_renders_pipe_table():
     ]
 
 
+def test_asciidoc_csv_table_block():
+    """`,===` CSV tables: rows are csv records, quoted commas honored."""
+    from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
+
+    adoc = ',===\nname,count\nalpha,7\n"a, with comma",8\n,===\ntail'
+    assert asciidoc_to_markdown(adoc).splitlines() == [
+        "| name | count |",
+        "|---|---|",
+        "| alpha | 7 |",
+        "| a, with comma | 8 |",
+        "tail",
+    ]
+
+
 def test_asciidoc_cols_attribute_sets_width_and_is_prose_otherwise():
     from docling_api_spark.pipeline.textextract import asciidoc_to_markdown
 
