@@ -361,7 +361,9 @@ def _extract_positioned_spans(
     spans: list[tuple[float, float, str]] = []
     for block in _BT_RE.findall(content):
         x = y = 0.0  # current line origin, text space
-        tl = 0.0  # leading (for T* and the '/" show forms)
+        tl = 0.0  # leading (unscaled; for T* and the '/" show forms)
+        sx = sy = 1.0  # Tm scale components a/d — Td/TD/TL operands are
+        # in unscaled text space and map through the matrix (r12 advice)
         stack: list[float] = []
         moved = True
         for m in _POS_TOKEN_RE.finditer(block):
@@ -375,8 +377,8 @@ def _extract_positioned_spans(
                 if op in (b"Td", b"TD"):
                     if len(stack) >= 2:
                         tx, ty = stack[-2], stack[-1]
-                        x += tx
-                        y += ty
+                        x += tx * sx
+                        y += ty * sy
                         if op == b"TD":
                             tl = -ty
                         moved = True
@@ -388,21 +390,24 @@ def _extract_positioned_spans(
                         a, b, c, d, e, f = stack[-6:]
                         if abs(b) > 1e-6 or abs(c) > 1e-6:
                             return None  # rotated/skewed text space
+                        if abs(a) < 1e-6 or abs(d) < 1e-6:
+                            return None  # degenerate (collapsed) scale
+                        sx, sy = a, d
                         x, y = e, f
                         moved = True
                 else:  # T*
-                    y -= tl
+                    y -= tl * sy
                     moved = True
                 stack.clear()
                 continue
             if m.group("lit") is not None:
                 if m.group("litop") in (b"'", b'"'):
-                    y -= tl
+                    y -= tl * sy
                     moved = True
                 shown = _show_text(_decode_pdf_string(m.group("lit")[1:-1]), cmaps)
             elif m.group("hex") is not None:
                 if m.group("hexop") in (b"'", b'"'):
-                    y -= tl
+                    y -= tl * sy
                     moved = True
                 shown = _show_text(_decode_hex_string(m.group("hex")[1:-1]), cmaps)
             else:
@@ -999,7 +1004,10 @@ class _HTMLToMarkdown(HTMLParser):
             self.tables.append({"rows": [], "row": None, "cell": None})
         elif tag == "tr" and self.tables:
             self._cell_flush()
-            self.tables[-1]["row"] = []
+            t = self.tables[-1]
+            if t["row"]:  # </tr> omitted (valid HTML5): close the open row
+                t["rows"].append(t["row"])
+            t["row"] = []
         elif tag in ("td", "th") and self.tables:
             self._cell_flush()
             t = self.tables[-1]
@@ -1456,7 +1464,12 @@ def rows_to_pipe_table(rows: list[list[str]]) -> list[str]:
     if not rows:
         return []
     width = max(len(r) for r in rows)
-    rows = [r + [""] * (width - len(r)) for r in rows]
+    # Literal '|' in cell text would read as a column break downstream —
+    # escape it here so every format (csv/html/adoc/docx/pdf) gets the fix.
+    rows = [
+        [c.replace("|", "\\|") for c in r] + [""] * (width - len(r))
+        for r in rows
+    ]
     out = ["| " + " | ".join(rows[0]) + " |", "|" + "---|" * width]
     out += ["| " + " | ".join(r) + " |" for r in rows[1:]]
     return out

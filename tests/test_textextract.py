@@ -1234,6 +1234,65 @@ def test_pdf_rotated_text_matrix_disables_table_detection():
     assert [ln for ln in out.splitlines()] == [f"c{i}" for i in range(9)]
 
 
+def test_pdf_scaled_tm_scales_td_offsets():
+    """r12 advisor: after a scaled Tm (a/d != 1), Td/TD/TL operands are
+    in unscaled text space and must be multiplied by the matrix scale.
+    Here the header row is laid out with '2 0 0 2 ... Tm' + '64 0 Td'
+    (device x = 72 + 64*2 = 200); unscaled accumulation would put the
+    second header cell at x=136, break the column signature, and lose
+    the table."""
+    stream = (
+        b"BT 2 0 0 2 72 690 Tm (region) Tj 64 0 Td (revenue) Tj ET\n"
+        b"BT 1 0 0 1 72 672 Tm (EMEA) Tj ET\n"
+        b"BT 1 0 0 1 200 672 Tm (1200) Tj ET\n"
+        b"BT 1 0 0 1 72 654 Tm (APAC) Tj ET\n"
+        b"BT 1 0 0 1 200 654 Tm (980) Tj ET\n"
+    )
+    assert pdf_to_markdown(make_pdf(stream)) == (
+        "| region | revenue |\n"
+        "|---|---|\n"
+        "| EMEA | 1200 |\n"
+        "| APAC | 980 |"
+    )
+
+
+def test_pdf_scaled_tm_scales_leading():
+    """T* and the '/\" show forms move by TL *through the matrix scale*:
+    with '2 0 0 2' and '9 TL', each T* drops device y by 18 — the rows
+    land exactly on the absolutely-positioned second column."""
+    stream = (
+        b"BT 1 0 0 1 72 720 Tm (Intro paragraph.) Tj ET\n"
+        b"BT 9 TL 2 0 0 2 72 690 Tm (name) Tj T* (alpha) Tj T* (beta) Tj ET\n"
+        b"BT 1 0 0 1 200 690 Tm (count) Tj ET\n"
+        b"BT 1 0 0 1 200 672 Tm (7) Tj ET\n"
+        b"BT 1 0 0 1 200 654 Tm (12) Tj ET\n"
+        b"BT 1 0 0 1 72 600 Tm (Closing remark.) Tj ET\n"
+    )
+    assert pdf_to_markdown(make_pdf(stream)) == (
+        "Intro paragraph.\n"
+        "| name | count |\n"
+        "|---|---|\n"
+        "| alpha | 7 |\n"
+        "| beta | 12 |\n"
+        "Closing remark."
+    )
+
+
+def test_pdf_degenerate_tm_scale_disables_table_detection():
+    """A zero scale component collapses the text space — bail to the
+    legacy linear extraction instead of clustering collapsed spans."""
+    stream = b"".join(
+        b"BT 0 0 0 1 %d %d Tm (z%d) Tj ET\n" % (x, y, i)
+        for i, (x, y) in enumerate(
+            [(72, 690), (200, 690), (72, 672), (200, 672),
+             (72, 654), (200, 654)]
+        )
+    )
+    out = pdf_to_markdown(make_pdf(stream))
+    assert "|" not in out
+    assert out.splitlines() == [f"z{i}" for i in range(6)]
+
+
 def test_pdf_ragged_rows_break_the_run():
     """A row with a different cell count ends the aligned run: three
     aligned 2-cell rows table-ify, the trailing 1-cell row stays prose."""
@@ -1742,6 +1801,44 @@ def test_html_colspan_pads_columns():
     ]
 
 
+def test_html_omitted_tr_end_tags_keep_all_rows():
+    """r12 advisor: </tr> is optional in HTML5 — a following <tr> must
+    close the open row instead of overwriting it. Before the fix this
+    markup rendered only '| e | f |'."""
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    html = b"<table><tr><td>a<td>b<tr><td>c<td>d<tr><td>e<td>f</table>"
+    assert html_to_markdown(html).splitlines() == [
+        "| a | b |",
+        "|---|---|",
+        "| c | d |",
+        "| e | f |",
+    ]
+
+
+def test_pipe_in_cell_text_is_escaped():
+    """r12 advisor: a literal '|' inside cell data must not split the
+    cell into extra columns — the shared renderer escapes it, so every
+    format (csv/html/adoc/docx/pdf tables) inherits the fix."""
+    from docling_api_spark.pipeline.textextract import (
+        html_to_markdown,
+        rows_to_pipe_table,
+    )
+
+    assert rows_to_pipe_table([["a|b", "c"], ["d", "e||f"]]) == [
+        "| a\\|b | c |",
+        "|---|---|",
+        "| d | e\\|\\|f |",
+    ]
+    html = b"<table><tr><td>pipe | cell</td><td>plain</td></tr>" \
+           b"<tr><td>x</td><td>y</td></tr></table>"
+    assert html_to_markdown(html).splitlines() == [
+        "| pipe \\| cell | plain |",
+        "|---|---|",
+        "| x | y |",
+    ]
+
+
 def test_docx_gridspan_pads_columns():
     """Horizontally merged docx cells (w:gridSpan) pad so later rows'
     columns stay aligned — docling renders the same shape."""
@@ -1792,7 +1889,7 @@ def test_asciidoc_table_block_renders_pipe_table():
         "| name | count |",
         "|---|---|",
         "| alpha | 7 |",
-        "| pipe | cell | still continues |",
+        "| pipe \\| cell | still continues |",
         "after",
     ]
 
