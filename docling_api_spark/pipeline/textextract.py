@@ -675,6 +675,56 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
     return data, "raw"
 
 
+# the filter names _decode_stream can actually run (DCT = terminal JPEG
+# pass-through); anything else in an image stream's chain is a skip the
+# user deserves a breadcrumb for (VERDICT r12 Next #8)
+_SUPPORTED_FILTERS = frozenset(
+    {
+        "FlateDecode",
+        "ASCIIHexDecode",
+        "ASCII85Decode",
+        "RunLengthDecode",
+        "LZWDecode",
+        "DCTDecode",
+    }
+)
+# /Filter value: one name or an array of names. Unlike _FILTER_RE (which
+# keys on the *Decode suffix and so cannot see /Crypt), this parses the
+# actual chain entry, so every unsupported codec name is countable.
+_FILTER_CHAIN_RE = re.compile(
+    rb"/Filter\s*(?:\[(?P<arr>[^\]]*)\]|/(?P<one>\w+))", re.DOTALL
+)
+
+
+def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
+    """Image XObject streams whose /Filter chain names a codec the
+    lightweight extractor cannot decode (CCITTFaxDecode, JBIG2Decode,
+    JPXDecode, Crypt, ...), counted by the first unsupported codec in
+    each chain. These streams are SKIPPED by `pdf_extract_images` /
+    `pdf_to_markdown` by design (correct-by-omission, never mis-scanned);
+    this counter lets the conversion layer say so in the result instead
+    of silently omitting a scan the user is looking for."""
+    out: dict[str, int] = {}
+    for m in _STREAM_RE.finditer(content):
+        d = m.group("dict")
+        if not re.search(rb"/Subtype\s*/Image\b", d):
+            continue
+        fm = _FILTER_CHAIN_RE.search(d)
+        if fm is None:
+            continue
+        names = (
+            re.findall(rb"/(\w+)", fm.group("arr"))
+            if fm.group("arr") is not None
+            else [fm.group("one")]
+        )
+        for f in names:
+            name = f.decode("ascii", errors="replace")
+            if name not in _SUPPORTED_FILTERS:
+                out[name] = out.get(name, 0) + 1
+                break
+    return out
+
+
 def pdf_to_markdown(content: bytes) -> str:
     """Best-effort text layer of a PDF as markdown-ish plain text.
 
