@@ -107,11 +107,20 @@ def test_golden_convres_splice_matches_recorded_output():
     assert sum(1 for i in images if i["type"] == "table") == 1
 
 
-@pytest.mark.skipif(not _docling_available(), reason="docling not installed here")
-def test_real_docling_conversion_end_to_end(tmp_path):
-    """Heavy path for real: convert a generated PDF through DoclingConverter
-    (markdown + extracted images). Runs wherever docling is installed."""
+def test_docling_conversion_end_to_end(monkeypatch):
+    """Heavy path e2e: convert a generated PDF through DoclingConverter.
+    With docling installed this is a REAL conversion; without it the fake
+    package (tests/fake_docling.py) stands in, so the adapter glue —
+    option building, DocumentStream handoff, result mapping — runs in CI
+    either way instead of sitting behind a skip (VERDICT r12 Next #7).
+    The strict adapter-contract pins live in
+    tests/test_fake_docling_adapter.py."""
     from docling_api_spark.pipeline.convert import DoclingConverter
+
+    if not _docling_available():
+        from tests import fake_docling
+
+        fake_docling.install(monkeypatch)
 
     # minimal single-page PDF with one line of text
     pdf = (
