@@ -4,10 +4,14 @@ JSON lines: a detailed record (full-precision per-query min/median/spread
 dicts plus raw per-run samples) followed by a compact line —
 {"queries": {per-query BEST-OF-N, 2dp}, "queries_stat": "min", "metric":
 ..., "value": total_sec, "unit": "sec", "carried_total": ...,
-"carried_min_probe_scaled": ..., "carried_total_median": ..., "sf": ...}
+"carried_total_median": ..., "regime": "quiet"|"burst", "sf": ...}
 — guaranteed to fit inside the grading driver's 2000-char output-tail
 capture (it degrades to scalars-only if the per-query dict would
-overflow), so the LAST line always parses.
+overflow), so the LAST line always parses. The `regime` tag and the
+per-regime done-bar are defined at PROBE_R10_SPARK_MS below (VERDICT
+r12 Next #1): quiet records are graded on carried_total_median <= 23s,
+burst records on carried_min_r10_scaled with a stated accepted band —
+no more post-hoc essays when the box is loud.
 
 Best-of-N on the driver-facing line (VERDICT r8 Next #2): BENCH_r08's
 standing record was the worst of seven same-HEAD runs because this box's
@@ -108,6 +112,68 @@ from docling_api_spark.session import get_spark  # noqa: E402
 # instrument that says where the current run sits relative to it. Do not
 # retune casually: changing it rescales the cross-round comparable number.
 PROBE_REF_SPARK_MS = 97.77
+
+# ---------------------------------------------------------------------------
+# GRADED DONE-BAR (r13, VERDICT r12 Next #1) — the box-robust criterion.
+# ---------------------------------------------------------------------------
+# The historic bar ("carried_total_median <= 23s") was a single unqualified
+# sample of a bimodal box: r10-r12 boundary-code A/Bs proved the code flat
+# (+-1.5%) while the driver-timed carried median swung 22.5-30.7s with box
+# state. The record now SELF-QUALIFIES ("regime" on the compact line) and
+# the bar is defined per regime:
+#
+#   regime == "quiet"  (every probe instrument's warm spread <= 20% of its
+#                       median — the same dead-band compare_bench prices
+#                       into its base threshold):
+#       carried_total_median <= 23.0s  — the historic bar, claimable only
+#       in the regime it was set in.
+#
+#   regime == "burst"  (any instrument's spread exceeds the dead-band;
+#                       per-query MEDIANS are box-dominated in this mode —
+#                       bursts inflate medians while best-of-N mins dodge):
+#       carried_min_r10_scaled = carried_total * PROBE_R10_SPARK_MS /
+#       probe_spark_ms_median, i.e. the min-sum scaled to the r10 record's
+#       box state. Accepted band:
+#         <= 23.0          PASS (r10 19.27 identity, r11 21.67, r12 22.24 —
+#                          all proven code-flat by the worktree A/B; the
+#                          residual x1.10-x1.15 is the measured box offset
+#                          the codegen probe cannot see, SCALING.md r12)
+#         23.0 - 24.1      GRAY: adjudicate with tools/compare_bench.py vs
+#                          BENCH_r10 — 0 flagged queries at the widened
+#                          floor => machine, PASS; flags => investigate.
+#         > 24.1 (x1.25 over the r10 record) FAIL — no band re-derivation;
+#                          treat as a code regression until bisected.
+#
+# carried_min_r10_scaled itself is derivable from compact-line fields
+# (carried_total, probe_spark_ms_median) plus the pinned constant below, so
+# it rides the detailed record only — the line seat goes to the regime tag.
+PROBE_R10_SPARK_MS = 93.55  # BENCH_r10's probe_spark_ms_median, pinned
+
+# Regime dead-band: warm spread/median above this on ANY instrument tags
+# the run "burst". MUST mirror tools/compare_bench.py's BURST_DEADBAND —
+# one definition of "quiet" across the grader and the comparer (pinned by
+# tests/test_bench_contract.py).
+BURST_DEADBAND = 0.2
+
+
+def run_regime(*stat_dicts: dict) -> str:
+    """Self-qualification tag for the compact line: 'quiet' when every
+    probe instrument's warm spread stayed within BURST_DEADBAND of its
+    median, else 'burst'. Same definition as compare_bench's
+    burst_allowance dead-band, so a record tagged quiet is exactly one
+    whose comparisons keep the tight x1.25 floor."""
+    worst = 0.0
+    for s in stat_dicts:
+        for k, med in s.items():
+            if not k.endswith("_ms_median"):
+                continue
+            spr = s.get(k[: -len("_ms_median")] + "_ms_spread")
+            if (
+                isinstance(med, (int, float)) and med > 0
+                and isinstance(spr, (int, float)) and spr >= 0
+            ):
+                worst = max(worst, spr / med)
+    return "quiet" if worst <= BURST_DEADBAND else "burst"
 
 # Frozen round-3 headline set (the exact 27 keys of BENCH_r03's
 # queries_median, in its sorted order). Do NOT edit this tuple: its sum is
@@ -397,18 +463,26 @@ def main() -> None:
         "queries_runs": {},
     }
     # phase 1: the frozen r3 subset under r3-equivalent JVM conditions.
-    # NOTE the window probe is NOT in probe_cb: it samples only at run
-    # start, the phase boundary, and run end (3 organic points, padded
-    # to 5 at the end, padding marked). Interleaving it per-point would
-    # change the r7-r11 inter-query procedure AND sprinkle ~44 extra
-    # sort+window+exchange executions through the timed run — exactly
-    # the residue class the carried stats must stay comparable against
-    # (the r12 bisect could not exonerate the interleaved variant; the
-    # boundary schedule removes the confound while keeping the
-    # diagnostic on the line).
+    # NOTE the window probe is NOT in probe_cb: it samples at run start,
+    # the phase boundary (x3 since r13 — VERDICT r12 Next #6), and run
+    # end, giving >=5 organic points with no padding. Interleaving it
+    # per-point would change the r7-r11 inter-query procedure AND
+    # sprinkle ~44 extra sort+window+exchange executions through the
+    # timed run — exactly the residue class the carried stats must stay
+    # comparable against (the r12 bisect could not exonerate the
+    # interleaved variant; the boundary schedule removes the confound
+    # while keeping the diagnostic on the line).
     _bench_phase(spark, carried, sf_dir, runs, out,
                  probe_cb, probe_every=max(2, len(carried) // 3))
-    window_samples.append(_spark_window_probe(spark))  # phase boundary
+    # phase boundary: THREE window samples (VERDICT r12 Next #6) — the
+    # spread that widens compare_bench's burst floor rested on 3 organic
+    # points (start/boundary/end) padded at run end; two more BETWEEN the
+    # phases (outside every timed segment, before phase 2's warm sweep)
+    # bring the organic count to >=5 without touching the r7+ inter-query
+    # procedure that carried comparability depends on.
+    window_samples.append(_spark_window_probe(spark))
+    window_samples.append(_spark_window_probe(spark))
+    window_samples.append(_spark_window_probe(spark))
     carried_total = round(sum(out["queries"][n] for n in carried), 4)
     carried_total_median = round(
         sum(out["queries_median"][n] for n in carried), 4
@@ -451,6 +525,17 @@ def main() -> None:
     carried_min_scaled = probe_scaled(
         carried_total, probes["probe_spark_ms_median"]
     )
+    # the graded done-bar statistic for burst-regime records (see the
+    # PROBE_R10_SPARK_MS block comment): min-sum scaled to the r10
+    # record's box state. Detailed record only — derivable from the line.
+    carried_min_r10 = (
+        round(
+            carried_total * PROBE_R10_SPARK_MS / probes["probe_spark_ms_median"], 4
+        )
+        if probes["probe_spark_ms_median"]
+        else None
+    )
+    regime = run_regime(probes, shuffle_probes, window_probes)
     scalars = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -460,6 +545,8 @@ def main() -> None:
         "carried_min_probe_scaled": carried_min_scaled,
         "carried_total_median": carried_total_median,
         "carried_median_probe_scaled": carried_median_scaled,
+        "carried_min_r10_scaled": carried_min_r10,
+        "regime": regime,
         "probe_ref_ms": PROBE_REF_SPARK_MS,
         "carried_n": len(carried),
         "n_queries": len(out["queries"]),
@@ -507,7 +594,7 @@ def main() -> None:
             "probe_spark_ms", "probe_spark_ms_end", "probe_spark_n",
             "probe_numpy_ms", "probe_ref_ms", "carried_n", "n_queries",
             "n_runs", "carried_median_probe_scaled",
-            "carried_min_probe_scaled",
+            "carried_min_probe_scaled", "carried_min_r10_scaled",
         )
     }
     # detailed record (full precision, min/median/spread per query) —

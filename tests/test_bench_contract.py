@@ -40,6 +40,7 @@ SCALARS = {
     "probe_shuffle_ms_spread": 188.2,
     "probe_window_ms_median": 612.4,
     "probe_window_ms_spread": 488.2,
+    "regime": "quiet",
     "sf": 0.1,
 }
 
@@ -160,3 +161,86 @@ def test_probe_scaling_direction_and_identity():
     assert probe_scaled(24.0, PROBE_REF_SPARK_MS) == 24.0
     # dead probe => no scaled stat rather than a crash
     assert probe_scaled(24.0, 0.0) is None
+
+
+# -- regime self-qualification + r10-scaled done-bar (VERDICT r12 Next #1) --
+def test_regime_deadband_mirrors_compare_bench():
+    """ONE definition of 'quiet' across the grader and the comparer: a
+    record tagged quiet is exactly one whose comparisons keep
+    compare_bench's tight x1.25 floor."""
+    import importlib.util
+    import os
+
+    import bench
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_bench",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "compare_bench.py",
+        ),
+    )
+    cb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cb)
+    assert bench.BURST_DEADBAND == cb.BURST_DEADBAND
+
+
+def test_run_regime_quiet_and_burst():
+    from bench import run_regime
+
+    quiet = {"probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 15.0}
+    assert run_regime(quiet) == "quiet"
+    # exactly at the dead-band stays quiet (<=, matching burst_allowance's
+    # excess-over-deadband semantics where excess 0 keeps the tight floor)
+    assert run_regime({"probe_spark_ms_median": 100.0,
+                       "probe_spark_ms_spread": 20.0}) == "quiet"
+    # ANY instrument over the dead-band makes the whole run burst
+    assert run_regime(
+        quiet,
+        {"probe_shuffle_ms_median": 500.0, "probe_shuffle_ms_spread": 180.0},
+    ) == "burst"
+    # degenerate inputs never crash and never fake quietness away
+    assert run_regime({}) == "quiet"
+    assert run_regime({"probe_spark_ms_median": 0.0,
+                       "probe_spark_ms_spread": 50.0}) == "quiet"
+
+
+def test_historic_records_classify_as_documented():
+    """The r12 driver record and pre-flight BOTH ran burst by this
+    definition (spark 31/98.4 = 0.31; shuffle 274/574 = 0.48) — the tag
+    would have adjudicated the three-round carried-median miss instead of
+    an essay. Pin those two data points so the definition is anchored to
+    the record history it was derived from."""
+    from bench import run_regime
+
+    r12_record = {
+        "probe_spark_ms_median": 98.44, "probe_spark_ms_spread": 30.99,
+        "probe_shuffle_ms_median": 523.73, "probe_shuffle_ms_spread": 98.36,
+        "probe_window_ms_median": 466.11, "probe_window_ms_spread": 69.14,
+    }
+    r12_preflight = {
+        "probe_spark_ms_median": 128.5, "probe_spark_ms_spread": 70.5,
+        "probe_shuffle_ms_median": 574.36, "probe_shuffle_ms_spread": 274.29,
+    }
+    assert run_regime(r12_record) == "burst"
+    assert run_regime(r12_preflight) == "burst"
+
+
+def test_r10_reference_probe_is_pinned():
+    """carried_min_r10_scaled's denominator reference is BENCH_r10's
+    probe_spark_ms_median — the record the accepted band (<=23.0 pass,
+    23.0-24.1 gray, >24.1 fail) is derived from. Retuning it silently
+    re-derives the band, which is the exact failure mode the r13 bar
+    exists to end."""
+    import json
+
+    from bench import PROBE_R10_SPARK_MS
+
+    assert PROBE_R10_SPARK_MS == 93.55
+    rec = json.load(open("BENCH_r10.json"))
+    rec = rec.get("parsed", rec)
+    assert rec["probe_spark_ms_median"] == PROBE_R10_SPARK_MS
+    # historical readings under the band: r12's carried min-sum 23.4037
+    # on a 98.44ms probe reads 22.24 — PASS region, as documented
+    assert round(23.4037 * PROBE_R10_SPARK_MS / 98.44, 2) == 22.24
