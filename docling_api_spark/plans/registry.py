@@ -175,9 +175,60 @@ def register(
 # rounds BELOW this feed the policy, so the composition stays
 # reproducible after this round's own record lands. Maintained by
 # tools/compose_window.py --update.
-WINDOW_COMPOSED_FOR_ROUND: int = 12
+WINDOW_COMPOSED_FOR_ROUND: int = 13
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-12 driver window (50), policy-composed ----
+    # ---- round-13 driver window (50), policy-composed ----
+    "q72_conversion_pipeline",
+    "q240_compression_ratio",
+    "q184_survival_hazard",
+    "q185_triangle_census",
+    "q186_geo_grid_join",
+    "q187_ewma_smoothing",
+    "q188_lag1_autocorr",
+    "q189_bpe_merges",
+    "q77_streaming_sliding",
+    "q99_corpus_report",
+    "q190_phrase_search",
+    "q191_shortest_path",
+    "q192_forecast_wape",
+    "q193_rolling_distinct",
+    "q194_kmeans_lloyd",
+    "q195_decile_migration",
+    "q196_hybrid_rank_fusion",
+    "q197_bm25_scoring",
+    "q198_ancestor_rollup",
+    "q199_item_item_cf",
+    "q200_kwic_snippets",
+    "q201_allen_relations",
+    "q202_bpe_encode",
+    "q203_negative_sampling",
+    "q204_gram_matrix",
+    "q205_mahalanobis_outliers",
+    "q206_gdpr_cascade",
+    "q207_decayed_leaderboard",
+    "q208_entity_resolution",
+    "q209_ann_recall",
+    "q210_calibration_curve",
+    "q211_rake_keyphrases",
+    "q212_nation_modularity",
+    "q213_churn_features",
+    "q214_partition_advisor",
+    "q215_queue_depth",
+    "q216_pca2d",
+    "q217_hellinger_drift",
+    "q218_ndcg_ranking",
+    "q219_haar_downsample",
+    "q220_raking_ipf",
+    "q222_degree_assortativity",
+    "q223_stl_decompose",
+    "q224_sax_symbols",
+    "q225_markov_absorption",
+    "q226_emd_regions",
+    "q228_geometric_median",
+    "q229_bitmap_intersect",
+    "q230_lagged_xcorr",
+    "q231_diff_in_diff",
+    # ---- tail: prior tuple order (ex-window members lead) ----
     "q102_revenue_concentration",
     "q114_winsorized_agg",
     "q118_equidepth_histogram",
@@ -189,7 +240,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q24_percentiles_exact",
     "q296_watermark_advisor",
     "q297_mean_excess",
-    "q72_conversion_pipeline",
     "q80_media_features",
     "q171_hll_rollup",
     "q142_bounce_rate",
@@ -228,20 +278,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q181_join_size_estimate",
     "q182_cuped_adjustment",
     "q183_streaming_topk",
-    # ---- tail: prior tuple order (ex-window members lead) ----
-    "q184_survival_hazard",
-    "q185_triangle_census",
-    "q186_geo_grid_join",
-    "q187_ewma_smoothing",
-    "q188_lag1_autocorr",
-    "q189_bpe_merges",
-    "q77_streaming_sliding",
-    "q99_corpus_report",
-    "q190_phrase_search",
-    "q191_shortest_path",
-    "q192_forecast_wape",
-    "q193_rolling_distinct",
-    "q194_kmeans_lloyd",
     "q257_dtw_distance",
     "q70_format_classify",
     "q118_approx_equidepth",
@@ -401,7 +437,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q31_sliding_window",
     "q34_funnel_range_join",
     "q43_minhash_lsh_xxh",
-    "q240_compression_ratio",
     "q242_binary_segmentation",
     "q243_simpson_diversity",
     "q244_peak_detection",
@@ -443,41 +478,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q283_cohen_kappa",
     "q284_weighted_jaccard",
     "q285_quadratic_response",
-    "q195_decile_migration",
-    "q196_hybrid_rank_fusion",
-    "q197_bm25_scoring",
-    "q198_ancestor_rollup",
-    "q199_item_item_cf",
-    "q200_kwic_snippets",
-    "q201_allen_relations",
-    "q202_bpe_encode",
-    "q203_negative_sampling",
-    "q204_gram_matrix",
-    "q205_mahalanobis_outliers",
-    "q206_gdpr_cascade",
-    "q207_decayed_leaderboard",
-    "q208_entity_resolution",
-    "q209_ann_recall",
-    "q210_calibration_curve",
-    "q211_rake_keyphrases",
-    "q212_nation_modularity",
-    "q213_churn_features",
-    "q214_partition_advisor",
-    "q215_queue_depth",
-    "q216_pca2d",
-    "q217_hellinger_drift",
-    "q218_ndcg_ranking",
-    "q219_haar_downsample",
-    "q220_raking_ipf",
-    "q222_degree_assortativity",
-    "q223_stl_decompose",
-    "q224_sax_symbols",
-    "q225_markov_absorption",
-    "q226_emd_regions",
-    "q228_geometric_median",
-    "q229_bitmap_intersect",
-    "q230_lagged_xcorr",
-    "q231_diff_in_diff",
     "q232_stratified_att",
     "q233_count_min_sketch",
     "q234_slo_burn_alerts",
