@@ -70,8 +70,15 @@ __all__ = [
 # pdf
 # ---------------------------------------------------------------------------
 
+# Stream dict matcher. The content group consumes, in order: literal
+# strings atomically (parens/angles inside them must not derail the
+# scan — an Indexed palette like `(2<)` is legal), plain chars, nested
+# dicts (two levels), and single-angle HEX strings (the other palette
+# form). Hex inside a doubly-nested dict stays unsupported — rare, and
+# the failure mode is a skipped stream, never a mis-parse.
 _STREAM_RE = re.compile(
-    rb"<<(?P<dict>(?:[^<>]|<<(?:[^<>]|<<[^<>]*>>)*>>)*)>>\s*stream\r?\n",
+    rb"<<(?P<dict>(?:\((?:[^()\\]|\\.|\([^()]*\))*\)"
+    rb"|[^<>()]|<<(?:[^<>]|<<[^<>]*>>)*>>|<[^<>]*>)*)>>\s*stream\r?\n",
     re.DOTALL,
 )
 # text-showing / positioning operators inside a BT..ET block, tokenized
@@ -809,11 +816,16 @@ def pdf_to_markdown(content: bytes) -> str:
 #   already PNG filter-byte-prefixed rows, which is exactly what IDAT
 #   compresses; unpredicted data gets a 0x00 (None) filter byte per row.
 #
-# Everything else (CMYK, indexed palettes, <8-bit depths, JBIG2/JPX/CCITT,
-# TIFF predictor 2, SMasks) is SKIPPED, not mis-rendered: the function is
-# total and best-effort by design — a malformed or exotic image object
-# never fails the document, it just isn't extracted (mirrors the corrupt-
-# flate skip in `pdf_to_markdown`).
+# r13 widened the recoverable set: Indexed palettes with INLINE lookup
+# strings (1/2/4/8-bit indices over DeviceRGB/DeviceGray bases), sub-8-bit
+# DeviceGray (bilevel/16-gray scans, exact 255/maxval rescale), and TIFF
+# predictor 2 (horizontal differencing) all re-wrap as PNG now. Everything
+# else (CMYK, 16-bit depths, indirect palette streams, JBIG2/JPX/CCITT,
+# SMasks) is SKIPPED, not mis-rendered: the function is total and
+# best-effort by design — a malformed or exotic image object never fails
+# the document, it just isn't extracted (mirrors the corrupt-flate skip in
+# `pdf_to_markdown`; undecodable CODECS additionally leave a breadcrumb
+# via `pdf_undecodable_image_streams`).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -916,37 +928,150 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             if data[:2] == b"\xff\xd8":  # JPEG SOI — sanity, not trust
                 out.append(data)
             continue
-        width, height = _dict_int(d, b"Width"), _dict_int(d, b"Height")
-        bpc = _dict_int(d, b"BitsPerComponent")
-        if not width or not height or bpc != 8:
-            continue
-        if re.search(rb"/ColorSpace\s*/DeviceRGB\b", d):
-            channels = 3
-        elif re.search(rb"/ColorSpace\s*/DeviceGray\b", d):
-            channels = 1
-        else:
-            continue
-        predictor = _dict_int(d, b"Predictor")
-        if predictor is not None and 2 <= predictor < 10:
-            continue  # TIFF predictor: would need per-pixel undiffing
-        prefiltered = predictor is not None and predictor >= 10
-        if prefiltered:
-            # the filter-byte rows only re-wrap as PNG if the predictor
-            # ran with PNG's exact bpp geometry: /Colors must equal the
-            # colorspace's channel count and /Columns the width (their
-            # PDF defaults are 1) — otherwise Sub/Average/Paeth would
-            # unfilter with the wrong stride, silently corrupting pixels
-            if (_dict_int(d, b"Colors") or 1) != channels:
-                continue
-            if (_dict_int(d, b"Columns") or 1) != width:
-                continue
-        expected = height * (width * channels + (1 if prefiltered else 0))
-        if len(data) != expected:
-            continue
-        out.append(
-            _png_encode(width, height, channels, data, prefiltered=prefiltered)
-        )
+        png = _raster_to_png(d, data)
+        if png is not None:
+            out.append(png)
     return out
+
+
+# Indexed palette entry: [/Indexed base hival lookup] with an INLINE
+# lookup string — literal ( ... ) or hex < ... >. Indirect lookup streams
+# (`N 0 R`) stay skipped (conservative: resolving them needs an object
+# table this extractor deliberately does not build).
+_INDEXED_CS_RE = re.compile(
+    rb"/ColorSpace\s*\[\s*(?:/Indexed|/I)\s*"
+    rb"/(?P<base>DeviceRGB|DeviceGray)\s*(?P<hival>\d+)\s*"
+    rb"(?:\((?P<lit>(?:[^()\\]|\\.)*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>)",
+    re.DOTALL,
+)
+
+
+def _unpack_samples(data: bytes, height: int, row_bytes: int, width: int, bpc: int):
+    """(height, width) array of big-endian `bpc`-bit samples from
+    byte-aligned rows. Vectorized: a 300-dpi bilevel page is ~8.7M
+    samples — a Python loop would cost seconds per page inside the
+    conversion task, numpy keeps it in milliseconds."""
+    import numpy as np
+
+    rows = np.frombuffer(data, np.uint8).reshape(height, row_bytes)
+    if bpc == 8:
+        return rows[:, :width]
+    bits = np.unpackbits(rows, axis=1)
+    weights = 1 << np.arange(bpc - 1, -1, -1)
+    samples = bits.reshape(height, -1, bpc) @ weights
+    return samples[:, :width]
+
+
+def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
+    """Decoded raster samples + stream dict → PNG bytes, or None when the
+    geometry/colorspace is outside the recoverable set. Recoverable
+    (r13 widened the r12a set): 8-bit DeviceRGB/DeviceGray (raw, PNG
+    predictors, or TIFF predictor 2), and 1/2/4/8-bit Indexed or
+    sub-8-bit Gray with inline palettes (raw only — predictors over
+    packed samples would need bit-level unfiltering). Still skipped, by
+    design: CMYK, 16-bit depths, indirect palette streams, SMask alpha."""
+    width, height = _dict_int(d, b"Width"), _dict_int(d, b"Height")
+    bpc = _dict_int(d, b"BitsPerComponent")
+    if not width or not height or bpc not in (1, 2, 4, 8):
+        return None
+    indexed = _INDEXED_CS_RE.search(d)
+    predictor = _dict_int(d, b"Predictor")
+    if indexed is not None:
+        if predictor is not None and predictor != 1:
+            return None  # predictors over index samples: not recovered
+        base = indexed.group("base")
+        hival = int(indexed.group("hival"))
+        if indexed.group("hex") is not None:
+            h = re.sub(rb"\s", b"", indexed.group("hex"))
+            if len(h) % 2:
+                h += b"0"
+            try:
+                palette = bytes.fromhex(h.decode("ascii"))
+            except ValueError:
+                return None
+        else:
+            # _decode_pdf_string round-trips bytes through latin-1 text
+            palette = _decode_pdf_string(indexed.group("lit")).encode("latin-1")
+        import numpy as np
+
+        nch = 3 if base == b"DeviceRGB" else 1
+        # spec: palette holds hival+1 entries; short palettes pad with 0,
+        # out-of-range indices clamp to hival
+        palette = palette.ljust(nch * (hival + 1), b"\x00")
+        row_bytes = (width * bpc + 7) // 8
+        if len(data) != height * row_bytes:
+            return None
+        idx = np.minimum(
+            _unpack_samples(data, height, row_bytes, width, bpc), hival
+        )
+        lut = np.frombuffer(palette[: nch * (hival + 1)], np.uint8).reshape(
+            hival + 1, nch
+        )
+        raw = lut[idx].tobytes()
+        return _png_encode(width, height, nch, raw, prefiltered=False)
+    if re.search(rb"/ColorSpace\s*/DeviceRGB\b", d):
+        channels = 3
+    elif re.search(rb"/ColorSpace\s*/DeviceGray\b", d):
+        channels = 1
+    else:
+        return None
+    if bpc != 8:
+        # sub-8-bit gray (bilevel scans, 16-gray thumbnails): unpack and
+        # rescale to 8 bits (v * 255 / maxval is exact for 1/2/4 bpc)
+        if channels != 1 or (predictor is not None and predictor != 1):
+            return None
+        import numpy as np
+
+        row_bytes = (width * bpc + 7) // 8
+        if len(data) != height * row_bytes:
+            return None
+        scale = 255 // ((1 << bpc) - 1)
+        samples = _unpack_samples(data, height, row_bytes, width, bpc)
+        raw = (samples.astype(np.uint8) * np.uint8(scale)).tobytes()
+        return _png_encode(width, height, 1, raw, prefiltered=False)
+    if predictor is not None and 2 <= predictor < 10:
+        if predictor != 2:
+            return None  # 3-9 are not assigned; refuse rather than guess
+        # TIFF horizontal differencing (r13): per row, each byte is a
+        # delta from the byte one PIXEL back (component-aligned)
+        if (_dict_int(d, b"Colors") or 1) != channels:
+            return None
+        if (_dict_int(d, b"Columns") or 1) != width:
+            return None
+        stride = width * channels
+        if len(data) != height * stride:
+            return None
+        import numpy as np
+
+        # undiff = running sum of deltas along the row, per component,
+        # mod 256 — cumsum in int64 then mask (vectorized; a 30 MB scan
+        # would cost tens of seconds as a Python loop)
+        arr = (
+            np.frombuffer(data, np.uint8)
+            .reshape(height, width, channels)
+            .astype(np.int64)
+            .cumsum(axis=1)
+            & 0xFF
+        )
+        return _png_encode(
+            width, height, channels, arr.astype(np.uint8).tobytes(),
+            prefiltered=False,
+        )
+    prefiltered = predictor is not None and predictor >= 10
+    if prefiltered:
+        # the filter-byte rows only re-wrap as PNG if the predictor
+        # ran with PNG's exact bpp geometry: /Colors must equal the
+        # colorspace's channel count and /Columns the width (their
+        # PDF defaults are 1) — otherwise Sub/Average/Paeth would
+        # unfilter with the wrong stride, silently corrupting pixels
+        if (_dict_int(d, b"Colors") or 1) != channels:
+            return None
+        if (_dict_int(d, b"Columns") or 1) != width:
+            return None
+    expected = height * (width * channels + (1 if prefiltered else 0))
+    if len(data) != expected:
+        return None
+    return _png_encode(width, height, channels, data, prefiltered=prefiltered)
 
 
 # ---------------------------------------------------------------------------

@@ -423,10 +423,28 @@ def test_pdf_image_exotic_or_broken_objects_skipped_not_raised():
             zlib.compress(b"\x00" * 16), width=2, height=2,
             colorspace=b"/DeviceCMYK",
         ),
-        # 1-bit depth: skipped
+        # truncated 1-bit raster: skipped (1-bit gray is RECOVERABLE
+        # since r13 when the row geometry checks out; this one is one
+        # row short)
         make_image_obj(
             zlib.compress(b"\x00"), width=2, height=2,
             colorspace=b"/DeviceGray", bpc=1,
+        ),
+        # 16-bit depth: skipped
+        make_image_obj(
+            zlib.compress(b"\x00" * 24), width=2, height=2,
+            colorspace=b"/DeviceRGB", bpc=16,
+        ),
+        # indexed with an INDIRECT palette stream: skipped (conservative)
+        make_image_obj(
+            zlib.compress(b"\x00\x01\x02\x03"), width=2, height=2,
+            colorspace=b"[/Indexed /DeviceRGB 3 7 0 R]",
+        ),
+        # predictor over packed index samples: skipped
+        make_image_obj(
+            zlib.compress(b"\x00\x01\x02\x03"), width=2, height=2,
+            colorspace=b"[/Indexed /DeviceRGB 3 <000000 111111 222222 333333>]",
+            extra=b" /DecodeParms <</Predictor 15 /Colors 1 /Columns 2>>",
         ),
         # corrupt deflate payload: skipped
         make_image_obj(b"not-deflate", width=2, height=2),
@@ -438,6 +456,152 @@ def test_pdf_image_exotic_or_broken_objects_skipped_not_raised():
         make_image_obj(b"ZZZZ", width=2, height=2, filt=b"/DCTDecode"),
     ]
     assert pdf_extract_images(make_pdf_objs(objs)) == []
+
+
+# -- r13 raster-recovery widening: indexed / sub-8-bit / TIFF predictor 2 --
+def test_pdf_image_1bit_gray_rescaled_to_8bit():
+    """Bilevel scans (the most common sub-8-bit shape): each bit becomes
+    0 or 255; rows are byte-aligned per the PDF spec."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # 8x2: rows 0b10110010 and 0b01001101
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(bytes([0b10110010, 0b01001101])),
+                width=8, height=2, colorspace=b"/DeviceGray", bpc=1,
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    expect = bytes(
+        255 * b for b in [1, 0, 1, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 1, 0, 1]
+    )
+    assert decode_png(png) == (8, 2, 1, expect)
+
+
+def test_pdf_image_4bit_gray_row_padding_and_rescale():
+    """Odd-width 4-bit rows pad to the byte boundary; 255/15 = 17 is the
+    exact rescale factor."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # 3x2: row1 samples 0x0,0xF,0x8 (padded), row2 0x5,0xA,0x3
+    raw = bytes([0x0F, 0x80, 0x5A, 0x30])
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(raw), width=3, height=2,
+                colorspace=b"/DeviceGray", bpc=4,
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (
+        3, 2, 1, bytes(v * 17 for v in [0x0, 0xF, 0x8, 0x5, 0xA, 0x3])
+    )
+
+
+def test_pdf_image_indexed_rgb_hex_palette():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(bytes([0, 1, 2, 3])), width=2, height=2,
+                colorspace=b"[/Indexed /DeviceRGB 3 <" + palette.hex().encode()
+                + b">]",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 3, palette)  # indices 0..3 in order
+
+
+def test_pdf_image_indexed_literal_palette_clamps_and_packs():
+    """4-bit indices with a LITERAL-string palette; out-of-range indices
+    clamp to hival (spec 8.6.6.3) instead of corrupting or raising."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # hival 1, palette: entry0=(10,20,30) entry1=(40,50,60); index 3 -> 1
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(bytes([0x01, 0x30])),  # row: 0,1 then 3,0
+                width=2, height=2,
+                colorspace=b"[/Indexed /DeviceRGB 1 "
+                # \n=10 \x14=20 \x1e=30 (=40 (escaped: unbalanced parens
+                # must be) 2=50 <=60
+                b"(\n\x14\x1e\\(2<)]",
+                bpc=4,
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (
+        2, 2, 3,
+        bytes([10, 20, 30, 40, 50, 60, 40, 50, 60, 10, 20, 30]),
+    )
+
+
+def test_pdf_image_indexed_gray_base_and_short_palette_pads():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # hival 2 needs 3 gray entries, palette provides 2: entry2 pads to 0
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(bytes([0, 1, 2, 1])), width=2, height=2,
+                colorspace=b"[/Indexed /DeviceGray 2 <40C0>]",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 1, bytes([0x40, 0xC0, 0x00, 0xC0]))
+
+
+def test_pdf_image_tiff_predictor2_undiffed():
+    """TIFF horizontal differencing: stored bytes are per-component
+    deltas from one pixel back; recovery must reproduce the original
+    pixels exactly (component-aligned, per row)."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    pixels = bytes([10, 20, 30, 13, 25, 27, 200, 100, 0, 190, 120, 250])
+    stride, channels = 6, 3
+    diffed = bytearray(pixels)
+    for y in (0, 1):
+        for i in range(y * stride + stride - 1, y * stride + channels - 1, -1):
+            diffed[i] = (diffed[i] - diffed[i - channels]) & 0xFF
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(bytes(diffed)), width=2, height=2,
+                extra=b" /DecodeParms <</Predictor 2 /Colors 3 /Columns 2>>",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 3, pixels)
+
+
+def test_pdf_image_tiff_predictor2_gray():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    pixels = bytes([100, 110, 105, 7, 250, 9])
+    diffed = bytes(
+        [100, 10, 256 - 5 & 0xFF, 7, 243, 256 - 241 & 0xFF]
+    )  # row-wise deltas
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(diffed), width=3, height=2,
+                colorspace=b"/DeviceGray",
+                extra=b" /DecodeParms <</Predictor 2 /Colors 1 /Columns 3>>",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (3, 2, 1, pixels)
 
 
 def test_converter_pdf_images_spliced_into_markdown():
