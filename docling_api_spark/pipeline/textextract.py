@@ -887,10 +887,90 @@ def _smask_object_numbers(content: bytes) -> set[int]:
     }
 
 
+# Inline images (PDF 8.9.7): `BI <dict> ID <data> EI` inside a CONTENT
+# stream — the form generators use for small images (bullets, logos,
+# scanned strips). The dict uses abbreviated keys; the data's end is
+# computed from the filter (never guessed by scanning for "EI", which
+# can occur inside binary data): exact raster length for unfiltered
+# data, decompressobj's unused_data for Flate, the explicit terminators
+# for AHx/A85, and SOI..EOI framing for DCT.
+# dict capped at 1 KiB: real inline dicts are tens of bytes, and the cap
+# bounds the lazy scan on adversarial streams full of bare "BI" tokens
+# (same budget philosophy as _MAX_TABLE_SPANS)
+_INLINE_IMG_RE = re.compile(
+    rb"\bBI\b(?P<d>.{0,1024}?)\bID(?:\r\n|[ \t\r\n])", re.DOTALL
+)
+_INLINE_CS = {
+    b"G": b"/DeviceGray", b"DeviceGray": b"/DeviceGray",
+    b"RGB": b"/DeviceRGB", b"DeviceRGB": b"/DeviceRGB",
+}
+
+
+def _inline_images(data: bytes) -> list[bytes]:
+    """Recovered inline images of ONE decoded content stream, in order.
+    Supported: unfiltered / /Fl(ate) Gray+RGB rasters (through the same
+    `_raster_to_png` geometry checks as XObjects) and /DCT passthrough.
+    Everything else (CCF/RL/LZW/indexed inline) is skipped — same
+    correct-by-omission stance as the XObject path."""
+    out: list[bytes] = []
+    for m in _INLINE_IMG_RE.finditer(data):
+        d = m.group("d")
+        width = _dict_int(d, b"W") or _dict_int(d, b"Width")
+        height = _dict_int(d, b"H") or _dict_int(d, b"Height")
+        bpc = _dict_int(d, b"BPC") or _dict_int(d, b"BitsPerComponent")
+        fm = re.search(
+            rb"/F(?:ilter)?\s*(?:\[\s*)?/(\w+)", d
+        )
+        filt = fm.group(1) if fm else None
+        cs_m = re.search(rb"/CS(?!\w)\s*/(\w+)|/ColorSpace\s*/(\w+)", d)
+        cs = _INLINE_CS.get((cs_m.group(1) or cs_m.group(2)) if cs_m else b"")
+        start = m.end()
+        if filt == b"DCT" or filt == b"DCTDecode":
+            # JPEG file: SOI at start; end at the EOI before the EI token
+            if data[start : start + 2] != b"\xff\xd8":
+                continue
+            eoi = data.find(b"\xff\xd9", start)
+            if eoi < 0:
+                continue
+            tail = data[eoi + 2 :]
+            if not re.match(rb"\s*EI\b", tail):
+                continue
+            out.append(data[start : eoi + 2])
+            continue
+        if not width or not height or bpc not in (1, 2, 4, 8) or cs is None:
+            continue
+        channels = 3 if cs == b"/DeviceRGB" else 1
+        if filt in (b"Fl", b"FlateDecode"):
+            dobj = zlib.decompressobj()
+            try:
+                raw = dobj.decompress(data[start:]) + dobj.flush()
+            except zlib.error:
+                continue
+            end = len(data) - len(dobj.unused_data)
+        elif filt is None:
+            row_bytes = (width * bpc * channels + 7) // 8
+            raw = data[start : start + height * row_bytes]
+            end = start + height * row_bytes
+        else:
+            continue  # AHx/A85/RL/LZW/CCF inline: skipped (rare)
+        if not re.match(rb"\s*EI\b", data[end:]):
+            continue  # malformed framing: never emit a mis-sliced raster
+        synth = (
+            b"/Subtype /Image /Width %d /Height %d /BitsPerComponent %d "
+            b"/ColorSpace %s" % (width, height, bpc, cs)
+        )
+        png = _raster_to_png(synth, raw)
+        if png is not None:
+            out.append(png)
+    return out
+
+
 def pdf_extract_images(content: bytes) -> list[bytes]:
     """Embedded image payloads of a PDF, in byte order: PNG bytes for
     Flate/raw Gray+RGB rasters, the untouched JPEG file for /DCTDecode
-    streams. Total: anomalous streams are skipped, never raised."""
+    streams. Inline `BI..ID..EI` images inside content streams are
+    recovered too (r13). Total: anomalous streams are skipped, never
+    raised."""
     out: list[bytes] = []
     masked = _smask_object_numbers(content)
     obj_headers = (
@@ -904,6 +984,17 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
     for m in _STREAM_RE.finditer(content):
         d = m.group("dict")
         if not re.search(rb"/Subtype\s*/Image\b", d):
+            # content streams can carry INLINE images (BI..ID..EI);
+            # decode and scan them in document order. The byte-level
+            # "BI" pre-check keeps the common no-inline-image case to
+            # one cheap scan of the already-decoded payload.
+            start = m.end()
+            end = content.find(b"endstream", start)
+            if end < 0:
+                continue
+            res = _decode_stream(d, content[start:end])
+            if res is not None and res[1] == "raw" and b"BI" in res[0]:
+                out.extend(_inline_images(res[0]))
             continue
         if masked:
             # the nearest preceding `N 0 obj` header is this stream's

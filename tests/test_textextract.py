@@ -2310,3 +2310,121 @@ def test_pdf_without_exotic_codecs_has_no_breadcrumb():
         "No extractable text layer in 'pdf' document "
         "(scanned/image-only input needs the docling OCR backend)"
     )
+
+
+# -- r13 inline images (BI..ID..EI in content streams) ----------------------
+def _content_obj(stream: bytes, num: int = 4) -> bytes:
+    return (
+        b"%d 0 obj <</Length %d>>\nstream\n" % (num, len(stream))
+        + stream
+        + b"\nendstream endobj"
+    )
+
+
+def test_pdf_inline_image_flate_rgb_extracted():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    pixels = bytes(range(2 * 2 * 3))
+    stream = (
+        b"BT (before) Tj ET\n"
+        b"BI /W 2 /H 2 /CS /RGB /BPC 8 /F /Fl ID "
+        + zlib.compress(pixels)
+        + b" EI\nBT (after) Tj ET"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([_content_obj(stream)]))
+    assert decode_png(png) == (2, 2, 3, pixels)
+
+
+def test_pdf_inline_image_unfiltered_gray_exact_framing():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    gray = bytes([1, 2, 3, 4, 5, 6])
+    stream = b"BI /W 3 /H 2 /CS /G /BPC 8 ID " + gray + b" EI"
+    (png,) = pdf_extract_images(make_pdf_objs([_content_obj(stream)]))
+    assert decode_png(png) == (3, 2, 1, gray)
+
+
+def test_pdf_inline_image_1bit_through_shared_recovery():
+    """Inline rasters route through the SAME _raster_to_png geometry
+    checks as XObjects — sub-8-bit recovery included."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    stream = b"BI /W 8 /H 1 /CS /G /BPC 1 ID " + bytes([0b10100101]) + b" EI"
+    (png,) = pdf_extract_images(make_pdf_objs([_content_obj(stream)]))
+    assert decode_png(png) == (
+        8, 1, 1, bytes(255 * b for b in [1, 0, 1, 0, 0, 1, 0, 1])
+    )
+
+
+def test_pdf_inline_image_dct_passthrough_and_order():
+    """Inline DCT is the JPEG file (SOI..EOI framing); extraction order
+    follows document order across XObject and inline forms."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    gray = bytes([9, 8, 7, 6])
+    stream = b"BI /W 2 /H 2 /F /DCT ID " + JPEG_BYTES + b" EI"
+    pdf = make_pdf_objs(
+        [
+            _content_obj(stream),
+            make_image_obj(
+                zlib.compress(gray), width=2, height=2,
+                colorspace=b"/DeviceGray",
+            ),
+        ]
+    )
+    jpg, png = pdf_extract_images(pdf)
+    assert jpg == JPEG_BYTES
+    assert decode_png(png) == (2, 2, 1, gray)
+
+
+def test_pdf_inline_image_in_flate_content_stream():
+    """The common real-world shape: the CONTENT stream itself is
+    Flate-compressed, the inline image sits inside the decoded bytes."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    pixels = bytes([10, 20, 30, 40, 50, 60])
+    inner = b"BI /W 2 /H 1 /CS /RGB /BPC 8 ID " + pixels + b" EI"
+    obj = (
+        b"4 0 obj <</Length %d /Filter /FlateDecode>>\nstream\n"
+        % len(zlib.compress(inner))
+        + zlib.compress(inner)
+        + b"\nendstream endobj"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([obj]))
+    assert decode_png(png) == (2, 1, 3, pixels)
+
+
+def test_pdf_inline_image_malformed_or_textual_bi_skipped():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    streams = [
+        # prose that merely MENTIONS the operators: dict parse fails
+        b"BT (the BI and ID operators precede EI) Tj ET",
+        # missing EI after the computed raster length: framing reject
+        b"BI /W 2 /H 1 /CS /G /BPC 8 ID " + bytes([1, 2]) + b" XX",
+        # truncated flate payload: decode reject
+        b"BI /W 2 /H 1 /CS /RGB /BPC 8 /F /Fl ID notdeflate EI",
+        # unsupported inline filter: skipped
+        b"BI /W 2 /H 1 /CS /G /BPC 8 /F /CCF ID \x00\x01 EI",
+        # CMYK inline colorspace: skipped
+        b"BI /W 1 /H 1 /CS /CMYK /BPC 8 ID \x00\x01\x02\x03 EI",
+    ]
+    for s in streams:
+        assert pdf_extract_images(make_pdf_objs([_content_obj(s)])) == []
+
+
+def test_pdf_inline_image_spliced_through_converter():
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    pixels = bytes([100, 200, 150, 250])
+    stream = (
+        b"BT 1 0 0 1 72 720 Tm (report body) Tj ET\n"
+        b"BI /W 2 /H 2 /CS /G /BPC 8 ID " + pixels + b" EI"
+    )
+    res = LightweightConverter().convert(
+        "doc.pdf", make_pdf_objs([_content_obj(stream)])
+    )
+    assert res["error"] is None
+    assert res["markdown"].startswith("report body")
+    assert len(res["images"]) == 1
+    assert decode_png(res["images"][0]["image"]) == (2, 2, 1, pixels)
