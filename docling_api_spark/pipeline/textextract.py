@@ -818,9 +818,10 @@ def pdf_to_markdown(content: bytes) -> str:
 #
 # r13 widened the recoverable set: Indexed palettes with INLINE lookup
 # strings (1/2/4/8-bit indices over DeviceRGB/DeviceGray bases), sub-8-bit
-# DeviceGray (bilevel/16-gray scans, exact 255/maxval rescale), and TIFF
-# predictor 2 (horizontal differencing) all re-wrap as PNG now. Everything
-# else (CMYK, 16-bit depths, indirect palette streams, JBIG2/JPX/CCITT,
+# DeviceGray (bilevel/16-gray scans, exact 255/maxval rescale), 16-bit
+# depths (high-byte reduction), TIFF predictor 2 (horizontal
+# differencing), and inline BI..ID..EI images all re-wrap as PNG now.
+# Everything else (CMYK, indirect palette streams, JBIG2/JPX/CCITT,
 # SMasks) is SKIPPED, not mis-rendered: the function is total and
 # best-effort by design — a malformed or exotic image object never fails
 # the document, it just isn't extracted (mirrors the corrupt-flate skip in
@@ -1057,17 +1058,20 @@ def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
     """Decoded raster samples + stream dict → PNG bytes, or None when the
     geometry/colorspace is outside the recoverable set. Recoverable
     (r13 widened the r12a set): 8-bit DeviceRGB/DeviceGray (raw, PNG
-    predictors, or TIFF predictor 2), and 1/2/4/8-bit Indexed or
-    sub-8-bit Gray with inline palettes (raw only — predictors over
-    packed samples would need bit-level unfiltering). Still skipped, by
-    design: CMYK, 16-bit depths, indirect palette streams, SMask alpha."""
+    predictors, or TIFF predictor 2), 16-bit RGB/Gray (raw, high-byte
+    reduction), and 1/2/4/8-bit Indexed or sub-8-bit Gray with inline
+    palettes (raw only — predictors over packed samples would need
+    bit-level unfiltering). Still skipped, by design: CMYK, indirect
+    palette streams, SMask alpha."""
     width, height = _dict_int(d, b"Width"), _dict_int(d, b"Height")
     bpc = _dict_int(d, b"BitsPerComponent")
-    if not width or not height or bpc not in (1, 2, 4, 8):
+    if not width or not height or bpc not in (1, 2, 4, 8, 16):
         return None
     indexed = _INDEXED_CS_RE.search(d)
     predictor = _dict_int(d, b"Predictor")
     if indexed is not None:
+        if bpc == 16:
+            return None  # 16-bit index samples are not a thing (spec caps 8)
         if predictor is not None and predictor != 1:
             return None  # predictors over index samples: not recovered
         base = indexed.group("base")
@@ -1106,6 +1110,17 @@ def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
         channels = 1
     else:
         return None
+    if bpc == 16:
+        # 16-bit samples are big-endian per the spec; the standard 16->8
+        # reduction keeps the high byte. Raw only — predictors run over
+        # the 16-bit lattice and would need widening first.
+        if predictor is not None and predictor != 1:
+            return None
+        if len(data) != height * width * channels * 2:
+            return None
+        return _png_encode(
+            width, height, channels, data[::2], prefiltered=False
+        )
     if bpc != 8:
         # sub-8-bit gray (bilevel scans, 16-gray thumbnails): unpack and
         # rescale to 8 bits (v * 255 / maxval is exact for 1/2/4 bpc)

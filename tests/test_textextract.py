@@ -430,10 +430,18 @@ def test_pdf_image_exotic_or_broken_objects_skipped_not_raised():
             zlib.compress(b"\x00"), width=2, height=2,
             colorspace=b"/DeviceGray", bpc=1,
         ),
-        # 16-bit depth: skipped
+        # truncated 16-bit raster: skipped (16-bit is recoverable since
+        # r13 via high-byte reduction when the length checks out)
+        make_image_obj(
+            zlib.compress(b"\x00" * 23), width=2, height=2,
+            colorspace=b"/DeviceRGB", bpc=16,
+        ),
+        # 16-bit with a predictor: skipped (predictor runs on the 16-bit
+        # lattice; high-byte reduction after unfiltering is not built)
         make_image_obj(
             zlib.compress(b"\x00" * 24), width=2, height=2,
             colorspace=b"/DeviceRGB", bpc=16,
+            extra=b" /DecodeParms <</Predictor 2 /Colors 3 /Columns 2>>",
         ),
         # indexed with an INDIRECT palette stream: skipped (conservative)
         make_image_obj(
@@ -582,6 +590,37 @@ def test_pdf_image_tiff_predictor2_undiffed():
     )
     (png,) = pdf_extract_images(pdf)
     assert decode_png(png) == (2, 2, 3, pixels)
+
+
+def test_pdf_image_16bit_high_byte_reduction():
+    """16-bit big-endian samples reduce to their high byte (the standard
+    16->8 mapping); gray and RGB both recover."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    hi = bytes([10, 20, 30, 200])
+    data16 = b"".join(bytes([h, 0xAB]) for h in hi)  # low bytes dropped
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(data16), width=2, height=2,
+                colorspace=b"/DeviceGray", bpc=16,
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 1, hi)
+
+    rgb_hi = bytes(range(12))
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(b"".join(bytes([h, 0xFF]) for h in rgb_hi)),
+                width=2, height=2, colorspace=b"/DeviceRGB", bpc=16,
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 3, rgb_hi)
 
 
 def test_pdf_image_tiff_predictor2_gray():
