@@ -189,6 +189,17 @@ class LightweightConverter:
                         markdown + "\n\n" + note if markdown.strip() else note
                     )
                 return _ok(filename, markdown, images)
+            # an ENCRYPTED pdf also lands here (its streams decode to
+            # garbage and are skipped) — but "needs OCR" would be the
+            # wrong breadcrumb, so name the real cause. The /Encrypt
+            # check runs only on the nothing-extracted path: a
+            # convertible document whose TEXT merely mentions /Encrypt
+            # can never be rejected by it.
+            if fmt == "pdf" and re.search(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)", content):
+                return _error_result(
+                    _stem(filename),
+                    "Encrypted (password-protected) PDF is not supported",
+                )
             # documents with no text layer AND no recoverable pictures
             # keep the error contract (error rows carry images=[]): the
             # CONTENT needs the OCR-capable backend.

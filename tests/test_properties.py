@@ -556,3 +556,16 @@ def test_converter_total_on_arbitrary_valid_zips(members, ext):
     result = LightweightConverter().convert("fuzz" + ext, buf.getvalue())
     assert set(result) == {"filename", "markdown", "images", "error"}
     assert (result["error"] is None) == (result["markdown"] is not None)
+
+
+@given(body=st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_pdf_inline_image_scan_is_total(body):
+    """The BI..ID..EI scanner must return a list for ANY byte soup —
+    malformed dicts, bogus framing, truncated payloads all skip (same
+    totality contract as every other extractor seam)."""
+    from docling_api_spark.pipeline.textextract import _inline_images
+
+    soup = b"BI " + body + b" EI\nBI /W 2 /H 1 /CS /G /BPC 8 ID " + body
+    out = _inline_images(soup)
+    assert isinstance(out, list) and all(isinstance(b, bytes) for b in out)

@@ -2467,3 +2467,29 @@ def test_pdf_inline_image_spliced_through_converter():
     assert res["markdown"].startswith("report body")
     assert len(res["images"]) == 1
     assert decode_png(res["images"][0]["image"]) == (2, 2, 1, pixels)
+
+
+def test_encrypted_pdf_gets_the_honest_error():
+    """An /Encrypt PDF's streams decode to garbage and are skipped; the
+    error must name encryption, not claim the document needs OCR. A
+    convertible document whose TEXT mentions /Encrypt stays converted
+    (the check runs only on the nothing-extracted path)."""
+    from docling_api_spark.pipeline.convert import LightweightConverter
+
+    encrypted = (
+        b"%PDF-1.4\n"
+        b"1 0 obj <</Length 20 /Filter /FlateDecode>>\nstream\n"
+        b"\x8a\x9b\xde\xad\xbe\xef garbage rc4 bytes\nendstream endobj\n"
+        b"trailer <</Root 1 0 R /Encrypt 9 0 R>>\n%%EOF\n"
+    )
+    res = LightweightConverter().convert("locked.pdf", encrypted)
+    assert res["markdown"] is None
+    assert res["error"] == "Encrypted (password-protected) PDF is not supported"
+
+    mentions = make_pdf(b"BT 1 0 0 1 72 720 Tm (the /Encrypt key) Tj ET")
+    ok = LightweightConverter().convert("doc.pdf", mentions)
+    assert ok["error"] is None and "/Encrypt" in ok["markdown"]
+
+    # a truly empty unencrypted pdf keeps the OCR-backend breadcrumb
+    empty = LightweightConverter().convert("scan.pdf", make_pdf(b""))
+    assert "docling OCR backend" in empty["error"]
