@@ -820,9 +820,11 @@ def pdf_to_markdown(content: bytes) -> str:
 # strings (1/2/4/8-bit indices over DeviceRGB/DeviceGray bases), sub-8-bit
 # DeviceGray (bilevel/16-gray scans, exact 255/maxval rescale), 16-bit
 # depths (high-byte reduction), TIFF predictor 2 (horizontal
-# differencing), and inline BI..ID..EI images all re-wrap as PNG now.
-# Everything else (CMYK, indirect palette streams, JBIG2/JPX/CCITT,
-# SMasks) is SKIPPED, not mis-rendered: the function is total and
+# differencing), and inline BI..ID..EI images all re-wrap as PNG now,
+# and a recoverable same-size gray /SMask merges into its parent as a
+# real alpha channel (Gray+Alpha / RGBA PNG).
+# Everything else (CMYK, indirect palette streams, JBIG2/JPX/CCITT)
+# is SKIPPED, not mis-rendered: the function is total and
 # best-effort by design — a malformed or exotic image object never fails
 # the document, it just isn't extracted (mirrors the corrupt-flate skip in
 # `pdf_to_markdown`; undecodable CODECS additionally leave a breadcrumb
@@ -845,14 +847,15 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 def _png_encode(
     width: int, height: int, channels: int, raw: bytes, *, prefiltered: bool
 ) -> bytes:
-    """Raw 8-bit Gray (1ch) / RGB (3ch) scanlines → a valid PNG file.
+    """Raw 8-bit Gray (1ch) / Gray+Alpha (2ch) / RGB (3ch) / RGBA (4ch)
+    scanlines → a valid PNG file.
 
     ``prefiltered`` means ``raw`` already carries one PNG filter byte per
     row (the PDF /Predictor>=10 layout); otherwise each row gets filter 0.
     """
     import struct
 
-    color_type = {1: 0, 3: 2}[channels]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     if prefiltered:
         scanlines = raw
     else:
@@ -970,8 +973,12 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
     """Embedded image payloads of a PDF, in byte order: PNG bytes for
     Flate/raw Gray+RGB rasters, the untouched JPEG file for /DCTDecode
     streams. Inline `BI..ID..EI` images inside content streams are
-    recovered too (r13). Total: anomalous streams are skipped, never
-    raised."""
+    recovered too (r13), and an image whose `/SMask N 0 R` target is a
+    recoverable same-size gray raster comes back as Gray+Alpha/RGBA
+    (r13; an unmergeable mask degrades to the opaque parent, never drops
+    it). Total: anomalous streams are skipped, never raised."""
+    import bisect
+
     out: list[bytes] = []
     masked = _smask_object_numbers(content)
     obj_headers = (
@@ -982,35 +989,36 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
         if masked
         else []
     )
+
+    def objnum_of(pos: int) -> int | None:
+        # the nearest preceding `N 0 obj` header owns this stream
+        idx = bisect.bisect_left(obj_headers, (pos, -1)) - 1
+        return obj_headers[idx][1] if idx >= 0 else None
+
+    streams: list[tuple[int, bytes, int, int]] = []
     for m in _STREAM_RE.finditer(content):
-        d = m.group("dict")
+        start = m.end()
+        end = content.find(b"endstream", start)
+        if end >= 0:
+            streams.append((m.start(), m.group("dict"), start, end))
+    by_obj = (
+        {objnum_of(pos): (d, s, e) for pos, d, s, e in streams}
+        if masked
+        else {}
+    )
+    for pos, d, start, end in streams:
         if not re.search(rb"/Subtype\s*/Image\b", d):
             # content streams can carry INLINE images (BI..ID..EI);
             # decode and scan them in document order. The byte-level
             # "BI" pre-check keeps the common no-inline-image case to
             # one cheap scan of the already-decoded payload.
-            start = m.end()
-            end = content.find(b"endstream", start)
-            if end < 0:
-                continue
             res = _decode_stream(d, content[start:end])
             if res is not None and res[1] == "raw" and b"BI" in res[0]:
                 out.extend(_inline_images(res[0]))
             continue
-        if masked:
-            # the nearest preceding `N 0 obj` header is this stream's
-            # object number; soft masks are skipped, not emitted as
-            # standalone gray pictures
-            import bisect
-
-            idx = bisect.bisect_left(obj_headers, (m.start(), -1)) - 1
-            if idx >= 0 and obj_headers[idx][1] in masked:
-                continue
-        start = m.end()
-        end = content.find(b"endstream", start)
-        if end < 0:
-            continue
-        # unsupported encodings (LZW/CCITT/JBIG2/JPX/…) and corrupt
+        if masked and objnum_of(pos) in masked:
+            continue  # soft masks are alpha OF another image, not pictures
+        # unsupported encodings (CCITT/JBIG2/JPX/…) and corrupt
         # payloads come back None — skipped, never mis-rendered
         res = _decode_stream(d, content[start:end])
         if res is None:
@@ -1020,7 +1028,19 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             if data[:2] == b"\xff\xd8":  # JPEG SOI — sanity, not trust
                 out.append(data)
             continue
-        png = _raster_to_png(d, data)
+        alpha: tuple[int, int, bytes] | None = None
+        sm = re.search(rb"/SMask\s+(\d+)\s+\d+\s+R", d)
+        if sm is not None and masked:
+            target = by_obj.get(int(sm.group(1)))
+            if target is not None:
+                md, ms, me = target
+                mres = _decode_stream(md, content[ms:me])
+                if mres is not None and mres[1] == "raw":
+                    msamp = _raster_samples(md, mres[0])
+                    # usable mask: plain (non-prefiltered) single-channel
+                    if msamp is not None and msamp[2] == 1 and not msamp[4]:
+                        alpha = (msamp[0], msamp[1], msamp[3])
+        png = _raster_to_png(d, data, alpha=alpha)
         if png is not None:
             out.append(png)
     return out
@@ -1054,15 +1074,48 @@ def _unpack_samples(data: bytes, height: int, row_bytes: int, width: int, bpc: i
     return samples[:, :width]
 
 
-def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
-    """Decoded raster samples + stream dict → PNG bytes, or None when the
-    geometry/colorspace is outside the recoverable set. Recoverable
+def _raster_to_png(
+    d: bytes, data: bytes, alpha: tuple[int, int, bytes] | None = None
+) -> bytes | None:
+    """Decoded raster samples + stream dict → PNG bytes, or None when
+    the geometry/colorspace is outside the recoverable set. With
+    ``alpha`` = (width, height, gray8) — a recovered /SMask — and a
+    non-prefiltered parent of the SAME dimensions, the output is
+    Gray+Alpha / RGBA; otherwise the parent is emitted opaque (never
+    dropped because its mask could not be merged)."""
+    s = _raster_samples(d, data)
+    if s is None:
+        return None
+    width, height, channels, raw, prefiltered = s
+    if (
+        alpha is not None
+        and not prefiltered
+        and alpha[0] == width
+        and alpha[1] == height
+        and len(alpha[2]) == width * height
+    ):
+        import numpy as np
+
+        px = np.frombuffer(raw, np.uint8).reshape(height * width, channels)
+        av = np.frombuffer(alpha[2], np.uint8).reshape(height * width, 1)
+        raw = np.concatenate([px, av], axis=1).tobytes()
+        channels += 1
+    return _png_encode(width, height, channels, raw, prefiltered=prefiltered)
+
+
+def _raster_samples(
+    d: bytes, data: bytes
+) -> tuple[int, int, int, bytes, bool] | None:
+    """Decoded stream payload → (width, height, channels, raw8,
+    prefiltered), or None outside the recoverable set. ``prefiltered``
+    means raw8 is PNG filter-prefixed rows (pass straight to the PNG
+    container; per-sample access would need unfiltering). Recoverable
     (r13 widened the r12a set): 8-bit DeviceRGB/DeviceGray (raw, PNG
     predictors, or TIFF predictor 2), 16-bit RGB/Gray (raw, high-byte
     reduction), and 1/2/4/8-bit Indexed or sub-8-bit Gray with inline
     palettes (raw only — predictors over packed samples would need
-    bit-level unfiltering). Still skipped, by design: CMYK, indirect
-    palette streams, SMask alpha."""
+    bit-level unfiltering). Still skipped, by design: CMYK and indirect
+    palette streams."""
     width, height = _dict_int(d, b"Width"), _dict_int(d, b"Height")
     bpc = _dict_int(d, b"BitsPerComponent")
     if not width or not height or bpc not in (1, 2, 4, 8, 16):
@@ -1103,7 +1156,7 @@ def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
             hival + 1, nch
         )
         raw = lut[idx].tobytes()
-        return _png_encode(width, height, nch, raw, prefiltered=False)
+        return width, height, nch, raw, False
     if re.search(rb"/ColorSpace\s*/DeviceRGB\b", d):
         channels = 3
     elif re.search(rb"/ColorSpace\s*/DeviceGray\b", d):
@@ -1118,9 +1171,7 @@ def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
             return None
         if len(data) != height * width * channels * 2:
             return None
-        return _png_encode(
-            width, height, channels, data[::2], prefiltered=False
-        )
+        return width, height, channels, data[::2], False
     if bpc != 8:
         # sub-8-bit gray (bilevel scans, 16-gray thumbnails): unpack and
         # rescale to 8 bits (v * 255 / maxval is exact for 1/2/4 bpc)
@@ -1134,7 +1185,7 @@ def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
         scale = 255 // ((1 << bpc) - 1)
         samples = _unpack_samples(data, height, row_bytes, width, bpc)
         raw = (samples.astype(np.uint8) * np.uint8(scale)).tobytes()
-        return _png_encode(width, height, 1, raw, prefiltered=False)
+        return width, height, 1, raw, False
     if predictor is not None and 2 <= predictor < 10:
         if predictor != 2:
             return None  # 3-9 are not assigned; refuse rather than guess
@@ -1159,10 +1210,7 @@ def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
             .cumsum(axis=1)
             & 0xFF
         )
-        return _png_encode(
-            width, height, channels, arr.astype(np.uint8).tobytes(),
-            prefiltered=False,
-        )
+        return width, height, channels, arr.astype(np.uint8).tobytes(), False
     prefiltered = predictor is not None and predictor >= 10
     if prefiltered:
         # the filter-byte rows only re-wrap as PNG if the predictor
@@ -1177,7 +1225,7 @@ def _raster_to_png(d: bytes, data: bytes) -> bytes | None:
     expected = height * (width * channels + (1 if prefiltered else 0))
     if len(data) != expected:
         return None
-    return _png_encode(width, height, channels, data, prefiltered=prefiltered)
+    return width, height, channels, data, prefiltered
 
 
 # ---------------------------------------------------------------------------

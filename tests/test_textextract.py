@@ -352,7 +352,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             assert depth == 8 and payload[10:13] == b"\x00\x00\x00"
         elif tag == b"IDAT":
             idat += payload
-    channels = {0: 1, 2: 3}[ct]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
     raw = zlib.decompress(idat)
     stride = w * channels
     rows = []
@@ -857,9 +857,11 @@ def test_pdf_image_predictor_geometry_mismatch_skipped():
     assert pdf_extract_images(pdf) == []
 
 
-def test_pdf_smask_stream_not_extracted_as_picture():
+def test_pdf_smask_merges_into_rgba_not_standalone():
     """The alpha-mask companion of a transparent image is /Subtype /Image
-    too, but it is a channel OF another picture, not a document picture."""
+    too, but it is a channel OF another picture, not a document picture:
+    since r13 it merges into the parent as a real RGBA alpha channel
+    (ONE output picture, never a standalone gray)."""
     from docling_api_spark.pipeline.textextract import pdf_extract_images
 
     rgb = bytes(range(12))
@@ -872,6 +874,52 @@ def test_pdf_smask_stream_not_extracted_as_picture():
         zlib.compress(mask), width=2, height=2, colorspace=b"/DeviceGray"
     ).replace(b"5 0 obj", b"7 0 obj")
     (png,) = pdf_extract_images(make_pdf_objs([img, smask]))
+    expect = b"".join(rgb[3 * i : 3 * i + 3] + mask[i : i + 1] for i in range(4))
+    assert decode_png(png) == (2, 2, 4, expect)
+
+
+def test_pdf_smask_gray_parent_becomes_gray_alpha():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    gray = bytes([10, 20, 30, 40])
+    mask = bytes([255, 0, 128, 7])
+    img = make_image_obj(
+        zlib.compress(gray), width=2, height=2, colorspace=b"/DeviceGray",
+        extra=b" /SMask 7 0 R",
+    )
+    smask = make_image_obj(
+        zlib.compress(mask), width=2, height=2, colorspace=b"/DeviceGray"
+    ).replace(b"5 0 obj", b"7 0 obj")
+    (png,) = pdf_extract_images(make_pdf_objs([img, smask]))
+    expect = b"".join(gray[i : i + 1] + mask[i : i + 1] for i in range(4))
+    assert decode_png(png) == (2, 2, 2, expect)
+
+
+def test_pdf_smask_unmergeable_degrades_to_opaque_parent():
+    """A mask with the wrong dimensions — or in an undecodable codec —
+    must not drop the parent: it comes back opaque, and the mask is
+    still not a standalone picture."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    rgb = bytes(range(12))
+    img = make_image_obj(
+        zlib.compress(rgb), width=2, height=2, extra=b" /SMask 7 0 R",
+    )
+    wrong_dims = make_image_obj(
+        zlib.compress(bytes(9)), width=3, height=3, colorspace=b"/DeviceGray"
+    ).replace(b"5 0 obj", b"7 0 obj")
+    (png,) = pdf_extract_images(make_pdf_objs([img, wrong_dims]))
+    assert decode_png(png) == (2, 2, 3, rgb)
+
+    ccitt_mask = make_image_obj(
+        b"\x00\x01", width=2, height=2, colorspace=b"/DeviceGray",
+        filt=b"/CCITTFaxDecode",
+    ).replace(b"5 0 obj", b"7 0 obj")
+    (png,) = pdf_extract_images(make_pdf_objs([img, ccitt_mask]))
+    assert decode_png(png) == (2, 2, 3, rgb)
+
+    # dangling /SMask reference (no such object): opaque parent
+    (png,) = pdf_extract_images(make_pdf_objs([img]))
     assert decode_png(png) == (2, 2, 3, rgb)
 
 
