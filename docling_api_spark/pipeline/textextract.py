@@ -1720,39 +1720,86 @@ def _md_link(text: str, url: str | None) -> str:
     return f"[{safe_text}]({safe_url})"
 
 
-def _run_text(r: ET.Element) -> str:
+_MC = "{http://schemas.openxmlformats.org/markup-compatibility/2006}"
+
+
+def _iter_choice_only(el: ET.Element, skip: tuple = ()):
+    """Depth-first descendants, skipping mc:Fallback subtrees (plus any
+    tags in ``skip``): Word emits drawings (text boxes included) TWICE
+    inside mc:AlternateContent — the wps drawing in mc:Choice and a VML
+    w:pict in mc:Fallback, both carrying the same w:txbxContent — so
+    walking both duplicates every boxed word. Legacy VML-only documents
+    have no AlternateContent wrapper, so their w:pict content still
+    walks normally."""
+    for child in el:
+        if child.tag == f"{_MC}Fallback" or child.tag in skip:
+            continue
+        yield child
+        yield from _iter_choice_only(child, skip)
+
+
+def _run_text(r: ET.Element, inline_boxes: bool = False) -> str:
     """Visible text of ONE run: w:t plus single-space stand-ins for
     w:tab and w:br/w:cr — dropping those outright glues adjacent words
     together ("JanFeb" for a tab-separated header line), and a space is
-    safe in every emission context (pipe cells included)."""
+    safe in every emission context (pipe cells included). Footnote/
+    endnote references become GFM markers whose definitions
+    docx_extract appends at document end (r13). Text-box content
+    (w:txbxContent inside the run's drawing) is EXCLUDED by default —
+    docx_extract emits it as block lines after the anchor paragraph —
+    except with ``inline_boxes`` (table cells: a pipe cell cannot hold
+    block lines, so boxed text inlines with space separators)."""
+    skip = () if inline_boxes else (f"{_W}txbxContent",)
     parts: list[str] = []
-    for el in r.iter():
+    for el in _iter_choice_only(r, skip):
         if el.tag == f"{_W}t":
             parts.append(el.text or "")
         elif el.tag in (f"{_W}tab", f"{_W}br", f"{_W}cr"):
             parts.append(" ")
+        elif el.tag == f"{_W}txbxContent":
+            # inline mode: boxed text must not glue onto the anchor text
+            # of a PRECEDING run, so the box always opens with a space
+            parts.append(" ")
+        elif el.tag == f"{_W}p":
+            # nested text-box paragraph boundary — separate, don't glue
+            if parts and not parts[-1].endswith(" "):
+                parts.append(" ")
+        elif el.tag == f"{_W}footnoteReference":
+            fid = el.get(f"{_W}id")
+            if fid:
+                parts.append(f"[^{fid}]")
+        elif el.tag == f"{_W}endnoteReference":
+            fid = el.get(f"{_W}id")
+            if fid:
+                parts.append(f"[^en{fid}]")
     return "".join(parts)
 
 
-def _para_text(p: ET.Element, links: dict[str, str] | None = None) -> str:
+def _para_text(
+    p: ET.Element,
+    links: dict[str, str] | None = None,
+    inline_boxes: bool = False,
+) -> str:
     """Visible text of a paragraph (or table cell): runs in flow order,
     recursing through container wrappers (w:hyperlink, w:smartTag, w:sdt,
     w:ins, a cell's nested w:p …) but never into w:pPr — its w:tab
     children are tab-STOP definitions, not content. With ``links`` (rId →
-    external URL), hyperlink runs render as markdown ``[text](url)``."""
+    external URL), hyperlink runs render as markdown ``[text](url)``.
+    ``inline_boxes`` flows to _run_text (table cells inline their text
+    boxes; body paragraphs emit them as block lines instead)."""
     parts: list[str] = []
     for child in p:
         tag = child.tag
         if tag == f"{_W}pPr":
             continue
         if tag == f"{_W}r":
-            parts.append(_run_text(child))
+            parts.append(_run_text(child, inline_boxes))
         elif tag == f"{_W}hyperlink":
-            inner = _para_text(child, links)
+            inner = _para_text(child, links, inline_boxes)
             url = links.get(child.get(_R_ID, "")) if links else None
             parts.append(_md_link(inner, url))
         else:
-            parts.append(_para_text(child, links))
+            parts.append(_para_text(child, links, inline_boxes))
     return "".join(parts)
 
 
@@ -1850,6 +1897,22 @@ def docx_extract(
                         if not prefix and numpr is not None:
                             prefix = _list_prefix(numpr, numfmts)
                     out.append(prefix + text)
+                # text boxes anchored in this paragraph surface as BLOCK
+                # lines right after it (r13): one line per boxed w:p,
+                # deduped via the mc:Choice-only walk. Emitted even when
+                # the anchor paragraph itself is empty (floating boxes
+                # usually anchor in one).
+                for box in _iter_choice_only(el):
+                    if box.tag != f"{_W}txbxContent":
+                        continue
+                    out.extend(
+                        t
+                        for t in (
+                            _para_text(p2, links)
+                            for p2 in box.findall(f"{_W}p")
+                        )
+                        if t.strip()
+                    )
                 if image_placeholder is not None:
                     found = _docx_drawing_payloads(el, rels, zf)
                     out.extend(image_placeholder for _ in found)
@@ -1863,7 +1926,9 @@ def docx_extract(
                 for tr in el.findall(f"{_W}tr"):
                     row: list[str] = []
                     for tc in tr.findall(f"{_W}tc"):
-                        row.append(_para_text(tc, links))
+                        # cells inline their text boxes — a pipe cell
+                        # cannot hold block lines
+                        row.append(_para_text(tc, links, inline_boxes=True))
                         span = tc.find(f"{_W}tcPr/{_W}gridSpan")
                         if span is not None:
                             try:
@@ -1878,7 +1943,38 @@ def docx_extract(
                     found = _docx_drawing_payloads(el, rels, zf)
                     out.extend(image_placeholder for _ in found)
                     payloads.extend(found)
+        # footnote/endnote definitions close the document (r13): the
+        # in-text [^id] markers _run_text emits resolve to GFM-style
+        # definition lines, so the note TEXT survives conversion instead
+        # of vanishing with its part file
+        out.extend(_docx_notes(zf, "word/footnotes.xml", f"{_W}footnote", ""))
+        out.extend(_docx_notes(zf, "word/endnotes.xml", f"{_W}endnote", "en"))
         return "\n".join(out), payloads
+
+
+def _docx_notes(
+    zf: zipfile.ZipFile, part: str, note_tag: str, ref_prefix: str
+) -> list[str]:
+    """GFM footnote-definition lines (``[^id]: text``) for a notes part,
+    in part order. Separator/continuation machinery notes (the ones
+    carrying a w:type attribute) are layout artifacts, not content."""
+    try:
+        root = ET.fromstring(zf.read(part))
+    except (KeyError, ET.ParseError):
+        return []
+    out: list[str] = []
+    for note in root:
+        if note.tag != note_tag or note.get(f"{_W}type"):
+            continue
+        nid = note.get(f"{_W}id")
+        text = " ".join(
+            t.strip()
+            for t in (_para_text(p) for p in note.findall(f"{_W}p"))
+            if t.strip()
+        )
+        if nid and text:
+            out.append(f"[^{ref_prefix}{nid}]: {text}")
+    return out
 
 
 def _list_prefix(

@@ -2541,3 +2541,133 @@ def test_encrypted_pdf_gets_the_honest_error():
     # a truly empty unencrypted pdf keeps the OCR-backend breadcrumb
     empty = LightweightConverter().convert("scan.pdf", make_pdf(b""))
     assert "docling OCR backend" in empty["error"]
+
+
+# -- r13 docx text boxes + footnotes/endnotes --------------------------------
+MC_NS = 'xmlns:mc="http://schemas.openxmlformats.org/markup-compatibility/2006"'
+
+
+def make_docx_with_parts(document_xml: str, parts: dict[str, str]) -> bytes:
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Override PartName="/word/document.xml" ContentType="applicat'
+            "ion/vnd.openxmlformats-officedocument.wordprocessingml.docume"
+            'nt.main+xml"/></Types>',
+        )
+        zf.writestr("word/document.xml", document_xml)
+        for name, xml in parts.items():
+            zf.writestr(name, xml)
+    return buf.getvalue()
+
+
+def test_docx_textbox_content_extracted_once():
+    """Word emits a text box TWICE (mc:Choice drawing + mc:Fallback VML
+    pict, same w:txbxContent) — the walker must take the Choice branch
+    only, and boxed paragraphs surface as BLOCK lines after the anchor
+    (before the fix this document rendered
+    'anchorboxed one boxed twoboxed one boxed two')."""
+    doc = f'''<?xml version="1.0"?>
+<w:document {W_NS} {MC_NS}><w:body>
+<w:p><w:r><w:t>anchor</w:t></w:r>
+<w:r><mc:AlternateContent>
+<mc:Choice Requires="wps"><w:drawing><w:txbxContent>
+<w:p><w:r><w:t>boxed one</w:t></w:r></w:p>
+<w:p><w:r><w:t>boxed two</w:t></w:r></w:p>
+</w:txbxContent></w:drawing></mc:Choice>
+<mc:Fallback><w:pict><w:txbxContent>
+<w:p><w:r><w:t>boxed one</w:t></w:r></w:p>
+<w:p><w:r><w:t>boxed two</w:t></w:r></w:p>
+</w:txbxContent></w:pict></mc:Fallback>
+</mc:AlternateContent></w:r></w:p>
+</w:body></w:document>'''
+    assert docx_to_markdown(make_docx(doc)).splitlines() == [
+        "anchor", "boxed one", "boxed two",
+    ]
+
+
+def test_docx_legacy_vml_textbox_still_extracted():
+    """Old documents carry VML text boxes with NO AlternateContent
+    wrapper — skipping only mc:Fallback keeps them visible."""
+    doc = f'''<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+<w:p><w:r><w:pict><w:txbxContent>
+<w:p><w:r><w:t>vml boxed</w:t></w:r></w:p>
+</w:txbxContent></w:pict></w:r></w:p>
+</w:body></w:document>'''
+    assert docx_to_markdown(make_docx(doc)) == "vml boxed"
+
+
+def test_docx_footnotes_render_as_gfm_definitions():
+    doc = f'''<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+<w:p><w:r><w:t>claim</w:t></w:r>
+<w:r><w:footnoteReference w:id="2"/></w:r>
+<w:r><w:t> continues.</w:t></w:r></w:p>
+</w:body></w:document>'''
+    notes = f'''<?xml version="1.0"?>
+<w:footnotes {W_NS}>
+<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>___</w:t></w:r></w:p></w:footnote>
+<w:footnote w:id="2"><w:p><w:r><w:t>the cited source,</w:t></w:r></w:p>
+<w:p><w:r><w:t>page 4</w:t></w:r></w:p></w:footnote>
+</w:footnotes>'''
+    md = docx_to_markdown(
+        make_docx_with_parts(doc, {"word/footnotes.xml": notes})
+    )
+    assert md.splitlines() == [
+        "claim[^2] continues.",
+        "[^2]: the cited source, page 4",
+    ]
+
+
+def test_docx_endnotes_use_distinct_marker_namespace():
+    """Footnote id 1 and endnote id 1 must not collide: endnote markers
+    carry the 'en' prefix."""
+    doc = f'''<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+<w:p><w:r><w:t>x</w:t></w:r><w:r><w:footnoteReference w:id="1"/></w:r>
+<w:r><w:endnoteReference w:id="1"/></w:r></w:p>
+</w:body></w:document>'''
+    fn = f'''<?xml version="1.0"?><w:footnotes {W_NS}>
+<w:footnote w:id="1"><w:p><w:r><w:t>foot</w:t></w:r></w:p></w:footnote></w:footnotes>'''
+    en = f'''<?xml version="1.0"?><w:endnotes {W_NS}>
+<w:endnote w:id="1"><w:p><w:r><w:t>end</w:t></w:r></w:p></w:endnote></w:endnotes>'''
+    md = docx_to_markdown(
+        make_docx_with_parts(
+            doc, {"word/footnotes.xml": fn, "word/endnotes.xml": en}
+        )
+    )
+    assert md.splitlines() == ["x[^1][^en1]", "[^1]: foot", "[^en1]: end"]
+
+
+def test_docx_footnote_marker_without_part_is_harmless():
+    doc = f'''<?xml version="1.0"?>
+<w:document {W_NS}><w:body>
+<w:p><w:r><w:t>a</w:t></w:r><w:r><w:footnoteReference w:id="3"/></w:r></w:p>
+</w:body></w:document>'''
+    assert docx_to_markdown(make_docx(doc)) == "a[^3]"
+
+
+def test_docx_textbox_in_table_cell_inlines_once():
+    """A pipe cell cannot hold block lines, so boxed text inside a cell
+    inlines (space-separated, still deduped to the Choice branch)."""
+    doc = f'''<?xml version="1.0"?>
+<w:document {W_NS} {MC_NS}><w:body>
+<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell</w:t></w:r>
+<w:r><mc:AlternateContent>
+<mc:Choice Requires="wps"><w:drawing><w:txbxContent>
+<w:p><w:r><w:t>boxed</w:t></w:r></w:p>
+</w:txbxContent></w:drawing></mc:Choice>
+<mc:Fallback><w:pict><w:txbxContent>
+<w:p><w:r><w:t>boxed</w:t></w:r></w:p>
+</w:txbxContent></w:pict></mc:Fallback>
+</mc:AlternateContent></w:r></w:p></w:tc>
+<w:tc><w:p><w:r><w:t>plain</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+</w:body></w:document>'''
+    assert docx_to_markdown(make_docx(doc)).splitlines() == [
+        "| cell boxed | plain |",
+        "|---|---|",
+    ]
