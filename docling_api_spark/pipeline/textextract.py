@@ -1103,7 +1103,47 @@ def _raster_to_png(
     return _png_encode(width, height, channels, raw, prefiltered=prefiltered)
 
 
+_DECODE_ARR_RE = re.compile(rb"/Decode\s*\[([^\]]*)\]", re.DOTALL)
+
+
 def _raster_samples(
+    d: bytes, data: bytes
+) -> tuple[int, int, int, bytes, bool] | None:
+    """`_raster_samples_raw` plus /Decode array handling: bilevel scans
+    very commonly carry ``/Decode [1 0]`` (inverted sample polarity —
+    the fax-world BlackIs1 convention), which must flip the output or
+    every scan comes back as a negative. Full inversion is applied
+    sample-wise; the explicit identity ``[0 1 ...]`` passes through;
+    anything else — partial ranges, Decode over palette INDICES, or an
+    inversion of prefiltered rows (the filter bytes must not be
+    touched) — skips the stream rather than mis-rendering it. (For
+    16-bit streams the inversion runs on the already-reduced high byte:
+    off by at most one gray level in 255 when the dropped low byte was
+    non-zero.)"""
+    s = _raster_samples_raw(d, data)
+    if s is None:
+        return None
+    m = _DECODE_ARR_RE.search(d)
+    if m is None:
+        return s
+    width, height, channels, raw, prefiltered = s
+    if _INDEXED_CS_RE.search(d):
+        return None  # Decode remaps index values; not replayed
+    floats = [
+        float(v)
+        for v in re.findall(rb"[-+]?(?:\d+\.?\d*|\.\d+)", m.group(1))
+    ]
+    if floats == [0.0, 1.0] * channels:
+        return s
+    if floats == [1.0, 0.0] * channels and not prefiltered:
+        import numpy as np
+
+        inverted = (255 - np.frombuffer(raw, np.uint8)).astype(np.uint8)
+        return width, height, channels, inverted.tobytes(), prefiltered
+    return None
+
+
+def _raster_samples_raw(
     d: bytes, data: bytes
 ) -> tuple[int, int, int, bytes, bool] | None:
     """Decoded stream payload → (width, height, channels, raw8,

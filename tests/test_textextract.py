@@ -2671,3 +2671,73 @@ def test_docx_textbox_in_table_cell_inlines_once():
         "| cell boxed | plain |",
         "|---|---|",
     ]
+
+
+# -- r13 /Decode arrays (inverted sample polarity) ---------------------------
+def test_pdf_image_decode_inversion_bilevel():
+    """/Decode [1 0] flips bilevel polarity (the fax BlackIs1
+    convention) — without it every scan extracts as a negative."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(bytes([0b10100101])), width=8, height=1,
+                colorspace=b"/DeviceGray", bpc=1,
+                extra=b" /Decode [1 0]",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (
+        8, 1, 1, bytes(255 * (1 - b) for b in [1, 0, 1, 0, 0, 1, 0, 1])
+    )
+
+
+def test_pdf_image_decode_identity_and_unsupported_forms():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    rgb = bytes(range(12))
+    # explicit identity: unchanged
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(rgb), width=2, height=2,
+                extra=b" /Decode [0 1 0 1 0 1]",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 3, rgb)
+    # full RGB inversion
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(rgb), width=2, height=2,
+                extra=b" /Decode [1 0 1 0 1 0]",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 3, bytes(255 - v for v in rgb))
+    # partial-range remap: skipped, never approximated
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(rgb), width=2, height=2,
+                extra=b" /Decode [0 0.5 0 0.5 0 0.5]",
+            )
+        ]
+    )
+    assert pdf_extract_images(pdf) == []
+    # Decode over palette indices: skipped
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(bytes([0, 1, 2, 3])), width=2, height=2,
+                colorspace=b"[/Indexed /DeviceRGB 3 <000000111111222222333333>]",
+                extra=b" /Decode [3 0]",
+            )
+        ]
+    )
+    assert pdf_extract_images(pdf) == []
