@@ -1037,9 +1037,16 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
                 mres = _decode_stream(md, content[ms:me])
                 if mres is not None and mres[1] == "raw":
                     msamp = _raster_samples(md, mres[0])
-                    # usable mask: plain (non-prefiltered) single-channel
-                    if msamp is not None and msamp[2] == 1 and not msamp[4]:
-                        alpha = (msamp[0], msamp[1], msamp[3])
+                    # usable mask: single-channel; prefiltered rows are
+                    # unfiltered to plain samples first
+                    if msamp is not None and msamp[2] == 1:
+                        mw, mh, _, mraw, mpref = msamp
+                        if mpref:
+                            plain = _png_unfilter(mraw, mh, mw, 1)
+                            if plain is not None:
+                                mraw, mpref = plain, False
+                        if not mpref:
+                            alpha = (mw, mh, mraw)
         png = _raster_to_png(d, data, alpha=alpha)
         if png is not None:
             out.append(png)
@@ -1089,18 +1096,67 @@ def _raster_to_png(
     width, height, channels, raw, prefiltered = s
     if (
         alpha is not None
-        and not prefiltered
         and alpha[0] == width
         and alpha[1] == height
         and len(alpha[2]) == width * height
     ):
-        import numpy as np
+        if prefiltered:  # per-sample access needs plain scanlines
+            plain = _png_unfilter(raw, height, width * channels, channels)
+            if plain is not None:
+                raw, prefiltered = plain, False
+        if not prefiltered:
+            import numpy as np
 
-        px = np.frombuffer(raw, np.uint8).reshape(height * width, channels)
-        av = np.frombuffer(alpha[2], np.uint8).reshape(height * width, 1)
-        raw = np.concatenate([px, av], axis=1).tobytes()
-        channels += 1
+            px = np.frombuffer(raw, np.uint8).reshape(height * width, channels)
+            av = np.frombuffer(alpha[2], np.uint8).reshape(height * width, 1)
+            raw = np.concatenate([px, av], axis=1).tobytes()
+            channels += 1
     return _png_encode(width, height, channels, raw, prefiltered=prefiltered)
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytes | None:
+    """PNG filter-prefixed rows → plain scanline bytes, or None on an
+    unknown filter tag / bad geometry. Needed only when a predictor-
+    filtered raster must be accessed PER SAMPLE (alpha merge, /Decode
+    inversion) — plain extraction passes filtered rows straight into
+    the PNG container, which understands them natively. None/Up rows
+    are vectorized; Sub/Average/Paeth carry a left-neighbor dependency
+    and run a per-byte loop (bounded: this path triggers only for the
+    rare predictor+mask / predictor+inversion combinations)."""
+    import numpy as np
+
+    if len(raw) != height * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), np.int64)
+    prior = np.zeros(stride, np.int64)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            cur = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prior = cur
+    return out.astype(np.uint8).tobytes()
 
 
 _DECODE_ARR_RE = re.compile(rb"/Decode\s*\[([^\]]*)\]", re.DOTALL)
@@ -1135,9 +1191,14 @@ def _raster_samples(
     ]
     if floats == [0.0, 1.0] * channels:
         return s
-    if floats == [1.0, 0.0] * channels and not prefiltered:
+    if floats == [1.0, 0.0] * channels:
         import numpy as np
 
+        if prefiltered:  # unfilter first — filter bytes must not flip
+            plain = _png_unfilter(raw, height, width * channels, channels)
+            if plain is None:
+                return None
+            raw, prefiltered = plain, False
         inverted = (255 - np.frombuffer(raw, np.uint8)).astype(np.uint8)
         return width, height, channels, inverted.tobytes(), prefiltered
     return None

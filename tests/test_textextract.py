@@ -2741,3 +2741,113 @@ def test_pdf_image_decode_identity_and_unsupported_forms():
         ]
     )
     assert pdf_extract_images(pdf) == []
+
+
+# -- r13 PNG unfiltering (predictor rows accessed per sample) ----------------
+def test_pdf_decode_inversion_on_predictor_filtered_rows():
+    """/Decode [1 0] on a /Predictor 15 stream: the filter bytes must
+    not flip, so the rows are UNFILTERED (Sub + Paeth here, both
+    hand-computed) before the sample-wise inversion."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # 2x2 gray pixels [[10, 20], [30, 45]]:
+    #   row0 Sub:   10, 20-10=10            -> 01 0a 0a
+    #   row1 Paeth: x0 pred=b(10) -> 20;    -> 04 14 0f
+    #               x1 a=30 b=20 c=10, p=40, pa=10<=pb=20 -> a -> 15
+    prefiltered = b"\x01\x0a\x0a\x04\x14\x0f"
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(prefiltered), width=2, height=2,
+                colorspace=b"/DeviceGray",
+                extra=b" /DecodeParms <</Predictor 15 /Colors 1 /Columns 2>>"
+                b" /Decode [1 0]",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (
+        2, 2, 1, bytes(255 - v for v in [10, 20, 30, 45])
+    )
+
+
+def test_pdf_unfilter_up_average_and_rgb_sub():
+    """Up and Average rows (gray) and a Sub row at bpp=3 (RGB — the
+    left neighbor is one PIXEL back, not one byte)."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # gray [[10, 20], [30, 45]]: row0 Up over zero prior = raw;
+    # row1 Average: x0 30-(0+10)//2=25; x1 45-(30+20)//2=20
+    gray_pref = b"\x02\x0a\x14\x03\x19\x14"
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(gray_pref), width=2, height=2,
+                colorspace=b"/DeviceGray",
+                extra=b" /DecodeParms <</Predictor 15 /Colors 1 /Columns 2>>"
+                b" /Decode [1 0]",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (
+        2, 2, 1, bytes(255 - v for v in [10, 20, 30, 45])
+    )
+
+    # RGB 2x1 [[1,2,3],[10,20,30]]: Sub -> 1,2,3, 9,18,27
+    rgb_pref = b"\x01\x01\x02\x03\x09\x12\x1b"
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(rgb_pref), width=2, height=1,
+                extra=b" /DecodeParms <</Predictor 15 /Colors 3 /Columns 2>>"
+                b" /Decode [1 0 1 0 1 0]",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (
+        2, 1, 3, bytes(255 - v for v in [1, 2, 3, 10, 20, 30])
+    )
+
+
+def test_pdf_smask_on_predictor_filtered_parent_merges_alpha():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # parent: the Sub+Paeth gray fixture above; mask: plain gray
+    prefiltered = b"\x01\x0a\x0a\x04\x14\x0f"
+    mask = bytes([255, 128, 64, 0])
+    img = make_image_obj(
+        zlib.compress(prefiltered), width=2, height=2,
+        colorspace=b"/DeviceGray",
+        extra=b" /DecodeParms <</Predictor 15 /Colors 1 /Columns 2>>"
+        b" /SMask 7 0 R",
+    )
+    smask = make_image_obj(
+        zlib.compress(mask), width=2, height=2, colorspace=b"/DeviceGray"
+    ).replace(b"5 0 obj", b"7 0 obj")
+    (png,) = pdf_extract_images(make_pdf_objs([img, smask]))
+    gray = [10, 20, 30, 45]
+    expect = b"".join(bytes([gray[i], mask[i]]) for i in range(4))
+    assert decode_png(png) == (2, 2, 2, expect)
+
+
+def test_pdf_unfilter_rejects_unknown_filter_tag():
+    """A bogus filter tag must not guess: the inversion path skips the
+    stream (plain extraction of the same stream also cannot round-trip,
+    because PNG itself would reject tag 9 — so skip is the only honest
+    outcome)."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    bad = b"\x09\x0a\x14\x00\x1e\x2d"
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(bad), width=2, height=2,
+                colorspace=b"/DeviceGray",
+                extra=b" /DecodeParms <</Predictor 15 /Colors 1 /Columns 2>>"
+                b" /Decode [1 0]",
+            )
+        ]
+    )
+    assert pdf_extract_images(pdf) == []
