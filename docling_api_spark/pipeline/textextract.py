@@ -1363,6 +1363,7 @@ class _HTMLToMarkdown(HTMLParser):
         self.pre_buf: list[str] = []
         self.skip = 0  # script/style depth
         self.hrefs: list[str] = []
+        self.quote = 0  # blockquote depth (r13: "> " prefixes)
 
     # -- text assembly -----------------------------------------------------
     def _flush(self) -> None:
@@ -1376,13 +1377,14 @@ class _HTMLToMarkdown(HTMLParser):
         self.buf.clear()
         if not text:
             return
+        qp = "> " * self.quote  # quote marker is the OUTERMOST prefix
         if self.heading:
-            self.out.append("#" * self.heading + " " + text)
+            self.out.append(qp + "#" * self.heading + " " + text)
         elif self.item_prefix:
-            self.out.append(self.item_prefix + text)
+            self.out.append(qp + self.item_prefix + text)
             self.item_prefix = ""
         else:
-            self.out.append(text)
+            self.out.append(qp + text)
 
     def _cell_flush(self) -> None:
         t = self.tables[-1]
@@ -1414,7 +1416,10 @@ class _HTMLToMarkdown(HTMLParser):
         if tag in self._HEADINGS:
             self._flush()
             self.heading = self._HEADINGS[tag]
-        elif tag in ("p", "div", "section", "article", "blockquote"):
+        elif tag == "blockquote":
+            self._flush()
+            self.quote += 1
+        elif tag in ("p", "div", "section", "article"):
             self._flush()
         elif tag == "br":
             self._flush()
@@ -1478,7 +1483,10 @@ class _HTMLToMarkdown(HTMLParser):
         if tag in self._HEADINGS:
             self._flush()
             self.heading = 0
-        elif tag in ("p", "div", "section", "article", "blockquote", "li"):
+        elif tag == "blockquote":
+            self._flush()
+            self.quote = max(0, self.quote - 1)
+        elif tag in ("p", "div", "section", "article", "li"):
             self._flush()
             if tag == "li":
                 self.item_prefix = ""

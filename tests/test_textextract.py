@@ -2851,3 +2851,38 @@ def test_pdf_unfilter_rejects_unknown_filter_tag():
         ]
     )
     assert pdf_extract_images(pdf) == []
+
+
+def test_html_blockquote_renders_quote_prefixes():
+    """Blockquote content gets CommonMark '> ' prefixes (nested quotes
+    stack; headings and list items keep their own markers inside)."""
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    html = (
+        b"<p>before</p>"
+        b"<blockquote><p>quoted line</p>"
+        b"<blockquote><p>deeper</p></blockquote>"
+        b"<h2>quoted heading</h2>"
+        b"</blockquote>"
+        b"<p>after</p>"
+    )
+    assert html_to_markdown(html).splitlines() == [
+        "before",
+        "> quoted line",
+        "> > deeper",
+        "> ## quoted heading",
+        "after",
+    ]
+
+
+def test_html_blockquote_inside_cell_stays_in_cell():
+    from docling_api_spark.pipeline.textextract import html_to_markdown
+
+    html = (
+        b"<table><tr><td><blockquote>boxed quote</blockquote></td>"
+        b"<td>plain</td></tr></table>"
+    )
+    assert html_to_markdown(html).splitlines() == [
+        "| boxed quote | plain |",
+        "|---|---|",
+    ]
