@@ -2198,7 +2198,34 @@ def pptx_extract(
                     found = _blip_payloads(blips, rels, zf)
                     out.extend(image_placeholder for _ in found)
                     payloads.extend(found)
+            # speaker notes (r13): the slide's rels point at its
+            # notesSlide part; only the body placeholder shape carries
+            # the author's notes (other shapes hold the slide thumbnail
+            # and the slide-number field — layout machinery, not text)
+            out.extend(_pptx_notes_lines(zf, rels))
     return "\n".join(out), payloads
+
+
+def _pptx_notes_lines(zf: zipfile.ZipFile, rels: dict[str, str]) -> list[str]:
+    lines: list[str] = []
+    for target in rels.values():
+        if "/notesSlides/" not in target:
+            continue
+        try:
+            nroot = ET.fromstring(zf.read(target))
+        except (KeyError, ET.ParseError):
+            continue
+        _, nlinks = _ooxml_rels_all(zf, target)
+        for sp in nroot.iter(f"{_P}sp"):
+            ph = sp.find(f"{_P}nvSpPr/{_P}nvPr/{_P}ph")
+            if ph is None or ph.get("type") != "body":
+                continue
+            lines.extend(
+                t
+                for p in sp.iter(f"{_A}p")
+                if (t := _pptx_para_text(p, nlinks)).strip()
+            )
+    return ["### Notes", *lines] if lines else []
 
 
 def pptx_to_markdown(content: bytes) -> str:

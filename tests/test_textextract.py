@@ -2886,3 +2886,66 @@ def test_html_blockquote_inside_cell_stays_in_cell():
         "| boxed quote | plain |",
         "|---|---|",
     ]
+
+
+def test_pptx_speaker_notes_extracted_under_notes_header():
+    """Speaker notes (the notesSlide body placeholder) surface after the
+    slide content; the slide-number field shape and other machinery
+    placeholders stay out."""
+    from docling_api_spark.pipeline.textextract import pptx_to_markdown
+
+    P_NS = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+    slide = (
+        f'<?xml version="1.0"?><p:sld {P_NS} {A_NS}>'
+        "<p:cSld><p:spTree><p:sp><p:txBody>"
+        "<a:p><a:r><a:t>slide body</a:t></a:r></a:p>"
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    notes = (
+        f'<?xml version="1.0"?><p:notes {P_NS} {A_NS}>'
+        "<p:cSld><p:spTree>"
+        # slide-number placeholder: machinery, excluded
+        '<p:sp><p:nvSpPr><p:nvPr><p:ph type="sldNum"/></p:nvPr></p:nvSpPr>'
+        "<p:txBody><a:p><a:fld><a:t>7</a:t></a:fld></a:p></p:txBody></p:sp>"
+        # the body placeholder: the author's notes
+        '<p:sp><p:nvSpPr><p:nvPr><p:ph type="body"/></p:nvPr></p:nvSpPr>'
+        "<p:txBody><a:p><a:r><a:t>remember the demo</a:t></a:r></a:p>"
+        "<a:p><a:r><a:t>and the Q&amp;A</a:t></a:r></a:p></p:txBody></p:sp>"
+        "</p:spTree></p:cSld></p:notes>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxml'
+        'formats.org/package/2006/relationships">'
+        '<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/notesSlide" '
+        'Target="../notesSlides/notesSlide1.xml"/></Relationships>'
+    )
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", "<p/>")
+        zf.writestr("ppt/slides/slide1.xml", slide)
+        zf.writestr("ppt/slides/_rels/slide1.xml.rels", rels)
+        zf.writestr("ppt/notesSlides/notesSlide1.xml", notes)
+    assert pptx_to_markdown(buf.getvalue()).splitlines() == [
+        "## Slide 1",
+        "slide body",
+        "### Notes",
+        "remember the demo",
+        "and the Q&A",
+    ]
+
+
+def test_pptx_without_notes_is_unchanged():
+    from docling_api_spark.pipeline.textextract import pptx_to_markdown
+
+    P_NS = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+    slide = (
+        f'<?xml version="1.0"?><p:sld {P_NS} {A_NS}>'
+        "<p:cSld><p:spTree><p:sp><p:txBody>"
+        "<a:p><a:r><a:t>only body</a:t></a:r></a:p>"
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    )
+    assert pptx_to_markdown(make_pptx([slide])).splitlines() == [
+        "## Slide 1",
+        "only body",
+    ]
