@@ -569,3 +569,216 @@ def test_pdf_inline_image_scan_is_total(body):
     soup = b"BI " + body + b" EI\nBI /W 2 /H 1 /CS /G /BPC 8 ID " + body
     out = _inline_images(soup)
     assert isinstance(out, list) and all(isinstance(b, bytes) for b in out)
+
+
+# -- r13 raster-recovery widening: independent pure-python oracles -----------
+# Each strategy computes the EXPECTED pixels with straightforward Python
+# (bit twiddling, dict lookups, per-byte loops) so the numpy-vectorized
+# production paths are checked against an independent implementation,
+# not against themselves.
+def _mk_image_pdf(payload, *, width, height, colorspace, bpc=8, extra=b""):
+    import zlib as _z
+
+    obj = (
+        b"5 0 obj <</Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace %s /BitsPerComponent %d /Filter /FlateDecode%s "
+        b"/Length %d>>\nstream\n"
+        % (width, height, colorspace, bpc, extra, len(_z.compress(payload)))
+        + _z.compress(payload)
+        + b"\nendstream endobj"
+    )
+    return b"%PDF-1.4\n" + obj + b"\n%%EOF\n"
+
+
+def _decode_one_png(png):
+    from tests.test_textextract import decode_png
+
+    return decode_png(png)
+
+
+@st.composite
+def _sub8_gray(draw):
+    bpc = draw(st.sampled_from([1, 2, 4]))
+    width = draw(st.integers(1, 11))
+    height = draw(st.integers(1, 5))
+    row_bytes = (width * bpc + 7) // 8
+    data = draw(st.binary(min_size=height * row_bytes, max_size=height * row_bytes))
+    # reference unpack: MSB-first bpc-bit groups, per byte-aligned row
+    expect = bytearray()
+    scale = 255 // ((1 << bpc) - 1)
+    for y in range(height):
+        row = data[y * row_bytes : (y + 1) * row_bytes]
+        vals = []
+        for b in row:
+            for k in range(8 // bpc - 1, -1, -1):
+                vals.append((b >> (k * bpc)) & ((1 << bpc) - 1))
+        expect.extend(v * scale for v in vals[:width])
+    return bpc, width, height, data, bytes(expect)
+
+
+@given(r=_sub8_gray())
+@settings(max_examples=120, deadline=None)
+def test_sub8_gray_recovery_matches_reference_unpack(r):
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    bpc, width, height, data, expect = r
+    (png,) = pdf_extract_images(
+        _mk_image_pdf(
+            data, width=width, height=height,
+            colorspace=b"/DeviceGray", bpc=bpc,
+        )
+    )
+    assert _decode_one_png(png) == (width, height, 1, expect)
+
+
+@st.composite
+def _indexed(draw):
+    bpc = draw(st.sampled_from([1, 2, 4, 8]))
+    width = draw(st.integers(1, 9))
+    height = draw(st.integers(1, 4))
+    hival = draw(st.integers(0, min(7, (1 << bpc) - 1)))
+    nch = draw(st.sampled_from([1, 3]))
+    palette = draw(
+        st.binary(min_size=nch * (hival + 1), max_size=nch * (hival + 1))
+    )
+    row_bytes = (width * bpc + 7) // 8
+    data = draw(st.binary(min_size=height * row_bytes, max_size=height * row_bytes))
+    expect = bytearray()
+    for y in range(height):
+        row = data[y * row_bytes : (y + 1) * row_bytes]
+        vals = []
+        for b in row:
+            for k in range(8 // bpc - 1, -1, -1):
+                vals.append((b >> (k * bpc)) & ((1 << bpc) - 1))
+        for v in vals[:width]:
+            v = min(v, hival)
+            expect.extend(palette[nch * v : nch * (v + 1)])
+    return bpc, width, height, hival, nch, palette, data, bytes(expect)
+
+
+@given(r=_indexed())
+@settings(max_examples=120, deadline=None)
+def test_indexed_recovery_matches_reference_lookup(r):
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    bpc, width, height, hival, nch, palette, data, expect = r
+    base = b"/DeviceRGB" if nch == 3 else b"/DeviceGray"
+    cs = (
+        b"[/Indexed " + base + b" %d <" % hival
+        + palette.hex().encode() + b">]"
+    )
+    (png,) = pdf_extract_images(
+        _mk_image_pdf(data, width=width, height=height, colorspace=cs, bpc=bpc)
+    )
+    assert _decode_one_png(png) == (width, height, nch, expect)
+
+
+@st.composite
+def _tiff2(draw):
+    channels = draw(st.sampled_from([1, 3]))
+    width = draw(st.integers(1, 8))
+    height = draw(st.integers(1, 4))
+    pixels = draw(
+        st.binary(
+            min_size=width * height * channels,
+            max_size=width * height * channels,
+        )
+    )
+    # reference differencing (what an encoder would store)
+    stride = width * channels
+    diffed = bytearray(pixels)
+    for y in range(height):
+        for i in range(y * stride + stride - 1, y * stride + channels - 1, -1):
+            diffed[i] = (diffed[i] - diffed[i - channels]) & 0xFF
+    return channels, width, height, pixels, bytes(diffed)
+
+
+@given(r=_tiff2())
+@settings(max_examples=120, deadline=None)
+def test_tiff_predictor2_roundtrips_reference_differencing(r):
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    channels, width, height, pixels, diffed = r
+    cs = b"/DeviceRGB" if channels == 3 else b"/DeviceGray"
+    (png,) = pdf_extract_images(
+        _mk_image_pdf(
+            diffed, width=width, height=height, colorspace=cs,
+            extra=b" /DecodeParms <</Predictor 2 /Colors %d /Columns %d>>"
+            % (channels, width),
+        )
+    )
+    assert _decode_one_png(png) == (width, height, channels, pixels)
+
+
+def _png_filter_reference(pixels, height, stride, bpp, ftypes):
+    """Spec-literal PNG FILTERING (the encoder side, written only here):
+    produces the filter-prefixed rows the production unfilterer must
+    invert."""
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = ftypes[y]
+        out.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((row[x] - pred) & 0xFF)
+        prior = row
+    return bytes(out)
+
+
+@st.composite
+def _filtered_raster(draw):
+    channels = draw(st.sampled_from([1, 3]))
+    width = draw(st.integers(1, 7))
+    height = draw(st.integers(1, 5))
+    pixels = draw(
+        st.binary(
+            min_size=width * height * channels,
+            max_size=width * height * channels,
+        )
+    )
+    ftypes = draw(
+        st.lists(st.integers(0, 4), min_size=height, max_size=height)
+    )
+    return channels, width, height, pixels, ftypes
+
+
+@given(r=_filtered_raster())
+@settings(max_examples=120, deadline=None)
+def test_png_unfilter_inverts_spec_filtering(r):
+    """Inversion on a /Predictor 15 stream forces the unfilter path:
+    the recovered pixels must be the bitwise inverse of the ORIGINALS,
+    whatever mix of None/Sub/Up/Average/Paeth rows the (test-local,
+    spec-literal) encoder chose."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    channels, width, height, pixels, ftypes = r
+    stride = width * channels
+    filtered = _png_filter_reference(pixels, height, stride, channels, ftypes)
+    cs = b"/DeviceRGB" if channels == 3 else b"/DeviceGray"
+    decode = b" /Decode [" + b" ".join([b"1 0"] * channels) + b"]"
+    (png,) = pdf_extract_images(
+        _mk_image_pdf(
+            filtered, width=width, height=height, colorspace=cs,
+            extra=b" /DecodeParms <</Predictor 15 /Colors %d /Columns %d>>"
+            % (channels, width) + decode,
+        )
+    )
+    assert _decode_one_png(png) == (
+        width, height, channels, bytes(255 - v for v in pixels)
+    )
