@@ -910,12 +910,31 @@ _INLINE_CS = {
 }
 
 
+# inline-filter abbreviations (PDF 8.9.7 table 93) → the full names
+# _decode_stream understands; None marks codecs it cannot run (CCF)
+_INLINE_FILTERS = {
+    b"AHx": b"ASCIIHexDecode", b"ASCIIHexDecode": b"ASCIIHexDecode",
+    b"A85": b"ASCII85Decode", b"ASCII85Decode": b"ASCII85Decode",
+    b"Fl": b"FlateDecode", b"FlateDecode": b"FlateDecode",
+    b"RL": b"RunLengthDecode", b"RunLengthDecode": b"RunLengthDecode",
+    b"LZW": b"LZWDecode", b"LZWDecode": b"LZWDecode",
+    b"DCT": b"DCTDecode", b"DCTDecode": b"DCTDecode",
+}
+
+
 def _inline_images(data: bytes) -> list[bytes]:
     """Recovered inline images of ONE decoded content stream, in order.
-    Supported: unfiltered / /Fl(ate) Gray+RGB rasters (through the same
-    `_raster_to_png` geometry checks as XObjects) and /DCT passthrough.
-    Everything else (CCF/RL/LZW/indexed inline) is skipped — same
-    correct-by-omission stance as the XObject path."""
+    Supported: unfiltered rasters, every stdlib-decodable filter chain
+    (Fl/AHx/A85/RL/LZW, abbreviated or full names, via the same
+    `_decode_stream` chain runner the XObject path uses) and /DCT
+    passthrough — each through the shared `_raster_to_png` geometry
+    checks. The payload's END is computed from the FIRST filter's own
+    framing (exact length, hex `>`, a85 `~>`, flate unused_data) — never
+    by scanning binary data for 'EI' — except for RL/LZW, whose EOD
+    markers the decoders stop at anyway: there the next `\\sEI` token
+    bounds the slice and the raster-length check rejects any mis-slice.
+    CCF (CCITT) inline stays skipped — same correct-by-omission stance
+    as the XObject path."""
     out: list[bytes] = []
     for m in _INLINE_IMG_RE.finditer(data):
         d = m.group("d")
@@ -923,13 +942,24 @@ def _inline_images(data: bytes) -> list[bytes]:
         height = _dict_int(d, b"H") or _dict_int(d, b"Height")
         bpc = _dict_int(d, b"BPC") or _dict_int(d, b"BitsPerComponent")
         fm = re.search(
-            rb"/F(?:ilter)?\s*(?:\[\s*)?/(\w+)", d
+            rb"/F(?:ilter)?\s*(?:\[(?P<arr>[^\]]*)\]|/(?P<one>\w+))", d
         )
-        filt = fm.group(1) if fm else None
+        if fm is None:
+            filters: list[bytes] | None = []
+        else:
+            names = (
+                re.findall(rb"/(\w+)", fm.group("arr"))
+                if fm.group("arr") is not None
+                else [fm.group("one")]
+            )
+            full = [_INLINE_FILTERS.get(n) for n in names]
+            filters = None if any(f is None for f in full) else full
+        if filters is None:
+            continue  # CCF or unknown inline codec: skipped
         cs_m = re.search(rb"/CS(?!\w)\s*/(\w+)|/ColorSpace\s*/(\w+)", d)
         cs = _INLINE_CS.get((cs_m.group(1) or cs_m.group(2)) if cs_m else b"")
         start = m.end()
-        if filt == b"DCT" or filt == b"DCTDecode":
+        if filters == [b"DCTDecode"]:
             # JPEG file: SOI at start; end at the EOI before the EI token
             if data[start : start + 2] != b"\xff\xd8":
                 continue
@@ -944,19 +974,42 @@ def _inline_images(data: bytes) -> list[bytes]:
         if not width or not height or bpc not in (1, 2, 4, 8) or cs is None:
             continue
         channels = 3 if cs == b"/DeviceRGB" else 1
-        if filt in (b"Fl", b"FlateDecode"):
-            dobj = zlib.decompressobj()
-            try:
-                raw = dobj.decompress(data[start:]) + dobj.flush()
-            except zlib.error:
-                continue
-            end = len(data) - len(dobj.unused_data)
-        elif filt is None:
+        if not filters:
             row_bytes = (width * bpc * channels + 7) // 8
             raw = data[start : start + height * row_bytes]
             end = start + height * row_bytes
         else:
-            continue  # AHx/A85/RL/LZW/CCF inline: skipped (rare)
+            first = filters[0]
+            if first == b"FlateDecode":
+                dobj = zlib.decompressobj()
+                try:
+                    dobj.decompress(data[start:])
+                    dobj.flush()
+                except zlib.error:
+                    continue
+                end = len(data) - len(dobj.unused_data)
+            elif first == b"ASCIIHexDecode":
+                end = data.find(b">", start)
+                if end < 0:
+                    continue
+                end += 1
+            elif first == b"ASCII85Decode":
+                end = data.find(b"~>", start)
+                if end < 0:
+                    continue
+                end += 2
+            else:  # RL / LZW: EOD-marked; the EI token bounds the slice
+                e = re.search(rb"[\x00\t\r\n\f ]EI(?![^\s])", data[start:])
+                if e is None:
+                    continue
+                end = start + e.start()
+            synth_filter = (
+                b"/Filter [" + b" ".join(b"/" + f for f in filters) + b"]"
+            )
+            res = _decode_stream(synth_filter, data[start:end])
+            if res is None or res[1] != "raw":
+                continue
+            raw = res[0]
         if not re.match(rb"\s*EI\b", data[end:]):
             continue  # malformed framing: never emit a mis-sliced raster
         synth = (

@@ -2949,3 +2949,29 @@ def test_pptx_without_notes_is_unchanged():
         "## Slide 1",
         "only body",
     ]
+
+
+def test_pdf_inline_image_ascii_and_chained_filters():
+    """AHx / A85 / RL and the AHx->Fl chain: the payload end comes from
+    each filter's own framing, the decode runs through the shared
+    _decode_stream chain runner."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    import base64
+
+    gray = bytes([1, 2, 3, 4, 5, 6])
+    # /AHx: hex digits, '>' EOD
+    s1 = b"BI /W 3 /H 2 /CS /G /BPC 8 /F /AHx ID " + gray.hex().encode() + b"> EI"
+    # /A85 with the ~> terminator
+    s2 = b"BI /W 3 /H 2 /CS /G /BPC 8 /F /A85 ID " + base64.a85encode(gray) + b"~> EI"
+    # chain: hex layer around a flate payload
+    s3 = (
+        b"BI /W 3 /H 2 /CS /G /BPC 8 /F [/AHx /Fl] ID "
+        + zlib.compress(gray).hex().encode() + b"> EI"
+    )
+    # /RL: run-length with its 128 EOD marker
+    rle = b"\x05" + gray + b"\x80"  # one literal run of 6, then EOD
+    s4 = b"BI /W 3 /H 2 /CS /G /BPC 8 /F /RL ID " + rle + b" EI"
+    for s in (s1, s2, s3, s4):
+        (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s)]))
+        assert decode_png(png) == (3, 2, 1, gray), s[:40]
