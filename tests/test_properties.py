@@ -782,3 +782,26 @@ def test_png_unfilter_inverts_spec_filtering(r):
     assert _decode_one_png(png) == (
         width, height, channels, bytes(255 - v for v in pixels)
     )
+
+
+@st.composite
+def _raster16(draw):
+    channels = draw(st.sampled_from([1, 3]))
+    width = draw(st.integers(1, 6))
+    height = draw(st.integers(1, 4))
+    n = width * height * channels
+    data = draw(st.binary(min_size=2 * n, max_size=2 * n))
+    return channels, width, height, data
+
+
+@given(r=_raster16())
+@settings(max_examples=100, deadline=None)
+def test_16bit_recovery_keeps_high_bytes(r):
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    channels, width, height, data = r
+    cs = b"/DeviceRGB" if channels == 3 else b"/DeviceGray"
+    (png,) = pdf_extract_images(
+        _mk_image_pdf(data, width=width, height=height, colorspace=cs, bpc=16)
+    )
+    assert _decode_one_png(png) == (width, height, channels, data[::2])
