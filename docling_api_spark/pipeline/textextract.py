@@ -1006,6 +1006,11 @@ def _inline_images(data: bytes) -> list[bytes]:
             synth_filter = (
                 b"/Filter [" + b" ".join(b"/" + f for f in filters) + b"]"
             )
+            if re.search(rb"/EarlyChange\s+0\b", d):
+                # inline /DP carries the one LZW knob _decode_stream
+                # reads from its dict — forward it or early-change-0
+                # streams desync
+                synth_filter += b" /EarlyChange 0"
             res = _decode_stream(synth_filter, data[start:end])
             if res is None or res[1] != "raw":
                 continue

@@ -2975,3 +2975,19 @@ def test_pdf_inline_image_ascii_and_chained_filters():
     for s in (s1, s2, s3, s4):
         (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s)]))
         assert decode_png(png) == (3, 2, 1, gray), s[:40]
+
+
+def test_pdf_inline_image_lzw_both_earlychange_settings():
+    """Inline /LZW images: the /DP EarlyChange knob must reach the
+    decoder through the synthetic dict or early-change-0 streams
+    desync."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    gray = bytes([10, 200, 30, 40, 55, 6])
+    for early, dp in ((1, b""), (0, b" /DP <</EarlyChange 0>>")):
+        s = (
+            b"BI /W 3 /H 2 /CS /G /BPC 8 /F /LZW" + dp + b" ID "
+            + lzw_encode(gray, early) + b" EI"
+        )
+        (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s)]))
+        assert decode_png(png) == (3, 2, 1, gray), early
