@@ -971,11 +971,30 @@ def _inline_images(data: bytes) -> list[bytes]:
                 continue
             out.append(data[start : eoi + 2])
             continue
+        # indexed inline colorspaces (`[/I /RGB 3 <...>]`, abbreviated or
+        # full) normalize into the XObject form so the shared palette
+        # recovery handles them; their data carries ONE component per
+        # sample regardless of the base
+        idx_m = re.search(
+            rb"\[\s*/I(?:ndexed)?\s*/(?P<base>G|RGB|DeviceGray|DeviceRGB)"
+            rb"\s*(?P<hival>\d+)\s*"
+            rb"(?P<lut>\((?:[^()\\]|\\.|\([^()]*\))*\)|<[0-9A-Fa-f\s]*>)",
+            d,
+            re.DOTALL,
+        )
+        if idx_m is not None:
+            base = _INLINE_CS.get(idx_m.group("base"), idx_m.group("base"))
+            cs = (
+                b"[/Indexed " + base + b" " + idx_m.group("hival")
+                + b" " + idx_m.group("lut") + b"]"
+            )
+            data_components = 1
+        elif cs is not None:
+            data_components = 3 if cs == b"/DeviceRGB" else 1
         if not width or not height or bpc not in (1, 2, 4, 8) or cs is None:
             continue
-        channels = 3 if cs == b"/DeviceRGB" else 1
         if not filters:
-            row_bytes = (width * bpc * channels + 7) // 8
+            row_bytes = (width * bpc * data_components + 7) // 8
             raw = data[start : start + height * row_bytes]
             end = start + height * row_bytes
         else:
@@ -1021,6 +1040,15 @@ def _inline_images(data: bytes) -> list[bytes]:
             b"/Subtype /Image /Width %d /Height %d /BitsPerComponent %d "
             b"/ColorSpace %s" % (width, height, bpc, cs)
         )
+        # forward the /DP predictor geometry and the /D(ecode) array so
+        # the shared raster pipeline applies them exactly like XObjects
+        for key in (b"Predictor", b"Colors", b"Columns"):
+            km = re.search(rb"/" + key + rb"\s+(\d+)\b", d)
+            if km is not None:
+                synth += b" /" + key + b" " + km.group(1)
+        dm = re.search(rb"/D(?:ecode)?\s*\[([^\]]*)\]", d)
+        if dm is not None:
+            synth += b" /Decode [" + dm.group(1) + b"]"
         png = _raster_to_png(synth, raw)
         if png is not None:
             out.append(png)

@@ -2991,3 +2991,39 @@ def test_pdf_inline_image_lzw_both_earlychange_settings():
         )
         (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s)]))
         assert decode_png(png) == (3, 2, 1, gray), early
+
+
+def test_pdf_inline_image_indexed_palette_and_decode_forwarded():
+    """Inline abbreviations reach the shared pipeline: `[/I /RGB ...]`
+    palettes, /DP predictor geometry, and the /D decode array."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # indexed inline, hex palette, 8-bit indices
+    palette = bytes([255, 0, 0, 0, 255, 0])
+    s1 = (
+        b"BI /W 2 /H 1 /BPC 8 /CS [/I /RGB 1 <" + palette.hex().encode()
+        + b">] /F /Fl ID " + zlib.compress(bytes([0, 1])) + b" EI"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s1)]))
+    assert decode_png(png) == (2, 1, 3, palette)
+
+    # /D [1 0] inversion on an inline bilevel raster
+    s2 = (
+        b"BI /W 8 /H 1 /CS /G /BPC 1 /D [1 0] ID "
+        + bytes([0b11110000]) + b" EI"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s2)]))
+    assert decode_png(png) == (
+        8, 1, 1, bytes(255 * (1 - b) for b in [1, 1, 1, 1, 0, 0, 0, 0])
+    )
+
+    # /DP predictor 2 geometry forwarded (gray, per-row undiff)
+    pixels = bytes([100, 110, 105])
+    diffed = bytes([100, 10, 251])
+    s3 = (
+        b"BI /W 3 /H 1 /CS /G /BPC 8 /F /Fl "
+        b"/DP <</Predictor 2 /Colors 1 /Columns 3>> ID "
+        + zlib.compress(diffed) + b" EI"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s3)]))
+    assert decode_png(png) == (3, 1, 1, pixels)
