@@ -898,11 +898,12 @@ def _smask_object_numbers(content: bytes) -> set[int]:
 # can occur inside binary data): exact raster length for unfiltered
 # data, decompressobj's unused_data for Flate, the explicit terminators
 # for AHx/A85, and SOI..EOI framing for DCT.
-# dict capped at 1 KiB: real inline dicts are tens of bytes, and the cap
-# bounds the lazy scan on adversarial streams full of bare "BI" tokens
-# (same budget philosophy as _MAX_TABLE_SPANS)
+# dict capped at 4 KiB: real inline dicts are tens of bytes EXCEPT when
+# an indexed palette rides inline (a full 256-entry RGB palette is 1536
+# hex chars), and the cap bounds the lazy scan on adversarial streams
+# full of bare "BI" tokens (same budget philosophy as _MAX_TABLE_SPANS)
 _INLINE_IMG_RE = re.compile(
-    rb"\bBI\b(?P<d>.{0,1024}?)\bID(?:\r\n|[ \t\r\n])", re.DOTALL
+    rb"\bBI\b(?P<d>.{0,4096}?)\bID(?:\r\n|[ \t\r\n])", re.DOTALL
 )
 _INLINE_CS = {
     b"G": b"/DeviceGray", b"DeviceGray": b"/DeviceGray",

@@ -3027,3 +3027,20 @@ def test_pdf_inline_image_indexed_palette_and_decode_forwarded():
     )
     (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s3)]))
     assert decode_png(png) == (3, 1, 1, pixels)
+
+
+def test_pdf_inline_image_full_256_entry_palette_fits_the_dict_cap():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    palette = bytes(range(256)) * 3  # 768 bytes -> 1536 hex chars
+    # order palette as 256 RGB triples: entry i = (i, i, i) for checkability
+    palette = b"".join(bytes([i, i, i]) for i in range(256))
+    idx = bytes([0, 17, 255, 128])
+    s = (
+        b"BI /W 2 /H 2 /BPC 8 /CS [/I /RGB 255 <" + palette.hex().encode()
+        + b">] /F /Fl ID " + zlib.compress(idx) + b" EI"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([_content_obj(s)]))
+    assert decode_png(png) == (
+        2, 2, 3, b"".join(bytes([i, i, i]) for i in idx)
+    )
