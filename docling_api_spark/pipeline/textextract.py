@@ -821,9 +821,10 @@ def pdf_to_markdown(content: bytes) -> str:
 # DeviceGray (bilevel/16-gray scans, exact 255/maxval rescale), 16-bit
 # depths (high-byte reduction), TIFF predictor 2 (horizontal
 # differencing), and inline BI..ID..EI images all re-wrap as PNG now,
-# and a recoverable same-size gray /SMask merges into its parent as a
-# real alpha channel (Gray+Alpha / RGBA PNG).
-# Everything else (CMYK, indirect palette streams, JBIG2/JPX/CCITT)
+# a recoverable same-size gray /SMask merges into its parent as a
+# real alpha channel (Gray+Alpha / RGBA PNG), and 8-bit DeviceCMYK
+# converts via the naive no-ICC formula.
+# Everything else (indirect palette streams, JBIG2/JPX/CCITT)
 # is SKIPPED, not mis-rendered: the function is total and
 # best-effort by design — a malformed or exotic image object never fails
 # the document, it just isn't extracted (mirrors the corrupt-flate skip in
@@ -1300,10 +1301,10 @@ def _raster_samples_raw(
     container; per-sample access would need unfiltering). Recoverable
     (r13 widened the r12a set): 8-bit DeviceRGB/DeviceGray (raw, PNG
     predictors, or TIFF predictor 2), 16-bit RGB/Gray (raw, high-byte
-    reduction), and 1/2/4/8-bit Indexed or sub-8-bit Gray with inline
-    palettes (raw only — predictors over packed samples would need
-    bit-level unfiltering). Still skipped, by design: CMYK and indirect
-    palette streams."""
+    reduction), 8-bit DeviceCMYK (raw, naive no-ICC RGB conversion),
+    and 1/2/4/8-bit Indexed or sub-8-bit Gray with inline palettes
+    (raw only — predictors over packed samples would need bit-level
+    unfiltering). Still skipped, by design: indirect palette streams."""
     width, height = _dict_int(d, b"Width"), _dict_int(d, b"Height")
     bpc = _dict_int(d, b"BitsPerComponent")
     if not width or not height or bpc not in (1, 2, 4, 8, 16):
@@ -1349,6 +1350,21 @@ def _raster_samples_raw(
         channels = 3
     elif re.search(rb"/ColorSpace\s*/DeviceGray\b", d):
         channels = 1
+    elif re.search(rb"/ColorSpace\s*/DeviceCMYK\b", d):
+        # naive no-ICC conversion (Ghostscript's quick form): each RGB
+        # component = 255 - min(255, chroma + K). 8-bit raw only —
+        # predictors and /Decode arrays over 4 CMYK components are not
+        # replayed (the downstream Decode check sees 3 channels and
+        # skips any non-identity array, keeping this conservative).
+        if bpc != 8 or (predictor is not None and predictor != 1):
+            return None
+        if len(data) != height * width * 4:
+            return None
+        import numpy as np
+
+        cmyk = np.frombuffer(data, np.uint8).reshape(-1, 4).astype(np.int64)
+        rgb = 255 - np.minimum(255, cmyk[:, :3] + cmyk[:, 3:4])
+        return width, height, 3, rgb.astype(np.uint8).tobytes(), False
     else:
         return None
     if bpc == 16:

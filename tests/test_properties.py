@@ -805,3 +805,66 @@ def test_16bit_recovery_keeps_high_bytes(r):
         _mk_image_pdf(data, width=width, height=height, colorspace=cs, bpc=16)
     )
     assert _decode_one_png(png) == (width, height, channels, data[::2])
+
+
+@st.composite
+def _inline_framed(draw):
+    width = draw(st.integers(1, 6))
+    height = draw(st.integers(1, 4))
+    pixels = draw(
+        st.binary(min_size=width * height, max_size=width * height)
+    )
+    filt = draw(st.sampled_from([None, b"Fl", b"AHx", b"A85", b"RL"]))
+    trailer = draw(st.binary(max_size=24))  # junk after EI
+    return width, height, pixels, filt, trailer
+
+
+@given(r=_inline_framed())
+@settings(max_examples=150, deadline=None)
+def test_inline_image_framing_never_misextracts(r):
+    """The inline payload end is computed from the filter's framing; for
+    EOD-marked filters (RL) the EI token bounds the slice. Property: the
+    scanner returns either the exact raster or nothing — NEVER wrong
+    pixels — whatever bytes surround the image (including payloads that
+    happen to contain whitespace+EI). Framing-safe filters (none, Fl,
+    AHx, A85) must always extract."""
+    import base64
+    import zlib as _z
+
+    from tests.test_textextract import decode_png
+
+    from docling_api_spark.pipeline.textextract import _inline_images
+
+    width, height, pixels, filt, trailer = r
+    if filt is None:
+        payload, fopt = pixels, b""
+    elif filt == b"Fl":
+        payload, fopt = _z.compress(pixels), b" /F /Fl"
+    elif filt == b"AHx":
+        payload, fopt = pixels.hex().encode() + b">", b" /F /AHx"
+    elif filt == b"A85":
+        payload, fopt = base64.a85encode(pixels) + b"~>", b" /F /A85"
+    else:  # RL: literal runs of <=128 bytes + EOD
+        chunks = [
+            pixels[i : i + 128] for i in range(0, len(pixels), 128)
+        ]
+        payload = b"".join(
+            bytes([len(c) - 1]) + c for c in chunks
+        ) + b"\x80"
+        fopt = b" /F /RL"
+    stream = (
+        b"BT (x) Tj ET\nBI /W %d /H %d /CS /G /BPC 8%s ID "
+        % (width, height, fopt)
+        + payload
+        + b" EI\n"
+        + trailer
+    )
+    out = _inline_images(stream)
+    assert len(out) <= 1
+    if out:
+        assert decode_png(out[0]) == (width, height, 1, pixels)
+    else:
+        # only the EOD-marked filter may ever decline (an EI lookalike
+        # inside its encoded bytes truncates the slice, the decode/length
+        # check rejects it) — everything else is framing-safe
+        assert filt == b"RL"

@@ -418,9 +418,10 @@ def test_pdf_image_exotic_or_broken_objects_skipped_not_raised():
     from docling_api_spark.pipeline.textextract import pdf_extract_images
 
     objs = [
-        # CMYK colorspace: unsupported, skipped
+        # truncated CMYK raster: skipped (CMYK is RECOVERABLE since r13
+        # via the naive no-ICC conversion when the length checks out)
         make_image_obj(
-            zlib.compress(b"\x00" * 16), width=2, height=2,
+            zlib.compress(b"\x00" * 15), width=2, height=2,
             colorspace=b"/DeviceCMYK",
         ),
         # truncated 1-bit raster: skipped (1-bit gray is RECOVERABLE
@@ -3044,3 +3045,39 @@ def test_pdf_inline_image_full_256_entry_palette_fits_the_dict_cap():
     assert decode_png(png) == (
         2, 2, 3, b"".join(bytes([i, i, i]) for i in idx)
     )
+
+
+def test_pdf_image_cmyk_converts_with_naive_formula():
+    """8-bit DeviceCMYK rasters convert to RGB with the standard no-ICC
+    formula (component = 255 - min(255, chroma + K)); a /Decode array
+    over the four CMYK components is NOT replayed — skip, never guess."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # pixels: pure cyan, pure black via K, rich black (clamps), white
+    cmyk = bytes(
+        [255, 0, 0, 0,   0, 0, 0, 255,   200, 200, 200, 200,   0, 0, 0, 0]
+    )
+    expect = bytes(
+        [0, 255, 255,   0, 0, 0,   0, 0, 0,   255, 255, 255]
+    )
+    pdf = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(cmyk), width=2, height=2,
+                colorspace=b"/DeviceCMYK",
+            )
+        ]
+    )
+    (png,) = pdf_extract_images(pdf)
+    assert decode_png(png) == (2, 2, 3, expect)
+
+    inverted = make_pdf_objs(
+        [
+            make_image_obj(
+                zlib.compress(cmyk), width=2, height=2,
+                colorspace=b"/DeviceCMYK",
+                extra=b" /Decode [1 0 1 0 1 0 1 0]",
+            )
+        ]
+    )
+    assert pdf_extract_images(inverted) == []
