@@ -1069,12 +1069,15 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
 
     out: list[bytes] = []
     masked = _smask_object_numbers(content)
+    # the object table serves two resolvers: /SMask targets and
+    # indirect Indexed palette streams — build it iff either exists
+    need_objs = bool(masked) or _INDIRECT_INDEXED_RE.search(content) is not None
     obj_headers = (
         [
             (m.start(), int(m.group(1)))
             for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", content)
         ]
-        if masked
+        if need_objs
         else []
     )
 
@@ -1091,9 +1094,18 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             streams.append((m.start(), m.group("dict"), start, end))
     by_obj = (
         {objnum_of(pos): (d, s, e) for pos, d, s, e in streams}
-        if masked
+        if need_objs
         else {}
     )
+
+    def resolve_palette(objnum: int) -> bytes | None:
+        target = by_obj.get(objnum)
+        if target is None:
+            return None
+        md, ms, me = target
+        res = _decode_stream(md, content[ms:me])
+        return res[0] if res is not None and res[1] == "raw" else None
+
     for pos, d, start, end in streams:
         if not re.search(rb"/Subtype\s*/Image\b", d):
             # content streams can carry INLINE images (BI..ID..EI);
@@ -1116,6 +1128,18 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             if data[:2] == b"\xff\xd8":  # JPEG SOI — sanity, not trust
                 out.append(data)
             continue
+        im = _INDIRECT_INDEXED_RE.search(d)
+        if im is not None:
+            pal = resolve_palette(int(im.group("obj")))
+            if pal is None:
+                continue  # palette unreachable: skip, never guess colors
+            # normalize to the inline form; the appended entry is the one
+            # _INDEXED_CS_RE matches (the indirect original cannot)
+            d = (
+                d + b" /ColorSpace [/Indexed /" + im.group("base")
+                + b" " + im.group("hival")
+                + b" <" + pal.hex().encode() + b">]"
+            )
         alpha: tuple[int, int, bytes] | None = None
         sm = re.search(rb"/SMask\s+(\d+)\s+\d+\s+R", d)
         if sm is not None and masked:
@@ -1149,6 +1173,15 @@ _INDEXED_CS_RE = re.compile(
     rb"/ColorSpace\s*\[\s*(?:/Indexed|/I)\s*"
     rb"/(?P<base>DeviceRGB|DeviceGray)\s*(?P<hival>\d+)\s*"
     rb"(?:\((?P<lit>(?:[^()\\]|\\.)*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>)",
+    re.DOTALL,
+)
+# the INDIRECT lookup form (`... 255 7 0 R]`): the palette lives in its
+# own stream object, resolvable through the same object table the
+# /SMask resolver builds (r13 — this was the last structural skip)
+_INDIRECT_INDEXED_RE = re.compile(
+    rb"/ColorSpace\s*\[\s*(?:/Indexed|/I)\s*"
+    rb"/(?P<base>DeviceRGB|DeviceGray)\s+(?P<hival>\d+)\s+"
+    rb"(?P<obj>\d+)\s+\d+\s+R",
     re.DOTALL,
 )
 

@@ -444,7 +444,9 @@ def test_pdf_image_exotic_or_broken_objects_skipped_not_raised():
             colorspace=b"/DeviceRGB", bpc=16,
             extra=b" /DecodeParms <</Predictor 2 /Colors 3 /Columns 2>>",
         ),
-        # indexed with an INDIRECT palette stream: skipped (conservative)
+        # indexed with a DANGLING indirect palette reference: skipped
+        # (r13 resolves indirect palettes through the object table, but
+        # an unreachable one must never guess colors)
         make_image_obj(
             zlib.compress(b"\x00\x01\x02\x03"), width=2, height=2,
             colorspace=b"[/Indexed /DeviceRGB 3 7 0 R]",
@@ -3081,3 +3083,25 @@ def test_pdf_image_cmyk_converts_with_naive_formula():
         ]
     )
     assert pdf_extract_images(inverted) == []
+
+
+def test_pdf_indirect_indexed_palette_resolved_through_object_table():
+    """`[/Indexed /DeviceRGB 1 7 0 R]`: the palette bytes live in their
+    own (here Flate) stream object — resolved exactly like /SMask
+    targets and normalized into the shared palette recovery."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    palette = bytes([255, 0, 0, 0, 0, 255])
+    img = make_image_obj(
+        zlib.compress(bytes([0, 1, 1, 0])), width=2, height=2,
+        colorspace=b"[/Indexed /DeviceRGB 1 7 0 R]",
+    )
+    pal_obj = (
+        b"7 0 obj <</Length %d /Filter /FlateDecode>>\nstream\n"
+        % len(zlib.compress(palette))
+        + zlib.compress(palette)
+        + b"\nendstream endobj"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([img, pal_obj]))
+    expect = palette[0:3] + palette[3:6] + palette[3:6] + palette[0:3]
+    assert decode_png(png) == (2, 2, 3, expect)
