@@ -317,3 +317,23 @@ def test_grade_bench_ungradeable_is_explicit():
     gb = _grade_bench()
     assert gb.grade({"regime": "quiet"})[0] == "UNGRADEABLE"
     assert gb.grade({"regime": "burst"})[0] == "UNGRADEABLE"
+
+
+def test_window_probe_spread_rests_on_five_organic_samples():
+    """VERDICT r12 Next #6 done-condition: the window-probe spread that
+    widens compare_bench's burst floor is computed from >=5 ORGANIC
+    samples (start + 3x phase boundary + end), zero end-of-run padding.
+    Pinned against the round's real pre-flight record so a schedule
+    regression in bench.main is caught by its own output."""
+    import json
+
+    line = [
+        l for l in open("BENCH_r13_PREFLIGHT2.log") if l.strip().startswith("{")
+    ][0]  # the detailed record is the first JSON line
+    rec = json.loads(line)
+    assert rec["probe_window_n"] >= 5
+    assert rec["probe_window_padded"] == 0
+    assert len(rec["probe_window_samples_ms"]) == rec["probe_window_n"]
+    # shuffle/codegen probes keep their interleaved >=5 organic schedule
+    assert rec["probe_shuffle_padded"] == 0 and rec["probe_shuffle_n"] >= 5
+    assert rec["probe_spark_padded"] == 0 and rec["probe_spark_n"] >= 5
