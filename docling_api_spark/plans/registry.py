@@ -175,9 +175,60 @@ def register(
 # rounds BELOW this feed the policy, so the composition stays
 # reproducible after this round's own record lands. Maintained by
 # tools/compose_window.py --update.
-WINDOW_COMPOSED_FOR_ROUND: int = 13
+WINDOW_COMPOSED_FOR_ROUND: int = 14
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-13 driver window (50), policy-composed ----
+    # ---- round-14 driver window (50), policy-composed ----
+    "q43_minhash_lsh_xxh",
+    "q232_stratified_att",
+    "q233_count_min_sketch",
+    "q234_slo_burn_alerts",
+    "q235_ngram_novelty",
+    "q236_kcore_peel",
+    "q237_rank_biased_overlap",
+    "q238_beta_binomial",
+    "q239_burstiness",
+    "q242_binary_segmentation",
+    "q243_simpson_diversity",
+    "q244_peak_detection",
+    "q245_selectivity_audit",
+    "q247_text_tiling",
+    "q248_forecast_reconcile",
+    "q249_rolling_regression",
+    "q250_link_prediction",
+    "q252_expected_calibration_error",
+    "q253_spearman_rank_corr",
+    "q254_partial_correlation",
+    "q255_qini_uplift",
+    "q256_rolling_origin_backtest",
+    "q258_range_partition_planner",
+    "q259_arc_elasticity",
+    "q260_markov_baseline_accuracy",
+    "q261_kruskal_wallis",
+    "q262_power_analysis",
+    "q263_jackknife_ratio_variance",
+    "q264_source_vocab_overlap",
+    "q265_james_stein_shrinkage",
+    "q266_hysteresis_alerts",
+    "q267_l_diversity",
+    "q268_gini_stump",
+    "q269_viterbi_path",
+    "q270_capture_recapture",
+    "q271_truncation_recall",
+    "q272_revenue_proration",
+    "q273_token_budget_selection",
+    "q274_nearest_centroid",
+    "q275_factorial_experiment",
+    "q276_burrows_delta",
+    "q277_reserve_price_curve",
+    "q278_ngram_coverage",
+    "q279_regression_discontinuity",
+    "q280_consistent_hashing",
+    "q281_media_content_dedup",
+    "q282_media_stride_signature",
+    "q283_cohen_kappa",
+    "q284_weighted_jaccard",
+    "q285_quadratic_response",
+    # ---- tail: prior tuple order (ex-window members lead) ----
     "q72_conversion_pipeline",
     "q240_compression_ratio",
     "q184_survival_hazard",
@@ -228,7 +279,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q229_bitmap_intersect",
     "q230_lagged_xcorr",
     "q231_diff_in_diff",
-    # ---- tail: prior tuple order (ex-window members lead) ----
     "q102_revenue_concentration",
     "q114_winsorized_agg",
     "q118_equidepth_histogram",
@@ -436,56 +486,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q21_date_funcs",
     "q31_sliding_window",
     "q34_funnel_range_join",
-    "q43_minhash_lsh_xxh",
-    "q242_binary_segmentation",
-    "q243_simpson_diversity",
-    "q244_peak_detection",
-    "q245_selectivity_audit",
-    "q247_text_tiling",
-    "q248_forecast_reconcile",
-    "q249_rolling_regression",
-    "q250_link_prediction",
-    "q252_expected_calibration_error",
-    "q253_spearman_rank_corr",
-    "q254_partial_correlation",
-    "q255_qini_uplift",
-    "q256_rolling_origin_backtest",
-    "q258_range_partition_planner",
-    "q259_arc_elasticity",
-    "q260_markov_baseline_accuracy",
-    "q261_kruskal_wallis",
-    "q262_power_analysis",
-    "q263_jackknife_ratio_variance",
-    "q264_source_vocab_overlap",
-    "q265_james_stein_shrinkage",
-    "q266_hysteresis_alerts",
-    "q267_l_diversity",
-    "q268_gini_stump",
-    "q269_viterbi_path",
-    "q270_capture_recapture",
-    "q271_truncation_recall",
-    "q272_revenue_proration",
-    "q273_token_budget_selection",
-    "q274_nearest_centroid",
-    "q275_factorial_experiment",
-    "q276_burrows_delta",
-    "q277_reserve_price_curve",
-    "q278_ngram_coverage",
-    "q279_regression_discontinuity",
-    "q280_consistent_hashing",
-    "q281_media_content_dedup",
-    "q282_media_stride_signature",
-    "q283_cohen_kappa",
-    "q284_weighted_jaccard",
-    "q285_quadratic_response",
-    "q232_stratified_att",
-    "q233_count_min_sketch",
-    "q234_slo_burn_alerts",
-    "q235_ngram_novelty",
-    "q236_kcore_peel",
-    "q237_rank_biased_overlap",
-    "q238_beta_binomial",
-    "q239_burstiness",
 )
 
 
