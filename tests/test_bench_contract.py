@@ -266,15 +266,62 @@ def _grade_bench():
 
 def test_grade_bench_reproduces_the_judges_r12_arithmetic():
     """VERDICT r12 Next #1's own example: 'r12 would read 23.40/1.05 ≈
-    22.2 vs 19.27' — the tool must produce exactly that adjudication."""
+    22.2 vs 19.27'. Under the r13 conservative rule (max(raw, scaled) —
+    scaling may excuse nothing below the raw number) r12's raw 23.40s
+    lands in GRAY, which is exactly how that record was historically
+    cleared: compare_bench vs BENCH_r10, 0 flagged => machine."""
     import json
 
     gb = _grade_bench()
     rec = json.load(open("BENCH_r12.json"))
     rec = rec.get("parsed", rec)
     verdict, detail = gb.grade(rec)
+    assert verdict == "GRAY"
+    assert "22.24" in detail and "23.40" in detail and "burst" in detail
+
+
+def test_grade_bench_r13_record_still_passes_conservative_rule():
+    """VERDICT r13 Next #1 done-condition: BENCH_r13 (raw 21.95s, scaled
+    16.21s) must still grade PASS — the conservative stat is the raw
+    min-sum, inside the <=23.0 band without any probe help."""
+    import json
+
+    gb = _grade_bench()
+    rec = json.load(open("BENCH_r13.json"))
+    rec = rec.get("parsed", rec)
+    verdict, detail = gb.grade(rec)
     assert verdict == "PASS"
-    assert "22.24" in detail and "burst" in detail
+    assert "21.95" in detail
+
+
+def test_grade_bench_probe_scaling_cannot_flatter_a_regression():
+    """VERDICT r13 Next #1's failure mode, synthesized: a genuinely
+    regressed raw min-sum (28.0s, x1.45 over the r10 record) on a very
+    loud box (probe x1.6 over r10) used to scale down to ~17.5s and PASS;
+    the conservative rule grades max(28.0, 17.5) = 28.0 -> FAIL."""
+    gb = _grade_bench()
+    rec = {
+        "regime": "burst",
+        "carried_total": 28.0,
+        "probe_spark_ms_median": 93.55 * 1.6,
+    }
+    verdict, detail = gb.grade(rec)
+    assert verdict == "FAIL"
+    assert "28.00" in detail
+
+
+def test_grade_bench_fast_box_still_up_corrects():
+    """On a FASTER-than-r10 box (probe below the r10 pin) the scaled
+    statistic exceeds the raw one and max() keeps the up-correction: a
+    22.0s raw min-sum at half the r10 probe is really ~44s of r10-box
+    work and must not PASS on raw alone."""
+    gb = _grade_bench()
+    rec = {
+        "regime": "burst",
+        "carried_total": 22.0,
+        "probe_spark_ms_median": 93.55 / 2,
+    }
+    assert gb.grade(rec)[0] == "FAIL"
 
 
 def test_grade_bench_quiet_regime_uses_the_median_bar():
@@ -337,3 +384,85 @@ def test_window_probe_spread_rests_on_five_organic_samples():
     # shuffle/codegen probes keep their interleaved >=5 organic schedule
     assert rec["probe_shuffle_padded"] == 0 and rec["probe_shuffle_n"] >= 5
     assert rec["probe_spark_padded"] == 0 and rec["probe_spark_n"] >= 5
+
+
+# -- bench.quiet_gate: quiet-window launch gating (VERDICT r13 Next #2) ------
+def test_quiet_gate_passes_immediately_on_a_quiet_box():
+    import bench
+
+    calls = {"n": 0}
+
+    def steady():
+        calls["n"] += 1
+        return 100.0 + (calls["n"] % 3)  # spread ~2ms on a 100ms median
+
+    slept = []
+    gate = bench.quiet_gate(
+        {"probe_spark": steady, "probe_shuffle": steady,
+         "probe_window": steady},
+        attempts=5, sleep_s=1.0, sleep_fn=slept.append, log=lambda m: None,
+    )
+    assert gate["quiet"] is True and gate["attempts"] == 1
+    assert slept == []  # no retry, no sleep
+    assert gate["trail"][0]["regime"] == "quiet"
+
+
+def test_quiet_gate_retries_then_catches_the_quiet_window():
+    """Burst for two attempts, quiet on the third: the gate sleeps twice
+    (bounded) and records the full trail."""
+    import bench
+
+    attempt_box = {"n": 0}
+
+    def moody():
+        # samples within one attempt alternate wildly until attempt 3
+        attempt_box["n"] += 1
+        if attempt_box["n"] <= 8:  # attempts 1-2 (4 samples each)
+            return 100.0 if attempt_box["n"] % 2 else 300.0
+        return 100.0
+
+    slept = []
+    gate = bench.quiet_gate(
+        {"probe_spark": moody},
+        attempts=5, sleep_s=7.5, sleep_fn=slept.append, log=lambda m: None,
+    )
+    assert gate["quiet"] is True and gate["attempts"] == 3
+    assert slept == [7.5, 7.5]
+    assert [t["regime"] for t in gate["trail"]] == ["burst", "burst", "quiet"]
+
+
+def test_quiet_gate_bounded_attempts_leave_a_logged_trail():
+    """Never-quiet box: the gate gives up after N attempts and the trail
+    (one stat dict per attempt) IS the proof the done-condition asks for."""
+    import bench
+
+    flip = {"n": 0}
+
+    def loud():
+        flip["n"] += 1
+        return 100.0 if flip["n"] % 2 else 260.0
+
+    logged = []
+    gate = bench.quiet_gate(
+        {"probe_spark": loud},
+        attempts=4, sleep_s=0.0, sleep_fn=lambda s: None,
+        log=logged.append,
+    )
+    assert gate["quiet"] is False and gate["attempts"] == 4
+    assert len(gate["trail"]) == 4
+    assert all(t["regime"] == "burst" for t in gate["trail"])
+    assert len(logged) == 4 and all("burst" in m for m in logged)
+
+
+def test_quiet_gate_first_sample_jit_inflation_is_not_a_burst():
+    """Attempt 1 on a cold JVM: the first sample runs ~2x (JIT tier-up).
+    probe_stats' warm convention discards it, so a box that is actually
+    steady passes on attempt 1 despite the cold first sample."""
+    import bench
+
+    seq = iter([210.0, 101.0, 102.0, 100.0])
+    gate = bench.quiet_gate(
+        {"probe_spark": lambda: next(seq)},
+        attempts=1, sleep_s=0.0, sleep_fn=lambda s: None, log=lambda m: None,
+    )
+    assert gate["quiet"] is True

@@ -23,7 +23,10 @@ sys.path.insert(0, REPO)
 from bench import PROBE_R10_SPARK_MS, run_regime  # noqa: E402
 
 QUIET_MEDIAN_BAR_S = 23.0  # the historic bar, claimable only when quiet
-BURST_PASS_S = 23.0  # carried_min_r10_scaled accepted band
+# burst band applies to max(carried_total, carried_min_r10_scaled) — the
+# conservative statistic (r13 judge Next #1: scaling may excuse nothing
+# below the raw min-sum)
+BURST_PASS_S = 23.0
 BURST_FAIL_S = 24.1  # x1.25 over the r10 record (19.27): code until bisected
 
 
@@ -48,15 +51,25 @@ def grade(rec: dict) -> tuple[str, str]:
     if not isinstance(total, (int, float)) or not probe:
         return "UNGRADEABLE", "burst record without carried_total/probe median"
     scaled = total * PROBE_R10_SPARK_MS / probe
+    # Conservative statistic (VERDICT r13 Next #1): probe scaling may
+    # never IMPROVE on the raw min-sum — r13 scaled 21.95s down to 16.21s
+    # ("16% faster than r10") while the same round's boundary A/B measured
+    # code-flat, so on a high-probe box the old rule could flatten a real
+    # regression into a PASS. Grade max(raw, scaled): a faster-than-r10
+    # box still up-corrects (scaled > raw), a slower box no longer
+    # down-corrects past the raw number. A raw miss lands in GRAY/FAIL
+    # where compare_bench adjudicates machine-vs-code explicitly (exactly
+    # how r12's 23.40s was historically cleared).
+    stat = max(total, scaled)
     detail = (
-        f"burst regime: carried_min_r10_scaled {scaled:.2f}s "
-        f"({total:.2f}s at probe {probe:.1f}ms, scaled to the r10 box) — "
+        f"burst regime: conservative stat {stat:.2f}s = max(carried_total "
+        f"{total:.2f}s, r10-scaled {scaled:.2f}s at probe {probe:.1f}ms) — "
         f"band: <= {BURST_PASS_S} PASS, {BURST_PASS_S}-{BURST_FAIL_S} GRAY "
         f"(compare_bench vs BENCH_r10 adjudicates), > {BURST_FAIL_S} FAIL"
     )
-    if scaled <= BURST_PASS_S:
+    if stat <= BURST_PASS_S:
         return "PASS", detail
-    if scaled <= BURST_FAIL_S:
+    if stat <= BURST_FAIL_S:
         return "GRAY", detail
     return "FAIL", detail
 
