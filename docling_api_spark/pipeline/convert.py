@@ -107,6 +107,7 @@ class LightweightConverter:
             from docling_api_spark.pipeline.textextract import (
                 docx_extract,
                 pdf_extract_images,
+                pdf_is_encrypted,
                 pdf_to_markdown,
                 pptx_extract,
             )
@@ -192,10 +193,13 @@ class LightweightConverter:
             # an ENCRYPTED pdf also lands here (its streams decode to
             # garbage and are skipped) — but "needs OCR" would be the
             # wrong breadcrumb, so name the real cause. The /Encrypt
-            # check runs only on the nothing-extracted path: a
+            # check runs only on the nothing-extracted path (a
             # convertible document whose TEXT merely mentions /Encrypt
-            # can never be rejected by it.
-            if fmt == "pdf" and re.search(rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)", content):
+            # can never be rejected by it) and, since r14, looks only at
+            # TRAILER dictionaries — the one place the key legally lives
+            # — so a nothing-extracted-but-unencrypted PDF whose stream
+            # bytes happen to contain the token keeps the OCR breadcrumb.
+            if fmt == "pdf" and pdf_is_encrypted(content):
                 return _error_result(
                     _stem(filename),
                     "Encrypted (password-protected) PDF is not supported",

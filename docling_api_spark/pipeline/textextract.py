@@ -710,12 +710,33 @@ def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
     each chain. These streams are SKIPPED by `pdf_extract_images` /
     `pdf_to_markdown` by design (correct-by-omission, never mis-scanned);
     this counter lets the conversion layer say so in the result instead
-    of silently omitting a scan the user is looking for."""
+    of silently omitting a scan the user is looking for.
+
+    Streams that are the `/SMask N 0 R` target of another image are NOT
+    counted (ADVICE r13): they are alpha channels of pictures, not
+    pictures — a note claiming "N undecodable image stream(s)" for the
+    soft mask of a successfully extracted image would send the user
+    hunting for a scan that was never missing."""
+    import bisect
+
     out: dict[str, int] = {}
+    masked = _smask_object_numbers(content)
+    obj_headers = (
+        [
+            (m.start(), int(m.group(1)))
+            for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", content)
+        ]
+        if masked
+        else []
+    )
     for m in _STREAM_RE.finditer(content):
         d = m.group("dict")
         if not re.search(rb"/Subtype\s*/Image\b", d):
             continue
+        if masked:
+            idx = bisect.bisect_left(obj_headers, (m.start(), -1)) - 1
+            if idx >= 0 and obj_headers[idx][1] in masked:
+                continue  # alpha OF another image, not a missing picture
         fm = _FILTER_CHAIN_RE.search(d)
         if fm is None:
             continue
@@ -730,6 +751,53 @@ def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
                 out[name] = out.get(name, 0) + 1
                 break
     return out
+
+
+def pdf_is_encrypted(content: bytes) -> bool:
+    """True iff a TRAILER dictionary carries an /Encrypt key — the only
+    places the spec lets it live: a classic `trailer << ... >>` section
+    or an XRef-stream dict (/Type /XRef). Grepping the whole payload
+    (the pre-r14 check) gave a non-encrypted, nothing-extracted PDF the
+    wrong error text whenever its raw stream bytes merely contained the
+    token (VERDICT r13 what's-wrong #3); confining the sniff to trailer
+    dicts keeps the OCR breadcrumb for those. Dict scan bounded at 8 KiB
+    per trailer (real trailers are tens of bytes)."""
+
+    def dict_has_encrypt(pos: int) -> bool:
+        # balanced <<…>> scan from `pos` (at or before the opening <<)
+        window = content[pos : pos + 8192]
+        open_ = window.find(b"<<")
+        if open_ < 0:
+            return False
+        depth, i = 0, open_
+        while i < len(window) - 1:
+            pair = window[i : i + 2]
+            if pair == b"<<":
+                depth, i = depth + 1, i + 2
+            elif pair == b">>":
+                depth, i = depth - 1, i + 2
+                if depth == 0:
+                    return (
+                        re.search(
+                            rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)",
+                            window[open_:i],
+                        )
+                        is not None
+                    )
+            else:
+                i += 1
+        return False
+
+    for m in re.finditer(rb"\btrailer\b", content):
+        if dict_has_encrypt(m.end()):
+            return True
+    for m in _STREAM_RE.finditer(content):
+        d = m.group("dict")
+        if re.search(rb"/Type\s*/XRef\b", d) and re.search(
+            rb"/Encrypt\s*(?:\d+\s+\d+\s+R|<<)", d
+        ):
+            return True
+    return False
 
 
 def pdf_to_markdown(content: bytes) -> str:
@@ -978,8 +1046,9 @@ def _inline_images(data: bytes) -> list[bytes]:
         # recovery handles them; their data carries ONE component per
         # sample regardless of the base
         idx_m = re.search(
+            # 3-digit hival cap, mirroring _INDEXED_CS_RE (spec max 255)
             rb"\[\s*/I(?:ndexed)?\s*/(?P<base>G|RGB|DeviceGray|DeviceRGB)"
-            rb"\s*(?P<hival>\d+)\s*"
+            rb"\s*(?P<hival>\d{1,3})(?!\d)\s*"
             rb"(?P<lut>\((?:[^()\\]|\\.|\([^()]*\))*\)|<[0-9A-Fa-f\s]*>)",
             d,
             re.DOTALL,
@@ -1001,14 +1070,33 @@ def _inline_images(data: bytes) -> list[bytes]:
             end = start + height * row_bytes
         else:
             first = filters[0]
+            flate_payload: bytes | None = None
             if first == b"FlateDecode":
+                # bounded, single decompression (ADVICE r13): the old end
+                # detection decompressed the remainder unbounded just to
+                # read unused_data, then _decode_stream re-decompressed
+                # the slice — a flate bomb inside a BI..ID block expanded
+                # fully, twice. Cap the output at 2x the declared raster
+                # geometry (+1 predictor byte/row slack) and REUSE the
+                # result as the payload for single-Flate chains.
+                row_bytes = (width * bpc * data_components + 7) // 8
+                cap = 2 * height * (row_bytes + 1) + 1024
                 dobj = zlib.decompressobj()
+                buf, outb, bombed = data[start:], bytearray(), False
                 try:
-                    dobj.decompress(data[start:])
-                    dobj.flush()
+                    while buf and not dobj.eof:
+                        outb += dobj.decompress(buf, 65536)
+                        if len(outb) > cap:
+                            bombed = True
+                            break
+                        buf = dobj.unconsumed_tail
                 except zlib.error:
                     continue
+                if bombed or not dobj.eof:
+                    continue  # bomb vs declared geometry, or truncated
                 end = len(data) - len(dobj.unused_data)
+                if len(filters) == 1:
+                    flate_payload = bytes(outb)
             elif first == b"ASCIIHexDecode":
                 end = data.find(b">", start)
                 if end < 0:
@@ -1032,10 +1120,13 @@ def _inline_images(data: bytes) -> list[bytes]:
                 # reads from its dict — forward it or early-change-0
                 # streams desync
                 synth_filter += b" /EarlyChange 0"
-            res = _decode_stream(synth_filter, data[start:end])
-            if res is None or res[1] != "raw":
-                continue
-            raw = res[0]
+            if flate_payload is not None:
+                raw = flate_payload  # already decoded once, bounded
+            else:
+                res = _decode_stream(synth_filter, data[start:end])
+                if res is None or res[1] != "raw":
+                    continue
+                raw = res[0]
         if not re.match(rb"\s*EI\b", data[end:]):
             continue  # malformed framing: never emit a mis-sliced raster
         synth = (
@@ -1055,6 +1146,19 @@ def _inline_images(data: bytes) -> list[bytes]:
         if png is not None:
             out.append(png)
     return out
+
+
+# Streams that can never carry page-content operators, recognized from
+# the dict alone so the inline-image scan (pdf_extract_images) skips them
+# UNDECODED: any /Subtype other than /Form (fonts /Type1C, metadata /XML,
+# embedded-file subtypes...), structural /Type streams (xref, object,
+# metadata, embedded-file), and font programs (/Length1 marks
+# FontFile/FontFile2, which have no /Subtype).
+_NON_CONTENT_STREAM_RE = re.compile(
+    rb"/Subtype\s*/(?!Form\b)\w"
+    rb"|/Type\s*/(?:XRef|ObjStm|Metadata|EmbeddedFile|Filespec)\b"
+    rb"|/Length1\b"
+)
 
 
 def pdf_extract_images(content: bytes) -> list[bytes]:
@@ -1111,7 +1215,14 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             # content streams can carry INLINE images (BI..ID..EI);
             # decode and scan them in document order. The byte-level
             # "BI" pre-check keeps the common no-inline-image case to
-            # one cheap scan of the already-decoded payload.
+            # one cheap scan of the already-decoded payload. Streams
+            # that cannot BE page content — fonts, XMP metadata, xref/
+            # object streams, embedded files — are skipped undecoded
+            # (ADVICE r13: the scan was decompressing every font and
+            # ICC profile in the file just to look for two bytes).
+            # /Subtype /Form XObjects ARE content and stay scanned.
+            if _NON_CONTENT_STREAM_RE.search(d):
+                continue
             res = _decode_stream(d, content[start:end])
             if res is not None and res[1] == "raw" and b"BI" in res[0]:
                 out.extend(_inline_images(res[0]))
@@ -1170,8 +1281,11 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
 # (`N 0 R`) stay skipped (conservative: resolving them needs an object
 # table this extractor deliberately does not build).
 _INDEXED_CS_RE = re.compile(
+    # hival capped at 3 digits (spec maximum is 255; see the > 255 guard
+    # in _raster_samples_raw — a longer run of digits simply never
+    # matches, so a forged hival cannot even reach the int())
     rb"/ColorSpace\s*\[\s*(?:/Indexed|/I)\s*"
-    rb"/(?P<base>DeviceRGB|DeviceGray)\s*(?P<hival>\d+)\s*"
+    rb"/(?P<base>DeviceRGB|DeviceGray)\s*(?P<hival>\d{1,3})(?!\d)\s*"
     rb"(?:\((?P<lit>(?:[^()\\]|\\.)*)\)|<(?P<hex>[0-9A-Fa-f\s]*)>)",
     re.DOTALL,
 )
@@ -1179,8 +1293,9 @@ _INDEXED_CS_RE = re.compile(
 # own stream object, resolvable through the same object table the
 # /SMask resolver builds (r13 — this was the last structural skip)
 _INDIRECT_INDEXED_RE = re.compile(
+    # same 3-digit hival cap as _INDEXED_CS_RE (spec max 255)
     rb"/ColorSpace\s*\[\s*(?:/Indexed|/I)\s*"
-    rb"/(?P<base>DeviceRGB|DeviceGray)\s+(?P<hival>\d+)\s+"
+    rb"/(?P<base>DeviceRGB|DeviceGray)\s+(?P<hival>\d{1,3})(?!\d)\s+"
     rb"(?P<obj>\d+)\s+\d+\s+R",
     re.DOTALL,
 )
@@ -1351,6 +1466,12 @@ def _raster_samples_raw(
             return None  # predictors over index samples: not recovered
         base = indexed.group("base")
         hival = int(indexed.group("hival"))
+        if hival > 255:
+            # spec caps hival at 255 (bpc <= 8, so indices never exceed
+            # it); a forged multi-digit hival is an allocation bomb — a
+            # ~110-byte stream dict would otherwise drive a multi-GB
+            # palette ljust + LUT (ADVICE r13). Skip, never allocate.
+            return None
         if indexed.group("hex") is not None:
             h = re.sub(rb"\s", b"", indexed.group("hex"))
             if len(h) % 2:
