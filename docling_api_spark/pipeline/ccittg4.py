@@ -1,0 +1,301 @@
+"""Pure-python CCITT Group 4 (ITU-T T.6) decoder for PDF
+``CCITTFaxDecode`` image streams with ``/K < 0``.
+
+G4 is the dominant codec for scanned/fax-compressed PDFs; the reference
+converts those through docling's OCR pipeline
+(document_converter/service.py:133-158), which this container lacks.
+Decoding the raster lets the lightweight backend at least recover the
+scan image itself (VERDICT r13 Next #4). Everything here is public
+knowledge: the two-dimensional coding scheme and the terminating/make-up
+code tables are ITU-T Recommendations T.4/T.6, reproduced in ISO 32000-1
+§7.4.6. Group 3 (``/K >= 0``), JBIG2 and JPX stay correct-by-omission:
+callers keep the undecodable-codec breadcrumb for them.
+
+Output convention follows the PDF filter contract: one bit per pixel,
+rows padded to byte boundaries, MSB first; with the default
+``/BlackIs1 false`` a 0 bit is black — which is exactly 1-bit DeviceGray,
+so the shared raster pipeline (``_raster_samples_raw``'s sub-8-bit gray
+path) consumes the payload unchanged.
+
+Total-function discipline (same contract as the rest of the extraction
+stack): malformed input returns ``None``, never raises, and the line
+decoder is strictly bounded by the declared geometry — no input can make
+it allocate beyond ``rows * row_bytes``.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+# ---------------------------------------------------------------------------
+# ITU-T T.4 run-length code tables (shared by T.6 horizontal mode).
+# Written as "bits": run — the module inverts them into (length, value)
+# lookup dicts at import. tests/test_ccittg4.py pins prefix-freeness,
+# full run coverage, and spot-checks canonical entries.
+# ---------------------------------------------------------------------------
+
+_WHITE_CODES = {
+    "00110101": 0, "000111": 1, "0111": 2, "1000": 3, "1011": 4,
+    "1100": 5, "1110": 6, "1111": 7, "10011": 8, "10100": 9,
+    "00111": 10, "01000": 11, "001000": 12, "000011": 13, "110100": 14,
+    "110101": 15, "101010": 16, "101011": 17, "0100111": 18,
+    "0001100": 19, "0001000": 20, "0010111": 21, "0000011": 22,
+    "0000100": 23, "0101000": 24, "0101011": 25, "0010011": 26,
+    "0100100": 27, "0011000": 28, "00000010": 29, "00000011": 30,
+    "00011010": 31, "00011011": 32, "00010010": 33, "00010011": 34,
+    "00010100": 35, "00010101": 36, "00010110": 37, "00010111": 38,
+    "00101000": 39, "00101001": 40, "00101010": 41, "00101011": 42,
+    "00101100": 43, "00101101": 44, "00000100": 45, "00000101": 46,
+    "00001010": 47, "00001011": 48, "01010010": 49, "01010011": 50,
+    "01010100": 51, "01010101": 52, "00100100": 53, "00100101": 54,
+    "01011000": 55, "01011001": 56, "01011010": 57, "01011011": 58,
+    "01001010": 59, "01001011": 60, "00110010": 61, "00110011": 62,
+    "00110100": 63,
+}
+_WHITE_MAKEUP = {
+    "11011": 64, "10010": 128, "010111": 192, "0110111": 256,
+    "00110110": 320, "00110111": 384, "01100100": 448, "01100101": 512,
+    "01101000": 576, "01100111": 640, "011001100": 704, "011001101": 768,
+    "011010010": 832, "011010011": 896, "011010100": 960,
+    "011010101": 1024, "011010110": 1088, "011010111": 1152,
+    "011011000": 1216, "011011001": 1280, "011011010": 1344,
+    "011011011": 1408, "010011000": 1472, "010011001": 1536,
+    "010011010": 1600, "011000": 1664, "010011011": 1728,
+}
+_BLACK_CODES = {
+    "0000110111": 0, "010": 1, "11": 2, "10": 3, "011": 4, "0011": 5,
+    "0010": 6, "00011": 7, "000101": 8, "000100": 9, "0000100": 10,
+    "0000101": 11, "0000111": 12, "00000100": 13, "00000111": 14,
+    "000011000": 15, "0000010111": 16, "0000011000": 17,
+    "0000001000": 18, "00001100111": 19, "00001101000": 20,
+    "00001101100": 21, "00000110111": 22, "00000101000": 23,
+    "00000010111": 24, "00000011000": 25, "000011001010": 26,
+    "000011001011": 27, "000011001100": 28, "000011001101": 29,
+    "000001101000": 30, "000001101001": 31, "000001101010": 32,
+    "000001101011": 33, "000011010010": 34, "000011010011": 35,
+    "000011010100": 36, "000011010101": 37, "000011010110": 38,
+    "000011010111": 39, "000001101100": 40, "000001101101": 41,
+    "000011011010": 42, "000011011011": 43, "000001010100": 44,
+    "000001010101": 45, "000001010110": 46, "000001010111": 47,
+    "000001100100": 48, "000001100101": 49, "000001010010": 50,
+    "000001010011": 51, "000000100100": 52, "000000110111": 53,
+    "000000111000": 54, "000000100111": 55, "000000101000": 56,
+    "000001011000": 57, "000001011001": 58, "000000101011": 59,
+    "000000101100": 60, "000001011010": 61, "000001100110": 62,
+    "000001100111": 63,
+}
+_BLACK_MAKEUP = {
+    "0000001111": 64, "000011001000": 128, "000011001001": 192,
+    "000001011011": 256, "000000110011": 320, "000000110100": 384,
+    "000000110101": 448, "0000001101100": 512, "0000001101101": 576,
+    "0000001001010": 640, "0000001001011": 704, "0000001001100": 768,
+    "0000001001101": 832, "0000001110010": 896, "0000001110011": 960,
+    "0000001110100": 1024, "0000001110101": 1088, "0000001110110": 1152,
+    "0000001110111": 1216, "0000001010010": 1280, "0000001010011": 1344,
+    "0000001010100": 1408, "0000001010101": 1472, "0000001011010": 1536,
+    "0000001011011": 1600, "0000001100100": 1664, "0000001100101": 1728,
+}
+# extended make-up codes, colour-independent (T.4 table 3)
+_EXT_MAKEUP = {
+    "00000001000": 1792, "00000001100": 1856, "00000001101": 1920,
+    "000000010010": 1984, "000000010011": 2048, "000000010100": 2112,
+    "000000010101": 2176, "000000010110": 2240, "000000010111": 2304,
+    "000000011100": 2368, "000000011101": 2432, "000000011110": 2496,
+    "000000011111": 2560,
+}
+
+# T.6 two-dimensional mode codes. Values: ("v", delta) vertical,
+# ("h",) horizontal, ("p",) pass, ("x",) 2-D extension (unsupported),
+# ("eol",) the T.4 EOL that G4 uses only inside EOFB.
+_MODE_CODES = {
+    "1": ("v", 0), "011": ("v", 1), "010": ("v", -1), "001": ("h",),
+    "0001": ("p",), "000011": ("v", 2), "000010": ("v", -2),
+    "0000011": ("v", 3), "0000010": ("v", -3), "0000001": ("x",),
+    "000000000001": ("eol",),
+}
+
+
+def _lut(*tables: dict) -> dict:
+    """bits-string tables -> {(length, value): run} with terminal flag."""
+    out = {}
+    for t in tables:
+        terminal = t in (_WHITE_CODES, _BLACK_CODES)
+        for bits, run in t.items():
+            out[(len(bits), int(bits, 2))] = (run, terminal)
+    return out
+
+
+_RUN_LUT = (
+    _lut(_WHITE_CODES, _WHITE_MAKEUP, _EXT_MAKEUP),  # colour 0: white
+    _lut(_BLACK_CODES, _BLACK_MAKEUP, _EXT_MAKEUP),  # colour 1: black
+)
+_RUN_LENGTHS = tuple(
+    sorted({ln for ln, _ in lut}) for lut in _RUN_LUT
+)
+_MODE_LUT = {
+    (len(bits), int(bits, 2)): mode for bits, mode in _MODE_CODES.items()
+}
+_MODE_LENGTHS = sorted({ln for ln, _ in _MODE_LUT})
+
+
+class _BitReader:
+    """MSB-first bit cursor; peeks past the end read as 0 bits (callers
+    bound themselves on ``pos``/``n``)."""
+
+    __slots__ = ("data", "n", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.n = len(data) * 8
+        self.pos = 0
+
+    def peek(self, k: int) -> int:
+        byte = self.pos >> 3
+        chunk = int.from_bytes(
+            self.data[byte : byte + 4].ljust(4, b"\x00"), "big"
+        )
+        return (chunk >> (32 - (self.pos & 7) - k)) & ((1 << k) - 1)
+
+    def skip(self, k: int) -> None:
+        self.pos += k
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _read_mode(br: _BitReader):
+    for ln in _MODE_LENGTHS:
+        hit = _MODE_LUT.get((ln, br.peek(ln)))
+        if hit is not None:
+            br.skip(ln)
+            return hit
+    return None
+
+
+def _read_run(br: _BitReader, colour: int) -> int | None:
+    """One complete run length: zero or more make-up codes followed by a
+    terminating code (T.4 §4.2.3.3 — runs over 2560 chain make-ups)."""
+    total = 0
+    lut, lengths = _RUN_LUT[colour], _RUN_LENGTHS[colour]
+    while True:
+        if br.pos >= br.n:
+            return None
+        for ln in lengths:
+            hit = lut.get((ln, br.peek(ln)))
+            if hit is not None:
+                br.skip(ln)
+                run, terminal = hit
+                total += run
+                if terminal:
+                    return total
+                break  # make-up: read the next code
+        else:
+            return None  # no code matched: corrupt bitstream
+
+
+def _decode_line(br: _BitReader, ref: list[int], columns: int):
+    """One coding line -> its changing elements (positions where colour
+    flips, starting from an implicitly-white pixel 0), or None when the
+    bitstream is corrupt / hits an unsupported 2-D extension."""
+    cur: list[int] = []
+    colour = 0  # 0 white, 1 black (the colour of a0)
+    a0 = -1
+    while a0 < columns:
+        if br.pos >= br.n:
+            return None
+        # b1: first changing element of the reference line right of a0
+        # whose colour is opposite to a0's — transitions alternate
+        # starting white->black, so its INDEX parity must equal `colour`
+        i = bisect.bisect_right(ref, a0 if a0 > 0 else 0)
+        if a0 < 0:
+            i = 0
+        if (i & 1) != colour:
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        mode = _read_mode(br)
+        if mode is None or mode[0] in ("x", "eol"):
+            return None  # corrupt, 2-D extension, or EOL mid-line
+        if mode[0] == "p":
+            a0 = b2  # pass: the run continues beyond b2, colour unchanged
+        elif mode[0] == "h":
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(br, colour)
+            if r1 is None:
+                return None
+            r2 = _read_run(br, colour ^ 1)
+            if r2 is None:
+                return None
+            a1 = start + r1
+            a2 = a1 + r2
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2  # colour unchanged: two runs were consumed
+        else:  # vertical
+            a1 = b1 + mode[1]
+            if a1 < 0:
+                return None
+            cur.append(a1)
+            a0 = a1
+            colour ^= 1
+    return cur
+
+
+def _render_row(
+    cur: list[int], columns: int, row_bytes: int, black_is_1: bool
+) -> bytes:
+    """Changing elements -> packed 1-bpp row. Default (/BlackIs1 false):
+    0 bits are black, so WHITE runs set bits; inverted when true."""
+    total_bits = row_bytes * 8
+    bounds = [0] + [min(max(t, 0), columns) for t in cur] + [columns]
+    val = 0
+    for k in range(1 if black_is_1 else 0, len(bounds) - 1, 2):
+        s, e = bounds[k], bounds[k + 1]
+        if e > s:
+            val |= ((1 << (e - s)) - 1) << (total_bits - e)
+    return val.to_bytes(row_bytes, "big")
+
+
+_EOL = int("000000000001", 2)  # 12-bit T.4 EOL; EOFB = two in a row
+
+
+def ccitt_g4_decode(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    encoded_byte_align: bool = False,
+    black_is_1: bool = False,
+    max_rows: int = 65536,
+) -> bytes | None:
+    """T.6-decode ``data`` -> packed 1-bpp rows (MSB-first, byte-aligned
+    rows — the PDF CCITTFaxDecode output convention), or None on any
+    malformation. ``rows`` bounds and terminates the decode when known
+    (PDF supplies it via /Rows or the image /Height); with ``rows`` None
+    the decode runs to EOFB / end of data, hard-capped at ``max_rows``.
+
+    No mode code is a bit-prefix of the EOL, so the EOFB probe at line
+    start can never swallow a real line (pinned by test)."""
+    if columns <= 0 or columns > 1 << 20:
+        return None
+    br = _BitReader(data)
+    row_bytes = (columns + 7) // 8
+    ref = [columns, columns]  # imaginary all-white reference line
+    out = bytearray()
+    nrows = 0
+    limit = rows if rows is not None else max_rows
+    while nrows < limit:
+        if encoded_byte_align:
+            br.align()
+        if br.pos >= br.n:
+            break
+        if br.peek(12) == _EOL:  # EOFB (or a lone trailing EOL)
+            break
+        cur = _decode_line(br, ref, columns)
+        if cur is None:
+            return None
+        out += _render_row(cur, columns, row_bytes, black_is_1)
+        ref = [min(t, columns) for t in cur] + [columns, columns]
+        nrows += 1
+    if rows is not None and nrows < rows:
+        return None  # truncated: fewer coded lines than the dict declares
+    return bytes(out)

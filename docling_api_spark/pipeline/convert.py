@@ -133,7 +133,8 @@ class LightweightConverter:
                     )
 
                     # image streams in codecs the stdlib path cannot decode
-                    # (CCITT/JBIG2/JPX/Crypt) are skipped by design — but
+                    # (G3 CCITT/JBIG2/JPX/Crypt; G4 CCITT decodes since
+                    # r14 via pipeline/ccittg4.py) are skipped by design —
                     # the user debugging a missing scan gets a breadcrumb
                     # (VERDICT r12 Next #8): appended to the error on the
                     # no-content path, a placeholder-style comment on the
@@ -151,8 +152,9 @@ class LightweightConverter:
                     # recoverable is content — same rule as the ooxml
                     # branch below — while a scanned PDF whose page
                     # images need OCR still falls through to the error
-                    # contract because its DCT/CCITT page scans rarely
-                    # survive the lightweight recovery filters.
+                    # contract when its page scans (DCT-with-exotic
+                    # parms, G3 CCITT, JBIG2) defeat the lightweight
+                    # recovery filters; G4 CCITT scans recover since r14.
                     payloads = pdf_extract_images(content)
                     tail, images = splice_images(
                         "\n\n".join(sentinel for _ in payloads),

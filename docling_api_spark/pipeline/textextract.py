@@ -612,22 +612,46 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
     return bytes(out)  # tolerate a missing EOD marker
 
 
+def _ccitt_g4_parms(d: bytes) -> tuple[int, int | None, bool, bool] | None:
+    """(columns, rows, black_is_1, encoded_byte_align) iff the stream
+    dict declares Group 4 coding (/K < 0) with parms visible inline —
+    else None (G3, or /DecodeParms behind an indirect reference, stays
+    on the undecodable-breadcrumb path). /K has no default that helps
+    here: absent K means K=0, i.e. Group 3 1-D, which this decoder does
+    not speak."""
+    k = re.search(rb"/K\s+(-?\d+)\b", d)
+    if k is None or int(k.group(1)) >= 0:
+        return None
+    columns_m = re.search(rb"/Columns\s+(\d+)\b(?!\s+\d+\s+R)", d)
+    columns = int(columns_m.group(1)) if columns_m else 1728
+    rows = _dict_int(d, b"Rows") or _dict_int(d, b"Height")
+    return (
+        columns,
+        rows,
+        re.search(rb"/BlackIs1\s+true\b", d) is not None,
+        re.search(rb"/EncodedByteAlign\s+true\b", d) is not None,
+    )
+
+
 def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
     """Run a stream's payload through its /Filter chain, in order.
 
     Supported: FlateDecode (zlib), ASCIIHexDecode, ASCII85Decode,
     RunLengthDecode, LZWDecode (all stdlib/pure-Python — chains like
     [/ASCII85Decode /FlateDecode] are common in text-tool-generated
-    PDFs, LZW in pre-Flate-era ones), and a TERMINAL DCTDecode (the
-    payload IS a JPEG file at that point). Returns (payload,
-    "raw"|"dct"), or None when any filter is unsupported
-    (CCITT/JBIG2/JPX/Crypt) or its input is corrupt — callers skip the
-    stream either way.
+    PDFs, LZW in pre-Flate-era ones), a TERMINAL DCTDecode (the
+    payload IS a JPEG file at that point), and a TERMINAL
+    CCITTFaxDecode in Group 4 mode (/K < 0 — the dominant scanned-fax
+    codec; pure-python T.6 decoder in pipeline/ccittg4.py, r14).
+    Returns (payload, "raw"|"dct"), or None when any filter is
+    unsupported (CCITT G3/JBIG2/JPX/Crypt) or its input is corrupt —
+    callers skip the stream either way.
     """
     filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
     if not filters:
         return _strip_one_eol(data), "raw"
-    if filters[0] in ("RunLengthDecode", "LZWDecode", "DCTDecode"):
+    if filters[0] in ("RunLengthDecode", "LZWDecode", "DCTDecode",
+                      "CCITTFaxDecode"):
         # these read the payload bit/byte-exactly, so the spec EOL before
         # `endstream` must come off first (hex/a85 ignore whitespace and
         # decompressobj absorbs it as unused_data; an EOL fed to RLE
@@ -638,6 +662,26 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
             if i != len(filters) - 1:
                 return None  # DCT mid-chain: not a thing we can decode
             return data, "dct"
+        if f == "CCITTFaxDecode":
+            # Group 4 only (r14, VERDICT r13 Next #4): /K < 0. Group 3
+            # (K >= 0), or parms hidden behind an indirect /DecodeParms
+            # ref, stay None — the breadcrumb counter names them. CCITT
+            # output is final raster bits, so mid-chain is malformed.
+            if i != len(filters) - 1:
+                return None
+            parms = _ccitt_g4_parms(d)
+            if parms is None:
+                return None
+            from docling_api_spark.pipeline.ccittg4 import ccitt_g4_decode
+
+            columns, rows, black1, align = parms
+            decoded = ccitt_g4_decode(
+                data, columns, rows=rows,
+                encoded_byte_align=align, black_is_1=black1,
+            )
+            if decoded is None:
+                return None
+            return decoded, "raw"
         if f == "FlateDecode":
             try:
                 data = zlib.decompressobj().decompress(data)
@@ -705,8 +749,9 @@ _FILTER_CHAIN_RE = re.compile(
 
 def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
     """Image XObject streams whose /Filter chain names a codec the
-    lightweight extractor cannot decode (CCITTFaxDecode, JBIG2Decode,
-    JPXDecode, Crypt, ...), counted by the first unsupported codec in
+    lightweight extractor cannot decode (Group 3 CCITTFaxDecode,
+    JBIG2Decode, JPXDecode, Crypt, ...; Group 4 CCITT decodes since
+    r14), counted by the first unsupported codec in
     each chain. These streams are SKIPPED by `pdf_extract_images` /
     `pdf_to_markdown` by design (correct-by-omission, never mis-scanned);
     this counter lets the conversion layer say so in the result instead
@@ -747,6 +792,8 @@ def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
         )
         for f in names:
             name = f.decode("ascii", errors="replace")
+            if name == "CCITTFaxDecode" and _ccitt_g4_parms(d) is not None:
+                continue  # Group 4 decodes since r14; only G3 breadcrumbs
             if name not in _SUPPORTED_FILTERS:
                 out[name] = out.get(name, 0) + 1
                 break

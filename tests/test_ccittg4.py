@@ -1,0 +1,412 @@
+"""CCITT Group 4 (T.6) decoder tests: table invariants, hand-derived
+known-answer vectors, hypothesis round-trip fuzz against an
+independently-written encoder, and the PDF integration surface
+(pdf_extract_images + the undecodable-codec breadcrumb)."""
+
+from __future__ import annotations
+
+import zlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_api_spark.pipeline.ccittg4 import (
+    _BLACK_CODES,
+    _BLACK_MAKEUP,
+    _EXT_MAKEUP,
+    _MODE_CODES,
+    _WHITE_CODES,
+    _WHITE_MAKEUP,
+    ccitt_g4_decode,
+)
+from tests.test_textextract import (
+    TEXT_OBJ,
+    decode_png,
+    make_image_obj,
+    make_pdf_objs,
+)
+
+# ---------------------------------------------------------------------------
+# independent G4 encoder (test oracle): same public T.6 algorithm,
+# written against the spec rather than against the decoder — transitions
+# are computed from pixels, mode selection follows the standard
+# pass/vertical/horizontal precedence, runs use the same public tables.
+# ---------------------------------------------------------------------------
+
+_ENC_RUN = (
+    {run: bits for bits, run in {**_WHITE_CODES, **_WHITE_MAKEUP}.items()},
+    {run: bits for bits, run in {**_BLACK_CODES, **_BLACK_MAKEUP}.items()},
+)
+for _t in _ENC_RUN:
+    _t.update({run: bits for bits, run in _EXT_MAKEUP.items()})
+_ENC_MODE = {mode: bits for bits, mode in _MODE_CODES.items()}
+
+
+def _transitions(pixels: list[int]) -> list[int]:
+    """positions where colour changes, scanning an implicitly-white row
+    (pixels: 1 = black)."""
+    out, prev = [], 0
+    for i, p in enumerate(pixels):
+        if p != prev:
+            out.append(i)
+            prev = p
+    return out
+
+
+def _emit_run(bits: list[str], run: int, colour: int) -> None:
+    while run >= 64:
+        makeup = min(2560, (run // 64) * 64)
+        bits.append(_ENC_RUN[colour][makeup])
+        run -= makeup
+    bits.append(_ENC_RUN[colour][run])
+
+
+def g4_encode(
+    rows_px: list[list[int]], columns: int, byte_align: bool = False
+) -> bytes:
+    bits: list[str] = []
+    ref = [columns, columns]
+    for px in rows_px:
+        if byte_align and (sum(map(len, bits)) % 8):
+            bits.append("0" * (8 - sum(map(len, bits)) % 8))
+        cur = _transitions(px)
+        a0, colour, ci = -1, 0, 0  # ci: index of next unconsumed cur elt
+        while a0 < columns:
+            a1 = cur[ci] if ci < len(cur) else columns
+            # b1: first ref transition right of a0 with index parity
+            # equal to the current colour
+            bi = 0
+            while bi < len(ref) and (
+                ref[bi] <= a0 or (a0 < 0 and ref[bi] < 0)
+            ):
+                bi += 1
+            if (bi & 1) != colour:
+                bi += 1
+            b1 = ref[bi] if bi < len(ref) else columns
+            b2 = ref[bi + 1] if bi + 1 < len(ref) else columns
+            if b2 < a1:
+                bits.append(_ENC_MODE[("p",)])
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                bits.append(_ENC_MODE[("v", a1 - b1)])
+                a0, colour, ci = a1, colour ^ 1, ci + 1
+            else:
+                a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
+                start = a0 if a0 > 0 else 0
+                bits.append(_ENC_MODE[("h",)])
+                _emit_run(bits, a1 - start, colour)
+                _emit_run(bits, a2 - a1, colour ^ 1)
+                a0, ci = a2, ci + 2
+        ref = cur + [columns, columns]
+    bits.append("000000000001000000000001")  # EOFB
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    data = int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+    # keep PDF fixtures immune to the one-EOL strip before `endstream`
+    if data.endswith((b"\n", b"\r")):
+        data += b"\x00"
+    return data
+
+
+def _pack(rows_px: list[list[int]], columns: int, black_is_1: bool) -> bytes:
+    row_bytes = (columns + 7) // 8
+    out = bytearray()
+    for px in rows_px:
+        val = 0
+        for i, p in enumerate(px):
+            bit = p if black_is_1 else 1 - p
+            if bit:
+                val |= 1 << (row_bytes * 8 - 1 - i)
+        out += val.to_bytes(row_bytes, "big")
+    return bytes(out)
+
+
+# -- table invariants --------------------------------------------------------
+def test_tables_are_prefix_free_and_cover_every_run():
+    for table in (
+        {**_WHITE_CODES, **_WHITE_MAKEUP, **_EXT_MAKEUP},
+        {**_BLACK_CODES, **_BLACK_MAKEUP, **_EXT_MAKEUP},
+        _MODE_CODES,
+    ):
+        codes = sorted(table, key=len)
+        for i, a in enumerate(codes):
+            for b in codes[i + 1 :]:
+                assert not b.startswith(a), f"{a} prefixes {b}"
+    assert sorted(_WHITE_CODES.values()) == list(range(64))
+    assert sorted(_BLACK_CODES.values()) == list(range(64))
+    assert sorted(_WHITE_MAKEUP.values()) == list(range(64, 1729, 64))
+    assert sorted(_BLACK_MAKEUP.values()) == list(range(64, 1729, 64))
+    assert sorted(_EXT_MAKEUP.values()) == list(range(1792, 2561, 64))
+    # codes must be unique within each colour's combined table
+    for a, b in ((_WHITE_CODES, _WHITE_MAKEUP), (_BLACK_CODES, _BLACK_MAKEUP)):
+        combined = {**a, **b, **_EXT_MAKEUP}
+        assert len(combined) == len(a) + len(b) + len(_EXT_MAKEUP)
+
+
+def test_canonical_t4_code_spot_checks():
+    """Entries every published copy of the T.4 tables agrees on."""
+    assert _WHITE_CODES["00110101"] == 0
+    assert _WHITE_CODES["000111"] == 1
+    assert _WHITE_CODES["0111"] == 2
+    assert _WHITE_CODES["00110100"] == 63
+    assert _WHITE_MAKEUP["11011"] == 64
+    assert _WHITE_MAKEUP["011000"] == 1664  # the famous 6-bit make-up
+    assert _WHITE_MAKEUP["010011011"] == 1728
+    assert _BLACK_CODES["0000110111"] == 0
+    assert _BLACK_CODES["010"] == 1
+    assert _BLACK_CODES["11"] == 2
+    assert _BLACK_CODES["10"] == 3
+    assert _BLACK_CODES["000001100111"] == 63
+    assert _BLACK_MAKEUP["0000001111"] == 64
+    assert _EXT_MAKEUP["00000001000"] == 1792
+    assert _EXT_MAKEUP["000000011111"] == 2560
+
+
+# -- hand-derived known-answer vectors ---------------------------------------
+def test_all_white_page_is_one_v0_bit_per_line():
+    """T.6 by hand: an all-white line against an all-white reference has
+    b1 = a1 = columns, so each line is the single V0 bit '1'. Two lines
+    + EOFB = '11' + 24 EOFB bits, padded: 0xC0,0x00,0x10,0x00,0x10."""
+    data = bytes([0b11000000, 0x00, 0b00010000, 0x00, 0b00010000])
+    out = ccitt_g4_decode(data, columns=6, rows=2)
+    assert out == b"\xfc\xfc"  # 6 white (1) bits + 2 pad per row
+
+
+def test_all_black_line_is_horizontal_mode_by_hand():
+    """First line all black: H (001) + white run 0 (00110101) + black
+    run 8 (000101) = 001 00110101 000101, then line 2 V0 V0 ('11'),
+    then EOFB."""
+    bits = "001" + "00110101" + "000101" + "1" + "1" \
+        + "000000000001000000000001"
+    bits += "0" * (-len(bits) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    out = ccitt_g4_decode(data, columns=8, rows=2)
+    assert out == b"\x00\x00"  # black = 0 bits (BlackIs1 default false)
+    assert ccitt_g4_decode(data, columns=8, rows=2, black_is_1=True) \
+        == b"\xff\xff"
+
+
+def test_vertical_and_pass_modes_by_hand():
+    """Line 1: black run [2,5) via H (white 2 = 0111, black 3 = 10),
+    closed by V0 against b1=8 (=columns).
+    Line 2: black [3,6) — VR1 against b1=2, VR1 against b1=5, then V0
+    closing the line against b1=8.
+    Line 3: all white — the black run of line 2 vanishes via PASS
+    (0001: a0 jumps past b2=6 with colour still white) then V0."""
+    bits = (
+        "001" + "0111" + "10" + "1"  # line 1: H w2 b3, V0 -> [2,5)
+        + "011" + "011" + "1"        # line 2: VR1 VR1 V0 -> [3,6)
+        + "0001" + "1"               # line 3: pass over [3,6), then V0
+        + "000000000001000000000001"
+    )
+    bits += "0" * (-len(bits) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    out = ccitt_g4_decode(data, columns=8, rows=3)
+    assert out is not None
+    rows = [out[0], out[1], out[2]]
+    assert rows[0] == int("11000111", 2)  # black [2,5)
+    assert rows[1] == int("11100011", 2)  # black [3,6)
+    assert rows[2] == int("11111111", 2)  # all white
+
+
+# -- round-trip fuzz vs the independent encoder ------------------------------
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(1, 30),
+    st.integers(1, 10),
+    st.booleans(),
+    st.booleans(),
+    st.data(),
+)
+def test_fuzz_decode_matches_independent_encoder(
+    columns, nrows, black_is_1, byte_align, data
+):
+    rows_px = [
+        data.draw(st.lists(st.integers(0, 1), min_size=columns,
+                           max_size=columns))
+        for _ in range(nrows)
+    ]
+    encoded = g4_encode(rows_px, columns, byte_align=byte_align)
+    out = ccitt_g4_decode(
+        encoded, columns, rows=nrows,
+        encoded_byte_align=byte_align, black_is_1=black_is_1,
+    )
+    assert out == _pack(rows_px, columns, black_is_1)
+
+
+def test_fax_width_page_with_long_runs_round_trips():
+    """1728-column rows exercise make-up codes (including chained ones
+    via a 1700-pixel run) and the EOFB stop with rows=None."""
+    import random
+
+    rng = random.Random(14)
+    rows_px = []
+    for _ in range(12):
+        row, pos = [], 0
+        while pos < 1728:
+            run = min(rng.choice([1, 3, 17, 64, 200, 800, 1700]),
+                      1728 - pos)
+            row.extend([rng.randint(0, 1)] * run)
+            pos += run
+        rows_px.append(row[:1728])
+    encoded = g4_encode(rows_px, 1728)
+    assert ccitt_g4_decode(encoded, 1728, rows=12) \
+        == _pack(rows_px, 1728, False)
+    # rows=None: decode to EOFB, same payload
+    assert ccitt_g4_decode(encoded, 1728) == _pack(rows_px, 1728, False)
+
+
+def test_malformed_inputs_return_none_never_raise():
+    assert ccitt_g4_decode(b"", 8, rows=2) is None  # truncated
+    assert ccitt_g4_decode(b"\x00\x00\x00", 8, rows=1) is None
+    assert ccitt_g4_decode(b"\xff\xff", 0, rows=1) is None  # bad geometry
+    # 2-D extension code (0000001 + 3 bits) is unsupported, not a crash
+    bits = "0000001" + "111" + "0" * 6
+    assert ccitt_g4_decode(
+        int(bits, 2).to_bytes(2, "big"), 8, rows=1
+    ) is None
+    # declared more rows than the data codes
+    one_line = g4_encode([[0] * 8], 8)
+    assert ccitt_g4_decode(one_line, 8, rows=5) is None
+
+
+# -- PDF integration ---------------------------------------------------------
+def _g4_image_obj(rows_px, columns, **kw):
+    data = g4_encode(rows_px, columns)
+    parms = b"/DecodeParms <</K -1 /Columns %d /Rows %d>>" % (
+        columns, len(rows_px),
+    )
+    return make_image_obj(
+        data, width=columns, height=len(rows_px),
+        colorspace=b"/DeviceGray", bpc=1,
+        filt=b"/CCITTFaxDecode", extra=b" " + parms, **kw,
+    )
+
+
+def test_pdf_g4_image_round_trips_to_exact_pixels():
+    """VERDICT r13 Next #4 done-condition: a G4 fixture round-trips to
+    exact pixels via decode_png."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    rows_px = [[0, 1, 1, 0, 0, 1, 0, 1], [1, 0, 0, 1, 1, 0, 1, 0]]
+    doc = make_pdf_objs([TEXT_OBJ, _g4_image_obj(rows_px, 8)])
+    (png,) = pdf_extract_images(doc)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 2, 1)
+    # 1-bit gray rescales 0 -> 0 (black), 1 -> 255 (white); CCITT black
+    # pixels (1 in rows_px) decode to 0 bits under default /BlackIs1
+    expected = bytes(0 if p else 255 for row in rows_px for p in row)
+    assert raw == expected
+
+
+def test_pdf_g4_no_longer_counted_undecodable_g3_still_is():
+    """VERDICT r13 Next #4 done-condition: pdf_undecodable_image_streams
+    stops counting G4-only files; the breadcrumb stays for G3/JBIG2."""
+    from docling_api_spark.pipeline.textextract import (
+        pdf_undecodable_image_streams,
+    )
+
+    g4 = make_pdf_objs([TEXT_OBJ, _g4_image_obj([[0, 1] * 4] * 2, 8)])
+    assert pdf_undecodable_image_streams(g4) == {}
+
+    g3 = make_image_obj(
+        b"\x00\x01\x02\x03", width=8, height=2,
+        colorspace=b"/DeviceGray", bpc=1, filt=b"/CCITTFaxDecode",
+        extra=b" /DecodeParms <</K 0 /Columns 8>>",
+    )
+    assert pdf_undecodable_image_streams(make_pdf_objs([TEXT_OBJ, g3])) \
+        == {"CCITTFaxDecode": 1}
+    jbig2 = make_image_obj(
+        b"\x00\x01", width=8, height=2, colorspace=b"/DeviceGray",
+        bpc=1, filt=b"/JBIG2Decode",
+    )
+    assert pdf_undecodable_image_streams(make_pdf_objs([TEXT_OBJ, jbig2])) \
+        == {"JBIG2Decode": 1}
+
+
+def test_pdf_g4_corrupt_stream_is_skipped_never_mis_rendered():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    bad = make_image_obj(
+        b"\x00\x00\x00\x00", width=8, height=2,
+        colorspace=b"/DeviceGray", bpc=1, filt=b"/CCITTFaxDecode",
+        extra=b" /DecodeParms <</K -1 /Columns 8 /Rows 2>>",
+    )
+    assert pdf_extract_images(make_pdf_objs([TEXT_OBJ, bad])) == []
+
+
+def test_pdf_g4_blackis1_and_bytealign_parms_respected():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    rows_px = [[1, 1, 0, 0, 1, 0, 1, 1]] * 3
+    data = g4_encode(rows_px, 8, byte_align=True)
+    obj = make_image_obj(
+        data, width=8, height=3, colorspace=b"/DeviceGray", bpc=1,
+        filt=b"/CCITTFaxDecode",
+        extra=b" /DecodeParms <</K -1 /Columns 8 /Rows 3 /BlackIs1 true"
+        b" /EncodedByteAlign true>>",
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj]))
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 3, 1)
+    # BlackIs1 true: black pixels decode to 1 bits -> rescale to 255
+    expected = bytes(255 if p else 0 for row in rows_px for p in row)
+    assert raw == expected
+
+
+def test_pdf_g4_defaults_to_1728_columns_without_parms():
+    """A G4 stream with /K -1 but no /Columns uses the T.4 default 1728;
+    geometry disagreement with the dict (/Width 8) must fail the raster
+    length gate and skip — never emit a mis-shaped image."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    data = g4_encode([[0] * 1728], 1728)
+    obj = make_image_obj(
+        data, width=8, height=1, colorspace=b"/DeviceGray", bpc=1,
+        filt=b"/CCITTFaxDecode", extra=b" /DecodeParms <</K -1 /Rows 1>>",
+    )
+    assert pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj])) == []
+
+
+def test_flate_then_ccitt_chain_decodes():
+    """[/FlateDecode /CCITTFaxDecode] is rejected (CCITT mid-chain
+    output is raster bits) but [/ASCIIHexDecode /CCITTFaxDecode]-style
+    chains with CCITT TERMINAL work: hex-wrap the G4 payload."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    rows_px = [[0, 1, 0, 1, 1, 0, 1, 0]] * 2
+    data = g4_encode(rows_px, 8).hex().encode() + b">"
+    obj = make_image_obj(
+        data, width=8, height=2, colorspace=b"/DeviceGray", bpc=1,
+        filt=b"[/ASCIIHexDecode /CCITTFaxDecode]",
+        extra=b" /DecodeParms [null <</K -1 /Columns 8 /Rows 2>>]",
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj]))
+    assert decode_png(png)[:3] == (8, 2, 1)
+
+
+def test_smask_in_g4_merges_as_alpha():
+    """A /SMask target in G4 is now recoverable: the parent RGB image
+    gains an alpha channel decoded from the fax-compressed mask."""
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    pixels = bytes(range(2 * 2 * 3))
+    parent = make_image_obj(
+        zlib.compress(pixels), width=2, height=2,
+        extra=b" /SMask 6 0 R",
+    )
+    mask_px = [[1, 0], [0, 1]]
+    mask = (
+        b"6 0 obj <</Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode "
+        b"/DecodeParms <</K -1 /Columns 2 /Rows 2>> /Length %d>>"
+        b"\nstream\n" % len(g4_encode(mask_px, 2))
+        + g4_encode(mask_px, 2)
+        + b"\nendstream endobj"
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, parent, mask]))
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (2, 2, 4)  # RGBA
+    # alpha: mask 1-pixels (black) -> 0 bits -> rescaled 0; 0 -> 255
+    assert raw[3::4] == bytes([0, 255, 255, 0])
