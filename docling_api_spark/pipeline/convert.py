@@ -350,6 +350,14 @@ class DoclingConverter:
         )
         if res.errors:
             return _error_result(_stem(filename), res.errors[0].error_message)
+        if res.document is None:
+            # docling's FAILURE status can arrive with an empty errors
+            # list; that is still a per-DOCUMENT failure (O4 data error),
+            # not an adapter crash — without this guard the splice walk
+            # would raise and masquerade as an infra failure (r14)
+            return _error_result(
+                _stem(filename), "conversion produced no document"
+            )
         markdown, images = extract_document_images(res.document)
         return {
             "filename": _stem(filename),

@@ -62,6 +62,13 @@ class FakeDocumentConverter:
     """
 
     FAIL_PAYLOAD = b"%PDF-FAKE-BROKEN"
+    # infra failure: convert() raises instead of returning a result
+    # (model not loaded, worker OOM — the class of failure docling does
+    # NOT wrap in a ConversionResult even with raises_on_error=False)
+    RAISE_PAYLOAD = b"%PDF-FAKE-INFRA-DOWN"
+    # per-document failure status with an EMPTY errors list and no
+    # document (docling's ConversionStatus.FAILURE shape)
+    NO_DOCUMENT_PAYLOAD = b"%PDF-FAKE-NO-DOCUMENT"
     instances: list["FakeDocumentConverter"] = []
 
     document_factory = staticmethod(
@@ -80,9 +87,16 @@ class FakeDocumentConverter:
         self.calls.append(stream)
         payload = stream.stream.read()
         stream.payload = payload  # keep it inspectable after the read
+        if payload == self.RAISE_PAYLOAD:
+            raise RuntimeError("fake backend: model runtime unavailable")
+        if payload == self.NO_DOCUMENT_PAYLOAD:
+            return _FakeConversionResult(document=None, errors=[])
         if payload == self.FAIL_PAYLOAD:
             return _FakeConversionResult(
-                errors=[_FakeConversionError("fake backend: unreadable input")]
+                errors=[
+                    _FakeConversionError("fake backend: unreadable input"),
+                    _FakeConversionError("fake backend: secondary error"),
+                ]
             )
         return _FakeConversionResult(document=self.document_factory())
 

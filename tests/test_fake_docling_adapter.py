@@ -132,3 +132,40 @@ def test_converter_for_auto_picks_docling_when_importable(fake):
     )
 
     assert isinstance(converter_for("auto"), DoclingConverter)
+
+
+def test_backend_error_uses_first_error_message(fake):
+    """Reference parity (service.py error mapping): when the backend
+    reports several errors for one document, errors[0] names the row."""
+    out = _converter().convert("broken.pdf", FakeDocumentConverter.FAIL_PAYLOAD)
+    assert out["error"] == "fake backend: unreadable input"  # not secondary
+
+
+def test_infra_failure_raises_out_of_the_adapter(fake):
+    """VERDICT r13 Next #6, fake #1: a convert() that RAISES (model
+    runtime down, worker OOM) is an INFRA failure — the adapter must
+    propagate it, not disguise it as a per-document error result. The
+    task-vs-data split then happens one layer up: convert_documents'
+    row loop catches it and keeps the row (O4; the Spark-level
+    keep-the-row contract is pinned by
+    tests/test_pipeline.py::test_error_rows_do_not_fail_the_job)."""
+    conv = _converter()
+    with pytest.raises(RuntimeError, match="model runtime unavailable"):
+        conv.convert("doc.pdf", FakeDocumentConverter.RAISE_PAYLOAD)
+    # and the adapter state stays usable after the failure (the cached
+    # heavy converter is not poisoned): a good document still converts
+    ok = conv.convert("doc.pdf", b"%PDF-fine")
+    assert ok["error"] is None and ok["markdown"]
+
+
+def test_failure_status_without_errors_is_a_data_error(fake):
+    """VERDICT r13 Next #6, fake #2: docling's FAILURE status can arrive
+    with document=None and an EMPTY errors list. That is a per-DOCUMENT
+    failure: it must land in the error column (O4 data side), not leak
+    an AttributeError out of the splice walk as a fake infra failure."""
+    out = _converter().convert(
+        "empty-status.pdf", FakeDocumentConverter.NO_DOCUMENT_PAYLOAD
+    )
+    assert out["filename"] == "empty-status"
+    assert out["markdown"] is None and out["images"] == []
+    assert out["error"] == "conversion produced no document"

@@ -186,8 +186,23 @@ def main() -> None:
             s_rows = canon(s_pdf)
             dt = time.perf_counter() - t0
             if name not in oracles:
+                # rows-only queries have no DuckDB side, so the gated
+                # number is the SPARK wall time (VERDICT r13 Next #5):
+                # a pathological regression in e.g. q240's zlib pass or
+                # q43_xxh's pipeline trips the same ratio gate instead
+                # of riding the absolute fallback forever
                 n_rows_only += 1
-                print(f"ROWS-ONLY {name}: {len(s_rows)} rows  [{dt:.1f}s]")
+                measured[name] = dt
+                level, detail = classify_oracle_cost(name, dt, baselines)
+                if level == "hard":
+                    over_budget.append((name, f"spark-side {detail}"))
+                elif level == "soft":
+                    soft_warns.append((name, f"spark-side {detail}"))
+                ratio_tag = f" ({detail})" if level == "ok" and detail else ""
+                print(
+                    f"ROWS-ONLY {name}: {len(s_rows)} rows  "
+                    f"[{dt:.1f}s{ratio_tag}]"
+                )
                 continue
             # the ORACLE's own wall time is the policy-gated number
             # (VERDICT r11 Next #9): time the DuckDB execution separately
