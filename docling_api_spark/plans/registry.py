@@ -178,6 +178,7 @@ def register(
 WINDOW_COMPOSED_FOR_ROUND: int = 14
 GRADED_FIRST: tuple[str, ...] = (
     # ---- round-14 driver window (50), policy-composed ----
+    "q72_conversion_pipeline",
     "q43_minhash_lsh_xxh",
     "q232_stratified_att",
     "q233_count_min_sketch",
@@ -227,9 +228,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q282_media_stride_signature",
     "q283_cohen_kappa",
     "q284_weighted_jaccard",
-    "q285_quadratic_response",
     # ---- tail: prior tuple order (ex-window members lead) ----
-    "q72_conversion_pipeline",
+    "q285_quadratic_response",
     "q240_compression_ratio",
     "q184_survival_hazard",
     "q185_triangle_census",
