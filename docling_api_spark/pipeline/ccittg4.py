@@ -1,14 +1,15 @@
-"""Pure-python CCITT Group 4 (ITU-T T.6) decoder for PDF
-``CCITTFaxDecode`` image streams with ``/K < 0``.
+"""Pure-python CCITT decoders for PDF ``CCITTFaxDecode`` image streams:
+Group 4 (ITU-T T.6, ``/K < 0``) and Group 3 one-dimensional (ITU-T T.4
+MH, ``/K 0`` — the spec default).
 
 G4 is the dominant codec for scanned/fax-compressed PDFs; the reference
 converts those through docling's OCR pipeline
 (document_converter/service.py:133-158), which this container lacks.
 Decoding the raster lets the lightweight backend at least recover the
 scan image itself (VERDICT r13 Next #4). Everything here is public
-knowledge: the two-dimensional coding scheme and the terminating/make-up
-code tables are ITU-T Recommendations T.4/T.6, reproduced in ISO 32000-1
-§7.4.6. Group 3 (``/K >= 0``), JBIG2 and JPX stay correct-by-omission:
+knowledge: the coding schemes and the terminating/make-up code tables
+are ITU-T Recommendations T.4/T.6, reproduced in ISO 32000-1 §7.4.6.
+Group 3 mixed 2-D (``/K > 0``), JBIG2 and JPX stay correct-by-omission:
 callers keep the undecodable-codec breadcrumb for them.
 
 Output convention follows the PDF filter contract: one bit per pixel,
@@ -259,6 +260,82 @@ def _render_row(
 _EOL = int("000000000001", 2)  # 12-bit T.4 EOL; EOFB = two in a row
 
 
+def _consume_fill_and_eol(br: _BitReader) -> bool:
+    """Consume one optional [zero-fill +] EOL at the cursor (T.4 §4.1.2
+    allows zero-fill bits before an EOL). Returns True iff an EOL was
+    consumed. Never consumes anything when no EOL follows the zeros —
+    a leading run of zeros can also be a legitimate code prefix."""
+    z = 0
+    while z < 64 and br.pos + z < br.n and not br.peek(z + 1) & 1:
+        z += 1
+    if z >= 11 and br.pos + z < br.n:
+        br.skip(z + 1)  # fill + the EOL's terminating 1 bit
+        return True
+    return False
+
+
+def _decode_line_1d(br: _BitReader, columns: int):
+    """One T.4 one-dimensional (MH) coding line -> changing elements.
+    Runs alternate white-first and must sum exactly to `columns`;
+    anything else is corrupt."""
+    cur: list[int] = []
+    colour = total = 0
+    while total < columns:
+        if br.pos >= br.n:
+            return None
+        run = _read_run(br, colour)
+        if run is None:
+            return None
+        total += run
+        if total > columns:
+            return None  # run overruns the line: corrupt
+        cur.append(total)
+        colour ^= 1
+    return cur
+
+
+def ccitt_g3_1d_decode(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    encoded_byte_align: bool = False,
+    black_is_1: bool = False,
+    max_rows: int = 65536,
+) -> bytes | None:
+    """T.4 one-dimensional (Group 3, /K 0) decode -> packed 1-bpp rows,
+    same output convention and total-function contract as
+    `ccitt_g4_decode`. PDF's default /EndOfLine false packs lines
+    back-to-back bit-continuously; optional EOLs (with zero-fill) and
+    the 6-EOL RTC are tolerated either way."""
+    if columns <= 0 or columns > 1 << 20:
+        return None
+    br = _BitReader(data)
+    row_bytes = (columns + 7) // 8
+    out = bytearray()
+    nrows = 0
+    limit = rows if rows is not None else max_rows
+    while nrows < limit:
+        if encoded_byte_align:
+            br.align()
+        eols = 0
+        while _consume_fill_and_eol(br):
+            eols += 1
+            if eols >= 6:
+                break  # RTC: return to control, end of data
+        if eols >= 6 or br.pos >= br.n:
+            break
+        cur = _decode_line_1d(br, columns)
+        if cur is None:
+            if rows is None and nrows:
+                break  # unbounded decode: trailing pad bits end the data
+            return None
+        out += _render_row(cur, columns, row_bytes, black_is_1)
+        nrows += 1
+    if rows is not None and nrows < rows:
+        return None
+    return bytes(out)
+
+
 def ccitt_g4_decode(
     data: bytes,
     columns: int,
@@ -292,6 +369,8 @@ def ccitt_g4_decode(
             break
         cur = _decode_line(br, ref, columns)
         if cur is None:
+            if rows is None and nrows:
+                break  # unbounded decode: trailing pad bits end the data
             return None
         out += _render_row(cur, columns, row_bytes, black_is_1)
         ref = [min(t, columns) for t in cur] + [columns, columns]

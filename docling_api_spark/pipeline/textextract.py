@@ -612,20 +612,24 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
     return bytes(out)  # tolerate a missing EOD marker
 
 
-def _ccitt_g4_parms(d: bytes) -> tuple[int, int | None, bool, bool] | None:
-    """(columns, rows, black_is_1, encoded_byte_align) iff the stream
-    dict declares Group 4 coding (/K < 0) with parms visible inline —
-    else None (G3, or /DecodeParms behind an indirect reference, stays
-    on the undecodable-breadcrumb path). /K has no default that helps
-    here: absent K means K=0, i.e. Group 3 1-D, which this decoder does
-    not speak."""
-    k = re.search(rb"/K\s+(-?\d+)\b", d)
-    if k is None or int(k.group(1)) >= 0:
+def _ccitt_parms(d: bytes) -> tuple[int, int, int | None, bool, bool] | None:
+    """(k, columns, rows, black_is_1, encoded_byte_align) for a CCITT
+    stream whose coding this repo speaks: /K < 0 (Group 4, r14) or
+    /K 0 / absent (Group 3 one-dimensional, r14 — the PDF default).
+    None for /K > 0 (G3 mixed 2-D — stays on the undecodable-breadcrumb
+    path) or when /DecodeParms hides behind an indirect reference so no
+    parms are visible inline but the dict names DecodeParms."""
+    k_m = re.search(rb"/K\s+(-?\d+)\b", d)
+    k = int(k_m.group(1)) if k_m else 0  # spec default: 0 = G3 1-D
+    if k > 0:
         return None
+    if k_m is None and re.search(rb"/DecodeParms\s+\d+\s+\d+\s+R", d):
+        return None  # parms exist but are unreadable: don't guess K=0
     columns_m = re.search(rb"/Columns\s+(\d+)\b(?!\s+\d+\s+R)", d)
     columns = int(columns_m.group(1)) if columns_m else 1728
     rows = _dict_int(d, b"Rows") or _dict_int(d, b"Height")
     return (
+        k,
         columns,
         rows,
         re.search(rb"/BlackIs1\s+true\b", d) is not None,
@@ -641,10 +645,11 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
     [/ASCII85Decode /FlateDecode] are common in text-tool-generated
     PDFs, LZW in pre-Flate-era ones), a TERMINAL DCTDecode (the
     payload IS a JPEG file at that point), and a TERMINAL
-    CCITTFaxDecode in Group 4 mode (/K < 0 — the dominant scanned-fax
-    codec; pure-python T.6 decoder in pipeline/ccittg4.py, r14).
-    Returns (payload, "raw"|"dct"), or None when any filter is
-    unsupported (CCITT G3/JBIG2/JPX/Crypt) or its input is corrupt —
+    CCITTFaxDecode in Group 4 (/K < 0) or Group 3 one-dimensional
+    (/K 0) mode — the dominant scanned-fax codecs; pure-python T.6/T.4
+    decoders in pipeline/ccittg4.py, r14. Returns (payload,
+    "raw"|"dct"), or None when any filter is unsupported (CCITT G3
+    2-D/JBIG2/JPX/Crypt) or its input is corrupt —
     callers skip the stream either way.
     """
     filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
@@ -663,19 +668,25 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
                 return None  # DCT mid-chain: not a thing we can decode
             return data, "dct"
         if f == "CCITTFaxDecode":
-            # Group 4 only (r14, VERDICT r13 Next #4): /K < 0. Group 3
-            # (K >= 0), or parms hidden behind an indirect /DecodeParms
-            # ref, stay None — the breadcrumb counter names them. CCITT
-            # output is final raster bits, so mid-chain is malformed.
+            # Group 4 (/K < 0) and Group 3 one-dimensional (/K 0, the
+            # spec default) decode since r14 (VERDICT r13 Next #4).
+            # G3 mixed 2-D (/K > 0) and parms hidden behind an indirect
+            # /DecodeParms ref stay None — the breadcrumb counter names
+            # them. CCITT output is final raster bits, so mid-chain is
+            # malformed.
             if i != len(filters) - 1:
                 return None
-            parms = _ccitt_g4_parms(d)
+            parms = _ccitt_parms(d)
             if parms is None:
                 return None
-            from docling_api_spark.pipeline.ccittg4 import ccitt_g4_decode
+            from docling_api_spark.pipeline.ccittg4 import (
+                ccitt_g3_1d_decode,
+                ccitt_g4_decode,
+            )
 
-            columns, rows, black1, align = parms
-            decoded = ccitt_g4_decode(
+            k, columns, rows, black1, align = parms
+            decode = ccitt_g4_decode if k < 0 else ccitt_g3_1d_decode
+            decoded = decode(
                 data, columns, rows=rows,
                 encoded_byte_align=align, black_is_1=black1,
             )
@@ -749,9 +760,9 @@ _FILTER_CHAIN_RE = re.compile(
 
 def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
     """Image XObject streams whose /Filter chain names a codec the
-    lightweight extractor cannot decode (Group 3 CCITTFaxDecode,
-    JBIG2Decode, JPXDecode, Crypt, ...; Group 4 CCITT decodes since
-    r14), counted by the first unsupported codec in
+    lightweight extractor cannot decode (Group 3 2-D CCITTFaxDecode,
+    JBIG2Decode, JPXDecode, Crypt, ...; Group 4 and Group 3 1-D CCITT
+    decode since r14), counted by the first unsupported codec in
     each chain. These streams are SKIPPED by `pdf_extract_images` /
     `pdf_to_markdown` by design (correct-by-omission, never mis-scanned);
     this counter lets the conversion layer say so in the result instead
@@ -792,8 +803,8 @@ def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
         )
         for f in names:
             name = f.decode("ascii", errors="replace")
-            if name == "CCITTFaxDecode" and _ccitt_g4_parms(d) is not None:
-                continue  # Group 4 decodes since r14; only G3 breadcrumbs
+            if name == "CCITTFaxDecode" and _ccitt_parms(d) is not None:
+                continue  # G4 + G3 1-D decode since r14; G3 2-D breadcrumbs
             if name not in _SUPPORTED_FILTERS:
                 out[name] = out.get(name, 0) + 1
                 break
@@ -1494,10 +1505,12 @@ def _raster_samples_raw(
     prefiltered), or None outside the recoverable set. ``prefiltered``
     means raw8 is PNG filter-prefixed rows (pass straight to the PNG
     container; per-sample access would need unfiltering). Recoverable
-    (r13 widened the r12a set): 8-bit DeviceRGB/DeviceGray (raw, PNG
-    predictors, or TIFF predictor 2), 16-bit RGB/Gray (raw, high-byte
-    reduction), 8-bit DeviceCMYK (raw, naive no-ICC RGB conversion),
-    and 1/2/4/8-bit Indexed or sub-8-bit Gray with inline palettes
+    (r13 widened the r12a set; r14 adds /ImageMask stencils — 1-bit,
+    no colorspace, rendered bilevel gray): 8-bit DeviceRGB/DeviceGray
+    (raw, PNG predictors, or TIFF predictor 2), 16-bit RGB/Gray (raw,
+    high-byte reduction), 8-bit DeviceCMYK (raw, naive no-ICC RGB
+    conversion), and 1/2/4/8-bit Indexed or sub-8-bit Gray with inline
+    palettes
     (raw only — predictors over packed samples would need bit-level
     unfiltering). Still skipped, by design: indirect palette streams."""
     width, height = _dict_int(d, b"Width"), _dict_int(d, b"Height")
@@ -1550,6 +1563,19 @@ def _raster_samples_raw(
     if re.search(rb"/ColorSpace\s*/DeviceRGB\b", d):
         channels = 3
     elif re.search(rb"/ColorSpace\s*/DeviceGray\b", d):
+        channels = 1
+    elif (
+        re.search(rb"/ImageMask\s+true\b", d)
+        and not re.search(rb"/ColorSpace", d)
+    ):
+        # stencil mask (r14): 1-bit by spec, no colorspace by definition.
+        # Under the default /Decode [0 1] a 0 sample PAINTS (ink) and a 1
+        # sample is transparent — rendered standalone that is exactly the
+        # bilevel DeviceGray convention (0 = black), which is also how
+        # CCITT G4 fax pages and flate line art arrive; /Decode [1 0]
+        # flips through the shared inversion path in _raster_samples.
+        if bpc != 1:
+            return None  # ImageMask requires BitsPerComponent 1
         channels = 1
     elif re.search(rb"/ColorSpace\s*/DeviceCMYK\b", d):
         # naive no-ICC conversion (Ghostscript's quick form): each RGB

@@ -301,7 +301,8 @@ def test_pdf_g4_image_round_trips_to_exact_pixels():
 
 def test_pdf_g4_no_longer_counted_undecodable_g3_still_is():
     """VERDICT r13 Next #4 done-condition: pdf_undecodable_image_streams
-    stops counting G4-only files; the breadcrumb stays for G3/JBIG2."""
+    stops counting G4-only files; the breadcrumb stays for G3 2-D,
+    indirect-DecodeParms CCITT, and JBIG2."""
     from docling_api_spark.pipeline.textextract import (
         pdf_undecodable_image_streams,
     )
@@ -309,13 +310,21 @@ def test_pdf_g4_no_longer_counted_undecodable_g3_still_is():
     g4 = make_pdf_objs([TEXT_OBJ, _g4_image_obj([[0, 1] * 4] * 2, 8)])
     assert pdf_undecodable_image_streams(g4) == {}
 
-    g3 = make_image_obj(
+    g3_2d = make_image_obj(
         b"\x00\x01\x02\x03", width=8, height=2,
         colorspace=b"/DeviceGray", bpc=1, filt=b"/CCITTFaxDecode",
-        extra=b" /DecodeParms <</K 0 /Columns 8>>",
+        extra=b" /DecodeParms <</K 4 /Columns 8>>",
     )
-    assert pdf_undecodable_image_streams(make_pdf_objs([TEXT_OBJ, g3])) \
-        == {"CCITTFaxDecode": 1}
+    assert pdf_undecodable_image_streams(
+        make_pdf_objs([TEXT_OBJ, g3_2d])
+    ) == {"CCITTFaxDecode": 1}
+    hidden_parms = make_image_obj(
+        b"\x00\x01", width=8, height=2, colorspace=b"/DeviceGray",
+        bpc=1, filt=b"/CCITTFaxDecode", extra=b" /DecodeParms 12 0 R",
+    )
+    assert pdf_undecodable_image_streams(
+        make_pdf_objs([TEXT_OBJ, hidden_parms])
+    ) == {"CCITTFaxDecode": 1}
     jbig2 = make_image_obj(
         b"\x00\x01", width=8, height=2, colorspace=b"/DeviceGray",
         bpc=1, filt=b"/JBIG2Decode",
@@ -410,3 +419,178 @@ def test_smask_in_g4_merges_as_alpha():
     assert (w, h, ch) == (2, 2, 4)  # RGBA
     # alpha: mask 1-pixels (black) -> 0 bits -> rescaled 0; 0 -> 255
     assert raw[3::4] == bytes([0, 255, 255, 0])
+
+def test_pdf_g4_imagemask_fax_page_extracts():
+    """The most common real-world shape of a fax-compressed scan: an
+    /ImageMask true stencil (no ColorSpace) in CCITT G4. r14 recovers
+    it as bilevel gray (0 samples paint -> black), and /Decode [1 0]
+    inverts through the shared path."""
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    rows_px = [[1, 0, 1, 0, 0, 1, 1, 0], [0, 1, 0, 1, 1, 0, 0, 1]]
+    data = g4_encode(rows_px, 8)
+    obj = make_image_obj(
+        data, width=8, height=2, colorspace=b"", bpc=1,
+        filt=b"/CCITTFaxDecode",
+        extra=b" /ImageMask true /DecodeParms <</K -1 /Columns 8 /Rows 2>>",
+    ).replace(b"/ColorSpace  ", b"")  # drop the empty colorspace key
+    doc = make_pdf_objs([TEXT_OBJ, obj])
+    assert pdf_undecodable_image_streams(doc) == {}
+    (png,) = pdf_extract_images(doc)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 2, 1)
+    expected = bytes(0 if p else 255 for row in rows_px for p in row)
+    assert raw == expected
+
+    inverted = make_image_obj(
+        data, width=8, height=2, colorspace=b"", bpc=1,
+        filt=b"/CCITTFaxDecode",
+        extra=b" /ImageMask true /Decode [1 0] "
+        b"/DecodeParms <</K -1 /Columns 8 /Rows 2>>",
+    ).replace(b"/ColorSpace  ", b"")
+    (png2,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, inverted]))
+    assert decode_png(png2)[3] == bytes(
+        255 if p else 0 for row in rows_px for p in row
+    )
+
+
+def test_pdf_flate_imagemask_line_art_extracts():
+    import zlib as _z
+
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    packed = bytes([0b10110010, 0b01001101])  # 2 rows of 8 1-bit samples
+    obj = make_image_obj(
+        _z.compress(packed), width=8, height=2, colorspace=b"", bpc=1,
+        extra=b" /ImageMask true",
+    ).replace(b"/ColorSpace  ", b"")
+    (png,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj]))
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 2, 1)
+    bits = [int(b) for byte in packed for b in f"{byte:08b}"]
+    assert raw == bytes(255 * b for b in bits)
+
+
+def test_pdf_imagemask_with_wrong_bpc_is_skipped():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    obj = make_image_obj(
+        b"\x00" * 16, width=8, height=2, colorspace=b"", bpc=8,
+        filt=b"", extra=b" /ImageMask true",
+    ).replace(b"/ColorSpace  ", b"")
+    assert pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj])) == []
+
+
+# -- Group 3 one-dimensional (/K 0) ------------------------------------------
+def g3_1d_encode(
+    rows_px, columns, byte_align=False, eols=False, rtc=False
+) -> bytes:
+    """Independent T.4 1-D encoder: alternating white-first MH runs."""
+    bits: list[str] = []
+    for px in rows_px:
+        if byte_align and (sum(map(len, bits)) % 8):
+            bits.append("0" * (8 - sum(map(len, bits)) % 8))
+        if eols:
+            bits.append("000000000001")
+        runs, colour, pos = [], 0, 0
+        t = _transitions(px)
+        bounds = t + [columns]
+        for b in bounds:
+            runs.append((b - pos, colour))
+            pos, colour = b, colour ^ 1
+        for run, col in runs:
+            _emit_run(bits, run, col)
+    if rtc:
+        bits.append("000000000001" * 6)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    data = int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+    if data.endswith((b"\n", b"\r")):
+        data += b"\x00"
+    return data
+
+
+def test_g3_1d_known_answer_all_white_line():
+    """White run 8 = '10011', twice, padded: 10011100 11000000."""
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g3_1d_decode
+
+    data = bytes([0b10011100, 0b11000000])
+    assert ccitt_g3_1d_decode(data, columns=8, rows=2) == b"\xff\xff"
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 8),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+    st.data(),
+)
+def test_fuzz_g3_1d_decode_matches_independent_encoder(
+    columns, nrows, black_is_1, byte_align, eols, data
+):
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g3_1d_decode
+
+    rows_px = [
+        data.draw(st.lists(st.integers(0, 1), min_size=columns,
+                           max_size=columns))
+        for _ in range(nrows)
+    ]
+    encoded = g3_1d_encode(
+        rows_px, columns, byte_align=byte_align, eols=eols,
+        rtc=data.draw(st.booleans()),
+    )
+    out = ccitt_g3_1d_decode(
+        encoded, columns, rows=nrows,
+        encoded_byte_align=byte_align, black_is_1=black_is_1,
+    )
+    assert out == _pack(rows_px, columns, black_is_1)
+
+
+def test_g3_1d_long_runs_and_rtc_stop():
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g3_1d_decode
+
+    rows_px = [[0] * 1000 + [1] * 500 + [0] * 228] * 3
+    encoded = g3_1d_encode(rows_px, 1728, rtc=True)
+    assert ccitt_g3_1d_decode(encoded, 1728, rows=3) \
+        == _pack(rows_px, 1728, False)
+    # rows=None: the RTC (6 EOLs) terminates the decode
+    assert ccitt_g3_1d_decode(encoded, 1728) == _pack(rows_px, 1728, False)
+
+
+def test_g3_1d_malformed_returns_none():
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g3_1d_decode
+
+    assert ccitt_g3_1d_decode(b"", 8, rows=1) is None
+    assert ccitt_g3_1d_decode(b"\xff\xff", 8, rows=1) is None  # overrun
+    one = g3_1d_encode([[0] * 8], 8)
+    assert ccitt_g3_1d_decode(one, 8, rows=3) is None  # truncated
+
+
+def test_pdf_g3_1d_image_round_trips():
+    """A /K 0 (and a K-absent, the spec default) CCITT stream decodes;
+    the breadcrumb counter stops naming it."""
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    rows_px = [[0, 1, 1, 0, 1, 0, 0, 1], [1, 1, 0, 0, 0, 1, 1, 0]]
+    expected = bytes(0 if p else 255 for row in rows_px for p in row)
+    for parms in (
+        b" /DecodeParms <</K 0 /Columns 8 /Rows 2>>",
+        b" /DecodeParms <</Columns 8 /Rows 2>>",  # K absent -> 0
+    ):
+        obj = make_image_obj(
+            g3_1d_encode(rows_px, 8), width=8, height=2,
+            colorspace=b"/DeviceGray", bpc=1,
+            filt=b"/CCITTFaxDecode", extra=parms,
+        )
+        doc = make_pdf_objs([TEXT_OBJ, obj])
+        assert pdf_undecodable_image_streams(doc) == {}
+        (png,) = pdf_extract_images(doc)
+        assert decode_png(png) == (8, 2, 1, expected)
