@@ -156,11 +156,21 @@ class _BitReader:
         self.pos = 0
 
     def peek(self, k: int) -> int:
+        # hot path: k is at most 13 (longest run code) / 12 (EOL), so a
+        # 4-byte window always covers shift + k <= 20 bits
         byte = self.pos >> 3
         chunk = int.from_bytes(
             self.data[byte : byte + 4].ljust(4, b"\x00"), "big"
         )
         return (chunk >> (32 - (self.pos & 7) - k)) & ((1 << k) - 1)
+
+    def bit_at(self, i: int) -> int:
+        """Single bit at absolute position ``i`` (0 past the end) — for
+        scans like zero-fill counting that may look arbitrarily far,
+        where peek()'s bounded window would underflow its shift."""
+        if i >= self.n:
+            return 0
+        return (self.data[i >> 3] >> (7 - (i & 7))) & 1
 
     def skip(self, k: int) -> None:
         self.pos += k
@@ -271,9 +281,12 @@ def _consume_fill_and_eol(br: _BitReader) -> bool:
     consumed. Never consumes anything when no EOL follows the zeros —
     a leading run of zeros can also be a legitimate code prefix."""
     z = 0
-    while z < 64 and br.pos + z < br.n and not br.peek(z + 1) & 1:
+    # bit_at, not peek: T.4 fill runs are unbounded in principle, and
+    # peek's 4-byte window underflows past ~25 bits (total-function
+    # contract: no input may raise). Scan capped at 4096 fill bits.
+    while z < 4096 and br.pos + z < br.n and not br.bit_at(br.pos + z):
         z += 1
-    if z >= 11 and br.pos + z < br.n:
+    if z >= 11 and br.pos + z < br.n and br.bit_at(br.pos + z):
         br.skip(z + 1)  # fill + the EOL's terminating 1 bit
         return True
     return False
@@ -318,7 +331,10 @@ def ccitt_g3_1d_decode(
     row_bytes = (columns + 7) // 8
     out = bytearray()
     nrows = 0
-    limit = rows if rows is not None else max_rows
+    # same unknown-rows output cap as ccitt_g4_decode (64 MiB)
+    limit = rows if rows is not None else min(
+        max_rows, max(1, (64 << 20) // row_bytes)
+    )
     while nrows < limit:
         if encoded_byte_align:
             br.align()
@@ -364,7 +380,13 @@ def ccitt_g4_decode(
     ref = [columns, columns]  # imaginary all-white reference line
     out = bytearray()
     nrows = 0
-    limit = rows if rows is not None else max_rows
+    # rows unknown: besides max_rows, cap total OUTPUT at 64 MiB — an
+    # all-V0 bitstream codes one row per BIT, so a kilobyte of 0xff with
+    # a forged wide /Columns and no /Rows//Height could otherwise drive
+    # a multi-GB allocation from a tiny input
+    limit = rows if rows is not None else min(
+        max_rows, max(1, (64 << 20) // row_bytes)
+    )
     while nrows < limit:
         if encoded_byte_align:
             br.align()

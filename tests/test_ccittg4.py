@@ -594,3 +594,32 @@ def test_pdf_g3_1d_image_round_trips():
         assert pdf_undecodable_image_streams(doc) == {}
         (png,) = pdf_extract_images(doc)
         assert decode_png(png) == (8, 2, 1, expected)
+
+
+# -- adversarial hardening (r14 self-review) ---------------------------------
+def test_g3_1d_long_fill_before_eol_never_raises():
+    """T.4 allows arbitrary zero-fill before an EOL; ~25+ fill bits used
+    to underflow the bit reader's 4-byte peek window and raise — the
+    total-function contract says malformed or extreme input returns
+    None/decodes, never raises."""
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g3_1d_decode
+
+    # 40 fill zeros + EOL + white-8 code, one line
+    bits = "0" * 40 + "000000000001" + "10011"
+    bits += "0" * (-len(bits) % 8)
+    data = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    assert ccitt_g3_1d_decode(data, columns=8, rows=1) == b"\xff"
+    # pathological: kilobytes of zeros, no EOL, no line — returns, no raise
+    assert ccitt_g3_1d_decode(b"\x00" * 4096, columns=8, rows=1) is None
+
+
+def test_unknown_rows_output_is_bounded():
+    """With /Rows and /Height both absent, an all-V0 bitstream codes one
+    all-white row per BIT: a few KB of 0xff with a wide /Columns must
+    not allocate gigabytes. The unknown-rows decode caps total output
+    at 64 MiB."""
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g4_decode
+
+    out = ccitt_g4_decode(b"\xff" * 4096, columns=1 << 20)
+    assert out is not None
+    assert len(out) <= 64 << 20
