@@ -1,6 +1,7 @@
 """Pure-python CCITT decoders for PDF ``CCITTFaxDecode`` image streams:
-Group 4 (ITU-T T.6, ``/K < 0``) and Group 3 one-dimensional (ITU-T T.4
-MH, ``/K 0`` — the spec default).
+Group 4 (ITU-T T.6, ``/K < 0``), Group 3 one-dimensional (ITU-T T.4 MH,
+``/K 0`` — the spec default), and Group 3 mixed two-dimensional
+(``/K > 0``, EOL+tag framed).
 
 G4 is the dominant codec for scanned/fax-compressed PDFs; the reference
 converts those through docling's OCR pipeline
@@ -9,8 +10,8 @@ Decoding the raster lets the lightweight backend at least recover the
 scan image itself (VERDICT r13 Next #4). Everything here is public
 knowledge: the coding schemes and the terminating/make-up code tables
 are ITU-T Recommendations T.4/T.6, reproduced in ISO 32000-1 §7.4.6.
-Group 3 mixed 2-D (``/K > 0``), JBIG2 and JPX stay correct-by-omission:
-callers keep the undecodable-codec breadcrumb for them.
+JBIG2 and JPX stay correct-by-omission: callers keep the
+undecodable-codec breadcrumb for them.
 
 Output convention follows the PDF filter contract: one bit per pixel,
 rows padded to byte boundaries, MSB first; with the default
@@ -310,6 +311,63 @@ def _decode_line_1d(br: _BitReader, columns: int):
         cur.append(total)
         colour ^= 1
     return cur
+
+
+def ccitt_g3_2d_decode(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    encoded_byte_align: bool = False,
+    black_is_1: bool = False,
+    max_rows: int = 65536,
+) -> bytes | None:
+    """T.4 mixed two-dimensional (Group 3, /K > 0) decode -> packed
+    1-bpp rows. Every coded line is framed by [zero-fill +] EOL + one
+    tag bit: 1 = the line is 1-D (MH), 0 = 2-D relative to the previous
+    line (the same pass/vertical/horizontal modes T.6 uses — both line
+    decoders are shared). A K>0 stream without EOL framing is
+    undecodable by construction (nothing marks each line's mode), so it
+    returns None and keeps the breadcrumb path. RTC (EOL+1 repeated)
+    ends an unbounded decode; same output convention and total-function
+    contract as the other two decoders."""
+    if columns <= 0 or columns > 1 << 20:
+        return None
+    br = _BitReader(data)
+    row_bytes = (columns + 7) // 8
+    ref = [columns, columns]
+    out = bytearray()
+    nrows = 0
+    limit = rows if rows is not None else min(
+        max_rows, max(1, (64 << 20) // row_bytes)
+    )
+    while nrows < limit:
+        if encoded_byte_align:
+            br.align()
+        if br.pos >= br.n:
+            break
+        if not _consume_fill_and_eol(br):
+            return None  # K>0 requires EOL+tag framing on every line
+        if br.pos >= br.n:
+            break
+        tag = br.peek(1)
+        br.skip(1)
+        # RTC: EOL + tag 1 immediately followed by another EOL (a real
+        # 1-D line can never open with 11 zeros — EOL is prefix-unique)
+        if tag and br.peek(12) == _EOL:
+            break
+        cur = (
+            _decode_line_1d(br, columns)
+            if tag
+            else _decode_line(br, ref, columns)
+        )
+        if cur is None:
+            return None
+        out += _render_row(cur, columns, row_bytes, black_is_1)
+        ref = [min(t, columns) for t in cur] + [columns, columns]
+        nrows += 1
+    if rows is not None and nrows < rows:
+        return None
+    return bytes(out)
 
 
 def ccitt_g3_1d_decode(

@@ -133,7 +133,7 @@ class LightweightConverter:
                     )
 
                     # image streams in codecs the stdlib path cannot decode
-                    # (G3-2D CCITT/JBIG2/JPX/Crypt; G4 and G3-1D CCITT decode since
+                    # (JBIG2/JPX/Crypt/indirect-parms CCITT; the CCITT family decodes since
                     # r14 via pipeline/ccittg4.py) are skipped by design —
                     # the user debugging a missing scan gets a breadcrumb
                     # (VERDICT r12 Next #8): appended to the error on the
@@ -153,9 +153,8 @@ class LightweightConverter:
                     # branch below — while a scanned PDF whose page
                     # images need OCR still falls through to the error
                     # contract when its page scans (DCT-with-exotic
-                    # parms, G3-2D CCITT, JBIG2) defeat the lightweight
-                    # recovery filters; G4 and G3-1D CCITT scans recover
-                    # since r14.
+                    # parms, JBIG2, JPX) defeat the lightweight
+                    # recovery filters; CCITT fax scans recover since r14.
                     payloads = pdf_extract_images(content)
                     tail, images = splice_images(
                         "\n\n".join(sentinel for _ in payloads),

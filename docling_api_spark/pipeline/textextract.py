@@ -614,15 +614,13 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
 
 def _ccitt_parms(d: bytes) -> tuple[int, int, int | None, bool, bool] | None:
     """(k, columns, rows, black_is_1, encoded_byte_align) for a CCITT
-    stream whose coding this repo speaks: /K < 0 (Group 4, r14) or
-    /K 0 / absent (Group 3 one-dimensional, r14 — the PDF default).
-    None for /K > 0 (G3 mixed 2-D — stays on the undecodable-breadcrumb
-    path) or when /DecodeParms hides behind an indirect reference so no
-    parms are visible inline but the dict names DecodeParms."""
+    stream whose parms are visible inline: /K < 0 (Group 4), /K 0 /
+    absent (Group 3 1-D, the PDF default), /K > 0 (G3 mixed 2-D) — all
+    three decode since r14. None only when /DecodeParms hides behind an
+    indirect reference (parms exist but are unreadable — don't guess),
+    which keeps the undecodable-breadcrumb path."""
     k_m = re.search(rb"/K\s+(-?\d+)\b", d)
     k = int(k_m.group(1)) if k_m else 0  # spec default: 0 = G3 1-D
-    if k > 0:
-        return None
     if k_m is None and re.search(rb"/DecodeParms\s+\d+\s+\d+\s+R", d):
         return None  # parms exist but are unreadable: don't guess K=0
     columns_m = re.search(rb"/Columns\s+(\d+)\b(?!\s+\d+\s+R)", d)
@@ -645,11 +643,11 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
     [/ASCII85Decode /FlateDecode] are common in text-tool-generated
     PDFs, LZW in pre-Flate-era ones), a TERMINAL DCTDecode (the
     payload IS a JPEG file at that point), and a TERMINAL
-    CCITTFaxDecode in Group 4 (/K < 0) or Group 3 one-dimensional
-    (/K 0) mode — the dominant scanned-fax codecs; pure-python T.6/T.4
-    decoders in pipeline/ccittg4.py, r14. Returns (payload,
-    "raw"|"dct"), or None when any filter is unsupported (CCITT G3
-    2-D/JBIG2/JPX/Crypt) or its input is corrupt —
+    CCITTFaxDecode in any of its three codings (Group 4 /K < 0,
+    Group 3 1-D /K 0, Group 3 mixed 2-D /K > 0 — pure-python T.6/T.4
+    decoders in pipeline/ccittg4.py, r14). Returns (payload,
+    "raw"|"dct"), or None when any filter is unsupported
+    (JBIG2/JPX/Crypt, indirect-parms CCITT) or its input is corrupt —
     callers skip the stream either way.
     """
     filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
@@ -668,12 +666,12 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
                 return None  # DCT mid-chain: not a thing we can decode
             return data, "dct"
         if f == "CCITTFaxDecode":
-            # Group 4 (/K < 0) and Group 3 one-dimensional (/K 0, the
-            # spec default) decode since r14 (VERDICT r13 Next #4).
-            # G3 mixed 2-D (/K > 0) and parms hidden behind an indirect
-            # /DecodeParms ref stay None — the breadcrumb counter names
-            # them. CCITT output is final raster bits, so mid-chain is
-            # malformed.
+            # The whole CCITT family decodes since r14 (VERDICT r13
+            # Next #4): Group 4 (/K < 0), Group 3 1-D (/K 0, the spec
+            # default), Group 3 mixed 2-D (/K > 0). Only parms hidden
+            # behind an indirect /DecodeParms ref stay None — the
+            # breadcrumb counter names them. CCITT output is final
+            # raster bits, so mid-chain is malformed.
             if i != len(filters) - 1:
                 return None
             parms = _ccitt_parms(d)
@@ -681,11 +679,16 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
                 return None
             from docling_api_spark.pipeline.ccittg4 import (
                 ccitt_g3_1d_decode,
+                ccitt_g3_2d_decode,
                 ccitt_g4_decode,
             )
 
             k, columns, rows, black1, align = parms
-            decode = ccitt_g4_decode if k < 0 else ccitt_g3_1d_decode
+            decode = (
+                ccitt_g4_decode if k < 0
+                else ccitt_g3_2d_decode if k > 0
+                else ccitt_g3_1d_decode
+            )
             decoded = decode(
                 data, columns, rows=rows,
                 encoded_byte_align=align, black_is_1=black1,
@@ -760,9 +763,10 @@ _FILTER_CHAIN_RE = re.compile(
 
 def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
     """Image XObject streams whose /Filter chain names a codec the
-    lightweight extractor cannot decode (Group 3 2-D CCITTFaxDecode,
-    JBIG2Decode, JPXDecode, Crypt, ...; Group 4 and Group 3 1-D CCITT
-    decode since r14), counted by the first unsupported codec in
+    lightweight extractor cannot decode (JBIG2Decode, JPXDecode,
+    Crypt, indirect-DecodeParms CCITTFaxDecode, ...; the whole inline-
+    parms CCITT family decodes since r14), counted by the first
+    unsupported codec in
     each chain. These streams are SKIPPED by `pdf_extract_images` /
     `pdf_to_markdown` by design (correct-by-omission, never mis-scanned);
     this counter lets the conversion layer say so in the result instead
@@ -804,7 +808,7 @@ def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
         for f in names:
             name = f.decode("ascii", errors="replace")
             if name == "CCITTFaxDecode" and _ccitt_parms(d) is not None:
-                continue  # G4 + G3 1-D decode since r14; G3 2-D breadcrumbs
+                continue  # CCITT decodes since r14; indirect parms breadcrumb
             if name not in _SUPPORTED_FILTERS:
                 out[name] = out.get(name, 0) + 1
                 break

@@ -301,8 +301,8 @@ def test_pdf_g4_image_round_trips_to_exact_pixels():
 
 def test_pdf_g4_no_longer_counted_undecodable_g3_still_is():
     """VERDICT r13 Next #4 done-condition: pdf_undecodable_image_streams
-    stops counting G4-only files; the breadcrumb stays for G3 2-D,
-    indirect-DecodeParms CCITT, and JBIG2."""
+    stops counting G4-only files; the breadcrumb stays for
+    indirect-DecodeParms CCITT and JBIG2."""
     from docling_api_spark.pipeline.textextract import (
         pdf_undecodable_image_streams,
     )
@@ -310,14 +310,6 @@ def test_pdf_g4_no_longer_counted_undecodable_g3_still_is():
     g4 = make_pdf_objs([TEXT_OBJ, _g4_image_obj([[0, 1] * 4] * 2, 8)])
     assert pdf_undecodable_image_streams(g4) == {}
 
-    g3_2d = make_image_obj(
-        b"\x00\x01\x02\x03", width=8, height=2,
-        colorspace=b"/DeviceGray", bpc=1, filt=b"/CCITTFaxDecode",
-        extra=b" /DecodeParms <</K 4 /Columns 8>>",
-    )
-    assert pdf_undecodable_image_streams(
-        make_pdf_objs([TEXT_OBJ, g3_2d])
-    ) == {"CCITTFaxDecode": 1}
     hidden_parms = make_image_obj(
         b"\x00\x01", width=8, height=2, colorspace=b"/DeviceGray",
         bpc=1, filt=b"/CCITTFaxDecode", extra=b" /DecodeParms 12 0 R",
@@ -623,3 +615,131 @@ def test_unknown_rows_output_is_bounded():
     out = ccitt_g4_decode(b"\xff" * 4096, columns=1 << 20)
     assert out is not None
     assert len(out) <= 64 << 20
+
+
+# -- Group 3 mixed two-dimensional (/K > 0) ----------------------------------
+def _encode_2d_line(px, ref, columns) -> list[str]:
+    """One 2-D coded line (shared mode logic with the G4 encoder)."""
+    bits: list[str] = []
+    cur = _transitions(px)
+    a0, colour, ci = -1, 0, 0
+    while a0 < columns:
+        a1 = cur[ci] if ci < len(cur) else columns
+        bi = 0
+        while bi < len(ref) and ref[bi] <= a0:
+            bi += 1
+        if a0 < 0:
+            bi = 0
+        if (bi & 1) != colour:
+            bi += 1
+        b1 = ref[bi] if bi < len(ref) else columns
+        b2 = ref[bi + 1] if bi + 1 < len(ref) else columns
+        if b2 < a1:
+            bits.append(_ENC_MODE[("p",)])
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bits.append(_ENC_MODE[("v", a1 - b1)])
+            a0, colour, ci = a1, colour ^ 1, ci + 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else columns
+            start = a0 if a0 > 0 else 0
+            bits.append(_ENC_MODE[("h",)])
+            _emit_run(bits, a1 - start, colour)
+            _emit_run(bits, a2 - a1, colour ^ 1)
+            a0, ci = a2, ci + 2
+    return bits
+
+
+def g3_2d_encode(rows_px, columns, k=4, byte_align=False, rtc=False):
+    """Independent T.4 mixed 2-D encoder: every line framed EOL + tag;
+    a 1-D line every k-th line (line 0 is always 1-D), 2-D between."""
+    bits: list[str] = []
+    ref = [columns, columns]
+    for y, px in enumerate(rows_px):
+        if byte_align and (sum(map(len, bits)) % 8):
+            bits.append("0" * (8 - sum(map(len, bits)) % 8))
+        one_d = (y % k) == 0
+        bits.append("000000000001" + ("1" if one_d else "0"))
+        if one_d:
+            pos, colour = 0, 0
+            for b in _transitions(px) + [columns]:
+                _emit_run(bits, b - pos, colour)
+                pos, colour = b, colour ^ 1
+        else:
+            bits.extend(_encode_2d_line(px, ref, columns))
+        ref = _transitions(px) + [columns, columns]
+    if rtc:
+        bits.append("0000000000011" * 6)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    data = int(s, 2).to_bytes(len(s) // 8, "big") if s else b""
+    if data.endswith((b"\n", b"\r")):
+        data += b"\x00"
+    return data
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 9),
+    st.integers(1, 4),
+    st.booleans(),
+    st.booleans(),
+    st.data(),
+)
+def test_fuzz_g3_2d_decode_matches_independent_encoder(
+    columns, nrows, k, black_is_1, rtc, data
+):
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g3_2d_decode
+
+    rows_px = [
+        data.draw(st.lists(st.integers(0, 1), min_size=columns,
+                           max_size=columns))
+        for _ in range(nrows)
+    ]
+    encoded = g3_2d_encode(rows_px, columns, k=k, rtc=rtc)
+    out = ccitt_g3_2d_decode(
+        encoded, columns, rows=nrows, black_is_1=black_is_1,
+    )
+    assert out == _pack(rows_px, columns, black_is_1)
+
+
+def test_g3_2d_rtc_stops_unbounded_decode():
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g3_2d_decode
+
+    rows_px = [[0, 1] * 4, [1, 0] * 4, [0, 0, 1, 1] * 2]
+    encoded = g3_2d_encode(rows_px, 8, k=2, rtc=True)
+    assert ccitt_g3_2d_decode(encoded, 8) == _pack(rows_px, 8, False)
+
+
+def test_g3_2d_requires_eol_framing():
+    """A K>0 stream with no EOLs has no per-line mode tags: undecodable
+    by construction, returns None (and keeps the breadcrumb path in the
+    conversion layer for the corrupt-stream case)."""
+    from docling_api_spark.pipeline.ccittg4 import ccitt_g3_2d_decode
+
+    unframed = g3_1d_encode([[0] * 8], 8)  # MH line, no EOL
+    assert ccitt_g3_2d_decode(unframed, 8, rows=1) is None
+    assert ccitt_g3_2d_decode(b"", 8, rows=1) is None
+    one = g3_2d_encode([[0] * 8], 8)
+    assert ccitt_g3_2d_decode(one, 8, rows=3) is None  # truncated
+
+
+def test_pdf_g3_2d_image_round_trips_and_uncounted():
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    rows_px = [[0, 1, 1, 0, 1, 0, 0, 1], [1, 1, 0, 0, 0, 1, 1, 0],
+               [0, 0, 1, 1, 1, 0, 0, 1]]
+    obj = make_image_obj(
+        g3_2d_encode(rows_px, 8, k=2), width=8, height=3,
+        colorspace=b"/DeviceGray", bpc=1, filt=b"/CCITTFaxDecode",
+        extra=b" /DecodeParms <</K 2 /Columns 8 /Rows 3>>",
+    )
+    doc = make_pdf_objs([TEXT_OBJ, obj])
+    assert pdf_undecodable_image_streams(doc) == {}
+    (png,) = pdf_extract_images(doc)
+    expected = bytes(0 if p else 255 for row in rows_px for p in row)
+    assert decode_png(png) == (8, 3, 1, expected)

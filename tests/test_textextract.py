@@ -2304,9 +2304,9 @@ def test_pdf_undecodable_image_stream_counted_per_codec(codec):
         pdf_undecodable_image_streams,
     )
 
-    # CCITT needs /K > 0 to stay unsupported since r14 (G4 + G3 1-D
-    # decode; only mixed 2-D keeps the breadcrumb)
-    parms = b" /DecodeParms <</K 4>>" if codec == "CCITTFaxDecode" else b""
+    # the whole CCITT family decodes since r14; only an indirect
+    # /DecodeParms ref (parms unreadable) keeps the CCITT breadcrumb
+    parms = b" /DecodeParms 9 0 R" if codec == "CCITTFaxDecode" else b""
     pdf = make_pdf_objs(
         [
             b"1 0 obj <</Subtype /Image /Width 8 /Height 8 /Filter /"
@@ -2327,14 +2327,15 @@ def test_pdf_undecodable_counter_chain_array_and_supported():
 
     pdf = make_pdf_objs(
         [
-            # a85 -> CCITT(2-D) chain: unsupported at the CCITT link
+            # a85 -> CCITT chain with unreadable (indirect) parms:
+            # unsupported at the CCITT link
             b"1 0 obj <</Subtype /Image /Width 4 /Height 4 "
             b"/Filter [/ASCII85Decode /CCITTFaxDecode] "
-            b"/DecodeParms [null <</K 2>>] /Length 4>>\n"
+            b"/DecodeParms 9 0 R /Length 4>>\n"
             b"stream\nabcd\nendstream endobj",
-            # second 2-D CCITT stream aggregates into the same key
+            # second such CCITT stream aggregates into the same key
             b"2 0 obj <</Subtype /Image /Width 4 /Height 4 "
-            b"/Filter /CCITTFaxDecode /DecodeParms <</K 1>> /Length 4>>\n"
+            b"/Filter /CCITTFaxDecode /DecodeParms 9 0 R /Length 4>>\n"
             b"stream\nabcd\nendstream endobj",
             # supported chain: not counted
             b"3 0 obj <</Subtype /Image /Width 4 /Height 4 "
@@ -2357,7 +2358,7 @@ def test_pdf_skipped_codec_breadcrumb_in_error_row():
     pdf = make_pdf_objs(
         [
             b"1 0 obj <</Subtype /Image /Width 8 /Height 8 "
-            b"/Filter /CCITTFaxDecode /DecodeParms <</K 4>> /Length 4>>\n"
+            b"/Filter /CCITTFaxDecode /DecodeParms 9 0 R /Length 4>>\n"
             b"stream\n\x00\x01\x02\x03\nendstream endobj",
         ]
     )
@@ -3233,7 +3234,7 @@ def test_pdf_smask_streams_not_counted_undecodable():
     mask = (
         b"6 0 obj <</Type /XObject /Subtype /Image /Width 2 /Height 2 "
         b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
-        b"/Filter /CCITTFaxDecode /DecodeParms <</K 4>> /Length 4>>"
+        b"/Filter /CCITTFaxDecode /DecodeParms 9 0 R /Length 4>>"
         b"\nstream\n\x00\x00\x00\x00"
         b"\nendstream endobj"
     )
@@ -3247,7 +3248,7 @@ def test_pdf_smask_streams_not_counted_undecodable():
     standalone = (
         b"7 0 obj <</Type /XObject /Subtype /Image /Width 2 /Height 2 "
         b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
-        b"/Filter /CCITTFaxDecode /DecodeParms <</K 4>> /Length 4>>"
+        b"/Filter /CCITTFaxDecode /DecodeParms 9 0 R /Length 4>>"
         b"\nstream\n\x00\x00\x00\x00"
         b"\nendstream endobj"
     )
