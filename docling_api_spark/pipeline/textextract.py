@@ -1523,11 +1523,27 @@ def _raster_samples_raw(
         return None
     indexed = _INDEXED_CS_RE.search(d)
     predictor = _dict_int(d, b"Predictor")
+
+    def _unfiltered_png(payload: bytes, row_bytes: int, bpp: int):
+        # PNG predictors (/Predictor >= 10) prefix every row with a
+        # filter byte; unfiltering is defined on BYTES (bpp = the filter
+        # byte-offset, max(1, bits-per-pixel // 8)) regardless of sample
+        # depth — which is what lets the non-8-bit paths below accept
+        # predictor-filtered data too (r14)
+        if len(payload) != height * (row_bytes + 1):
+            return None
+        return _png_unfilter(payload, height, row_bytes, bpp)
+
     if indexed is not None:
         if bpc == 16:
             return None  # 16-bit index samples are not a thing (spec caps 8)
-        if predictor is not None and predictor != 1:
-            return None  # predictors over index samples: not recovered
+        if predictor is not None and 2 <= predictor < 10:
+            return None  # TIFF differencing over index samples: not recovered
+        if predictor is not None and predictor >= 10:
+            plain = _unfiltered_png(data, (width * bpc + 7) // 8, 1)
+            if plain is None:
+                return None
+            data = plain
         base = indexed.group("base")
         hival = int(indexed.group("hival"))
         if hival > 255:
@@ -1583,12 +1599,18 @@ def _raster_samples_raw(
         channels = 1
     elif re.search(rb"/ColorSpace\s*/DeviceCMYK\b", d):
         # naive no-ICC conversion (Ghostscript's quick form): each RGB
-        # component = 255 - min(255, chroma + K). 8-bit raw only —
-        # predictors and /Decode arrays over 4 CMYK components are not
-        # replayed (the downstream Decode check sees 3 channels and
-        # skips any non-identity array, keeping this conservative).
-        if bpc != 8 or (predictor is not None and predictor != 1):
+        # component = 255 - min(255, chroma + K). 8-bit only; /Decode
+        # arrays over 4 CMYK components are not replayed (the downstream
+        # Decode check sees 3 channels and skips any non-identity array,
+        # keeping this conservative). PNG predictors unfilter byte-wise
+        # BEFORE the colour conversion, so they are safe to accept (r14).
+        if bpc != 8 or (predictor is not None and 2 <= predictor < 10):
             return None
+        if predictor is not None and predictor >= 10:
+            plain = _unfiltered_png(data, width * 4, 4)
+            if plain is None:
+                return None
+            data = plain
         if len(data) != height * width * 4:
             return None
         import numpy as np
@@ -1600,21 +1622,33 @@ def _raster_samples_raw(
         return None
     if bpc == 16:
         # 16-bit samples are big-endian per the spec; the standard 16->8
-        # reduction keeps the high byte. Raw only — predictors run over
-        # the 16-bit lattice and would need widening first.
-        if predictor is not None and predictor != 1:
+        # reduction keeps the high byte. TIFF differencing over the
+        # 16-bit lattice would need widening first — skipped; PNG
+        # predictors unfilter byte-wise (bpp = 2 x channels) first (r14).
+        if predictor is not None and 2 <= predictor < 10:
             return None
+        if predictor is not None and predictor >= 10:
+            plain = _unfiltered_png(data, width * channels * 2, channels * 2)
+            if plain is None:
+                return None
+            data = plain
         if len(data) != height * width * channels * 2:
             return None
         return width, height, channels, data[::2], False
     if bpc != 8:
         # sub-8-bit gray (bilevel scans, 16-gray thumbnails): unpack and
-        # rescale to 8 bits (v * 255 / maxval is exact for 1/2/4 bpc)
-        if channels != 1 or (predictor is not None and predictor != 1):
+        # rescale to 8 bits (v * 255 / maxval is exact for 1/2/4 bpc);
+        # PNG predictors unfilter byte-wise on the packed rows (r14)
+        if channels != 1 or (predictor is not None and 2 <= predictor < 10):
             return None
         import numpy as np
 
         row_bytes = (width * bpc + 7) // 8
+        if predictor is not None and predictor >= 10:
+            plain = _unfiltered_png(data, row_bytes, 1)
+            if plain is None:
+                return None
+            data = plain
         if len(data) != height * row_bytes:
             return None
         scale = 255 // ((1 << bpc) - 1)

@@ -3293,3 +3293,95 @@ def test_encrypt_token_in_stream_data_keeps_ocr_breadcrumb():
         b"stream\n\x00\x00\x00\x00\nendstream endobj\n%%EOF\n"
     )
     assert pdf_is_encrypted(xref_stream)
+
+
+# -- r14: PNG predictors over non-8-bit rasters ------------------------------
+def _png_filter_up(rows: list[bytes]) -> bytes:
+    out, prev = b"", b"\x00" * len(rows[0])
+    for r in rows:
+        out += b"\x02" + bytes((c - p) & 0xFF for c, p in zip(r, prev))
+        prev = r
+    return out
+
+
+def _png_filter_sub(rows: list[bytes], bpp: int) -> bytes:
+    out = b""
+    for r in rows:
+        line = bytearray()
+        for i, c in enumerate(r):
+            left = r[i - bpp] if i >= bpp else 0
+            line.append((c - left) & 0xFF)
+        out += b"\x01" + bytes(line)
+    return out
+
+
+def test_pdf_indexed_with_png_predictor_recovered():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # 4-bit indices, 2 rows of 4 pixels: packed rows [0x01,0x23], [0x32,0x10]
+    rows = [bytes([0x01, 0x23]), bytes([0x32, 0x10])]
+    palette = bytes(range(12))  # 4 RGB entries
+    obj = make_image_obj(
+        zlib.compress(_png_filter_up(rows)), width=4, height=2, bpc=4,
+        colorspace=b"[/Indexed /DeviceRGB 3 <" + palette.hex().encode() + b">]",
+        extra=b" /DecodeParms <</Predictor 15 /Colors 1 "
+        b"/BitsPerComponent 4 /Columns 4>>",
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj]))
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (4, 2, 3)
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]
+    assert raw == b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+
+
+def test_pdf_bilevel_gray_with_png_predictor_recovered():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    rows = [bytes([0b10110010]), bytes([0b01001101])]
+    obj = make_image_obj(
+        zlib.compress(_png_filter_sub(rows, 1)), width=8, height=2, bpc=1,
+        colorspace=b"/DeviceGray",
+        extra=b" /DecodeParms <</Predictor 11 /Columns 8>>",
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj]))
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 2, 1)
+    bits = [int(b) for byte in b"".join(rows) for b in f"{byte:08b}"]
+    assert raw == bytes(255 * b for b in bits)
+
+
+def test_pdf_16bit_gray_with_png_predictor_high_byte_reduced():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # 2x2 16-bit gray, big-endian samples
+    samples = [0x0102, 0xFFEE, 0x8000, 0x7FFF]
+    rows = [
+        b"".join(s.to_bytes(2, "big") for s in samples[:2]),
+        b"".join(s.to_bytes(2, "big") for s in samples[2:]),
+    ]
+    obj = make_image_obj(
+        zlib.compress(_png_filter_up(rows)), width=2, height=2, bpc=16,
+        colorspace=b"/DeviceGray",
+        extra=b" /DecodeParms <</Predictor 12 /Columns 2 "
+        b"/BitsPerComponent 16>>",
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj]))
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (2, 2, 1)
+    assert raw == bytes([0x01, 0xFF, 0x80, 0x7F])
+
+
+def test_pdf_cmyk_with_png_predictor_converted():
+    from docling_api_spark.pipeline.textextract import pdf_extract_images
+
+    # 1x2 CMYK: pure cyan and pure black
+    rows = [bytes([255, 0, 0, 0]), bytes([0, 0, 0, 255])]
+    obj = make_image_obj(
+        zlib.compress(_png_filter_up(rows)), width=1, height=2, bpc=8,
+        colorspace=b"/DeviceCMYK",
+        extra=b" /DecodeParms <</Predictor 15 /Colors 4 /Columns 1>>",
+    )
+    (png,) = pdf_extract_images(make_pdf_objs([TEXT_OBJ, obj]))
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (1, 2, 3)
+    assert raw == bytes([0, 255, 255, 0, 0, 0])  # cyan row, black row
