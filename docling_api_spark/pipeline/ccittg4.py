@@ -337,6 +337,8 @@ def ccitt_g3_2d_decode(
     ref = [columns, columns]
     out = bytearray()
     nrows = 0
+    if rows is not None and rows * row_bytes > 256 << 20:
+        return None  # declared geometry over 256 MiB: forged, not a fax
     limit = rows if rows is not None else min(
         max_rows, max(1, (64 << 20) // row_bytes)
     )
@@ -390,6 +392,8 @@ def ccitt_g3_1d_decode(
     out = bytearray()
     nrows = 0
     # same unknown-rows output cap as ccitt_g4_decode (64 MiB)
+    if rows is not None and rows * row_bytes > 256 << 20:
+        return None  # declared geometry over 256 MiB: forged, not a fax
     limit = rows if rows is not None else min(
         max_rows, max(1, (64 << 20) // row_bytes)
     )
@@ -442,6 +446,8 @@ def ccitt_g4_decode(
     # all-V0 bitstream codes one row per BIT, so a kilobyte of 0xff with
     # a forged wide /Columns and no /Rows//Height could otherwise drive
     # a multi-GB allocation from a tiny input
+    if rows is not None and rows * row_bytes > 256 << 20:
+        return None  # declared geometry over 256 MiB: forged, not a fax
     limit = rows if rows is not None else min(
         max_rows, max(1, (64 << 20) // row_bytes)
     )

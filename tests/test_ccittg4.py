@@ -743,3 +743,89 @@ def test_pdf_g3_2d_image_round_trips_and_uncounted():
     (png,) = pdf_extract_images(doc)
     expected = bytes(0 if p else 255 for row in rows_px for p in row)
     assert decode_png(png) == (8, 3, 1, expected)
+
+
+def test_rows_known_geometry_cap_blocks_forged_dimensions():
+    """A rows-KNOWN decode with forged wide /Columns and huge /Rows must
+    refuse up front (256 MiB declared-geometry cap) instead of building
+    gigabytes of rows from a tiny all-V0 payload."""
+    from docling_api_spark.pipeline.ccittg4 import (
+        ccitt_g3_1d_decode,
+        ccitt_g3_2d_decode,
+        ccitt_g4_decode,
+    )
+
+    for fn in (ccitt_g4_decode, ccitt_g3_1d_decode, ccitt_g3_2d_decode):
+        assert fn(b"\xff" * 4096, columns=1 << 20, rows=50_000) is None
+    # a realistic large scan (1728 x 2200 = ~475 KB output) stays
+    # accepted: 2200 V0 bits decode a full all-white fax page
+    out = ccitt_g4_decode(bytes([0xFF] * 275), columns=1728, rows=2200)
+    assert out == _pack([[0] * 1728] * 2200, 1728, False)
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_structured_adversarial_pdf_never_raises(data):
+    """Total-function fuzz with STRUCTURE (plain-random-bytes fuzz in
+    test_properties.py rarely forms a stream dict): random image
+    XObjects with adversarial dict values — huge/negative geometry,
+    forged CCITT parms, random filters, random payloads — through the
+    whole extraction surface. Nothing may raise; outputs are lists."""
+    from docling_api_spark.pipeline.convert import LightweightConverter
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_to_markdown,
+        pdf_undecodable_image_streams,
+    )
+
+    ints = st.one_of(
+        st.integers(-5, 40),
+        st.integers(200, 2000),
+        st.sampled_from([0, 1, 8, 255, 256, 1728, 10**6, 10**9, -(10**9)]),
+    )
+    objs = []
+    for i in range(data.draw(st.integers(1, 3))):
+        d = b"<</Type /XObject /Subtype /Image"
+        d += b" /Width %d" % data.draw(ints)
+        d += b" /Height %d" % data.draw(ints)
+        d += b" /BitsPerComponent %d" % data.draw(ints)
+        cs = data.draw(st.sampled_from([
+            b" /ColorSpace /DeviceGray", b" /ColorSpace /DeviceRGB",
+            b" /ColorSpace /DeviceCMYK", b" /ImageMask true",
+            b" /ColorSpace [/Indexed /DeviceRGB %d <001122>]"
+            % data.draw(ints),
+            b"",
+        ]))
+        d += cs
+        filt = data.draw(st.sampled_from([
+            b"", b" /Filter /FlateDecode", b" /Filter /CCITTFaxDecode",
+            b" /Filter /RunLengthDecode", b" /Filter /LZWDecode",
+            b" /Filter [/ASCIIHexDecode /CCITTFaxDecode]",
+        ]))
+        d += filt
+        if b"CCITT" in filt or data.draw(st.booleans()):
+            d += (
+                b" /DecodeParms <</K %d /Columns %d /Rows %d"
+                % (data.draw(ints), data.draw(ints), data.draw(ints))
+                + data.draw(st.sampled_from([
+                    b"", b" /BlackIs1 true", b" /EncodedByteAlign true",
+                    b" /Predictor %d" % data.draw(ints),
+                ]))
+                + b">>"
+            )
+        payload = data.draw(st.binary(max_size=256))
+        if data.draw(st.booleans()):
+            import zlib as _z
+
+            payload = _z.compress(payload)
+        objs.append(
+            b"%d 0 obj " % (i + 5) + d
+            + b" /Length %d>>\nstream\n" % len(payload)
+            + payload + b"\nendstream endobj"
+        )
+    pdf = make_pdf_objs(objs)
+    assert isinstance(pdf_extract_images(pdf), list)
+    assert isinstance(pdf_undecodable_image_streams(pdf), dict)
+    pdf_to_markdown(pdf)
+    res = LightweightConverter().convert("fuzz.pdf", pdf)
+    assert set(res) == {"filename", "markdown", "images", "error"}
