@@ -265,6 +265,7 @@ def quiet_gate(
     probe_fns: dict,
     attempts: int | None = None,
     sleep_s: float | None = None,
+    sleep_late_s: float | None = None,
     sleep_fn=time.sleep,
     samples_per: int = 4,
     log=lambda msg: print(msg, file=sys.stderr),
@@ -273,7 +274,12 @@ def quiet_gate(
     #2): before any timed segment starts, sample every probe instrument
     `samples_per` times and start only when each instrument's warm
     spread/median is within BURST_DEADBAND — the same criterion the
-    regime tag grades by. Otherwise sleep and retry, bounded.
+    regime tag grades by. Otherwise sleep and retry, bounded. The retry
+    cadence escalates: sleeps 1-2 use `sleep_s` (env
+    SPARK_GRAFT_QUIET_SLEEP_S, default 20s), later ones `sleep_late_s`
+    (env SPARK_GRAFT_QUIET_SLEEP_LATE_S, default 45s) — r14's preflight3
+    found quiet on the 45s cadence after the 20s one failed twice.
+    Attempt budget: env SPARK_GRAFT_QUIET_ATTEMPTS, default 14.
 
     Why: the r13 boundary A/B crossed a violent burst and needed a
     three-observation essay to adjudicate q104/q170/q166 (SCALING.md
@@ -292,9 +298,13 @@ def quiet_gate(
     1's JIT tier-up on a cold JVM cannot read as a burst by itself.
     """
     if attempts is None:
-        attempts = int(os.environ.get("SPARK_GRAFT_QUIET_ATTEMPTS", "10"))
+        attempts = int(os.environ.get("SPARK_GRAFT_QUIET_ATTEMPTS", "14"))
     if sleep_s is None:
         sleep_s = float(os.environ.get("SPARK_GRAFT_QUIET_SLEEP_S", "20"))
+    if sleep_late_s is None:
+        sleep_late_s = float(
+            os.environ.get("SPARK_GRAFT_QUIET_SLEEP_LATE_S", "45")
+        )
     trail: list[dict] = []
     for attempt in range(1, max(1, attempts) + 1):
         stats = [
@@ -316,8 +326,40 @@ def quiet_gate(
         if regime == "quiet":
             return {"quiet": True, "attempts": attempt, "trail": trail}
         if attempt < attempts:
-            sleep_fn(sleep_s)
+            # Escalating cadence (VERDICT r14 Next #1b): the first two
+            # retries use the short sleep (a transient burst clears in
+            # seconds); from the third retry on, the long one — r14's
+            # preflight3 found quiet on a 45s cadence after the 20s one
+            # failed twice, i.e. a NEIGHBOR-load burst outlives short
+            # sleeps and patience beats frequency. Worst case with the
+            # defaults: 2x20s + 11x45s = ~9.5min of sleep across 14
+            # attempts — bounded, and cheaper than a FAILing record
+            # (BENCH_r14 graded FAIL purely on box state).
+            sleep_fn(sleep_s if attempt <= 2 else sleep_late_s)
     return {"quiet": False, "attempts": attempts, "trail": trail}
+
+
+def gate_summary_scalars(gate: dict | None) -> dict:
+    """Compact-line launch-state scalars from a quiet_gate result
+    (VERDICT r14 Next #1a): quiet_gate_quiet (0/1), quiet_gate_attempts,
+    and the FINAL attempt's per-instrument warm spreads (ints, ms,
+    spark/shuffle/window order; instruments the gate didn't sample are
+    omitted from the list). Empty dict when the gate was disabled
+    (SPARK_GRAFT_QUIET_GATE=0) — absence on the line == no gate ran.
+    Unit-tested in tests/test_bench_contract.py; budget worst case
+    re-pinned there too."""
+    if gate is None:
+        return {}
+    last = gate["trail"][-1]
+    return {
+        "quiet_gate_quiet": int(gate["quiet"]),
+        "quiet_gate_attempts": gate["attempts"],
+        "quiet_gate_spread_ms": [
+            int(round(last[p + "_ms_spread"]))
+            for p in ("probe_spark", "probe_shuffle", "probe_window")
+            if p + "_ms_spread" in last
+        ],
+    }
 
 
 def _numpy_probe() -> float:
@@ -441,10 +483,17 @@ def final_line(scalars: dict, per_query: dict) -> str:
     names the regime) + scalars when that fits the driver's tail capture,
     else the bounded scalars-only record. Factored out so the contract is
     unit-testable (tests/test_bench_contract.py)."""
+    # Compact separators (no spaces) since r15: ~2 chars/pair * ~68
+    # pairs = ~130 chars reclaimed, which is what pays for the three
+    # quiet-gate launch-state scalars riding the line (VERDICT r14 Next
+    # #1a) with the 1950 budget and queries dict intact.
     compact = json.dumps(
-        {"queries": {n: round(v, 2) for n, v in per_query.items()}, **scalars}
+        {"queries": {n: round(v, 2) for n, v in per_query.items()}, **scalars},
+        separators=(",", ":"),
     )
-    return compact if len(compact) <= TAIL_CAPTURE_BUDGET else json.dumps(scalars)
+    if len(compact) <= TAIL_CAPTURE_BUDGET:
+        return compact
+    return json.dumps(scalars, separators=(",", ":"))
 
 
 def probe_scaled(median_sum: float, probe_run_ms: float) -> float | None:
@@ -617,6 +666,19 @@ def main() -> None:
         else None
     )
     regime = run_regime(probes, shuffle_probes, window_probes)
+    # Launch-state scalars for the COMPACT line (VERDICT r14 Next #1a):
+    # BENCH_r14 graded FAIL on box state and the record could not prove
+    # its own launch state — the gate trail lived only in the detailed
+    # record the driver's tail capture drops. quiet_gate_quiet (0/1),
+    # quiet_gate_attempts, and the FINAL attempt's per-instrument warm
+    # spreads (ints, ms, spark/shuffle/window order) now ride the
+    # summary line: a reader of BENCH_rN.json alone can see whether the
+    # run launched quiet, how long the gate fought for it, and what the
+    # box looked like at the moment the timed run began. Absent keys ==
+    # gate disabled (SPARK_GRAFT_QUIET_GATE=0). Budget: paid for by
+    # final_line's compact separators (see final_line); worst-case
+    # pessimistic line re-pinned in tests/test_bench_contract.py.
+    gate_scalars = gate_summary_scalars(gate)
     scalars = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -628,6 +690,7 @@ def main() -> None:
         "carried_median_probe_scaled": carried_median_scaled,
         "carried_min_r10_scaled": carried_min_r10,
         "regime": regime,
+        **gate_scalars,
         "probe_ref_ms": PROBE_REF_SPARK_MS,
         "carried_n": len(carried),
         "n_queries": len(out["queries"]),

@@ -41,6 +41,9 @@ SCALARS = {
     "probe_window_ms_median": 612.4,
     "probe_window_ms_spread": 488.2,
     "regime": "quiet",
+    "quiet_gate_quiet": 1,
+    "quiet_gate_attempts": 1,
+    "quiet_gate_spread_ms": [24, 188, 488],
     "sf": 0.1,
 }
 
@@ -69,9 +72,13 @@ def test_real_headline_set_fits_budget_with_queries_dict():
 
     reg = all_queries()
     names = sorted({n for n, q in reg.items() if q.bench} | set(CARRIED_R3))
-    # pessimistic widths: 4-sig-fig scalars, 2dp per-query values
+    # pessimistic widths: 4-sig-fig scalars, 2dp per-query values, and
+    # the quiet-gate fields at their widest (never-quiet after a
+    # 2-digit attempt budget, 4-digit spreads on every instrument)
     scalars = {**SCALARS, "value": 123.4567, "carried_total": 99.8765,
-               "carried_total_median": 77.6543}
+               "carried_total_median": 77.6543,
+               "quiet_gate_quiet": 0, "quiet_gate_attempts": 30,
+               "quiet_gate_spread_ms": [9999, 9999, 9999]}
     line = final_line(scalars, {n: 99.99 for n in names})
     assert len(line) <= TAIL_CAPTURE_BUDGET
     assert len(json.loads(line)["queries"]) == len(names)
@@ -466,3 +473,123 @@ def test_quiet_gate_first_sample_jit_inflation_is_not_a_burst():
         attempts=1, sleep_s=0.0, sleep_fn=lambda s: None, log=lambda m: None,
     )
     assert gate["quiet"] is True
+
+
+def test_quiet_gate_sleep_cadence_escalates_after_two_short_retries():
+    """VERDICT r14 Next #1b: r14's preflight3 found quiet on a 45s retry
+    cadence after the 20s one failed twice — a neighbor-load burst
+    outlives short sleeps. Sleeps 1-2 use sleep_s, every later one
+    sleep_late_s; the schedule is pinned so a record run's patience
+    cannot silently regress to the r14 shape."""
+    import bench
+
+    flip = {"n": 0}
+
+    def loud():
+        flip["n"] += 1
+        return 100.0 if flip["n"] % 2 else 260.0
+
+    slept = []
+    gate = bench.quiet_gate(
+        {"probe_spark": loud},
+        attempts=5, sleep_s=20.0, sleep_late_s=45.0,
+        sleep_fn=slept.append, log=lambda m: None,
+    )
+    assert gate["quiet"] is False
+    assert slept == [20.0, 20.0, 45.0, 45.0]
+
+
+def test_quiet_gate_default_attempt_budget_is_fourteen():
+    """The DRIVER's record run gets the default budget (no env vars set
+    there): 14 attempts on the 20/20/45... cadence = ~9.5min of maximum
+    patience. Pinned so the default cannot drift back to r14's 10x20s."""
+    import os
+
+    import bench
+
+    assert "SPARK_GRAFT_QUIET_ATTEMPTS" not in os.environ
+    gate = bench.quiet_gate(
+        {"probe_spark": lambda: 100.0},
+        sleep_s=0.0, sleep_fn=lambda s: None, log=lambda m: None,
+    )
+    assert gate["quiet"] is True  # steady box: passes on attempt 1
+    flip = {"n": 0}
+
+    def loud():
+        flip["n"] += 1
+        return 100.0 if flip["n"] % 2 else 260.0
+
+    gate = bench.quiet_gate(
+        {"probe_spark": loud},
+        sleep_s=0.0, sleep_late_s=0.0, sleep_fn=lambda s: None,
+        log=lambda m: None,
+    )
+    assert gate["attempts"] == 14 and gate["quiet"] is False
+
+
+# -- quiet-gate launch state on the COMPACT line (VERDICT r14 Next #1a) ------
+def test_gate_summary_scalars_quiet_launch():
+    from bench import gate_summary_scalars
+
+    gate = {
+        "quiet": True, "attempts": 3,
+        "trail": [
+            {"attempt": 1, "regime": "burst"},
+            {"attempt": 2, "regime": "burst"},
+            {"attempt": 3, "regime": "quiet",
+             "probe_spark_ms_median": 100.0, "probe_spark_ms_spread": 12.4,
+             "probe_shuffle_ms_median": 300.0,
+             "probe_shuffle_ms_spread": 44.6,
+             "probe_window_ms_median": 600.0,
+             "probe_window_ms_spread": 88.5},
+        ],
+    }
+    s = gate_summary_scalars(gate)
+    assert s == {
+        "quiet_gate_quiet": 1,
+        "quiet_gate_attempts": 3,
+        "quiet_gate_spread_ms": [12, 45, 88],  # FINAL attempt, int ms
+    }
+
+
+def test_gate_summary_scalars_never_quiet_and_disabled():
+    from bench import gate_summary_scalars
+
+    # gate disabled (SPARK_GRAFT_QUIET_GATE=0): NO keys on the line —
+    # absence is the self-documenting "no gate ran" marker
+    assert gate_summary_scalars(None) == {}
+    gate = {
+        "quiet": False, "attempts": 2,
+        "trail": [
+            {"attempt": 1, "regime": "burst",
+             "probe_spark_ms_spread": 180.0},
+            {"attempt": 2, "regime": "burst",
+             "probe_spark_ms_spread": 205.6},
+        ],
+    }
+    s = gate_summary_scalars(gate)
+    assert s["quiet_gate_quiet"] == 0 and s["quiet_gate_attempts"] == 2
+    # single-instrument gate: list carries only what was sampled
+    assert s["quiet_gate_spread_ms"] == [206]
+
+
+def test_gate_scalars_survive_onto_the_compact_line():
+    """The whole point of r14 Next #1a: BENCH_r15.json's parsed record
+    must carry the launch state. The fixture SCALARS includes the gate
+    fields; pin that final_line keeps them next to the queries dict."""
+    line = final_line(SCALARS, _medians(45))
+    rec = json.loads(line)
+    assert rec["quiet_gate_quiet"] == 1
+    assert rec["quiet_gate_attempts"] == 1
+    assert rec["quiet_gate_spread_ms"] == [24, 188, 488]
+    assert "queries" in rec
+
+
+def test_final_line_uses_compact_separators():
+    """Compact separators pay for the gate fields (~130 chars reclaimed
+    across ~68 pairs): no ': ' or ', ' padding anywhere in the line."""
+    line = final_line(SCALARS, _medians(45))
+    assert ": " not in line and ", " not in line
+    # degraded scalars-only record too
+    line = final_line(SCALARS, _medians(500))
+    assert ": " not in line and ", " not in line
