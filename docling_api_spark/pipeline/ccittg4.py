@@ -250,7 +250,14 @@ def _decode_line(br: _BitReader, ref: list[int], columns: int):
             a0 = a2  # colour unchanged: two runs were consumed
         else:  # vertical
             a1 = b1 + mode[1]
-            if a1 < 0:
+            # T.6 validity: a1 > a0 always (line start: a0 is the
+            # imaginary -1, so a1 >= 0 falls out of the same check). A
+            # corrupt stream violating it would append a non-monotonic
+            # changing element, making the NEXT line's ref unsorted —
+            # and the bisect-based b1 lookup above silently returns
+            # garbage on an unsorted list, emitting a mis-rendered
+            # raster instead of the contractual None (ADVICE r14 #1).
+            if a1 <= a0:
                 return None
             cur.append(a1)
             a0 = a1

@@ -612,31 +612,166 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
     return bytes(out)  # tolerate a missing EOD marker
 
 
-def _ccitt_parms(d: bytes) -> tuple[int, int, int | None, bool, bool] | None:
+def _balanced_value(d: bytes, pos: int) -> tuple[bytes, int] | None:
+    """Balanced `<<...>>` or `[...]` slice starting at/after `pos`
+    (leading whitespace skipped), with the end offset. Arrays tolerate
+    nested dicts and vice versa. None when unbalanced/absent."""
+    n = len(d)
+    while pos < n and d[pos : pos + 1].isspace():
+        pos += 1
+    opener = d[pos : pos + 2] if d[pos : pos + 2] == b"<<" else d[pos : pos + 1]
+    if opener not in (b"<<", b"["):
+        return None
+    start, depth_d, depth_a, i = pos, 0, 0, pos
+    while i < n:
+        two = d[i : i + 2]
+        if two == b"<<":
+            depth_d, i = depth_d + 1, i + 2
+        elif two == b">>":
+            depth_d, i = depth_d - 1, i + 2
+        elif d[i : i + 1] == b"[":
+            depth_a, i = depth_a + 1, i + 1
+        elif d[i : i + 1] == b"]":
+            depth_a, i = depth_a - 1, i + 1
+        else:
+            i += 1
+            continue
+        if depth_d == 0 and depth_a == 0:
+            return d[start:i], i
+        if depth_d < 0 or depth_a < 0:
+            return None
+    return None
+
+
+def _resolve_object_body(content: bytes, num: int, gen: int) -> bytes | None:
+    """The body of `num gen obj ... endobj` in the raw file — serves
+    indirect /DecodeParms targets (VERDICT r14 Next #2). xref-free scan,
+    same convention as the stream-object table in pdf_extract_images."""
+    m = re.search(
+        rb"(?:^|[^0-9])%d\s+%d\s+obj\b" % (num, gen), content
+    )
+    if m is None:
+        return None
+    start = m.end()
+    end = content.find(b"endobj", start)
+    return content[start:end] if end >= 0 else None
+
+
+def _ccitt_parms_text(d: bytes, content: bytes | None) -> bytes | None:
+    """The byte-slice CCITT parameters should be grepped from: the
+    /DecodeParms (or /DP) entry POSITION-MATCHED to CCITTFaxDecode's
+    index in the /Filter array (ADVICE r14 #2: a [/FlateDecode
+    /CCITTFaxDecode] chain's first /Columns belongs to the Flate
+    predictor, not the fax geometry), resolved through the raw-file
+    object scan when the entry — or the whole /DecodeParms value — is an
+    `N G R` indirect reference (VERDICT r14 Next #2; real fax writers
+    emit parms as a separate object). Returns the whole dict when there
+    is no /DecodeParms key (some writers inline /K and friends), None
+    when parms exist but cannot be resolved (no `content`, missing
+    object, malformed value) — the don't-guess breadcrumb path."""
+    dp = re.search(rb"/D(?:ecodeParms|P)\b", d)
+    if dp is None:
+        return d
+    val_at = dp.end()
+
+    def resolve(ref_m: "re.Match[bytes]") -> bytes | None:
+        if content is None:
+            return None
+        body = _resolve_object_body(
+            content, int(ref_m.group(1)), int(ref_m.group(2))
+        )
+        if body is None:
+            return None
+        inner = _balanced_value(body, 0)
+        return inner[0] if inner is not None else body
+
+    ref = re.match(rb"\s*(\d+)\s+(\d+)\s+R\b", d[val_at:])
+    if ref is not None:
+        # whole /DecodeParms behind one reference; target may itself be
+        # a dict (single filter) or an array (chain) — recurse below
+        resolved = resolve(ref)
+        if resolved is None:
+            return None
+        val = resolved
+    else:
+        bal = _balanced_value(d, val_at)
+        if bal is None:
+            return None
+        val = bal[0]
+    if not val.lstrip().startswith(b"["):
+        return val  # single parms dict: applies to the one filter
+    # array form: element i parameterizes /Filter[i] — find CCITT's index
+    filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
+    try:
+        want = filters.index("CCITTFaxDecode")
+    except ValueError:
+        return None
+    body = val.lstrip()[1:]  # inside the [ ... ]
+    i, idx, n = 0, 0, len(body)
+    while i < n:
+        c = body[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"]":
+            break
+        if body[i : i + 2] == b"<<":
+            bal = _balanced_value(body, i)
+            if bal is None:
+                return None
+            if idx == want:
+                return bal[0]
+            i, idx = bal[1], idx + 1
+            continue
+        m = re.match(rb"(\d+)\s+(\d+)\s+R\b", body[i:])
+        if m is not None:
+            if idx == want:
+                return resolve(m)
+            i, idx = i + m.end(), idx + 1
+            continue
+        if body[i : i + 4] == b"null":
+            if idx == want:
+                return None  # CCITT slot explicitly parameterless: odd,
+                # but grepping a null is meaningless — don't guess
+            i, idx = i + 4, idx + 1
+            continue
+        return None  # unrecognized element: don't guess alignment
+    return None
+
+
+def _ccitt_parms(
+    d: bytes, content: bytes | None = None
+) -> tuple[int, int, int | None, bool, bool] | None:
     """(k, columns, rows, black_is_1, encoded_byte_align) for a CCITT
-    stream whose parms are visible inline: /K < 0 (Group 4), /K 0 /
-    absent (Group 3 1-D, the PDF default), /K > 0 (G3 mixed 2-D) — all
-    three decode since r14. None only when /DecodeParms hides behind an
-    indirect reference (parms exist but are unreadable — don't guess),
-    which keeps the undecodable-breadcrumb path."""
-    k_m = re.search(rb"/K\s+(-?\d+)\b", d)
+    stream: /K < 0 (Group 4), /K 0 / absent (Group 3 1-D, the PDF
+    default), /K > 0 (G3 mixed 2-D) — all three decode since r14.
+    Parameters come from the /DecodeParms entry matched to the CCITT
+    filter's chain position, following an indirect reference through
+    `content` when present (r15). None when parms exist but cannot be
+    resolved — never guess geometry."""
+    parms = _ccitt_parms_text(d, content)
+    if parms is None:
+        return None
+    k_m = re.search(rb"/K\s+(-?\d+)\b", parms)
     k = int(k_m.group(1)) if k_m else 0  # spec default: 0 = G3 1-D
-    if k_m is None and re.search(rb"/DecodeParms\s+\d+\s+\d+\s+R", d):
-        return None  # parms exist but are unreadable: don't guess K=0
-    columns_m = re.search(rb"/Columns\s+(\d+)\b(?!\s+\d+\s+R)", d)
+    columns_m = re.search(rb"/Columns\s+(\d+)\b(?!\s+\d+\s+R)", parms)
     columns = int(columns_m.group(1)) if columns_m else 1728
-    rows = _dict_int(d, b"Rows") or _dict_int(d, b"Height")
+    rows = _dict_int(parms, b"Rows") or _dict_int(d, b"Height")
     return (
         k,
         columns,
         rows,
-        re.search(rb"/BlackIs1\s+true\b", d) is not None,
-        re.search(rb"/EncodedByteAlign\s+true\b", d) is not None,
+        re.search(rb"/BlackIs1\s+true\b", parms) is not None,
+        re.search(rb"/EncodedByteAlign\s+true\b", parms) is not None,
     )
 
 
-def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
+def _decode_stream(
+    d: bytes, data: bytes, content: bytes | None = None
+) -> tuple[bytes, str] | None:
     """Run a stream's payload through its /Filter chain, in order.
+    `content` (the whole raw file, optional) serves indirect
+    /DecodeParms resolution for CCITT geometry (VERDICT r14 Next #2).
 
     Supported: FlateDecode (zlib), ASCIIHexDecode, ASCII85Decode,
     RunLengthDecode, LZWDecode (all stdlib/pure-Python — chains like
@@ -645,10 +780,11 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
     payload IS a JPEG file at that point), and a TERMINAL
     CCITTFaxDecode in any of its three codings (Group 4 /K < 0,
     Group 3 1-D /K 0, Group 3 mixed 2-D /K > 0 — pure-python T.6/T.4
-    decoders in pipeline/ccittg4.py, r14). Returns (payload,
-    "raw"|"dct"), or None when any filter is unsupported
-    (JBIG2/JPX/Crypt, indirect-parms CCITT) or its input is corrupt —
-    callers skip the stream either way.
+    decoders in pipeline/ccittg4.py, r14; indirect /DecodeParms resolve
+    through `content` since r15). Returns (payload, "raw"|"dct"), or
+    None when any filter is unsupported (JBIG2/JPX/Crypt, CCITT whose
+    parms cannot be resolved) or its input is corrupt — callers skip
+    the stream either way.
     """
     filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
     if not filters:
@@ -668,13 +804,14 @@ def _decode_stream(d: bytes, data: bytes) -> tuple[bytes, str] | None:
         if f == "CCITTFaxDecode":
             # The whole CCITT family decodes since r14 (VERDICT r13
             # Next #4): Group 4 (/K < 0), Group 3 1-D (/K 0, the spec
-            # default), Group 3 mixed 2-D (/K > 0). Only parms hidden
-            # behind an indirect /DecodeParms ref stay None — the
+            # default), Group 3 mixed 2-D (/K > 0). Indirect
+            # /DecodeParms resolve through `content` since r15; only
+            # parms that genuinely cannot be resolved stay None — the
             # breadcrumb counter names them. CCITT output is final
             # raster bits, so mid-chain is malformed.
             if i != len(filters) - 1:
                 return None
-            parms = _ccitt_parms(d)
+            parms = _ccitt_parms(d, content)
             if parms is None:
                 return None
             from docling_api_spark.pipeline.ccittg4 import (
@@ -807,8 +944,17 @@ def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
         )
         for f in names:
             name = f.decode("ascii", errors="replace")
-            if name == "CCITTFaxDecode" and _ccitt_parms(d) is not None:
-                continue  # CCITT decodes since r14; indirect parms breadcrumb
+            if (
+                name == "CCITTFaxDecode"
+                and f == names[-1]
+                and _ccitt_parms(d, content) is not None
+            ):
+                # CCITT decodes since r14 (indirect parms resolve since
+                # r15) — but ONLY as the terminal filter (_decode_stream
+                # rejects mid-chain CCITT as malformed), so a mid-chain
+                # occurrence must keep its breadcrumb instead of being
+                # counted decodable yet silently dropped (ADVICE r14 #3)
+                continue
             if name not in _SUPPORTED_FILTERS:
                 out[name] = out.get(name, 0) + 1
                 break
@@ -896,7 +1042,7 @@ def pdf_to_markdown(content: bytes) -> str:
         # compressed bytes themselves ended in 0x0A/0x0D — ~1% of
         # streams, the adler32 tail is uniform), hex/a85 ignore
         # whitespace, and the unfiltered branch strips at most ONE EOL
-        res = _decode_stream(m.group("dict"), content[start:end])
+        res = _decode_stream(m.group("dict"), content[start:end], content)
         if res is None or res[1] != "raw":
             continue
         data = res[0]
@@ -1269,7 +1415,7 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
         if target is None:
             return None
         md, ms, me = target
-        res = _decode_stream(md, content[ms:me])
+        res = _decode_stream(md, content[ms:me], content)
         return res[0] if res is not None and res[1] == "raw" else None
 
     for pos, d, start, end in streams:
@@ -1285,7 +1431,7 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             # /Subtype /Form XObjects ARE content and stay scanned.
             if _NON_CONTENT_STREAM_RE.search(d):
                 continue
-            res = _decode_stream(d, content[start:end])
+            res = _decode_stream(d, content[start:end], content)
             if res is not None and res[1] == "raw" and b"BI" in res[0]:
                 out.extend(_inline_images(res[0]))
             continue
@@ -1293,7 +1439,7 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             continue  # soft masks are alpha OF another image, not pictures
         # unsupported encodings (CCITT/JBIG2/JPX/…) and corrupt
         # payloads come back None — skipped, never mis-rendered
-        res = _decode_stream(d, content[start:end])
+        res = _decode_stream(d, content[start:end], content)
         if res is None:
             continue
         data, kind = res
@@ -1319,7 +1465,7 @@ def pdf_extract_images(content: bytes) -> list[bytes]:
             target = by_obj.get(int(sm.group(1)))
             if target is not None:
                 md, ms, me = target
-                mres = _decode_stream(md, content[ms:me])
+                mres = _decode_stream(md, content[ms:me], content)
                 if mres is not None and mres[1] == "raw":
                     msamp = _raster_samples(md, mres[0])
                     # usable mask: single-channel; prefiltered rows are

@@ -829,3 +829,143 @@ def test_structured_adversarial_pdf_never_raises(data):
     pdf_to_markdown(pdf)
     res = LightweightConverter().convert("fuzz.pdf", pdf)
     assert set(res) == {"filename", "markdown", "images", "error"}
+
+
+# -- r15: /DecodeParms resolution (VERDICT r14 Next #2, ADVICE r14 #1-#3) ----
+def test_indirect_decodeparms_g4_round_trips():
+    """VERDICT r14 Next #2 done-condition: a G4 image whose /DecodeParms
+    is an `N G R` reference to a separate object decodes to exact
+    pixels, and the breadcrumb counter stops naming it."""
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    rows_px = [[0, 1, 1, 0, 0, 1, 0, 1], [1, 0, 0, 1, 1, 0, 1, 0]]
+    parms_obj = b"7 0 obj <</K -1 /Columns 8 /Rows 2>> endobj"
+    img = make_image_obj(
+        g4_encode(rows_px, 8), width=8, height=2,
+        colorspace=b"/DeviceGray", bpc=1,
+        filt=b"/CCITTFaxDecode", extra=b" /DecodeParms 7 0 R",
+    )
+    doc = make_pdf_objs([TEXT_OBJ, img, parms_obj])
+    assert pdf_undecodable_image_streams(doc) == {}
+    (png,) = pdf_extract_images(doc)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 2, 1)
+    assert raw == bytes(0 if p else 255 for row in rows_px for p in row)
+
+
+def test_decodeparms_array_matches_ccitt_chain_position():
+    """ADVICE r14 #2: in a [/FlateDecode /CCITTFaxDecode] chain with a
+    /DecodeParms array, the CCITT geometry must come from the entry at
+    the CCITT position — the Flate slot's /Columns (a predictor
+    parameter) appearing FIRST in the dict must not win."""
+    from docling_api_spark.pipeline.textextract import (
+        _ccitt_parms,
+        pdf_extract_images,
+    )
+
+    rows_px = [[0, 1, 1, 0, 0, 1, 0, 1], [1, 0, 0, 1, 1, 0, 1, 0]]
+    payload = zlib.compress(g4_encode(rows_px, 8))
+    img = make_image_obj(
+        payload, width=8, height=2, colorspace=b"/DeviceGray", bpc=1,
+        filt=b"[/FlateDecode /CCITTFaxDecode]",
+        extra=b" /DecodeParms [<</Columns 999>>"
+              b" <</K -1 /Columns 8 /Rows 2>>]",
+    )
+    doc = make_pdf_objs([TEXT_OBJ, img])
+    d = img.split(b"\nstream\n")[0]
+    assert _ccitt_parms(d, doc) == (-1, 8, 2, False, False)
+    (png,) = pdf_extract_images(doc)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 2, 1)
+    assert raw == bytes(0 if p else 255 for row in rows_px for p in row)
+
+
+def test_decodeparms_array_with_null_and_indirect_element():
+    """The chain-position match follows the spec's element forms: `null`
+    for a parameterless filter and an `N G R` reference in the CCITT
+    slot, resolved through the raw-file object scan."""
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    rows_px = [[1, 0, 1, 0, 1, 0, 1, 0], [0, 0, 1, 1, 0, 0, 1, 1]]
+    payload = zlib.compress(g4_encode(rows_px, 8))
+    parms_obj = b"9 0 obj <</K -1 /Columns 8 /Rows 2>> endobj"
+    img = make_image_obj(
+        payload, width=8, height=2, colorspace=b"/DeviceGray", bpc=1,
+        filt=b"[/FlateDecode /CCITTFaxDecode]",
+        extra=b" /DecodeParms [null 9 0 R]",
+    )
+    doc = make_pdf_objs([TEXT_OBJ, img, parms_obj])
+    assert pdf_undecodable_image_streams(doc) == {}
+    (png,) = pdf_extract_images(doc)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 2, 1)
+    assert raw == bytes(0 if p else 255 for row in rows_px for p in row)
+
+
+def test_indirect_decodeparms_to_missing_object_stays_breadcrumbed():
+    """An `N G R` /DecodeParms whose target object does not exist keeps
+    the don't-guess contract: no decode, counter names the stream."""
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    img = make_image_obj(
+        g4_encode([[0, 1] * 4] * 2, 8), width=8, height=2,
+        colorspace=b"/DeviceGray", bpc=1,
+        filt=b"/CCITTFaxDecode", extra=b" /DecodeParms 42 0 R",
+    )
+    doc = make_pdf_objs([TEXT_OBJ, img])
+    assert pdf_undecodable_image_streams(doc) == {"CCITTFaxDecode": 1}
+    assert pdf_extract_images(doc) == []
+
+
+def test_midchain_ccitt_keeps_its_breadcrumb():
+    """ADVICE r14 #3: _decode_stream only decodes CCITT as the TERMINAL
+    filter, so a malformed [/CCITTFaxDecode /FlateDecode] chain with
+    inline parms must stay COUNTED undecodable instead of being skipped
+    by the counter yet silently dropped by the decoder."""
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    img = make_image_obj(
+        zlib.compress(g4_encode([[0, 1] * 4] * 2, 8)), width=8, height=2,
+        colorspace=b"/DeviceGray", bpc=1,
+        filt=b"[/CCITTFaxDecode /FlateDecode]",
+        extra=b" /DecodeParms [<</K -1 /Columns 8 /Rows 2>> null]",
+    )
+    doc = make_pdf_objs([TEXT_OBJ, img])
+    assert pdf_extract_images(doc) == []  # rejected: CCITT mid-chain
+    assert pdf_undecodable_image_streams(doc) == {"CCITTFaxDecode": 1}
+
+
+def test_vertical_mode_enforces_monotonic_changing_elements():
+    """ADVICE r14 #1: a corrupt vertical code yielding a1 <= a0 must
+    return None — an unsorted changing-element list feeds the next
+    line's bisect-based b1 lookup garbage and the decoder would emit a
+    mis-rendered raster instead of the contractual None."""
+    from docling_api_spark.pipeline.ccittg4 import _BitReader, _decode_line
+
+    def line_bits(codes: list[str]) -> _BitReader:
+        s = "".join(codes) + "0" * 64  # padding so bits never run out
+        s += "0" * (-len(s) % 8)
+        return _BitReader(int(s, 2).to_bytes(len(s) // 8, "big"))
+
+    ref = [2, 4, 8, 8]
+    v0, vl3, vr1 = _ENC_MODE[("v", 0)], _ENC_MODE[("v", -3)], \
+        _ENC_MODE[("v", 1)]
+    # V0 puts a1 at b1=2; the following VL3 computes a1 = b1(4) - 3 = 1
+    # <= a0=2: corrupt, must reject...
+    assert _decode_line(line_bits([v0, vl3, v0, v0, v0]), ref, 8) is None
+    # ...while the SAME stream with a monotonic code in that slot
+    # decodes — proving the rejection fired on monotonicity, not on an
+    # otherwise-malformed stream
+    assert _decode_line(line_bits([v0, vr1, v0]), ref, 8) == [2, 5, 8]
