@@ -175,10 +175,60 @@ def register(
 # rounds BELOW this feed the policy, so the composition stays
 # reproducible after this round's own record lands. Maintained by
 # tools/compose_window.py --update.
-WINDOW_COMPOSED_FOR_ROUND: int = 14
+WINDOW_COMPOSED_FOR_ROUND: int = 15
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-14 driver window (50), policy-composed ----
+    # ---- round-15 driver window (50), policy-composed ----
     "q72_conversion_pipeline",
+    "q23_approx_aggs",
+    "q285_quadratic_response",
+    "q103_khop_reachability",
+    "q105_funnel_steps",
+    "q108_bloom_semi_join",
+    "q112_inverted_index",
+    "q115_time_weighted_avg",
+    "q117_comovement_matrix",
+    "q123_market_basket",
+    "q138_scd2_point_in_time",
+    "q152_pagerank",
+    "q21_date_funcs",
+    "q221_poisson_bootstrap",
+    "q27_array_agg",
+    "q286_negbin_fit",
+    "q287_multiple_testing",
+    "q288_ltv_projection",
+    "q289_double_fire_detector",
+    "q290_fairness_audit",
+    "q291_frequency_capping",
+    "q292_neyman_allocation",
+    "q293_hub_removal_impact",
+    "q294_redaction_impact",
+    "q295_minhash_audience",
+    "q298_reciprocal_best",
+    "q299_stationary_distribution",
+    "q29_large_orders",
+    "q300_class_silhouette",
+    "q301_vocab_growth",
+    "q302_learned_index_audit",
+    "q303_cdc_chunking",
+    "q304_dominant_period",
+    "q305_interim_looks",
+    "q306_effective_sample_size",
+    "q31_sliding_window",
+    "q34_funnel_range_join",
+    "q39_gap_fill_resample",
+    "q42_ngram_jaccard",
+    "q45_dedup_clusters",
+    "q71_upload_validation",
+    "q81_frame_sample",
+    "q88_collocations_pmi",
+    "q94_merge_upsert",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_broadcast_dim_join",
+    "q04_multiway_join_revenue",
+    "q05_semi_join",
+    "q06_anti_join",
+    # ---- tail: prior tuple order (ex-window members lead) ----
     "q43_minhash_lsh_xxh",
     "q232_stratified_att",
     "q233_count_min_sketch",
@@ -228,8 +278,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q282_media_stride_signature",
     "q283_cohen_kappa",
     "q284_weighted_jaccard",
-    # ---- tail: prior tuple order (ex-window members lead) ----
-    "q285_quadratic_response",
     "q240_compression_ratio",
     "q184_survival_hazard",
     "q185_triangle_census",
@@ -403,10 +451,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q122_interarrival_histogram",
     "q124_chi_square",
     "q125_impute_group_mean",
-    "q02_filter_project",
     "q08_scalar_subquery",
     "q09_correlated_exists",
-    "q23_approx_aggs",
     "q25_explode_wordcount",
     "q28_shipping_priority",
     "q41_dedup_per_group",
@@ -415,8 +461,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q92_stratified_sample",
     "q93_weighted_mix",
     "q96_histogram",
-    "q05_semi_join",
-    "q06_anti_join",
     "q10_agg_distinct",
     "q12_cube",
     "q13_grouping_sets",
@@ -431,9 +475,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q61_token_stats",
     "q62_quality_score",
     "q65_doc_fingerprint",
-    "q01_pricing_summary",
-    "q03_broadcast_dim_join",
-    "q04_multiway_join_revenue",
     "q07_outer_join",
     "q104_snapshot_diff",
     "q106_heavy_hitters",
@@ -445,47 +486,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q18_set_ops",
     "q20_string_funcs",
     "q30_tumbling_window",
-    "q286_negbin_fit",
-    "q287_multiple_testing",
-    "q288_ltv_projection",
-    "q289_double_fire_detector",
-    "q290_fairness_audit",
-    "q291_frequency_capping",
-    "q292_neyman_allocation",
-    "q293_hub_removal_impact",
-    "q294_redaction_impact",
-    "q295_minhash_audience",
-    "q298_reciprocal_best",
-    "q299_stationary_distribution",
-    "q300_class_silhouette",
-    "q301_vocab_growth",
-    "q302_learned_index_audit",
-    "q303_cdc_chunking",
-    "q304_dominant_period",
-    "q305_interim_looks",
-    "q306_effective_sample_size",
-    "q112_inverted_index",
-    "q221_poisson_bootstrap",
-    "q152_pagerank",
-    "q117_comovement_matrix",
-    "q123_market_basket",
-    "q138_scd2_point_in_time",
-    "q88_collocations_pmi",
-    "q103_khop_reachability",
-    "q105_funnel_steps",
-    "q108_bloom_semi_join",
-    "q115_time_weighted_avg",
-    "q42_ngram_jaccard",
-    "q45_dedup_clusters",
-    "q71_upload_validation",
-    "q81_frame_sample",
-    "q29_large_orders",
-    "q94_merge_upsert",
-    "q27_array_agg",
-    "q39_gap_fill_resample",
-    "q21_date_funcs",
-    "q31_sliding_window",
-    "q34_funnel_range_join",
 )
 
 
