@@ -43,6 +43,8 @@ _SP_ALLOWED = {
     "q90_profile_orders": 1,
     "q08_scalar_subquery": 1,
     "q55_embedding_drift": 1,     # global centroid
+    "q63_tfidf_top_terms": 1,     # 1-row n_docs scalar agg (r15: was an
+    # eager .count() driver action; folded into the plan per VERDICT r14)
     "q83_join_key_skew": 1,
     "q87_growth_accounting": 1,
     "q88_collocations_pmi": 2,    # unigram + bigram totals

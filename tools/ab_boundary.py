@@ -16,9 +16,10 @@ each side's LAST output line (the compact record) plus the gate trail.
 The HEAD side's bench.py also runs its own internal gate; the base
 side's (pre-r14) bench.py has none, which is why the gate lives here.
 
-Env: SPARK_GRAFT_BENCH_RUNS forwards to both sides (default 5);
-SPARK_GRAFT_AB_QUERIES optionally restricts nothing — the carried set is
-always measured by both sides' bench.py by construction.
+Env: SPARK_GRAFT_BENCH_RUNS forwards to both sides (default 5). The
+carried set is always measured by both sides' bench.py by construction —
+there is deliberately no query-subset knob (ADVICE r14 #4: a documented
+knob that reads nothing only confuses operators).
 """
 
 from __future__ import annotations
