@@ -657,10 +657,12 @@ def _resolve_object_body(content: bytes, num: int, gen: int) -> bytes | None:
     return content[start:end] if end >= 0 else None
 
 
-def _ccitt_parms_text(d: bytes, content: bytes | None) -> bytes | None:
-    """The byte-slice CCITT parameters should be grepped from: the
-    /DecodeParms (or /DP) entry POSITION-MATCHED to CCITTFaxDecode's
-    index in the /Filter array (ADVICE r14 #2: a [/FlateDecode
+def _decodeparms_text(
+    d: bytes, content: bytes | None, filter_name: str = "CCITTFaxDecode"
+) -> bytes | None:
+    """The byte-slice `filter_name`'s parameters should be grepped
+    from: the /DecodeParms (or /DP) entry POSITION-MATCHED to the
+    filter's index in the /Filter array (ADVICE r14 #2: a [/FlateDecode
     /CCITTFaxDecode] chain's first /Columns belongs to the Flate
     predictor, not the fax geometry), resolved through the raw-file
     object scan when the entry — or the whole /DecodeParms value — is an
@@ -668,7 +670,8 @@ def _ccitt_parms_text(d: bytes, content: bytes | None) -> bytes | None:
     emit parms as a separate object). Returns the whole dict when there
     is no /DecodeParms key (some writers inline /K and friends), None
     when parms exist but cannot be resolved (no `content`, missing
-    object, malformed value) — the don't-guess breadcrumb path."""
+    object, malformed value) — the don't-guess breadcrumb path. Serves
+    CCITT geometry and (r15) the JBIG2 /JBIG2Globals reference."""
     dp = re.search(rb"/D(?:ecodeParms|P)\b", d)
     if dp is None:
         return d
@@ -703,7 +706,7 @@ def _ccitt_parms_text(d: bytes, content: bytes | None) -> bytes | None:
     # array form: element i parameterizes /Filter[i] — find CCITT's index
     filters = [f.decode("ascii") for f in _FILTER_RE.findall(d)]
     try:
-        want = filters.index("CCITTFaxDecode")
+        want = filters.index(filter_name)
     except ValueError:
         return None
     body = val.lstrip()[1:]  # inside the [ ... ]
@@ -749,7 +752,7 @@ def _ccitt_parms(
     filter's chain position, following an indirect reference through
     `content` when present (r15). None when parms exist but cannot be
     resolved — never guess geometry."""
-    parms = _ccitt_parms_text(d, content)
+    parms = _decodeparms_text(d, content, "CCITTFaxDecode")
     if parms is None:
         return None
     k_m = re.search(rb"/K\s+(-?\d+)\b", parms)
@@ -764,6 +767,53 @@ def _ccitt_parms(
         re.search(rb"/BlackIs1\s+true\b", parms) is not None,
         re.search(rb"/EncodedByteAlign\s+true\b", parms) is not None,
     )
+
+
+#: sentinel: a /DecodeParms (or /JBIG2Globals target) exists but cannot
+#: be resolved — distinct from "no globals at all" (None), which is the
+#: common standalone-stream case and perfectly decodable.
+_UNRESOLVED = object()
+
+
+def _jbig2_globals(d: bytes, content: bytes | None):
+    """The decoded /JBIG2Globals payload for a JBIG2 image stream:
+    None when the stream declares no globals, the raw segment bytes
+    when the referenced globals STREAM object resolves (its own filter
+    chain is honoured), or the _UNRESOLVED sentinel when globals (or
+    the whole /DecodeParms) exist but cannot be read — callers must
+    then keep the undecodable breadcrumb rather than guess (globals
+    typically carry the symbol dictionaries text regions refer to)."""
+    parms = _decodeparms_text(d, content, "JBIG2Decode")
+    if parms is None:
+        # a /DecodeParms we cannot resolve might name globals
+        return (
+            _UNRESOLVED
+            if re.search(rb"/D(?:ecodeParms|P)\b", d) is not None
+            else None
+        )
+    m = re.search(rb"/JBIG2Globals\s+(\d+)\s+(\d+)\s+R\b", parms)
+    if m is None:
+        return None
+    if content is None:
+        return _UNRESOLVED
+    om = re.search(
+        rb"(?:^|[^0-9])%d\s+%d\s+obj\b"
+        % (int(m.group(1)), int(m.group(2))),
+        content,
+    )
+    if om is None:
+        return _UNRESOLVED
+    end = content.find(b"endobj", om.end())
+    body = content[om.end() : end if end >= 0 else len(content)]
+    sm = _STREAM_RE.search(body)
+    if sm is None:
+        return _UNRESOLVED
+    s_start = sm.end()
+    s_end = body.find(b"endstream", s_start)
+    if s_end < 0:
+        return _UNRESOLVED
+    res = _decode_stream(sm.group("dict"), body[s_start:s_end], content)
+    return res[0] if res is not None and res[1] == "raw" else _UNRESOLVED
 
 
 def _decode_stream(
@@ -790,7 +840,7 @@ def _decode_stream(
     if not filters:
         return _strip_one_eol(data), "raw"
     if filters[0] in ("RunLengthDecode", "LZWDecode", "DCTDecode",
-                      "CCITTFaxDecode"):
+                      "CCITTFaxDecode", "JBIG2Decode"):
         # these read the payload bit/byte-exactly, so the spec EOL before
         # `endstream` must come off first (hex/a85 ignore whitespace and
         # decompressobj absorbs it as unused_data; an EOL fed to RLE
@@ -829,6 +879,30 @@ def _decode_stream(
             decoded = decode(
                 data, columns, rows=rows,
                 encoded_byte_align=align, black_is_1=black1,
+            )
+            if decoded is None:
+                return None
+            return decoded, "raw"
+        if f == "JBIG2Decode":
+            # Generic-region JBIG2 decodes since r15 (VERDICT r14 Next
+            # #4): MQ-arithmetic templates 0-3 + TPGDON, MMR regions via
+            # the T.6 decoder, /JBIG2Globals resolved through `content`.
+            # Symbol/text/halftone/refinement segments return None — the
+            # breadcrumb counter names those streams (header-level scan,
+            # jbig2.jbig2_headers_supported). Like CCITT, the output is
+            # final raster bits, so mid-chain is malformed.
+            if i != len(filters) - 1:
+                return None
+            g = _jbig2_globals(d, content)
+            if g is _UNRESOLVED:
+                return None
+            from docling_api_spark.pipeline.jbig2 import jbig2_decode
+
+            decoded = jbig2_decode(
+                data,
+                globals_data=g,
+                width=_dict_int(d, b"Width"),
+                height=_dict_int(d, b"Height"),
             )
             if decoded is None:
                 return None
@@ -955,6 +1029,22 @@ def pdf_undecodable_image_streams(content: bytes) -> dict[str, int]:
                 # occurrence must keep its breadcrumb instead of being
                 # counted decodable yet silently dropped (ADVICE r14 #3)
                 continue
+            if name == "JBIG2Decode" and len(names) == 1:
+                # r15: generic-region JBIG2 decodes — separate those
+                # from symbol/text-coded streams with a header-only
+                # scan (no arithmetic decoding in the counter)
+                start = m.end()
+                send = content.find(b"endstream", start)
+                g = _jbig2_globals(d, content) if send >= 0 else _UNRESOLVED
+                if g is not _UNRESOLVED:
+                    from docling_api_spark.pipeline.jbig2 import (
+                        jbig2_headers_supported,
+                    )
+
+                    if jbig2_headers_supported(
+                        _strip_one_eol(content[start:send]), g
+                    ):
+                        continue
             if name not in _SUPPORTED_FILTERS:
                 out[name] = out.get(name, 0) + 1
                 break
