@@ -15,12 +15,15 @@ image itself, exactly as r14 did for the CCITT family. Everything here
 is public knowledge: ITU-T Recommendation T.88 (segment syntax §7,
 generic region decoding §6.2, MQ coder Annex E).
 
-SCOPE — generic regions only, correct-by-omission elsewhere: symbol
-dictionaries, text regions, halftone/pattern segments, and refinement
-coding return ``None`` (the undecodable-codec breadcrumb stays for
-them, now with byte-level precision: ``jbig2_headers_supported`` lets
-the breadcrumb counter separate a decodable generic-region stream from
-a symbol-coded one without running the arithmetic decoder).
+SCOPE — generic regions, symbol dictionaries (§6.5), and text regions
+(§6.4) in their arithmetic non-refinement forms, which covers both
+fax-style whole-page masks AND jbig2enc-style symbol-coded textual
+scans. Correct-by-omission elsewhere: Huffman-coded variants,
+refinement/aggregate coding, halftone/pattern segments, and
+intermediate regions return ``None`` (the undecodable-codec breadcrumb
+stays for them, with byte-level precision: ``jbig2_headers_supported``
+lets the breadcrumb counter separate a decodable stream from an
+out-of-subset one without running the arithmetic decoder).
 
 Output convention follows the PDF filter contract (ISO 32000-1
 §7.4.7): 1 bit per pixel, rows padded to byte boundaries, MSB first,
@@ -213,6 +216,17 @@ def _contiguous_spans(offs):
     return out
 
 
+def _generic_context_size(template: int, at) -> int | None:
+    """Context-array size for a generic template + AT set, or None when
+    the layout is invalid (AT in the undecoded half-plane, oversized)."""
+    offs = tuple(_FIXED_TEMPLATE[template]) + tuple(at)
+    if any(dy > 0 or (dy == 0 and dx >= 0) for dx, dy in offs):
+        return None
+    if len(offs) > 20:
+        return None
+    return 1 << len(offs)
+
+
 def _decode_generic_mq(
     data: bytes,
     w: int,
@@ -222,23 +236,41 @@ def _decode_generic_mq(
     tpgdon: bool,
 ) -> list[bytearray] | None:
     """MQ-coded generic region -> rows of 0/1 bytes (1 = black), or
-    None on bad geometry. The arithmetic decode itself is total: any
-    byte stream decodes to SOME bitmap (that is the nature of the
-    coder), so corruption detection lives at the segment/page layer."""
+    None on bad geometry — standalone form: fresh MQ decoder + fresh
+    context arrays for one region segment."""
+    size = _generic_context_size(template, at)
+    if size is None:
+        return None
+    return _decode_generic_into(
+        _MQDecoder(data), bytearray(size), bytearray(size),
+        w, h, template, at, tpgdon,
+    )
+
+
+def _decode_generic_into(
+    mq: "_MQDecoder",
+    icx: bytearray,
+    mcx: bytearray,
+    w: int,
+    h: int,
+    template: int,
+    at,
+    tpgdon: bool,
+) -> list[bytearray] | None:
+    """Core generic-region procedure (T.88 §6.2.5.7) over a CALLER-OWNED
+    MQ decoder and context arrays — symbol dictionaries decode every
+    symbol bitmap from one shared arithmetic stream and one shared
+    generic-context array (§6.5.5), so the state must persist across
+    calls. The arithmetic decode itself is total: any byte stream
+    decodes to SOME bitmap (that is the nature of the coder), so
+    corruption detection lives at the segment/page layer."""
     if w <= 0 or h <= 0 or w > _MAX_WIDTH or w * h > _MAX_PIXELS:
         return None
     offs = sorted(tuple(_FIXED_TEMPLATE[template]) + tuple(at),
                   key=lambda o: (o[1], o[0]))
-    nbits = len(offs)
     if any(dy > 0 or (dy == 0 and dx >= 0) for dx, dy in offs):
         return None  # AT pixel in the not-yet-decoded half-plane
-    if nbits > 20:
-        return None
     spans = _contiguous_spans(offs)
-    size = 1 << nbits
-    icx = bytearray(size)
-    mcx = bytearray(size)
-    mq = _MQDecoder(data)
     bitmap: list[bytearray] = [bytearray(w) for _ in range(h)]
     zero = bytes(w)
     sltp_cx = _SLTP_CX[template]
@@ -325,9 +357,305 @@ def _decode_generic_mmr(
 
 
 # ---------------------------------------------------------------------------
+# Arithmetic integer decoding — T.88 Annex A. Each IAx procedure owns a
+# 512-context state pair on the segment's shared MQ stream; the PREV
+# context chains through the decoded bits (capped at 9 bits, A.2).
+# ---------------------------------------------------------------------------
+
+_OOB = object()  # the IADS/IADW out-of-band terminator (A.2: S=1, V=0)
+
+
+class _IntCtx:
+    __slots__ = ("icx", "mcx")
+
+    def __init__(self) -> None:
+        self.icx = bytearray(512)
+        self.mcx = bytearray(512)
+
+
+def _decode_int(mq: _MQDecoder, ctx: _IntCtx):
+    """A.2: sign bit, magnitude-class prefix, then 2/4/6/8/12/32 value
+    bits — PREV context chaining throughout. Returns int, or _OOB for
+    the negative-zero out-of-band marker."""
+    icx, mcx = ctx.icx, ctx.mcx
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = mq.decode(icx, mcx, prev)
+        prev = (
+            ((prev << 1) | b)
+            if prev < 256
+            else ((((prev << 1) | b) & 511) | 256)
+        )
+        return b
+
+    def read(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit()
+        return v
+
+    s = bit()
+    if not bit():
+        v = read(2)
+    elif not bit():
+        v = read(4) + 4
+    elif not bit():
+        v = read(6) + 20
+    elif not bit():
+        v = read(8) + 84
+    elif not bit():
+        v = read(12) + 340
+    else:
+        v = read(32) + 4436
+    if s and v == 0:
+        return _OOB
+    return -v if s else v
+
+
+def _decode_iaid(
+    mq: _MQDecoder, icx: bytearray, mcx: bytearray, symcodelen: int
+) -> int:
+    """A.3: SYMCODELEN bits down a context tree; arrays sized
+    1 << (symcodelen + 1) by the caller."""
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | mq.decode(icx, mcx, prev)
+    return prev - (1 << symcodelen)
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary — T.88 §6.5 / §7.4.3 (segment type 0), arithmetic
+# non-refinement subset: SDHUFF=0, SDREFAGG=0, no imported coding
+# contexts. Height classes of IADH deltas; symbol bitmaps share ONE MQ
+# stream + ONE generic-context array across the whole segment.
+# ---------------------------------------------------------------------------
+
+_MAX_SYMBOLS = 1 << 16  # a dictionary bigger than this is forged
+
+
+def _decode_symbol_dict(
+    seg_data: bytes, input_syms: list[list[bytearray]]
+) -> list[list[bytearray]] | None:
+    if len(seg_data) < 2:
+        return None
+    flags = struct.unpack_from(">H", seg_data, 0)[0]
+    sdhuff = flags & 1
+    sdrefagg = (flags >> 1) & 1
+    ctx_used = (flags >> 8) & 1
+    template = (flags >> 10) & 3
+    if sdhuff or sdrefagg or ctx_used:
+        return None  # Huffman / refinement-aggregate / imported contexts
+    pos = 2
+    at: list[tuple[int, int]] = []
+    n_at = 4 if template == 0 else 1
+    if pos + 2 * n_at + 8 > len(seg_data):
+        return None
+    for _ in range(n_at):
+        at.append(struct.unpack_from(">bb", seg_data, pos))
+        pos += 2
+    num_ex, num_new = struct.unpack_from(">II", seg_data, pos)
+    pos += 8
+    if num_new > _MAX_SYMBOLS or num_ex > _MAX_SYMBOLS:
+        return None
+    size = _generic_context_size(template, at)
+    if size is None:
+        return None
+    mq = _MQDecoder(seg_data[pos:])
+    gb_icx, gb_mcx = bytearray(size), bytearray(size)
+    iadh, iadw, iaex = _IntCtx(), _IntCtx(), _IntCtx()
+    new_syms: list[list[bytearray]] = []
+    hc_height = 0
+    budget = _MAX_PIXELS  # total decoded symbol area cap
+    while len(new_syms) < num_new:
+        dh = _decode_int(mq, iadh)
+        if dh is _OOB:
+            return None
+        hc_height += dh
+        if hc_height <= 0 or hc_height > _MAX_WIDTH:
+            return None
+        sym_width = 0
+        while True:
+            dw = _decode_int(mq, iadw)
+            if dw is _OOB:
+                break  # end of this height class
+            if len(new_syms) >= num_new:
+                return None  # more symbols than declared: forged
+            sym_width += dw
+            if sym_width <= 0 or sym_width > _MAX_WIDTH:
+                return None
+            budget -= sym_width * hc_height
+            if budget < 0:
+                return None
+            rows = _decode_generic_into(
+                mq, gb_icx, gb_mcx, sym_width, hc_height,
+                template, at, False,
+            )
+            if rows is None:
+                return None
+            new_syms.append(rows)
+    # export flags (§6.5.10): alternating IAEX run lengths over
+    # input symbols ++ new symbols, starting with "not exported"
+    all_syms = list(input_syms) + new_syms
+    exported: list[list[bytearray]] = []
+    idx, cur_ex = 0, 0
+    while idx < len(all_syms):
+        run = _decode_int(mq, iaex)
+        if run is _OOB or run < 0 or idx + run > len(all_syms):
+            return None
+        if cur_ex:
+            exported.extend(all_syms[idx : idx + run])
+        idx += run
+        cur_ex ^= 1
+    if len(exported) != num_ex:
+        return None
+    return exported
+
+
+# ---------------------------------------------------------------------------
+# Text region — T.88 §6.4 / §7.4.4 (segment types 4-7; the immediate
+# forms 6/7 decode here), arithmetic subset: SBHUFF=0 and every
+# refinement flag RI = 0.
+# ---------------------------------------------------------------------------
+
+
+def _decode_text_region(
+    seg_data: bytes, syms: list[list[bytearray]]
+):
+    """-> (w, h, x, y, comb_op, rows) like _parse_generic_region, or
+    None when out of the supported subset / malformed."""
+    if len(seg_data) < 23 or not syms:
+        return None
+    w, h, x, y = struct.unpack_from(">IIII", seg_data, 0)
+    comb_op = seg_data[16] & 0x07
+    flags = struct.unpack_from(">H", seg_data, 17)[0]
+    sbhuff = flags & 1
+    refine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    ref_corner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sb_comb = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32
+    rtemplate = (flags >> 15) & 1
+    if sbhuff:
+        return None
+    pos = 19
+    if refine and rtemplate == 0:
+        pos += 4  # refinement AT pixels (unused: every RI must be 0)
+    if pos + 4 > len(seg_data):
+        return None
+    (num_instances,) = struct.unpack_from(">I", seg_data, pos)
+    pos += 4
+    if w <= 0 or h <= 0 or w > _MAX_WIDTH or w * h > _MAX_PIXELS:
+        return None
+    if num_instances > _MAX_PIXELS:
+        return None
+    strips = 1 << log_strips
+    symcodelen = max(1, (len(syms) - 1).bit_length())
+    mq = _MQDecoder(seg_data[pos:])
+    iadt, iafs, iads, iait = _IntCtx(), _IntCtx(), _IntCtx(), _IntCtx()
+    iari = _IntCtx()
+    id_size = 1 << (symcodelen + 1)
+    iaid_icx, iaid_mcx = bytearray(id_size), bytearray(id_size)
+    fill = 1 if def_pixel else 0
+    region = [bytearray([fill]) * w for _ in range(h)]
+
+    def draw(sym: list[bytearray], x0: int, y0: int) -> None:
+        sh, sw = len(sym), len(sym[0]) if sym else 0
+        for j in range(sh):
+            yy = y0 + j
+            if not 0 <= yy < h:
+                continue
+            rrow, srow = region[yy], sym[j]
+            for i in range(sw):
+                xx = x0 + i
+                if not 0 <= xx < w:
+                    continue
+                if sb_comb == 0:  # OR
+                    if srow[i]:
+                        rrow[xx] = 1
+                elif sb_comb == 1:  # AND
+                    if not srow[i]:
+                        rrow[xx] = 0
+                elif sb_comb == 2:  # XOR
+                    rrow[xx] ^= srow[i]
+                else:  # XNOR
+                    rrow[xx] = 1 - (rrow[xx] ^ srow[i])
+
+    dt0 = _decode_int(mq, iadt)
+    if dt0 is _OOB:
+        return None
+    strip_t = -dt0 * strips
+    first_s = 0
+    n_inst = 0
+    guard = 0
+    while n_inst < num_instances:
+        guard += 1
+        if guard > num_instances + _MAX_SYMBOLS:
+            return None  # runaway strip loop on corrupt data
+        dt = _decode_int(mq, iadt)
+        if dt is _OOB:
+            return None
+        strip_t += dt * strips
+        first = True
+        cur_s = 0
+        while n_inst < num_instances:
+            if first:
+                dfs = _decode_int(mq, iafs)
+                if dfs is _OOB:
+                    return None
+                first_s += dfs
+                cur_s = first_s
+                first = False
+            else:
+                ids = _decode_int(mq, iads)
+                if ids is _OOB:
+                    break  # end of strip
+                cur_s += ids + ds_offset
+            cur_t = 0 if strips == 1 else _decode_int(mq, iait)
+            if cur_t is _OOB:
+                return None
+            t_i = strip_t + cur_t
+            sym_id = _decode_iaid(mq, iaid_icx, iaid_mcx, symcodelen)
+            if not 0 <= sym_id < len(syms):
+                return None
+            if refine:
+                ri = _decode_int(mq, iari)
+                if ri is _OOB or ri:
+                    return None  # refined instance: out of scope
+            sym = syms[sym_id]
+            sh, sw = len(sym), len(sym[0]) if sym else 0
+            if transposed:
+                # S runs vertically; REFCORNER picks the x side (§6.4.5
+                # steps v/viii: TOP* corners advance S before drawing)
+                if ref_corner in (0, 1):  # BOTTOMLEFT / TOPLEFT
+                    x0, y0 = t_i, cur_s
+                    if ref_corner == 0:
+                        pass  # BL: (T, S) is the top-left in transposed
+                else:  # BOTTOMRIGHT / TOPRIGHT: x side is the right edge
+                    x0, y0 = t_i - sw + 1, cur_s
+                draw(sym, x0, y0)
+                cur_s += sh - 1
+            else:
+                if ref_corner in (2, 3):  # *RIGHT: advance S first
+                    cur_s += sw - 1
+                x0 = cur_s - (sw - 1) if ref_corner in (2, 3) else cur_s
+                y0 = t_i if ref_corner in (1, 3) else t_i - sh + 1
+                draw(sym, x0, y0)
+                if ref_corner in (0, 1):  # *LEFT: advance S after
+                    cur_s += sw - 1
+            n_inst += 1
+    return (w, h, x, y, comb_op, region)
+
+
+# ---------------------------------------------------------------------------
 # Embedded-organization segment stream — T.88 §7.2 (headers), §7.4
-# (segment payloads PDF-relevant here: page info 48, generic region
-# 38/39, end-of-* 49-51, extension 62).
+# (segment payloads PDF-relevant here: page info 48, symbol dict 0,
+# text region 6/7, generic region 38/39, end-of-* 49-51, extension 62).
 # ---------------------------------------------------------------------------
 
 #: segment types that cannot affect a generic-regions-only page and are
@@ -336,17 +664,21 @@ def _decode_generic_mmr(
 #: palette, extensions (spec: "decoders may ignore").
 _IGNORABLE_TYPES = frozenset({49, 50, 51, 52, 53, 62})
 _GENERIC_TYPES = frozenset({38, 39})
+_TEXT_TYPES = frozenset({6, 7})
+_SYMBOL_DICT = 0
 _PAGE_INFO = 48
 
 
 class _Segment:
-    __slots__ = ("number", "type", "page", "data")
+    __slots__ = ("number", "type", "page", "data", "refs")
 
-    def __init__(self, number: int, type_: int, page: int, data: bytes):
+    def __init__(self, number: int, type_: int, page: int, data: bytes,
+                 refs: tuple[int, ...] = ()):
         self.number = number
         self.type = type_
         self.page = page
         self.data = data
+        self.refs = refs
 
 
 def _parse_segments(buf: bytes) -> list[_Segment] | None:
@@ -371,6 +703,13 @@ def _parse_segments(buf: bytes) -> list[_Segment] | None:
         else:
             pos += 1
         ref_size = 1 if number <= 256 else 2 if number <= 65536 else 4
+        if pos + count * ref_size > n:
+            return None
+        refs = tuple(
+            int.from_bytes(buf[pos + i * ref_size : pos + (i + 1) * ref_size],
+                           "big")
+            for i in range(count)
+        )
         pos += count * ref_size
         if page_assoc_4:
             if pos + 4 > n:
@@ -390,7 +729,9 @@ def _parse_segments(buf: bytes) -> list[_Segment] | None:
             return None  # unknown-length segment (7.2.7): don't guess
         if pos + length > n:
             return None
-        segs.append(_Segment(number, seg_type, page, buf[pos : pos + length]))
+        segs.append(
+            _Segment(number, seg_type, page, buf[pos : pos + length], refs)
+        )
         pos += length
     return segs
 
@@ -447,6 +788,21 @@ def jbig2_headers_supported(data: bytes, globals_data: bytes | None = None
                 continue
             if seg.type in _IGNORABLE_TYPES:
                 continue
+            if seg.type == _SYMBOL_DICT:
+                # flag-level check (2 bytes): arithmetic,
+                # non-refinement, no imported contexts (r15 subset)
+                if len(seg.data) < 2:
+                    return False
+                flags = struct.unpack_from(">H", seg.data, 0)[0]
+                if flags & 0b1_0000_0011:  # SDHUFF|SDREFAGG|ctx-used
+                    return False
+                continue
+            if seg.type in _TEXT_TYPES:
+                if len(seg.data) < 23:
+                    return False
+                if struct.unpack_from(">H", seg.data, 17)[0] & 1:
+                    return False  # SBHUFF
+                continue
             return False
     return True
 
@@ -475,6 +831,7 @@ def jbig2_decode(
     page_w = page_h = None
     page_default = 0
     regions = []
+    sym_dicts: dict[int, list] = {}  # segment number -> exported symbols
     for seg in segs:
         if seg.type == _PAGE_INFO:
             if len(seg.data) < 17:
@@ -489,10 +846,28 @@ def jbig2_decode(
             if region is None:
                 return None
             regions.append(region)
+        elif seg.type == _SYMBOL_DICT:
+            # input symbols: exported sets of the referred-to dicts,
+            # in reference order (§6.5.5)
+            input_syms: list = []
+            for r in seg.refs:
+                input_syms.extend(sym_dicts.get(r, ()))
+            exported = _decode_symbol_dict(seg.data, input_syms)
+            if exported is None:
+                return None
+            sym_dicts[seg.number] = exported
+        elif seg.type in _TEXT_TYPES:
+            syms: list = []
+            for r in seg.refs:
+                syms.extend(sym_dicts.get(r, ()))
+            region = _decode_text_region(seg.data, syms)
+            if region is None:
+                return None
+            regions.append(region)
         elif seg.type in _IGNORABLE_TYPES:
             continue
         else:
-            # symbol dict (0), text region (4-7), pattern dict (16),
+            # intermediate regions (4, 36), pattern dict (16),
             # halftone (20-23), refinement (40-43), ...: out of scope
             return None
     if not regions:

@@ -180,17 +180,21 @@ def test_mq_decoder_is_total_on_garbage():
 # generic-region encoder (test oracle): same template layout as the
 # decoder (see module caveat), TPGDON emitted when a row repeats.
 # ---------------------------------------------------------------------------
-def generic_encode(rows_px, template=0, at=None, tpgdon=False) -> bytes:
+def generic_encode_into(
+    enc, rows_px, template=0, at=None, tpgdon=False, ns="gb"
+) -> None:
+    """Encode one bitmap's generic-region bits onto a SHARED MQ encoder
+    (symbol dictionaries reuse one arithmetic stream + one GB context
+    space across all symbols — contexts namespaced by `ns`)."""
     at = _NOMINAL_AT[template] if at is None else at
     offs = sorted(tuple(_FIXED_TEMPLATE[template]) + tuple(at),
                   key=lambda o: (o[1], o[0]))
     h, w = len(rows_px), len(rows_px[0])
-    enc = MQEncoder()
     ltp = 0
     for y in range(h):
         if tpgdon:
             want = rows_px[y] == (rows_px[y - 1] if y else [0] * w)
-            enc.encode(_SLTP_CX[template], ltp ^ int(want))
+            enc.encode((ns, _SLTP_CX[template]), ltp ^ int(want))
             ltp = int(want)
             if ltp:
                 continue
@@ -201,14 +205,143 @@ def generic_encode(rows_px, template=0, at=None, tpgdon=False) -> bytes:
                 xx, yy = x + dx, y + dy
                 if 0 <= xx < w and 0 <= yy:
                     cx |= rows_px[yy][xx]
-            enc.encode(cx, rows_px[y][x])
+            enc.encode((ns, cx), rows_px[y][x])
+
+
+def generic_encode(rows_px, template=0, at=None, tpgdon=False) -> bytes:
+    enc = MQEncoder()
+    generic_encode_into(enc, rows_px, template, at, tpgdon)
     return enc.flush()
 
 
-def seg_header(number: int, type_: int, page: int, data_len: int) -> bytes:
+OOB = object()
+
+
+def encode_int(enc, ns: str, v) -> None:
+    """Annex A inverse: sign + magnitude-class prefix + value bits with
+    the same PREV context chaining the decoder uses."""
+    prev = 1
+
+    def put(b: int) -> None:
+        nonlocal prev
+        enc.encode((ns, prev), b)
+        prev = (
+            ((prev << 1) | b)
+            if prev < 256
+            else ((((prev << 1) | b) & 511) | 256)
+        )
+
+    def puts(val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            put((val >> i) & 1)
+
+    if v is OOB:
+        put(1)
+        put(0)
+        puts(0, 2)
+        return
+    s, m = (1, -v) if v < 0 else (0, v)
+    put(s)
+    if m < 4:
+        put(0)
+        puts(m, 2)
+    elif m < 20:
+        put(1), put(0), puts(m - 4, 4)
+    elif m < 84:
+        put(1), put(1), put(0), puts(m - 20, 6)
+    elif m < 340:
+        put(1), put(1), put(1), put(0), puts(m - 84, 8)
+    elif m < 4436:
+        put(1), put(1), put(1), put(1), put(0), puts(m - 340, 12)
+    else:
+        put(1), put(1), put(1), put(1), put(1), puts(m - 4436, 32)
+
+
+def encode_iaid(enc, ns: str, sym_id: int, symcodelen: int) -> None:
+    prev = 1
+    v = sym_id + (1 << symcodelen)
+    for i in range(symcodelen - 1, -1, -1):
+        b = (v >> i) & 1
+        enc.encode((ns, prev), b)
+        prev = (prev << 1) | b
+
+
+def symbol_dict_encode(symbols, template=0, n_input=0) -> bytes:
+    """Symbol-dictionary segment DATA (§7.4.3): height classes ascending
+    (symbols must be pre-sorted by height), every symbol exported —
+    including `n_input` imported symbols from referred dictionaries."""
+    heights = [len(s) for s in symbols]
+    assert heights == sorted(heights), "pre-sort fixture symbols by height"
+    enc = MQEncoder()
+    hc = 0
+    i = 0
+    while i < len(symbols):
+        height = heights[i]
+        encode_int(enc, "iadh", height - hc)
+        hc = height
+        symw = 0
+        while i < len(symbols) and heights[i] == height:
+            w = len(symbols[i][0])
+            encode_int(enc, "iadw", w - symw)
+            symw = w
+            generic_encode_into(enc, symbols[i], template)
+            i += 1
+        encode_int(enc, "iadw", OOB)
+    encode_int(enc, "iaex", 0)  # first run: not exported (length 0)
+    encode_int(enc, "iaex", n_input + len(symbols))  # export everything
+    coded = enc.flush()
+    head = struct.pack(">H", template << 10)
+    for ax, ay in _NOMINAL_AT[template][: 4 if template == 0 else 1]:
+        head += struct.pack(">bb", ax, ay)
+    head += struct.pack(">II", n_input + len(symbols), len(symbols))
+    return head + coded
+
+
+def text_region_encode(
+    w, h, instances, nsyms, sym_widths, comb=0
+) -> bytes:
+    """Text-region segment DATA (§7.4.4): SBSTRIPS=1, TOPLEFT corner,
+    OR composition. `instances` = [(sym_id, s, t)] sorted by (t, s)."""
+    symcodelen = max(1, (nsyms - 1).bit_length())
+    enc = MQEncoder()
+    encode_int(enc, "iadt", 0)  # STRIPT = 0
+    strip_t = 0
+    first_s = 0
+    by_t: dict[int, list] = {}
+    for sym_id, s, t in instances:
+        by_t.setdefault(t, []).append((s, sym_id))
+    for t in sorted(by_t):
+        encode_int(enc, "iadt", t - strip_t)
+        strip_t = t
+        cur_s = None
+        for s, sym_id in sorted(by_t[t]):
+            if cur_s is None:
+                encode_int(enc, "iafs", s - first_s)
+                first_s = s
+                cur_s = s
+            else:
+                encode_int(enc, "iads", s - cur_s)  # SBDSOFFSET = 0
+                cur_s = s
+            encode_iaid(enc, "iaid", sym_id, symcodelen)
+            cur_s += sym_widths[sym_id] - 1  # decoder's post-draw advance
+        encode_int(enc, "iads", OOB)
+    coded = enc.flush()
+    info = struct.pack(">IIII", w, h, 0, 0) + bytes([comb])
+    flags = 1 << 4  # REFCORNER = TOPLEFT; everything else 0
+    return (
+        info + struct.pack(">H", flags)
+        + struct.pack(">I", len(instances)) + coded
+    )
+
+
+def seg_header(
+    number: int, type_: int, page: int, data_len: int, refs=()
+) -> bytes:
+    assert len(refs) <= 4 and number <= 256
     return (
         struct.pack(">IB", number, type_)
-        + b"\x00"  # 0 referred-to segments
+        + bytes([len(refs) << 5])
+        + bytes(refs)  # 1-byte referred numbers (number <= 256)
         + bytes([page])
         + struct.pack(">I", data_len)
     )
@@ -337,9 +470,12 @@ def test_unknown_page_height_uses_pdf_dims():
     assert _unpack(decoded, 8, 6) == GLYPH
 
 
-def test_symbol_and_text_segments_stay_undecodable():
+def test_out_of_scope_segments_stay_undecodable():
+    """Intermediate regions, pattern/halftone/refinement coding, and the
+    Huffman-coded symbol/text variants stay breadcrumbed (r15 scope:
+    arithmetic non-refinement symbol/text + generic only)."""
     generic = generic_region_seg(3, 8, 6, 0, 0, generic_encode(GLYPH))
-    for seg_type in (0, 4, 6, 7, 16, 20, 23, 40, 43):
+    for seg_type in (4, 16, 20, 23, 36, 40, 43):
         stream = (
             page_info_seg(1, 8, 6)
             + seg_header(2, seg_type, 1, 4) + b"\x00\x00\x00\x00"
@@ -347,6 +483,24 @@ def test_symbol_and_text_segments_stay_undecodable():
         )
         assert jbig2_decode(stream) is None, seg_type
         assert not jbig2_headers_supported(stream), seg_type
+    # SDHUFF / SDREFAGG / imported-contexts symbol dicts: flagged out
+    for flags in (0x0001, 0x0002, 0x0100):
+        sd = struct.pack(">H", flags) + b"\x00" * 16
+        stream = (
+            page_info_seg(1, 8, 6)
+            + seg_header(2, 0, 1, len(sd)) + sd + generic
+        )
+        assert jbig2_decode(stream) is None, hex(flags)
+        assert not jbig2_headers_supported(stream), hex(flags)
+    # SBHUFF text region: flagged out
+    tr = struct.pack(">IIII", 8, 6, 0, 0) + b"\x00" + struct.pack(">H", 1) \
+        + struct.pack(">I", 0)
+    stream = (
+        page_info_seg(1, 8, 6)
+        + seg_header(2, 6, 1, len(tr)) + tr + generic
+    )
+    assert jbig2_decode(stream) is None
+    assert not jbig2_headers_supported(stream)
     # ignorable types pass both
     stream = (
         page_info_seg(1, 8, 6) + generic
@@ -439,18 +593,19 @@ def test_pdf_jbig2_globals_resolve_through_object_scan():
     assert raw == bytes(0 if p else 255 for row in GLYPH for p in row)
 
 
-def test_pdf_jbig2_symbol_coded_stream_keeps_breadcrumb():
-    """A symbol-dictionary segment (the common scanner text path, out of
-    scope) keeps the stream counted undecodable — byte-precise: the
-    counter separates it from decodable generic streams."""
+def test_pdf_jbig2_huffman_symbol_stream_keeps_breadcrumb():
+    """A Huffman-coded symbol dictionary (out of the arithmetic subset)
+    keeps the stream counted undecodable — byte-precise: the counter
+    separates it from decodable symbol/generic streams."""
     from docling_api_spark.pipeline.textextract import (
         pdf_extract_images,
         pdf_undecodable_image_streams,
     )
 
+    sd = struct.pack(">H", 0x0001) + b"\x00" * 16  # SDHUFF = 1
     stream = (
         page_info_seg(1, 8, 6)
-        + seg_header(2, 0, 1, 4) + b"\x00\x00\x00\x00"  # symbol dict
+        + seg_header(2, 0, 1, len(sd)) + sd
         + generic_region_seg(3, 8, 6, 0, 0, generic_encode(GLYPH))
     )
     img = make_image_obj(
@@ -496,3 +651,144 @@ def test_generic_region_round_trip_fuzz(template, rows, tpgdon):
     decoded = jbig2_decode(stream)
     assert decoded is not None
     assert _unpack(decoded, 12, 6) == rows
+
+
+# ---------------------------------------------------------------------------
+# r15b: symbol dictionary + text region (arithmetic subset)
+# ---------------------------------------------------------------------------
+GLYPH_A = [
+    [0, 1, 1, 0],
+    [1, 0, 0, 1],
+    [1, 1, 1, 1],
+    [1, 0, 0, 1],
+]
+GLYPH_B = [
+    [1, 1, 1, 0],
+    [1, 0, 0, 1],
+    [1, 1, 1, 0],
+    [1, 0, 0, 1],
+    [1, 1, 1, 0],
+]
+GLYPH_DOT = [[1, 1], [1, 1]]
+
+
+def _render(w, h, placements):
+    """reference rendering: OR each (glyph, s, t) onto a white page."""
+    page = [[0] * w for _ in range(h)]
+    for glyph, s, t in placements:
+        for j, grow in enumerate(glyph):
+            for i, v in enumerate(grow):
+                if v and 0 <= t + j < h and 0 <= s + i < w:
+                    page[t + j][s + i] = 1
+    return page
+
+
+def _sym_text_stream(w, h, symbols, instances, one_segment_page=True):
+    """page info + symbol dict (number 2) + text region referring to it."""
+    sd = symbol_dict_encode(symbols)
+    widths = [len(s[0]) for s in symbols]
+    tr = text_region_encode(w, h, instances, len(symbols), widths)
+    return (
+        page_info_seg(1, w, h)
+        + seg_header(2, 0, 1, len(sd)) + sd
+        + seg_header(3, 6, 1, len(tr), refs=[2]) + tr
+    )
+
+
+def test_symbol_dict_plus_text_region_round_trips():
+    """r15b done-condition: a symbol-coded page (the jbig2enc shape —
+    dictionary + text region placements) decodes to exact pixels."""
+    symbols = [GLYPH_DOT, GLYPH_A, GLYPH_B]  # heights 2, 4, 5 ascending
+    instances = [(1, 1, 1), (2, 7, 1), (0, 13, 2), (1, 2, 8), (1, 8, 8)]
+    stream = _sym_text_stream(18, 14, symbols, instances)
+    decoded = jbig2_decode(stream)
+    assert decoded is not None
+    want = _render(18, 14, [
+        (symbols[i], s, t) for i, s, t in instances
+    ])
+    assert _unpack(decoded, 18, 14) == want
+    assert jbig2_headers_supported(stream)
+
+
+def test_symbol_dict_multiple_height_classes_and_width_deltas():
+    """Height classes advance by IADH deltas; widths inside a class move
+    by signed IADW deltas (B then a NARROWER same-height glyph)."""
+    wide = [[1, 0, 1, 0, 1, 0]] * 3
+    narrow = [[1, 1]] * 3
+    tall = [[1], [0], [1], [0], [1], [0], [1]]
+    symbols = [wide, narrow, tall]  # heights 3, 3, 7
+    instances = [(0, 0, 0), (1, 8, 0), (2, 12, 0), (0, 2, 9)]
+    stream = _sym_text_stream(16, 16, symbols, instances)
+    decoded = jbig2_decode(stream)
+    assert decoded is not None
+    want = _render(16, 16, [(symbols[i], s, t) for i, s, t in instances])
+    assert _unpack(decoded, 16, 16) == want
+
+
+def test_symbol_dict_import_chain():
+    """A dictionary can import another dictionary's exports; the text
+    region sees imported symbols first, then the new ones (§6.5.5)."""
+    sd_a = symbol_dict_encode([GLYPH_DOT])
+    sd_b = symbol_dict_encode([GLYPH_A], n_input=1)  # exports DOT + A
+    widths = [2, 4]  # DOT (imported, id 0), A (new, id 1)
+    instances = [(0, 1, 1), (1, 6, 1), (0, 12, 3)]
+    tr = text_region_encode(16, 8, instances, 2, widths)
+    stream = (
+        page_info_seg(1, 16, 8)
+        + seg_header(2, 0, 1, len(sd_a)) + sd_a
+        + seg_header(3, 0, 1, len(sd_b), refs=[2]) + sd_b
+        + seg_header(4, 6, 1, len(tr), refs=[3]) + tr
+    )
+    decoded = jbig2_decode(stream)
+    assert decoded is not None
+    syms = [GLYPH_DOT, GLYPH_A]
+    want = _render(16, 8, [(syms[i], s, t) for i, s, t in instances])
+    assert _unpack(decoded, 16, 8) == want
+
+
+def test_text_region_corrupt_symbol_id_is_rejected():
+    """Truncating the coded data makes the arithmetic decode drift; the
+    region decoder must return None (bad IDs / counts), never raise."""
+    symbols = [GLYPH_DOT, GLYPH_A]
+    instances = [(0, 1, 1), (1, 6, 1)]
+    stream = _sym_text_stream(16, 8, symbols, instances)
+    for cut in (1, 3, 7, 11):
+        out = jbig2_decode(stream[: len(stream) - cut])
+        # totality is the contract (None or a well-formed raster, never
+        # a raise); exactness is pinned by the round-trip tests above
+        assert out is None or isinstance(out, bytes)
+
+
+def test_pdf_jbig2_symbol_text_page_round_trips():
+    """The realistic jbig2enc layout: symbol dictionary in the
+    /JBIG2Globals stream, text region in the image stream."""
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    symbols = [GLYPH_DOT, GLYPH_A]
+    sd = symbol_dict_encode(symbols)
+    glob = page_info_seg(1, 12, 8) + seg_header(2, 0, 1, len(sd)) + sd
+    instances = [(1, 1, 1), (0, 7, 2), (1, 7, 5)]
+    tr = text_region_encode(12, 8, instances, 2, [2, 4])
+    body = seg_header(3, 6, 1, len(tr), refs=[2]) + tr
+    glob_obj = (
+        b"7 0 obj <</Length %d>>\nstream\n" % len(glob)
+        + glob + b"\nendstream endobj"
+    )
+    img = make_image_obj(
+        body, width=12, height=8, colorspace=b"/DeviceGray", bpc=1,
+        filt=b"/JBIG2Decode",
+        extra=b" /DecodeParms <</JBIG2Globals 7 0 R>>",
+    )
+    doc = make_pdf_objs([TEXT_OBJ, img, glob_obj])
+    assert pdf_undecodable_image_streams(doc) == {}
+    (png,) = pdf_extract_images(doc)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (12, 8, 1)
+    syms = [GLYPH_DOT, GLYPH_A]
+    want = _render(12, 8, [(syms[i], s, t) for i, s, t in instances])
+    assert raw == bytes(
+        0 if p else 255 for row in want for p in row
+    )
