@@ -630,16 +630,17 @@ def _decode_text_region(
             sym = syms[sym_id]
             sh, sw = len(sym), len(sym[0]) if sym else 0
             if transposed:
-                # S runs vertically; REFCORNER picks the x side (§6.4.5
-                # steps v/viii: TOP* corners advance S before drawing)
-                if ref_corner in (0, 1):  # BOTTOMLEFT / TOPLEFT
-                    x0, y0 = t_i, cur_s
-                    if ref_corner == 0:
-                        pass  # BL: (T, S) is the top-left in transposed
-                else:  # BOTTOMRIGHT / TOPRIGHT: x side is the right edge
-                    x0, y0 = t_i - sw + 1, cur_s
+                # S runs vertically, T horizontally (§6.4.5 (v)/(ix):
+                # BOTTOM* corners advance S BEFORE drawing — S tracks
+                # the bottom edge — TOP* corners after). REFCORNER:
+                # 0 BL, 1 TL, 2 BR, 3 TR.
+                if ref_corner in (0, 2):
+                    cur_s += sh - 1
+                x0 = t_i if ref_corner in (0, 1) else t_i - sw + 1
+                y0 = cur_s - (sh - 1) if ref_corner in (0, 2) else cur_s
                 draw(sym, x0, y0)
-                cur_s += sh - 1
+                if ref_corner in (1, 3):
+                    cur_s += sh - 1
             else:
                 if ref_corner in (2, 3):  # *RIGHT: advance S first
                     cur_s += sw - 1

@@ -298,36 +298,55 @@ def symbol_dict_encode(symbols, template=0, n_input=0) -> bytes:
 
 
 def text_region_encode(
-    w, h, instances, nsyms, sym_widths, comb=0
+    w, h, instances, nsyms, sym_widths, sym_heights=None, comb=0,
+    ref_corner=1, transposed=0,
 ) -> bytes:
-    """Text-region segment DATA (§7.4.4): SBSTRIPS=1, TOPLEFT corner,
-    OR composition. `instances` = [(sym_id, s, t)] sorted by (t, s)."""
+    """Text-region segment DATA (§7.4.4): SBSTRIPS=1, OR composition.
+    `instances` = [(sym_id, s, t)] where (s, t) is always the TOP-LEFT
+    of the desired placement — the encoder converts to the reference
+    corner's (S, T) coordinates and mirrors the decoder's S-advances,
+    so one fixture exercises every REFCORNER x TRANSPOSED combination."""
+    if sym_heights is None:
+        sym_heights = [0] * len(sym_widths)
     symcodelen = max(1, (nsyms - 1).bit_length())
+    # (T_emit, S_emit, sym_id): the decoder's strip axis is T — the y
+    # axis normally, the x axis when transposed
+    items = []
+    for sym_id, s, t in instances:
+        sw_, sh_ = sym_widths[sym_id], sym_heights[sym_id]
+        if not transposed:
+            t_emit = t if ref_corner in (1, 3) else t + sh_ - 1
+            items.append((t_emit, s, sym_id))
+        else:
+            t_emit = s if ref_corner in (0, 1) else s + sw_ - 1
+            items.append((t_emit, t, sym_id))
     enc = MQEncoder()
     encode_int(enc, "iadt", 0)  # STRIPT = 0
     strip_t = 0
     first_s = 0
     by_t: dict[int, list] = {}
-    for sym_id, s, t in instances:
-        by_t.setdefault(t, []).append((s, sym_id))
-    for t in sorted(by_t):
-        encode_int(enc, "iadt", t - strip_t)
-        strip_t = t
+    for t_emit, s_emit, sym_id in items:
+        by_t.setdefault(t_emit, []).append((s_emit, sym_id))
+    for t_emit in sorted(by_t):
+        encode_int(enc, "iadt", t_emit - strip_t)
+        strip_t = t_emit
         cur_s = None
-        for s, sym_id in sorted(by_t[t]):
+        for s_emit, sym_id in sorted(by_t[t_emit]):
             if cur_s is None:
-                encode_int(enc, "iafs", s - first_s)
-                first_s = s
-                cur_s = s
+                encode_int(enc, "iafs", s_emit - first_s)
+                first_s = s_emit
+                cur_s = s_emit
             else:
-                encode_int(enc, "iads", s - cur_s)  # SBDSOFFSET = 0
-                cur_s = s
+                encode_int(enc, "iads", s_emit - cur_s)  # SBDSOFFSET = 0
+                cur_s = s_emit
             encode_iaid(enc, "iaid", sym_id, symcodelen)
-            cur_s += sym_widths[sym_id] - 1  # decoder's post-draw advance
+            # decoder's total S-advance per instance: to the far edge
+            adv = sym_heights[sym_id] if transposed else sym_widths[sym_id]
+            cur_s += adv - 1
         encode_int(enc, "iads", OOB)
     coded = enc.flush()
     info = struct.pack(">IIII", w, h, 0, 0) + bytes([comb])
-    flags = 1 << 4  # REFCORNER = TOPLEFT; everything else 0
+    flags = (ref_corner << 4) | (transposed << 6)
     return (
         info + struct.pack(">H", flags)
         + struct.pack(">I", len(instances)) + coded
@@ -792,3 +811,35 @@ def test_pdf_jbig2_symbol_text_page_round_trips():
     assert raw == bytes(
         0 if p else 255 for row in want for p in row
     )
+
+
+import pytest
+
+
+@pytest.mark.parametrize("transposed", [0, 1])
+@pytest.mark.parametrize("ref_corner", [0, 1, 2, 3])
+def test_text_region_every_refcorner_and_transposition(
+    ref_corner, transposed
+):
+    """One placement fixture through all 8 REFCORNER x TRANSPOSED
+    combinations: the encoder emits corner-relative (S, T) coordinates
+    and the decoder must land every glyph on the same absolute
+    top-left pixels."""
+    symbols = [GLYPH_DOT, GLYPH_A, GLYPH_B]
+    widths = [2, 4, 4]
+    heights = [2, 4, 5]
+    instances = [(1, 1, 1), (0, 7, 2), (2, 11, 1), (1, 3, 8)]
+    sd = symbol_dict_encode(symbols)
+    tr = text_region_encode(
+        16, 14, instances, 3, widths, heights,
+        ref_corner=ref_corner, transposed=transposed,
+    )
+    stream = (
+        page_info_seg(1, 16, 14)
+        + seg_header(2, 0, 1, len(sd)) + sd
+        + seg_header(3, 6, 1, len(tr), refs=[2]) + tr
+    )
+    decoded = jbig2_decode(stream)
+    assert decoded is not None
+    want = _render(16, 14, [(symbols[i], s, t) for i, s, t in instances])
+    assert _unpack(decoded, 16, 14) == want
