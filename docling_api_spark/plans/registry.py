@@ -178,6 +178,7 @@ def register(
 WINDOW_COMPOSED_FOR_ROUND: int = 15
 GRADED_FIRST: tuple[str, ...] = (
     # ---- round-15 driver window (50), policy-composed ----
+    "q63_tfidf_top_terms",
     "q72_conversion_pipeline",
     "q23_approx_aggs",
     "q285_quadratic_response",
@@ -227,8 +228,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q03_broadcast_dim_join",
     "q04_multiway_join_revenue",
     "q05_semi_join",
-    "q06_anti_join",
     # ---- tail: prior tuple order (ex-window members lead) ----
+    "q06_anti_join",
     "q43_minhash_lsh_xxh",
     "q232_stratified_att",
     "q233_count_min_sketch",
@@ -431,7 +432,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q51_ann_lsh",
     "q54_ann_ivf",
     "q60_lang_breakdown",
-    "q63_tfidf_top_terms",
     "q64_lang_id",
     "q66_regex_token_count",
     "q67_pii_redaction",
