@@ -132,6 +132,23 @@ class LightweightConverter:
                         pdf_undecodable_image_streams,
                     )
 
+                    # Empty-user-password encrypted PDFs (the common
+                    # "restrictions-only" case) decrypt in place since
+                    # r15 (pipeline/pdfcrypt.py: RC4 / AES-128 / AES-256
+                    # standard security handler) and convert like any
+                    # other file; a REAL user password (or an
+                    # unsupported handler) leaves content untouched, so
+                    # extraction finds nothing and the existing
+                    # encrypted-PDF error path below names the cause.
+                    if pdf_is_encrypted(content):
+                        from docling_api_spark.pipeline.pdfcrypt import (
+                            pdf_decrypt,
+                        )
+
+                        decrypted = pdf_decrypt(content)
+                        if decrypted is not None:
+                            content = decrypted
+
                     # image streams in codecs the stdlib path cannot decode
                     # (JBIG2/JPX/Crypt/indirect-parms CCITT; the CCITT family decodes since
                     # r14 via pipeline/ccittg4.py) are skipped by design —
