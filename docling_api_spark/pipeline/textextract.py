@@ -646,15 +646,63 @@ def _balanced_value(d: bytes, pos: int) -> tuple[bytes, int] | None:
 def _resolve_object_body(content: bytes, num: int, gen: int) -> bytes | None:
     """The body of `num gen obj ... endobj` in the raw file — serves
     indirect /DecodeParms targets (VERDICT r14 Next #2). xref-free scan,
-    same convention as the stream-object table in pdf_extract_images."""
+    same convention as the stream-object table in pdf_extract_images.
+    Falls back to /Type /ObjStm object streams (r15): PDF 1.5+ writers
+    pack non-stream objects — including parameter dictionaries — into
+    compressed object streams, where a raw-file scan cannot see them."""
     m = re.search(
         rb"(?:^|[^0-9])%d\s+%d\s+obj\b" % (num, gen), content
     )
-    if m is None:
-        return None
-    start = m.end()
-    end = content.find(b"endobj", start)
-    return content[start:end] if end >= 0 else None
+    if m is not None:
+        start = m.end()
+        end = content.find(b"endobj", start)
+        return content[start:end] if end >= 0 else None
+    if gen != 0:
+        return None  # compressed objects always have generation 0
+    return _objstm_object(content, num)
+
+
+def _objstm_object(content: bytes, num: int) -> bytes | None:
+    """Scan /Type /ObjStm streams for compressed object `num` (ISO
+    32000-1 §7.5.7): the decoded payload opens with /N pairs of
+    `objnum offset` integers, bodies start at /First + offset."""
+    for m in _STREAM_RE.finditer(content):
+        d = m.group("dict")
+        if re.search(rb"/Type\s*/ObjStm\b", d) is None:
+            continue
+        n_objs = _dict_int(d, b"N")
+        first = _dict_int(d, b"First")
+        if not n_objs or first is None:
+            continue
+        start = m.end()
+        end = content.find(b"endstream", start)
+        if end < 0:
+            continue
+        res = _decode_stream(d, content[start:end], content)
+        if res is None or res[1] != "raw":
+            continue
+        payload = res[0]
+        header = payload[:first].split()
+        if len(header) < 2 * n_objs:
+            continue
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1]))
+                for i in range(n_objs)
+            ]
+        except ValueError:
+            continue
+        for i, (onum, off) in enumerate(pairs):
+            if onum != num:
+                continue
+            body_start = first + off
+            body_end = (
+                first + pairs[i + 1][1] if i + 1 < len(pairs)
+                else len(payload)
+            )
+            if 0 <= body_start <= body_end <= len(payload):
+                return payload[body_start:body_end]
+    return None
 
 
 def _decodeparms_text(

@@ -969,3 +969,42 @@ def test_vertical_mode_enforces_monotonic_changing_elements():
     # decodes — proving the rejection fired on monotonicity, not on an
     # otherwise-malformed stream
     assert _decode_line(line_bits([v0, vr1, v0]), ref, 8) == [2, 5, 8]
+
+
+def test_indirect_decodeparms_inside_objstm_resolves():
+    """PDF 1.5+ writers pack parameter dictionaries into compressed
+    /Type /ObjStm streams; the r15 resolver follows the indirect
+    /DecodeParms reference INTO the object stream (§7.5.7 layout: /N
+    offset pairs, bodies at /First + offset)."""
+    import zlib
+
+    from docling_api_spark.pipeline.textextract import (
+        pdf_extract_images,
+        pdf_undecodable_image_streams,
+    )
+
+    rows_px = [[0, 1, 1, 0, 0, 1, 0, 1], [1, 0, 0, 1, 1, 0, 1, 0]]
+    # object stream holding two objects: a decoy dict (obj 6) and the
+    # CCITT parms dict (obj 7)
+    body6 = b"<</Decoy true>>"
+    body7 = b"<</K -1 /Columns 8 /Rows 2>>"
+    header = b"6 0 7 %d" % len(body6)
+    payload = zlib.compress(header + b" " + body6 + body7)
+    # note: /First must point past the header; bodies are concatenated
+    first = len(header) + 1
+    objstm = (
+        b"8 0 obj <</Type /ObjStm /N 2 /First %d /Filter /FlateDecode "
+        b"/Length %d>>\nstream\n" % (first, len(payload))
+        + payload + b"\nendstream endobj"
+    )
+    img = make_image_obj(
+        g4_encode(rows_px, 8), width=8, height=2,
+        colorspace=b"/DeviceGray", bpc=1,
+        filt=b"/CCITTFaxDecode", extra=b" /DecodeParms 7 0 R",
+    )
+    doc = make_pdf_objs([TEXT_OBJ, img, objstm])
+    assert pdf_undecodable_image_streams(doc) == {}
+    (png,) = pdf_extract_images(doc)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (8, 2, 1)
+    assert raw == bytes(0 if p else 255 for row in rows_px for p in row)
