@@ -41,6 +41,72 @@ def _ntz_as_utc_instant(colname: str):
     )
 
 
+# --- scan-spread guard (optimization guide §2.5: input skew) -----------------
+# The driver's test tables are ONE parquet file with ONE row group each, so
+# Spark's scan packs every row into a single task no matter what
+# maxPartitionBytes says (a row group is the minimum split unit): every
+# narrow operation before the first exchange — filters, projections, md5 /
+# shingle / tokenize work, map-side partial aggregation, Arrow batches into
+# a lone Python worker — runs on ONE core of the 32. Measured r15: q43's
+# signature materialization was a 4.3 s single-task stage; q106's
+# Misra-Gries pass a 1.1 s single-task stage; q01's scan+agg 3 tasks.
+#
+# Remedy is the guide's own: repartition immediately after the read — but
+# scale-ADAPTIVELY, so the fix is a no-op exactly where it isn't needed.
+# The spread fires only when the table is a single file (a real deployment
+# reads a multi-file table whose scan already parallelizes; sf0.001-sf0.1
+# is the one-file case) and big enough that single-threading its narrow
+# work matters. It hash-partitions on the table's natural key — unique-ish
+# AND the commonest downstream join/aggregation key, so the exchange it
+# adds is frequently the SAME exchange the first keyed operation needed
+# anyway (outputPartitioning reuse), not a net extra shuffle. Keyed hash
+# partitioning (not round-robin repartition(n)) also skips the
+# sortBeforeRepartition local sort and is deterministic under task retry.
+# Only the tables whose consumers do heavy NARROW work before their first
+# exchange (text tokenize/shingle/md5 over documents; per-row vector math
+# over embeddings) are spread. For the relational tables the first
+# operation is almost always an aggregation or join — the plan's own first
+# exchange starts there anyway, and an earlier spread would only defeat
+# map-side partial aggregation (measured: q29 1.36 s → 2.67 s with orders/
+# lineitem spread — raw rows shuffled where partial aggs used to) while
+# buying nothing the first keyed exchange doesn't already buy.
+_SPREAD_KEY = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _scan_spread_parts(spark: SparkSession, path: str) -> int:
+    """Partitions to spread a single-file scan over, or 0 when the spread
+    should not fire.
+
+    Width is min(8, shuffle partitions) — NOT the full core count: the
+    corpus this guard exists for is small (one row group), so per-task
+    fixed costs (hash-agg buffer setup, checkpoint block reads, Python
+    worker round-trips) overtake the parallelism win past ~8 tasks.
+    Measured r15 fresh-session A/B over the 12 document/embedding headline
+    queries: min-sum ×0.83 at 8 parts vs no spread, and 8 parts beat 32 on
+    5 of 6 (q106 1.67× slower at 32 than 8). Tracks SPARK_GRAFT_CPUS
+    below 8 cores so the driver's low-core bench keeps its geometry;
+    env-overridable for A/B (SPARK_GRAFT_SPREAD_PARTS)."""
+    import os
+
+    disable = os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") == "0"
+    min_bytes = int(
+        os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(256 * 1024))
+    )
+    if disable or not os.path.isfile(path) or os.path.getsize(path) < min_bytes:
+        return 0
+    override = os.environ.get("SPARK_GRAFT_SPREAD_PARTS")
+    if override:
+        return int(override)
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 0
+    return min(n, 8) if n > 1 else 0
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table, normalizing types for oracle parity."""
     try:
@@ -63,6 +129,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for fld in df.schema.fields:
         if isinstance(fld.dataType, T.TimestampNTZType):
             df = df.withColumn(fld.name, _ntz_as_utc_instant(fld.name))
+    key = _SPREAD_KEY.get(name)
+    if key is not None:
+        n = _scan_spread_parts(spark, f"{sf_dir}/{name}.parquet")
+        if n:
+            df = df.repartition(n, key)
     return df
 
 
