@@ -460,9 +460,16 @@ def distributed_grouped_quantiles(
             - F.col("c")
         ).cast("bigint").alias("lt_in_blk"),
     )
+    # Block-count-sized (≈ groups × blocks rows of bigint counts), but
+    # consumed TWICE (the prefix window and the per-group total): without a
+    # cut, each consumer re-derives it from its own full scan+aggregation
+    # of `counts` — in the raw-ranking regime that is a whole extra pass
+    # over the data (r15: q118 planned FOUR lineitem scans, one of them
+    # exactly this duplicate). Lazily checkpointing the tiny block table
+    # makes it one pass; integer counts, so the cut is bit-neutral.
     bsizes = blocked.groupBy(*g, "blk").agg(
         F.sum("c").cast("bigint").alias("nb")
-    )
+    ).localCheckpoint(eager=False)
     prefix = bsizes.select(
         *g, "blk",
         F.coalesce(

@@ -241,7 +241,7 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree column; deg is re-attached from the checkpointed node table
     # after each aggregation
     ranks = nodes_deg.select("node", F.lit(PR_SCALE // n).alias("rank"), "deg")
-    for _ in range(PR_ITERS):
+    for it in range(PR_ITERS):
         agg = (
             edges.join(ranks.hint("shuffle_hash"), edges.src == ranks.node)
             .select("dst", F.expr("rank div deg").alias("contrib"))
@@ -254,9 +254,15 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rank")
             )
         )
-        ranks = agg.join(
-            nodes_deg.hint("shuffle_hash"), agg.dst == nodes_deg.node
-        ).select("node", "rank", "deg")
+        if it == PR_ITERS - 1:
+            # last lap: the trailing nodes_deg join only re-attaches `deg`
+            # for a next iteration that never runs — skip it (one join +
+            # one exchange less; the final render needs node/rank only)
+            ranks = agg.select(F.col("dst").alias("node"), "rank")
+        else:
+            ranks = agg.join(
+                nodes_deg.hint("shuffle_hash"), agg.dst == nodes_deg.node
+            ).select("node", "rank", "deg")
     # integer division (not `/` + cast): `/` yields a double, exact only
     # below 2^53 — the rest of the pipeline is deliberately pure-integer
     return ranks.select(

@@ -50,10 +50,24 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # documents/binaries are large per row — keep Arrow batches bounded
-        # (mirrors the reference's lazy one-at-a-time convert_all iterator,
-        # reference service.py:171-177)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Arrow batch sizing (optimization guide §4.2): bound batches by
+        # BYTES, not a row count. The old maxRecordsPerBatch=256 guarded
+        # the conversion stage's megabyte binary rows, but it equally
+        # throttled every narrow-row Python pass — q106's token-level
+        # Misra-Gries consumed ~600k 10-byte rows as ~2300 Arrow batches
+        # per task, all serialization round-trips. maxBytesPerBatch keeps
+        # the memory bound the 256-row cap was for (large rows still cut
+        # batches early; mirrors the reference's lazy one-at-a-time
+        # convert_all iterator, service.py:171-177) while narrow rows get
+        # full 10k-row batches.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAXREC", "10000"),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAXBYTES", str(16 * 1024 * 1024)),
+        )
         .config(NANOS_AS_LONG, "true")
         # naive µs parquet timestamps read as TIMESTAMP (UTC instant) like
         # Spark 3.x / DuckDB, not Spark 4's inferred TIMESTAMP_NTZ
