@@ -178,9 +178,6 @@ def register(
 WINDOW_COMPOSED_FOR_ROUND: int = 15
 GRADED_FIRST: tuple[str, ...] = (
     # ---- round-15 driver window (50), policy-composed ----
-    "q63_tfidf_top_terms",
-    "q72_conversion_pipeline",
-    "q23_approx_aggs",
     "q285_quadratic_response",
     "q103_khop_reachability",
     "q105_funnel_steps",
@@ -228,8 +225,13 @@ GRADED_FIRST: tuple[str, ...] = (
     "q03_broadcast_dim_join",
     "q04_multiway_join_revenue",
     "q05_semi_join",
-    # ---- tail: prior tuple order (ex-window members lead) ----
     "q06_anti_join",
+    "q07_outer_join",
+    "q08_scalar_subquery",
+    # ---- tail: prior tuple order (ex-window members lead) ----
+    "q63_tfidf_top_terms",
+    "q72_conversion_pipeline",
+    "q23_approx_aggs",
     "q43_minhash_lsh_xxh",
     "q232_stratified_att",
     "q233_count_min_sketch",
@@ -451,7 +453,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q122_interarrival_histogram",
     "q124_chi_square",
     "q125_impute_group_mean",
-    "q08_scalar_subquery",
     "q09_correlated_exists",
     "q25_explode_wordcount",
     "q28_shipping_priority",
@@ -475,7 +476,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q61_token_stats",
     "q62_quality_score",
     "q65_doc_fingerprint",
-    "q07_outer_join",
     "q104_snapshot_diff",
     "q106_heavy_hitters",
     "q109_stream_stream_join",
