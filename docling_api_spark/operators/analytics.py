@@ -2848,7 +2848,11 @@ def q221_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic Poisson bootstrap (see block comment — map-side local
     multiplicities, per-replicate exact integer sums, 32-row order
     statistics; the distributed bootstrap idiom)."""
-    o = load_table(spark, sf_dir, "orders")
+    # spread_key: the B×|orders| md5 draws are narrow work BEFORE the
+    # per-replicate aggregation's exchange — on the single-row-group test
+    # file they would otherwise run on one core (r15; no-op on a real
+    # multi-file orders table)
+    o = load_table(spark, sf_dir, "orders", spread_key="o_orderkey")
     reps_src = o.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),

@@ -107,8 +107,15 @@ def _scan_spread_parts(spark: SparkSession, path: str) -> int:
     return min(n, 8) if n > 1 else 0
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table, normalizing types for oracle parity."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread_key: str | None = None
+) -> DataFrame:
+    """Load one test table, normalizing types for oracle parity.
+
+    ``spread_key`` lets a caller with heavy narrow compute before its
+    first exchange opt a non-default table into the scan-spread guard
+    (e.g. q221's 4.8M md5 draws over orders): same gating — single file,
+    size threshold — so it is a no-op on a real multi-file table."""
     try:
         # Unannotated parquet timestamps (isAdjustedToUTC=false) should read
         # as TIMESTAMP (UTC instant), matching the DuckDB oracle's naive
@@ -129,7 +136,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for fld in df.schema.fields:
         if isinstance(fld.dataType, T.TimestampNTZType):
             df = df.withColumn(fld.name, _ntz_as_utc_instant(fld.name))
-    key = _SPREAD_KEY.get(name)
+    key = spread_key or _SPREAD_KEY.get(name)
     if key is not None:
         n = _scan_spread_parts(spark, f"{sf_dir}/{name}.parquet")
         if n:
