@@ -108,14 +108,21 @@ def _scan_spread_parts(spark: SparkSession, path: str) -> int:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, spread_key: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread_key: str | bool | None = None,
 ) -> DataFrame:
     """Load one test table, normalizing types for oracle parity.
 
-    ``spread_key`` lets a caller with heavy narrow compute before its
-    first exchange opt a non-default table into the scan-spread guard
-    (e.g. q221's 4.8M md5 draws over orders): same gating — single file,
-    size threshold — so it is a no-op on a real multi-file table."""
+    ``spread_key`` tunes the scan-spread guard per call: a column name
+    opts a non-default table in (e.g. q221's 4.8M md5 draws over orders —
+    heavy narrow compute before the first exchange; same gating — single
+    file, size threshold — so it is a no-op on a real multi-file table);
+    ``False`` opts OUT a default-spread table for a caller whose narrow
+    work is cheap and whose payload should never cross an exchange (e.g.
+    q104: per-doc digests in the scan stage, only (id, digest) pairs may
+    shuffle — the spread exchange would move the full text)."""
     try:
         # Unannotated parquet timestamps (isAdjustedToUTC=false) should read
         # as TIMESTAMP (UTC instant), matching the DuckDB oracle's naive
@@ -136,8 +143,8 @@ def load_table(
     for fld in df.schema.fields:
         if isinstance(fld.dataType, T.TimestampNTZType):
             df = df.withColumn(fld.name, _ntz_as_utc_instant(fld.name))
-    key = spread_key or _SPREAD_KEY.get(name)
-    if key is not None:
+    key = _SPREAD_KEY.get(name) if spread_key is None else spread_key
+    if key:
         n = _scan_spread_parts(spark, f"{sf_dir}/{name}.parquet")
         if n:
             df = df.repartition(n, key)
