@@ -1045,6 +1045,20 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EQD_BUCKETS = 16
 
 
+def _bucket_assign(col: str) -> F.Column:
+    """bucket_id = 1 + #cuts below the value, over the broadcast 15-element
+    cut array `c` — as a SUM OF 15 SCALAR COMPARISONS, not
+    `size(filter(c, v -> x > v))`: higher-order array functions run
+    interpreted (no whole-stage codegen) and allocate a result array per
+    row, pure waste on the bucket-assignment pass's every-row hot path.
+    Same count, bit-identical bucket ids (r15, guide §4.1)."""
+    x = F.col(col)
+    n = F.lit(1)
+    for i in range(1, _EQD_BUCKETS):
+        n = n + F.when(x > F.element_at("c", i), 1).otherwise(0)
+    return n.cast("int")
+
+
 @register(
     "q118_equidepth_histogram",
     bench=True,
@@ -1121,12 +1135,7 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(cuts))
         .select(
-            (
-                F.lit(1)
-                + F.size(F.expr("filter(c, v -> l_extendedprice > v)"))
-            )
-            .cast("int")
-            .alias("bucket_id"),
+            _bucket_assign("l_extendedprice").alias("bucket_id"),
             "l_extendedprice",
         )
         .groupBy("bucket_id")
@@ -1169,12 +1178,7 @@ def q118_approx_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(cuts))
         .select(
-            (
-                F.lit(1)
-                + F.size(F.expr("filter(c, v -> l_extendedprice > v)"))
-            )
-            .cast("int")
-            .alias("bucket_id"),
+            _bucket_assign("l_extendedprice").alias("bucket_id"),
             "l_extendedprice",
         )
         .groupBy("bucket_id")

@@ -877,7 +877,13 @@ def q106_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.mapInPandas(_mg_candidates, T.StructType([T.StructField("token", T.StringType())]))
         .distinct()
     )
-    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # corpus token total WITHOUT re-exploding: sum of per-doc token-array
+    # lengths == COUNT(*) over the exploded relation (split never emits
+    # empty arrays — even '' splits to ['']), skipping one full row
+    # expansion of the token relation (r15, guide §2.3 project-early)
+    total = docs.select(F.size(F.split("text", " ")).alias("ntok")).agg(
+        F.sum("ntok").cast("bigint").alias("n")
+    )
     return (
         toks.join(F.broadcast(cand), "token")  # semi shape: candidate filter
         .groupBy("token")

@@ -42,6 +42,36 @@ def job_id_col() -> Column:
     return F.element_at(F.split(F.col("path"), "/"), -1)
 
 
+class _scoped_stream_state_parts:
+    """Scope the state-partition count of a bounded drain (guide §2.2:
+    size partitions to the data, not the core count).
+
+    A stateful streaming operator creates one state-store instance per
+    shuffle partition and commits each of them per micro-batch — at the
+    test corpus's volume, 32 state partitions are pure per-batch file I/O
+    (measured r15: q36 drain 1.9-7.3 s at 32 state partitions vs
+    1.2-1.4 s at 8). The stream's session snapshot makes the setting
+    safe to scope: StreamExecution clones the session at start(), and on
+    checkpoint RESUME Spark takes the partition count from the offset
+    log, not this conf, so recovery semantics (pinned by the
+    kill/restart test) are untouched. Env: SPARK_GRAFT_STREAM_STATE_PARTS
+    (a real deployment sizes this to its per-trigger volume; default
+    min(8, shuffle partitions) matches the test corpus)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        target = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS") or str(
+            min(8, int(self.prev))
+        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", target)
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def drain_stream_to_parquet(stream_df: DataFrame, prefix: str = "drain") -> DataFrame:
     """Run an append-mode stream to completion through the PRODUCTION file
     sink — parquet results + checkpointed offsets, exactly the
@@ -57,13 +87,16 @@ def drain_stream_to_parquet(stream_df: DataFrame, prefix: str = "drain") -> Data
 
     spark = stream_df.sparkSession
     out_dir = tempfile.mkdtemp(prefix=f"{prefix}_out_")
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}_ckpt_"))
-        .start()
-    )
+    with _scoped_stream_state_parts(spark):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+            )
+            .start()
+        )
     q.processAllAvailable()
     q.stop()
     # explicit schema: an empty emission set leaves no part files, which a
@@ -201,12 +234,13 @@ def drain_stream_upsert(stream_df: DataFrame, keys: list[str], prefix: str = "up
             .parquet(log_dir)
         )
 
-    q = (
-        stream_df.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .option("checkpointLocation", ckpt_dir)
-        .start()
-    )
+    with _scoped_stream_state_parts(spark):
+        q = (
+            stream_df.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
     q.processAllAvailable()
     q.stop()
 
