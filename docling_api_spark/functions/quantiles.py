@@ -67,6 +67,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from docling_api_spark.tables import literal_df
+
 # --- adaptive pre_reduce (r10) ---------------------------------------------
 # ``pre_reduce="auto"`` replaces the r8/r9 hand-measured booleans with a
 # data-driven branch: a bounded sample of the cleaned input is probed for
@@ -467,9 +469,15 @@ def distributed_grouped_quantiles(
     # over the data (r15: q118 planned FOUR lineitem scans, one of them
     # exactly this duplicate). Lazily checkpointing the tiny block table
     # makes it one pass; integer counts, so the cut is bit-neutral.
+    # coalesce(1) before the cut: the checkpointed RDD otherwise keeps the
+    # shuffle's full partition count, and BOTH consumers then pay a
+    # partition-count-wide stage of block-manager reads for a relation the
+    # plan later broadcasts whole anyway (r15 profile: a 32-task ~0-CPU
+    # stage per consumer on q118; the prefix window is single-partition
+    # regardless, so one partition loses no parallelism).
     bsizes = blocked.groupBy(*g, "blk").agg(
         F.sum("c").cast("bigint").alias("nb")
-    ).localCheckpoint(eager=False)
+    ).coalesce(1).localCheckpoint(eager=False)
     prefix = bsizes.select(
         *g, "blk",
         F.coalesce(
@@ -485,8 +493,8 @@ def distributed_grouped_quantiles(
     )
     total = bsizes.groupBy(*g).agg(F.sum("nb").cast("bigint").alias("n"))
     targets = (
-        spark.createDataFrame(
-            [(i, float(p)) for i, p in enumerate(probs)], "i int, q double"
+        literal_df(
+            spark, [(i, float(p)) for i, p in enumerate(probs)], "i int, q double"
         )
         .join(F.broadcast(total))
         .selectExpr(

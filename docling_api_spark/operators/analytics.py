@@ -26,7 +26,7 @@ from docling_api_spark.functions.quantiles import (
 )
 from docling_api_spark.operators.sampling import hash_bucket, sql_hash_bucket
 from docling_api_spark.plans.registry import register
-from docling_api_spark.tables import load_table
+from docling_api_spark.tables import literal_df, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -5324,7 +5324,7 @@ def q262_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("conv").cast("bigint").alias("k"),
     )
-    mdes = spark.createDataFrame([(m,) for m in _PWR_MDES], "mde double")
+    mdes = literal_df(spark, [(m,) for m in _PWR_MDES], "mde double")
     zsum = f"(CAST({_PWR_Z_ALPHA} AS DOUBLE) + CAST({_PWR_Z_BETA} AS DOUBLE))"
     p1 = "(CAST(k AS DOUBLE) / n_users)"
     return base.crossJoin(F.broadcast(mdes)).selectExpr(

@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from docling_api_spark.plans.registry import register
-from docling_api_spark.tables import load_table
+from docling_api_spark.tables import literal_df, load_table
 
 K_HOPS = 2
 SEED_MOD = 500  # parts with p_partkey % 500 == 0 seed the traversal
@@ -721,7 +721,8 @@ def q293_hub_removal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         if largest_before is not None and largest_after is not None
         else None
     )
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         [(hub, n_nodes, largest_before, n_nodes_after, largest_after, drop)],
         "hub string, n_nodes bigint, largest_before bigint, "
         "n_nodes_after bigint, largest_after bigint, largest_drop bigint",

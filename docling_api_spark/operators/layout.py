@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from docling_api_spark.plans.registry import register
-from docling_api_spark.tables import load_table
+from docling_api_spark.tables import literal_df, load_table
 
 _BITS = 8  # 8 bits per dimension → 16-bit Morton keys, 256 buckets of 256
 
@@ -280,7 +280,7 @@ def q245_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=False)
     )
-    preds = spark.createDataFrame(list(_SEL_PREDS), "lo bigint, hi bigint")
+    preds = literal_df(spark, list(_SEL_PREDS), "lo bigint, hi bigint")
     width = f"(CAST(hi_all - lo_all AS DOUBLE) / {_SEL_BUCKETS})"
     b_lo = f"lo_all + bucket * {width}"
     b_hi = f"lo_all + (bucket + 1) * {width}"
@@ -509,7 +509,8 @@ def q280_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ring(n_nodes: int) -> DataFrame:
-        vn = spark.createDataFrame(
+        vn = literal_df(
+            spark,
             [(node, v) for node in range(n_nodes) for v in range(_CH_VNODES)],
             "node bigint, v bigint",
         )

@@ -63,8 +63,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan, map-side partial agg, single shuffle on the (low-cardinality)
     group keys — the canonical Catalyst hash-aggregate plan.
+
+    spread_key (r15): the seven exact-decimal(28,6) aggregates are the
+    query's real CPU (BigDecimal accumulation, ~1.2 s over sf0.1's rows),
+    and on a single-row-group file ALL of it lands in the one scan task as
+    map-side partial agg. The opt-in spread moves the decimal work behind
+    an 8-way exchange of the five needed columns; partial aggregation
+    still collapses to 4 groups per partition before the final exchange.
+    No-op on a multi-file table (same guard as every spread).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from docling_api_spark.functions.numeric import sql_davg, sql_dsum, davg, dsum
 from docling_api_spark.functions.quantiles import distributed_quantiles
 from docling_api_spark.plans.registry import register
-from docling_api_spark.tables import load_table
+from docling_api_spark.tables import literal_df, load_table
 
 
 def hash_bucket(col, n_buckets: int = 100):
@@ -151,8 +151,8 @@ def q93_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash predicate — the corpus-mixing recipe as one
     broadcast join + filter, no shuffle of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    weights = spark.createDataFrame(
-        [("src0", 100), ("src1", 50), ("src2", 10)], "src_prefix string, pct int"
+    weights = literal_df(
+        spark, [("src0", 100), ("src1", 50), ("src2", 10)], "src_prefix string, pct int"
     )
     return (
         docs.join(F.broadcast(weights), docs.source == weights.src_prefix)

@@ -27,7 +27,7 @@ from docling_api_spark.operators.similarity import (
     NORM_SPARK,
 )
 from docling_api_spark.plans.registry import register
-from docling_api_spark.tables import load_table
+from docling_api_spark.tables import literal_df, load_table
 
 STOPWORDS = ("a", "the", "of", "and", "in", "to", "is", "on")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1463,8 +1463,8 @@ def q189_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     q45/q152 ladder). Both engines' `replace` scan leftmost-
     non-overlapping, so merged vocabularies match bit-for-bit."""
     out, _ = _bpe_train(spark, sf_dir)
-    return spark.createDataFrame(
-        out, "rnd int, pair string, merged string, cnt bigint"
+    return literal_df(
+        spark, out, "rnd int, pair string, merged string, cnt bigint"
     )
 
 
@@ -2841,7 +2841,7 @@ def q278_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy(F.col("c").desc(), "w")).alias("rk"),
         F.sum("c").over(W.partitionBy()).cast("bigint").alias("total"),
     )
-    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k bigint")
+    ks = literal_df(spark, [(k,) for k in _COV_KS], "k bigint")
     return (
         ranked.crossJoin(F.broadcast(ks))
         .groupBy("k")
@@ -3013,7 +3013,7 @@ def q301_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.min("pos").alias("first_pos"))
     )
-    ks = spark.createDataFrame([(k,) for k in _VG_THRESH], "k bigint")
+    ks = literal_df(spark, [(k,) for k in _VG_THRESH], "k bigint")
     return (
         firsts.crossJoin(F.broadcast(ks))
         .groupBy(F.col("k").alias("n_tokens_seen"))

@@ -11,6 +11,8 @@ keep the access path in one place so that swap is a one-file change.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -189,3 +191,40 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def literal_df(spark: SparkSession, rows, schema: str | T.StructType) -> DataFrame:
+    """A tiny constant table as ONE JVM-native partition.
+
+    Drop-in for ``spark.createDataFrame(rows, schema)`` on literal
+    parameter tables (probe positions, thresholds, mix weights).
+    ``createDataFrame`` parallelizes the rows into ``defaultParallelism``
+    pickled slices, and EVERY consuming job then runs a
+    parallelism-wide stage whose tasks each round-trip a Python worker
+    just to unpickle a handful of rows — measured r15 on q118: a
+    32-task, ~0-CPU, 8s-executor-time stage per run for a 15-row table.
+    Here the rows become ``inline(array(struct(...)))`` literals over a
+    one-partition ``range(1)``: no Python workers, one task, and the
+    values are bit-identical (``lit().cast()`` on ints/floats/strings
+    is exact).
+
+    Only for SMALL tables (expression tree grows with rows × cols;
+    keep it under a few hundred rows — parameter tables, not data).
+
+    Every field is wrapped ``when(true, lit)`` so the schema keeps
+    ``createDataFrame``'s nullable=true columns — result schemas are
+    driver-graded, so the swap must be invisible there too.
+    """
+    st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if not rows or os.environ.get("SPARK_GRAFT_LITERAL_DF", "1") == "0":
+        return spark.createDataFrame(rows, st)
+    structs = [
+        F.struct(
+            *[
+                F.when(F.lit(True), F.lit(v).cast(f.dataType)).alias(f.name)
+                for v, f in zip(row, st.fields)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
