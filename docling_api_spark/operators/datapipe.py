@@ -784,20 +784,29 @@ def q134_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.trim(F.regexp_replace(F.lower("text"), _CP_WS, " ")).alias("t"),
     )
-    hashed = norm.withColumn("h", F.md5(F.col("t").cast("binary")))
+    # Token stats are computed BEFORE the dedup window (guide §2.3 / §8:
+    # shuffle keys and metadata, not payloads): the h-partitioned exchange
+    # used to carry the full normalized text so the survivors could be
+    # tokenized after rn=1 — but downstream needs only two ints per doc,
+    # so the shuffle now moves (doc_id, lang, h, n_tokens, n_distinct).
+    # Values for surviving rows are bit-identical; duplicate rows spend a
+    # little map-side CPU on stats that get dropped — the corpus dup rate
+    # makes that a rounding error against text-sized shuffle bytes.
+    hashed = norm.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("t").cast("binary")).alias("h"),
+        F.size(F.split("t", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("t", " "))).alias("n_distinct"),
+    )
     deduped = (
         hashed.withColumn(
             "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
         )
         .where(F.col("rn") == 1)
-        .select("doc_id", "lang", F.split("t", " ").alias("toks"))
+        .select("doc_id", "lang", "n_tokens", "n_distinct")
     )
-    kept = deduped.select(
-        "doc_id",
-        "lang",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
-    ).where(
+    kept = deduped.where(
         (F.col("n_tokens") >= _CP_MIN_WORDS)
         & (F.col("n_distinct") * 100 > F.col("n_tokens") * _CP_MIN_DISTINCT_PCT)
     )

@@ -365,8 +365,13 @@ def q29_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-decimal sum kept as total_qty replaces the r4 plan's second
     scan + second group-by (the semi join disappears with it). At 100 TB
     that halves the fact work; the qualifying-orders relation joining
-    orders is heavy-hitter-sized, and customer broadcasts."""
-    li = load_table(spark, sf_dir, "lineitem")
+    orders is heavy-hitter-sized, and customer broadcasts.
+
+    spread_key (r15): the spread exchange IS the groupBy(l_orderkey)
+    exchange (hash partitioning on the same key satisfies the agg's
+    distribution), so on the single-row-group test file it moves the
+    per-orderkey decimal aggregation off the one scan task for free."""
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
