@@ -3276,9 +3276,17 @@ _CONF_EXPRS = {
 def q227_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """90% split-conformal interval half-width per order priority for the
     (order value ~ line count) OLS fit — parity-split halves, exact-moment
-    coefficients, integer-cent residual percentile (see block comment)."""
+    coefficients, integer-cent residual percentile (see block comment).
+
+    spread_key (r15): on the single-row-group test file, AQE coalesced the
+    1.6 MB join exchanges to ONE post-shuffle task, so the whole
+    join+per-order aggregation ran serially. The opt-in spread's fixed
+    8-way repartition on l_orderkey IS the join's required partitioning
+    (orders co-partitions to it), and the per-order groupBy keys contain
+    o_orderkey, so the spread adds no exchange — it only un-serializes
+    the join/agg. No-op on a multi-file table."""
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     sized = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(

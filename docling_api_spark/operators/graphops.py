@@ -350,14 +350,21 @@ def q191_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxation count bounds total work at SP_ROUNDS x |edges|. Integer
     weights make the min-fold bit-identical across engines (the oracle
     unrolls the same rounds as CTEs).
+
+    r15: node ids are BIGINT-encoded (custkey*2 / suppkey*2+1, the q152
+    scheme) so every per-round edge shuffle moves longs, not 'c123'
+    strings — the oracle's string labels are rendered once over the
+    final node-sized result. In-loop checkpoints are lazy (the next
+    round's single job materializes them — no per-round driver barrier)
+    and the final round skips its checkpoint entirely (single consumer).
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .agg(F.countDistinct("o_orderkey").alias("cnt"))
         .select(
@@ -372,19 +379,20 @@ def q191_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=True)
 
+    # seed set: s_suppkey is the supplier key — already unique, so the
+    # oracle's DISTINCT is a no-op and planning one would add a shuffle
     dist = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_suppkey") % SP_SEED_MOD == 0)
         .select(
-            F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+            (F.col("s_suppkey").cast("bigint") * 2 + 1).alias("node"),
             F.lit(0).cast("bigint").alias("dist"),
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     # checkpointed dist carries no stats (q152's note): hint shuffle_hash
     # so the relaxation never sorts the edge relation
-    for _ in range(SP_ROUNDS):
+    for rnd in range(SP_ROUNDS):
         relaxed = edges.join(
             dist.hint("shuffle_hash"), edges.src == dist.node
         ).select(
@@ -395,9 +403,20 @@ def q191_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+        if rnd < SP_ROUNDS - 1:
+            # lazy: both consumers (next round's union + join) sit in one
+            # job, which materializes the cut exactly once
+            dist = dist.localCheckpoint(eager=False)
+    return dist.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node div 2")),
+        )
+        .otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+        .alias("node"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
 
 
 # ---------------------------------------------------------------------------

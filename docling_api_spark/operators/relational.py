@@ -183,8 +183,14 @@ def q03_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q04_multiway_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by region/nation (TPC-H Q5 shape): one shuffle join between the
-    two fact tables (lineitem⋈orders, AQE-managed), then broadcast dims."""
-    li = load_table(spark, sf_dir, "lineitem")
+    two fact tables (lineitem⋈orders, AQE-managed), then broadcast dims.
+
+    spread_key (r15): at bench size the filtered orders side broadcasts,
+    so the whole probe+partial-agg pipeline lives in lineitem's scan
+    stage — one task on a single-row-group file. The opt-in spread moves
+    the probes/decimal work behind an 8-way exchange of the three needed
+    columns (same recipe as q01; no-op on a multi-file table)."""
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00"))

@@ -51,13 +51,30 @@ def test_spread_partitions_and_row_parity(spark, sf_dir):
     assert _rows(spread) == _rows(plain)
 
 
-def test_spread_query_results_bit_identical(spark, sf_dir):
-    """A representative multi-consumer float-emitting query (q42: shingle
-    self-join + Jaccard doubles) returns bit-identical rows with the
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # representative multi-consumer float-emitting query (shingle
+        # self-join + Jaccard doubles) on the default documents spread
+        "q42_ngram_jaccard",
+        # opt-in spread_key callers: exact-decimal aggregates (q01),
+        # broadcast-join + decimal agg (q04), double OLS/quantile
+        # machinery (q227), HAVING-filtered decimal agg (q29)
+        "q01_pricing_summary",
+        "q04_multiway_join_revenue",
+        "q227_conformal_interval",
+        "q29_large_orders",
+    ],
+)
+def test_spread_query_results_bit_identical(spark, sf_dir, name):
+    """Queries on spread tables return bit-identical rows with the
     spread forced on vs off."""
     from docling_api_spark.plans import all_queries
 
-    q = all_queries()["q42_ngram_jaccard"]
+    q = all_queries()[name]
     with mock.patch.dict(os.environ, {"SPARK_GRAFT_SPREAD_MIN_BYTES": "1"}):
         with_spread = _rows(q.fn(spark, sf_dir))
     with mock.patch.dict(os.environ, {"SPARK_GRAFT_SCAN_SPREAD": "0"}):
