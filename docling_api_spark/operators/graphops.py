@@ -215,7 +215,10 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: materialized by the SAME job that materializes nodes_deg
+        # below — one driver barrier for the whole graph build, not three
+        # (r15; was eager + eager + count = three synchronous round trips)
+        .localCheckpoint(eager=False)
     )
     # symmetrize lazily: two map-side passes over the checkpointed half
     edges = cs.unionByName(
@@ -232,8 +235,10 @@ def q152_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes_deg = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # the count() IS the materializing action: one job computes cs,
+    # both map-side edge passes, the degree agg, and the node count
     n = nodes_deg.count()
     base = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // (PR_DAMP_DEN * n)
 
