@@ -67,7 +67,10 @@ def doc_shingle_arrays(
     out = docs.select(
         "doc_id", "source", F.array_distinct(F.expr(SHINGLES_SPARK)).alias("sh_arr")
     )
-    return out.localCheckpoint() if checkpoint else out
+    # lazy (r15): the first consumer's job materializes the cut — the
+    # eager form cost every shingle consumer a synchronous driver
+    # barrier before its main job could even plan
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
