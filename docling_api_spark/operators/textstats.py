@@ -1176,7 +1176,8 @@ def q139_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("wt"),
         )
-        .localCheckpoint(eager=True)  # used three times below
+        .localCheckpoint(eager=False)  # used three times below (lazy:
+        # the first consumer's job materializes the cut, r15)
     )
     norms = w.groupBy("doc_id").agg(
         F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,6)"))
@@ -1489,7 +1490,9 @@ def _bpe_train(
             F.trim(F.regexp_replace("word", "(.)", "$1 ")),
             F.lit(" "),
         ).alias("sp"),
-    ).localCheckpoint(eager=True)
+    # lazy (r15): each round's winner collect() is the materializing
+    # action anyway — the eager form added a driver barrier per round
+    ).localCheckpoint(eager=False)
 
     out: list[tuple[int, str, str, int]] = []
     for rnd in range(1, BPE_ROUNDS + 1):
@@ -1522,7 +1525,7 @@ def _bpe_train(
                 F.lit(f" {top['pair']} "),
                 F.lit(f" {merged} "),
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     return out, v
 
