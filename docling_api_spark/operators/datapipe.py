@@ -908,7 +908,11 @@ def q154_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles — only its md5. Divisions are by the group's own row
     count (≥ 1 by construction), so the query is total under ANSI mode.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_key=False: the docstring's contract — text never crosses an
+    # exchange, only its md5 inside the agg. The default doc_id spread put
+    # a full-text Exchange ahead of the Expand/multi-distinct aggregate
+    # (r15 regression, ×0.70); the q104 opt-out recipe restores the shape.
+    docs = load_table(spark, sf_dir, "documents", spread_key=False)
     n = F.count(F.lit(1))
     dup = (n - F.count_distinct(F.md5("text"))).cast("bigint")
     return docs.groupBy("source").agg(

@@ -679,7 +679,11 @@ def q159_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors are excluded (scale = 0 has no quantization to audit) — that
     also keeps the division total under ANSI.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_key=False: all-map-side until the final 10-row group — the
+    # default vec_id spread added an Exchange moving the float-array
+    # payload before it (r15 regression, ×0.74; 8-core-faster-than-32
+    # scaling ratio 0.44 = pure exchange overhead).
+    emb = load_table(spark, sf_dir, "embeddings", spread_key=False)
     s = emb.select(
         "vec_id",
         "label",

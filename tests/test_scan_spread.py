@@ -80,3 +80,36 @@ def test_spread_query_results_bit_identical(spark, sf_dir, name):
     with mock.patch.dict(os.environ, {"SPARK_GRAFT_SCAN_SPREAD": "0"}):
         without = _rows(q.fn(spark, sf_dir))
     assert with_spread == without
+
+
+@pytest.mark.parametrize(
+    "name,payload_key",
+    [
+        # opt-OUT queries (spread_key=False): the payload must never cross
+        # a spread exchange — q154's contract is "text never shuffles, only
+        # its md5"; q159 is all-map-side until the final 10-row group.
+        ("q154_source_quality_rollup", "doc_id"),
+        ("q159_embedding_quantization", "vec_id"),
+        ("q104_snapshot_diff", "doc_id"),
+    ],
+)
+def test_spread_opt_out_keeps_plan_and_rows(spark, sf_dir, name, payload_key):
+    """Opt-out queries plan NO spread repartition even when the spread is
+    forced on, and their rows are identical under both knob settings."""
+    from docling_api_spark.plans import all_queries
+
+    q = all_queries()[name]
+    with mock.patch.dict(os.environ, {"SPARK_GRAFT_SPREAD_MIN_BYTES": "1"}):
+        df = q.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the spread exchange is an explicit repartition (REPARTITION_BY_NUM
+        # on the table key); plan-required exchanges (ENSURE_REQUIREMENTS,
+        # e.g. q104's digest shuffle on doc_id) are legitimate and stay
+        assert not any(
+            f"hashpartitioning({payload_key}" in line and "REPARTITION_BY_NUM" in line
+            for line in plan.splitlines()
+        )
+        forced = _rows(df)
+    with mock.patch.dict(os.environ, {"SPARK_GRAFT_SCAN_SPREAD": "0"}):
+        plain = _rows(q.fn(spark, sf_dir))
+    assert forced == plain
