@@ -37,9 +37,15 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     # Arrow batches bounded by BYTES (large conversion rows) instead of a
-    # row count that throttles narrow-row Python passes — see session.py
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    "spark.sql.execution.arrow.maxBytesPerBatch": str(16 * 1024 * 1024),
+    # row count that throttles narrow-row Python passes — see session.py.
+    # Same env overrides as session.get_spark, so a driver-handed session
+    # honors an env-tuned value instead of silently overwriting it.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+        "SPARK_GRAFT_ARROW_MAXREC", "10000"
+    ),
+    "spark.sql.execution.arrow.maxBytesPerBatch": os.environ.get(
+        "SPARK_GRAFT_ARROW_MAXBYTES", str(16 * 1024 * 1024)
+    ),
 }
 
 

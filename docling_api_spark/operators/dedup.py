@@ -711,11 +711,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     # materialize the edge list once — every propagation round joins against
     # it, and recomputing an upstream pipeline (e.g. the Jaccard pair
-    # generation) per round would dominate the loop.
+    # generation) per round would dominate the loop. Lazy: round 1's
+    # convergence count is the materializing action (no extra driver
+    # barrier before the loop; r16, guide §2.4 — the q189/q191 recipe).
     sym = (
         edges.selectExpr("src", "dst")
         .union(edges.selectExpr("dst AS src", "src AS dst"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.selectExpr("src AS node")
@@ -742,7 +744,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("changed"),
             )
         )
-        updated = updated.localCheckpoint()  # truncate the growing lineage
+        # truncate the growing lineage; lazy — the round's own convergence
+        # count below is the single materializing action, so each round is
+        # ONE job instead of an eager-checkpoint barrier plus a count
+        # (r16, guide §2.4; same recipe as the q191/q189/q152 lazy cuts)
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:

@@ -880,10 +880,13 @@ def q106_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus token total WITHOUT re-exploding: sum of per-doc token-array
     # lengths == COUNT(*) over the exploded relation (split never emits
     # empty arrays — even '' splits to ['']), skipping one full row
-    # expansion of the token relation (r15, guide §2.3 project-early)
-    total = docs.select(F.size(F.split("text", " ")).alias("ntok")).agg(
-        F.sum("ntok").cast("bigint").alias("n")
-    )
+    # expansion of the token relation (r15, guide §2.3 project-early).
+    # coalesce(.., 0): a NULL text explodes to zero rows, but legacy
+    # size(NULL) is -1 when ANSI is off — pin the equivalence to 0 under
+    # either sizeOfNull setting (r15 ADVICE).
+    total = docs.select(
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0)).alias("ntok")
+    ).agg(F.sum("ntok").cast("bigint").alias("n"))
     return (
         toks.join(F.broadcast(cand), "token")  # semi shape: candidate filter
         .groupBy("token")

@@ -56,15 +56,26 @@ class _scoped_stream_state_parts:
     log, not this conf, so recovery semantics (pinned by the
     kill/restart test) are untouched. Env: SPARK_GRAFT_STREAM_STATE_PARTS
     (a real deployment sizes this to its per-trigger volume; default
-    min(8, shuffle partitions) matches the test corpus)."""
+    min(8, shuffle partitions) matches the test corpus).
+
+    The conf mutation is session-global for the scope's duration: a query
+    planned CONCURRENTLY on the same session (another driver thread) would
+    inherit the reduced partition count. The drains here are called from
+    single-threaded query paths (bench/driver/tests), which is the
+    assumption; a multi-tenant deployment should start the stream from a
+    cloned session (spark.newSession()) instead."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def __enter__(self) -> None:
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            prev_n = int(self.prev)
+        except (TypeError, ValueError):
+            prev_n = 8  # non-integer conf (e.g. "auto" on a fork) — floor it
         target = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS") or str(
-            min(8, int(self.prev))
+            min(8, prev_n)
         )
         self.spark.conf.set("spark.sql.shuffle.partitions", target)
 

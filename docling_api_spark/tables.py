@@ -91,8 +91,6 @@ def _scan_spread_parts(spark: SparkSession, path: str) -> int:
     5 of 6 (q106 1.67× slower at 32 than 8). Tracks SPARK_GRAFT_CPUS
     below 8 cores so the driver's low-core bench keeps its geometry;
     env-overridable for A/B (SPARK_GRAFT_SPREAD_PARTS)."""
-    import os
-
     disable = os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") == "0"
     min_bytes = int(
         os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(256 * 1024))
@@ -218,6 +216,14 @@ def literal_df(spark: SparkSession, rows, schema: str | T.StructType) -> DataFra
     st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
     if not rows or os.environ.get("SPARK_GRAFT_LITERAL_DF", "1") == "0":
         return spark.createDataFrame(rows, st)
+    for row in rows:
+        # positional tuples/lists only: Row/dict rows would zip against the
+        # schema silently misaligned, and a short row would truncate
+        if not isinstance(row, (tuple, list)) or len(row) != len(st.fields):
+            raise TypeError(
+                f"literal_df rows must be tuples/lists of exactly "
+                f"{len(st.fields)} values (got {row!r})"
+            )
     structs = [
         F.struct(
             *[
