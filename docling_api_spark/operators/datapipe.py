@@ -94,7 +94,10 @@ def q67_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably fires and the full redacted text is value-checked via md5.
     Pure map-side regexp work: no shuffle, stays in codegen.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_key=False: map-side-only pipeline (regexp, no downstream
+    # shuffle) — the spread exchange would move full text for nothing
+    # (r16 sweep A/B off x0.76-0.81)
+    docs = load_table(spark, sf_dir, "documents", spread_key=False)
     aug = docs.select(
         "doc_id",
         F.concat(
@@ -1086,7 +1089,9 @@ def q273_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-per-token greedy curation under a 25% token budget, via
     1000 integer quality buckets + one cumulative window (see block
     comment — the scale-correct form of global greedy selection)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_key=False: first op is a metadata-only aggregation — the
+    # spread exchange would move full text ahead of it (r16 sweep x0.71)
+    docs = load_table(spark, sf_dir, "documents", spread_key=False)
     toks = F.split("text", " ")
     docs_q = docs.select(
         "doc_id",

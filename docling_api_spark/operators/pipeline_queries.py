@@ -128,7 +128,9 @@ _MAX_BATCH = 5000
 def q71_upload_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size validation with each `source` as a batch: per-file cap 400 bytes,
     sequential 5000-byte batch budget debited in doc_id order."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_key=False: the validation window partitions by source — the
+    # doc_id spread exchange is unreused (r16 sweep A/B off x0.72-0.89)
+    docs = load_table(spark, sf_dir, "documents", spread_key=False)
     validated = with_size_validation(
         docs,
         size_col="n_chars",

@@ -94,7 +94,9 @@ def q91_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% sample selected by content-hash bucket — the same rows come back
     on any engine/partitioning (unlike df.sample), so downstream runs and
     holdout splits are reproducible."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_key=False: filter+project only — no downstream exchange
+    # (r16 sweep A/B off x0.82-0.87)
+    docs = load_table(spark, sf_dir, "documents", spread_key=False)
     return docs.filter(hash_bucket("doc_id") < 10).select("doc_id", "lang", "n_chars")
 
 

@@ -597,7 +597,10 @@ def q79_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by the same per-partition top-K + merge the engine already
     uses for TakeOrderedAndProject.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_key=False: first op aggregates by label — the vec_id spread
+    # would move the float-array payload unreused (the q159 shape; r16
+    # sweep A/B off x0.82-0.88)
+    emb = load_table(spark, sf_dir, "embeddings", spread_key=False)
     dec = lambda i: (
         F.round(F.element_at("embedding", i).cast("double"), 6).cast("decimal(18,6)")
     )
