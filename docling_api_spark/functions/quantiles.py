@@ -340,6 +340,7 @@ def distributed_grouped_quantiles(
     pre_reduce: bool | str = True,
     probe_key: object = None,
     expected_groups: int | None = None,
+    rank_parts: int | None = None,
 ) -> DataFrame:
     """Per-group exact quantiles: one row per group with array<double>
     ``c`` — the distributed replacement for
@@ -451,6 +452,18 @@ def distributed_grouped_quantiles(
         *g, "x", "c",
         F.floor(F.col("x") / F.lit(block_width)).cast("bigint").alias("blk"),
     )
+    if rank_parts:
+        # Pin the ranking exchange's width (opt-in, r16). The in-block
+        # window REQUIRES hashpartitioning(*g, blk) anyway, so this
+        # replaces that ENSURE_REQUIREMENTS exchange rather than adding
+        # one — but as an explicit REPARTITION_BY_NUM it is exempt from
+        # AQE's byte-coalescing, which at bench corpus size folds the
+        # ~1 MB post-shuffle work onto ONE task and serializes the whole
+        # ranking pipeline (r15 profile: q297 ran 4 serial single-task
+        # stages). Callers gate the value with tables._scan_spread_parts
+        # (single-file + size threshold), so production multi-file
+        # tables pass None and keep AQE's byte-correct sizing.
+        blocked = blocked.repartition(rank_parts, *g, "blk")
     inblock = blocked.select(
         *g, "x", "c", "blk",
         (
@@ -557,6 +570,7 @@ def distributed_quantiles(
     block_width: float | str = 1000.0,
     pre_reduce: bool | str = True,
     probe_key: object = None,
+    rank_parts: int | None = None,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles of ``df[col]`` at ``probs``.
 
@@ -620,4 +634,5 @@ def distributed_quantiles(
         block_width=block_width,
         pre_reduce=pre_reduce,
         probe_key=probe_key,
+        rank_parts=rank_parts,
     )

@@ -6637,9 +6637,18 @@ def q297_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre_reduce="auto" (r10, probe reproduces r8): order totals in
     # cents are near-unique — rank raw rows, one shuffle instead of a
     # no-op distinct-count reduce
+    # rank_parts: pin the ranking-window exchange to the scan-spread
+    # width so AQE's byte-coalescing can't serialize the whole blocked
+    # ranking onto one task (r15 profile: 4 serial single-task stages).
+    # _scan_spread_parts gates it on the single-file bench layout — a
+    # multi-file production orders table passes 0 → None, keeping AQE's
+    # byte-correct sizing at scale.
+    from docling_api_spark.tables import _scan_spread_parts
+
     th = distributed_quantiles(
         v, "c", [0.9, 0.95, 0.99], block_width="auto",
         pre_reduce="auto", probe_key=f"q297:{sf_dir}",
+        rank_parts=_scan_spread_parts(spark, f"{sf_dir}/orders.parquet") or None,
     )
     pts = th.selectExpr(
         "stack(3, CAST(0.90 AS DOUBLE), c[0], CAST(0.95 AS DOUBLE), c[1],"

@@ -5816,6 +5816,13 @@ def q296_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre_reduce="auto" (r10, probe reproduces r8): microsecond lateness
     # is near-continuous — rank raw rows, one shuffle instead of a no-op
     # distinct-count reduce
+    # rank_parts (r16, the q297 recipe): pin the ranking exchange to the
+    # scan-spread width so AQE byte-coalescing can't serialize the ~1 MB
+    # blocked ranking onto one task (profile: two serial single-task
+    # 1.08 MB stages); single-file-gated — None on a production
+    # multi-file table, keeping AQE's byte-correct sizing
+    from docling_api_spark.tables import _scan_spread_parts
+
     lq = distributed_quantiles(
         lateness,
         "late_us",
@@ -5823,6 +5830,7 @@ def q296_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_width="auto",
         pre_reduce="auto",
         probe_key=f"q296:{sf_dir}",
+        rank_parts=_scan_spread_parts(spark, f"{sf_dir}/events.parquet") or None,
     )
     counts = lateness.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),

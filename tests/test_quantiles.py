@@ -624,3 +624,27 @@ def test_reserved_group_column_names_raise_clearly(spark):
     df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "c string, v double")
     with pytest.raises(ValueError, match="reserved"):
         distributed_grouped_quantiles(df, ["c"], "v", [0.5])
+
+
+@pytest.mark.parametrize(
+    "table,col,pre_reduce",
+    [
+        ("lineitem", "l_extendedprice", False),  # raw-row ranking (q297 shape)
+        ("part", "p_size", True),  # distinct-count path, heavy ties
+    ],
+)
+def test_rank_parts_bit_identical(spark, sf_dir, table, col, pre_reduce):
+    """rank_parts (r16: pin the ranking exchange's width so AQE
+    byte-coalescing can't serialize the blocked ranking) must be a pure
+    physical hint: same bits as rank_parts=None on both ranking paths,
+    at widths below, at, and above the data's natural partition count."""
+    df = load_table(spark, sf_dir, table)
+    want = distributed_quantiles(
+        df, col, PROBS, block_width="auto", pre_reduce=pre_reduce
+    ).collect()[0].c
+    for parts in (1, 8, 64):
+        got = distributed_quantiles(
+            df, col, PROBS, block_width="auto",
+            pre_reduce=pre_reduce, rank_parts=parts,
+        ).collect()[0].c
+        assert [repr(g) for g in got] == [repr(w) for w in want], parts
