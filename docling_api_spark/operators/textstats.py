@@ -285,18 +285,31 @@ def q64_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmax tie-breaks).
     """
     docs = load_table(spark, sf_dir, "documents")
+
+    # Bigram generation (r16, guide §4.1): explode the POSITION sequence
+    # and take substring(text, i, 2) in the projection, instead of
+    # transform(sequence(..), i -> substring(..)) + explode. The
+    # higher-order transform is interpreted (per-element lambda dispatch)
+    # and allocates a full array of 2-char strings per document before
+    # the Generate; the position explode keeps the whole pipeline in
+    # WholeStageCodegen (a sequence of bigints is the only per-doc
+    # allocation) and produces bit-identical bg rows. Wall flat at sf0.1
+    # (the stage is join/agg-bound there); the allocation win is
+    # per-doc-length, which is what matters for long production docs.
+
+    def _bigrams(df, *keep):
+        return df.select(
+            *keep,
+            "text",
+            F.explode(
+                F.expr("sequence(1, greatest(length(text) - 1, 1))")
+            ).alias("i"),
+        ).select(*keep, F.expr("substring(text, i, 2)").alias("bg"))
+
     # profile: top-20 char bigrams per language from the first 50 docs/lang
     w_doc = W.partitionBy("lang").orderBy("doc_id")
     sample = docs.withColumn("rn", F.row_number().over(w_doc)).filter(F.col("rn") <= 50)
-    bigrams = sample.select(
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 1, 1)), "
-                "i -> substring(text, i, 2))"
-            )
-        ).alias("bg"),
-    )
+    bigrams = _bigrams(sample, "lang")
     w_bg = W.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bg"))
     profile = (
         bigrams.groupBy("lang", "bg")
@@ -305,16 +318,7 @@ def q64_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("brn") <= 20)
         .select(F.col("lang").alias("profile_lang"), "bg", F.lit(1).alias("hit"))
     )
-    doc_bigrams = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 1, 1)), "
-                "i -> substring(text, i, 2))"
-            )
-        ).alias("bg"),
-    )
+    doc_bigrams = _bigrams(docs, "doc_id", "lang")
     scores = (
         doc_bigrams.join(F.broadcast(profile), "bg")
         .groupBy("doc_id", "lang", "profile_lang")
