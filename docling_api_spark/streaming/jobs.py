@@ -98,17 +98,34 @@ def drain_stream_to_parquet(stream_df: DataFrame, prefix: str = "drain") -> Data
 
     spark = stream_df.sparkSession
     out_dir = tempfile.mkdtemp(prefix=f"{prefix}_out_")
+    # Trigger.AvailableNow (r16, guide §2.4 fixed costs): the documented
+    # run-to-completion trigger for a bounded drain — the stream plans all
+    # available input up front, runs the same micro-batches (data batch +
+    # watermark-finalization batch; probed: 2 = 2 on q36/q109), then
+    # terminates itself, replacing the processAllAvailable polling
+    # handshake with awaitTermination. Measured flat-to-slightly-better
+    # locally (family A/B min-sum ×0.85–0.97 over quiet windows); kept
+    # for the semantics: self-termination cannot hang on a source that
+    # keeps reporting new offsets, and recovery still resumes from the
+    # offset log (kill/restart test). Env opt-out restores the old
+    # processingTime drain.
+    avail = os.environ.get("SPARK_GRAFT_STREAM_AVAILABLE_NOW", "1") == "1"
     with _scoped_stream_state_parts(spark):
-        q = (
+        writer = (
             stream_df.writeStream.outputMode("append")
             .format("parquet")
             .option("path", out_dir)
             .option(
                 "checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
             )
-            .start()
         )
-    q.processAllAvailable()
+        if avail:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+    if avail:
+        q.awaitTermination()
+    else:
+        q.processAllAvailable()
     q.stop()
     # explicit schema: an empty emission set leaves no part files, which a
     # schema-inferring read would refuse
@@ -245,14 +262,21 @@ def drain_stream_upsert(stream_df: DataFrame, keys: list[str], prefix: str = "up
             .parquet(log_dir)
         )
 
+    # Trigger.AvailableNow, same rationale as drain_stream_to_parquet
+    avail = os.environ.get("SPARK_GRAFT_STREAM_AVAILABLE_NOW", "1") == "1"
     with _scoped_stream_state_parts(spark):
-        q = (
+        writer = (
             stream_df.writeStream.outputMode("update")
             .foreachBatch(upsert)
             .option("checkpointLocation", ckpt_dir)
-            .start()
         )
-    q.processAllAvailable()
+        if avail:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+    if avail:
+        q.awaitTermination()
+    else:
+        q.processAllAvailable()
     q.stop()
 
     # an empty source produces zero micro-batches → no parquet files, and a
