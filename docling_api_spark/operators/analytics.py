@@ -1021,9 +1021,18 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MAD input below is an explicit checkpoint, so raw-row ranking (one
     # shuffle per pass) measured 2.27s vs 2.84s end-to-end at sf0.1
     # (best-of-3 over all four per-call combinations)
+    # rank_parts on both passes (r16, the q296/q297 recipe): each pass's
+    # ranking exchange is ~1 MB at bench corpus size (profile: two
+    # single-task 0.17-0.18s stages reading 0.97-0.99 MB), exactly the
+    # band where AQE byte-coalescing serializes real ranking work onto
+    # one task. Gated by _scan_spread_parts: a multi-file production
+    # events table passes 0 → None and keeps AQE's byte-correct sizing.
+    from docling_api_spark.tables import _scan_spread_parts
+
+    _rp = _scan_spread_parts(spark, f"{sf_dir}/events.parquet") or None
     med = distributed_grouped_quantiles(
         ev, ["event_type"], "value", [0.5], block_width="auto",
-        pre_reduce="auto", probe_key=f"q158a:{sf_dir}",
+        pre_reduce="auto", probe_key=f"q158a:{sf_dir}", rank_parts=_rp,
     ).select("event_type", F.col("c")[0].alias("med"))
     # lazy cut: the MAD aggregation and the outlier count both consume the
     # deviation relation; uncut, each re-derives the fact scan + median
@@ -1037,7 +1046,7 @@ def q158_median_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     mad = distributed_grouped_quantiles(
         dev, ["event_type"], "adev", [0.5], block_width="auto",
-        pre_reduce="auto", probe_key=f"q158b:{sf_dir}",
+        pre_reduce="auto", probe_key=f"q158b:{sf_dir}", rank_parts=_rp,
     ).select("event_type", F.col("c")[0].alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -2255,7 +2264,13 @@ def q205_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments, one broadcast join, one TakeOrdered-shaped rank; the
     d-dimensional generalization swaps the closed form for a
     driver-side dxd inverse (scalar state, the q194 discipline)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221 recipe): both passes are heavy narrow
+    # compute before any exchange — decimal(38) moment products on one
+    # side, the WindowGroupLimit partial sort on the other — and the
+    # single-file test layout gives the scan only 3 row-group tasks
+    # (profile: 1.5 + 1.9 run-seconds pinned on 3 tasks, zero shuffle).
+    # No-op on a real multi-file lineitem table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     pts = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -3923,9 +3938,19 @@ _KCORE_K = 2
     """,
 )
 def q236_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three peel rounds toward the 2-core of the brand backbone —
-    degree aggregate + semi-join filters per round on the vocabulary-sized
-    edge list (see block comment)."""
+    """Three peel rounds toward the 2-core of the brand backbone.
+
+    The heavy work — lineitem⋈part, the per-order brand self-join, the
+    median support threshold — is fully distributed. The backbone graph
+    itself lives on the ``p_brand`` VOCABULARY (≤25 nodes / ≤300 edges at
+    every scale factor), so the two peel rounds run driver-side on the
+    collected edge list — the q293 allowance pattern, guarded by the same
+    vocabulary ceiling + LIMIT sentinel. r16: the previous Spark-side
+    unrolled peel (eager checkpoint + per-round broadcast semi-joins) paid
+    ~10 driver jobs of pure fixed cost on a ≤300-row relation (profile:
+    15 jobs / 31 stages, 1.4s outside any stage); the peel arithmetic is
+    exact integer degree counting, so the driver replay is bit-identical.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     items = (
@@ -3944,38 +3969,49 @@ def q236_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     med = pairs.agg(F.expr("percentile(n, 0.5)").alias("m"))
-    edges = (
+    # Self-enforcing collect bound (the q293 guard): assert the vocabulary
+    # allowance before pulling the edge list to the driver.
+    n_vocab = pt.select("p_brand").distinct().count()
+    _VOCAB_CEILING = 1000
+    if n_vocab > _VOCAB_CEILING:
+        raise RuntimeError(
+            f"q236: brand vocabulary ({n_vocab}) exceeds the absolute "
+            f"ceiling ({_VOCAB_CEILING}) — the graph column is no longer "
+            "vocabulary-sized; restore the distributed peel loop instead"
+        )
+    bound = n_vocab * n_vocab + 1
+    rows = (
         pairs.crossJoin(F.broadcast(med))
         .where(F.col("n") > F.col("m"))
         .select("ba", "bb")
+        .limit(bound)
+        .collect()
     )
-    # materialize the backbone once (q45/q103 checkpoint discipline):
-    # every peel round re-reads the edge list, and without the checkpoint
-    # the fact-join + median subtree replays per round (50 scalar
-    # exchanges in the unrolled plan). Registered under EXECUTING_QUERIES.
-    edges = edges.localCheckpoint(eager=True)
-
-    def degrees(e: DataFrame) -> DataFrame:
-        return (
-            e.select(F.col("ba").alias("x"))
-            .unionAll(e.select(F.col("bb").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    if len(rows) >= bound:
+        raise RuntimeError(
+            f"q236: edge collect exceeded the vocabulary bound "
+            f"(≥{bound} rows for a {n_vocab}-value brand vocabulary) — "
+            "the co-occurrence graph is no longer vocabulary-sized; "
+            "restore the distributed peel loop instead"
         )
+    edges = [(r.ba, r.bb) for r in rows]
 
-    e = edges
+    def degree_counts(e: list) -> dict:
+        d: dict = {}
+        for x, y in e:
+            d[x] = d.get(x, 0) + 1
+            d[y] = d.get(y, 0) + 1
+        return d
+
     for _ in range(2):  # two peels, then report round-3 degrees
-        keep = degrees(e).where(F.col("d") >= _KCORE_K).select("x")
-        e = (
-            e.join(
-                F.broadcast(keep.selectExpr("x AS ba")), "ba", "semi"
-            ).join(F.broadcast(keep.selectExpr("x AS bb")), "bb", "semi")
-        )
-    return degrees(e).selectExpr(
-        "x AS brand",
-        "d AS degree",
-        f"CASE WHEN d >= {_KCORE_K} THEN 1 ELSE 0 END AS stable",
-    )
+        deg = degree_counts(edges)
+        keep = {x for x, d in deg.items() if d >= _KCORE_K}
+        edges = [(x, y) for x, y in edges if x in keep and y in keep]
+    out = [
+        (x, d, 1 if d >= _KCORE_K else 0)
+        for x, d in degree_counts(edges).items()
+    ]
+    return literal_df(spark, out, "brand string, degree bigint, stable int")
 
 
 # ---------------------------------------------------------------------------
@@ -5654,24 +5690,33 @@ def q268_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin with lowest-boundary tie-break (see block comment)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # aggregate BEFORE the join (r16, guide §2.3): o_orderdate is constant
+    # per order, so max over the order's lineitems of the late indicator
+    # equals the indicator on max(l_shipdate) — lineitem partial-aggregates
+    # map-side to ≤|orders| narrow rows before any exchange instead of
+    # shuffling every joined row. o_orderkey is the orders PK, so the old
+    # (o_orderkey, o_totalprice) group key is equivalent. Lazy cut: the
+    # label relation feeds both the bounds probe and the bucket pass.
+    # Measured fresh min-of-5 at sf0.1: 1.37s vs 1.62s for the old
+    # join-then-group shape with the same checkpoint (baseline 1.57s).
+    li_last = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
     labeled = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", "o_totalprice")
-        .agg(
-            F.max(
-                F.when(
-                    F.datediff(
-                        F.col("l_shipdate").cast("date"),
-                        F.col("o_orderdate").cast("date"),
-                    )
-                    > _LATE_DAYS,
-                    1,
-                ).otherwise(0)
-            ).alias("y")
-        )
+        o.join(li_last, o.o_orderkey == F.col("okey"))
         .select(
-            F.round("o_totalprice").cast("bigint").alias("d"), "y"
+            F.round("o_totalprice").cast("bigint").alias("d"),
+            F.when(
+                F.datediff(
+                    F.col("last_ship"), F.col("o_orderdate").cast("date")
+                )
+                > _LATE_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("y"),
         )
+        .localCheckpoint(eager=False)
     )
     bounds = labeled.agg(
         F.min("d").alias("lo"), (F.max("d") + 1).alias("hi")

@@ -84,11 +84,15 @@ def q103_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    # materialize once: every hop joins against it twice
-    edges = edges.localCheckpoint(eager=True)
+    # materialize once: every hop joins against it twice. Lazy (r16): the
+    # checkpoint still cuts the plan and caches on first use, but the
+    # final action is the single materializing barrier — the eager form
+    # paid 6 driver round-trips (edges + seeds + 2 per hop) before the
+    # real job (the q152/q189/q191 barrier recipe).
+    edges = edges.localCheckpoint(eager=False)
 
     seeds = edges.select("p").where(F.col("p") % SEED_MOD == 0).distinct()
-    frontier = seeds.localCheckpoint(eager=True)
+    frontier = seeds.localCheckpoint(eager=False)
     visited = frontier
     out = frontier.withColumn("min_hops", F.lit(0).cast("int"))
 
@@ -102,10 +106,10 @@ def q103_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p")
             .distinct()
             .join(visited.hint("shuffle_hash"), "p", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionByName(nxt.withColumn("min_hops", F.lit(hop).cast("int")))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
 
     return out.select(F.col("p").alias("part_key"), "min_hops")

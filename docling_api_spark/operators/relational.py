@@ -1035,6 +1035,11 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-unique, so the distinct-count pre-reduce was a full-table
     # shuffle for a 3% reduction; raw-row ranking measured 2.39s vs
     # 3.04s end-to-end at sf0.1 (best-of-3)
+    # rank_parts rejected here (r16): the raw-row ranking exchange is
+    # ~7 MB, which AQE's parallelism-first coalescing already runs at 6
+    # tasks — pinning to the 8-wide spread width measured ×1.17 LOSS
+    # fresh (the q118 precedent: past ~5 MB the pin only disables AQE's
+    # byte-correct sizing).
     cuts = distributed_grouped_quantiles(
         pb, ["p_brand"], "x", [0.05, 0.95], block_width="auto",
         pre_reduce="auto", probe_key=f"q114:{sf_dir}",

@@ -5525,6 +5525,11 @@ def q272_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cent sums)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r16 note: an aggregate-before-join rewrite (max shipdate per order
+    # from lineitem alone, then join orders) was implemented and measured
+    # a ×1.2 LOSS fresh at sf0.1 — the join-then-group shape below already
+    # shares the join's orderkey exchange with the groupBy (guide §2.4),
+    # so the rewrite only added a hash-agg pass for a 4:1 row reduction.
     spans = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
