@@ -319,7 +319,12 @@ def q123_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Support/confidence/lift are integer counts with closing double
     divisions; brand marginals are a tiny broadcast.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221 recipe): the items relation (scan +
+    # broadcast part join + distinct + checkpoint) otherwise materializes
+    # on the scan's 3 row-group tasks; the spread exchange runs the
+    # distinct + checkpoint 8-wide (A/B fresh x0.46). No-op on a
+    # multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     part = load_table(spark, sf_dir, "part")
     # lazy cut: the order count, brand marginals, and both pair-join sides
     # consume this relation (audit: 5 fact scans/plan uncut)
@@ -669,7 +674,11 @@ def q135_sla_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark percentile ≡ DuckDB quantile_cont), breaches are integer
     comparisons — nothing engine-dependent anywhere.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221 recipe): orders broadcasts into the
+    # single-file lineitem scan's 3 row-group tasks, so the heavy keyed
+    # aggregation ran 3-wide; the spread exchange moves narrow rows once
+    # and runs it 8-wide. No-op on a multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         F.col("o_orderpriority").alias("priority"),
@@ -4397,7 +4406,11 @@ def q246_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, per priority — distributed band aggregation + per-group
     applyInPandas pooling (see block comment)."""
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221 recipe): orders broadcasts into the
+    # single-file lineitem scan's 3 row-group tasks, so the heavy keyed
+    # aggregation ran 3-wide; the spread exchange moves narrow rows once
+    # and runs it 8-wide. No-op on a multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     late = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(

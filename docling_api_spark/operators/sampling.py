@@ -605,7 +605,11 @@ def q203_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented: k is a budget, not a quota — redraw loops serialize at
     scale). At 100 TB: identical plan, positives bucketed by user."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # spread_key (r16, the q221 recipe): orders broadcasts into the
+    # single-file lineitem scan's 3 row-group tasks, so the heavy keyed
+    # aggregation ran 3-wide; the spread exchange moves narrow rows once
+    # and runs it 8-wide. No-op on a multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey").select("l_orderkey", "l_partkey")
     pos = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(

@@ -5524,12 +5524,17 @@ def q272_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
     order→last-shipment window (see block comment — integer month keys,
     exact cent sums)."""
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221 recipe): orders broadcasts, so the whole
+    # join + group + month-explode + proration pipeline (1.7 CPU-s) ran on
+    # the scan's 3 row-group tasks; the spread exchange moves narrow
+    # (okey, shipdate) rows once and runs it 8-wide (A/B fresh x0.59).
+    # No-op on a multi-file production table.
     # r16 note: an aggregate-before-join rewrite (max shipdate per order
     # from lineitem alone, then join orders) was implemented and measured
     # a ×1.2 LOSS fresh at sf0.1 — the join-then-group shape below already
     # shares the join's orderkey exchange with the groupBy (guide §2.4),
     # so the rewrite only added a hash-agg pass for a 4:1 row reduction.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     spans = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
