@@ -3017,7 +3017,11 @@ def q222_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity of the above-median-support brand
     co-purchase backbone (see block comment — vocabulary-sized joins and
     one exact-integer moment reduce; r is a single closing expression)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221/q123 recipe): the items relation
+    # otherwise materializes on the scan's 3 row-group tasks; the spread
+    # exchange runs the distinct + downstream 8-wide. No-op on a
+    # multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     pt = load_table(spark, sf_dir, "part")
     items = (
         li.join(pt, li.l_partkey == pt.p_partkey)
@@ -4532,7 +4536,11 @@ def q250_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 predicted links on the brand backbone by neighbor Jaccard —
     wedge-join candidates, existing edges anti-joined, exact integer
     neighborhood counts (see block comment)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221/q123 recipe): the items relation
+    # otherwise materializes on the scan's 3 row-group tasks; the spread
+    # exchange runs the distinct + downstream 8-wide. No-op on a
+    # multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     pt = load_table(spark, sf_dir, "part")
     items = (
         li.join(pt, li.l_partkey == pt.p_partkey)
@@ -4554,8 +4562,9 @@ def q250_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.crossJoin(F.broadcast(med))
         .where(F.col("n") > F.col("m"))
         .select("ba", "bb")
-        .localCheckpoint(eager=True)  # wedge join + anti-join + degrees all
-        # re-read the backbone; materialize once (q236 discipline)
+        .localCheckpoint(eager=False)  # wedge join + anti-join + degrees
+        # all re-read the backbone; materialize once, lazily — the final
+        # action is the single barrier (r16, the q103 recipe)
     )
     directed = edges.selectExpr("ba AS x", "bb AS y").unionAll(
         edges.selectExpr("bb AS x", "ba AS y")
@@ -5949,7 +5958,12 @@ def q277_reserve_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-price revenue at five decile reserve candidates over per-part
     bid stacks (see block comment — one rank window, broadcast reserves,
     exact cents)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16): hashpartitioning(l_partkey, 8) IS the bid-stack
+    # window's required partitioning, so the spread replaces the window's
+    # ENSURE_REQUIREMENTS exchange — whose ~0.9 MB payload AQE otherwise
+    # byte-coalesces onto ONE task (the q296/q297 serialization band).
+    # No-op on a multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_partkey")
     wb = W.partitionBy("l_partkey").orderBy(
         F.round(F.col("l_extendedprice") * 100).desc(),
         "l_orderkey",

@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from docling_api_spark.plans.registry import register
-from docling_api_spark.tables import load_table
+from docling_api_spark.tables import literal_df, load_table
 
 N_QUERIES = 8
 TOP_K = 5
@@ -899,9 +899,17 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     space. Isolated dense cells keep their own id as cluster (coalesce
     after a left join — the CC ladder only sees cells with neighbors).
     Oracle replays the components as a recursive closure (q45's idiom).
-    """
-    from docling_api_spark.operators.dedup import connected_components
 
+    r16: the component pass runs driver-side on the collected adjacency
+    list (the q293/q236 allowance pattern) — the dense-cell graph is
+    GRID-bounded ((2·{_DC_H}+1)² cells for unit-range embeddings; 34
+    dense cells at sf0.1), and the previous distributed CC ladder paid
+    58 driver jobs of pure fixed cost on it (profile: 5.0s wall with no
+    stage over 0.13s). Guarded by the same ceiling + LIMIT sentinel;
+    min-label union-find on exact integers is bit-identical to the
+    ladder. `connected_components` remains the scale path for data-sized
+    graphs (q45/q57/q76).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     cells = (
         emb.select(
@@ -932,9 +940,44 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("x.b") - F.col("y.b")) <= 1)
         & (F.col("x.id") < F.col("y.id")),
     ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
-    comp = connected_components(edges)
+    # Self-enforcing collect bound (the q293 guard): the dense-cell count
+    # is grid-bounded, and 8-adjacency with id<id caps edges at 4·cells.
+    n_cells = ids.count()
+    _CELL_CEILING = 10000  # ~20x the theoretical unit-range grid (441)
+    if n_cells > _CELL_CEILING:
+        raise RuntimeError(
+            f"q174: dense-cell count ({n_cells}) exceeds the grid ceiling "
+            f"({_CELL_CEILING}) — the cell relation is no longer "
+            "grid-bounded; use the distributed connected_components path"
+        )
+    bound = 4 * n_cells + 1
+    erows = edges.limit(bound).collect()
+    if len(erows) >= bound:
+        raise RuntimeError(
+            f"q174: adjacency collect exceeded the 8-adjacency bound "
+            f"(≥{bound} edges for {n_cells} dense cells) — use the "
+            "distributed connected_components path"
+        )
+    parent: dict = {}
+
+    def find(u: int) -> int:
+        while parent.get(u, u) != u:
+            parent[u] = parent.get(parent[u], parent[u])
+            u = parent[u]
+        return u
+
+    for r in erows:
+        ra, rb = find(r.src), find(r.dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes: set = set()
+    for r in erows:
+        nodes.add(r.src)
+        nodes.add(r.dst)
+    comp_rows = [(int(u), int(find(u))) for u in sorted(nodes)]
+    comp = literal_df(spark, comp_rows, "node bigint, component bigint")
     return (
-        ids.join(comp, ids.id == comp.node, "left")
+        ids.join(F.broadcast(comp), ids.id == comp.node, "left")
         .select(
             F.col("a").alias("cell_a"),
             F.col("b").alias("cell_b"),

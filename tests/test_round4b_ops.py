@@ -619,3 +619,55 @@ def test_triangle_census_counts_are_consistent(spark, sf_dir):
     total = sum(r["n_triangles"] for r in rows)
     assert total % 3 == 0  # each triangle contributes exactly 3 memberships
     assert all(r["n_triangles"] >= 1 for r in rows)
+
+
+def test_density_clusters_driver_cc_matches_ladder(spark, sf_dir):
+    """r16: q174's component pass moved to a driver union-find on the
+    collected grid-bounded adjacency list (the q293 allowance). Pin it
+    against the distributed connected_components ladder on the same
+    dense-cell edge list — labels must be identical node-for-node."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.dedup import connected_components
+    from docling_api_spark.operators.similarity import _DC_H, _DC_MIN_PTS
+    from docling_api_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = (
+        emb.select(
+            F.floor(F.element_at("embedding", 1).cast("double") * _DC_H)
+            .cast("bigint")
+            .alias("a"),
+            F.floor(F.element_at("embedding", 2).cast("double") * _DC_H)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .where(F.col("n") >= _DC_MIN_PTS)
+        .select(
+            "a",
+            "b",
+            ((F.col("a") + 1000) * 100000 + (F.col("b") + 1000))
+            .cast("bigint")
+            .alias("id"),
+        )
+    )
+    x, y = ids.alias("x"), ids.alias("y")
+    edges = x.join(
+        y,
+        (F.abs(F.col("x.a") - F.col("y.a")) <= 1)
+        & (F.abs(F.col("x.b") - F.col("y.b")) <= 1)
+        & (F.col("x.id") < F.col("y.id")),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    ladder = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    got = {
+        (r["cell_a"] + 1000) * 100000 + (r["cell_b"] + 1000): r["cluster_id"]
+        for r in QS["q174_density_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert ladder  # the sf0.01 grid has adjacent dense cells
+    for node, comp in ladder.items():
+        assert got[node] == comp
