@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from docling_api_spark.functions.numeric import dsum, sql_dsum
 from docling_api_spark.functions.quantiles import distributed_quantiles
 from docling_api_spark.plans.registry import register
-from docling_api_spark.tables import load_table
+from docling_api_spark.tables import literal_df, load_table
 
 US_30MIN = 30 * 60 * 1_000_000
 US_1H = 60 * 60 * 1_000_000
@@ -5908,8 +5908,19 @@ _PI_ROUNDS = 8
     """,
 )
 def q299_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """π = πP by 8 unrolled integer-nano power rounds from uniform (see
-    block comment — broadcast ladder on the 25-row transition matrix)."""
+    """π = πP by 8 integer-nano power rounds from uniform.
+
+    The heavy work — the per-user lag window over the full events table
+    and the (x, y) transition count — is fully distributed. The transition
+    matrix itself lives on the event-type VOCABULARY (≤25 rows at every
+    scale factor), so the 8 power rounds run driver-side on the collected
+    counts (the q293/q236/q174 allowance, same ceiling + LIMIT sentinel) —
+    the previous broadcast ladder paid ~20 driver jobs of pure fixed cost
+    on a 25-row relation. Arithmetic is replayed exactly: pn is the same
+    left-associative double expression rounded HALF_UP on the exact binary
+    value (Decimal), everything after is integer multiply / floor-divide
+    on positive bigints — bit-identical to the distributed form and the
+    oracle's recursive CTE."""
     ev = load_table(spark, sf_dir, "events")
     trans = ev.select(
         F.lag("event_type")
@@ -5917,33 +5928,47 @@ def q299_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.col("event_type").alias("y"),
     ).where(F.col("x").isNotNull())
-    # lazy cut: the 25-row transition matrix is re-joined every unrolled
-    # round; without it each round re-derives the full events scan + lag
-    # window (plan audit showed 6-18 event scans per run)
     counts = trans.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("cxy")
-    ).localCheckpoint(eager=False)
-    totals = counts.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
-    p = counts.join(F.broadcast(totals), "x").selectExpr(
-        "x", "y", f"CAST(ROUND({_ABS_N}.0 * cxy / cx) AS BIGINT) AS pn"
     )
-    k = totals.agg(F.count(F.lit(1)).alias("k"))
-    pi = totals.crossJoin(F.broadcast(k)).selectExpr(
-        "x AS s", f"CAST({_ABS_N} div k AS BIGINT) AS v"
-    )
-    for _ in range(_PI_ROUNDS):
-        pi = (
-            p.join(F.broadcast(pi), p.x == pi.s)
-            .groupBy(F.col("y").alias("s"))
-            .agg(
-                F.expr(
-                    f"CAST(SUM(v * pn) div {_ABS_N} AS BIGINT)"
-                ).alias("v")
-            )
+    _VOCAB_CEILING = 100  # event-type vocabulary; ~20x the real ≤5
+    bound = _VOCAB_CEILING * _VOCAB_CEILING + 1
+    rows = counts.limit(bound).collect()
+    if len(rows) >= bound:
+        raise RuntimeError(
+            f"q299: transition-count collect exceeded the vocabulary bound "
+            f"(≥{bound} rows) — event_type is no longer vocabulary-sized; "
+            "restore the distributed broadcast ladder"
         )
-    return pi.selectExpr(
-        "s AS state", f"CAST(v AS DOUBLE) / {_ABS_N}.0 AS stationary_prob"
-    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cx: dict = {}
+    for r in rows:
+        cx[r.x] = cx.get(r.x, 0) + r.cxy
+    # pn = ROUND(1e9.0 * cxy / cx): same op order, HALF_UP on the exact
+    # binary double (what Spark ROUND and DuckDB ROUND both compute here)
+    p = [
+        (
+            r.x,
+            r.y,
+            int(
+                Decimal((float(_ABS_N) * r.cxy) / cx[r.x]).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for r in rows
+    ]
+    k = len(cx)
+    pi = {s: _ABS_N // k for s in cx}
+    for _ in range(_PI_ROUNDS):
+        acc: dict = {}
+        for x, y, pn in p:
+            if x in pi:
+                acc[y] = acc.get(y, 0) + pi[x] * pn
+        pi = {y: t // _ABS_N for y, t in acc.items()}
+    out = [(s, float(v) / float(_ABS_N)) for s, v in sorted(pi.items())]
+    return literal_df(spark, out, "state string, stationary_prob double")
 
 
 # ---------------------------------------------------------------------------

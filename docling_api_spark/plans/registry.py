@@ -97,8 +97,9 @@ EXECUTING_QUERIES: frozenset[str] = frozenset((
     "q208_entity_resolution",
     "q236_kcore_peel",
     "q250_link_prediction",
-    # vocabulary-bounded edge collect (driver union-find)
+    # vocabulary-bounded edge collect (driver union-find / power rounds)
     "q293_hub_removal_impact",
+    "q299_stationary_distribution",
     # conversion / media UDF paths
     "q72_conversion_pipeline",
     "q80_media_features",
