@@ -17,6 +17,8 @@ parquet; this query verifies the property that makes that write worth it
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -508,34 +510,32 @@ def q280_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 1, 8), 16, 10) AS BIGINT) AS kh",
     )
 
-    def ring(n_nodes: int) -> DataFrame:
-        vn = literal_df(
-            spark,
-            [(node, v) for node in range(n_nodes) for v in range(_CH_VNODES)],
-            "node bigint, v bigint",
-        )
-        return vn.selectExpr(
-            "node",
-            "CAST(conv(substring(md5(CAST(concat('n', CAST(node AS STRING),"
-            " ':', CAST(v AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
-            " AS pos",
-        )
-
-    def assign(ring_df: DataFrame, out: str) -> DataFrame:
-        return (
-            keys.crossJoin(F.broadcast(ring_df))
-            .groupBy("k")
-            .agg(
-                F.expr(
-                    f"min_by(node, ((pos - kh) % {_CH_SPACE}"
-                    f" + {_CH_SPACE}) % {_CH_SPACE} * 100 + node)"
-                ).alias(out)
+    # r16: the vnode ring is a DETERMINISTIC CONSTANT (md5 of literal
+    # 'n<node>:<v>' strings), so both assignments fold into per-row
+    # least() chains over literal positions — same packed key
+    # (ring-distance * 100 + node, node recovered as % 100) the min_by
+    # used, but with no 32/40-way key explosion, no per-ring groupBy
+    # exchange, and no a⋈b re-join (profile before: two 0.65s single-task
+    # crossJoin+agg stages plus a join; after: one scan, one scalar agg).
+    # hashlib.md5 of the same bytes is bit-identical to Spark's md5().
+    def assign_expr(n_nodes: int) -> str:
+        terms = [
+            f"((({pos} - kh) % {_CH_SPACE} + {_CH_SPACE}) % {_CH_SPACE})"
+            f" * 100 + {node}"
+            for node in range(n_nodes)
+            for v in range(_CH_VNODES)
+            for pos in (
+                int(hashlib.md5(f"n{node}:{v}".encode()).hexdigest()[:8], 16),
             )
-        )
+        ]
+        return f"CAST(least({', '.join(terms)}) % 100 AS BIGINT)"
 
-    a = assign(ring(_CH_NODES), "node_a")
-    b = assign(ring(_CH_NODES + 1), "node_b")
-    stats = a.join(b, "k").agg(
+    assigned = keys.selectExpr(
+        "k",
+        f"{assign_expr(_CH_NODES)} AS node_a",
+        f"{assign_expr(_CH_NODES + 1)} AS node_b",
+    )
+    stats = assigned.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(
             F.when(F.col("node_a") != F.col("node_b"), 1).otherwise(0)
