@@ -6806,13 +6806,22 @@ def q298_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+        # lazy cut (r16): best_c and best_s both consume this relation —
+        # uncut, each re-derived the fact join + (ck, sk) aggregate
+        # (profile: two identical 0.77s scan stages + two 6.5 MB
+        # exchanges); integer counts, bit-neutral
+        .localCheckpoint(eager=False)
     )
     best_c = vol.groupBy("ck").agg(
-        F.expr(f"max_by(sk, {_Q298_KEY_SK})").alias("best_sk"),
+        # r16: struct(v, -sk) orders exactly like the oracle's padded
+        # string key (max v, then min sk) without building a 33-char
+        # string per row — bigint struct comparison, no overflow at any
+        # scale. Oracle SQL keeps the string form.
+        F.expr("max_by(sk, struct(v, -sk))").alias("best_sk"),
         F.max("v").cast("bigint").alias("v_c"),
     )
     best_s = vol.groupBy("sk").agg(
-        F.expr(f"max_by(ck, {_Q298_KEY_CK})").alias("best_ck"),
+        F.expr("max_by(ck, struct(v, -ck))").alias("best_ck"),
         F.max("v").cast("bigint").alias("v_s"),
     )
     return (
