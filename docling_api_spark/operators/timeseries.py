@@ -439,9 +439,11 @@ def q39_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # max_by(value, t_us) would be peer-order dependent on both
         # engines (same class as the r4 q215 advice)
         .agg(
+            # r16: struct(t_us, event_id) orders exactly like the padded
+            # string concat (both non-negative bigints) without building
+            # a 38-char string per row; the oracle keeps the string form
             F.expr(
-                "max_by(value, lpad(cast(t_us as string), 19, '0')"
-                " || lpad(cast(event_id as string), 19, '0'))"
+                "max_by(value, struct(t_us, event_id))"
             ).alias("obs_value")
         )
     )
@@ -3563,9 +3565,10 @@ def q215_queue_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.max("depth").cast("bigint").alias("max_depth"),
+        # r16: struct key == the padded-string lexicographic order on
+        # non-negative bigints, minus the per-row string allocation
         F.expr(
-            "max_by(depth, lpad(cast(t_us as string), 19, '0')"
-            " || lpad(cast(event_id as string), 19, '0'))"
+            "max_by(depth, struct(t_us, event_id))"
         ).cast("bigint").alias("end_depth"),
     )
 
