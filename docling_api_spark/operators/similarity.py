@@ -524,16 +524,21 @@ def q55_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2 distance between the label's embedding centroid and the
     global centroid, with order-independent (decimal-exact) accumulation."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dec = lambda i: (
-        F.round(F.element_at("embedding", i).cast("double"), 6).cast("decimal(18,6)")
+    # r16: each agg column is ONE parsed SQL expression, not a 6-deep
+    # pyspark Column composition — the old form paid ~384 py4j driver
+    # round-trips (~1.4s of the query's wall) just BUILDING the plan;
+    # the SQL text is the same expression tree, bit-identical results.
+    dec = (
+        "SUM(CAST(ROUND(CAST(element_at(embedding, {i}) AS DOUBLE), 6)"
+        " AS DECIMAL(18,6))) AS s{i}"
     )
     per = emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(dec(i)).alias(f"s{i}") for i in range(1, _DRIFT_DIM + 1)],
+        F.expr("COUNT(1) AS n"),
+        *[F.expr(dec.format(i=i)) for i in range(1, _DRIFT_DIM + 1)],
     )
     glob = per.groupBy().agg(
-        F.sum("n").alias("nn"),
-        *[F.sum(f"s{i}").alias(f"g{i}") for i in range(1, _DRIFT_DIM + 1)],
+        F.expr("SUM(n) AS nn"),
+        *[F.expr(f"SUM(s{i}) AS g{i}") for i in range(1, _DRIFT_DIM + 1)],
     )
     return (
         per.crossJoin(F.broadcast(glob))
@@ -601,12 +606,15 @@ def q79_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would move the float-array payload unreused (the q159 shape; r16
     # sweep A/B off x0.82-0.88)
     emb = load_table(spark, sf_dir, "embeddings", spread_key=False)
-    dec = lambda i: (
-        F.round(F.element_at("embedding", i).cast("double"), 6).cast("decimal(18,6)")
+    # r16: one parsed SQL expression per agg column (see q55) — drops
+    # ~1.4s of py4j plan-build round-trips; bit-identical
+    dec = (
+        "SUM(CAST(ROUND(CAST(element_at(embedding, {i}) AS DOUBLE), 6)"
+        " AS DECIMAL(18,6))) AS s{i}"
     )
     per = emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(dec(i)).alias(f"s{i}") for i in range(1, _DRIFT_DIM + 1)],
+        F.expr("COUNT(1) AS n"),
+        *[F.expr(dec.format(i=i)) for i in range(1, _DRIFT_DIM + 1)],
     )
     dist = (
         emb.join(F.broadcast(per), "label")
