@@ -1022,7 +1022,10 @@ def q114_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated cut points involve arithmetic, and Spark `percentile` ≡
     DuckDB `quantile_cont` (same linear interpolation).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221 recipe): the quantile ranking input and
+    # the clamp+sum pass both start from the 3-row-group scan; the spread
+    # exchange moves narrow (brand, price) rows once and runs both 8-wide.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     part = load_table(spark, sf_dir, "part")
     pb = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
         "p_brand", F.col("l_extendedprice").alias("x")
