@@ -176,9 +176,60 @@ def register(
 # rounds BELOW this feed the policy, so the composition stays
 # reproducible after this round's own record lands. Maintained by
 # tools/compose_window.py --update.
-WINDOW_COMPOSED_FOR_ROUND: int = 15
+WINDOW_COMPOSED_FOR_ROUND: int = 16
 GRADED_FIRST: tuple[str, ...] = (
-    # ---- round-15 driver window (50), policy-composed ----
+    # ---- round-16 driver window (50), policy-composed ----
+    "q09_correlated_exists",
+    "q104_snapshot_diff",
+    "q106_heavy_hitters",
+    "q109_stream_stream_join",
+    "q10_agg_distinct",
+    "q110_interval_overlap_join",
+    "q11_rollup",
+    "q120_ab_test_ztest",
+    "q12_cube",
+    "q13_grouping_sets",
+    "q14_window_topk_per_group",
+    "q15_window_lag_lead",
+    "q16_window_frames",
+    "q17_topk_global",
+    "q18_set_ops",
+    "q19_pivot",
+    "q20_string_funcs",
+    "q22_math_json_funcs",
+    "q23_approx_aggs",
+    "q25_explode_wordcount",
+    "q26_conditional_agg",
+    "q28_shipping_priority",
+    "q30_tumbling_window",
+    "q41_dedup_per_group",
+    "q46_unpivot",
+    "q52_knn_label_vote",
+    "q53_embedding_neardup",
+    "q61_token_stats",
+    "q62_quality_score",
+    "q65_doc_fingerprint",
+    "q91_hash_sample",
+    "q92_stratified_sample",
+    "q93_weighted_mix",
+    "q96_histogram",
+    "q100_chunk_documents",
+    "q101_ks_drift",
+    "q107_stream_static_join",
+    "q111_text_normalize",
+    "q113_bigram_familiarity",
+    "q116_seasonal_anomaly",
+    "q119_cusum_changepoint",
+    "q122_interarrival_histogram",
+    "q124_chi_square",
+    "q125_impute_group_mean",
+    "q151_stateful_counter",
+    "q175_debounce",
+    "q246_isotonic_calibration",
+    "q251_lcs_verify",
+    "q32_session_window",
+    "q33_asof_join",
+    # ---- tail: prior tuple order (ex-window members lead) ----
     "q285_quadratic_response",
     "q103_khop_reachability",
     "q105_funnel_steps",
@@ -229,10 +280,8 @@ GRADED_FIRST: tuple[str, ...] = (
     "q06_anti_join",
     "q07_outer_join",
     "q08_scalar_subquery",
-    # ---- tail: prior tuple order (ex-window members lead) ----
     "q63_tfidf_top_terms",
     "q72_conversion_pipeline",
-    "q23_approx_aggs",
     "q43_minhash_lsh_xxh",
     "q232_stratified_att",
     "q233_count_min_sketch",
@@ -417,12 +466,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q98_source_lang_purity",
     "q134_curation_pipeline",
     "q135_sla_shipping_delay",
-    "q151_stateful_counter",
-    "q246_isotonic_calibration",
-    "q251_lcs_verify",
-    "q175_debounce",
-    "q32_session_window",
-    "q33_asof_join",
     "q35_bucketed_range_join",
     "q36_streaming_tumbling",
     "q37_streaming_sessionize",
@@ -444,49 +487,6 @@ GRADED_FIRST: tuple[str, ...] = (
     "q90_profile_orders",
     "q95_temperature_mix",
     "q97_paragraph_dedup",
-    "q100_chunk_documents",
-    "q101_ks_drift",
-    "q107_stream_static_join",
-    "q111_text_normalize",
-    "q113_bigram_familiarity",
-    "q116_seasonal_anomaly",
-    "q119_cusum_changepoint",
-    "q122_interarrival_histogram",
-    "q124_chi_square",
-    "q125_impute_group_mean",
-    "q09_correlated_exists",
-    "q25_explode_wordcount",
-    "q28_shipping_priority",
-    "q41_dedup_per_group",
-    "q53_embedding_neardup",
-    "q91_hash_sample",
-    "q92_stratified_sample",
-    "q93_weighted_mix",
-    "q96_histogram",
-    "q10_agg_distinct",
-    "q12_cube",
-    "q13_grouping_sets",
-    "q15_window_lag_lead",
-    "q16_window_frames",
-    "q17_topk_global",
-    "q19_pivot",
-    "q22_math_json_funcs",
-    "q26_conditional_agg",
-    "q46_unpivot",
-    "q52_knn_label_vote",
-    "q61_token_stats",
-    "q62_quality_score",
-    "q65_doc_fingerprint",
-    "q104_snapshot_diff",
-    "q106_heavy_hitters",
-    "q109_stream_stream_join",
-    "q110_interval_overlap_join",
-    "q11_rollup",
-    "q120_ab_test_ztest",
-    "q14_window_topk_per_group",
-    "q18_set_ops",
-    "q20_string_funcs",
-    "q30_tumbling_window",
 )
 
 
