@@ -488,6 +488,11 @@ def q212_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape — modularity is a one-pass reduce over edges regardless
     of graph size."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r16 note: an opt-in l_orderkey scan spread (the q203 recipe) was
+    # measured FLAT here (fresh A/B ×0.99/×0.98 on quiet windows) — the
+    # distinct's partial phase barely reduces (c,s) pairs at this SF, so
+    # the pipeline's cost sits in the post-exchange merge either way.
+    # Reverted to keep the spread surface minimal.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")

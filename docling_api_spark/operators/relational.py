@@ -469,7 +469,12 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All grouping combinations of (returnflag, linestatus)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q01 recipe): the cube's Expand(4 grouping sets)
+    # + partial aggregate over every row ran on the single-file scan's 3
+    # row-group tasks; the spread exchange moves 3 narrow columns once and
+    # runs the expand/agg 8-wide — partials still collapse to ≤4 groups
+    # per set per partition. No-op on a multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "total_qty")
     )
@@ -1439,7 +1444,11 @@ def q143_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly share of revenue from promotional parts (TPC-H Q14's
     conditional-share shape): broadcast part dim, one keyed aggregate,
     DECIMAL-exact conditional and total sums, one closing division."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q221 recipe): part broadcasts, so the decimal
+    # conditional sums over every line ran on the scan's 3 row-group
+    # tasks; the spread moves 4 narrow columns once and runs the
+    # join+aggregate 8-wide. No-op on a multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     part = load_table(spark, sf_dir, "part")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
     m = (
@@ -1481,7 +1490,11 @@ def q144_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     part class. Broadcast part dim; the distinct aggregation expands to
     the standard two-phase plan (partial distinct on the composite key,
     then merge) — no collect_set materialization."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q203 recipe): part broadcasts, so the partial
+    # distinct on (brand, type, size_class, suppkey) ran on the scan's 3
+    # row-group tasks; the spread moves (partkey, suppkey) once and runs
+    # it 8-wide. No-op on a multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1658,7 +1671,12 @@ def q148_denorm_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-fact equi-join; buckets are one map-side CASE, so both engines
     bucket identical doubles identically.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread_key (r16, the q29 recipe): hash partitioning on l_orderkey
+    # satisfies the per-order aggregate's required distribution, so the
+    # spread REPLACES the agg's own exchange and moves the decimal
+    # per-order sums off the scan's 3 row-group tasks for free. No-op on
+    # a multi-file production table.
+    li = load_table(spark, sf_dir, "lineitem", spread_key="l_orderkey")
     orders = load_table(spark, sf_dir, "orders")
     sums = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))

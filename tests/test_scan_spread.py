@@ -67,6 +67,11 @@ import pytest
         "q04_multiway_join_revenue",
         "q227_conformal_interval",
         "q29_large_orders",
+        # r16 session-3 opt-ins: cube/Expand partial agg (q12) and
+        # two-phase count_distinct (q144) — new aggregate shapes over the
+        # spread exchange
+        "q12_cube",
+        "q144_part_supplier_stats",
     ],
 )
 def test_spread_query_results_bit_identical(spark, sf_dir, name):
