@@ -3366,9 +3366,17 @@ def q227_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reproduces the r9 call — cent-scale residuals are near-unique per
     # priority and `resid` is already a checkpoint, so raw-row ranking
     # measured 1.77s vs 2.13s at sf0.1
+    # rank_parts (r16, the q296/q297 recipe): the ~75k-row calibration
+    # residual ranking exchange is ~1 MB — the band AQE byte-coalescing
+    # folds onto ONE task; the pin keeps it at the spread width.
+    # Single-file-gated: None on a production multi-file table.
+    from docling_api_spark.tables import _scan_spread_parts
+
     qh = distributed_grouped_quantiles(
         resid, ["priority"], "r", [0.9], block_width="auto",
         pre_reduce="auto", probe_key=f"q227:{sf_dir}",
+        rank_parts=_scan_spread_parts(spark, f"{sf_dir}/lineitem.parquet")
+        or None,
     ).select("priority", (F.col("c")[0] / 100.0).alias("qhat_dollars"))
     return (
         resid.groupBy("priority", "k", "beta", "alpha")
